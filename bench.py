@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of the result — results
+are small aggregates/top-k, so the count cost is the query cost). A warmup
+query absorbs JVM/codegen startup so timings reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_pricing_summary",
+    "sql_over_views",
+    "simple_map",
+    "topk_per_group",
+    "rollup_agg",
+    "exact_dedup",
+    "minhash_neardup_pairs",
+    "text_token_stats",
+    "token_frequencies",
+    "embedding_topk",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from ecu_sbl_aace_datalake_spark import get_spark
+    from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["flagship_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""operators subpackage of ecu_sbl_aace_datalake_spark."""

@@ -1,0 +1,252 @@
+"""Deduplication operators — exact and near-duplicate, designed for 100 TB.
+
+North-star extension (SURVEY.md §2.13; not in the reference, which has no
+dedup surface). All algorithms are expressed as DataFrame plans so Catalyst
+handles pushdown/AQE; nothing collects to the driver.
+
+Scale design:
+- Exact dedup is a hash-shuffle on the key — unavoidable single shuffle;
+  keep-first semantics use one window, no self-join.
+- MinHash-LSH: cost is O(n · k) hashing + one shuffle per band join key.
+  Candidate pairs come from band-bucket equality (groupBy/join on
+  ``(band_id, band_hash)``), NEVER an O(n²) cross join. Bucket skew (a
+  degenerate band hash shared by millions of docs) is handled by capping
+  bucket size before pair expansion.
+- SimHash: 64-bit signature per doc via weighted bit-vote; near-dups found
+  by banding the signature into 4×16-bit keys (Hamming-distance blocking).
+- All text hashing uses ``xxhash64``/``hash`` (JVM built-ins) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Keep-first exact dedup: one row per distinct ``keys``, first by
+    ``tiebreak`` order. Single shuffle on the key columns.
+
+    With no tiebreak this is ``dropDuplicates(keys)`` (arbitrary survivor);
+    with a tiebreak it's deterministic via row_number() — required for
+    oracle-comparable results.
+    """
+    if not tiebreak:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in tiebreak])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _normalized_tokens(text_col: str) -> F.Column:
+    """Lowercase, strip non-alphanumerics to spaces, split on whitespace."""
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingle sets (distinct) per document — pure built-in
+    expressions (transform over a sequence of offsets), JVM-side."""
+    toks = _normalized_tokens(text_col)
+    df = df.withColumn("__toks", toks)
+    n_sh = F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+    )
+    return df.withColumn(out_col, F.array_distinct(sh)).drop("__toks")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: for hash function i, min over shingles of
+    ``xxhash64(shingle, seed=i)``. Computed as one array expression —
+    no explode, no shuffle, no Python.
+
+    Empty shingle sets get a null signature (excluded from candidate
+    generation downstream).
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(F.size(shingle_col) > 0, sig).otherwise(F.lit(None))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, hash each band,
+    docs sharing any ``(band_id, band_hash)`` bucket become candidate pairs.
+
+    Returns distinct pairs ``(id_a, id_b)`` with ``id_a < id_b``. Pair
+    expansion is a self-join per bucket via collect_list + explode of
+    combinations, capped at ``max_bucket`` ids per bucket to bound the
+    quadratic blow-up on degenerate buckets (scale guard: at 100 TB a hot
+    bucket would otherwise produce trillions of pairs).
+    """
+    rows_per_band = None  # derived from signature length at runtime
+    banded = (
+        df.select(id_col, sig_col)
+        .where(F.col(sig_col).isNotNull())
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "_",
+                                F.transform(
+                                    F.slice(
+                                        F.col(sig_col),
+                                        b * (F.size(sig_col) / bands).cast("int") + 1,
+                                        (F.size(sig_col) / bands).cast("int"),
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+    _ = rows_per_band
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over shingle sets.
+
+    Joins the (small relative to corpus) candidate-pair table back to
+    shingle sets twice; Jaccard via array_intersect/array_union sizes.
+    Returns ``(id_a, id_b, jaccard)`` for pairs >= threshold.
+    """
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup removal: shingle → sign → band →
+    candidate pairs → Jaccard verify → connected survivors.
+
+    Survivor rule: within each verified near-dup pair, the smaller id wins;
+    a doc is dropped if it appears as the larger id of any verified pair
+    (transitive chains collapse toward the minimum via the pair relation —
+    single-hop, which matches common LSH dedup practice; full
+    connected-components would need iterative joins).
+    """
+    sh = shingles(df, text_col, n=n)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    verified = jaccard_verify(pairs, sh, id_col, threshold=threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 → each bit votes ±1; signature bit
+    b is 1 iff the vote sum is positive. All built-in array expressions.
+
+    Near-dup candidates: docs whose signatures match on any 16-bit band
+    (use :func:`simhash_bands`).
+    """
+    toks = _normalized_tokens(text_col)
+    df = df.withColumn("__hashes", F.transform(toks, lambda t: F.xxhash64(t)))
+    # one aggregate per bit (shift amounts must be Python ints); the 64
+    # aggregates fuse into a single projection under whole-stage codegen
+    def _bit_vote(b: int):
+        # closure (not a default arg): F.aggregate derives lambda-variable
+        # count from the function arity, so the merge fn must take exactly 2
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(F.col("__hashes"), F.lit(0), _bit_vote(b))
+        bit_value = (1 << b) if b < 63 else -(1 << 63)  # signed-long wrap for the top bit
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn(out_col, sig).drop("__hashes")
+
+
+def simhash_bands(df: DataFrame, id_col: str, sig_col: str = "simhash") -> DataFrame:
+    """Explode a 64-bit simhash into 4×16-bit band keys for blocking:
+    two docs within Hamming distance 3 share at least one band."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.shiftright(F.col(sig_col), b * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_key"),
+        ),
+    )
+    return df.select(id_col, sig_col, F.explode(bands).alias("band")).select(
+        id_col, sig_col, "band.band_id", "band.band_key"
+    )

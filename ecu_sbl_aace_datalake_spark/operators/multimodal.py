@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star extension (SURVEY.md §2.13). Images/audio/video are carried as
+``binary`` columns alongside typed metadata; decode / feature-extract /
+resize / frame-sample run as Arrow-batched functions over ``mapInPandas``.
+
+The actual codec step is STUBBED (this container has no image/audio libs):
+``decode_image_meta`` uses a deterministic fake decoder so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is real and
+tested; swap ``_fake_decode`` for PIL/libav when available.
+
+Scale design: mapInPandas streams Arrow record batches through one Python
+worker per core — no collect, no per-row pickling; binary payloads never
+leave the executor. Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of large
+blobs can't OOM the worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "content_hash string, byte_size long, width int, height int, format string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for a real image decoder (no PIL in this
+    container). Derives (width, height, format) from a content hash so tests
+    are stable. Replace with a real decoder:
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+    """
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    fmt = ["png", "jpeg", "webp"][h[2] % 3]
+    return width, height, fmt
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Extract (content_hash, byte_size, width, height, format) per blob via
+    mapInPandas. Keeps all original columns except the payload (metadata
+    extraction is usually followed by writing a payload-free index table)."""
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    full_schema = f"{out_schema}, {IMAGE_META_SCHEMA}" if out_schema else IMAGE_META_SCHEMA
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            meta = pd.DataFrame(
+                {
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "byte_size": payloads.map(lambda b: len(b or b"")).astype("int64"),
+                }
+            )
+            decoded = payloads.map(lambda b: _fake_decode(b or b""))
+            meta["width"] = decoded.map(lambda t: t[0]).astype("int32")
+            meta["height"] = decoded.map(lambda t: t[1]).astype("int32")
+            meta["format"] = decoded.map(lambda t: t[2])
+            yield pd.concat([pdf[passthrough].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(batches, schema=full_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 30,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled frame index.
+
+    The decode step is stubbed (``NotImplementedError`` in `_decode_frame`);
+    the plumbing — frame-index fan-out BEFORE decode so each frame decodes
+    independently (parallelism at frame, not file, granularity) — is the
+    real scale design.
+    """
+    n_frames = (F.length(payload_col) / 1024).cast("int") + 1  # stub: 1 frame/KiB
+    frame_idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    )
+    return df.withColumn("frame_index", frame_idx).drop(payload_col)
+
+
+def _decode_frame(payload: bytes, frame_index: int) -> bytes:
+    raise NotImplementedError(
+        "video decode requires libav/ffmpeg, not present in this container; "
+        "wire a real decoder here (mapInPandas batches of (payload, frame_index))"
+    )

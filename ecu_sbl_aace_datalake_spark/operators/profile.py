@@ -1,0 +1,143 @@
+"""Profiling & relationship discovery — open replacement for SemPy.
+
+Reference parity: ``findAndDiagramRelationships`` (common.py:995-1076)
+collected EVERY session table to pandas (common.py:1008,1018 — SURVEY.md §8
+#11) and called Fabric-proprietary ``sempy`` relationship detection. This
+module recomputes the same outputs on open Spark, entirely distributed:
+
+- candidate column pairs: name-similarity (difflib ratio, same threshold
+  idea as SemPy's name_similarity_threshold) over column *metadata* only —
+  driver-side, O(cols²), trivial.
+- per-column uniqueness: one aggregate pass per table
+  (``countDistinct/count``) → candidate keys.
+- FK coverage: for each candidate (from, to) pair, the fraction of distinct
+  non-null `from` values present in `to` — computed with a left-anti join on
+  DISTINCT projections (both sides pre-shrunk, broadcast when small).
+
+Returns a relationships DataFrame; graphviz rendering is optional and only
+consumes the (tiny) result.
+"""
+
+from __future__ import annotations
+
+import difflib
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RelationshipCandidate:
+    from_table: str
+    from_col: str
+    to_table: str
+    to_col: str
+    name_similarity: float
+
+
+def _name_similarity(a: str, b: str) -> float:
+    """Column-name similarity ignoring common table-prefix conventions
+    (c_custkey vs o_custkey share 'custkey')."""
+    strip = lambda s: s.split("_", 1)[1] if "_" in s and len(s.split("_", 1)[0]) <= 2 else s
+    a2, b2 = strip(a.lower()), strip(b.lower())
+    if a2 == b2:
+        return 1.0
+    return difflib.SequenceMatcher(None, a2, b2).ratio()
+
+
+def candidate_pairs(
+    tables: dict[str, DataFrame], name_similarity_threshold: float = 0.8
+) -> list[RelationshipCandidate]:
+    """All cross-table column pairs whose names are similar enough to be a
+    plausible FK→PK pair. Metadata-only: no data touched."""
+    out = []
+    names = list(tables)
+    for i, ta in enumerate(names):
+        for tb in names:
+            if ta == tb:
+                continue
+            for ca in tables[ta].columns:
+                for cb in tables[tb].columns:
+                    sim = _name_similarity(ca, cb)
+                    if sim >= name_similarity_threshold:
+                        out.append(RelationshipCandidate(ta, ca, tb, cb, sim))
+    return out
+
+
+def column_uniqueness(df: DataFrame, cols: list[str] | None = None) -> dict[str, float]:
+    """distinct/count ratio per column in ONE aggregate job (the candidate-key
+    detector). approx_count_distinct keeps this a single streaming pass at
+    100 TB (exact countDistinct would need one shuffle per column)."""
+    cols = cols or df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.approx_count_distinct(c).alias(c) for c in cols],
+    ).first()
+    n = row["__n"] or 1
+    return {c: min(row[c] / n, 1.0) for c in cols}
+
+
+def find_relationships(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    coverage_threshold: float = 0.95,
+    name_similarity_threshold: float = 0.8,
+    uniqueness_threshold: float = 0.95,
+) -> DataFrame:
+    """Infer FK→PK relationships across the given tables.
+
+    A relationship (from_table.from_col → to_table.to_col) is reported when
+    to_col is a candidate key of to_table (uniqueness >= threshold) and the
+    distinct from_col values are covered by to_col values at >=
+    coverage_threshold. Output columns: from_table, from_col, to_table,
+    to_col, coverage, to_uniqueness, many_to_one.
+    """
+    uniq = {t: column_uniqueness(df) for t, df in tables.items()}
+    rows = []
+    for cand in candidate_pairs(tables, name_similarity_threshold):
+        to_uniq = uniq[cand.to_table].get(cand.to_col, 0.0)
+        if to_uniq < uniqueness_threshold:
+            continue
+        from_vals = (
+            tables[cand.from_table]
+            .select(F.col(cand.from_col).alias("v"))
+            .where(F.col(cand.from_col).isNotNull())
+            .distinct()
+        )
+        to_vals = tables[cand.to_table].select(F.col(cand.to_col).alias("v")).distinct()
+        total = from_vals.count()
+        if total == 0:
+            continue
+        uncovered = from_vals.join(to_vals, "v", "left_anti").count()
+        coverage = (total - uncovered) / total
+        if coverage >= coverage_threshold:
+            rows.append(
+                (
+                    cand.from_table,
+                    cand.from_col,
+                    cand.to_table,
+                    cand.to_col,
+                    round(coverage, 4),
+                    round(to_uniq, 4),
+                    uniq[cand.from_table].get(cand.from_col, 0.0) < uniqueness_threshold,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "from_table string, from_col string, to_table string, to_col string, "
+        "coverage double, to_uniqueness double, many_to_one boolean",
+    )
+
+
+def to_graphviz(relationships: DataFrame) -> str:
+    """Render the (tiny) relationships result as graphviz DOT text — the open
+    stand-in for the reference's SemPy ER diagram (common.py:1067-1072)."""
+    lines = ["digraph relationships {", "  rankdir=LR;", "  node [shape=box];"]
+    for r in relationships.collect():
+        lines.append(
+            f'  "{r.from_table}" -> "{r.to_table}" '
+            f'[label="{r.from_col} → {r.to_col} ({r.coverage:.0%})"];'
+        )
+    lines.append("}")
+    return "\n".join(lines)

@@ -1,0 +1,142 @@
+"""Star-schema kit: dimension builder + null-safe broadcast key mapping.
+
+Reference parity (common.py):
+- ``getDistinctValsFromDataRowsInt`` (732-754) → :func:`build_dimension`:
+  optional not-null filter (the reference hard-coded column "RawScore",
+  SURVEY.md §8 #9 — parameterized here), groupBy(cols) with either a count
+  measure or pure distinct, orderBy asc, prepend a CONTIGUOUS surrogate
+  index column named ``index{Cols}``.
+- ``simpleMap`` (932-964) → :func:`simple_map`: null-safe broadcast
+  equi-join of a fact table to a 2-column dimension slice, replacing the
+  natural key column with the surrogate index at the same ordinal position;
+  row-count fan-out guard; idempotent (skips if already mapped); raises if
+  the surrogate column is already present for a different key.
+- ``getJoinCondition`` (918-924) → :func:`null_safe_eq` — Spark's
+  ``eqNullSafe`` (<=>) replaces the reference's hand-rolled
+  ``(a=b) OR (a IS NULL AND b IS NULL)``; both plan as a null-safe hash
+  equi-join, eqNullSafe is the idiomatic guarantee.
+- ``aliasColumns`` (972-973) / ``insertColumnAndAlias`` (981-991) are
+  select-list builders subsumed by the positional swap in
+  :func:`simple_map`.
+
+Scale notes (100 TB):
+- The dimension slice is explicitly ``F.broadcast``-ed (reference used
+  ``.hint('broadcast')`` common.py:952): dims are small post-aggregation, so
+  fact-side data NEVER shuffles for the map — the join is map-side against a
+  broadcast hash table. This is the only strategy that survives a
+  600M→600B-row fact table.
+- The count-guard costs two actions over the fact table; it's opt-in
+  (``validate=``) so production pipelines skip it and CI keeps it.
+- Surrogate ids: ``row_number()`` over the dimension's natural order — a
+  single-partition window, fine because dims are post-aggregation small.
+  (Reference used monotonically_increasing_id: non-contiguous, unstable —
+  SURVEY.md §8 #4.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def index_col_name(col_names: str | Sequence[str]) -> str:
+    """Surrogate column name ``index{Cols}`` as the reference composes it
+    (common.py:749-752: 'index' + each source column capitalized)."""
+    cols = [col_names] if isinstance(col_names, str) else list(col_names)
+    return "index" + "".join(c[:1].upper() + c[1:] for c in cols)
+
+
+def build_dimension(
+    df: DataFrame,
+    col_names: str | Sequence[str],
+    row_count_col: str | None = None,
+    index_start: int = 0,
+    not_null_col: str | None = None,
+) -> DataFrame:
+    """Build a dimension table with a contiguous surrogate key.
+
+    Reference ``getDistinctValsFromDataRowsInt`` common.py:732-754. Output
+    schema: ``[index{Cols}, *cols]`` or ``[index{Cols}, *cols,
+    row_count_col]`` when a count measure is requested; rows ordered by the
+    natural key asc, surrogate = index_start + 1, +2, ...
+
+    ``not_null_col`` generalizes the reference's hard-coded
+    ``suppressNullRawScore`` filter (common.py:739, SURVEY.md §8 #9).
+    """
+    cols = [col_names] if isinstance(col_names, str) else list(col_names)
+    out = df
+    if not_null_col:
+        out = out.filter(F.col(not_null_col).isNotNull())
+    if row_count_col:
+        out = out.groupBy(*cols).agg(F.count(row_count_col).alias(row_count_col))
+    else:
+        out = out.select(*cols).distinct()
+    order = [F.col(c).asc() for c in cols]
+    idx = index_col_name(cols)
+    # dimension is small post-aggregation: single-partition window is fine
+    out = out.withColumn(idx, (F.row_number().over(Window.orderBy(*order)) + index_start).cast("long"))
+    keep = [idx] + cols + ([row_count_col] if row_count_col else [])
+    return out.select(*keep).orderBy(*order)
+
+
+def null_safe_eq(left: Column, right: Column) -> Column:
+    """Null-safe equality ``<=>`` (reference ``getJoinCondition``
+    common.py:918-924 hand-rolled the OR-of-IS-NULLs form)."""
+    return left.eqNullSafe(right)
+
+
+def simple_map(
+    fact_df: DataFrame,
+    dim_df: DataFrame,
+    join_col: str,
+    join_type: str = "inner",
+    index_col: str | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Replace ``join_col`` on the fact table with the dimension's surrogate
+    index via a null-safe **broadcast** equi-join, keeping ordinal position.
+
+    Reference ``simpleMap`` common.py:932-964:
+    - idempotent: if the surrogate column is already on the fact table and
+      the natural key is gone, returns the fact unchanged (common.py:938-941);
+    - raises if the surrogate is present alongside the natural key
+      (common.py:944-945);
+    - ``validate=True`` re-checks the row-count invariant (fan-out guard,
+      common.py:947/956-963) with two count() actions — opt-out for
+      production (the dimension key is unique by construction, so fan-out is
+      impossible when built via :func:`build_dimension`).
+    """
+    idx = index_col or index_col_name(join_col)
+    if idx in fact_df.columns and join_col not in fact_df.columns:
+        return fact_df  # already mapped — idempotent re-map is a no-op
+    if idx in fact_df.columns:
+        raise ValueError(
+            f"surrogate column {idx!r} already present on fact table while "
+            f"natural key {join_col!r} still exists"
+        )
+    if join_col not in fact_df.columns:
+        raise ValueError(f"join column {join_col!r} not on fact table")
+
+    dim_slice = dim_df.select(F.col(idx), F.col(join_col).alias(f"__dim_{join_col}"))
+    before = fact_df.count() if validate else None
+
+    joined = fact_df.join(
+        F.broadcast(dim_slice),
+        fact_df[join_col].eqNullSafe(dim_slice[f"__dim_{join_col}"]),
+        join_type,
+    )
+    # swap the natural key for the surrogate at the same ordinal position
+    select_list = [idx if c == join_col else c for c in fact_df.columns]
+    out = joined.select(*select_list)
+
+    if validate:
+        after = out.count()
+        if before != after:
+            raise ValueError(
+                f"simple_map fan-out: fact rows changed {before} -> {after} "
+                f"mapping {join_col!r} (duplicate keys in dimension?)"
+            )
+    return out

@@ -1,0 +1,131 @@
+"""Text analysis operators for document corpora.
+
+North-star extension (SURVEY.md §2.13): token counting, quality scoring,
+language identification, document fingerprinting — the stats a training-data
+pipeline computes over billions of documents.
+
+Scale design: everything here is per-row built-in expressions (split /
+regexp / aggregate over arrays) — embarrassingly parallel, no shuffle, stays
+in whole-stage codegen. Only language-ID uses a tiny broadcast of per-language
+marker tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty array for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish sub-word segmentation via regex: runs of letters, runs of
+    digits, or single non-space symbols — the standard pre-tokenizer shape
+    (GPT-2 style) without a learned merges table."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars_calc, n_words, n_distinct_words, avg_word_len."""
+    t = tokens(text_col)
+    return (
+        df.withColumn("n_chars_calc", F.length(text_col).cast("long"))
+        .withColumn("__toks", t)
+        .withColumn("n_words", F.size("__toks").cast("long"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct("__toks")).cast("long"))
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                F.aggregate(
+                    F.transform("__toks", lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.greatest(F.size("__toks"), F.lit(1)),
+                4,
+            ),
+        )
+        .drop("__toks")
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: penalizes very short/very long docs,
+    high punctuation ratio, and low lexical diversity. Deterministic,
+    pure-expression — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    t = tokens(text_col)
+    n_words = F.size(t)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    diversity = F.size(F.array_distinct(t)) / F.greatest(n_words, F.lit(1))
+    len_score = F.when(n_words < 5, 0.2).when(n_words > 10000, 0.5).otherwise(1.0)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    punct_score = F.when(punct_ratio > 0.2, 0.5).otherwise(1.0)
+    score = F.round(len_score * punct_score * (0.5 + 0.5 * diversity), 4)
+    return df.withColumn("quality_score", score)
+
+
+# tiny per-language marker-token sets for the n-gram/stopword heuristic;
+# at scale these broadcast as literal arrays (bytes, not a model file)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人", "这", "不"],
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-token language ID: score each language by the fraction of its
+    marker tokens present; 'zh' additionally by CJK character presence.
+    Ties/no-hits → 'und'. Pure expressions; good enough as the cheap first
+    pass (a real pipeline would escalate uncertain docs to a model)."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        if lang == "zh":
+            hit = F.when(
+                F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0,
+                F.lit(10),
+            ).otherwise(F.size(F.array_intersect(toks, marker_arr)))
+        else:
+            hit = F.size(F.array_intersect(toks, marker_arr))
+        scores.append(F.struct(hit.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over normalized tokens
+    (order-sensitive, whitespace/punct-insensitive) — stable 64-bit id for
+    exact-content dedup that survives formatting noise."""
+    norm = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), r"\s+"),
+        lambda t: t != "",
+    )
+    fp = F.aggregate(
+        norm,
+        F.lit(1469598103934665603).cast("long"),  # FNV-1a offset basis
+        lambda acc, tok: F.xxhash64(acc.cast("string"), tok),
+    )
+    return df.withColumn(out_col, fp)
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token frequency table: explode tokens → groupBy count.
+    One shuffle on token; at 100 TB add a salt-and-resum for hot tokens
+    (partial aggregation already absorbs most skew map-side)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )

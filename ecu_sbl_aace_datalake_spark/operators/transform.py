@@ -1,0 +1,213 @@
+"""Column-level transforms: casts, null handling, renames, index columns.
+
+Reference parity (common.py):
+- ``castColumns`` / ``castColumnsToInt`` (836-878) → :func:`cast_columns`.
+  Same semantics (null-on-failure cast, ``{col}_orig`` kept when casts fail,
+  new column at the original ordinal position) but validation is a SINGLE
+  aggregate pass over all columns instead of one count() job per column
+  (SURVEY.md §8 #10).
+- ``setNullToZero`` (772-779) → :func:`set_null_to_zero` (fillna; silently
+  skips absent columns like the reference common.py:775).
+- ``setDFTextWhenNull`` (762-764) → :func:`set_text_when_null` (coalesce).
+- ``addIndexCol`` (888-897) → :func:`add_index_col`: contiguous ids via
+  ``row_number()`` window instead of ``monotonically_increasing_id`` which is
+  partition-encoded and non-contiguous (SURVEY.md §8 #4).
+- ``rename_columns_with_prefix`` (807-810), ``rename_columns_strip_prefix``
+  (818-828) → same names.
+- ``createExtraRow`` (787-799) → :func:`create_extra_row`.
+- ``dfShape`` (905-908) → :func:`df_shape`.
+- ``insertValueIntoList`` (593-607, mutates input — SURVEY.md §8 #7) →
+  :func:`insert_value_into_list`, pure. ``replaceValueInList`` (615-616) →
+  :func:`replace_value_in_list`.
+
+Scale notes:
+- cast validation: one job, one aggregate row, instead of N full scans.
+- ``add_index_col`` with no partition key is a global row_number → single
+  task for the final window. That is correct-but-serial by design: use it
+  for *small* dimension tables (its reference use case). For fact-scale data
+  pass ``partition_by`` or use ``zipWithIndex``-free monotonic ids.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def set_text_when_null(df: DataFrame, col_name: str, text: str) -> DataFrame:
+    """Replace NULLs in one string column with a literal (reference
+    ``setDFTextWhenNull`` common.py:762-764) — as coalesce, not when/otherwise."""
+    return df.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(text)))
+
+
+def set_null_to_zero(df: DataFrame, col_names: str | Sequence[str]) -> DataFrame:
+    """Replace NULLs with 0 across listed columns, silently skipping columns
+    not present (reference ``setNullToZero`` common.py:772-779)."""
+    cols = [col_names] if isinstance(col_names, str) else list(col_names)
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return df
+    return df.fillna(0, subset=present)
+
+
+def cast_columns(
+    df: DataFrame,
+    col_names: str | Sequence[str],
+    cast: str = "int",
+    keep_failed_orig: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Safe cast with validation (reference ``castColumns`` common.py:836-869).
+
+    Per column: stale ``{c}_orig`` is dropped, the original is renamed to
+    ``{c}_orig``, and a cast column is added at the original ordinal position
+    with null-on-failure semantics (Spark non-ANSI cast). Validation counts
+    rows where the original was non-null but the cast is null — computed for
+    ALL columns in ONE aggregate job (the reference ran a count() per column,
+    SURVEY.md §8 #10). Columns with zero failures get their ``_orig``
+    dropped; failing columns keep it (matching the reference's behavior).
+
+    Returns (new_df, {col: n_failed}).
+    """
+    cols = [col_names] if isinstance(col_names, str) else list(col_names)
+    out = df
+    for c in cols:
+        orig = f"{c}_orig"
+        if orig in out.columns:
+            out = out.drop(orig)
+        ordered = list(out.columns)
+        out = out.withColumnRenamed(c, orig).withColumn(c, F.col(orig).cast(cast))
+        # restore original ordinal position: the new cast col replaces the
+        # original's slot, _orig goes right after it (reference keeps both
+        # adjacent, common.py:846-852)
+        new_order = []
+        for name in ordered:
+            if name == c:
+                new_order.extend([c, orig])
+            else:
+                new_order.append(name)
+        out = out.select(*new_order)
+
+    # single validation pass for all columns
+    agg_exprs = [
+        F.sum(
+            (F.col(f"{c}_orig").isNotNull() & F.col(c).isNull()).cast("long")
+        ).alias(c)
+        for c in cols
+    ]
+    failures_row = out.agg(*agg_exprs).first()
+    failures = {c: int(failures_row[c] or 0) for c in cols}
+
+    for c in cols:
+        if failures[c] == 0 or not keep_failed_orig:
+            out = out.drop(f"{c}_orig")
+    return out, failures
+
+
+def cast_columns_to_int(df: DataFrame, col_names: str | Sequence[str]) -> tuple[DataFrame, dict[str, int]]:
+    """Reference ``castColumnsToInt`` common.py:877-878."""
+    return cast_columns(df, col_names, cast="int")
+
+
+def add_index_col(
+    df: DataFrame,
+    col_name: str = "index",
+    index_start: int = 0,
+    order_by: str | Sequence[str] | None = None,
+    new_col_pos: int = 0,
+) -> DataFrame:
+    """Add a CONTIGUOUS surrogate index column ``index_start+1, +2, ...`` at
+    ordinal ``new_col_pos``, case-insensitively replacing an existing column
+    of that name (reference ``addIndexCol`` common.py:888-897).
+
+    The reference used ``monotonically_increasing_id()+1+indexStart`` which
+    is partition-encoded and non-contiguous (SURVEY.md §8 #4); contiguous,
+    run-stable ids require ``row_number()`` over an explicit order. With
+    ``order_by=None`` the first column is used. The final window is a single
+    partition — intended for small (post-aggregation dimension) tables.
+    """
+    keep = [c for c in df.columns if c.lower() != col_name.lower()]
+    out = df.select(*keep)
+    order_cols = (
+        [order_by] if isinstance(order_by, str)
+        else list(order_by) if order_by is not None
+        else [keep[0]]
+    )
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+    out = out.withColumn(col_name, (F.row_number().over(w) + index_start).cast("long"))
+    cols = [c for c in out.columns if c != col_name]
+    cols.insert(new_col_pos, col_name)
+    return out.select(*cols)
+
+
+def rename_columns_with_prefix(df: DataFrame, prefix: str) -> DataFrame:
+    """Prefix every column ``{prefix}_{col}`` (reference common.py:807-810)."""
+    return df.toDF(*[f"{prefix}_{c}" for c in df.columns])
+
+
+def rename_columns_strip_prefix(df: DataFrame, prefixes: str | Sequence[str]) -> DataFrame:
+    """Strip prefix(es) plus a leading ``_`` from matching columns, skipping
+    a rename that would produce an empty name (reference common.py:818-828)."""
+    prefix_list = [prefixes] if isinstance(prefixes, str) else list(prefixes)
+    new_names = []
+    for c in df.columns:
+        new = c
+        for p in prefix_list:
+            if new.startswith(p):
+                candidate = new[len(p):].lstrip("_")
+                if candidate:
+                    new = candidate
+                break
+        new_names.append(new)
+    return df.toDF(*new_names)
+
+
+def create_extra_row(
+    spark: Any,
+    df: DataFrame,
+    leading_values: Sequence[Any],
+    zero_fill_cols: str | Sequence[str] = (),
+) -> DataFrame:
+    """Synthesize one row (given leading values, remaining columns None),
+    zero-fill the listed columns, union it on, re-sort by the first column
+    (reference ``createExtraRow`` common.py:787-799; union at 797).
+
+    Positional union with the schema copied from the target, exactly like the
+    reference's ``T.Row`` + union."""
+    n_missing = len(df.columns) - len(leading_values)
+    row_data = list(leading_values) + [None] * n_missing
+    extra = spark.createDataFrame([tuple(row_data)], df.schema)
+    out = df.unionByName(extra)
+    if zero_fill_cols:
+        out = set_null_to_zero(out, zero_fill_cols)
+    return out.orderBy(df.columns[0])
+
+
+def df_shape(df: DataFrame) -> tuple[int, int, list[str]]:
+    """(row_count, n_cols, columns) — triggers one count() action (reference
+    ``dfShape`` common.py:905-908)."""
+    return df.count(), len(df.columns), list(df.columns)
+
+
+def insert_value_into_list(values: Sequence[Any], old_val: Any, new_val: Any) -> list[Any]:
+    """Insert ``new_val`` before ``old_val`` then move ``old_val`` to the end;
+    append ``old_val`` absent; no-op if ``new_val`` already present.
+    PURE — reference ``insertValueIntoList`` common.py:593-607 mutated its
+    input in two branches (SURVEY.md §8 #7)."""
+    out = list(values)
+    if new_val in out:
+        return out
+    if old_val not in out:
+        out.append(new_val)
+        return out
+    idx = out.index(old_val)
+    out.remove(old_val)
+    out.insert(idx, new_val)
+    out.append(old_val)
+    return out
+
+
+def replace_value_in_list(values: Sequence[Any], old_val: Any, new_val: Any) -> list[Any]:
+    """Elementwise replace (reference common.py:615-616)."""
+    return [new_val if v == old_val else v for v in values]

@@ -1,0 +1,814 @@
+"""Driver-facing query registry: every implemented operator as a
+(spark_fn, oracle_sql) pair for the DuckDB correctness gate.
+
+Each entry exercises one operator cluster from SURVEY.md §2 through the
+engine's own API (not ad-hoc SQL), with an ANSI-SQL oracle DuckDB runs on the
+same parquet fixtures. Column names/aliases match on both sides; doubles
+produced by multi-row aggregation are rounded identically on both sides so
+the order-insensitive value hash is stable.
+
+Oracle-less entries (value ``None``) are genuinely non-SQL-expressible
+(difflib fuzzy matching, xxhash64 signatures, approximate LSH) and are
+covered by golden unit tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cleaning
+from ..operators import dedup, profile, similarity, star, textstats, transform
+from ..operators.query import build_select_sql, clean_string_col, sql_over
+from ..sources.io import load_table
+from ..streaming import events as ev
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 — scans, SQL-over-DataFrames
+# --------------------------------------------------------------------------
+
+def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy agg → sort. The flagship:
+    exercises pushdown (shipdate filter reaches the parquet scan), partial
+    aggregation, and whole-stage codegen end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)   AS avg_price,
+       ROUND(AVG(l_discount), 4)        AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_over_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_over (reference sqlQueryDataFrame common.py:172-205): register
+    three DataFrames as views, run one multi-join aggregation SQL."""
+    dfs = [_t(spark, sf_dir, n) for n in ("orders", "customer", "nation")]
+    return sql_over(
+        spark,
+        dfs,
+        ["orders_v", "customer_v", "nation_v"],
+        """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_v
+        JOIN customer_v ON o_custkey = c_custkey
+        JOIN nation_v   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    )
+
+
+SQL_SQL_OVER_VIEWS = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_project_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getColsFromTable distinct (reference common.py:377-378)."""
+    from ..operators.query import get_cols_from_df
+
+    return get_cols_from_df(_t(spark, sf_dir, "customer"), "c_mktsegment", distinct=True)
+
+
+SQL_PROJECT_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readTable fixed (reference bug #1, common.py:475-489): projection +
+    condition actually applied, pushed into the scan."""
+    df = _t(spark, sf_dir, "orders")
+    return df.select("o_orderkey", "o_custkey", "o_totalprice").where(
+        "o_totalprice > 150000"
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+"""
+
+
+def q_select_sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_select_sql distinct-as-GROUP-BY (reference getSQL
+    common.py:359-367) executed through sql_over."""
+    sql = build_select_sql("orders_v", ["o_orderstatus", "o_orderpriority"], distinct=True)
+    return sql_over(spark, _t(spark, sf_dir, "orders"), "orders_v", sql)
+
+
+SQL_SELECT_SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------------------------
+# §2.4/2.5 — star-schema kit
+# --------------------------------------------------------------------------
+
+def q_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_dimension (reference getDistinctValsFromDataRowsInt
+    common.py:732-754): distinct dim + contiguous surrogate key."""
+    return star.build_dimension(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+SQL_DIM_BUILD = """
+SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexO_orderpriority",
+       o_orderpriority
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+def q_dim_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension with a count measure (rowCountCol mode of the reference)."""
+    return star.build_dimension(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", row_count_col="o_orderkey"
+    )
+
+
+SQL_DIM_BUILD_COUNTS = """
+SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexO_orderpriority",
+       o_orderpriority,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS o_orderkey
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_simple_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_map (reference simpleMap common.py:932-964): null-safe
+    broadcast join swapping the natural key for the surrogate in place."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = star.build_dimension(orders, "o_orderpriority")
+    mapped = star.simple_map(orders, dim, "o_orderpriority", validate=False)
+    return mapped.withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+
+SQL_SIMPLE_MAP = """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS idx,
+         o_orderpriority
+  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       d.idx AS "indexO_orderpriority"
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe join (reference getJoinCondition common.py:918-924):
+    NULL keys match NULL keys."""
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k")
+    )
+    right = (
+        orders.select(F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k2"))
+        .groupBy("k2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return left.join(
+        F.broadcast(right), star.null_safe_eq(left["k"], right["k2"]), "inner"
+    ).select("o_orderkey", "k", "cnt")
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS k FROM orders),
+     r AS (SELECT NULLIF(o_orderstatus, 'F') AS k2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1)
+SELECT l.o_orderkey, l.k, r.cnt
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 — transforms
+# --------------------------------------------------------------------------
+
+def q_cast_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast_columns (reference castColumns common.py:836-869): null-on-fail
+    casts, failed column keeps its _orig twin."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_brand")
+    out, _failures = transform.cast_columns(part, ["p_size"], cast="string")
+    out, _failures = transform.cast_columns(out, ["p_brand"], cast="int")
+    return out.select("p_partkey", "p_size", "p_brand", "p_brand_orig")
+
+
+SQL_CAST_COLUMNS = """
+SELECT p_partkey,
+       CAST(p_size AS VARCHAR)        AS p_size,
+       TRY_CAST(p_brand AS INTEGER)   AS p_brand,
+       p_brand                        AS p_brand_orig
+FROM part
+"""
+
+
+def q_null_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_null_to_zero (reference setNullToZero common.py:772-779); nulls
+    synthesized since fixtures have none."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 500, F.lit(None)).otherwise(F.col("c_acctbal")),
+    )
+    return transform.set_null_to_zero(cust, ["c_acctbal", "not_a_column"]).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+SQL_NULL_TO_ZERO = """
+SELECT c_custkey,
+       COALESCE(CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END, 0) AS c_acctbal
+FROM customer
+"""
+
+
+def q_text_when_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set_text_when_null (reference setDFTextWhenNull common.py:762-764)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderstatus", F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    )
+    return transform.set_text_when_null(orders, "o_orderstatus", "OPEN").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+SQL_TEXT_WHEN_NULL = """
+SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS o_orderstatus
+FROM orders
+"""
+
+
+def q_add_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_index_col with contiguous row_number semantics (reference
+    addIndexCol common.py:888-897; bug #4 fixed)."""
+    return transform.add_index_col(
+        _t(spark, sf_dir, "nation"), "idx", order_by=["n_name"], index_start=0
+    )
+
+
+SQL_ADD_INDEX = """
+SELECT CAST(row_number() OVER (ORDER BY n_name) AS BIGINT) AS idx,
+       n_nationkey, n_name, n_regionkey
+FROM nation
+"""
+
+
+def q_rename_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rename_columns_with_prefix (reference common.py:807-810), then strip
+    round-trips back (common.py:818-828) on one column to exercise both."""
+    region = _t(spark, sf_dir, "region")
+    prefixed = transform.rename_columns_with_prefix(region, "dim")
+    return prefixed
+
+
+SQL_RENAME_PREFIX = """
+SELECT r_regionkey AS dim_r_regionkey, r_name AS dim_r_name FROM region
+"""
+
+
+def q_extra_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_extra_row (reference createExtraRow common.py:787-799)."""
+    region = _t(spark, sf_dir, "region")
+    return transform.create_extra_row(spark, region, [99, "SYNTHETIC"])
+
+
+SQL_EXTRA_ROW = """
+SELECT r_regionkey, r_name FROM region
+UNION ALL SELECT 99, 'SYNTHETIC'
+"""
+
+
+def q_garbage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """garbage_clo as a native expression (reference garbageCLO
+    common.py:695-699 was a row-UDF; here: pure codegen)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "dirty",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("n/a"))
+        .when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment")),
+    )
+    return cust.select(
+        "c_custkey", "dirty", cleaning.garbage_clo_col("dirty").alias("is_garbage")
+    )
+
+
+SQL_GARBAGE_FLAGS = """
+WITH d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'n/a'
+              WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_mktsegment END AS dirty
+  FROM customer
+)
+SELECT c_custkey, dirty,
+       (dirty IS NULL OR trim(dirty) = '' OR lower(trim(dirty)) = 'n/a') AS is_garbage
+FROM d
+"""
+
+
+def q_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_string as a column expression (reference cleanString
+    common.py:124-127)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", clean_string_col("c_name").alias("c_name_clean")
+    )
+
+
+SQL_CLEAN_STRING = """
+SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9_]', '', 'g') AS c_name_clean
+FROM customer
+"""
+
+
+def q_df_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df_shape (reference dfShape common.py:905-908) materialized as a
+    1-row DataFrame for the oracle comparison."""
+    rows, ncols, _cols = transform.df_shape(_t(spark, sf_dir, "lineitem"))
+    return spark.createDataFrame([(rows, ncols)], "row_count long, n_cols long")
+
+
+SQL_DF_SHAPE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count, CAST(11 AS BIGINT) AS n_cols FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# window / rollup surface (built-in Spark SQL; exposed as engine ops)
+# --------------------------------------------------------------------------
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank window — the canonical top-k pattern."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window over customer order history."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (free Spark SQL surface the reference lacked)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.13 — dedup extensions
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup (deterministic survivor)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["lang", "source"], tiebreak=["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, lang, source
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact-Jaccard verification.
+    Approximate (hash-seeded) → no SQL oracle; covered by unit tests with
+    planted near-duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "text", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=64)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", bands=16)
+    return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (xxhash64-based → no SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, "text").select("doc_id", "simhash")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (xxhash64-based → rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# §2.13 — text analysis
+# --------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_token_stats(docs, "text").select(
+        "doc_id", "n_chars_calc", "n_words", "n_distinct_words", "avg_word_len"
+    )
+
+
+SQL_TEXT_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars_calc,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+       ROUND(list_sum(list_transform(toks, x -> CAST(LENGTH(x) AS DOUBLE)))
+             / GREATEST(len(toks), 1), 4) AS avg_word_len
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN len(toks) < 5 THEN 0.2 WHEN len(toks) > 10000 THEN 0.5 ELSE 1.0 END)
+         * (CASE WHEN punct / GREATEST(LENGTH(text), 1) > 0.2 THEN 0.5 ELSE 1.0 END)
+         * (0.5 + 0.5 * (len(list_distinct(toks)) / GREATEST(len(toks), 1))), 4
+       ) AS quality_score
+FROM t
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.token_frequencies(docs, "text")
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+SQL_TOKEN_FREQUENCIES = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 50
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (heuristic → rows-only check; accuracy
+    asserted in unit tests against the fixture's lang column)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------------
+# §2.13 — similarity search
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv)
+           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (approximate → rows-only; recall vs
+    brute force asserted in unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, dim=64, k=10, bits=4)
+
+
+# --------------------------------------------------------------------------
+# §2.13 — event/time operators
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evdf = _t(spark, sf_dir, "events")
+    out = ev.tumbling_agg(
+        evdf,
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-gap sessionization (30-min gap), per-session summary."""
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    sess = ev.sessionize(evdf, gap="30 minutes")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evdf = _t(spark, sf_dir, "events")
+    return evdf.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+SQL_EVENTS_PARSE_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+"""
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evdf = _t(spark, sf_dir, "events")
+    out = ev.with_lag_lead(evdf, "value", ts_col=["ts", "event_id"])
+    return out.select("user_id", "event_id", "prev_value", "next_value")
+
+
+SQL_EVENTS_LAG_LEAD = """
+SELECT user_id, event_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only: cleaning UDFs, profiling, multimodal
+# --------------------------------------------------------------------------
+
+def q_fixup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cleaning UDFs over customer names (difflib/casing logic →
+    rows-only; golden unit tests cover exact semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        cleaning.custom_initcap_udf(F.col("c_name")).alias("name_initcap"),
+        cleaning.fix_up_name_udf(F.col("c_name")).alias("name_fixed"),
+    )
+
+
+def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open relationship discovery over the star schema (reference
+    findAndDiagramRelationships common.py:995-1076, minus SemPy)."""
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem", "part")
+    }
+    return profile.find_relationships(spark, tables)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes stand in for binary blobs;
+    metadata extraction via mapInPandas (decode stubbed, plumbing real)."""
+    from ..operators.multimodal import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_image_meta(docs, "payload")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_pricing_summary": q_flagship_pricing_summary,
+    "sql_over_views": q_sql_over_views,
+    "project_distinct": q_project_distinct,
+    "scan_filter_project": q_scan_filter_project,
+    "select_sql_distinct": q_select_sql_distinct,
+    "dim_build": q_dim_build,
+    "dim_build_counts": q_dim_build_counts,
+    "simple_map": q_simple_map,
+    "null_safe_join": q_null_safe_join,
+    "cast_columns": q_cast_columns,
+    "null_to_zero": q_null_to_zero,
+    "text_when_null": q_text_when_null,
+    "add_index": q_add_index,
+    "rename_prefix": q_rename_prefix,
+    "extra_row": q_extra_row,
+    "garbage_flags": q_garbage_flags,
+    "clean_string": q_clean_string,
+    "df_shape": q_df_shape,
+    "topk_per_group": q_topk_per_group,
+    "window_lag": q_window_lag,
+    "rollup_agg": q_rollup,
+    "exact_dedup": q_exact_dedup,
+    "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "fingerprint": q_fingerprint,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "token_frequencies": q_token_frequencies,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_parse_props": q_events_parse_props,
+    "events_lag_lead": q_events_lag_lead,
+    "fixup_names": q_fixup_names,
+    "relationships": q_relationships,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_pricing_summary": SQL_FLAGSHIP,
+    "sql_over_views": SQL_SQL_OVER_VIEWS,
+    "project_distinct": SQL_PROJECT_DISTINCT,
+    "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
+    "select_sql_distinct": SQL_SELECT_SQL_DISTINCT,
+    "dim_build": SQL_DIM_BUILD,
+    "dim_build_counts": SQL_DIM_BUILD_COUNTS,
+    "simple_map": SQL_SIMPLE_MAP,
+    "null_safe_join": SQL_NULL_SAFE_JOIN,
+    "cast_columns": SQL_CAST_COLUMNS,
+    "null_to_zero": SQL_NULL_TO_ZERO,
+    "text_when_null": SQL_TEXT_WHEN_NULL,
+    "add_index": SQL_ADD_INDEX,
+    "rename_prefix": SQL_RENAME_PREFIX,
+    "extra_row": SQL_EXTRA_ROW,
+    "garbage_flags": SQL_GARBAGE_FLAGS,
+    "clean_string": SQL_CLEAN_STRING,
+    "df_shape": SQL_DF_SHAPE,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "window_lag": SQL_WINDOW_LAG,
+    "rollup_agg": SQL_ROLLUP,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_parse_props": SQL_EVENTS_PARSE_PROPS,
+    "events_lag_lead": SQL_EVENTS_LAG_LEAD,
+}

@@ -1,0 +1,224 @@
+"""Table IO: read / write / drop / list over a path-addressed lakehouse.
+
+Reference parity (all in common.py):
+- ``selectTable`` / ``selectView`` / ``__selectTable`` (440-467): load Delta
+  by path, register uuid temp view, run SQL over it.
+- ``readTable`` (475-489): projection+condition read — **buggy in the
+  reference** (missing space before WHERE, and the built query never passed
+  through; SURVEY.md §8 #1). Implemented correctly here.
+- ``writeTable`` (525-538): overwrite-write with optional partitioning +
+  schema overwrite, register in the session registry, return shape info.
+- ``dropTable`` (512-517): reference bug #2 — it row-deletes instead of
+  dropping and crashes when spark arg omitted. Here: a real drop.
+- ``getTables`` (497-503): enumerate tables under the Tables/ root.
+
+Format: Delta when ``delta-spark`` is importable (the reference is
+Delta-only, common.py:448/531), else Parquet — same code path, the
+lakehouse layout and semantics are identical. All writes are overwrite-mode
+with schema overwrite, matching the reference.
+
+Scale notes:
+- ``write_table(partition_by=...)`` controls physical layout → later reads
+  get partition pruning for free (Catalyst PruneFileSourcePartitions).
+- ``read_table`` pushes ``columns``/``condition`` into the scan via
+  ``.select``/``.where`` so Parquet/Delta sees PushedFilters + pruned
+  ReadSchema instead of a full-width scan.
+- ``df_shape`` after write does cost one count(); ``write_table`` makes it
+  opt-in (``with_shape=False`` default) instead of always recomputing the
+  full plan like the reference (common.py:533, SURVEY.md §8 #6).
+"""
+
+from __future__ import annotations
+
+import shutil
+from typing import Any
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Lakehouse, TableRegistry, table_path, view_path
+
+try:  # delta-spark is optional; parquet is the fallback persistence format
+    from delta.tables import DeltaTable  # noqa: F401
+
+    _HAS_DELTA = True
+except Exception:  # pragma: no cover - environment dependent
+    _HAS_DELTA = False
+
+DEFAULT_FORMAT = "delta" if _HAS_DELTA else "parquet"
+
+
+def read_path(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT) -> DataFrame:
+    """Load a table by physical path (reference common.py:448)."""
+    return spark.read.format(fmt).load(path)
+
+
+def select_table(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    query: str | None = None,
+    fmt: str = DEFAULT_FORMAT,
+) -> DataFrame:
+    """Load ``{source}/Tables/{name}``, register a unique temp view, run
+    ``query`` over it (default ``SELECT t.* FROM <view> AS t``).
+
+    Reference: ``selectTable``/``__selectTable`` common.py:440-467. The
+    query's view placeholder is ``{table}``.
+    """
+    from ..operators.query import temp_table_name
+
+    df = read_path(spark, table_path(lakehouse, table_name), fmt)
+    view = temp_table_name(table_name)
+    df.createOrReplaceTempView(view)
+    sql = (query or "SELECT t.* FROM {table} AS t").format(table=view)
+    return spark.sql(sql)
+
+
+def select_view(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    view_name: str,
+    query: str | None = None,
+    fmt: str = DEFAULT_FORMAT,
+) -> DataFrame:
+    """Same as :func:`select_table` under ``/Views/`` (common.py:461-462)."""
+    from ..operators.query import temp_table_name
+
+    df = read_path(spark, view_path(lakehouse, view_name), fmt)
+    view = temp_table_name(view_name)
+    df.createOrReplaceTempView(view)
+    sql = (query or "SELECT t.* FROM {table} AS t").format(table=view)
+    return spark.sql(sql)
+
+
+def read_table(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    columns: str | list[str] = "*",
+    condition: str = "",
+    fmt: str = DEFAULT_FORMAT,
+) -> DataFrame:
+    """Projection + filter read. Fixes reference ``readTable``
+    (common.py:475-489, SURVEY.md §8 #1): the projection and condition are
+    actually applied, and applied *declaratively* so Catalyst pushes the
+    filter and prunes columns at the file scan."""
+    df = read_path(spark, table_path(lakehouse, table_name), fmt)
+    if columns not in ("*", ["*"], None):
+        cols = [c.strip() for c in columns.split(",")] if isinstance(columns, str) else list(columns)
+        df = df.select(*cols)
+    if condition:
+        df = df.where(condition)
+    return df
+
+
+def write_table(
+    lakehouse: Lakehouse,
+    table_name: str,
+    df: DataFrame,
+    partition_by: str | list[str] | None = None,
+    fmt: str = DEFAULT_FORMAT,
+    registry: TableRegistry | None = None,
+    with_shape: bool = False,
+) -> dict[str, Any]:
+    """Overwrite-write ``df`` at ``{source}/Tables/{name}``.
+
+    Reference ``writeTable`` common.py:525-538 with two fixes (SURVEY.md §8
+    #6): the writer builder is chained (the reference discarded
+    ``partitionBy``'s return value), and the extra full recomputation for
+    shape info is opt-in.
+    """
+    path = table_path(lakehouse, table_name)
+    writer = df.write.format(fmt).mode("overwrite")
+    if fmt == "delta":
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+    info: dict[str, Any] = {
+        "table": table_name,
+        "path": path,
+        "format": fmt,
+        "partition_by": partition_by,
+        "n_cols": len(df.columns),
+        "columns": list(df.columns),
+    }
+    if with_shape:
+        info["rows"] = df.count()
+    if registry is not None:
+        registry.register(table_name, df, info)
+    return info
+
+
+def drop_table(spark: SparkSession, lakehouse: Lakehouse, table_name: str, fmt: str = DEFAULT_FORMAT) -> None:
+    """Actually drop the table (reference bug #2: ``dropTable``
+    common.py:512-517 only row-deletes and crashes without a spark arg).
+
+    For local paths the directory is removed; for remote URIs the Hadoop
+    FileSystem API is used via the JVM gateway.
+    """
+    path = table_path(lakehouse, table_name)
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        shutil.rmtree(parsed.path or path, ignore_errors=True)
+        return
+    jvm = spark._jvm  # remote object stores: delete via Hadoop FS
+    jsc = spark._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hadoop_path, True)
+
+
+def list_tables(spark: SparkSession, lakehouse: Lakehouse) -> list[str]:
+    """Enumerate table names under the Tables/ root (reference ``getTables``
+    common.py:497-503 globbed a locally-mounted dir; here: Hadoop FS listing,
+    which works for any URI scheme without mounting)."""
+    import os
+
+    root = lakehouse.tables_path
+    parsed = urlparse(root)
+    if parsed.scheme in ("", "file"):
+        p = parsed.path or root
+        if not os.path.isdir(p):
+            return []
+        return sorted(d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hadoop_path):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(hadoop_path) if st.isDirectory()
+    )
+
+
+def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
+    """Convert long nanosecond-epoch columns (parquet TIMESTAMP(NANOS) read
+    under ``spark.sql.legacy.parquet.nanosAsLong``) to timestamps, truncating
+    to microseconds exactly as DuckDB does when reading the same files."""
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver fixture table; normalizes the events nanosecond ts."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = ns_to_timestamp(df, "ts")
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's parquet fixture tables from ``sf_dir`` (TESTDATA.md)."""
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,135 @@
+"""Event-time windowing & sessionization.
+
+North-star extension (SURVEY.md §2.12: the reference has NO streaming
+surface). These operators are written batch-first on event-time columns and
+are Structured-Streaming-compatible: the same transformations run under
+``readStream`` with :func:`with_watermark` applied before the window agg.
+
+Scale design: tumbling/sliding windows and session aggregation shuffle once
+on (key, window); watermarking bounds state for true streams. The lag-gap
+sessionizer is a window function (one shuffle on user) for batch;
+``F.session_window`` is the native streaming-state equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Watermark wrapper — bounds state retention for late data when the
+    source is a true stream; a no-op semantically in batch."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    window_size: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    aggs: list[F.Column] | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation via ``F.window`` — identical
+    code path in batch and streaming. Output includes window_start /
+    window_end timestamps."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n_events")]
+    return (
+        df.groupBy(F.window(ts_col, window_size).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    aggs: list[F.Column] | None = None,
+) -> DataFrame:
+    """Sliding event-time window aggregation."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n_events")]
+    return (
+        df.groupBy(F.window(ts_col, window_size, slide).alias("__w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign session ids per user via the lag-gap method: a new session
+    starts when the gap to the previous event exceeds ``gap``.
+
+    Batch implementation: two window functions over one shuffle on
+    ``user_col``. Session ids are 1-based per user in time order —
+    deterministic, oracle-comparable. For true streams use
+    :func:`session_window_agg` (native state-store sessionization).
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("timestamp") > prev_ts + gap_expr)
+    ).cast("long")
+    return df.withColumn("__new", new_session).withColumn(
+        "session_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")
+
+
+def session_window_agg(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    aggs: list[F.Column] | None = None,
+) -> DataFrame:
+    """Native session windows (``F.session_window``) — the streaming-state
+    implementation of sessionization; in batch it produces one row per
+    (user, session window)."""
+    aggs = aggs or [F.count("*").alias("n_events")]
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("__w"), user_col)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("__w.start"))
+        .withColumn("session_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def with_lag_lead(
+    df: DataFrame,
+    value_col: str,
+    user_col: str = "user_id",
+    ts_col: str | list[str] = "ts",
+) -> DataFrame:
+    """lag/lead of a value within each user's time-ordered event stream.
+    Pass a list of order columns (e.g. ["ts", "event_id"]) to break
+    timestamp ties deterministically."""
+    order = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return df.withColumn(f"prev_{value_col}", F.lag(value_col).over(w)).withColumn(
+        f"next_{value_col}", F.lead(value_col).over(w)
+    )
+
+
+def parse_props(df: DataFrame, props_col: str = "props", schema: str = "k INT") -> DataFrame:
+    """Parse the JSON props column into typed fields via from_json."""
+    return df.withColumn("__p", F.from_json(F.col(props_col), schema)).select(
+        "*", "__p.*"
+    ).drop("__p")

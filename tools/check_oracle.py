@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row-count, column
+names, and an order-insensitive canonicalized value multiset.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style canonicalization: collapse float noise
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(canon(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ecu_sbl_aace_datalake_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:400]}"))
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"  [rows-only] {name}: {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {str(e)[:400]}"))
+            continue
+        sms, sc = rows_to_multiset(scols, srows)
+        dms, dc = rows_to_multiset(dcols, drows)
+        if sc != dc:
+            failures.append((name, f"SCHEMA: spark={sc} duckdb={dc}"))
+        elif len(sms) != len(dms):
+            failures.append((name, f"ROWCOUNT: spark={len(sms)} duckdb={len(dms)}"))
+        elif sms != dms:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(sms, dms)) if a != b
+            )
+            failures.append((name, f"VALUES at sorted-row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}"))
+        else:
+            passed += 1
+            print(f"  [PASS] {name}: {len(sms)} rows")
+
+    print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed")
+    for name, msg in failures:
+        print(f"\nFAIL {name}: {msg}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
