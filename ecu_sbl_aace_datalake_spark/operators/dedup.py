@@ -238,14 +238,16 @@ def simhash_signatures(
 def simhash_bands(df: DataFrame, id_col: str, sig_col: str = "simhash") -> DataFrame:
     """Explode a 64-bit simhash into 4×16-bit band keys for blocking:
     two docs within Hamming distance 3 share at least one band."""
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.shiftright(F.col(sig_col), b * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("band_key"),
-        ),
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col(sig_col), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
     )
     return df.select(id_col, sig_col, F.explode(bands).alias("band")).select(
         id_col, sig_col, "band.band_id", "band.band_key"

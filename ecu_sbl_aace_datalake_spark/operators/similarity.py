@@ -129,24 +129,48 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     bits: int = 8,
+    tables: int = 8,
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
 
-    2^bits buckets → expected candidate set n/2^bits per query. Equi-join on
-    bucket id (hash shuffle on a small key domain; with few queries the
-    query side is broadcast by AQE). Recall is tunable via ``bits``
-    (fewer bits → bigger buckets → higher recall, higher cost).
+    ``tables`` independent hash tables of ``bits`` hyperplanes each; a
+    corpus row is a candidate for a query if they share a bucket in ANY
+    table (union-of-tables is what lifts recall: a single table's
+    per-neighbor hit rate is (1-θ/π)^bits, which is poor for the moderate
+    angles real neighbors have; with L tables it becomes
+    1-(1-p)^L). Scored candidates get exact cosine, so precision is 1 —
+    only recall is approximate.
+
+    Scale: candidate generation is an equi-join on (table_id, bucket) —
+    corpus hashed L times map-side (cheap: L·bits dot products per row),
+    one shuffle keyed by a small domain, query side broadcast. Expected
+    candidates per query ≈ L·n/2^bits — tune bits up as n grows.
     """
-    planes = random_hyperplanes(dim, bits, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    c_buckets, q_buckets = [], []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, seed + 1000 * t)
+        c_buckets.append(
+            F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vec_col), planes).alias("b"))
+        )
+        q_buckets.append(
+            F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("__qvec"), planes).alias("b"))
+        )
+    c = corpus.select(
+        id_col, vec_col, F.explode(F.array(*c_buckets)).alias("__tb")
+    )
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
-    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
-    joined = c.join(F.broadcast(q), "__bucket").where(F.col("__qid") != F.col(id_col))
+    ).select("__qid", "__qvec", F.explode(F.array(*q_buckets)).alias("__tb"))
+    candidates = (
+        c.join(F.broadcast(q), "__tb")
+        .where(F.col("__qid") != F.col(id_col))
+        .select("__qid", "__qvec", id_col, vec_col)
+        .dropDuplicates(["__qid", id_col])  # union across tables
+    )
     a, b = _as_double(F.col(vec_col)), _as_double(F.col("__qvec"))
-    scored = joined.withColumn(
+    scored = candidates.withColumn(
         "score", dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
     )
     w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -1,0 +1,123 @@
+"""Golden tests for the cleaning functions — exact semantics the reference
+encodes (SURVEY.md §2.9, reference common.py:554-724), per FIXTURES.md:
+'SMITH, JOHN'→'John Smith'; "o'brien"→"O'Brien"; de/of lower-cased;
+mixed-case McDonald preserved; 'n/a'→garbage; fuzzy snap at 0.6."""
+
+from __future__ import annotations
+
+from ecu_sbl_aace_datalake_spark.functions import cleaning
+
+
+class TestCustomInitcap:
+    def test_basic(self):
+        assert cleaning.custom_initcap("hello world") == "Hello World"
+
+    def test_apostrophe_delimiter(self):
+        assert cleaning.custom_initcap("o'brien") == "O'Brien"
+
+    def test_hyphen_delimiter(self):
+        assert cleaning.custom_initcap("smith-jones") == "Smith-Jones"
+
+    def test_mixed_case_preserved(self):
+        assert cleaning.custom_initcap("McDonald") == "McDonald"
+
+    def test_particles_lowercased(self):
+        assert cleaning.custom_initcap("jan DE vries") == "Jan de Vries"
+        assert cleaning.custom_initcap("duke OF york") == "Duke of York"
+
+    def test_all_upper_normalized(self):
+        assert cleaning.custom_initcap("SMITH") == "Smith"
+
+    def test_none_safe(self):
+        assert cleaning.custom_initcap(None) is None
+
+    def test_compound(self):
+        assert cleaning.custom_initcap("o'brien-de la MAR") == "O'Brien-de La Mar"
+
+
+class TestFixUpName:
+    def test_last_first_flip(self):
+        assert cleaning.fix_up_name("SMITH, JOHN") == "John Smith"
+
+    def test_paren_truncation(self):
+        assert cleaning.fix_up_name("smith, john (deceased)") == "John Smith"
+
+    def test_bare_comma_is_none(self):
+        assert cleaning.fix_up_name(",") is None
+        assert cleaning.fix_up_name("") is None
+        assert cleaning.fix_up_name("   ") is None
+
+    def test_plain_name(self):
+        assert cleaning.fix_up_name("jane doe") == "Jane Doe"
+
+    def test_none(self):
+        assert cleaning.fix_up_name(None) is None
+
+
+class TestGarbage:
+    def test_na_variants(self):
+        assert cleaning.garbage_clo("n/a") is True
+        assert cleaning.garbage_clo("N/A") is True
+        assert cleaning.garbage_clo("  n/a  ") is True
+
+    def test_falsy(self):
+        assert cleaning.garbage_clo(None) is True
+        assert cleaning.garbage_clo("") is True
+
+    def test_non_str(self):
+        assert cleaning.garbage_clo(42) is True
+
+    def test_clean_value(self):
+        assert cleaning.garbage_clo("BUILDING") is False
+
+
+class TestFixDodgy:
+    def test_exact(self):
+        assert cleaning.fix_dodgy_statuses("Completed") == "Completed"
+
+    def test_title_coercion(self):
+        assert cleaning.fix_dodgy_statuses("completed") == "Completed"
+
+    def test_fuzzy_snap(self):
+        assert cleaning.fix_dodgy_statuses("Complted") == "Completed"
+        assert cleaning.fix_dodgy_statuses("Discontinue") == "Discontinued"
+
+    def test_none_supplied(self):
+        assert cleaning.fix_dodgy_statuses(None) == "None Supplied"
+
+    def test_no_snap_below_threshold(self):
+        assert cleaning.fix_dodgy_statuses("Zzzz") == "Zzzz"
+
+    def test_assess_level(self):
+        assert cleaning.fix_dodgy_assess_level("consolidated") == "Consolidated"
+        assert cleaning.fix_dodgy_assess_level("Demonstratd") == "Demonstrated"
+
+    def test_similarity_threshold(self):
+        assert cleaning.are_strings_similar("Completed", "Complted")
+        assert not cleaning.are_strings_similar("Completed", "Xyz")
+
+
+class TestVectorizedUdfs:
+    def test_udf_matches_plain(self, spark):
+        import pyspark.sql.functions as F
+
+        names = ["SMITH, JOHN", "o'brien", "McDonald", None, "jan DE vries (x)"]
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        rows = df.select(
+            cleaning.custom_initcap_udf(F.col("name")).alias("ic"),
+            cleaning.fix_up_name_udf(F.col("name")).alias("fx"),
+            cleaning.garbage_clo_udf(F.col("name")).alias("gb"),
+        ).collect()
+        for n, r in zip(names, rows):
+            assert r.ic == cleaning.custom_initcap(n) if n is not None else r.ic is None
+            assert r.fx == cleaning.fix_up_name(n) if n is not None else r.fx is None
+            assert r.gb == cleaning.garbage_clo(n)
+
+    def test_native_garbage_matches_plain(self, spark):
+        import pyspark.sql.functions as F
+
+        vals = ["n/a", "N/A ", "", None, "ok", " N/a"]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        rows = df.select(cleaning.garbage_clo_col("v").alias("g")).collect()
+        for v, r in zip(vals, rows):
+            assert r.g == cleaning.garbage_clo(v), v

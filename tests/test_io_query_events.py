@@ -1,0 +1,186 @@
+"""IO round-trips, query helpers, event/streaming ops, profiling."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import profile
+from ecu_sbl_aace_datalake_spark.operators.query import (
+    build_select_sql,
+    clean_string,
+    escape_name,
+    first_char_is_numeric,
+    sql_over,
+    temp_table_name,
+)
+from ecu_sbl_aace_datalake_spark.sources import io as lio
+from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse, TableRegistry
+from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+
+class TestQueryHelpers:
+    def test_escape_name(self):
+        assert escape_name("plain") == "plain"
+        assert escape_name("has space") == "`has space`"
+        assert escape_name("has-dash") == "`has-dash`"
+        assert escape_name("`already`") == "`already`"
+        assert escape_name("db.my table") == "db.`my table`"
+
+    def test_clean_string(self):
+        assert clean_string("a b-c_d!9") == "abc_d9"
+
+    def test_first_char_is_numeric_returns_bool(self):
+        assert first_char_is_numeric("9a") is True
+        assert first_char_is_numeric("a9") is False
+        assert first_char_is_numeric("") is False  # reference bug #12 fixed
+
+    def test_temp_table_name_unique_and_clean(self):
+        a, b = temp_table_name("My Table!"), temp_table_name("My Table!")
+        assert a != b
+        assert a.startswith("MyTable_")
+        assert temp_table_name("9lives")[0] == "_"
+
+    def test_build_select_sql(self):
+        assert build_select_sql("t", "a") == "SELECT a FROM t"
+        assert (
+            build_select_sql("t", ["a", "b c"], distinct=True)
+            == "SELECT a, `b c` FROM t GROUP BY a, `b c`"
+        )
+
+    def test_sql_over_shape_mismatch_raises(self, spark):
+        df = spark.range(1)
+        with pytest.raises(ValueError):
+            sql_over(spark, [df, df], ["one"], "SELECT 1")
+
+    def test_sql_over_multi_view(self, spark):
+        a = spark.createDataFrame([(1,)], "x long")
+        b = spark.createDataFrame([(1, "y")], "x long, v string")
+        out = sql_over(
+            spark, [a, b], ["va", "vb"], "SELECT v FROM va JOIN vb USING (x)"
+        )
+        assert out.first().v == "y"
+
+
+class TestIO:
+    def test_write_read_drop_roundtrip(self, spark, sf_dir):
+        lh = Lakehouse("t", tempfile.mkdtemp())
+        reg = TableRegistry()
+        orders = lio.load_table(spark, sf_dir, "orders")
+        info = lio.write_table(lh, "o", orders, partition_by="o_orderstatus", registry=reg, with_shape=True)
+        assert info["rows"] == orders.count()
+        assert "o" in reg
+        assert lio.list_tables(spark, lh) == ["o"]
+        back = lio.read_table(spark, lh, "o", columns=["o_orderkey"], condition="o_orderkey < 100")
+        assert back.columns == ["o_orderkey"]
+        assert back.count() == orders.where("o_orderkey < 100").count()
+        lio.drop_table(spark, lh, "o")
+        assert lio.list_tables(spark, lh) == []
+
+    def test_partitioned_write_prunes(self, spark, sf_dir):
+        lh = Lakehouse("t", tempfile.mkdtemp())
+        orders = lio.load_table(spark, sf_dir, "orders")
+        lio.write_table(lh, "o", orders, partition_by="o_orderstatus")
+        scan = lio.read_table(spark, lh, "o", condition="o_orderstatus = 'F'")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        # partition filter must reach the file source (partition pruning)
+        assert "o_orderstatus" in plan
+
+    def test_select_table_custom_query(self, spark, sf_dir):
+        lh = Lakehouse("t", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        lio.write_table(lh, "nation", nation)
+        out = lio.select_table(
+            spark, lh, "nation", "SELECT COUNT(*) AS n FROM {table} WHERE n_regionkey = 0"
+        )
+        assert out.first().n == nation.where("n_regionkey = 0").count()
+
+
+class TestEvents:
+    @pytest.fixture(scope="class")
+    def events(self, spark, sf_dir):
+        return lio.load_table(spark, sf_dir, "events")
+
+    def test_ns_timestamp_loaded(self, events):
+        assert dict(events.dtypes)["ts"].startswith("timestamp")
+
+    def test_tumbling_counts_sum_to_total(self, events):
+        out = ev.tumbling_agg(events, "1 hour")
+        assert out.agg(F.sum("n_events")).first()[0] == events.count()
+
+    def test_sessionize_gap_semantics(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),  # same session (10 min)
+            (1, "2024-01-01 01:00:00"),  # new session (50 min gap)
+            (2, "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = ev.sessionize(df, gap="30 minutes").collect()
+        sess = {(r.user_id, str(r.ts)): r.session_id for r in out}
+        assert sess[(1, "2024-01-01 00:00:00")] == 1
+        assert sess[(1, "2024-01-01 00:10:00")] == 1
+        assert sess[(1, "2024-01-01 01:00:00")] == 2
+        assert sess[(2, "2024-01-01 00:00:00")] == 1
+
+    def test_session_window_matches_lag_gap_counts(self, events):
+        truncated = events.withColumn("ts", F.date_trunc("second", "ts"))
+        lag_sessions = (
+            ev.sessionize(truncated, gap="30 minutes")
+            .groupBy("user_id", "session_id")
+            .count()
+        )
+        native = ev.session_window_agg(truncated, gap="30 minutes")
+        assert native.count() == lag_sessions.count()
+
+    def test_streaming_compatible(self, spark, tmp_path, events):
+        """The same tumbling agg plan must run under readStream."""
+        src = str(tmp_path / "stream_src")
+        events.limit(200).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema).parquet(src)
+        )
+        agg = ev.tumbling_agg(
+            ev.with_watermark(stream, "ts", "1 hour"), "1 hour"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_stream_agg")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def test_parse_props(self, events):
+        out = ev.parse_props(events.limit(5))
+        assert "k" in out.columns
+        assert all(r.k is not None for r in out.collect())
+
+
+class TestProfile:
+    def test_star_schema_fks_discovered(self, spark, sf_dir):
+        tables = {
+            n: lio.load_table(spark, sf_dir, n)
+            for n in ("region", "nation", "customer", "orders")
+        }
+        rels = profile.find_relationships(spark, tables)
+        found = {
+            (r.from_table, r.from_col, r.to_table, r.to_col) for r in rels.collect()
+        }
+        assert ("nation", "n_regionkey", "region", "r_regionkey") in found
+        assert ("customer", "c_nationkey", "nation", "n_nationkey") in found
+        assert ("orders", "o_custkey", "customer", "c_custkey") in found
+
+    def test_graphviz_renders(self, spark, sf_dir):
+        tables = {
+            n: lio.load_table(spark, sf_dir, n) for n in ("region", "nation")
+        }
+        rels = profile.find_relationships(spark, tables)
+        dot = profile.to_graphviz(rels)
+        assert dot.startswith("digraph") and "region" in dot

@@ -1,0 +1,151 @@
+"""Invariant tests for transforms + star kit (reference runtime self-checks
+as properties: SURVEY.md §5 — simpleMap row-count preservation, castColumns
+null-on-failure, idempotent re-mapping, contiguous index)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import star, transform
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+    return load_table(spark, sf_dir, "orders")
+
+
+class TestCastColumns:
+    def test_null_on_failure_keeps_orig(self, spark):
+        df = spark.createDataFrame(
+            [("1", "a"), ("2", "b"), ("x", "c")], "num string, other string"
+        )
+        out, failures = transform.cast_columns(df, ["num"], cast="int")
+        assert failures == {"num": 1}
+        assert "num_orig" in out.columns  # kept because one cast failed
+        rows = {r.num_orig: r.num for r in out.collect()}
+        assert rows == {"1": 1, "2": 2, "x": None}
+
+    def test_clean_cast_drops_orig(self, spark):
+        df = spark.createDataFrame([("1",), ("2",)], "num string")
+        out, failures = transform.cast_columns(df, ["num"], cast="int")
+        assert failures == {"num": 0}
+        assert out.columns == ["num"]
+
+    def test_ordinal_position_preserved(self, spark):
+        df = spark.createDataFrame([("a", "1", "b")], "x string, num string, y string")
+        out, _ = transform.cast_columns(df, ["num"], cast="int")
+        assert out.columns == ["x", "num", "y"]
+
+    def test_single_validation_job_multi_col(self, spark):
+        df = spark.createDataFrame(
+            [("1", "z"), ("2", "9")], "a string, b string"
+        )
+        out, failures = transform.cast_columns(df, ["a", "b"], cast="int")
+        assert failures == {"a": 0, "b": 1}
+
+
+class TestIndexCol:
+    def test_contiguous_and_ordered(self, spark):
+        df = spark.createDataFrame([("c",), ("a",), ("b",)], "v string")
+        out = transform.add_index_col(df, "idx", order_by=["v"]).collect()
+        assert [(r.idx, r.v) for r in out] == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_index_start(self, spark):
+        df = spark.createDataFrame([("a",), ("b",)], "v string")
+        out = transform.add_index_col(df, "idx", index_start=100, order_by=["v"])
+        assert [r.idx for r in out.collect()] == [101, 102]
+
+    def test_case_insensitive_replacement(self, spark):
+        df = spark.createDataFrame([(9, "a")], "IDX long, v string")
+        out = transform.add_index_col(df, "idx", order_by=["v"])
+        assert out.columns == ["idx", "v"]
+
+
+class TestRenames:
+    def test_prefix_roundtrip(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        pre = transform.rename_columns_with_prefix(df, "p")
+        assert pre.columns == ["p_a", "p_b"]
+        back = transform.rename_columns_strip_prefix(pre, "p")
+        assert back.columns == ["a", "b"]
+
+    def test_strip_skips_empty_result(self, spark):
+        df = spark.createDataFrame([(1,)], "p long")
+        out = transform.rename_columns_strip_prefix(df, "p")
+        assert out.columns == ["p"]  # stripping would leave '' → skipped
+
+
+class TestListHelpers:
+    def test_insert_value_pure(self):
+        src = ["a", "b", "c"]
+        out = transform.insert_value_into_list(src, "b", "x")
+        assert src == ["a", "b", "c"]  # input NOT mutated (reference bug #7)
+        assert out == ["a", "x", "c", "b"]
+
+    def test_insert_noop_when_present(self):
+        assert transform.insert_value_into_list(["a", "x"], "a", "x") == ["a", "x"]
+
+    def test_insert_appends_when_old_absent(self):
+        assert transform.insert_value_into_list(["a"], "zz", "x") == ["a", "x"]
+
+    def test_replace(self):
+        assert transform.replace_value_in_list([1, 2, 1], 1, 9) == [9, 2, 9]
+
+
+class TestDimensionAndMap:
+    def test_dim_contiguous_surrogates(self, orders):
+        dim = star.build_dimension(orders, "o_orderpriority").collect()
+        assert [r[0] for r in dim] == list(range(1, len(dim) + 1))
+        vals = [r.o_orderpriority for r in dim]
+        assert vals == sorted(vals)
+
+    def test_simple_map_preserves_rows(self, orders):
+        dim = star.build_dimension(orders, "o_orderpriority")
+        mapped = star.simple_map(orders, dim, "o_orderpriority", validate=True)
+        assert mapped.count() == orders.count()
+        assert "indexO_orderpriority" in mapped.columns
+        assert "o_orderpriority" not in mapped.columns
+        # ordinal position preserved
+        assert mapped.columns.index("indexO_orderpriority") == orders.columns.index(
+            "o_orderpriority"
+        )
+
+    def test_null_keys_survive_null_safe_map(self, spark):
+        fact = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, k string"
+        )
+        dim = star.build_dimension(fact, "k")
+        assert dim.count() == 3  # null is a dimension member
+        mapped = star.simple_map(fact, dim, "k", index_col="indexK", validate=True)
+        assert mapped.count() == 3  # the null row joined via <=>
+
+    def test_duplicate_surrogate_guard(self, orders):
+        dim = star.build_dimension(orders, "o_orderpriority")
+        mapped = star.simple_map(orders, dim, "o_orderpriority", validate=False)
+        with_both = mapped.withColumn("o_orderpriority", F.lit("x"))
+        with pytest.raises(ValueError, match="already present"):
+            star.simple_map(with_both, dim, "o_orderpriority")
+
+    def test_dim_with_count_measure(self, orders):
+        dim = star.build_dimension(
+            orders, "o_orderpriority", row_count_col="o_orderkey"
+        )
+        total = sum(r.o_orderkey for r in dim.collect())
+        assert total == orders.count()
+
+
+class TestExtraRowShape:
+    def test_extra_row(self, spark):
+        df = spark.createDataFrame([(1, "a", 5)], "k long, v string, n long")
+        out = transform.create_extra_row(spark, df, [99, "zz"], zero_fill_cols=["n"])
+        rows = {r.k: (r.v, r.n) for r in out.collect()}
+        assert rows[99] == ("zz", 0)
+
+    def test_df_shape(self, orders):
+        rows, ncols, cols = transform.df_shape(orders)
+        assert rows == orders.count()
+        assert ncols == 6
+        assert cols[0] == "o_orderkey"
