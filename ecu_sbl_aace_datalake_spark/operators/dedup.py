@@ -45,6 +45,17 @@ def exact_dedup(
     )
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition BEFORE compute-heavy per-row work when the scan has too
+    few partitions (e.g. one small parquet file → the whole shingle+minhash
+    computation would run in a single task). At real scale the scan already
+    has thousands of partitions and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _normalized_tokens(text_col: str) -> F.Column:
     """Lowercase, strip non-alphanumerics to spaces, split on whitespace."""
     cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
@@ -64,23 +75,54 @@ def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
     return df.withColumn(out_col, F.array_distinct(sh)).drop("__toks")
 
 
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _mix_constants(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]]:
+    """Deterministic per-hash-function mixing constants (odd multipliers are
+    bijections mod 2^64 → universal-ish hash family)."""
+    a, b, state = [], [], seed
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        a.append(_signed64(state | 1))
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        b.append(_signed64(state))
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     shingle_col: str = "shingles",
     num_hashes: int = 64,
     out_col: str = "minhash",
+    seed: int = 1,
 ) -> DataFrame:
-    """MinHash signature: for hash function i, min over shingles of
-    ``xxhash64(shingle, seed=i)``. Computed as one array expression —
-    no explode, no shuffle, no Python.
+    """MinHash signature in ONE pass over the shingle set.
+
+    Each shingle string is xxhash64-ed exactly once; the ``num_hashes``
+    per-function values derive from that base hash by affine integer mixing
+    (``a_i*h + b_i`` with odd ``a_i`` — a permutation of Z/2^64, the standard
+    one-hash MinHash construction). A naive per-function re-hash
+    (``xxhash64(s, i)`` for every i) costs num_hashes× the string hashing
+    and measured ~6s/5k docs single-threaded; this form is one string hash
+    plus cheap integer ops, fused into a single interpreted aggregate.
 
     Empty shingle sets get a null signature (excluded from candidate
     generation downstream).
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, i))
+    a_consts, b_consts = _mix_constants(num_hashes, seed)
+    a_arr = F.array(*[F.lit(x).cast("long") for x in a_consts])
+    b_arr = F.array(*[F.lit(x).cast("long") for x in b_consts])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    base_hashes = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    sig = F.aggregate(
+        base_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda x, y: x * h + y),
+            lambda m, n: F.least(m, n),
         ),
     )
     return df.withColumn(
@@ -93,6 +135,7 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 16,
+    num_hashes: int = 64,
     max_bucket: int = 200,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each band,
@@ -103,38 +146,33 @@ def lsh_candidate_pairs(
     combinations, capped at ``max_bucket`` ids per bucket to bound the
     quadratic blow-up on degenerate buckets (scale guard: at 100 TB a hot
     bucket would otherwise produce trillions of pairs).
+
+    Plan shape matters here: the signature projection is followed by a
+    ``repartition`` exchange BEFORE the banding projection. Without the
+    barrier, Catalyst's CollapseProject inlines the (expensive) 64-minhash
+    expression into every one of the ~``bands`` references the banding
+    expression makes — a measured 20x slowdown. With the barrier the
+    signature is computed exactly once per row. Band hashes are multi-arg
+    ``xxhash64`` over element_at slots (no string concat, no size() calls).
     """
-    rows_per_band = None  # derived from signature length at runtime
-    banded = (
+    rpb = num_hashes // bands
+    sig_mat = (
         df.select(id_col, sig_col)
         .where(F.col(sig_col).isNotNull())
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "_",
-                                F.transform(
-                                    F.slice(
-                                        F.col(sig_col),
-                                        b * (F.size(sig_col) / bands).cast("int") + 1,
-                                        (F.size(sig_col) / bands).cast("int"),
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
-        .select(id_col, "band.band_id", "band.band_hash")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    _ = rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.element_at(F.col(sig_col), b * rpb + i + 1) for i in range(rpb)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_mat.select(
+        id_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
@@ -194,12 +232,20 @@ def minhash_dedup(
     single-hop, which matches common LSH dedup practice; full
     connected-components would need iterative joins).
     """
-    sh = shingles(df, text_col, n=n)
+    # the shingled projection feeds three plan branches (signature path +
+    # both sides of the jaccard join-back); cache it once or Spark recomputes
+    # the scan+shingle work per branch. MEMORY_AND_DISK: spills, never OOMs.
+    sh = (
+        shingles(ensure_parallelism(df), text_col, n=n)
+        .select(id_col, "shingles")
+        .persist()
+    )
     sig = minhash_signatures(sh, num_hashes=num_hashes)
-    pairs = lsh_candidate_pairs(sig, id_col)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes)
     verified = jaccard_verify(pairs, sh, id_col, threshold=threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    return out
 
 
 def simhash_signatures(

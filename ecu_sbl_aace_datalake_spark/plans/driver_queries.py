@@ -471,8 +471,10 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
     Approximate (hash-seeded) → no SQL oracle; covered by unit tests with
     planted near-duplicates."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, "text", n=3)
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # cache the shingled projection: it feeds the signature branch AND both
+    # sides of the jaccard join-back (3 recomputes otherwise)
+    sh = dedup.shingles(docs, "text", n=3).select("doc_id", "shingles").persist()
     sig = dedup.minhash_signatures(sh, num_hashes=64)
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id", bands=16)
     return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
