@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties that make queries survive 100 TB.
+
+These tests fail if a change silently de-optimizes a plan: a filter that
+stops reaching the scan, a dimension join that stops broadcasting, a scan
+that starts reading all columns, a Python-eval node sneaking into a
+reference-parity hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
+from ecu_sbl_aace_datalake_spark.plans.inspect import PlanAudit
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    def audit(name: str) -> PlanAudit:
+        return PlanAudit.of(QUERIES[name](spark, sf_dir))
+
+    return audit
+
+
+class TestFlagship:
+    def test_filter_pushed_to_scan(self, audits):
+        a = audits("flagship_pricing_summary")
+        assert a.has_pushed_filter("l_shipdate")
+
+    def test_column_pruning(self, audits):
+        a = audits("flagship_pricing_summary")
+        needed = {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        }
+        assert a.read_schema_only(needed), a.scan_columns()
+
+    def test_partial_aggregation(self, audits):
+        assert audits("flagship_pricing_summary").has_partial_aggregation
+
+    def test_no_python_in_hot_path(self, audits):
+        assert audits("flagship_pricing_summary").python_udf_nodes == 0
+
+    def test_wholestage_codegen(self, spark, sf_dir):
+        df = QUERIES["flagship_pricing_summary"](spark, sf_dir)
+        assert PlanAudit.codegen_subtrees(df) >= 1
+
+
+class TestJoins:
+    def test_simple_map_broadcasts_dimension(self, audits):
+        a = audits("simple_map")
+        assert a.broadcast_joins >= 1
+        assert a.sort_merge_joins == 0  # fact side must NOT shuffle for the dim map
+        assert a.cartesian_products == 0
+
+    def test_null_safe_join_is_hash_join(self, audits):
+        a = audits("null_safe_join")
+        # eqNullSafe must remain an equi-join (hash-joinable), not a
+        # nested-loop disaster
+        assert a.cartesian_products == 0
+        assert a.broadcast_joins + a.sort_merge_joins >= 1
+
+    def test_multi_join_no_cartesian(self, audits):
+        assert audits("sql_over_views").cartesian_products == 0
+
+    def test_scan_filter_project_prunes(self, audits):
+        a = audits("scan_filter_project")
+        assert a.has_pushed_filter("o_totalprice")
+        assert a.read_schema_only({"o_orderkey", "o_custkey", "o_totalprice"})
+
+
+class TestExtensions:
+    def test_exact_dedup_single_shuffle(self, audits):
+        a = audits("exact_dedup")
+        assert a.exchanges <= 2  # key shuffle (+ AQE artifacts at most)
+
+    def test_embedding_topk_broadcasts_queries(self, audits):
+        a = audits("embedding_topk")
+        # the corpus must stream map-side against broadcast queries: no
+        # sort-merge join, no corpus shuffle before scoring
+        assert a.cartesian_products + a.broadcast_joins >= 1
+        assert a.sort_merge_joins == 0
+
+    def test_cleaning_udf_is_arrow_not_pickle(self, spark, sf_dir):
+        df = QUERIES["fixup_names"](spark, sf_dir)
+        plan = PlanAudit.of(df)
+        assert "ArrowEvalPython" in plan.plan  # vectorized, not BatchEvalPython
+        assert "BatchEvalPython" not in plan.plan
