@@ -1,0 +1,135 @@
+"""Temporal join operators Spark lacks as built-ins: as-of and range joins.
+
+North-star extensions (SURVEY.md §2.13 event/time ops). Both are implemented
+as compositions of shuffle-friendly primitives — no nested-loop joins, no
+per-row Python:
+
+- :func:`asof_join` uses the union + last-non-null-carry-forward trick:
+  ONE shuffle on the key, one window pass. The naive alternative (range
+  self-join + argmax) explodes quadratically per key; a BroadcastNestedLoop
+  join would be O(n·m). This form scales linearly with key cardinality.
+- :func:`range_join_points_to_intervals` buckets both sides on a coarse
+  time grid and equi-joins on (key, bucket), then refines with the exact
+  range predicate. Intervals spanning multiple buckets are exploded to one
+  row per covered bucket. Spark plans raw inequality joins as
+  BroadcastNestedLoopJoin — this rewrite turns them into a hash join whose
+  cost is |points| + Σ interval_spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right.ts <= left.ts`` within the same ``on`` key (inclusive).
+
+    Implementation: tag both sides, union, sort per key by (ts, right-first
+    at ties), carry the last seen right values forward with
+    ``last(..., ignorenulls)``, keep left rows. One shuffle, one window.
+    ``tolerance`` (e.g. "1 hour") drops matches older than left.ts - tol.
+
+    Matches DuckDB/pandas ``ASOF JOIN`` semantics (direction=backward).
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts).cast("timestamp")
+    )
+    for c in rcols:
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    l_tagged = l_tagged.withColumn("__rts", F.lit(None).cast("timestamp"))
+
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).cast("timestamp").alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    for c in left.columns:
+        if c not in (on,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows (side=0) sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned
+    for c in rcols:
+        carried = carried.withColumn(
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn("__rts", F.last("__rts", ignorenulls=True).over(w))
+
+    out = carried.where(F.col("__side") == 1)
+    if tolerance:
+        in_tol = F.col("__rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        for c in rcols:
+            out = out.withColumn(f"__r_{c}", F.when(in_tol, F.col(f"__r_{c}")))
+        out = out.withColumn("__rts", F.when(in_tol, F.col("__rts")))
+    keep = [*left.columns] + [F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in rcols]
+    return out.select(*keep)
+
+
+def range_join_points_to_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None,
+    point_ts: str,
+    interval_start: str,
+    interval_end: str,
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval containing them
+    (``start <= ts < end``), optionally also matching on a key column.
+
+    Intervals explode to one row per covered coarse bucket; points map to
+    their bucket; equi-join on (key, bucket) then the exact range predicate
+    refines. Pick ``bucket`` near the typical interval length: too coarse →
+    fat buckets, too fine → interval explosion.
+    """
+    sec = F.lit(_interval_seconds(bucket))
+    p = points.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(point_ts)) / sec).cast("long")
+    )
+    i = intervals.withColumn(
+        "__b_start", (F.unix_timestamp(F.col(interval_start)) / sec).cast("long")
+    ).withColumn(
+        # end is exclusive: a point at exactly `end` is NOT covered
+        "__b_end",
+        (F.unix_timestamp(F.col(interval_end)) / sec).cast("long"),
+    )
+    i = i.withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__b_start"), F.col("__b_end")))
+    ).drop("__b_start", "__b_end")
+    join_keys = ["__bucket"] + ([on] if on else [])
+    joined = p.join(i, join_keys, how)
+    refined = joined.where(
+        (F.col(point_ts) >= F.col(interval_start))
+        & (F.col(point_ts) < F.col(interval_end))
+    )
+    return refined.drop("__bucket")
+
+
+def _interval_seconds(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit.lower()]
+    return int(n) * mult

@@ -702,6 +702,358 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # --------------------------------------------------------------------------
+# additional SQL surface: sliding/session windows, cube/pivot, set ops,
+# window frames, percentiles, as-of / range joins, n-gram jaccard
+# --------------------------------------------------------------------------
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window / 30m slide)."""
+    evdf = _t(spark, sf_dir, "events")
+    out = ev.sliding_agg(
+        evdf, "1 hour", "30 minutes",
+        aggs=[F.count("*").alias("n_events")],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, UNNEST([0, 1]) AS u(k)
+GROUP BY 1
+"""
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessionization (the streaming-state form);
+    oracle = lag-gap sessions with end = last_ts + gap."""
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    out = ev.session_window_agg(evdf, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_SESSION_WINDOW_NATIVE = """
+WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+        )
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_except_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers who never placed a large (>200k) order."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(big.distinct())
+
+
+SQL_EXCEPT_ANTIJOIN = """
+SELECT c_custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nation keys present among both customers and
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_INTERSECT_KEYS = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: 3-row moving average of order totals per customer."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+    )
+
+
+SQL_WINDOW_MOVING_AVG = """
+SELECT o_custkey, o_orderkey,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg
+FROM orders
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click/view event gets the most recent prior 'error'
+    event's value for the same user (backward, inclusive)."""
+    from ..operators.joins import asof_join
+
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    left = evdf.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    errors = evdf.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(left, errors, on="user_id", right_cols=["err_value"], suffix="")
+    return out.select("event_id", "user_id", "err_value")
+
+
+SQL_ASOF_JOIN = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  date_trunc('second', ts) AS ts FROM events),
+l AS (SELECT event_id, user_id, ts FROM e WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, value AS err_value FROM e WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, r.err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count events falling inside each user's session interval
+    [start, end+gap) — points-to-intervals via bucketed equi-join."""
+    from ..operators.joins import range_join_points_to_intervals
+
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    sessions = ev.session_window_agg(evdf, gap="30 minutes").select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end"),
+    )
+    joined = range_join_points_to_intervals(
+        evdf.select("event_id", "user_id", "ts"),
+        sessions,
+        on="user_id",
+        point_ts="ts",
+        interval_start="session_start",
+        interval_end="session_end",
+        bucket="1 hour",
+    )
+    return joined.groupBy(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    ).agg(F.count("*").alias("n_in_range"))
+
+
+SQL_RANGE_JOIN = """
+WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts FROM events),
+t AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '30 minutes' AS session_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT e.user_id,
+       strftime(sess.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_in_range
+FROM e JOIN sess ON e.user_id = sess.user_id
+    AND e.ts >= sess.session_start AND e.ts < sess.session_end
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for all doc pairs sharing >= 1
+    shingle, over a 100-doc slice — the oracle-checkable exact counterpart
+    of the (hash-seeded, rows-only) MinHash pipeline."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sh = dedup.shingles(docs, "text", n=3).select("doc_id", "shingles")
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.01)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, GREATEST(len(toks) - 1, 1))
+         ]) AS shingles
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id < 100
+  )
+),
+ex AS (SELECT doc_id, unnest(shingles) AS sh FROM d),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.01
+"""
+
+
+def q_embedding_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on an array column: identical embedding vectors collapse
+    to the smallest vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id")).select(
+        "vec_id"
+    )
+
+
+SQL_EMBEDDING_EXACT_DEDUP = """
+SELECT CAST(MIN(vec_id) AS BIGINT) AS vec_id FROM embeddings GROUP BY embedding
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (approximate → rows-only; bounds asserted in
+    unit tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
 # rows-only: cleaning UDFs, profiling, multimodal
 # --------------------------------------------------------------------------
 
@@ -777,6 +1129,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_parse_props": q_events_parse_props,
     "events_lag_lead": q_events_lag_lead,
+    "events_sliding": q_events_sliding,
+    "session_window_native": q_session_window_native,
+    "cube_agg": q_cube_agg,
+    "pivot_status": q_pivot_status,
+    "except_antijoin": q_except_antijoin,
+    "intersect_keys": q_intersect_keys,
+    "window_moving_avg": q_window_moving_avg,
+    "percentiles": q_percentiles,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_exact_dedup": q_embedding_exact_dedup,
+    "approx_distinct": q_approx_distinct,
     "fixup_names": q_fixup_names,
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
@@ -813,4 +1178,16 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_parse_props": SQL_EVENTS_PARSE_PROPS,
     "events_lag_lead": SQL_EVENTS_LAG_LEAD,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "session_window_native": SQL_SESSION_WINDOW_NATIVE,
+    "cube_agg": SQL_CUBE_AGG,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "except_antijoin": SQL_EXCEPT_ANTIJOIN,
+    "intersect_keys": SQL_INTERSECT_KEYS,
+    "window_moving_avg": SQL_WINDOW_MOVING_AVG,
+    "percentiles": SQL_PERCENTILES,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
 }

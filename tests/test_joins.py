@@ -1,0 +1,118 @@
+"""As-of and range join semantics on hand-built cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ecu_sbl_aace_datalake_spark.operators.joins import (
+    asof_join,
+    range_join_points_to_intervals,
+)
+
+
+def _ts_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in df.dtypes:
+        if c.endswith("ts") or c.endswith("start") or c.endswith("end"):
+            df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = _ts_df(
+            spark,
+            [(1, "k", "2024-01-01 10:00:00"), (2, "k", "2024-01-01 11:00:00"),
+             (3, "k", "2024-01-01 09:00:00")],
+            "id long, k string, ts string",
+        )
+        right = _ts_df(
+            spark,
+            [("k", "2024-01-01 09:30:00", 1.0), ("k", "2024-01-01 10:00:00", 2.0),
+             ("k", "2024-01-01 10:30:00", 3.0)],
+            "k string, ts string, v double",
+        )
+        out = {r.id: r.v_asof for r in asof_join(left, right, on="k").collect()}
+        assert out[3] is None          # nothing at or before 09:00
+        assert out[1] == 2.0           # inclusive: the 10:00 right row matches
+        assert out[2] == 3.0           # latest prior
+
+    def test_key_isolation(self, spark):
+        left = _ts_df(spark, [(1, "a", "2024-01-01 10:00:00")], "id long, k string, ts string")
+        right = _ts_df(spark, [("b", "2024-01-01 09:00:00", 9.0)], "k string, ts string, v double")
+        out = asof_join(left, right, on="k").collect()
+        assert out[0].v_asof is None   # other key's rows never match
+
+    def test_tolerance(self, spark):
+        left = _ts_df(spark, [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string")
+        right = _ts_df(spark, [("k", "2024-01-01 08:00:00", 5.0)], "k string, ts string, v double")
+        loose = asof_join(left, right, on="k").collect()[0].v_asof
+        tight = asof_join(left, right, on="k", tolerance="1 hour").collect()[0].v_asof
+        assert loose == 5.0 and tight is None
+
+    def test_matches_duckdb_asof(self, spark, sf_dir):
+        """Cross-check the operator against DuckDB's native ASOF JOIN."""
+        import duckdb
+
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        evdf = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.date_trunc("second", "ts")
+        )
+        left = evdf.where(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+        right = evdf.where(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("value").alias("ev")
+        )
+        ours = {
+            r.event_id: r.ev_asof
+            for r in asof_join(left, right, on="user_id", right_cols=["ev"]).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        theirs = dict(
+            con.execute(
+                """
+                WITH e AS (SELECT event_id, user_id, event_type, value,
+                                  date_trunc('second', ts) AS ts FROM events),
+                l AS (SELECT event_id, user_id, ts FROM e WHERE event_type <> 'error'),
+                r AS (SELECT user_id, ts, value AS ev FROM e WHERE event_type = 'error')
+                SELECT l.event_id, r.ev
+                FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+                """
+            ).fetchall()
+        )
+        assert ours == theirs
+
+
+class TestRangeJoin:
+    def test_points_in_intervals(self, spark):
+        points = _ts_df(
+            spark,
+            [(1, "u", "2024-01-01 10:15:00"), (2, "u", "2024-01-01 12:00:00"),
+             (3, "u", "2024-01-01 11:00:00")],
+            "id long, k string, ts string",
+        )
+        intervals = _ts_df(
+            spark,
+            [("u", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "A")],
+            "k string, i_start string, i_end string, label string",
+        )
+        out = range_join_points_to_intervals(
+            points, intervals, on="k", point_ts="ts",
+            interval_start="i_start", interval_end="i_end", bucket="30 minutes",
+        ).collect()
+        ids = {r.id for r in out}
+        assert ids == {1}  # end is exclusive: 11:00 point excluded; 12:00 out
+
+    def test_interval_spanning_many_buckets(self, spark):
+        points = _ts_df(spark, [(1, "u", "2024-01-03 00:00:00")], "id long, k string, ts string")
+        intervals = _ts_df(
+            spark,
+            [("u", "2024-01-01 00:00:00", "2024-01-05 00:00:00", "wide")],
+            "k string, i_start string, i_end string, label string",
+        )
+        out = range_join_points_to_intervals(
+            points, intervals, on="k", point_ts="ts",
+            interval_start="i_start", interval_end="i_end", bucket="1 hour",
+        ).collect()
+        assert len(out) == 1 and out[0].label == "wide"

@@ -43,10 +43,14 @@ def canon(v):
     return v
 
 
+def _sort_key(row):
+    return tuple((v is None, type(v).__name__, str(v)) for v in row)
+
+
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(canon(r[i]) for i in order) for r in rows
+        (tuple(canon(r[i]) for i in order) for r in rows), key=_sort_key
     ), [cols[i] for i in order]
 
 
