@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "embedding_topk",
     "events_tumbling",
     "events_sessionize",
+    "asof_join",
+    "range_join",
+    "window_moving_avg",
+    "percentiles",
 ]
 
 
