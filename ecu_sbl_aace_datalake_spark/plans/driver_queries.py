@@ -1043,6 +1043,95 @@ SELECT CAST(MIN(vec_id) AS BIGINT) AS vec_id FROM embeddings GROUP BY embedding
 """
 
 
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (GROUPED_MAP): z-score normalization within each
+    market segment — the canonical per-group pandas transform, Arrow-batched
+    with one shuffle on the group key."""
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["c_acctbal"].mean()
+        std = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": ((pdf["c_acctbal"] - mean) / std).round(6),
+            }
+        )
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, z double"
+    )
+
+
+SQL_GROUPED_ZSCORE = """
+SELECT c_custkey, c_mktsegment,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w, 6) AS z
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf GROUPED_AGG (UDAF surface): harmonic mean of order totals
+    per priority — a custom aggregate Spark lacks natively."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG type: `-> float` hint inference breaks under
+    # `from __future__ import annotations` (string annotations)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def harmonic_mean(v: pd.Series):
+        return round(len(v) / (1.0 / v).sum(), 6)
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        harmonic_mean("o_totalprice").alias("hmean_price")
+    )
+
+
+SQL_GROUPED_AGG_UDAF = """
+SELECT o_orderpriority,
+       ROUND(COUNT(*) / SUM(1.0 / o_totalprice), 6) AS hmean_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join — semantically identical to the plain
+    join (the oracle), but a hot o_custkey spreads over 8 tasks."""
+    from ..operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, cust, on="o_custkey", salt_cols=["o_orderkey"], buckets=8)
+    return out.select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderkey, o_custkey, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact COUNT(DISTINCT) for skewed groups."""
+    from ..operators.skew import salted_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, "l_returnflag", "l_partkey", buckets=16)
+
+
+SQL_SALTED_DISTINCT_COUNT = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (approximate → rows-only; bounds asserted in
     unit tests)."""
@@ -1142,6 +1231,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
+    "grouped_zscore": q_grouped_zscore,
+    "grouped_agg_udaf": q_grouped_agg_udaf,
+    "salted_join": q_salted_join,
+    "salted_distinct_count": q_salted_distinct_count,
     "fixup_names": q_fixup_names,
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
@@ -1190,4 +1283,8 @@ ORACLES: dict[str, str] = {
     "range_join": SQL_RANGE_JOIN,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
+    "grouped_zscore": SQL_GROUPED_ZSCORE,
+    "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
+    "salted_join": SQL_SALTED_JOIN,
+    "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
 }
