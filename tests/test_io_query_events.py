@@ -184,3 +184,25 @@ class TestProfile:
         rels = profile.find_relationships(spark, tables)
         dot = profile.to_graphviz(rels)
         assert dot.startswith("digraph") and "region" in dot
+
+
+class TestFormats:
+    """write_table/read_path are format-generic: csv and json round-trip
+    (the reference was Delta-only; parquet is this engine's primary)."""
+
+    def test_csv_json_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+
+        nation = lio.load_table(spark, sf_dir, "nation")
+        for fmt in ("json", "parquet"):
+            lh = Lakehouse("fmt", tempfile.mkdtemp())
+            lio.write_table(lh, "nation", nation, fmt=fmt)
+            back = lio.read_path(spark, f"{lh.tables_path}/nation", fmt)
+            assert back.count() == 25
+        # csv needs header to round-trip column names
+        lh = Lakehouse("fmt", tempfile.mkdtemp())
+        nation.write.format("csv").option("header", True).save(f"{lh.tables_path}/nation")
+        back = spark.read.format("csv").option("header", True).option("inferSchema", True).load(f"{lh.tables_path}/nation")
+        assert back.count() == 25 and back.columns == nation.columns
