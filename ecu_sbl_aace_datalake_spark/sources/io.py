@@ -208,7 +208,17 @@ def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver fixture table; normalizes the events nanosecond ts."""
+    """Load one driver fixture table; normalizes the events nanosecond ts.
+
+    Works on ANY session: ``spark.sql.legacy.parquet.nanosAsLong`` is a
+    runtime SQL conf, set here defensively because sessions not built by
+    :func:`~..session.get_spark` (e.g. a test driver's own session) would
+    otherwise fail with PARQUET_TYPE_ILLEGAL on nanosecond timestamps."""
+    # UTC pin: parquet timestamps are naive; a non-UTC session would shift
+    # date_format/window outputs relative to engines reading them naively
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = ns_to_timestamp(df, "ts")
