@@ -195,6 +195,112 @@ def list_tables(spark: SparkSession, lakehouse: Lakehouse) -> list[str]:
     )
 
 
+def append_table(
+    lakehouse: Lakehouse,
+    table_name: str,
+    df: DataFrame,
+    fmt: str = DEFAULT_FORMAT,
+) -> None:
+    """Append-mode write (the reference supported only overwrite,
+    common.py:529-531). With Delta this is transactional; with parquet new
+    files land beside the old — read back with ``merge_schema=True`` if the
+    appended frame added columns."""
+    writer = df.write.format(fmt).mode("append")
+    if fmt == "delta":
+        writer = writer.option("mergeSchema", "true")
+    writer.save(table_path(lakehouse, table_name))
+
+
+def read_table_merged(
+    spark: SparkSession, lakehouse: Lakehouse, table_name: str, fmt: str = DEFAULT_FORMAT
+) -> DataFrame:
+    """Read with schema merging across heterogeneous parquet files (schema
+    evolution on the read path; Delta resolves from its log instead)."""
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(table_path(lakehouse, table_name))
+
+
+def table_file_stats(spark: SparkSession, lakehouse: Lakehouse, table_name: str) -> dict[str, Any]:
+    """(n_files, total_bytes) under a table path — the compaction signal."""
+    import os
+
+    root = table_path(lakehouse, table_name)
+    parsed = urlparse(root)
+    n, size = 0, 0
+    if parsed.scheme in ("", "file"):
+        for dirpath, _dirs, files in os.walk(parsed.path or root):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    n += 1
+                    size += os.path.getsize(os.path.join(dirpath, f))
+        return {"n_files": n, "total_bytes": size}
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hp, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            n += 1
+            size += st.getLen()
+    return {"n_files": n, "total_bytes": size}
+
+
+def compact_table(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    target_file_mb: int = 128,
+    fmt: str = DEFAULT_FORMAT,
+) -> dict[str, Any]:
+    """Small-file compaction (the OPTIMIZE of this engine): rewrite the
+    table into ``ceil(total_bytes / target)`` files.
+
+    Small files are the classic lakehouse death-by-a-thousand-cuts at scale:
+    each file costs a task + a footer read + a metadata entry. Streaming and
+    frequent appends produce them; periodic compaction restores scan
+    efficiency. Parquet path: write compacted data to a sibling tmp dir and
+    atomically swap (readers mid-swap see old or new, never half). Delta
+    would instead rewrite transactionally via its log.
+
+    Returns before/after file stats.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    before = table_file_stats(spark, lakehouse, table_name)
+    path = table_path(lakehouse, table_name)
+    n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * 1024 * 1024)))
+    df = read_path(spark, path, fmt)
+    tmp = f"{path}__compact_{uuid.uuid4().hex}"
+    # coalesce (no shuffle) is enough to merge files; repartition would add
+    # an exchange only to re-split — unnecessary for pure compaction
+    df.coalesce(n_out).write.format(fmt).mode("overwrite").save(tmp)
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        old, new = parsed.path or path, urlparse(tmp).path or tmp
+        back = f"{old}__old_{uuid.uuid4().hex}"
+        os.rename(old, back)
+        os.rename(new, old)
+        shutil.rmtree(back, ignore_errors=True)
+    else:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        back = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{uuid.uuid4().hex}")
+        fs.rename(jvm.org.apache.hadoop.fs.Path(path), back)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+        fs.delete(back, True)
+    after = table_file_stats(spark, lakehouse, table_name)
+    return {"before": before, "after": after, "target_files": n_out}
+
+
 def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     """Convert long nanosecond-epoch columns (parquet TIMESTAMP(NANOS) read
     under ``spark.sql.legacy.parquet.nanosAsLong``) to timestamps, truncating

@@ -206,3 +206,40 @@ class TestFormats:
         nation.write.format("csv").option("header", True).save(f"{lh.tables_path}/nation")
         back = spark.read.format("csv").option("header", True).option("inferSchema", True).load(f"{lh.tables_path}/nation")
         assert back.count() == 25 and back.columns == nation.columns
+
+
+class TestCompactionEvolution:
+    def test_compaction_reduces_files_preserves_data(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("c", tempfile.mkdtemp())
+        orders = lio.load_table(spark, sf_dir, "orders")
+        orders.repartition(32).write.parquet(f"{lh.tables_path}/orders")
+        before = lio.table_file_stats(spark, lh, "orders")
+        assert before["n_files"] >= 32
+        checksum_before = (
+            lio.read_path(spark, f"{lh.tables_path}/orders", "parquet")
+            .agg(F.sum("o_orderkey"), F.count("*")).first()
+        )
+        result = lio.compact_table(spark, lh, "orders", target_file_mb=128)
+        assert result["after"]["n_files"] < before["n_files"]
+        assert result["after"]["n_files"] <= 2
+        checksum_after = (
+            lio.read_path(spark, f"{lh.tables_path}/orders", "parquet")
+            .agg(F.sum("o_orderkey"), F.count("*")).first()
+        )
+        assert tuple(checksum_before) == tuple(checksum_after)
+
+    def test_append_and_schema_evolution(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("e", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        lio.write_table(lh, "nation", nation)
+        evolved = nation.withColumn("extra", F.lit("x"))
+        lio.append_table(lh, "nation", evolved)
+        merged = lio.read_table_merged(spark, lh, "nation")
+        assert merged.count() == 50
+        assert "extra" in merged.columns
+        # old rows surface null for the new column
+        assert merged.where(F.col("extra").isNull()).count() == 25
