@@ -120,6 +120,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
     return df.withColumn(out_col, fp)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-training/RAG chunking op. Chunk k covers tokens
+    [1+k·stride, 1+k·stride+window); every token lands in ≥1 chunk when
+    stride <= window.
+
+    One explode per document (no shuffle); chunk text re-materialized from
+    the token slice so downstream ops (hashing, embedding) see clean
+    whitespace. Output: (id, chunk_id, chunk_text, n_chunk_words).
+    """
+    toks = tokens(text_col)
+    out = df.withColumn("__toks", toks).select(
+        id_col,
+        F.col("__toks"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(stride))
+        ).alias("__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), window)
+    return out.select(
+        id_col,
+        (((F.col("__start") - 1) / stride).cast("long")).alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_words"),
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level token frequency table: explode tokens → groupBy count.
     One shuffle on token; at 100 TB add a salt-and-resum for hot tokens

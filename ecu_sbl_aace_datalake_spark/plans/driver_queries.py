@@ -561,6 +561,72 @@ LIMIT 50
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=100, stride=80); chunk
+    text reduced to md5 so the compared output stays small."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = textstats.chunk_documents(docs, window=100, stride=80)
+    return chunks.select(
+        "doc_id", "chunk_id", F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "n_chunk_words",
+    )
+
+
+SQL_DOC_CHUNKING = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(1, GREATEST(len(toks), 1) + 1, 80)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / 80 AS BIGINT) AS chunk_id,
+       md5(array_to_string(toks[start:start+99], ' ')) AS chunk_md5,
+       CAST(len(toks[start:start+99]) AS BIGINT) AS n_chunk_words
+FROM c
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting (letter runs / digit runs / single
+    symbols — GPT-2-style pre-tokenizer shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(textstats.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning via ntile window."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", F.ntile(10).over(w).alias("decile")
+    )
+
+
+SQL_NTILE_BINNING = """
+SELECT o_orderkey,
+       CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+FROM orders
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (heuristic → rows-only check; accuracy
     asserted in unit tests against the fixture's lang column)."""
@@ -1212,6 +1278,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_frequencies": q_token_frequencies,
     "lang_id": q_lang_id,
+    "doc_chunking": q_doc_chunking,
+    "bpe_token_count": q_bpe_token_count,
+    "ntile_binning": q_ntile_binning,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "events_tumbling": q_events_tumbling,
@@ -1266,6 +1335,9 @@ ORACLES: dict[str, str] = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "doc_chunking": SQL_DOC_CHUNKING,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "ntile_binning": SQL_NTILE_BINNING,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure driver-side functions —
+the invariants golden examples can't exhaustively cover."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ecu_sbl_aace_datalake_spark.functions import cleaning
+from ecu_sbl_aace_datalake_spark.operators import transform
+from ecu_sbl_aace_datalake_spark.operators.query import (
+    clean_string,
+    escape_name,
+    first_char_is_numeric,
+    temp_table_name,
+)
+
+text = st.text(max_size=60)
+simple = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" '-"),
+    max_size=40,
+)
+
+
+class TestQueryHelperProperties:
+    @given(text)
+    def test_clean_string_only_word_chars(self, s):
+        out = clean_string(s)
+        assert all(c.isalnum() or c == "_" for c in out)
+        # idempotent
+        assert clean_string(out) == out
+
+    @given(text)
+    def test_escape_name_idempotent(self, s):
+        assert escape_name(escape_name(s)) == escape_name(s)
+
+    @given(text)
+    def test_first_char_is_numeric_is_bool(self, s):
+        assert isinstance(first_char_is_numeric(s), bool)
+
+    @given(st.text(max_size=20))
+    @settings(max_examples=30)
+    def test_temp_table_name_valid_identifier(self, prefix):
+        name = temp_table_name(prefix)
+        assert name and not name[0].isdigit()
+        assert all(c.isalnum() or c == "_" for c in name)
+
+
+class TestCleaningProperties:
+    @given(simple)
+    def test_custom_initcap_idempotent(self, s):
+        once = cleaning.custom_initcap(s)
+        assert cleaning.custom_initcap(once) == once
+
+    @given(simple)
+    def test_custom_initcap_preserves_length_and_delims(self, s):
+        out = cleaning.custom_initcap(s)
+        assert len(out) == len(s)
+        for i, ch in enumerate(s):
+            if ch in " '-":
+                assert out[i] == ch
+
+    @given(simple)
+    def test_fix_up_name_no_parens_or_flip_commas(self, s):
+        out = cleaning.fix_up_name(s)
+        if out is not None:
+            assert "(" not in out
+
+    @given(st.one_of(st.none(), st.text(max_size=30), st.integers()))
+    def test_fix_dodgy_total(self, v):
+        out = cleaning.fix_dodgy_statuses(v)
+        assert isinstance(out, str)  # total function over any input
+        if v is None:
+            assert out == "None Supplied"  # only None gets the sentinel
+            # ('' stays '' — matching reference str().title() behavior)
+
+    @given(st.text(max_size=30), st.text(max_size=30))
+    def test_similarity_symmetric_ish(self, a, b):
+        # difflib ratio is not strictly symmetric, but the predicate must
+        # never crash and must be reflexive for non-empty strings
+        cleaning.are_strings_similar(a, b)
+        if a:
+            assert cleaning.are_strings_similar(a, a)
+
+
+class TestListHelperProperties:
+    @given(st.lists(st.integers(), max_size=15), st.integers(), st.integers())
+    def test_insert_never_mutates(self, lst, old, new):
+        snapshot = list(lst)
+        transform.insert_value_into_list(lst, old, new)
+        assert lst == snapshot
+
+    @given(st.lists(st.integers(), max_size=15), st.integers(), st.integers())
+    def test_insert_postconditions(self, lst, old, new):
+        out = transform.insert_value_into_list(lst, old, new)
+        if new in lst:
+            assert out == list(lst)          # no-op when already present
+        else:
+            assert new in out
+            if old in lst:
+                assert out[-1] == old        # old moved to the end
+                assert out.index(new) == lst.index(old)  # new at old's slot
+
+    @given(st.lists(st.integers(), max_size=15), st.integers(), st.integers())
+    def test_replace_preserves_length(self, lst, old, new):
+        out = transform.replace_value_in_list(lst, old, new)
+        assert len(out) == len(lst)
+        assert old not in out or old == new
