@@ -91,6 +91,33 @@ def _mix_constants(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]
     return a, b
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word-n-gram shingle HASHES (array<long>) — the cheap form
+    of :func:`shingles` when downstream only needs set operations (MinHash,
+    Jaccard intersections): each token is hashed once, each shingle hash
+    combines n token hashes with multi-arg xxhash64. Skips building shingle
+    strings entirely (no concat; ~5x faster than the string form measured
+    on the fixture corpus). Hash collisions are negligible at 64 bits.
+
+    CollapseProject does inline the token-hash transform into its n+1
+    references here — measured and accepted: tokenizing is cheap relative
+    to the string-concat shingle construction this replaces.
+    """
+    toks = _normalized_tokens(text_col)
+    hashed = df.withColumn("__tok_hashes", F.transform(toks, lambda t: F.xxhash64(t)))
+    sh = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__tok_hashes") - F.lit(n - 1), F.lit(0))
+        ),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("__tok_hashes"), i + k) for k in range(n)]
+        ),
+    )
+    return hashed.withColumn(out_col, F.array_distinct(sh)).drop("__tok_hashes")
+
+
 def minhash_signatures(
     df: DataFrame,
     shingle_col: str = "shingles",
@@ -137,6 +164,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     num_hashes: int = 64,
     max_bucket: int = 200,
+    barrier: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each band,
     docs sharing any ``(band_id, band_hash)`` bucket become candidate pairs.
@@ -154,13 +182,14 @@ def lsh_candidate_pairs(
     expression makes — a measured 20x slowdown. With the barrier the
     signature is computed exactly once per row. Band hashes are multi-arg
     ``xxhash64`` over element_at slots (no string concat, no size() calls).
+    Pass ``barrier=False`` when the input signature column is already
+    materialized (cached/persisted) — the cache boundary blocks the inline
+    and the extra exchange would be pure overhead.
     """
     rpb = num_hashes // bands
-    sig_mat = (
-        df.select(id_col, sig_col)
-        .where(F.col(sig_col).isNotNull())
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
+    sig_mat = df.select(id_col, sig_col).where(F.col(sig_col).isNotNull())
+    if barrier:
+        sig_mat = sig_mat.repartition(df.sparkSession.sparkContext.defaultParallelism)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -232,16 +261,20 @@ def minhash_dedup(
     single-hop, which matches common LSH dedup practice; full
     connected-components would need iterative joins).
     """
-    # the shingled projection feeds three plan branches (signature path +
-    # both sides of the jaccard join-back); cache it once or Spark recomputes
-    # the scan+shingle work per branch. MEMORY_AND_DISK: spills, never OOMs.
+    # cache (id, shingles, minhash) ONCE: it feeds the banding branch and
+    # both sides of the jaccard join-back (3 recomputes otherwise), and the
+    # cache boundary blocks CollapseProject from inlining the signature
+    # expression into the 64 banding references. Shingle HASHES, not
+    # strings: set semantics only, ~5x cheaper to build.
     sh = (
-        shingles(ensure_parallelism(df), text_col, n=n)
-        .select(id_col, "shingles")
+        minhash_signatures(
+            shingle_hashes(ensure_parallelism(df), text_col, n=n),
+            num_hashes=num_hashes,
+        )
+        .select(id_col, "shingles", "minhash")
         .persist()
     )
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sh, id_col, num_hashes=num_hashes, barrier=False)
     verified = jaccard_verify(pairs, sh, id_col, threshold=threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     out = df.join(losers, id_col, "left_anti")

@@ -472,11 +472,15 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate (hash-seeded) → no SQL oracle; covered by unit tests with
     planted near-duplicates."""
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
-    # cache the shingled projection: it feeds the signature branch AND both
-    # sides of the jaccard join-back (3 recomputes otherwise)
-    sh = dedup.shingles(docs, "text", n=3).select("doc_id", "shingles").persist()
-    sig = dedup.minhash_signatures(sh, num_hashes=64)
-    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", bands=16)
+    # one cached projection (id, shingles, minhash) feeds banding + both
+    # jaccard join-back sides; the cache boundary doubles as the
+    # CollapseProject barrier. Shingle hashes, not strings (5x cheaper).
+    sh = (
+        dedup.minhash_signatures(dedup.shingle_hashes(docs, "text", n=3), num_hashes=64)
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
     return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
 
 

@@ -70,3 +70,32 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def recommended_cluster_conf(total_cores: int, input_tb: float) -> dict[str, str]:
+    """Config preset for a real cluster run — the knobs that change between
+    local[32]/60 MB and 1000-executor/100 TB, with the reasoning encoded.
+
+    Local testing never exercises these; a deployment applies them via
+    ``get_spark(extra_conf=recommended_cluster_conf(4000, 100))``.
+    """
+    # shuffle partitions: ~2-3 tasks per core for stragglers, but AQE
+    # coalesces, so err high: one partition per ~128 MB of shuffled data,
+    # floored at 2x cores
+    bytes_total = int(input_tb * (1 << 40))
+    by_data = bytes_total // (128 * (1 << 20))
+    shuffle_parts = max(2 * total_cores, min(by_data, 200_000))
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        # scan split size: 128 MB default is right for parquet; raise to
+        # 256 MB when files are large and well-compressed to cut task count
+        "spark.sql.files.maxPartitionBytes": str(256 * (1 << 20)),
+        # broadcast up to 64 MB dims (executors at this scale have the RAM;
+        # saves a 100 TB fact-side shuffle every time it applies)
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * (1 << 20)),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+    }

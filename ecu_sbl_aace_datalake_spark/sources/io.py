@@ -195,6 +195,34 @@ def list_tables(spark: SparkSession, lakehouse: Lakehouse) -> list[str]:
     )
 
 
+def write_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    df: DataFrame,
+    bucket_cols: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (hash-clustered) catalog table: rows are pre-partitioned by
+    ``hash(bucket_cols) % n_buckets`` at write time, so a join or aggregate
+    on the bucket key needs NO shuffle at read time — the single biggest
+    lever for repeated large-fact joins at 100 TB (pay the shuffle once at
+    write, never again). ``sort_cols`` additionally pre-sorts within
+    buckets, removing the sort from sort-merge joins.
+
+    Bucketing requires the session catalog (``saveAsTable``); pick
+    ``n_buckets`` so each bucket file lands near your target file size at
+    full scale (e.g. 100 TB / 128 MB ≈ 800k → bucket by thousands, not 32).
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*scols)
+    writer.saveAsTable(table_name)
+
+
 def append_table(
     lakehouse: Lakehouse,
     table_name: str,

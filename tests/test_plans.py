@@ -86,3 +86,40 @@ class TestExtensions:
         plan = PlanAudit.of(df)
         assert "ArrowEvalPython" in plan.plan  # vectorized, not BatchEvalPython
         assert "BatchEvalPython" not in plan.plan
+
+
+class TestBucketing:
+    def test_bucketed_join_no_shuffle(self, spark, sf_dir):
+        """Two tables bucketed on the join key with equal bucket counts:
+        the join must have ZERO exchanges — the 100 TB co-location story."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table, write_bucketed_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        write_bucketed_table(spark, "b_orders", orders, "o_custkey", 8, sort_cols="o_custkey")
+        write_bucketed_table(
+            spark, "b_customer",
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey", 8, sort_cols="o_custkey",
+        )
+        try:
+            joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+            a = PlanAudit.of(joined)
+            assert a.exchanges == 0, a.plan
+            assert joined.count() == orders.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    def test_bucketed_agg_no_shuffle(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table, write_bucketed_table
+        import pyspark.sql.functions as F
+
+        orders = load_table(spark, sf_dir, "orders")
+        write_bucketed_table(spark, "b_orders2", orders, "o_custkey", 8)
+        try:
+            agg = spark.table("b_orders2").groupBy("o_custkey").agg(F.count("*").alias("n"))
+            a = PlanAudit.of(agg)
+            assert a.exchanges == 0, a.plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders2")
