@@ -140,6 +140,117 @@ def q_select_sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SELECT_SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-k by revenue."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join with small-dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over text (emails/phones/IPv4) — synthetic PII planted
+    deterministically so the redaction path is actually exercised."""
+    from ..functions.redact import redact_pii_col
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" from 192.168.1."), (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id", F.md5(redact_pii_col("text")).alias("redacted_md5")
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+              || ' from 192.168.1.' || CAST(doc_id % 255 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')
+  ) AS redacted_md5
+FROM dirty
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.4/2.5 — star-schema kit
 # --------------------------------------------------------------------------
@@ -1258,6 +1369,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_distinct": q_project_distinct,
     "scan_filter_project": q_scan_filter_project,
     "select_sql_distinct": q_select_sql_distinct,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "pii_redaction": q_pii_redaction,
     "dim_build": q_dim_build,
     "dim_build_counts": q_dim_build_counts,
     "simple_map": q_simple_map,
@@ -1319,6 +1433,9 @@ ORACLES: dict[str, str] = {
     "project_distinct": SQL_PROJECT_DISTINCT,
     "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
     "select_sql_distinct": SQL_SELECT_SQL_DISTINCT,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "pii_redaction": SQL_PII_REDACTION,
     "dim_build": SQL_DIM_BUILD,
     "dim_build_counts": SQL_DIM_BUILD_COUNTS,
     "simple_map": SQL_SIMPLE_MAP,
