@@ -281,6 +281,93 @@ def minhash_dedup(
     return out
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Transitive near-dup clusters from a pair relation: connected
+    components via iterative min-label propagation.
+
+    Each node starts labeled with itself; every round, each node adopts the
+    minimum label among itself and its neighbors; converged when no label
+    changes. Label count per round halves-or-better on chain graphs, so
+    ``max_iter=10`` covers components with diameter ~1000 under the
+    doubling behavior of propagate-then-shortcut; real near-dup components
+    are tiny and converge in 2-3 rounds.
+
+    Scale notes: each round is two hash joins on node id +
+    ``localCheckpoint`` to truncate lineage (iterative plans otherwise grow
+    exponentially and overwhelm the optimizer). Convergence check is one
+    count per round — acceptable because rounds are few.
+
+    Returns ``(node, cluster)`` where cluster = min node id of the
+    component. Nodes not in any pair are absent (they're their own
+    singleton clusters by definition).
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .union(pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                "cluster"
+            ),
+        )
+        # pointer-jumping shortcut: adopt the label OF my label — this is
+        # what makes convergence logarithmic in component diameter (plain
+        # propagation moves labels one hop per round)
+        lhs, rhs = propagated.alias("x"), propagated.alias("y")
+        new_labels = (
+            lhs.join(rhs, F.col("x.cluster") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.cluster"),
+                    F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(df: DataFrame, id_col: str, clusters: DataFrame) -> DataFrame:
+    """Keep one representative (the min-id cluster label) per duplicate
+    cluster; rows not in any cluster pass through."""
+    losers = clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str,

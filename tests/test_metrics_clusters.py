@@ -1,0 +1,73 @@
+"""Execution-metrics walker + transitive duplicate clusters."""
+
+from __future__ import annotations
+
+from ecu_sbl_aace_datalake_spark.operators.dedup import (
+    dedup_by_clusters,
+    duplicate_clusters,
+)
+from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
+from ecu_sbl_aace_datalake_spark.plans.metrics import execution_metrics
+
+
+class TestExecutionMetrics:
+    def test_flagship_shuffle_is_tiny(self, spark, sf_dir):
+        """Partial aggregation must reduce the shuffle to ~group-count
+        records, not row-count — the map-side-combine proof."""
+        m = execution_metrics(QUERIES["flagship_pricing_summary"](spark, sf_dir))
+        assert m["files_read"] >= 1
+        assert m["output_rows"] > 6000  # scan rows counted
+        assert m["shuffle_records_written"] < 100  # groups, not rows
+        assert m["spill_bytes"] == 0
+
+    def test_simple_map_fact_never_shuffles(self, spark, sf_dir):
+        m = execution_metrics(QUERIES["simple_map"](spark, sf_dir))
+        # broadcast join: shuffle traffic is orders of magnitude below the
+        # fact bytes read
+        assert m["shuffle_bytes_written"] < m["bytes_read"] / 10
+        assert m["broadcast_data_size"] > 0
+
+
+class TestDuplicateClusters:
+    def test_chain_collapses_transitively(self, spark):
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+        )
+        cl = {r.node: r.cluster for r in duplicate_clusters(pairs).collect()}
+        assert cl == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+    def test_dedup_by_clusters_keeps_representatives(self, spark):
+        pairs = spark.createDataFrame([(2, 1), (2, 3)], "id_a long, id_b long")
+        docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 99)], "doc_id long")
+        kept = sorted(
+            r.doc_id
+            for r in dedup_by_clusters(docs, "doc_id", duplicate_clusters(pairs)).collect()
+        )
+        assert kept == [1, 99]
+
+    def test_long_chain_converges(self, spark):
+        # 30-node path graph: worst case for propagation depth
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        cl = duplicate_clusters(pairs, max_iter=10)
+        assert cl.select("cluster").distinct().count() == 1  # one component
+
+    def test_minhash_pipeline_to_clusters(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),
+            (3, "the quick brown fox jumps over the lazy cat again and again today"),
+            (4, "completely different text about query engines and columnar formats"),
+        ]
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3)
+        ).select("doc_id", "shingles", "minhash")
+        pairs = dedup.lsh_candidate_pairs(sh, "doc_id", barrier=False)
+        verified = dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
+        out = dedup_by_clusters(docs, "doc_id", duplicate_clusters(verified))
+        kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+        assert kept[0] == 1 and 4 in kept and 2 not in kept
