@@ -560,6 +560,103 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (Catalyst decorrelates to a semi-join)."""
+    for n in ("customer", "orders"):
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"__sq_{n}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM __sq_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM __sq_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+        )
+        """
+    )
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+)
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sq2_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM __sq2_orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM __sq2_orders)
+        """
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column analytics: per-label count and mean L2 norm, computed
+    with zip-free sequential double aggregation (deterministic)."""
+    from ..operators.similarity import l2_norm_sq, _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm", F.sqrt(l2_norm_sq(_as_double(F.col("embedding")))))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass null/distinct profile per column (the profiling primitive
+    behind relationship discovery) — exact distinct counts here so the
+    oracle can verify; production uses approx_count_distinct."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_acctbal"))
+    )
+    aggs = []
+    for c in ("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    return cust.agg(*aggs)
+
+
+SQL_NULL_PROFILE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+  FROM customer
+)
+SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey_nulls,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT)   AS c_custkey_distinct,
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_nulls,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS c_nationkey_distinct,
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_nulls,
+       CAST(COUNT(DISTINCT c_acctbal) AS BIGINT)   AS c_acctbal_distinct,
+       CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_nulls,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS c_mktsegment_distinct
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.13 — dedup extensions
 # --------------------------------------------------------------------------
@@ -1372,6 +1469,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "pii_redaction": q_pii_redaction,
+    "exists_subquery": q_exists_subquery,
+    "scalar_subquery": q_scalar_subquery,
+    "embedding_stats": q_embedding_stats,
+    "null_profile": q_null_profile,
     "dim_build": q_dim_build,
     "dim_build_counts": q_dim_build_counts,
     "simple_map": q_simple_map,
@@ -1436,6 +1537,10 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pii_redaction": SQL_PII_REDACTION,
+    "exists_subquery": SQL_EXISTS_SUBQUERY,
+    "scalar_subquery": SQL_SCALAR_SUBQUERY,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+    "null_profile": SQL_NULL_PROFILE,
     "dim_build": SQL_DIM_BUILD,
     "dim_build_counts": SQL_DIM_BUILD_COUNTS,
     "simple_map": SQL_SIMPLE_MAP,

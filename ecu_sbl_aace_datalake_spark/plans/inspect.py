@@ -110,8 +110,18 @@ class PlanAudit:
     @property
     def exchanges(self) -> int:
         """Shuffle count — every Exchange is a full data materialization;
-        fewer is better at fixed semantics."""
-        return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)", self.plan))
+        fewer is better at fixed semantics. Matches both the formatted
+        explain style ('(7) Exchange') and simple-plan style
+        ('Exchange hashpartitioning(...)'); broadcast exchanges are NOT
+        counted (they move only the small side)."""
+        formatted = len(re.findall(r"\(\d+\) Exchange\b", self.plan))
+        simple = len(
+            re.findall(
+                r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+                self.plan,
+            )
+        )
+        return max(formatted, simple)
 
 
 def audit_summary(df: DataFrame) -> dict[str, object]:
