@@ -10,11 +10,18 @@ are rows-only here and covered by golden unit tests in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ecu_sbl_aace_datalake_spark.plans.driver_queries import ORACLES, QUERIES
+# importable regardless of the driver's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from ecu_sbl_aace_datalake_spark.plans.driver_queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,59 @@
+"""Text vectorization via the hashing trick — embedding generation that
+needs no model, no vocabulary, and no Python.
+
+The signed feature-hashing vectorizer (Weinberger et al., ICML'09): token t
+contributes sign(hash'(t)) to dimension hash(t) mod d. Unit-normalized, it
+gives cosine-comparable sparse-ish vectors good enough for near-dup
+blocking, clustering seeds, and as the deterministic stand-in where a model
+embedding column hasn't been computed yet.
+
+Scale: one pass of built-in array expressions per row (no shuffle, no UDF);
+at 100 TB this runs at scan speed. Pairs with
+``operators/similarity.cosine_topk`` / ``lsh_topk`` downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_embedding_col(text_col: str | Column, dim: int = 64) -> Column:
+    """Signed-hash bag-of-tokens vector (array<double>, L2-normalized;
+    zero vector for empty text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")), r"\s+"),
+        lambda t: t != "",
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # accumulate counts per dimension in one aggregate pass: bucket =
+    # pmod(h, dim); sign from bit 62 (avoid sign bit correlation with pmod)
+    init = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.when(
+                    F.pmod(h, F.lit(dim)) == i,
+                    F.when(F.shiftright(h, 62).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+                ).otherwise(0.0),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(summed, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(
+        norm > 0, F.transform(summed, lambda x: x / norm)
+    ).otherwise(init)
+
+
+def with_hashed_embedding(
+    df: DataFrame, text_col: str = "text", out_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    return df.withColumn(out_col, hashed_embedding_col(text_col, dim))

@@ -892,6 +892,22 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.13 — event/time operators
 # --------------------------------------------------------------------------
 
+def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text→vector→ANN pipeline: feature-hash documents into unit
+    vectors, then top-5 cosine neighbors for 3 query docs (hash-based →
+    rows-only; semantics covered by unit tests)."""
+    from ..functions.embed import with_hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = with_hashed_embedding(docs, dim=64).select("doc_id", "embedding")
+    queries = embedded.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(
+        embedded, queries, id_col="doc_id", k=5
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     evdf = _t(spark, sf_dir, "events")
     out = ev.tumbling_agg(
@@ -1502,6 +1518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_binning": q_ntile_binning,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "text_embedding_topk": q_text_embedding_topk,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_parse_props": q_events_parse_props,

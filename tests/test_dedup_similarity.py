@@ -199,3 +199,39 @@ class TestMultimodal:
         assert out[1].byte_size == 14 and out[2].byte_size == 0
         assert out[1].width >= 64 and out[1].format in ("png", "jpeg", "webp")
         assert "payload" not in decode_image_meta(df).columns
+
+
+class TestHashedEmbeddings:
+    def test_feature_hashing_cosine_sanity(self, spark):
+        from ecu_sbl_aace_datalake_spark.functions.embed import with_hashed_embedding
+        from ecu_sbl_aace_datalake_spark.operators.similarity import with_cosine
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+            (3, "columnar storage engines use vectorized execution and codegen"),
+            (4, ""),
+        ]
+        df = with_hashed_embedding(
+            spark.createDataFrame(rows, "id long, text string")
+        )
+        vecs = {r.id: r.embedding for r in df.collect()}
+        assert len(vecs[1]) == 64
+        assert all(v == 0.0 for v in vecs[4])  # empty text → zero vector
+        # norms are 1 for non-empty
+        assert abs(sum(x * x for x in vecs[1]) - 1.0) < 1e-9
+
+        pairs = df.alias("a").crossJoin(df.alias("b")).selectExpr(
+            "a.id AS ia", "b.id AS ib", "a.embedding AS ea", "b.embedding AS eb"
+        )
+        scored = {(r.ia, r.ib): r.cosine for r in with_cosine(pairs, "ea", "eb").collect()}
+        assert scored[(1, 2)] > 0.8           # near-dup texts: high cosine
+        assert scored[(1, 3)] < scored[(1, 2)]  # unrelated: lower
+
+    def test_deterministic(self, spark):
+        from ecu_sbl_aace_datalake_spark.functions.embed import with_hashed_embedding
+
+        df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+        a = with_hashed_embedding(df).first().embedding
+        b = with_hashed_embedding(df).first().embedding
+        assert a == b
