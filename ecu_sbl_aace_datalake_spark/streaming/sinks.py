@@ -1,0 +1,115 @@
+"""Streaming sinks & stream-native dedup/join helpers.
+
+Completes the streaming surface (SURVEY.md §2.12 — reference has none):
+
+- :func:`streaming_dedup` — exactly-once-per-key emission with bounded
+  state via ``dropDuplicatesWithinWatermark`` (late duplicates beyond the
+  watermark age out of the state store instead of accumulating forever).
+- :func:`stream_stream_join` — watermarked stream-stream equi-join with an
+  event-time range condition (both sides' state bounded by watermark +
+  range).
+- :func:`foreach_batch_upsert` — the streaming→lakehouse MERGE pattern:
+  each micro-batch upserts into a parquet lakehouse table via
+  ``sources.incremental.upsert_table`` (Delta would make this transactional;
+  the pattern and call-shape are identical).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Lakehouse
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate keys arriving within the watermark horizon; state for
+    a key is evicted once the watermark passes it (bounded memory — plain
+    dropDuplicates on a stream grows state forever)."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark_delay: str = "10 minutes",
+    range_within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match rows sharing ``on`` whose event
+    times are within ``range_within`` of each other. The time-range
+    condition + watermarks let Spark evict join state for both sides."""
+    l_wm = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r_wm = right.withWatermark(right_ts, watermark_delay).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {range_within}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {range_within}"))
+    )
+    return l_wm.join(r_wm, cond, how)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    partition_by: str | None = None,
+) -> Any:
+    """Start a streaming query that MERGEs each micro-batch into a lakehouse
+    table (insert new keys, replace matched ones). First batch bootstraps
+    the table with a plain write. Returns the StreamingQuery handle.
+
+    Per-key convergence is idempotent across retries of a batch (upsert is
+    deterministic given the batch), which is what foreachBatch guarantees
+    need to be."""
+    from ..sources.incremental import upsert_table
+    from ..sources.io import write_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+        from urllib.parse import urlparse
+
+        from ..sources.catalog import table_path
+
+        path = table_path(lakehouse, table_name)
+        exists = os.path.isdir(urlparse(path).path or path)
+        # keep-last per key within the batch (a batch can carry several
+        # versions of one key)
+        from pyspark.sql import Window
+
+        dedup_w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(dedup_w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not exists:
+            write_table(lakehouse, table_name, batch, partition_by=partition_by)
+        else:
+            upsert_table(
+                batch.sparkSession, lakehouse, table_name, batch,
+                keys=keys, partition_by=partition_by,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,101 @@
+"""Streaming dedup, stream-stream join, and the foreachBatch upsert sink —
+all run as real streaming queries (availableNow) on file sources."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+from ecu_sbl_aace_datalake_spark.sources.io import load_table, read_path
+from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+    foreach_batch_upsert,
+    stream_stream_join,
+    streaming_dedup,
+)
+
+
+def _stream_from(spark, df, tmp_path, name):
+    src = str(tmp_path / name)
+    df.write.parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+class TestStreamingDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+        doubled = events.union(events)  # every key duplicated
+        stream = _stream_from(spark, doubled, tmp_path, "dd_src")
+        q = (
+            streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+            .writeStream.format("memory")
+            .queryName("dd_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.table("dd_out")
+        assert out.count() == events.count()
+        assert out.select("event_id").distinct().count() == out.count()
+
+
+class TestStreamStreamJoin:
+    def test_range_join_matches_batch_equivalent(self, spark, sf_dir, tmp_path):
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.date_trunc("second", "ts")
+        )
+        clicks = events.where("event_type = 'click'").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        errors = events.where("event_type = 'error'").select(
+            "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+        )
+        ls = _stream_from(spark, clicks, tmp_path, "ss_l")
+        rs = _stream_from(spark, errors, tmp_path, "ss_r")
+        joined = stream_stream_join(
+            ls, rs, on="user_id", left_ts="ts", right_ts="err_ts",
+            watermark_delay="2 hours", range_within="10 minutes",
+        ).select("click_id", "err_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {(r.click_id, r.err_id) for r in spark.table("ss_out").collect()}
+        expected = {
+            (r.click_id, r.err_id)
+            for r in clicks.join(
+                errors,
+                (clicks.user_id == errors.user_id)
+                & (errors.err_ts >= clicks.ts - F.expr("INTERVAL 10 minutes"))
+                & (errors.err_ts <= clicks.ts + F.expr("INTERVAL 10 minutes")),
+            ).collect()
+        }
+        assert got == expected and len(got) > 0
+
+
+class TestForeachBatchUpsert:
+    def test_stream_merges_into_lakehouse(self, spark, sf_dir, tmp_path):
+        lh = Lakehouse("s", tempfile.mkdtemp())
+        nation = load_table(spark, sf_dir, "nation")
+        updates = nation.withColumn(
+            "n_name", F.when(F.col("n_nationkey") == 0, "STREAMED").otherwise(F.col("n_name"))
+        ).union(
+            spark.createDataFrame([(99, "NEWSTREAM", 1)], nation.schema)
+        )
+        stream = _stream_from(spark, updates, tmp_path, "fb_src")
+        q = foreach_batch_upsert(
+            stream, lh, "nation", keys=["n_nationkey"],
+            checkpoint_dir=str(tmp_path / "fb_ckpt"),
+        )
+        q.awaitTermination(180)
+        back = read_path(spark, f"{lh.tables_path}/nation", "parquet")
+        rows = {r.n_nationkey: r.n_name for r in back.collect()}
+        assert rows[0] == "STREAMED"
+        assert rows[99] == "NEWSTREAM"
+        assert len(rows) == 26
