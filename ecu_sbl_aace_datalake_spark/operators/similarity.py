@@ -93,6 +93,146 @@ def cosine_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, expressed as DataFrame ops.
+
+    Initialization is deterministic (the k rows with smallest
+    ``xxhash64(id)`` — a seedless pseudo-random sample). Each iteration:
+    centroids broadcast as literals → per-row argmin assignment (map-side,
+    no shuffle) → per-dimension means via posexplode + groupBy (one shuffle
+    of n·dim skinny rows). Centroids (k×dim doubles) collect to the driver
+    each round — tiny by construction.
+
+    Returns the centroid list (k × dim python floats) — the "index" an IVF
+    search probes.
+    """
+    vecs = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    centroids = [
+        list(r["__v"])
+        for r in vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
+        .collect()
+    ]
+    for _ in range(max_iter):
+        assigned = vecs.withColumn(
+            "__cluster", _nearest_centroid(F.col("__v"), centroids)
+        )
+        new_rows = (
+            assigned.select("__cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("__cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        updated = dict((r["__cluster"], list(r["centroid"])) for r in new_rows)
+        # clusters that lost all members keep their previous centroid
+        centroids = [updated.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the L2-nearest centroid (broadcast as literals; evaluated
+    map-side inside codegen-able expressions)."""
+    dists = []
+    for c in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, c_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    (the inverted file); each query probes its ``n_probe`` nearest
+    centroids' buckets only and scores those candidates exactly.
+
+    Expected cost per query ≈ n·(n_probe/k) — the IVF tradeoff dial. In a
+    real deployment the assignment is computed once at ingest and stored as
+    a partition column, making the probe a partition-pruned scan; here it's
+    computed on the fly for self-containedness.
+    """
+    c = corpus.withColumn(
+        "__cluster", _nearest_centroid(_as_double(F.col(vec_col)), centroids)
+    )
+    dists = []
+    for ci in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in ci])
+        dists.append(
+            F.aggregate(
+                F.zip_with(F.col("__qvec"), c_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            _as_double(F.col(vec_col)).alias("__qvec"),
+        )
+        .withColumn("__dists", F.array(*dists))
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("__dists"),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("__qid", "__qvec", F.explode("__probe").alias("__cluster"))
+    )
+    joined = c.join(F.broadcast(q), "__cluster").where(F.col("__qid") != F.col(id_col))
+    a, b = _as_double(F.col(vec_col)), F.col("__qvec")
+    scored = joined.withColumn(
+        "score", dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (driver-side tiny,
     broadcast as literals). Uses a fixed LCG so results are reproducible

@@ -908,6 +908,18 @@ def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means inverted file, n_probe nearest
+    centroids' buckets scored exactly (approximate -> rows-only; recall
+    monotonicity + probe-all==exact asserted in unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.kmeans_fit(emb, k=8, max_iter=2)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, centroids, k=10, n_probe=3)
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     evdf = _t(spark, sf_dir, "events")
     out = ev.tumbling_agg(
@@ -1519,6 +1531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "text_embedding_topk": q_text_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_parse_props": q_events_parse_props,

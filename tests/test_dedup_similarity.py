@@ -235,3 +235,34 @@ class TestHashedEmbeddings:
         a = with_hashed_embedding(df).first().embedding
         b = with_hashed_embedding(df).first().embedding
         assert a == b
+
+
+class TestIVF:
+    def test_kmeans_deterministic_and_shaped(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        from ecu_sbl_aace_datalake_spark.operators.similarity import kmeans_fit
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        c1 = kmeans_fit(emb, k=8, max_iter=2)
+        c2 = kmeans_fit(emb, k=8, max_iter=2)
+        assert len(c1) == 8 and len(c1[0]) == 64
+        assert c1 == c2  # deterministic init + iterations
+
+    def test_ivf_recall_improves_with_probes(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        from ecu_sbl_aace_datalake_spark.operators.similarity import (
+            cosine_topk, ivf_topk, kmeans_fit,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(emb, k=8, max_iter=2)
+        q = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+        r_few = {(r.query_id, r.vec_id) for r in ivf_topk(emb, q, cents, k=10, n_probe=2).collect()}
+        r_all = {(r.query_id, r.vec_id) for r in ivf_topk(emb, q, cents, k=10, n_probe=8).collect()}
+        recall_few = len(exact & r_few) / len(exact)
+        recall_all = len(exact & r_all) / len(exact)
+        assert recall_all == 1.0   # probing every cluster == exact
+        assert recall_few <= recall_all
