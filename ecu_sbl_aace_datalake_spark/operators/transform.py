@@ -190,6 +190,44 @@ def df_shape(df: DataFrame) -> tuple[int, int, list[str]]:
     return df.count(), len(df.columns), list(df.columns)
 
 
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    ratios: dict[str, float],
+    out_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test) by content hash.
+
+    The assignment depends only on the row's id and the salt — stable
+    across runs, machines, partitionings, and engine versions (md5, not
+    xxhash, so any system can reproduce the split). This is the
+    training-data splitting pattern: never rand() (unstable under retries),
+    never row_number (unstable under repartitioning).
+
+    ``ratios`` e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``; must sum
+    to ~1. The first 8 hex chars of md5(salt || id) map to [0, 1).
+    """
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {total}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(0xFFFFFFFF))
+    expr = None
+    cumulative = 0.0
+    items = list(ratios.items())
+    for name, frac in items[:-1]:
+        cumulative += frac
+        cond = bucket < cumulative
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last_name = items[-1][0]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn(out_col, expr)
+
+
 def insert_value_into_list(values: Sequence[Any], old_val: Any, new_val: Any) -> list[Any]:
     """Insert ``new_val`` before ``old_val`` then move ``old_val`` to the end;
     append ``old_val`` absent; no-op if ``new_val`` already present.

@@ -560,6 +560,30 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (md5-based so the
+    oracle reproduces the exact assignment)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transform.split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+SQL_SPLIT_BY_HASH = """
+WITH b AS (
+  SELECT CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+         / 4294967295.0 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 0.8 THEN 'train'
+            WHEN bucket < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1
+"""
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS subquery (Catalyst decorrelates to a semi-join)."""
     for n in ("customer", "orders"):
@@ -1497,6 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "pii_redaction": q_pii_redaction,
+    "split_by_hash": q_split_by_hash,
     "exists_subquery": q_exists_subquery,
     "scalar_subquery": q_scalar_subquery,
     "embedding_stats": q_embedding_stats,
@@ -1567,6 +1592,7 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pii_redaction": SQL_PII_REDACTION,
+    "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
     "embedding_stats": SQL_EMBEDDING_STATS,

@@ -149,3 +149,33 @@ class TestExtraRowShape:
         assert rows == orders.count()
         assert ncols == 6
         assert cols[0] == "o_orderkey"
+
+
+class TestSplitByHash:
+    def test_deterministic_and_partition_invariant(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {r.doc_id: r.split for r in transform.split_by_hash(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        b = {r.doc_id: r.split for r in transform.split_by_hash(
+            docs.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert a == b  # stable under repartitioning
+
+    def test_proportions_approximate(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = transform.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r.split: r.n for r in out.groupBy("split").agg(
+            F.count("*").alias("n")).collect()}
+        n = sum(counts.values())
+        assert 0.7 < counts["train"] / n < 0.9
+        assert counts.keys() == {"train", "val", "test"}
+
+    def test_bad_ratios_raise(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError, match="sum to 1"):
+            transform.split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.6})
