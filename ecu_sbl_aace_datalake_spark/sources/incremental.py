@@ -85,6 +85,61 @@ def upsert_table(
     return {"mode": "full-rewrite", "updates": n_updates}
 
 
+def delete_rows(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> dict[str, Any]:
+    """Keyed deletion (the right-to-be-forgotten op): remove every row whose
+    ``keys`` appear in ``keys_df``.
+
+    Partitioned path mirrors :func:`upsert_table`: only partitions that
+    contain targeted keys are rewritten (found via a semi-join — one pass),
+    so deleting one user from a user-partitioned 100 TB table rewrites one
+    partition. Unpartitioned: anti-join + atomic-swap rewrite.
+    """
+    path = table_path(lakehouse, table_name)
+    existing = read_path(spark, path, "parquet")
+    if partition_by:
+        affected = [
+            r[0]
+            for r in existing.join(keys_df, keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return {"mode": "dynamic-partition", "partitions_rewritten": 0}
+        kept = existing.where(F.col(partition_by).isin(affected)).join(
+            keys_df, keys, "left_anti"
+        )
+        (
+            kept.write.format("parquet")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_by)
+            .save(path)
+        )
+        return {"mode": "dynamic-partition", "partitions_rewritten": len(affected)}
+
+    import shutil
+    import uuid
+
+    kept = existing.join(keys_df, keys, "left_anti")
+    tmp = f"{path}__delete_{uuid.uuid4().hex}"
+    kept.write.format("parquet").mode("overwrite").save(tmp)
+    parsed = urlparse(path)
+    old = parsed.path or path
+    back = f"{old}__old_{uuid.uuid4().hex}"
+    os.rename(old, back)
+    os.rename(urlparse(tmp).path or tmp, old)
+    shutil.rmtree(back, ignore_errors=True)
+    return {"mode": "full-rewrite"}
+
+
 def _watermark_path(lakehouse: Lakehouse, table_name: str) -> str:
     return posixpath.join(table_path(lakehouse, table_name) + "__meta", "watermark.json")
 

@@ -82,3 +82,63 @@ class TestIncrementalAppend:
             .select("event_id").distinct().count()
         )
         assert distinct_ids == total
+
+
+class TestDeleteRows:
+    def test_partitioned_delete(self, spark, sf_dir):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.incremental import delete_rows
+
+        lh = Lakehouse("del", tempfile.mkdtemp())
+        orders = load_table(spark, sf_dir, "orders")
+        write_table(lh, "orders", orders, partition_by="o_orderstatus")
+        # deterministic victim set: bare limit() may re-pick different rows
+        # on each re-evaluation of the plan
+        victims = (
+            orders.where("o_orderstatus = 'F'")
+            .orderBy("o_orderkey")
+            .limit(5)
+            .select("o_orderkey")
+        )
+        n_victims = victims.count()
+        stats = delete_rows(
+            spark, lh, "orders", victims, keys=["o_orderkey"], partition_by="o_orderstatus"
+        )
+        assert stats["partitions_rewritten"] == 1
+        back = read_path(spark, f"{lh.tables_path}/orders", "parquet")
+        assert back.count() == orders.count() - n_victims
+        assert back.join(victims, "o_orderkey", "left_semi").count() == 0
+        assert (
+            back.where("o_orderstatus = 'O'").count()
+            == orders.where("o_orderstatus = 'O'").count()
+        )
+
+    def test_unpartitioned_delete(self, spark, sf_dir):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.incremental import delete_rows
+
+        lh = Lakehouse("del2", tempfile.mkdtemp())
+        nation = load_table(spark, sf_dir, "nation")
+        write_table(lh, "nation", nation)
+        victims = spark.createDataFrame([(0,), (1,)], "n_nationkey int")
+        delete_rows(spark, lh, "nation", victims, keys=["n_nationkey"])
+        back = read_path(spark, f"{lh.tables_path}/nation", "parquet")
+        assert back.count() == 23
+        assert back.where("n_nationkey IN (0, 1)").count() == 0
+
+    def test_no_matching_keys_is_noop(self, spark, sf_dir):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.incremental import delete_rows
+
+        lh = Lakehouse("del3", tempfile.mkdtemp())
+        orders = load_table(spark, sf_dir, "orders")
+        write_table(lh, "orders", orders, partition_by="o_orderstatus")
+        ghosts = spark.createDataFrame([(-1,)], "o_orderkey long")
+        stats = delete_rows(
+            spark, lh, "orders", ghosts, keys=["o_orderkey"], partition_by="o_orderstatus"
+        )
+        assert stats["partitions_rewritten"] == 0
+        assert read_path(spark, f"{lh.tables_path}/orders", "parquet").count() == orders.count()
