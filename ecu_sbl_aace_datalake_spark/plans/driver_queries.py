@@ -560,6 +560,177 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS against the fact table with an
+    inter-column date comparison."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM __q4_orders
+        WHERE EXISTS (
+          SELECT 1 FROM __q4_lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + nested aggregation (order-count
+    histogram over customers, including zero-order customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join +
+    aggregation by a derived key."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM __q22_customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM __q22_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+SQL_DORMANT_RICH_CUSTOMERS = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+  )
+GROUP BY c_nationkey
+"""
+
+
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist window functions."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT o_orderkey,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd
+FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity pairs (the built-in cousin of the difflib
+    fuzzy matching in the cleaning functions)."""
+    supp = _t(spark, sf_dir, "supplier").select("s_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return (
+        supp.crossJoin(F.broadcast(nation))
+        .withColumn(
+            "dist", F.levenshtein(F.lower("s_name"), F.lower("n_name")).cast("long")
+        )
+        .where(F.col("dist") <= 16)
+        .select("s_name", "n_name", "dist")
+    )
+
+
+SQL_LEVENSHTEIN_PAIRS = """
+SELECT s_name, n_name, CAST(levenshtein(lower(s_name), lower(n_name)) AS BIGINT) AS dist
+FROM supplier CROSS JOIN nation
+WHERE levenshtein(lower(s_name), lower(n_name)) <= 16
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, sample stddev/covariance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_q"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qp,
+       ROUND(stddev_samp(l_quantity), 6)                  AS sd_q,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2)  AS cov_qp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_orders_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: extract year/quarter from event-time."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_ORDERS_BY_QUARTER = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)    AS yr,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
 def q_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by content hash (md5-based so the
     oracle reproduces the exact assignment)."""
@@ -1521,6 +1692,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "pii_redaction": q_pii_redaction,
+    "order_priority_check": q_order_priority_check,
+    "customer_distribution": q_customer_distribution,
+    "dormant_rich_customers": q_dormant_rich_customers,
+    "percent_rank": q_percent_rank,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "stats_agg": q_stats_agg,
+    "orders_by_quarter": q_orders_by_quarter,
     "split_by_hash": q_split_by_hash,
     "exists_subquery": q_exists_subquery,
     "scalar_subquery": q_scalar_subquery,
@@ -1592,6 +1770,13 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pii_redaction": SQL_PII_REDACTION,
+    "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+    "dormant_rich_customers": SQL_DORMANT_RICH_CUSTOMERS,
+    "percent_rank": SQL_PERCENT_RANK,
+    "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
+    "stats_agg": SQL_STATS_AGG,
+    "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,
     "scalar_subquery": SQL_SCALAR_SUBQUERY,
