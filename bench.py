@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "range_join",
     "window_moving_avg",
     "percentiles",
+    "shipping_priority",
+    "local_supplier_volume",
+    "doc_chunking",
+    "pii_redaction",
 ]
 
 

@@ -75,6 +75,74 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(batches, schema=full_schema)
 
 
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-extract binary payloads into fixed-dim embeddings via
+    mapInPandas — the bridge from multimodal blobs into the similarity
+    stack (cosine_topk / lsh_topk / ivf_topk take the output directly).
+
+    The featurizer is a deterministic content-hash projection (STUB — a
+    real deployment swaps in a vision/audio model over the same Arrow
+    batches; signature, schema, and batching stay identical). Unit-norm
+    float vectors; zero vector for empty payloads.
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    full_schema = (
+        f"{out_schema}, {out_col} array<double>" if out_schema else f"{out_col} array<double>"
+    )
+
+    def featurize(payload: bytes) -> list[float]:
+        if not payload:
+            return [0.0] * dim
+        vec = []
+        h = hashlib.sha256(payload).digest()
+        # expand the 32-byte digest deterministically to `dim` floats
+        while len(vec) < dim:
+            h = hashlib.sha256(h).digest()
+            vec.extend(b / 255.0 - 0.5 for b in h)
+        vec = vec[:dim]
+        norm = sum(x * x for x in vec) ** 0.5
+        return [x / norm for x in vec] if norm else vec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[passthrough].copy() if passthrough else pd.DataFrame(index=pdf.index)
+            out[out_col] = pdf[payload_col].map(lambda b: featurize(b or b""))
+            yield out
+
+    return df.mapInPandas(batches, schema=full_schema)
+
+
+def resize_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Resize planning: compute per-image output geometry (scale factor,
+    letterbox padding) from decoded dimensions — the cheap driver-side-free
+    step before the actual pixel resample (which is the stubbed decode's
+    job). Output adds scale, pad_x, pad_y columns."""
+    from pyspark.sql import functions as F
+
+    meta = decode_image_meta(df, payload_col)
+    tw, th = target
+    scale = F.least(F.lit(tw) / F.col("width"), F.lit(th) / F.col("height"))
+    return (
+        meta.withColumn("scale", F.round(scale, 6))
+        .withColumn("pad_x", ((F.lit(tw) - F.col("width") * scale) / 2).cast("int"))
+        .withColumn("pad_y", ((F.lit(th) - F.col("height") * scale) / 2).cast("int"))
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     payload_col: str = "payload",

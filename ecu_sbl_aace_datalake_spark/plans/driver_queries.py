@@ -1668,6 +1668,22 @@ def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.find_relationships(spark, tables)
 
 
+def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal retrieval pipeline: binary payloads -> deterministic
+    feature vectors (mapInPandas, stub featurizer) -> exact cosine top-5
+    (rows-only; content-identity invariants covered by unit tests)."""
+    from ..operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(docs, dim=32, out_col="embedding")
+    queries = feats.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(feats, queries, id_col="doc_id", k=5)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes stand in for binary blobs;
     metadata extraction via mapInPandas (decode stubbed, plumbing real)."""
@@ -1759,6 +1775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fixup_names": q_fixup_names,
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_retrieval": q_multimodal_retrieval,
 }
 
 ORACLES: dict[str, str] = {

@@ -266,3 +266,40 @@ class TestIVF:
         recall_all = len(exact & r_all) / len(exact)
         assert recall_all == 1.0   # probing every cluster == exact
         assert recall_few <= recall_all
+
+
+class TestMultimodalFeatures:
+    def test_feature_extract_into_similarity_stack(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import extract_features
+        from ecu_sbl_aace_datalake_spark.operators.similarity import cosine_topk
+
+        rows = [(i, f"blob-content-{i % 3}".encode()) for i in range(9)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        feats = extract_features(df, dim=32)
+        vecs = {r.media_id: r.embedding for r in feats.collect()}
+        assert len(vecs[0]) == 32
+        assert vecs[0] == vecs[3]            # same content → same vector
+        assert vecs[0] != vecs[1]            # different content → different
+        assert abs(sum(x * x for x in vecs[0]) - 1.0) < 1e-9
+
+        # plugs straight into the ANN stack
+        q = feats.where("media_id = 0").selectExpr("media_id AS query_id", "embedding")
+        top = cosine_topk(feats, q, id_col="media_id", k=2).collect()
+        assert {r.media_id for r in top} == {3, 6}  # exact content matches win
+        assert all(abs(r.score - 1.0) < 1e-6 for r in top)
+
+    def test_empty_payload_zero_vector(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import extract_features
+
+        df = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+        v = extract_features(df, dim=16).first().embedding
+        assert v == [0.0] * 16
+
+    def test_resize_meta_geometry(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_meta
+
+        df = spark.createDataFrame([(1, b"img-bytes")], "media_id long, payload binary")
+        r = resize_meta(df, target=(224, 224)).first()
+        assert 0 < r.scale <= 224 / 64       # width/height >= 64 in the stub
+        assert r.pad_x >= 0 and r.pad_y >= 0
+        assert min(r.pad_x, r.pad_y) == 0    # letterbox pads only one axis
