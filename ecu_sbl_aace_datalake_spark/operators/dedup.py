@@ -368,6 +368,85 @@ def dedup_by_clusters(df: DataFrame, id_col: str, clusters: DataFrame) -> DataFr
     return df.join(losers, id_col, "left_anti")
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
+    LSH self-join for candidates, exact cosine verification.
+
+    Candidate generation mirrors :func:`similarity.lsh_topk` but
+    corpus-vs-corpus: rows sharing a bucket in ANY of ``tables`` hash
+    tables pair up (bucket size capped — at 100 TB a degenerate bucket
+    would otherwise go quadratic). High thresholds (0.9+) are exactly the
+    regime where hyperplane LSH recall is strongest (near-parallel vectors
+    agree on almost every hyperplane).
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine >=
+    threshold.
+    """
+    from .similarity import _as_double, dot, l2_norm_sq, lsh_bucket, random_hyperplanes
+
+    buckets = []
+    for t in range(tables):
+        planes = random_hyperplanes(dim, bits, 42 + 1000 * t)
+        buckets.append(
+            F.struct(F.lit(t).alias("t"), lsh_bucket(F.col(vec_col), planes).alias("b"))
+        )
+    banded = df.select(
+        id_col, F.explode(F.array(*buckets)).alias("__tb")
+    ).select(id_col, "__tb")
+    grouped = (
+        banded.groupBy("__tb")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+    )
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.sqrt(l2_norm_sq(F.col("__va"))) * F.sqrt(l2_norm_sq(F.col("__vb")))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+    return scored
+
+
+def embedding_neardup_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """End-to-end embedding dedup: near-dup pairs → transitive clusters →
+    keep the min-id representative per cluster."""
+    pairs = embedding_neardup_pairs(df, id_col, vec_col, dim, threshold)
+    clusters = duplicate_clusters(pairs)
+    return dedup_by_clusters(df, id_col, clusters)
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str,

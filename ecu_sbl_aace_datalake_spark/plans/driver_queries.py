@@ -887,6 +887,19 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH self-candidates + exact cosine
+    verify. The fixture corpus has no natural near-dups (max pairwise
+    cosine ~0.46), so exact duplicates of the first 3 vectors are planted
+    under ids +100000 - the query must find exactly those pairs
+    (hash-seeded candidates -> rows-only; planted-vector unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return dedup.embedding_neardup_pairs(emb.unionByName(planted), dim=64, threshold=0.9)
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures (xxhash64-based → no SQL oracle)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1739,6 +1752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
     "simhash_signatures": q_simhash_signatures,
+    "embedding_neardup": q_embedding_neardup,
     "fingerprint": q_fingerprint,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,

@@ -71,3 +71,44 @@ class TestDuplicateClusters:
         out = dedup_by_clusters(docs, "doc_id", duplicate_clusters(verified))
         kept = sorted(r.doc_id for r in out.select("doc_id").collect())
         assert kept[0] == 1 and 4 in kept and 2 not in kept
+
+
+class TestEmbeddingNearDup:
+    def test_planted_duplicate_vectors_found(self, spark):
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators.dedup import (
+            embedding_neardup_dedup,
+            embedding_neardup_pairs,
+        )
+
+        # 1 and 2: identical direction (scaled); 3: tiny perturbation of 1;
+        # 4/5: orthogonal-ish noise
+        base = [math.sin(i * 0.7) for i in range(64)]
+        near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+        other = [math.cos(i * 1.3) for i in range(64)]
+        other2 = [math.sin(i * 2.9 + 1.0) for i in range(64)]
+        rows = [
+            (1, base), (2, [x * 2.0 for x in base]), (3, near),
+            (4, other), (5, other2),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_neardup_pairs(df, dim=64, threshold=0.99).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 0.999999
+        assert (1, 3) in pairs
+        assert not any(4 in p or 5 in p for p in pairs)
+
+        kept = {r.vec_id for r in embedding_neardup_dedup(df, dim=64, threshold=0.99).collect()}
+        assert kept == {1, 4, 5}  # cluster {1,2,3} collapses to 1
+
+    def test_fixture_self_pairs_sane(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import embedding_neardup_pairs
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = embedding_neardup_pairs(emb, dim=64, threshold=0.9).collect()
+        for r in pairs:
+            assert r.cosine >= 0.9 and r.id_a < r.id_b
