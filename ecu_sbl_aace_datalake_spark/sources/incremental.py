@@ -50,10 +50,21 @@ def upsert_table(
     n_updates = updates.count()
 
     if partition_by:
-        affected = [r[0] for r in updates.select(partition_by).distinct().collect()]
+        # affected partitions = partitions the updates land in PLUS the
+        # partitions currently holding any matched key — a key whose
+        # partition value changes must have its old row removed from the
+        # old partition, or it would survive as a duplicate
+        update_parts = updates.select(partition_by).distinct()
+        old_parts = (
+            existing.join(updates.select(*keys), keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+        )
+        affected = [r[0] for r in update_parts.union(old_parts).distinct().collect()]
         existing_affected = existing.where(F.col(partition_by).isin(affected))
         kept = existing_affected.join(updates.select(*keys), keys, "left_anti")
         merged = kept.unionByName(updates.select(*existing.columns))
+        merged_parts = {r[0] for r in merged.select(partition_by).distinct().collect()}
         (
             merged.write.format("parquet")
             .mode("overwrite")
@@ -61,6 +72,14 @@ def upsert_table(
             .partitionBy(partition_by)
             .save(path)
         )
+        # dynamic overwrite only replaces partitions it writes: a partition
+        # fully emptied by the merge (every row was a moved/matched key)
+        # must be removed explicitly or its stale file survives
+        import shutil
+
+        for val in set(affected) - merged_parts:
+            stale = urlparse(posixpath.join(path, f"{partition_by}={val}")).path
+            shutil.rmtree(stale, ignore_errors=True)
         return {
             "mode": "dynamic-partition",
             "partitions_rewritten": len(affected),

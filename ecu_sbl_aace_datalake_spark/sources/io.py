@@ -283,6 +283,7 @@ def compact_table(
     table_name: str,
     target_file_mb: int = 128,
     fmt: str = DEFAULT_FORMAT,
+    partition_by: str | list[str] | None = None,
 ) -> dict[str, Any]:
     """Small-file compaction (the OPTIMIZE of this engine): rewrite the
     table into ``ceil(total_bytes / target)`` files.
@@ -301,14 +302,30 @@ def compact_table(
     import shutil
     import uuid
 
+    from pyspark.sql import functions as F
+
     before = table_file_stats(spark, lakehouse, table_name)
     path = table_path(lakehouse, table_name)
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * 1024 * 1024)))
     df = read_path(spark, path, fmt)
     tmp = f"{path}__compact_{uuid.uuid4().hex}"
-    # coalesce (no shuffle) is enough to merge files; repartition would add
-    # an exchange only to re-split — unnecessary for pure compaction
-    df.coalesce(n_out).write.format(fmt).mode("overwrite").save(tmp)
+    if partition_by:
+        # partitioned table: preserve the layout — repartition on the
+        # partition columns (one output file per partition value) and write
+        # partitionBy, otherwise compaction would silently flatten the
+        # table and break partition pruning
+        pcols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = (
+            df.repartition(*[F.col(c) for c in pcols])
+            .write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*pcols)
+        )
+        writer.save(tmp)
+    else:
+        # coalesce (no shuffle) is enough to merge files; repartition would
+        # add an exchange only to re-split — unnecessary for pure compaction
+        df.coalesce(n_out).write.format(fmt).mode("overwrite").save(tmp)
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
         old, new = parsed.path or path, urlparse(tmp).path or tmp

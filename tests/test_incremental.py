@@ -142,3 +142,66 @@ class TestDeleteRows:
         )
         assert stats["partitions_rewritten"] == 0
         assert read_path(spark, f"{lh.tables_path}/orders", "parquet").count() == orders.count()
+
+
+class TestPartitionKeyChange:
+    def test_upsert_moving_key_between_partitions(self, spark, sf_dir):
+        """A key whose partition value changes must not survive in its old
+        partition (the classic dynamic-overwrite dedup bug)."""
+        import tempfile
+
+        lh = Lakehouse("mv", tempfile.mkdtemp())
+        orders = load_table(spark, sf_dir, "orders")
+        write_table(lh, "orders", orders, partition_by="o_orderstatus")
+        victim = orders.where("o_orderstatus = 'F'").orderBy("o_orderkey").limit(1).collect()[0]
+        moved = spark.createDataFrame(
+            [(victim.o_orderkey, victim.o_custkey, "O", victim.o_totalprice,
+              victim.o_orderdate, victim.o_orderpriority)],
+            orders.schema,
+        )
+        upsert_table(spark, lh, "orders", moved, keys=["o_orderkey"], partition_by="o_orderstatus")
+        back = read_path(spark, f"{lh.tables_path}/orders", "parquet")
+        rows = back.where(F.col("o_orderkey") == victim.o_orderkey).collect()
+        assert len(rows) == 1, "moved key duplicated across partitions"
+        assert rows[0].o_orderstatus == "O"
+        assert back.count() == orders.count()
+
+    def test_upsert_emptying_a_partition_removes_it(self, spark):
+        import tempfile
+
+        lh = Lakehouse("mv2", tempfile.mkdtemp())
+        df = spark.createDataFrame(
+            [(1, "A", 1.0), (2, "B", 2.0)], "id long, part string, v double"
+        )
+        write_table(lh, "t", df, partition_by="part")
+        # move the ONLY row of partition A to partition B
+        moved = spark.createDataFrame([(1, "B", 9.0)], df.schema)
+        upsert_table(spark, lh, "t", moved, keys=["id"], partition_by="part")
+        back = read_path(spark, f"{lh.tables_path}/t", "parquet")
+        rows = {(r.id, r.part, r.v) for r in back.collect()}
+        assert rows == {(1, "B", 9.0), (2, "B", 2.0)}, rows
+
+
+class TestPartitionedCompaction:
+    def test_compaction_preserves_partition_layout(self, spark, sf_dir):
+        import glob
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.io import compact_table, table_file_stats
+
+        lh = Lakehouse("pc", tempfile.mkdtemp())
+        orders = load_table(spark, sf_dir, "orders")
+        orders.repartition(16).write.partitionBy("o_orderstatus").parquet(
+            f"{lh.tables_path}/orders"
+        )
+        before = table_file_stats(spark, lh, "orders")
+        assert before["n_files"] > 10
+        compact_table(spark, lh, "orders", partition_by="o_orderstatus")
+        # layout preserved: partition dirs still exist
+        dirs = glob.glob(f"{lh.tables_path}/orders/o_orderstatus=*")
+        assert len(dirs) == 3
+        after = table_file_stats(spark, lh, "orders")
+        assert after["n_files"] <= 3  # one file per partition
+        back = read_path(spark, f"{lh.tables_path}/orders", "parquet")
+        assert back.count() == orders.count()
+        assert "o_orderstatus" in back.columns
