@@ -64,7 +64,11 @@ def salted_distinct_count(
 
     Output: (group_col, n_distinct).
     """
-    salted = with_salt(df, [distinct_col], buckets)
+    # COUNT(DISTINCT x) ignores NULL x — drop nulls before salting or the
+    # null would be counted as a distinct value
+    salted = with_salt(
+        df.where(F.col(distinct_col).isNotNull()), [distinct_col], buckets
+    )
     phase1 = (
         salted.select(group_col, distinct_col, "__salt")
         .distinct()  # (group, value, salt) dedup — value determines salt, so
@@ -72,6 +76,9 @@ def salted_distinct_count(
         .groupBy(group_col, "__salt")
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
-    return phase1.groupBy(group_col).agg(
-        F.sum("__partial").alias("n_distinct")
+    counts = phase1.groupBy(group_col).agg(F.sum("__partial").alias("n_distinct"))
+    # SQL keeps groups whose values are ALL null (count 0) — restore them
+    all_groups = df.select(group_col).distinct()
+    return all_groups.join(counts, group_col, "left").select(
+        group_col, F.coalesce("n_distinct", F.lit(0)).alias("n_distinct")
     )

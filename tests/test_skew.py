@@ -52,3 +52,14 @@ def test_salted_distinct_count_exact(spark, sf_dir):
         for r in salted_distinct_count(li, "l_returnflag", "l_partkey").collect()
     }
     assert got == expected
+
+
+def test_salted_distinct_count_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2), ("g", 1), ("h", None)],
+        "k string, v int",
+    )
+    got = {r.k: r.n_distinct for r in salted_distinct_count(df, "k", "v").collect()}
+    # exact COUNT(DISTINCT) semantics: nulls ignored, all-null groups kept
+    # with count 0 (SQL GROUP BY keeps every group)
+    assert got == {"g": 2, "h": 0}
