@@ -43,6 +43,10 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
 
     conf = {
+        # local-mode default driver heap is 1g and the driver IS the
+        # executor — heavy array/UDF workloads OOM the JVM outright.
+        # Only effective when this builder actually starts the JVM.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # Adaptive execution: coalesce small shuffle partitions, split skewed
         # ones, convert sort-merge joins to broadcast at runtime.
         "spark.sql.adaptive.enabled": "true",
