@@ -560,6 +560,58 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: pad/translate/case/substr/position/repeat."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.concat(F.upper(F.substring("c_name", 1, 4)), F.lit("::"),
+                 F.lower(F.substring("c_name", -3, 3))).alias("mangled"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+    )
+
+
+SQL_STRING_FUNCTIONS = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+       upper(substring(c_name, 1, 4)) || '::' || lower(substring(c_name, length(c_name)-2, 3)) AS mangled,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       repeat('ab', 3) AS repeated
+FROM customer
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: slice/reverse/contains/distinct-size/flatten."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.transform(F.slice("embedding", 1, 5), lambda x: F.round(x.cast("double"), 4))
+    return emb.select(
+        "vec_id",
+        arr.alias("head5"),
+        F.reverse(arr).alias("head5_rev"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+        F.round(F.element_at(arr, -1), 4).alias("last_of_head"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding[1:5] AS DOUBLE[]), x -> ROUND(x, 4)) AS head5
+  FROM embeddings
+)
+SELECT vec_id, head5,
+       list_reverse(head5) AS head5_rev,
+       CAST(len(list_distinct(head5)) AS BIGINT) AS n_distinct,
+       ROUND(head5[-1], 4) AS last_of_head
+FROM t
+"""
+
+
 def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS against the fact table with an
     inter-column date comparison."""
@@ -1721,6 +1773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "pii_redaction": q_pii_redaction,
+    "string_functions": q_string_functions,
+    "array_functions": q_array_functions,
     "order_priority_check": q_order_priority_check,
     "customer_distribution": q_customer_distribution,
     "dormant_rich_customers": q_dormant_rich_customers,
@@ -1801,6 +1855,8 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pii_redaction": SQL_PII_REDACTION,
+    "string_functions": SQL_STRING_FUNCTIONS,
+    "array_functions": SQL_ARRAY_FUNCTIONS,
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
     "dormant_rich_customers": SQL_DORMANT_RICH_CUSTOMERS,

@@ -243,3 +243,20 @@ class TestCompactionEvolution:
         assert "extra" in merged.columns
         # old rows surface null for the new column
         assert merged.where(F.col("extra").isNull()).count() == 25
+
+
+class TestDeltaReadiness:
+    def test_delta_write_path_when_available(self, spark, sf_dir):
+        """Exercised only where delta-spark is installed; documents the
+        gated code path either way."""
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.sources.io import _HAS_DELTA, DEFAULT_FORMAT
+
+        if not _HAS_DELTA:
+            assert DEFAULT_FORMAT == "parquet"
+            pytest.skip("delta-spark not installed; parquet is primary")
+        lh = Lakehouse("d", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        lio.write_table(lh, "nation", nation, fmt="delta")
+        assert lio.read_path(spark, f"{lh.tables_path}/nation", "delta").count() == 25
