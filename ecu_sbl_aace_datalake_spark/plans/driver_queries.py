@@ -284,6 +284,22 @@ GROUP BY o_orderpriority
 """
 
 
+def q_dim_build_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column dimension: composite natural key with one contiguous
+    surrogate (reference supported colNames lists, common.py:732-754)."""
+    return star.build_dimension(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+SQL_DIM_BUILD_MULTI = """
+SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT)
+         AS "indexO_orderstatusO_orderpriority",
+       o_orderstatus, o_orderpriority
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+"""
+
+
 def q_simple_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """simple_map (reference simpleMap common.py:932-964): null-safe
     broadcast join swapping the natural key for the surrogate in place."""
@@ -1789,6 +1805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_profile": q_null_profile,
     "dim_build": q_dim_build,
     "dim_build_counts": q_dim_build_counts,
+    "dim_build_multi": q_dim_build_multi,
     "simple_map": q_simple_map,
     "null_safe_join": q_null_safe_join,
     "cast_columns": q_cast_columns,
@@ -1871,6 +1888,7 @@ ORACLES: dict[str, str] = {
     "null_profile": SQL_NULL_PROFILE,
     "dim_build": SQL_DIM_BUILD,
     "dim_build_counts": SQL_DIM_BUILD_COUNTS,
+    "dim_build_multi": SQL_DIM_BUILD_MULTI,
     "simple_map": SQL_SIMPLE_MAP,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "cast_columns": SQL_CAST_COLUMNS,
