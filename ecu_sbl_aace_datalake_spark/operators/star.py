@@ -88,6 +88,59 @@ def null_safe_eq(left: Column, right: Column) -> Column:
     return left.eqNullSafe(right)
 
 
+def simple_map_multi(
+    fact_df: DataFrame,
+    dim_df: DataFrame,
+    join_cols: Sequence[str],
+    join_type: str = "inner",
+    index_col: str | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Composite-key variant of :func:`simple_map`: the dimension's natural
+    key spans several columns; after the null-safe broadcast join the
+    surrogate takes the FIRST key column's ordinal position and the
+    remaining key columns are dropped (they're recoverable from the
+    dimension — that's the point of the mapping).
+
+    Extension beyond the reference (whose simpleMap was single-column,
+    common.py:932) — required to round-trip the multi-column dimensions
+    its own getDistinctValsFromDataRowsInt could build.
+    """
+    cols = list(join_cols)
+    if len(cols) == 1:
+        return simple_map(fact_df, dim_df, cols[0], join_type, index_col, validate)
+    idx = index_col or index_col_name(cols)
+    if idx in fact_df.columns and not any(c in fact_df.columns for c in cols):
+        return fact_df
+    if idx in fact_df.columns:
+        raise ValueError(
+            f"surrogate column {idx!r} already present alongside natural key columns"
+        )
+    missing = [c for c in cols if c not in fact_df.columns]
+    if missing:
+        raise ValueError(f"join columns {missing!r} not on fact table")
+
+    dim_slice = dim_df.select(
+        F.col(idx), *[F.col(c).alias(f"__dim_{c}") for c in cols]
+    )
+    cond = fact_df[cols[0]].eqNullSafe(dim_slice[f"__dim_{cols[0]}"])
+    for c in cols[1:]:
+        cond = cond & fact_df[c].eqNullSafe(dim_slice[f"__dim_{c}"])
+    before = fact_df.count() if validate else None
+    joined = fact_df.join(F.broadcast(dim_slice), cond, join_type)
+    select_list = [
+        idx if c == cols[0] else c for c in fact_df.columns if c not in cols[1:]
+    ]
+    out = joined.select(*select_list)
+    if validate:
+        after = out.count()
+        if before != after:
+            raise ValueError(
+                f"simple_map_multi fan-out: fact rows changed {before} -> {after}"
+            )
+    return out
+
+
 def simple_map(
     fact_df: DataFrame,
     dim_df: DataFrame,

@@ -322,6 +322,31 @@ FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
 """
 
 
+def q_simple_map_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key dimension mapping: two natural key columns swapped for
+    one surrogate at the first key's position."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = star.build_dimension(orders, ["o_orderstatus", "o_orderpriority"])
+    mapped = star.simple_map_multi(
+        orders, dim, ["o_orderstatus", "o_orderpriority"], validate=False
+    )
+    return mapped.withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+
+SQL_SIMPLE_MAP_MULTI = """
+WITH dim AS (
+  SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS idx,
+         o_orderstatus, o_orderpriority
+  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+)
+SELECT o.o_orderkey, o.o_custkey, d.idx AS "indexO_orderstatusO_orderpriority",
+       o.o_totalprice, CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM orders o
+JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+          AND o.o_orderpriority = d.o_orderpriority
+"""
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eqNullSafe join (reference getJoinCondition common.py:918-924):
     NULL keys match NULL keys."""
@@ -1807,6 +1832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dim_build_counts": q_dim_build_counts,
     "dim_build_multi": q_dim_build_multi,
     "simple_map": q_simple_map,
+    "simple_map_multi": q_simple_map_multi,
     "null_safe_join": q_null_safe_join,
     "cast_columns": q_cast_columns,
     "null_to_zero": q_null_to_zero,
@@ -1890,6 +1916,7 @@ ORACLES: dict[str, str] = {
     "dim_build_counts": SQL_DIM_BUILD_COUNTS,
     "dim_build_multi": SQL_DIM_BUILD_MULTI,
     "simple_map": SQL_SIMPLE_MAP,
+    "simple_map_multi": SQL_SIMPLE_MAP_MULTI,
     "null_safe_join": SQL_NULL_SAFE_JOIN,
     "cast_columns": SQL_CAST_COLUMNS,
     "null_to_zero": SQL_NULL_TO_ZERO,

@@ -179,3 +179,38 @@ class TestSplitByHash:
         docs = load_table(spark, sf_dir, "documents")
         with pytest.raises(ValueError, match="sum to 1"):
             transform.split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+class TestSimpleMapMulti:
+    def test_composite_key_roundtrip(self, orders):
+        dim = star.build_dimension(orders, ["o_orderstatus", "o_orderpriority"])
+        mapped = star.simple_map_multi(
+            orders, dim, ["o_orderstatus", "o_orderpriority"], validate=True
+        )
+        assert mapped.count() == orders.count()
+        idx = "indexO_orderstatusO_orderpriority"
+        assert idx in mapped.columns
+        assert "o_orderstatus" not in mapped.columns
+        assert "o_orderpriority" not in mapped.columns
+        # surrogate sits where the first key column was
+        assert mapped.columns.index(idx) == orders.columns.index("o_orderstatus")
+        # every surrogate resolves back through the dimension
+        back = mapped.join(dim, idx)
+        assert back.count() == orders.count()
+
+    def test_single_col_delegates(self, orders):
+        dim = star.build_dimension(orders, "o_orderpriority")
+        a = star.simple_map_multi(orders, dim, ["o_orderpriority"], validate=False)
+        b = star.simple_map(orders, dim, "o_orderpriority", validate=False)
+        assert a.columns == b.columns
+
+    def test_null_safe_composite(self, spark):
+        import pyspark.sql.functions as F
+
+        fact = spark.createDataFrame(
+            [(1, "a", None), (2, None, "y"), (3, "b", "z")],
+            "id long, k1 string, k2 string",
+        )
+        dim = star.build_dimension(fact, ["k1", "k2"])
+        mapped = star.simple_map_multi(fact, dim, ["k1", "k2"], validate=True)
+        assert mapped.count() == 3  # null components join via <=>
