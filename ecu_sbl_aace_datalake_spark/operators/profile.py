@@ -105,12 +105,25 @@ def find_relationships(
             .where(F.col(cand.from_col).isNotNull())
             .distinct()
         )
-        to_vals = tables[cand.to_table].select(F.col(cand.to_col).alias("v")).distinct()
-        total = from_vals.count()
+        to_vals = (
+            tables[cand.to_table]
+            .select(F.col(cand.to_col).alias("v"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        # total + uncovered in ONE job (left join + aggregate), not two
+        stats = (
+            from_vals.join(to_vals, "v", "left")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("uncovered"),
+            )
+            .first()
+        )
+        total = stats["total"]
         if total == 0:
             continue
-        uncovered = from_vals.join(to_vals, "v", "left_anti").count()
-        coverage = (total - uncovered) / total
+        coverage = (total - int(stats["uncovered"] or 0)) / total
         if coverage >= coverage_threshold:
             rows.append(
                 (

@@ -1197,10 +1197,12 @@ def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text→vector→ANN pipeline: feature-hash documents into unit
     vectors, then top-5 cosine neighbors for 3 query docs (hash-based →
     rows-only; semantics covered by unit tests)."""
-    from ..functions.embed import with_hashed_embedding
+    from ..functions.embed import with_hashed_embedding_fast
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    embedded = with_hashed_embedding(docs, dim=64).select("doc_id", "embedding")
+    docs = dedup.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    embedded = with_hashed_embedding_fast(docs, dim=64).select("doc_id", "embedding")
     queries = embedded.where(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "embedding"
     )
