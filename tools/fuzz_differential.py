@@ -97,6 +97,79 @@ def gen_query(rng: random.Random) -> str:
     return sql
 
 
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+
+def gen_join_query(rng: random.Random) -> str:
+    left, right, lk, rk = rng.choice(JOINS)
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    lcols, rcols = TABLES[left], TABLES[right]
+    group = rng.choice(lcols["str"] + rcols["str"])
+    num = rng.choice(lcols["num"])
+    pred = ""
+    if rng.random() < 0.6:
+        col = rng.choice(rcols["str"])
+        pred = f" WHERE {col} = '{rng.choice(STR_VALUES[col])}'"
+        if how == "LEFT JOIN":
+            # a WHERE on the right side turns a left join inner; keep the
+            # template honest by filtering the LEFT side instead
+            col = rng.choice(lcols["str"])
+            pred = f" WHERE {col} = '{rng.choice(STR_VALUES[col])}'"
+    return (
+        f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(SUM(CAST({num} AS DOUBLE)), 3) AS s "
+        f"FROM {left} {how} {right} ON {lk} = {rk}{pred} "
+        f"GROUP BY {group}"
+    )
+
+
+def gen_window_query(rng: random.Random) -> str:
+    table = rng.choice(["orders", "customer"])
+    cols = TABLES[table]
+    part = rng.choice(cols["str"])
+    order_num = rng.choice(cols["num"])
+    uniq = cols["int"][0]
+    fn = rng.choice(
+        ["row_number()", "rank()", "dense_rank()", f"lag({uniq}) OVER w IS NULL"]
+    )
+    if fn.startswith("lag"):
+        expr = f"CAST({fn} AS BOOLEAN) AS w0"
+    else:
+        expr = f"CAST({fn} OVER w AS BIGINT) AS w0"
+    return (
+        f"SELECT {uniq}, {expr} FROM {table} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order_num}, {uniq})"
+    )
+
+
+def _equal_with_rounding_tolerance(a_rows, b_rows, atol: float = 1.5e-3) -> bool:
+    """ROUND(x, 3) sits on a half-way boundary for some aggregates (found by
+    this fuzzer at seed 123: AVG = ...7625 exactly), and engines legitimately
+    disagree by one ulp-of-the-rounded-digit there — Spark rounds the decimal
+    rendering HALF_UP, DuckDB rounds the binary double. Tolerate exactly
+    that: numeric fields may differ by <= atol, everything else must match.
+    (The hand-written oracle gate keeps strict equality; its queries are
+    verified boundary-free at three scale factors.)"""
+    if len(a_rows) != len(b_rows):
+        return False
+    for ra, rb in zip(a_rows, b_rows):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            try:
+                if abs(float(va) - float(vb)) <= atol:
+                    continue
+            except (TypeError, ValueError):
+                return False
+            return False
+    return True
+
+
 def run_fuzz(n: int = 50, seed: int = 7, sf_dir: str = "/root/testdata/sf0.01"):
     """Returns (passed, failures:list[(sql, reason)])."""
     import duckdb
@@ -115,8 +188,14 @@ def run_fuzz(n: int = 50, seed: int = 7, sf_dir: str = "/root/testdata/sf0.01"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     passed, failures = 0, []
-    for _ in range(n):
-        sql = gen_query(rng)
+    for i in range(n):
+        r = rng.random()
+        if r < 0.6:
+            sql = gen_query(rng)
+        elif r < 0.85:
+            sql = gen_join_query(rng)
+        else:
+            sql = gen_window_query(rng)
         try:
             sdf = spark.sql(sql)
             sms, sc = rows_to_multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
@@ -126,7 +205,7 @@ def run_fuzz(n: int = 50, seed: int = 7, sf_dir: str = "/root/testdata/sf0.01"):
             )
             if sc != dc:
                 failures.append((sql, f"schema {sc} != {dc}"))
-            elif sms != dms:
+            elif sms != dms and not _equal_with_rounding_tolerance(sms, dms):
                 diff = next(
                     (i, a, b)
                     for i, (a, b) in enumerate(
