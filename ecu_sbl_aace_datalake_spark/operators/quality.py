@@ -1,0 +1,143 @@
+"""Declarative data-quality checks (dbt-tests / expectations style).
+
+The validation layer a lakehouse runs before publishing a table: each rule
+compiles to a violation-count expression, ALL rules evaluate in a single
+aggregate pass over the table (no per-rule jobs — same batching principle
+as transform.cast_columns), and referential checks add one anti-join each.
+
+Rules:
+- ``not_null(col)``
+- ``unique(col, ...)``        (composite keys supported)
+- ``accepted_values(col, [...])``
+- ``in_range(col, lo, hi)``   (inclusive)
+- ``matches(col, regex)``
+- ``references(col, other_df, other_col)``  (FK integrity)
+
+Returns a report DataFrame ``(rule, column, violations, passed)`` and an
+overall ``ok`` flag; ``expect`` raises on failure for pipeline gating.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str
+    column: str
+    params: tuple = field(default_factory=tuple)
+
+    @property
+    def label(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def not_null(col: str) -> Rule:
+    return Rule("not_null", col)
+
+
+def unique(*cols: str) -> Rule:
+    return Rule("unique", ",".join(cols), tuple(cols))
+
+
+def accepted_values(col: str, values: list[Any]) -> Rule:
+    return Rule("accepted_values", col, tuple(values))
+
+
+def in_range(col: str, lo: Any, hi: Any) -> Rule:
+    return Rule("in_range", col, (lo, hi))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule("matches", col, (pattern,))
+
+
+def references(col: str, other: DataFrame, other_col: str) -> Rule:
+    return Rule("references", col, (other, other_col))
+
+
+def _violation_expr(rule: Rule) -> Column | None:
+    """Single-pass violation counter for row-local rules; None for rules
+    needing their own plan (unique, references)."""
+    c = F.col(rule.column) if rule.kind != "unique" else None
+    if rule.kind == "not_null":
+        return F.sum(c.isNull().cast("long"))
+    if rule.kind == "accepted_values":
+        allowed = F.array(*[F.lit(v) for v in rule.params])
+        return F.sum(
+            (c.isNotNull() & ~F.array_contains(allowed, c)).cast("long")
+        )
+    if rule.kind == "in_range":
+        lo, hi = rule.params
+        return F.sum((c.isNotNull() & ~c.between(lo, hi)).cast("long"))
+    if rule.kind == "matches":
+        (pattern,) = rule.params
+        return F.sum((c.isNotNull() & ~c.rlike(pattern)).cast("long"))
+    return None
+
+
+def check_table(
+    spark: SparkSession, df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, bool]:
+    """Evaluate all rules; returns (report_df, ok). Row-local rules share
+    ONE aggregate job; each unique/references rule adds one more."""
+    results: list[tuple[str, str, int]] = []
+
+    agg_rules = [(r, _violation_expr(r)) for r in rules]
+    single_pass = [(r, e) for r, e in agg_rules if e is not None]
+    if single_pass:
+        row = df.agg(
+            *[e.alias(f"__r{i}") for i, (_, e) in enumerate(single_pass)]
+        ).first()
+        for i, (r, _) in enumerate(single_pass):
+            results.append((r.kind, r.column, int(row[f"__r{i}"] or 0)))
+
+    for r in rules:
+        if r.kind == "unique":
+            cols = list(r.params)
+            dup_rows = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("v"))
+                .first()["v"]
+            )
+            results.append((r.kind, r.column, int(dup_rows)))
+        elif r.kind == "references":
+            other, other_col = r.params
+            orphans = (
+                df.select(F.col(r.column).alias("__k"))
+                .where(F.col(r.column).isNotNull())
+                .join(
+                    other.select(F.col(other_col).alias("__k")).distinct(),
+                    "__k",
+                    "left_anti",
+                )
+                .count()
+            )
+            results.append((r.kind, r.column, int(orphans)))
+
+    report = spark.createDataFrame(
+        [(k, c, v, v == 0) for k, c, v in results],
+        "rule string, column string, violations long, passed boolean",
+    )
+    return report, all(v == 0 for _, _, v in results)
+
+
+def expect(spark: SparkSession, df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Gate form: raises ValueError listing failed rules; returns the report
+    when clean — drop it at the end of a pipeline before write_table."""
+    report, ok = check_table(spark, df, rules)
+    if not ok:
+        failed = [
+            f"{r.rule}({r.column})={r.violations}"
+            for r in report.collect()
+            if not r.passed
+        ]
+        raise ValueError(f"data-quality check failed: {', '.join(failed)}")
+    return report

@@ -601,6 +601,91 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule evaluation (expectations-style) over a customer
+    table with synthesized dirt; the report's violation counts are the
+    oracle-checked output."""
+    from ..operators import quality as qual
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "seg",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("n/a"))
+        .when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment")),
+    )
+    report, _ok = qual.check_table(
+        spark,
+        cust,
+        [
+            qual.not_null("seg"),
+            qual.accepted_values(
+                "seg",
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+            ),
+            qual.unique("c_custkey"),
+            qual.in_range("c_nationkey", 0, 24),
+        ],
+    )
+    return report
+
+
+SQL_QUALITY_REPORT = """
+WITH d AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'n/a'
+              WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT 'not_null' AS rule, 'seg' AS "column",
+       CAST(SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM d
+UNION ALL
+SELECT 'accepted_values', 'seg',
+       CAST(SUM(CASE WHEN seg IS NOT NULL AND seg NOT IN
+            ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+            THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN seg IS NOT NULL AND seg NOT IN
+            ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+            THEN 1 ELSE 0 END) = 0
+FROM d
+UNION ALL
+SELECT 'unique', 'c_custkey',
+       CAST(COALESCE((SELECT SUM(n) FROM (
+          SELECT COUNT(*) AS n FROM d GROUP BY c_custkey HAVING COUNT(*) > 1
+       )), 0) AS BIGINT),
+       COALESCE((SELECT SUM(n) FROM (
+          SELECT COUNT(*) AS n FROM d GROUP BY c_custkey HAVING COUNT(*) > 1
+       )), 0) = 0
+UNION ALL
+SELECT 'in_range', 'c_nationkey',
+       CAST(SUM(CASE WHEN c_nationkey NOT BETWEEN 0 AND 24 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN c_nationkey NOT BETWEEN 0 AND 24 THEN 1 ELSE 0 END) = 0
+FROM d
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets over [0, 500k))."""
+    orders = _t(spark, sf_dir, "orders")
+    width = 50000.0
+    return (
+        orders.withColumn(
+            "bucket", F.least(F.floor(F.col("o_totalprice") / width), F.lit(9)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: pad/translate/case/substr/position/repeat."""
     cust = _t(spark, sf_dir, "customer")
@@ -1816,6 +1901,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "pii_redaction": q_pii_redaction,
+    "quality_report": q_quality_report,
+    "histogram": q_histogram,
     "string_functions": q_string_functions,
     "array_functions": q_array_functions,
     "order_priority_check": q_order_priority_check,
@@ -1900,6 +1987,8 @@ ORACLES: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pii_redaction": SQL_PII_REDACTION,
+    "quality_report": SQL_QUALITY_REPORT,
+    "histogram": SQL_HISTOGRAM,
     "string_functions": SQL_STRING_FUNCTIONS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,

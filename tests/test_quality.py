@@ -1,0 +1,74 @@
+"""Data-quality rules: single-pass evaluation, violation counting, gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecu_sbl_aace_datalake_spark.operators import quality as q
+from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+
+class TestRules:
+    @pytest.fixture(scope="class")
+    def dirty(self, spark):
+        rows = [
+            (1, "AUTOMOBILE", 100.0, "a@x.com"),
+            (2, None, 50.0, "bad-email"),
+            (3, "WEIRD", -5.0, "c@x.com"),
+            (3, "BUILDING", 20.0, "d@x.com"),  # duplicate id
+        ]
+        return spark.createDataFrame(rows, "id long, seg string, bal double, email string")
+
+    def test_all_rule_kinds(self, spark, dirty):
+        report, ok = q.check_table(
+            spark,
+            dirty,
+            [
+                q.not_null("seg"),
+                q.unique("id"),
+                q.accepted_values("seg", ["AUTOMOBILE", "BUILDING"]),
+                q.in_range("bal", 0, 1000),
+                q.matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+            ],
+        )
+        got = {(r.rule, r.column): r.violations for r in report.collect()}
+        assert got[("not_null", "seg")] == 1
+        assert got[("unique", "id")] == 2          # both rows of the dup key
+        assert got[("accepted_values", "seg")] == 1  # WEIRD (null not counted)
+        assert got[("in_range", "bal")] == 1       # -5.0
+        assert got[("matches", "email")] == 1      # bad-email
+        assert not ok
+
+    def test_referential_integrity(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        report, ok = q.check_table(
+            spark, orders, [q.references("o_custkey", cust, "c_custkey")]
+        )
+        assert ok  # fixture FKs are sound
+        ghost = orders.limit(1).selectExpr(
+            "CAST(-1 AS BIGINT) AS o_custkey", "o_orderkey"
+        )
+        bad = orders.select("o_custkey", "o_orderkey").unionByName(ghost)
+        _, ok2 = q.check_table(spark, bad, [q.references("o_custkey", cust, "c_custkey")])
+        assert not ok2
+
+    def test_clean_table_passes_gate(self, spark, sf_dir):
+        nation = load_table(spark, sf_dir, "nation")
+        report = q.expect(
+            spark, nation,
+            [q.not_null("n_nationkey"), q.unique("n_nationkey"),
+             q.in_range("n_regionkey", 0, 4)],
+        )
+        assert all(r.passed for r in report.collect())
+
+    def test_gate_raises_with_detail(self, spark, dirty):
+        with pytest.raises(ValueError, match="unique\\(id\\)=2"):
+            q.expect(spark, dirty, [q.unique("id")])
+
+    def test_composite_unique(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "a")], "k long, v string"
+        )
+        report, ok = q.check_table(spark, df, [q.unique("k", "v")])
+        assert report.first().violations == 2 and not ok
