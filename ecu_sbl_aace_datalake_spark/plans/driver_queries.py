@@ -1889,6 +1889,366 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# classic analytics II: remaining TPC-H join/subquery topologies
+# (Q7/Q8/Q12/Q14/Q15/Q17/Q18/Q19/Q21 shapes, adapted to the fixture schema —
+# no partsupp/commitdate/receiptdate/shipmode columns, so date-lag predicates
+# use l_shipdate vs o_orderdate and Q2/Q9/Q11/Q16/Q20 are unexpressible)
+# --------------------------------------------------------------------------
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Scale notes: the two nation dims are pre-filtered to the pair BEFORE the
+    join (prunes supplier/customer to ~2/25 of rows at the scan), then the
+    symmetric OR is applied across the two joined names; nation is broadcast
+    (25 rows)."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n_s = F.broadcast(
+        nation.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n_c = F.broadcast(
+        nation.where(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_s, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n_c, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year — conditional-sum ratio over a 7-table join. Region
+    and nation are broadcast; the part-type filter prunes the part join
+    input before the fact join."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    nation, region = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n_c = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    )
+    n_s = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    amer = F.broadcast(region.where(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_c, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(amer, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(n_s, F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
+def q_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → grouped by l_linestatus):
+    conditional counting of high/low-priority orders among late shipments
+    (shipped >60 days after order date)."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_LINES_BY_PRIORITY = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share over one year — a
+    conditional-sum / total-sum ratio after a fact↔dim join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue CTE joined back
+    against its own MAX (scalar subquery over an aggregate). Revenue is
+    rounded to 2dp before the max-comparison so the float sum-order noise
+    between engines cannot flip membership."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.m)
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lines whose quantity is
+    below 20% of the per-part average, for one brand. Catalyst rewrites the
+    correlation into an aggregate + join on l_partkey (no per-row re-scan)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM __q17_lineitem JOIN __q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM __q17_lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate over the fact table
+    (orders totalling >250 units) joined back to orders + customer. The
+    heavy groupBy runs on the fact table alone; the join fans in only the
+    surviving ~1% of keys."""
+    li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_disc_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across a fact↔dim join — exercises OR-predicate pushdown and the
+    optimizer's common-factor extraction."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+SQL_DISC_REVENUE_OR = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped >60 days after order date, since the
+    fixtures have no commit/receipt dates): suppliers who were the ONLY late
+    shipper on a finished multi-supplier order — EXISTS + NOT EXISTS, both
+    correlated on the same fact table."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q21_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q21_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q21_orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM __q21_supplier
+        JOIN __q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN __q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (
+            SELECT 1 FROM __q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM __q21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY s_name
+        """
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1908,6 +2268,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_check": q_order_priority_check,
     "customer_distribution": q_customer_distribution,
     "dormant_rich_customers": q_dormant_rich_customers,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "late_lines_by_priority": q_late_lines_by_priority,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "disc_revenue_or": q_disc_revenue_or,
+    "waiting_suppliers": q_waiting_suppliers,
     "percent_rank": q_percent_rank,
     "levenshtein_pairs": q_levenshtein_pairs,
     "stats_agg": q_stats_agg,
@@ -1994,6 +2363,15 @@ ORACLES: dict[str, str] = {
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
     "dormant_rich_customers": SQL_DORMANT_RICH_CUSTOMERS,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "market_share": SQL_MARKET_SHARE,
+    "late_lines_by_priority": SQL_LATE_LINES_BY_PRIORITY,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "disc_revenue_or": SQL_DISC_REVENUE_OR,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,

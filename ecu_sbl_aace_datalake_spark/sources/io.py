@@ -153,6 +153,23 @@ def write_table(
     return info
 
 
+def write_view(
+    lakehouse: Lakehouse,
+    view_name: str,
+    df: DataFrame,
+    fmt: str = DEFAULT_FORMAT,
+) -> dict[str, Any]:
+    """Materialize a DataFrame under ``{source}/Views/{name}`` — the write
+    side of :func:`select_view` (the reference could read Views but never
+    write them; common.py:390-392 only composed the path)."""
+    path = view_path(lakehouse, view_name)
+    writer = df.write.format(fmt).mode("overwrite")
+    if fmt == "delta":
+        writer = writer.option("overwriteSchema", "true")
+    writer.save(path)
+    return {"view": view_name, "path": path, "format": fmt}
+
+
 def drop_table(spark: SparkSession, lakehouse: Lakehouse, table_name: str, fmt: str = DEFAULT_FORMAT) -> None:
     """Actually drop the table (reference bug #2: ``dropTable``
     common.py:512-517 only row-deletes and crashes without a spark arg).

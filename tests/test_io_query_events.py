@@ -260,3 +260,18 @@ class TestDeltaReadiness:
         nation = lio.load_table(spark, sf_dir, "nation")
         lio.write_table(lh, "nation", nation, fmt="delta")
         assert lio.read_path(spark, f"{lh.tables_path}/nation", "delta").count() == 25
+
+
+class TestWriteView:
+    def test_view_write_read_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("v", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        summary = nation.groupBy("n_regionkey").count()
+        info = lio.write_view(lh, "nations_per_region", summary)
+        assert "/Views/" in info["path"]
+        back = lio.select_view(
+            spark, lh, "nations_per_region", "SELECT COUNT(*) AS n FROM {table}"
+        )
+        assert back.first().n == summary.count()
