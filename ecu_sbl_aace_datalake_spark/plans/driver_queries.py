@@ -2248,6 +2248,82 @@ GROUP BY s_name
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-aggregate on the fact table, no joins —
+    the canonical predicate-pushdown probe. All three predicates
+    (shipdate range, discount band, quantity cap) reach the parquet scan as
+    PushedFilters; the agg is a single partial+final SUM with no shuffle of
+    row data (only the 1-row partials)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. The heavy groupBy runs on (custkey) AFTER the fact↔orders join
+    is pruned by both date and returnflag filters at the scans; nation (25
+    rows) is broadcast; top-k is a single-partition sort of the ~1k
+    aggregated customers, not of the fact table."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2277,6 +2353,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_customers": q_large_volume_customers,
     "disc_revenue_or": q_disc_revenue_or,
     "waiting_suppliers": q_waiting_suppliers,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_items": q_returned_items,
     "percent_rank": q_percent_rank,
     "levenshtein_pairs": q_levenshtein_pairs,
     "stats_agg": q_stats_agg,
@@ -2372,6 +2450,8 @@ ORACLES: dict[str, str] = {
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "disc_revenue_or": SQL_DISC_REVENUE_OR,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "returned_items": SQL_RETURNED_ITEMS,
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,
