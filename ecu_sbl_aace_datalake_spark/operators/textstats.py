@@ -162,3 +162,36 @@ def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF over the whole corpus.
+
+    tf = occurrences of token in doc; df_t = number of docs containing the
+    token; idf = ln(N / df_t); tfidf = tf * idf (both rounded to 6dp).
+
+    Scale design: two shuffles — (doc, token) for tf, then token for df_t.
+    The tf→df_t join keys on token only; AQE broadcasts the document-frequency
+    side when the vocabulary is small and falls back to a shuffle hash join
+    when it isn't (100 TB corpora have ~10^8-token vocabularies — never
+    driver-collected here). N is a scalar broadcast (1-row cross join).
+    Downstream per-doc filters push through the join into the tf branch only,
+    leaving df_t computed over the full corpus as TF-IDF requires.
+    """
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = exploded.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df_t"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df_t",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )

@@ -249,3 +249,48 @@ def insert_value_into_list(values: Sequence[Any], old_val: Any, new_val: Any) ->
 def replace_value_in_list(values: Sequence[Any], old_val: Any, new_val: Any) -> list[Any]:
     """Elementwise replace (reference common.py:615-616)."""
     return [new_val if v == old_val else v for v in values]
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic uniform [0,1) bucket from ``md5(salt || id)`` — the
+    engine-reproducible randomness primitive shared by :func:`split_by_hash`
+    and :func:`stratified_sample_by_hash` (md5, not xxhash, so any system —
+    including a SQL oracle — reproduces the assignment bit-for-bit)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(float(0xFFFFFFFF))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls below its stratum's fraction.
+
+    Unlike ``df.sampleBy`` (Bernoulli on a partition-seeded RNG — different
+    rows on every retry/repartition), the kept set depends only on
+    (salt, id, fractions): stable across runs, engines, and cluster layouts,
+    which is what training-data pipelines need for reproducible subsampling.
+    Strata absent from ``fractions`` fall back to ``default_fraction``.
+
+    Scale: a pure narrow filter — no shuffle, pushes to the scan when
+    ``strata_col``/``id_col`` are scan columns.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {frac}")
+    frac_col: Column = F.lit(float(default_fraction))
+    expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, float(frac)) if expr is None else expr.when(cond, float(frac))
+    if expr is not None:
+        frac_col = expr.otherwise(float(default_fraction))
+    return df.where(hash_bucket(id_col, salt) < frac_col)

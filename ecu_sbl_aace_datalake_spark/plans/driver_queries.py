@@ -2325,6 +2325,81 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# training-pipeline additions: TF-IDF, deterministic stratified sampling,
+# time-RANGE trailing windows
+# --------------------------------------------------------------------------
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (document frequency over ALL docs), then a per-doc slice.
+    The doc_id filter lands on the tf branch only — Catalyst pushes it through
+    the token join while df_t stays corpus-wide, as TF-IDF requires."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tf_idf(docs).where(F.col("doc_id") < 50)
+
+
+SQL_TF_IDF = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df_t AS BIGINT) AS df_t,
+       ROUND(LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS idf,
+       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+WHERE doc_id < 50
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by md5 hash bucket — per-language
+    keep rates, reproducible bit-for-bit by any engine (no RNG)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transform.stratified_sample_by_hash(
+        docs, "lang", {"en": 0.5, "de": 0.25}, id_col="doc_id", default_fraction=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+           / 4294967295.0 AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def q_events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour RANGE window (count + decimal-exact sum):
+    frame membership by event-time distance at microsecond precision, so
+    simultaneous events are peers and the result needs no tiebreak."""
+    evdf = _t(spark, sf_dir, "events")
+    return ev.with_trailing_range_agg(evdf).select(
+        "user_id", "event_id", "trailing_n", "trailing_sum_value"
+    )
+
+
+SQL_EVENTS_TRAILING_WINDOW = """
+SELECT user_id, event_id,
+       COUNT(value) OVER w AS trailing_n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+         AS trailing_sum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2355,6 +2430,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "waiting_suppliers": q_waiting_suppliers,
     "forecast_revenue": q_forecast_revenue,
     "returned_items": q_returned_items,
+    "tf_idf": q_tf_idf,
+    "stratified_sample": q_stratified_sample,
+    "events_trailing_window": q_events_trailing_window,
     "percent_rank": q_percent_rank,
     "levenshtein_pairs": q_levenshtein_pairs,
     "stats_agg": q_stats_agg,
@@ -2452,6 +2530,9 @@ ORACLES: dict[str, str] = {
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "forecast_revenue": SQL_FORECAST_REVENUE,
     "returned_items": SQL_RETURNED_ITEMS,
+    "tf_idf": SQL_TF_IDF,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "events_trailing_window": SQL_EVENTS_TRAILING_WINDOW,
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,

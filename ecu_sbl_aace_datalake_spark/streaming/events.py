@@ -133,3 +133,36 @@ def parse_props(df: DataFrame, props_col: str = "props", schema: str = "k INT") 
     return df.withColumn("__p", F.from_json(F.col(props_col), schema)).select(
         "*", "__p.*"
     ).drop("__p")
+
+
+def with_trailing_range_agg(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing time-RANGE window per user: count and sum of ``value_col``
+    over the last ``window_seconds`` (inclusive) ending at each event.
+
+    A RANGE frame (not ROWS) — frame membership is by event-time distance, so
+    simultaneous events are peers and every row in a tie group sees the same
+    frame, making the result deterministic without a tiebreak column. Ordered
+    by microsecond epoch (``unix_micros``) so the boundary is exact at the
+    fixture's timestamp precision. The sum runs over ``decimal(18,6)`` to be
+    association-order-independent (float sums differ by partitioning).
+
+    Scale: one shuffle on ``user_col``; per-user state is a running window —
+    Spark's WindowExec is streaming-friendly for bounded-preceding frames
+    (no full-partition materialization beyond the frame).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    return df.withColumn("trailing_n", F.count(value_col).over(w)).withColumn(
+        f"trailing_sum_{value_col}",
+        F.round(F.sum(dec).over(w), 4).cast("double"),
+    )

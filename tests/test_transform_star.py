@@ -214,3 +214,87 @@ class TestSimpleMapMulti:
         dim = star.build_dimension(fact, ["k1", "k2"])
         mapped = star.simple_map_multi(fact, dim, ["k1", "k2"], validate=True)
         assert mapped.count() == 3  # null components join via <=>
+
+
+class TestStratifiedSample:
+    def test_partition_invariant_and_stratum_rates(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        fr = {"en": 0.5, "de": 0.25}
+        a = {r.doc_id for r in transform.stratified_sample_by_hash(
+            docs, "lang", fr, id_col="doc_id", default_fraction=0.1).collect()}
+        b = {r.doc_id for r in transform.stratified_sample_by_hash(
+            docs.repartition(7), "lang", fr, id_col="doc_id", default_fraction=0.1).collect()}
+        assert a == b and a  # identical kept set under repartitioning
+
+    def test_zero_fraction_drops_stratum(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = transform.stratified_sample_by_hash(
+            docs, "lang", {"en": 1.0}, id_col="doc_id", default_fraction=0.0)
+        langs = {r.lang for r in out.select("lang").distinct().collect()}
+        assert langs == {"en"}
+
+    def test_bad_fraction_raises(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError, match="must be in"):
+            transform.stratified_sample_by_hash(
+                docs, "lang", {"en": 1.5}, id_col="doc_id")
+
+
+class TestTfIdf:
+    def test_golden_small_corpus(self, spark):
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c"), (3, "d d d")], ["doc_id", "text"])
+        rows = {(r.doc_id, r.token): r for r in textstats.tf_idf(docs).collect()}
+        # 'a' appears twice in doc 1, in 2 of 3 docs
+        r = rows[(1, "a")]
+        assert r.tf == 2 and r.df_t == 2
+        assert abs(r.idf - round(math.log(3 / 2), 6)) < 1e-9
+        assert abs(r.tfidf - round(2 * math.log(3 / 2), 6)) < 1e-9
+        # 'd' only in doc 3: idf = ln(3)
+        assert abs(rows[(3, "d")].idf - round(math.log(3.0), 6)) < 1e-9
+        # corpus-wide df even when filtered downstream
+        filtered = textstats.tf_idf(docs).where(F.col("doc_id") == 1).collect()
+        assert {r.token: r.df_t for r in filtered} == {"a": 2, "b": 1}
+
+
+class TestTrailingRangeWindow:
+    def test_hand_checked_frames(self, spark):
+        import datetime as dt
+
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, 1, t0, 10.0),
+            (1, 2, t0 + dt.timedelta(minutes=30), 20.0),
+            (1, 3, t0 + dt.timedelta(minutes=61), 40.0),   # row 1 aged out
+            (2, 4, t0, 7.0),                               # other user isolated
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+        out = {r.event_id: r for r in ev.with_trailing_range_agg(df).collect()}
+        assert (out[1].trailing_n, out[1].trailing_sum_value) == (1, 10.0)
+        assert (out[2].trailing_n, out[2].trailing_sum_value) == (2, 30.0)
+        assert (out[3].trailing_n, out[3].trailing_sum_value) == (2, 60.0)
+        assert (out[4].trailing_n, out[4].trailing_sum_value) == (1, 7.0)
+
+    def test_exact_boundary_inclusive(self, spark):
+        import datetime as dt
+
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, t0, 1.0), (1, 2, t0 + dt.timedelta(hours=1), 2.0)],
+            ["user_id", "event_id", "ts", "value"])
+        out = {r.event_id: r for r in ev.with_trailing_range_agg(df).collect()}
+        assert out[2].trailing_n == 2  # exactly 1h earlier is inside the frame
