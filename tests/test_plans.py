@@ -123,3 +123,43 @@ class TestBucketing:
             assert a.exchanges == 0, a.plan
         finally:
             spark.sql("DROP TABLE IF EXISTS b_orders2")
+
+
+class TestTpchJoinTopologies:
+    """The round-1 additions (Q7/Q8/Q10 shapes): dims broadcast, predicates
+    at the scans, no accidental cartesian explosion."""
+
+    def test_volume_shipping_broadcasts_nations(self, audits):
+        a = audits("volume_shipping")
+        assert a.broadcast_joins >= 2  # both nation sides
+        assert a.cartesian_products == 0
+
+    def test_market_share_part_filter_pushed(self, audits):
+        a = audits("market_share")
+        assert a.has_pushed_filter("p_type")
+        assert a.cartesian_products == 0
+
+    def test_returned_items_filters_pushed(self, audits):
+        a = audits("returned_items")
+        assert a.has_pushed_filter("l_returnflag")
+        assert a.has_pushed_filter("o_orderdate")
+        assert a.broadcast_joins >= 1  # nation
+        assert a.cartesian_products == 0
+
+    def test_forecast_revenue_all_predicates_pushed(self, audits):
+        a = audits("forecast_revenue")
+        for c in ("l_shipdate", "l_discount", "l_quantity"):
+            assert a.has_pushed_filter(c), c
+        assert a.read_schema_only(
+            {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+        ), a.scan_columns()
+
+    def test_tf_idf_no_python_nodes(self, audits):
+        a = audits("tf_idf")
+        assert a.python_udf_nodes == 0
+
+    def test_stratified_sample_is_narrow(self, audits):
+        a = audits("stratified_sample")
+        # pure filter: no exchange at all
+        assert "Exchange" not in a.plan
+        assert a.python_udf_nodes == 0
