@@ -497,3 +497,31 @@ def simhash_bands(df: DataFrame, id_col: str, sig_col: str = "simhash") -> DataF
     return df.select(id_col, sig_col, F.explode(bands).alias("band")).select(
         id_col, sig_col, "band.band_id", "band.band_key"
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Drop rows of ``new_df`` whose text content already exists in
+    ``corpus_df`` — the incremental-ingest dedup step: each new batch is
+    checked against the accumulated dataset, not against itself.
+
+    Matching is by md5 of the (optionally whitespace-trimmed) content, so the
+    join carries one 32-char key per row instead of full documents. Executes
+    as a LEFT ANTI join — shuffle on the hash only; with AQE the corpus side
+    broadcasts when the *distinct hash set* is small. At 100 TB the corpus
+    hash column is the thing to persist (a slim `content_hashes` table
+    bucketed by hash) so each incremental batch joins against ~3% of the
+    corpus bytes rather than re-hashing it.
+    """
+    content = F.trim(F.col(text_col)) if normalize else F.col(text_col)
+    h = F.md5(content)
+    corpus_hashes = corpus_df.select(h.alias("__h")).distinct()
+    return (
+        new_df.withColumn("__h", h)
+        .join(corpus_hashes, "__h", "left_anti")
+        .drop("__h")
+    )

@@ -2399,6 +2399,113 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): per (flag,status),
+    per flag, and grand total in ONE pass — Spark expands to a single
+    Expand+HashAggregate, not three scans. GROUPING() flags disambiguate
+    aggregation nulls from data nulls."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: new batch (doc_id >= 400) anti-joined
+    against the accumulated corpus (doc_id < 400) by content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") >= 400)
+    corpus = docs.where(F.col("doc_id") < 400)
+    out = dedup.dedup_against_corpus(new_batch, corpus)
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_CORPUS_DEDUP = """
+SELECT doc_id, lang, source
+FROM documents d
+WHERE doc_id >= 400
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id < 400 AND md5(trim(c.text)) = md5(trim(d.text))
+  )
+"""
+
+
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted set aggregation to arrays: per market segment, the ordered
+    distinct order-priorities. collect_set is partial-aggregable (map-side
+    sets merge), sort_array makes the result deterministic for comparison."""
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+SQL_ARRAY_AGG_SORTED = """
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals per customer: cumulative order spend, order sequence
+    number, and first order date — unbounded-preceding window frames over a
+    decimal-cast sum (association-order-proof)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(cum), 2)
+        .cast("double")
+        .alias("cum_spend"),
+        F.first_value(F.col("o_orderdate")).over(cum).alias("first_order_date"),
+    )
+
+
+SQL_CUMULATIVE_SPEND = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS cum_spend,
+       FIRST_VALUE(o_orderdate) OVER w AS first_order_date
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2433,6 +2540,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_idf": q_tf_idf,
     "stratified_sample": q_stratified_sample,
     "events_trailing_window": q_events_trailing_window,
+    "grouping_sets": q_grouping_sets,
+    "corpus_dedup": q_corpus_dedup,
+    "array_agg_sorted": q_array_agg_sorted,
+    "cumulative_spend": q_cumulative_spend,
     "percent_rank": q_percent_rank,
     "levenshtein_pairs": q_levenshtein_pairs,
     "stats_agg": q_stats_agg,
@@ -2533,6 +2644,10 @@ ORACLES: dict[str, str] = {
     "tf_idf": SQL_TF_IDF,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_trailing_window": SQL_EVENTS_TRAILING_WINDOW,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "corpus_dedup": SQL_CORPUS_DEDUP,
+    "array_agg_sorted": SQL_ARRAY_AGG_SORTED,
+    "cumulative_spend": SQL_CUMULATIVE_SPEND,
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,

@@ -30,6 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import posixpath
 import shutil
 from typing import Any
 from urllib.parse import urlparse
@@ -400,3 +401,87 @@ def load_star(spark: SparkSession, sf_dir: str, tables: list[str] | None = None)
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    bad_records_col: str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """CSV ingestion (the reference reads Delta only — common.py:448; raw-file
+    ingestion is table stakes for a lakehouse, so it's first-class here).
+
+    Pass an explicit ``schema`` DDL string in production: schema inference
+    costs a full extra pass over the files — at 100 TB that's a second scan
+    before the first real job. With ``bad_records_col`` set, malformed lines
+    land in that column (PERMISSIVE) instead of failing the job; without it,
+    FAILFAST surfaces bad data at read time rather than as silent nulls.
+    """
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(
+            schema if bad_records_col is None else f"{schema}, {bad_records_col} STRING"
+        )
+        reader = reader.option(
+            "mode", "PERMISSIVE" if bad_records_col else "FAILFAST"
+        )
+        if bad_records_col:
+            reader = reader.option("columnNameOfCorruptRecord", bad_records_col)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    bad_records_col: str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """JSON-Lines ingestion; same schema/corrupt-record contract as
+    :func:`read_csv`. (Multi-line JSON documents need ``multiLine=True`` —
+    note that multiLine makes each FILE one record, killing input-split
+    parallelism; at scale, always prefer JSONL.)"""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(
+            schema if bad_records_col is None else f"{schema}, {bad_records_col} STRING"
+        )
+        reader = reader.option(
+            "mode", "PERMISSIVE" if bad_records_col else "FAILFAST"
+        )
+        if bad_records_col:
+            reader = reader.option("columnNameOfCorruptRecord", bad_records_col)
+    return reader.json(path)
+
+
+def export_files(
+    lakehouse: Lakehouse,
+    name: str,
+    df: DataFrame,
+    fmt: str = "csv",
+    single_file: bool = False,
+    **options: Any,
+) -> dict[str, Any]:
+    """Export a DataFrame under ``{source}/Files/{name}`` as csv/json/parquet —
+    the interchange sink (Delta/parquet under Tables/ stays the analytic
+    format; Files/ is for handing data to external consumers, mirroring the
+    reference lakehouse's Tables/Files split, common.py:313-327).
+
+    ``single_file=True`` coalesces to one output file — only for small
+    exports (it serializes the final write); large exports keep one file per
+    partition.
+    """
+    if fmt not in ("csv", "json", "parquet"):
+        raise ValueError(f"unsupported export format: {fmt!r}")
+    path = posixpath.join(lakehouse.files_path, name)
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.format(fmt).mode("overwrite").options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    return {"name": name, "path": path, "format": fmt}

@@ -303,3 +303,28 @@ class TestMultimodalFeatures:
         assert 0 < r.scale <= 224 / 64       # width/height >= 64 in the stub
         assert r.pad_x >= 0 and r.pad_y >= 0
         assert min(r.pad_x, r.pad_y) == 0    # letterbox pads only one axis
+
+
+class TestCorpusDedup:
+    def test_planted_duplicates_removed(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "hello world")], ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [
+                (10, "the quick brown fox"),      # exact dup of corpus 1
+                (11, "  hello world  "),          # dup modulo trim
+                (12, "a genuinely new document"),
+            ],
+            ["doc_id", "text"])
+        kept = {r.doc_id for r in dedup.dedup_against_corpus(new, corpus).collect()}
+        assert kept == {12}
+
+    def test_no_normalize_keeps_whitespace_variant(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        corpus = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+        new = spark.createDataFrame([(10, "  hello world  ")], ["doc_id", "text"])
+        kept = dedup.dedup_against_corpus(new, corpus, normalize=False).count()
+        assert kept == 1

@@ -275,3 +275,55 @@ class TestWriteView:
             spark, lh, "nations_per_region", "SELECT COUNT(*) AS n FROM {table}"
         )
         assert back.first().n == summary.count()
+
+
+class TestCsvJsonIngestion:
+    def test_csv_roundtrip_with_schema(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("x", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        info = lio.export_files(lh, "nation_csv", nation, fmt="csv")
+        back = lio.read_csv(
+            spark, info["path"],
+            schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+        assert sorted(r.n_nationkey for r in back.collect()) == list(range(25))
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in nation.schema.fields
+        ]
+
+    def test_json_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("x", tempfile.mkdtemp())
+        region = lio.load_table(spark, sf_dir, "region")
+        info = lio.export_files(lh, "region_json", region, fmt="json", single_file=True)
+        back = lio.read_json(
+            spark, info["path"], schema="r_regionkey BIGINT, r_name STRING")
+        assert {r.r_name for r in back.collect()} == {
+            r.r_name for r in region.collect()}
+
+    def test_bad_csv_records_quarantined(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("a,b\n1,2\nnot_an_int,5\n3,4\n")
+        df = lio.read_csv(
+            spark, str(p), schema="a INT, b INT", bad_records_col="_bad")
+        rows = df.collect()
+        good = [r for r in rows if r._bad is None]
+        bad = [r for r in rows if r._bad is not None]
+        assert len(good) == 2 and len(bad) == 1
+        assert "not_an_int" in bad[0]._bad
+
+    def test_failfast_without_quarantine(self, spark, tmp_path):
+        p = tmp_path / "bad2.csv"
+        p.write_text("a,b\n1,2\nnope,5\n")
+        with pytest.raises(Exception, match="Malformed|FAILFAST"):
+            lio.read_csv(spark, str(p), schema="a INT, b INT").collect()
+
+    def test_unsupported_export_format(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("x", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        with pytest.raises(ValueError, match="unsupported export"):
+            lio.export_files(lh, "nope", nation, fmt="avro")
