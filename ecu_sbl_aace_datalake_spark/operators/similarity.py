@@ -323,3 +323,39 @@ def lsh_topk(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str = "query_id",
+    corpus_size: int | None = None,
+    brute_force_threshold: int = 100_000,
+    ivf_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Similarity-search dispatcher: exact brute force below
+    ``brute_force_threshold`` corpus rows, IVF above it.
+
+    Measured crossover (SCALING.md): under ~10⁵ vectors a single broadcast
+    map-side scan beats any index — bucketing overhead dominates. Above it,
+    IVF probes ``n_probe``/``ivf_clusters`` of the corpus per query. Pass
+    ``corpus_size`` when known (e.g. from table stats) to skip the count();
+    at real scale the caller should also persist the cluster assignment as a
+    partition column (NEXT.md: probes become partition-pruned scans) instead
+    of re-fitting here.
+    """
+    n = corpus_size if corpus_size is not None else corpus.count()
+    if n <= brute_force_threshold:
+        return cosine_topk(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+            query_id_col=query_id_col,
+        )
+    centroids = kmeans_fit(corpus, id_col=id_col, vec_col=vec_col, k=ivf_clusters)
+    return ivf_topk(
+        corpus, queries, centroids, id_col=id_col, vec_col=vec_col, k=k,
+        n_probe=n_probe, query_id_col=query_id_col,
+    )

@@ -76,3 +76,83 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
         F.round(F.sum("value"), 6).alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the richer state API (ValueState /
+# MapState / timers) — NEXT.md item 8.
+# --------------------------------------------------------------------------
+
+TYPE_COUNTS_SCHEMA = "user_id long, n_event_types int, n_events long"
+
+
+class _UserTypeCounts:
+    """Per-user event-type histogram held in MapState (type → count).
+
+    Unlike applyInPandasWithState's single value blob, MapState gives
+    per-entry point updates — the state store only rewrites touched keys,
+    which is what keeps billions of (user × type) cells viable: state is
+    partitioned by user across executors and only this batch's entries are
+    written per micro-batch.
+    """
+
+    def init(self, handle):
+        self._counts = handle.getMapState(
+            "type_counts", "t string", "n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        for pdf in rows:
+            for t, n in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((t,)) if self._counts.containsKey((t,)) else None
+                )
+                base = prev[0] if prev is not None else 0
+                self._counts.updateValue((t,), (base + int(n),))
+        items = list(self._counts.iterator())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_event_types": [len(items)],
+                "n_events": [sum(v[0] for _, v in items)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_type_counts(events: DataFrame) -> DataFrame:
+    """Per-user distinct-event-type and total-event counts via Spark 4's
+    transformWithState (MapState). STREAM-ONLY; the batch oracle is
+    :func:`running_type_counts_batch`.
+
+    Requires ``protobuf`` (the transformWithState Python runner imports it)
+    and the RocksDB state store provider — the e2e test skips when protobuf
+    is absent from the environment; the operator itself is complete."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass created here so importing this module never requires the
+    # streaming-state machinery outside a streaming context
+    proc = type("UserTypeCounts", (_UserTypeCounts, StatefulProcessor), {})()
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=TYPE_COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def running_type_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent of :func:`running_type_counts`'s final state."""
+    return events.groupBy("user_id").agg(
+        F.count_distinct("event_type").cast("int").alias("n_event_types"),
+        F.count("*").alias("n_events"),
+    )

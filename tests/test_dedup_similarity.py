@@ -328,3 +328,34 @@ class TestCorpusDedup:
         new = spark.createDataFrame([(10, "  hello world  ")], ["doc_id", "text"])
         kept = dedup.dedup_against_corpus(new, corpus, normalize=False).count()
         assert kept == 1
+
+
+class TestTopkAuto:
+    def test_small_corpus_is_exact(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        auto = similarity.topk_auto(emb, queries, k=5)
+        exact = similarity.cosine_topk(emb, queries, k=5)
+        assert sorted(map(tuple, auto.select("query_id", "vec_id").collect())) == \
+            sorted(map(tuple, exact.select("query_id", "vec_id").collect()))
+
+    def test_threshold_routes_to_ivf(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.limit(2).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        # force the IVF path by lowering the threshold; results must still
+        # contain k neighbors per query with valid scores
+        out = similarity.topk_auto(
+            emb, queries, k=5, brute_force_threshold=1,
+            ivf_clusters=4, n_probe=4).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert all(len(v) == 5 for v in by_q.values())
