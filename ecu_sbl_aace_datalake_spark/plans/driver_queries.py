@@ -2506,6 +2506,73 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view): token with its offset per doc —
+    the chunking/alignment primitive. Narrow per-row expansion, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+    return docs.select(
+        "doc_id",
+        F.posexplode(textstats.tokens("text")).alias("pos", "token"),
+    )
+
+
+SQL_POSEXPLODE_TOKENS = """
+SELECT doc_id, pos, token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(arr, (x, i) -> {'pos': i - 1, 'token': x}),
+                recursive := true)
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+    FROM documents WHERE doc_id < 5
+  )
+)
+WHERE token <> ''
+"""
+
+
+def q_median_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark's median == DuckDB's
+    quantile_cont 0.5). Exact medians need the group's values together —
+    one shuffle; the approx_percentile variant is the no-sort scale path."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_acctbal"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_MEDIAN_BY_SEGMENT = """
+SELECT c_mktsegment, ROUND(median(c_acctbal), 4) AS median_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_multiset_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): customer nation memberships minus
+    supplier nation memberships, preserving multiplicity — the per-nation
+    surplus of customers over suppliers, then folded to counts."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cust.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("surplus"))
+    )
+
+
+SQL_MULTISET_NATION_BALANCE = """
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS surplus
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+GROUP BY nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2544,6 +2611,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dedup": q_corpus_dedup,
     "array_agg_sorted": q_array_agg_sorted,
     "cumulative_spend": q_cumulative_spend,
+    "posexplode_tokens": q_posexplode_tokens,
+    "median_by_segment": q_median_by_segment,
+    "multiset_nation_balance": q_multiset_nation_balance,
     "percent_rank": q_percent_rank,
     "levenshtein_pairs": q_levenshtein_pairs,
     "stats_agg": q_stats_agg,
@@ -2648,6 +2718,9 @@ ORACLES: dict[str, str] = {
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "array_agg_sorted": SQL_ARRAY_AGG_SORTED,
     "cumulative_spend": SQL_CUMULATIVE_SPEND,
+    "posexplode_tokens": SQL_POSEXPLODE_TOKENS,
+    "median_by_segment": SQL_MEDIAN_BY_SEGMENT,
+    "multiset_nation_balance": SQL_MULTISET_NATION_BALANCE,
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,
