@@ -344,6 +344,18 @@ def compact_table(
         # coalesce (no shuffle) is enough to merge files; repartition would
         # add an exchange only to re-split — unnecessary for pure compaction
         df.coalesce(n_out).write.format(fmt).mode("overwrite").save(tmp)
+    _atomic_swap(spark, path, tmp)
+    after = table_file_stats(spark, lakehouse, table_name)
+    return {"before": before, "after": after, "target_files": n_out}
+
+
+def _atomic_swap(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace the table dir at ``path`` with ``tmp`` via rename — readers
+    mid-swap see old or new, never half."""
+    import os
+    import shutil
+    import uuid
+
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
         old, new = parsed.path or path, urlparse(tmp).path or tmp
@@ -360,8 +372,43 @@ def compact_table(
         fs.rename(jvm.org.apache.hadoop.fs.Path(path), back)
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
         fs.delete(back, True)
+
+
+def cluster_table(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    by: str | list[str],
+    n_files: int | None = None,
+    fmt: str = DEFAULT_FORMAT,
+) -> dict[str, Any]:
+    """Sort-clustered rewrite — the CLUSTER BY / (1-D) Z-ORDER of this
+    engine: range-repartition on the clustering key(s), sort within each
+    partition, rewrite, atomic swap.
+
+    After the rewrite every file covers a narrow, non-overlapping range of
+    the key, so parquet footer min/max stats (or Delta per-file stats) let a
+    filter on that key skip whole files/row-groups instead of scanning the
+    table. This is what makes selective queries on a 100 TB fact table read
+    gigabytes, not terabytes — compaction fixes file COUNT,
+    clustering fixes file RANGES; run both.
+
+    The range partitioner samples the key distribution, so skewed keys
+    still produce balanced files. Returns before/after stats.
+    """
+    cols = [by] if isinstance(by, str) else list(by)
+    before = table_file_stats(spark, lakehouse, table_name)
+    path = table_path(lakehouse, table_name)
+    df = read_path(spark, path, fmt)
+    n_out = n_files or max(1, before["n_files"])
+    out = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+    import uuid
+
+    tmp = f"{path}__cluster_{uuid.uuid4().hex}"
+    out.write.format(fmt).mode("overwrite").save(tmp)
+    _atomic_swap(spark, path, tmp)
     after = table_file_stats(spark, lakehouse, table_name)
-    return {"before": before, "after": after, "target_files": n_out}
+    return {"before": before, "after": after, "clustered_by": cols, "files": n_out}
 
 
 def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:

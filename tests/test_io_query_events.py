@@ -327,3 +327,35 @@ class TestCsvJsonIngestion:
         nation = lio.load_table(spark, sf_dir, "nation")
         with pytest.raises(ValueError, match="unsupported export"):
             lio.export_files(lh, "nope", nation, fmt="avro")
+
+
+class TestClusterTable:
+    def test_clustered_files_have_disjoint_key_ranges(self, spark, sf_dir):
+        import glob
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        lh = Lakehouse("c", tempfile.mkdtemp())
+        li = lio.load_table(spark, sf_dir, "lineitem")
+        # scatter the key across 6 files (worst case: every file spans the
+        # full key range → zero skipping possible)
+        lio.write_table(lh, "lineitem", li.repartition(6))
+        out = lio.cluster_table(spark, lh, "lineitem", by="l_orderkey", n_files=6)
+        assert out["after"]["n_files"] >= 4
+
+        ranges = []
+        for f in glob.glob(f"{lh.tables_path}/lineitem/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("l_orderkey")
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        ranges.sort()
+        # consecutive files must not interleave: file i's max <= file i+1's min
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (ranges,)
+
+        # content unchanged by the rewrite
+        back = lio.read_path(spark, f"{lh.tables_path}/lineitem", "parquet")
+        assert back.count() == li.count()
