@@ -38,6 +38,14 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "doc_chunking",
     "pii_redaction",
+    "volume_shipping",
+    "returned_items",
+    "waiting_suppliers",
+    "tf_idf",
+    "corpus_dedup",
+    "stratified_sample",
+    "cumulative_spend",
+    "events_trailing_window",
 ]
 
 
