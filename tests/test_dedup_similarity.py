@@ -359,3 +359,33 @@ class TestTopkAuto:
         for r in out:
             by_q.setdefault(r.query_id, []).append(r)
         assert all(len(v) == 5 for v in by_q.values())
+
+
+class TestIvfPersistence:
+    def test_persisted_probe_matches_inline_ivf(self, spark, sf_dir):
+        import glob
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.kmeans_fit(emb, k=4, max_iter=3)
+        lh = Lakehouse("ivf", tempfile.mkdtemp())
+        similarity.persist_ivf_index(emb, lh, "emb_ivf", centroids)
+        # physical layout: one dir per cluster id
+        dirs = glob.glob(f"{lh.tables_path}/emb_ivf/ivf_cluster=*")
+        assert len(dirs) == 4, dirs
+
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        from_index = similarity.ivf_topk_from_index(
+            spark, lh, "emb_ivf", queries, centroids, k=5, n_probe=2)
+        inline = similarity.ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+        assert sorted(map(tuple, from_index.collect())) == \
+            sorted(map(tuple, inline.collect()))
+
+        # the probe scan must be partition-pruned on the cluster column
+        plan = from_index._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cluster" in plan
