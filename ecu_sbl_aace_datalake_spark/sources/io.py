@@ -532,3 +532,31 @@ def export_files(
         writer = writer.option("header", "true")
     writer.save(path)
     return {"name": name, "path": path, "format": fmt}
+
+
+def vacuum_orphans(lakehouse: Lakehouse, dry_run: bool = False) -> list[str]:
+    """Remove orphaned rewrite artifacts under ``Tables/``: the
+    ``__compact_*`` / ``__cluster_*`` staging dirs and ``__old_*`` backups
+    that an interrupted :func:`compact_table`/:func:`cluster_table` can
+    leave behind (the swap itself is atomic; the cleanup after it isn't).
+
+    The VACUUM of this engine's parquet path (Delta has its own). Matches
+    ONLY the engine's own suffix conventions — never user tables. Returns
+    the removed (or, with ``dry_run``, would-be-removed) paths.
+    """
+    import os
+    import re
+    import shutil
+
+    pat = re.compile(r"__(compact|cluster|old)_[0-9a-f]{32}$")
+    root = urlparse(lakehouse.tables_path).path or lakehouse.tables_path
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    for entry in sorted(os.listdir(root)):
+        if pat.search(entry):
+            full = os.path.join(root, entry)
+            removed.append(full)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
+    return removed

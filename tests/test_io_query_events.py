@@ -359,3 +359,25 @@ class TestClusterTable:
         # content unchanged by the rewrite
         back = lio.read_path(spark, f"{lh.tables_path}/lineitem", "parquet")
         assert back.count() == li.count()
+
+
+class TestVacuumOrphans:
+    def test_removes_only_engine_artifacts(self, spark, sf_dir, tmp_path):
+        import os
+
+        lh = Lakehouse("v", str(tmp_path))
+        nation = lio.load_table(spark, sf_dir, "nation")
+        lio.write_table(lh, "nation", nation)
+        h = "a" * 32
+        for d in (f"nation__compact_{h}", f"nation__old_{h}", f"other__cluster_{h}"):
+            os.makedirs(os.path.join(lh.tables_path, d))
+        would = lio.vacuum_orphans(lh, dry_run=True)
+        assert len(would) == 3
+        assert lio.list_tables(spark, lh) != []  # dry run touched nothing
+        removed = lio.vacuum_orphans(lh)
+        assert len(removed) == 3
+        assert sorted(os.listdir(lh.tables_path)) == ["nation"]
+
+    def test_noop_on_missing_root(self, tmp_path):
+        lh = Lakehouse("v", str(tmp_path / "nowhere"))
+        assert lio.vacuum_orphans(lh) == []
