@@ -2574,6 +2574,233 @@ GROUP BY nationkey
 
 
 # --------------------------------------------------------------------------
+# remaining TPC-H subquery topologies (Q2/Q9/Q11/Q16/Q20 shapes, adapted to
+# the fixtures' star — no partsupp table, so unit supply cost derives from
+# lineitem as min(extendedprice/quantity) per (part, supplier))
+# --------------------------------------------------------------------------
+
+_SQL_MIN_COST_SUPPLIER_BODY = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM {lineitem} GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       ROUND(ps_supplycost, 2) AS supplycost
+FROM {part}
+JOIN supply        ON p_partkey = ps_partkey
+JOIN {supplier} s1 ON s1.s_suppkey = ps_suppkey
+JOIN {nation} n1   ON n1.n_nationkey = s1.s_nationkey
+JOIN {region} r1   ON r1.r_regionkey = n1.n_regionkey
+WHERE p_type = 'LARGE' AND p_size <= 15 AND r1.r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(s2.ps_supplycost)
+    FROM supply s2
+    JOIN {supplier} sp2 ON sp2.s_suppkey = s2.ps_suppkey
+    JOIN {nation} n2    ON n2.n_nationkey = sp2.s_nationkey
+    JOIN {region} r2    ON r2.r_regionkey = n2.n_regionkey
+    WHERE s2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part via a
+    correlated scalar MIN-subquery over the derived supply table. Catalyst
+    decorrelates the subquery into an aggregate + join on ps_partkey; the
+    supply CTE aggregates lineitem once per side, and the 5-row region /
+    25-row nation / 100-row supplier dims all broadcast. At 100 TB the only
+    heavy ops are the two lineitem→supply aggregations (map-side partials on
+    (partkey, suppkey)); everything after runs on dim-sized data."""
+    dfs = [_t(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation", "region")]
+    names = ["q2_lineitem", "q2_part", "q2_supplier", "q2_nation", "q2_region"]
+    return sql_over(
+        spark,
+        dfs,
+        names,
+        _SQL_MIN_COST_SUPPLIER_BODY.format(
+            lineitem="q2_lineitem", part="q2_part", supplier="q2_supplier",
+            nation="q2_nation", region="q2_region",
+        ),
+    )
+
+
+SQL_MIN_COST_SUPPLIER = _SQL_MIN_COST_SUPPLIER_BODY.format(
+    lineitem="lineitem", part="part", supplier="supplier",
+    nation="nation", region="region",
+)
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation per-year profit on one product family
+    (cost proxied as 60% of retail price — fixtures carry no ps_supplycost).
+    Five-way join where the p_name LIKE filter prunes part BEFORE the join
+    (≈13% of parts), shrinking the lineitem↔part hash join's build side;
+    supplier/nation broadcast; the final groupBy runs on (nation, year) —
+    dozens of groups — after map-side partial aggregation. Decimal-cast
+    per-term so the multi-row double sum is rounding-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+_SQL_IMPORTANT_PART_VALUE_BODY = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS part_value
+  FROM {lineitem}
+  JOIN {supplier} ON l_suppkey = s_suppkey
+  JOIN {nation}   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val
+WHERE part_value > (
+  SELECT SUM(part_value) * CAST(0.001 AS DECIMAL(10,6)) FROM val
+)
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose one-nation line value exceeds a fraction
+    of the nation's total — a scalar subquery aggregating the SAME CTE the
+    outer query filters. Spark plans val once per consumer (two lineitem
+    aggregations); the subquery side reduces to ONE row broadcast into the
+    filter. All arithmetic stays in exact decimal on both engines so the
+    threshold comparison has no float boundary."""
+    dfs = [_t(spark, sf_dir, n) for n in ("lineitem", "supplier", "nation")]
+    names = ["q11_lineitem", "q11_supplier", "q11_nation"]
+    return sql_over(
+        spark,
+        dfs,
+        names,
+        _SQL_IMPORTANT_PART_VALUE_BODY.format(
+            lineitem="q11_lineitem", supplier="q11_supplier", nation="q11_nation"
+        ),
+    )
+
+
+SQL_IMPORTANT_PART_VALUE = _SQL_IMPORTANT_PART_VALUE_BODY.format(
+    lineitem="lineitem", supplier="supplier", nation="nation"
+)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    excluding blacklisted suppliers via NOT IN. Catalyst turns the NOT IN
+    into a null-aware anti join against the 100-row supplier subquery
+    (broadcast); COUNT(DISTINCT l_suppkey) expands to a two-phase
+    distinct-then-count aggregate keyed on the group columns — no global
+    shuffle of raw lineitem beyond the (brand,type,size,suppkey) partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+_SQL_PROMOTION_SUPPLIERS_BODY = """
+SELECT s_name, s_acctbal
+FROM {supplier}
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM {lineitem} l1
+    WHERE l1.l_partkey IN (
+        SELECT p_partkey FROM {part} WHERE p_name LIKE 'small%'
+      )
+      AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING SUM(l1.l_quantity) > 0.5 * (
+      SELECT SUM(l2.l_quantity) FROM {lineitem} l2
+      WHERE l2.l_partkey = l1.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+  )
+"""
+
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominated (>50% of shipped quantity)
+    some 'small%' part in 1996 — nested IN subqueries with a correlated
+    scalar aggregate inside HAVING. Catalyst decorrelates the inner SUM into
+    a per-part aggregate joined back on l_partkey; the part-name IN becomes
+    a broadcast semi join; the outer supplier IN a semi join on the ~100-row
+    qualifying set. Quantities are integral doubles so both engines compare
+    exact sums — no float boundary on the 0.5 threshold."""
+    dfs = [_t(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "nation")]
+    names = ["q20_lineitem", "q20_part", "q20_supplier", "q20_nation"]
+    return sql_over(
+        spark,
+        dfs,
+        names,
+        _SQL_PROMOTION_SUPPLIERS_BODY.format(
+            lineitem="q20_lineitem", part="q20_part",
+            supplier="q20_supplier", nation="q20_nation",
+        ),
+    )
+
+
+SQL_PROMOTION_SUPPLIERS = _SQL_PROMOTION_SUPPLIERS_BODY.format(
+    lineitem="lineitem", part="part", supplier="supplier", nation="nation"
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2682,6 +2909,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_profit": q_product_profit,
+    "important_part_value": q_important_part_value,
+    "supplier_part_counts": q_supplier_part_counts,
+    "promotion_suppliers": q_promotion_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2776,4 +3008,9 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "product_profit": SQL_PRODUCT_PROFIT,
+    "important_part_value": SQL_IMPORTANT_PART_VALUE,
+    "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
+    "promotion_suppliers": SQL_PROMOTION_SUPPLIERS,
 }
