@@ -163,3 +163,44 @@ class TestTpchJoinTopologies:
         # pure filter: no exchange at all
         assert "Exchange" not in a.plan
         assert a.python_udf_nodes == 0
+
+
+class TestSubqueryTopologies:
+    """Q2/Q9/Q11/Q16/Q20 shapes: Catalyst must decorrelate every subquery
+    into joins/aggregates — no nested-loop re-execution per outer row — and
+    the dims must broadcast with predicates at the scans."""
+
+    def test_min_cost_supplier_decorrelated(self, audits):
+        a = audits("min_cost_supplier")
+        # correlated MIN subquery → aggregate + join, dims broadcast
+        assert a.cartesian_products == 0
+        assert a.broadcast_joins >= 2
+        assert a.has_pushed_filter("p_type")
+        assert a.has_pushed_filter("r_name")
+
+    def test_product_profit_part_filter_before_join(self, audits):
+        a = audits("product_profit")
+        assert a.has_pushed_filter("p_name")  # LIKE '%red%' → StringContains
+        assert a.cartesian_products == 0
+        assert a.python_udf_nodes == 0
+
+    def test_important_part_value_scalar_subquery(self, audits):
+        a = audits("important_part_value")
+        # threshold is a scalar subquery, not a per-row re-aggregation
+        assert a.cartesian_products == 0
+        assert a.broadcast_joins >= 1  # 100-row supplier dim
+        assert a.has_pushed_filter("n_name")
+
+    def test_supplier_part_counts_anti_join(self, audits):
+        a = audits("supplier_part_counts")
+        # NOT IN → null-aware anti join against the tiny supplier subquery
+        assert a.cartesian_products == 0
+        for c in ("p_brand", "p_type", "p_size"):
+            assert a.has_pushed_filter(c), c
+
+    def test_promotion_suppliers_having_decorrelated(self, audits):
+        a = audits("promotion_suppliers")
+        # correlated SUM inside HAVING → per-part aggregate joined back
+        assert a.cartesian_products == 0
+        assert a.has_pushed_filter("l_shipdate")
+        assert a.python_udf_nodes == 0
