@@ -83,14 +83,26 @@ def with_hashed_embedding_fast(
     ) + f", {out_col} array<double>"
     token_re = _re.compile(r"[a-z0-9]+")
 
+    hash_memo: dict[str, tuple[int, float]] = {}
+
+    def tok_hash(t: str) -> tuple[int, float]:
+        # token vocabularies are heavy-tailed: memoizing per-worker turns
+        # the md5 into a dict hit for all but the first occurrence
+        hit = hash_memo.get(t)
+        if hit is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            hit = (h % dim, 1.0 if (h >> 62) & 1 else -1.0)
+            hash_memo[t] = hit
+        return hit
+
     def embed_one(text: str) -> list[float]:
         toks = token_re.findall((text or "").lower())
         if not toks:
             return [0.0] * dim
         vec = np.zeros(dim)
         for t in toks:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-            vec[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
+            bucket, sign = tok_hash(t)
+            vec[bucket] += sign
         n = float(np.sqrt((vec * vec).sum()))
         return (vec / n).tolist() if n else vec.tolist()
 

@@ -1284,11 +1284,14 @@ def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; semantics covered by unit tests)."""
     from ..functions.embed import with_hashed_embedding_fast
 
-    docs = dedup.ensure_parallelism(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    )
-    embedded = with_hashed_embedding_fast(docs, dim=64).select("doc_id", "embedding")
-    queries = embedded.where(F.col("doc_id") < 3).select(
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = with_hashed_embedding_fast(
+        dedup.ensure_parallelism(docs), dim=64
+    ).select("doc_id", "embedding")
+    # embed the 3 query docs from a pre-filtered input: a doc_id predicate
+    # cannot push through mapInPandas, so filtering first avoids re-embedding
+    # the whole corpus for the broadcast side
+    queries = with_hashed_embedding_fast(docs.where(F.col("doc_id") < 3), dim=64).select(
         F.col("doc_id").alias("query_id"), "embedding"
     )
     return similarity.cosine_topk(
