@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "percentiles",
     "shipping_priority",
     "local_supplier_volume",
+    "sequence_packing",
+    "min_cost_supplier",
+    "promotion_suppliers",
     "doc_chunking",
     "pii_redaction",
     "volume_shipping",

@@ -1,0 +1,131 @@
+"""Sequence packing: group documents into fixed token-budget packs for LLM
+training batches (north-star training-pipeline op, SURVEY.md §2.13 family).
+
+Two strategies, matching the two ways production pipelines pack:
+
+- :func:`chunk_pack` — concat-then-chunk. Documents are laid out in a
+  deterministic order inside each shard and cut into packs at exact
+  cumulative-token boundaries (documents may straddle a boundary, as when
+  the corpus is concatenated and split every ``budget`` tokens). Pure
+  window arithmetic: expressible in ANSI SQL, so it carries a DuckDB
+  oracle.
+- :func:`greedy_pack` — whole-document first-fit. Documents never split:
+  a pack closes when the next document would overflow the budget. A
+  running-reset scan, not window-expressible — implemented per shard with
+  ``applyInPandas``; invariants (no overflow except oversized singletons,
+  contiguity, completeness) are unit-tested.
+
+Scale posture: both partition by the shard column(s) — one shuffle on the
+shard key — and never collect. Pack ids are shard-local; the (shard,
+pack_id) pair is globally unique, so no global sequence bottleneck exists
+at 100 TB. Shards are independent; skewed shards can be salted upstream
+with :mod:`.skew` helpers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
+) -> DataFrame:
+    """Whitespace token count per document (the packing currency);
+    0 for null text (size(null) is -1 in non-ANSI Spark, so guard the
+    null before, not after, the size call)."""
+    c = F.col(text_col)
+    return df.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(0)).otherwise(F.size(tokens(text_col))),
+    )
+
+
+def chunk_pack(
+    df: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str] = ("source",),
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each document to pack ``floor(exclusive_cumsum(tokens) /
+    budget)`` within its shard, documents ordered by ``order_col``.
+
+    This is concat-and-cut semantics: pack k holds the documents whose
+    first token falls in ``[k*budget, (k+1)*budget)`` of the shard's
+    concatenated token stream. One window over (shard, order) — a single
+    shuffle on the shard key, each shard sorted independently.
+    """
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(out_col, F.floor(prior / F.lit(budget)))
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str] = ("source",),
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Whole-document sequential first-fit: walk each shard in
+    ``order_col`` order; start a new pack whenever adding the next document
+    would exceed ``budget``. A document larger than the budget gets a pack
+    of its own (never split, never dropped).
+
+    The running reset makes this non-window-expressible; each shard is a
+    single ``applyInPandas`` group (shards are bounded by construction —
+    they are the unit a trainer consumes, not the whole corpus).
+    """
+    import pandas as pd
+
+    shard_cols = list(shard_cols)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} bigint"
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        pack_ids = []
+        pack, used = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                pack += 1
+                used = 0
+            pack_ids.append(pack)
+            used += t
+        pdf[out_col] = pd.Series(pack_ids, dtype="int64")
+        return pdf
+
+    return df.groupBy(*shard_cols).applyInPandas(pack_shard, schema=schema)
+
+
+def pack_summary(
+    packed: DataFrame,
+    budget: int,
+    shard_cols: Sequence[str] = ("source",),
+    token_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Per-pack roll-up: document count, token total, fill ratio — the
+    packing-efficiency report a training pipeline monitors."""
+    return (
+        packed.groupBy(*shard_cols, pack_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_col).alias("sum_tokens"),
+            F.round(F.sum(token_col) / F.lit(budget), 4).alias("fill_ratio"),
+        )
+    )

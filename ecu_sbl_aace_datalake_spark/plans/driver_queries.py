@@ -2577,6 +2577,61 @@ GROUP BY nationkey
 
 
 # --------------------------------------------------------------------------
+# training-pipeline: sequence packing (fixed token-budget training batches)
+# --------------------------------------------------------------------------
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: per source shard, documents in
+    doc_id order are cut into 512-token packs at exact cumulative
+    boundaries; output the per-pack roll-up (docs, tokens, fill ratio).
+    One shuffle on the shard key; pack ids are shard-local so no global
+    sequence exists to bottleneck at 100 TB."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.chunk_pack(counted, budget=512)
+    return packing.pack_summary(packed, budget=512)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 0)
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+           AS BIGINT) AS pack_id
+  FROM counted
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+def q_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document first-fit packing (documents never split): the
+    running-reset scan runs per shard via applyInPandas; roll-up per pack.
+    Non-window-expressible → rows-only; invariants unit-tested."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.greedy_pack(counted, budget=256)
+    return packing.pack_summary(packed, budget=256)
+
+
+# --------------------------------------------------------------------------
 # remaining TPC-H subquery topologies (Q2/Q9/Q11/Q16/Q20 shapes, adapted to
 # the fixtures' star — no partsupp table, so unit supply cost derives from
 # lineitem as min(extendedprice/quantity) per (part, supplier))
@@ -2912,6 +2967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "sequence_packing": q_sequence_packing,
+    "greedy_packing": q_greedy_packing,
     "min_cost_supplier": q_min_cost_supplier,
     "product_profit": q_product_profit,
     "important_part_value": q_important_part_value,
@@ -3011,6 +3068,7 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "product_profit": SQL_PRODUCT_PROFIT,
     "important_part_value": SQL_IMPORTANT_PART_VALUE,

@@ -1,0 +1,120 @@
+"""Sequence-packing invariants: the properties a trainer relies on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ecu_sbl_aace_datalake_spark.operators import packing
+from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+BUDGET = 64
+
+
+@pytest.fixture(scope="module")
+def counted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return packing.with_token_count(docs).cache()
+
+
+class TestTokenCount:
+    def test_matches_whitespace_split(self, spark):
+        df = spark.createDataFrame(
+            [("a b  c",), ("  ",), ("one",), (None,)], ["text"]
+        )
+        got = [r.n_tokens for r in packing.with_token_count(df).collect()]
+        assert got == [3, 0, 1, 0]
+
+
+class TestGreedyPack:
+    def test_every_doc_assigned_once(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        assert packed.count() == counted.count()
+        assert packed.select("doc_id").distinct().count() == counted.count()
+
+    def test_no_pack_overflows_unless_singleton(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        bad = (
+            packed.groupBy("source", "pack_id")
+            .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("n"))
+            .where((F.col("tok") > BUDGET) & (F.col("n") > 1))
+        )
+        assert bad.count() == 0, bad.collect()[:5]
+
+    def test_pack_ids_dense_from_zero(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        per_shard = packed.groupBy("source").agg(
+            F.min("pack_id").alias("lo"),
+            F.max("pack_id").alias("hi"),
+            F.countDistinct("pack_id").alias("n"),
+        )
+        off = per_shard.where(
+            (F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)
+        )
+        assert off.count() == 0
+
+    def test_monotone_in_doc_order(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        regress = packed.withColumn("prev", F.lag("pack_id").over(w)).where(
+            F.col("prev").isNotNull() & (F.col("pack_id") < F.col("prev"))
+        )
+        assert regress.count() == 0
+
+    def test_oversized_doc_gets_own_pack(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, "s"), (2, 500, "s"), (3, 10, "s")],
+            ["doc_id", "n_tokens", "source"],
+        )
+        packed = {
+            r.doc_id: r.pack_id
+            for r in packing.greedy_pack(df, BUDGET, token_col="n_tokens").collect()
+        }
+        # doc 2 overflows any pack: alone; docs 1 and 3 in different packs
+        # (greedy is sequential, not bin-repacking)
+        assert packed[1] != packed[2] and packed[2] != packed[3]
+
+    def test_deterministic(self, counted):
+        a = sorted(
+            map(tuple, packing.greedy_pack(counted, BUDGET).collect())
+        )
+        b = sorted(
+            map(tuple, packing.greedy_pack(counted, BUDGET).collect())
+        )
+        assert a == b
+
+
+class TestChunkPack:
+    def test_boundaries_exact(self, spark):
+        df = spark.createDataFrame(
+            [(i, 30, "s") for i in range(10)], ["doc_id", "n_tokens", "source"]
+        )
+        packed = {
+            r.doc_id: r.pack_id
+            for r in packing.chunk_pack(df, 64, token_col="n_tokens").collect()
+        }
+        # exclusive cumsum: docs start at 0,30,60,90,... → packs 0,0,0,1,1,2,...
+        assert [packed[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 3, 3, 4]
+
+    def test_greedy_never_beats_chunk_fill(self, counted):
+        """Chunk packing (documents straddle boundaries) always yields
+        full packs except the last per shard — its pack count is a lower
+        bound for greedy's."""
+        chunk_n = (
+            packing.chunk_pack(counted, BUDGET)
+            .groupBy("source")
+            .agg(F.countDistinct("pack_id").alias("n"))
+        )
+        greedy_n = (
+            packing.greedy_pack(counted, BUDGET)
+            .groupBy("source")
+            .agg(F.countDistinct("pack_id").alias("n"))
+        )
+        worse = (
+            chunk_n.alias("c")
+            .join(greedy_n.alias("g"), "source")
+            .where(F.col("c.n") > F.col("g.n"))
+        )
+        assert worse.count() == 0
