@@ -141,6 +141,71 @@ def add_index_col(
     return out.select(*cols)
 
 
+def add_index_col_distributed(
+    df: DataFrame,
+    col_name: str = "index",
+    index_start: int = 0,
+    order_by: str | Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous global ids WITHOUT a single-partition window — the
+    fact-scale complement to :func:`add_index_col`.
+
+    Two-phase (the classic zipWithIndex shape, kept in the DataFrame API):
+
+    1. ``repartitionByRange`` on the order keys, so partition p holds keys
+       ≤ partition p+1's, then count rows per partition — ONE extra pass
+       producing one row per partition (collected: KBs even at 10⁵ tasks).
+    2. ``row_number()`` windowed per partition + the partition's cumulative
+       offset (a broadcast literal map) — fully parallel, no global sort
+       bottleneck.
+
+    Ids are ``index_start+1 … index_start+count`` in ``order_by`` order,
+    exactly like :func:`add_index_col`; ties at range-partition boundaries
+    get arbitrary-but-contiguous ids (same caveat as any row_number over a
+    non-total order). Cost: one extra job for the counts; at 100 TB this is
+    the difference between a 1000-task stage and one task sorting the world.
+
+    The ranged intermediate is locally checkpointed (MEMORY_AND_DISK)
+    because range-partition bounds come from sampling that is NOT
+    seed-stable across jobs — without pinning it, the counts pass and the
+    id pass could see different partitionings and silently mis-offset.
+    """
+    order_cols = (
+        [order_by] if isinstance(order_by, str)
+        else list(order_by) if order_by is not None
+        else [df.columns[0]]
+    )
+    keep = [c for c in df.columns if c.lower() != col_name.lower()]
+    out = df.select(*keep)
+    n_part = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    ranged = out.repartitionByRange(
+        n_part, *[F.col(c).asc() for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    counts = dict(
+        ranged.groupBy("__pid").count().orderBy("__pid")
+        .select("__pid", "count").collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = index_start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    out = (
+        ranged.withColumn(
+            col_name,
+            (F.row_number().over(w) + F.element_at(offset_map, F.col("__pid"))).cast("long"),
+        )
+        .drop("__pid")
+    )
+    return out.select(col_name, *keep)
+
+
 def rename_columns_with_prefix(df: DataFrame, prefix: str) -> DataFrame:
     """Prefix every column ``{prefix}_{col}`` (reference common.py:807-810)."""
     return df.toDF(*[f"{prefix}_{c}" for c in df.columns])

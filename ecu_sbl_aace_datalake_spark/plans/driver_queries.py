@@ -2576,6 +2576,24 @@ GROUP BY nationkey
 """
 
 
+def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids without a single-partition sort: range
+    partition on the key, per-partition row_number + broadcast offsets
+    (transform.add_index_col_distributed). o_orderkey is unique, so the
+    assignment is total-order deterministic and oracle-checkable."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return transform.add_index_col_distributed(
+        orders, "idx", order_by="o_orderkey", num_partitions=8
+    )
+
+
+SQL_ADD_INDEX_DISTRIBUTED = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS idx,
+       o_orderkey, o_totalprice
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # training-pipeline: sequence packing (fixed token-budget training batches)
 # --------------------------------------------------------------------------
@@ -2967,6 +2985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "add_index_distributed": q_add_index_distributed,
     "sequence_packing": q_sequence_packing,
     "greedy_packing": q_greedy_packing,
     "min_cost_supplier": q_min_cost_supplier,
@@ -3068,6 +3087,7 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "add_index_distributed": SQL_ADD_INDEX_DISTRIBUTED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "product_profit": SQL_PRODUCT_PROFIT,

@@ -64,6 +64,52 @@ class TestIndexCol:
         assert out.columns == ["idx", "v"]
 
 
+class TestIndexColDistributed:
+    def test_matches_global_row_number(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        got = transform.add_index_col_distributed(
+            orders, "idx", order_by="o_orderkey", num_partitions=8
+        )
+        rows = [(r.idx, r.o_orderkey) for r in got.orderBy("idx").collect()]
+        expected = [
+            (i + 1, k)
+            for i, k in enumerate(
+                sorted(r.o_orderkey for r in orders.collect())
+            )
+        ]
+        assert rows == expected
+
+    def test_contiguous_any_partition_count(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pyspark.sql.functions as F
+
+        cust = load_table(spark, sf_dir, "customer")
+        n = cust.count()
+        for parts in (1, 3, 16):
+            out = transform.add_index_col_distributed(
+                cust, "idx", index_start=10, order_by="c_custkey",
+                num_partitions=parts,
+            )
+            stats = out.agg(
+                F.min("idx"), F.max("idx"), F.countDistinct("idx")
+            ).first()
+            assert tuple(stats) == (11, 10 + n, n), parts
+
+    def test_no_global_single_partition_exchange(self, spark, sf_dir):
+        """The point of the operator: the id stage must not funnel through
+        a SinglePartition exchange."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        out = transform.add_index_col_distributed(
+            orders, "idx", order_by="o_orderkey", num_partitions=8
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
+
 class TestRenames:
     def test_prefix_roundtrip(self, spark):
         df = spark.createDataFrame([(1, "x")], "a long, b string")
