@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "shipping_priority",
     "local_supplier_volume",
     "sequence_packing",
+    "corpus_prepare",
     "min_cost_supplier",
     "promotion_suppliers",
     "doc_chunking",

@@ -1,0 +1,81 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+100 TB pre-training data run executes, built entirely from this package's
+verified operators.
+
+    raw documents
+      → language ID filter          (textstats.with_lang_id, expressions)
+      → quality floor               (textstats.with_quality_score)
+      → exact dedup                 (dedup.exact_dedup, normalized text)
+      → MinHash-LSH near-dup prune  (dedup.minhash_dedup)
+      → token count                 (packing.with_token_count)
+      → greedy sequence packing     (packing.greedy_pack)
+
+Every stage is shuffle-bounded: lang/quality are scan-side expressions,
+exact dedup is one shuffle on the content hash, LSH is banded (never
+all-pairs), packing shuffles once on the shard key. Nothing collects to
+the driver; the report is an aggregate DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, packing, textstats
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_cols: Sequence[str] = ("source",),
+    keep_langs: Sequence[str] = ("en",),
+    min_quality: float = 0.5,
+    pack_budget: int = 512,
+    neardup_threshold: float = 0.7,
+) -> DataFrame:
+    """Run the full preparation pipeline; returns the packed corpus with
+    ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
+    added and rejected/duplicate documents removed."""
+    scored = textstats.with_quality_score(
+        textstats.with_lang_id(df, text_col), text_col
+    )
+    kept = scored.where(
+        F.col("lang_pred").isin(*keep_langs)
+        & (F.col("quality_score") >= min_quality)
+    )
+    # exact dedup on normalized content, deterministic smallest-id survivor
+    normed = kept.withColumn(
+        "__norm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    exact = dedup.exact_dedup(normed, ["__norm"], tiebreak=[id_col]).drop("__norm")
+    # near-dup prune (banded LSH, smaller id survives verified pairs)
+    pruned = dedup.minhash_dedup(
+        exact, id_col, text_col, threshold=neardup_threshold
+    )
+    counted = packing.with_token_count(pruned, text_col)
+    return packing.greedy_pack(
+        counted, pack_budget, shard_cols=shard_cols, order_col=id_col
+    )
+
+
+def corpus_report(
+    packed: DataFrame,
+    pack_budget: int,
+    shard_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Per-shard roll-up of the prepared corpus: documents and tokens kept,
+    packs produced, mean fill ratio — the dashboard row per input shard."""
+    shard_cols = list(shard_cols)
+    per_pack = packing.pack_summary(packed, pack_budget, shard_cols)
+    return (
+        per_pack.groupBy(*shard_cols)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count("*").alias("n_packs"),
+            F.sum("sum_tokens").alias("sum_tokens"),
+            F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+        )
+    )

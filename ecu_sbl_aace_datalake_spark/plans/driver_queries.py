@@ -2576,6 +2576,18 @@ GROUP BY nationkey
 """
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus pipeline (operators/pipeline.py): lang ID →
+    quality floor → exact dedup → MinHash near-dup prune → token count →
+    greedy packing, reported per source shard. LSH hashing → rows-only;
+    every stage is individually oracle- or property-verified."""
+    from ..operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    packed = pipeline.prepare_corpus(docs, pack_budget=512)
+    return pipeline.corpus_report(packed, pack_budget=512)
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -2985,6 +2997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "corpus_prepare": q_corpus_prepare,
     "add_index_distributed": q_add_index_distributed,
     "sequence_packing": q_sequence_packing,
     "greedy_packing": q_greedy_packing,

@@ -86,6 +86,57 @@ class TestGreedyPack:
         assert a == b
 
 
+class TestCorpusPipeline:
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        return pipeline.prepare_corpus(docs, pack_budget=128).cache()
+
+    def test_kept_subset_of_input(self, spark, sf_dir, packed):
+        docs = load_table(spark, sf_dir, "documents")
+        extra = packed.select("doc_id").join(
+            docs.select("doc_id"), "doc_id", "left_anti"
+        )
+        assert extra.count() == 0
+        assert 0 < packed.count() <= docs.count()
+
+    def test_no_exact_duplicate_texts_survive(self, packed):
+        normed = packed.select(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t")
+        )
+        assert normed.count() == normed.distinct().count()
+
+    def test_only_kept_langs_and_quality(self, packed):
+        bad = packed.where(
+            (F.col("lang_pred") != "en") | (F.col("quality_score") < 0.5)
+        )
+        assert bad.count() == 0
+
+    def test_packs_respect_budget(self, packed):
+        overflow = (
+            packed.groupBy("source", "pack_id")
+            .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("n"))
+            .where((F.col("tok") > 128) & (F.col("n") > 1))
+        )
+        assert overflow.count() == 0
+
+    def test_report_totals_consistent(self, spark, sf_dir, packed):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        report = pipeline.corpus_report(packed, pack_budget=128)
+        totals = report.agg(
+            F.sum("n_docs").alias("docs"), F.sum("sum_tokens").alias("toks")
+        ).first()
+        direct = packed.agg(
+            F.count("*").alias("docs"), F.sum("n_tokens").alias("toks")
+        ).first()
+        assert (totals.docs, totals.toks) == (direct.docs, direct.toks)
+
+
 class TestChunkPack:
     def test_boundaries_exact(self, spark):
         df = spark.createDataFrame(
