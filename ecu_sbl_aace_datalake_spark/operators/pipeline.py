@@ -50,7 +50,14 @@ def prepare_corpus(
     normed = kept.withColumn(
         "__norm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     )
-    exact = dedup.exact_dedup(normed, ["__norm"], tiebreak=[id_col]).drop("__norm")
+    # persist the dedup boundary: minhash_dedup consumes it twice (signature
+    # build + final anti-join), and everything upstream (lang/quality/window)
+    # would otherwise recompute both times
+    exact = (
+        dedup.exact_dedup(normed, ["__norm"], tiebreak=[id_col])
+        .drop("__norm")
+        .persist()
+    )
     # near-dup prune (banded LSH, smaller id survives verified pairs)
     pruned = dedup.minhash_dedup(
         exact, id_col, text_col, threshold=neardup_threshold
