@@ -2576,6 +2576,78 @@ GROUP BY nationkey
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (DataFrame.unpivot — the inverse of pivot_status):
+    per-nation customer metrics as (nation, metric, value) rows. Narrow
+    after a 25-group aggregate; the unpivot itself is a per-row expression
+    expansion, no shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.count("*").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["avg_bal", "max_bal", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT c_nationkey,
+         ROUND(AVG(c_acctbal), 4) AS avg_bal,
+         ROUND(MAX(c_acctbal), 2) AS max_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'max_bal', max_bal FROM wide
+UNION ALL
+SELECT c_nationkey, 'n_customers', n_customers FROM wide
+"""
+
+
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-partition frame: each customer's
+    first and latest order price by date (o_orderkey tiebreak makes the
+    frame order total → deterministic)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.withColumn("first_price", F.first("o_totalprice").over(w))
+        .withColumn("last_price", F.last("o_totalprice").over(w))
+        .groupBy("o_custkey", "first_price", "last_price")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_FIRST_LAST_WINDOW = """
+WITH fl AS (
+  SELECT o_custkey,
+         FIRST_VALUE(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+         LAST_VALUE(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+  FROM orders
+)
+SELECT o_custkey, first_price, last_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM fl GROUP BY o_custkey, first_price, last_price
+"""
+
+
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-corpus pipeline (operators/pipeline.py): lang ID →
     quality floor → exact dedup → MinHash near-dup prune → token count →
@@ -2997,6 +3069,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "unpivot_metrics": q_unpivot_metrics,
+    "first_last_window": q_first_last_window,
     "corpus_prepare": q_corpus_prepare,
     "add_index_distributed": q_add_index_distributed,
     "sequence_packing": q_sequence_packing,
@@ -3100,6 +3174,8 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "unpivot_metrics": SQL_UNPIVOT_METRICS,
+    "first_last_window": SQL_FIRST_LAST_WINDOW,
     "add_index_distributed": SQL_ADD_INDEX_DISTRIBUTED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
