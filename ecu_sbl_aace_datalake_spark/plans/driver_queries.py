@@ -2576,6 +2576,18 @@ GROUP BY nationkey
 """
 
 
+def q_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing (density-optimal offline variant of
+    greedy_packing): per-pack roll-up at budget 256. Stateful per-shard
+    scan → rows-only; FFD ≤ greedy pack-count asserted in unit tests."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.ffd_pack(counted, budget=256)
+    return packing.pack_summary(packed, budget=256)
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (DataFrame.unpivot — the inverse of pivot_status):
     per-nation customer metrics as (nation, metric, value) rows. Narrow
@@ -3069,6 +3081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "ffd_packing": q_ffd_packing,
     "unpivot_metrics": q_unpivot_metrics,
     "first_last_window": q_first_last_window,
     "corpus_prepare": q_corpus_prepare,

@@ -86,6 +86,57 @@ class TestGreedyPack:
         assert a == b
 
 
+class TestFfdPack:
+    def test_assignment_complete_and_budget_respected(self, counted):
+        packed = packing.ffd_pack(counted, BUDGET)
+        assert packed.count() == counted.count()
+        bad = (
+            packed.groupBy("source", "pack_id")
+            .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("n"))
+            .where((F.col("tok") > BUDGET) & (F.col("n") > 1))
+        )
+        assert bad.count() == 0
+
+    def test_never_more_packs_than_greedy(self, counted):
+        ffd_n = (
+            packing.ffd_pack(counted, BUDGET)
+            .groupBy("source")
+            .agg(F.countDistinct("pack_id").alias("n"))
+        )
+        greedy_n = (
+            packing.greedy_pack(counted, BUDGET)
+            .groupBy("source")
+            .agg(F.countDistinct("pack_id").alias("n"))
+        )
+        worse = (
+            ffd_n.alias("f")
+            .join(greedy_n.alias("g"), "source")
+            .where(F.col("f.n") > F.col("g.n"))
+        )
+        assert worse.count() == 0
+
+    def test_deterministic(self, counted):
+        a = sorted(map(tuple, packing.ffd_pack(counted, BUDGET).collect()))
+        b = sorted(map(tuple, packing.ffd_pack(counted, BUDGET).collect()))
+        assert a == b
+
+    def test_ffd_beats_greedy_on_adversarial_input(self, spark):
+        # sizes 6,5,4,3,2,1 with budget 9: greedy in id order (6,5,4,3,2,1)
+        # → [6], [5,4], [3,2,1]? no: 6+5>9 → packs [6],[5,4],[3,2,1] = 3;
+        # sizes chosen so FFD pairs large+small: (6,3),(5,4),(2,1) = 3 too —
+        # use a case where greedy wastes: 5,5,4,4 budget 9: greedy
+        # [5],[5,4]... order 5,4,5,4 → [5,4],[5,4]=2, id-order 5,5,4,4 →
+        # [5],[5,4],[4]=3; FFD sorts 5,5,4,4 → [5,4],[5,4]=2.
+        df = spark.createDataFrame(
+            [(1, 5, "s"), (2, 5, "s"), (3, 4, "s"), (4, 4, "s")],
+            ["doc_id", "n_tokens", "source"],
+        )
+        greedy = packing.greedy_pack(df, 9, token_col="n_tokens")
+        ffd = packing.ffd_pack(df, 9, token_col="n_tokens")
+        assert greedy.select("pack_id").distinct().count() == 3
+        assert ffd.select("pack_id").distinct().count() == 2
+
+
 class TestCorpusPipeline:
     @pytest.fixture(scope="class")
     def packed(self, spark, sf_dir):
