@@ -336,23 +336,39 @@ def topk_auto(
     brute_force_threshold: int = 100_000,
     ivf_clusters: int = 16,
     n_probe: int = 4,
+    index_lakehouse=None,
+    index_table: str | None = None,
+    index_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Similarity-search dispatcher: exact brute force below
-    ``brute_force_threshold`` corpus rows, IVF above it.
+    ``brute_force_threshold`` corpus rows; above it, a persisted IVF index
+    when one is supplied, else on-the-fly IVF.
 
     Measured crossover (SCALING.md): under ~10⁵ vectors a single broadcast
     map-side scan beats any index — bucketing overhead dominates. Above it,
     IVF probes ``n_probe``/``ivf_clusters`` of the corpus per query. Pass
-    ``corpus_size`` when known (e.g. from table stats) to skip the count();
-    at real scale the caller should also persist the cluster assignment as a
-    partition column (NEXT.md: probes become partition-pruned scans) instead
-    of re-fitting here.
+    ``corpus_size`` when known (e.g. from table stats) to skip the count().
+
+    At real scale pass the :func:`persist_ivf_index` coordinates
+    (``index_lakehouse``, ``index_table``, ``index_centroids``): probes
+    then read only the matching cluster partitions (partition-pruned scan)
+    and no k-means re-fit happens per query batch.
     """
     n = corpus_size if corpus_size is not None else corpus.count()
     if n <= brute_force_threshold:
         return cosine_topk(
             corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
             query_id_col=query_id_col,
+        )
+    if index_table is not None:
+        if index_lakehouse is None or index_centroids is None:
+            raise ValueError(
+                "index_table needs index_lakehouse and index_centroids"
+            )
+        return ivf_topk_from_index(
+            corpus.sparkSession, index_lakehouse, index_table, queries,
+            index_centroids, id_col=id_col, vec_col=vec_col, k=k,
+            n_probe=n_probe, query_id_col=query_id_col,
         )
     centroids = kmeans_fit(corpus, id_col=id_col, vec_col=vec_col, k=ivf_clusters)
     return ivf_topk(

@@ -389,3 +389,13 @@ class TestIvfPersistence:
         # the probe scan must be partition-pruned on the cluster column
         plan = from_index._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+        # topk_auto above threshold with index coordinates takes the
+        # persisted-probe path (same results, no re-fit)
+        auto = similarity.topk_auto(
+            emb, queries, k=5, brute_force_threshold=1, n_probe=2,
+            index_lakehouse=lh, index_table="emb_ivf",
+            index_centroids=centroids,
+        )
+        assert sorted(map(tuple, auto.collect())) == \
+            sorted(map(tuple, inline.collect()))
