@@ -2576,6 +2576,106 @@ GROUP BY nationkey
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users grouped by first-seen
+    week, counted active in each subsequent week. Two aggregations on
+    user_id (first-seen and distinct activity) feed one join — at 100 TB
+    both shuffle on user_id and AQE co-locates the join; the final rollup
+    is (cohort, week_n)-sized."""
+    evdf = _t(spark, sf_dir, "events")
+    first_seen = evdf.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = evdf.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            (F.floor(F.datediff("week", "cohort") / 7)).cast("int").alias("week_n"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', cohort, week) / 7 AS INT) AS week_n,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → click → purchase: a user advances a
+    stage only with an event strictly AFTER their previous stage's first
+    event. Each stage is a per-user min-aggregate plus one join on user_id
+    — no window over the raw stream, no cross product; stage tables shrink
+    monotonically."""
+    evdf = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(stage_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        ev_s = evdf.where(F.col("event_type") == stage_type)
+        return (
+            ev_s.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        evdf.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("click", s2, "t2", "t3")
+    s4 = first_after("purchase", s3, "t3", "t4")
+    stages = [
+        ("1_signup", s1), ("2_view", s2), ("3_click", s3), ("4_purchase", s4),
+    ]
+    parts = [
+        df.agg(F.lit(name).alias("stage"), F.count("*").alias("users"))
+        for name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+UNION ALL SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT '3_click', CAST(COUNT(*) AS BIGINT) FROM s3
+UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+"""
+
+
 def q_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (density-optimal offline variant of
     greedy_packing): per-pack roll-up at budget 256. Stateful per-shard
@@ -3081,6 +3181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relationships": q_relationships,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_retrieval": q_multimodal_retrieval,
+    "cohort_retention": q_cohort_retention,
+    "event_funnel": q_event_funnel,
     "ffd_packing": q_ffd_packing,
     "unpivot_metrics": q_unpivot_metrics,
     "first_last_window": q_first_last_window,
@@ -3187,6 +3289,8 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "event_funnel": SQL_EVENT_FUNNEL,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "first_last_window": SQL_FIRST_LAST_WINDOW,
     "add_index_distributed": SQL_ADD_INDEX_DISTRIBUTED,
