@@ -411,6 +411,54 @@ def cluster_table(
     return {"before": before, "after": after, "clustered_by": cols, "files": n_out}
 
 
+def zorder_table(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    by: list[str],
+    n_files: int | None = None,
+    bits: int | None = None,
+    fmt: str = DEFAULT_FORMAT,
+) -> dict[str, Any]:
+    """Multi-dimensional clustered rewrite: sort the table by the Morton
+    (Z-order) code of ``by`` and rewrite with the same atomic swap as
+    :func:`cluster_table`.
+
+    Where ``cluster_table`` gives file-level skipping on ONE key,
+    Z-ordering splits the skipping power across all ``by`` columns: each
+    file covers a narrow range of EVERY key (≈ global_range /
+    n_files^(1/k)), so selective filters on any of them prune files. Use
+    for fact tables queried by several independent dimensions (date +
+    customer + part); keep 1-D clustering when one key dominates.
+
+    Costs one stats job (min/max per key) + one full rewrite; the Morton
+    code is a pure shift/mask expression (functions/zorder.py), so the
+    sort stays in whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.zorder import zvalue
+
+    before = table_file_stats(spark, lakehouse, table_name)
+    path = table_path(lakehouse, table_name)
+    df = read_path(spark, path, fmt)
+    n_out = n_files or max(1, before["n_files"])
+    z = zvalue(df, by, bits=bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    import uuid
+
+    tmp = f"{path}__zorder_{uuid.uuid4().hex}"
+    out.write.format(fmt).mode("overwrite").save(tmp)
+    _atomic_swap(spark, path, tmp)
+    after = table_file_stats(spark, lakehouse, table_name)
+    return {"before": before, "after": after, "zordered_by": list(by), "files": n_out}
+
+
 def ns_to_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     """Convert long nanosecond-epoch columns (parquet TIMESTAMP(NANOS) read
     under ``spark.sql.legacy.parquet.nanosAsLong``) to timestamps, truncating
