@@ -165,6 +165,42 @@ class TestTpchJoinTopologies:
         assert a.python_udf_nodes == 0
 
 
+class TestGlobalPlanInvariants:
+    """Sweep EVERY registered query: no accidental cartesian product and no
+    Python-eval node may appear outside the explicit whitelists. Catches a
+    de-optimization in any query the targeted tests don't cover."""
+
+    # deliberate broadcast-nested-loop / scalar cross joins (documented in
+    # PLANS.md reading guide) and bounded pairwise ops
+    CARTESIAN_OK = {
+        "tf_idf",              # 1-row corpus-size scalar broadcast
+        "levenshtein_pairs",   # bounded slice pairwise
+        "embedding_topk",      # tiny query set broadcast vs corpus scan
+        "text_embedding_topk",
+        "multimodal_retrieval",
+    }
+    # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
+    PYTHON_OK = {
+        "fixup_names",         # Arrow pandas_udf cleaning
+        "text_embedding_topk", # mapInPandas numpy featurizer
+        "multimodal_meta",     # stubbed binary decode
+        "multimodal_retrieval",
+    }
+
+    def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
+
+        bad_cart, bad_py = [], []
+        for name, fn in QUERIES.items():
+            a = PlanAudit.of(fn(spark, sf_dir))
+            if a.cartesian_products and name not in self.CARTESIAN_OK:
+                bad_cart.append(name)
+            if a.python_udf_nodes and name not in self.PYTHON_OK:
+                bad_py.append(name)
+        assert not bad_cart, f"unexpected cartesian products: {bad_cart}"
+        assert not bad_py, f"unexpected Python-eval nodes: {bad_py}"
+
+
 class TestSubqueryTopologies:
     """Q2/Q9/Q11/Q16/Q20 shapes: Catalyst must decorrelate every subquery
     into joins/aggregates — no nested-loop re-execution per outer row — and
