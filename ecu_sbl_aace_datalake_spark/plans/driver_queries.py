@@ -1226,10 +1226,39 @@ FROM orders
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID (heuristic → rows-only check; accuracy
-    asserted in unit tests against the fixture's lang column)."""
+    """Marker-token language ID. Pure expressions (array_intersect against
+    literal marker sets, struct array_max tie-break), so the heuristic is
+    replicated exactly in the DuckDB oracle (list_intersect +
+    list_reverse_sort on the same structs); accuracy against the fixture's
+    lang column additionally asserted in unit tests."""
     docs = _t(spark, sf_dir, "documents")
     return textstats.with_lang_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> t <> '')) AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    list_reverse_sort([
+      {'hits': CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','that','it','for'])) AS INT), 'lang': 'en'},
+      {'hits': CAST(len(list_intersect(tk, ['el','la','de','que','y','en','un','por','con','los'])) AS INT), 'lang': 'es'},
+      {'hits': CAST(len(list_intersect(tk, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS INT), 'lang': 'de'},
+      {'hits': CAST(len(list_intersect(tk, ['le','la','les','de','et','un','une','est','que','dans'])) AS INT), 'lang': 'fr'},
+      {'hits': CASE WHEN regexp_matches(text, '[一-鿿]') THEN 10
+               ELSE CAST(len(list_intersect(tk, ['的','是','了','在','我','有','和','人','这','不'])) AS INT) END,
+       'lang': 'zh'}
+    ])[1] AS best
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM scored
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3289,6 +3318,7 @@ ORACLES: dict[str, str] = {
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
+    "lang_id": SQL_LANG_ID,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
