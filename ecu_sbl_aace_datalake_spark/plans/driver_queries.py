@@ -1261,6 +1261,47 @@ FROM scored
 """
 
 
+SQL_TEXT_EMBEDDING_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+contrib AS (
+  SELECT doc_id,
+         CAST(h % 64 AS INT) AS bucket,
+         CASE WHEN (h >> 62) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(token), 1, 16)) AS UBIGINT) AS h
+        FROM tok)
+),
+vec AS (
+  SELECT doc_id, bucket, SUM(sign) AS w FROM contrib GROUP BY doc_id, bucket
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM vec GROUP BY doc_id
+),
+dots AS (
+  SELECT vq.doc_id AS query_id, vd.doc_id AS doc_id, SUM(vq.w * vd.w) AS dot
+  FROM vec vq JOIN vec vd USING (bucket)
+  WHERE vq.doc_id < 3 AND vd.doc_id <> vq.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id, d.dot / (nq.nrm * nd.nrm) AS score
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.query_id
+  JOIN norms nd ON nd.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.13 — similarity search
 # --------------------------------------------------------------------------
@@ -1309,8 +1350,10 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text→vector→ANN pipeline: feature-hash documents into unit
-    vectors, then top-5 cosine neighbors for 3 query docs (hash-based →
-    rows-only; semantics covered by unit tests)."""
+    vectors (md5 token hashing), then top-5 cosine neighbors for 3 query
+    docs. The md5 featurizer is replicated relationally in the DuckDB
+    oracle (sparse bucket weights + bucket-join dot products) — scores
+    match to 6 decimals."""
     from ..functions.embed import with_hashed_embedding_fast
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3319,6 +3362,7 @@ ORACLES: dict[str, str] = {
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
     "lang_id": SQL_LANG_ID,
+    "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
