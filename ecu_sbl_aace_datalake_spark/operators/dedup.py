@@ -452,15 +452,31 @@ def simhash_signatures(
     text_col: str,
     out_col: str = "simhash",
     bits: int = 64,
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash: per token, xxhash64 → each bit votes ±1; signature bit
     b is 1 iff the vote sum is positive. All built-in array expressions.
 
     Near-dup candidates: docs whose signatures match on any 16-bit band
     (use :func:`simhash_bands`).
+
+    ``algo="md5"`` swaps the token hash for the low 60 bits of md5 (still
+    a JVM codegen expression — md5 → conv base16→10 → long), which a SQL
+    oracle can replicate (`CAST('0x'||substr(md5(t),1,15) AS BIGINT)`);
+    use ``bits<=60`` with it. xxhash64 stays the fast default (~3x).
     """
+    if algo == "md5":
+        if bits > 60:
+            raise ValueError("md5 token hash carries 60 usable bits")
+        token_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    elif algo == "xxhash64":
+        # single-arg lambda: F.transform inspects arity and xxhash64's
+        # varargs signature is rejected as a higher-order function
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown algo {algo!r}")
     toks = _normalized_tokens(text_col)
-    df = df.withColumn("__hashes", F.transform(toks, lambda t: F.xxhash64(t)))
+    df = df.withColumn("__hashes", F.transform(toks, token_hash))
     # one aggregate per bit (shift amounts must be Python ints); the 64
     # aggregates fuse into a single projection under whole-stage codegen
     def _bit_vote(b: int):

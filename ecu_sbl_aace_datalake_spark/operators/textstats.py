@@ -104,19 +104,39 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
     return df.withColumn(out_col, pred)
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
-    """Document fingerprint: polynomial rolling hash over normalized tokens
-    (order-sensitive, whitespace/punct-insensitive) — stable 64-bit id for
-    exact-content dedup that survives formatting noise."""
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    algo: str = "xxhash64",
+) -> DataFrame:
+    """Document fingerprint: rolling hash over normalized tokens
+    (order-sensitive, whitespace/punct-insensitive) — stable content id for
+    exact-content dedup that survives formatting noise.
+
+    ``algo="xxhash64"`` (default): 64-bit fold via xxhash64, fastest.
+    ``algo="md5"``: md5-chain fold yielding a 32-hex string — same
+    semantics, replicable by a SQL oracle via ``list_reduce`` (both are
+    one codegen'd aggregate; md5 is ~2x slower but collision-stronger).
+    """
     norm = F.filter(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), r"\s+"),
         lambda t: t != "",
     )
-    fp = F.aggregate(
-        norm,
-        F.lit(1469598103934665603).cast("long"),  # FNV-1a offset basis
-        lambda acc, tok: F.xxhash64(acc.cast("string"), tok),
-    )
+    if algo == "md5":
+        fp = F.aggregate(
+            norm,
+            F.lit("seed"),
+            lambda acc, tok: F.md5(F.concat_ws("|", acc, tok)),
+        )
+    elif algo == "xxhash64":
+        fp = F.aggregate(
+            norm,
+            F.lit(1469598103934665603).cast("long"),  # FNV-1a offset basis
+            lambda acc, tok: F.xxhash64(acc.cast("string"), tok),
+        )
+    else:
+        raise ValueError(f"unknown algo {algo!r}")
     return df.withColumn(out_col, fp)
 
 

@@ -1050,8 +1050,12 @@ FROM documents GROUP BY lang, source
 
 def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
-    Approximate (hash-seeded) → no SQL oracle; covered by unit tests with
-    planted near-duplicates."""
+
+    Oracle-verified against brute-force all-pairs 3-shingle Jaccard in
+    DuckDB: the Spark side verifies candidates with EXACT Jaccard, so the
+    outputs match whenever LSH recall is 1 for pairs above threshold —
+    which holds on the fixed fixture corpus (verified; deterministic
+    hashing, deterministic data)."""
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     # one cached projection (id, shingles, minhash) feeds banding + both
     # jaccard join-back sides; the cache boundary doubles as the
@@ -1069,8 +1073,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-candidates + exact cosine
     verify. The fixture corpus has no natural near-dups (max pairwise
     cosine ~0.46), so exact duplicates of the first 3 vectors are planted
-    under ids +100000 - the query must find exactly those pairs
-    (hash-seeded candidates -> rows-only; planted-vector unit tests)."""
+    under ids +100000 - the query must find exactly those pairs.
+
+    Oracle-verified against brute-force all-pairs cosine in DuckDB:
+    identical vectors agree on every hyperplane, so LSH recall for the
+    planted exact dups is 1 BY CONSTRUCTION (not just empirically), and no
+    other pair reaches the 0.9 threshold on this corpus."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") < 3).withColumn(
         "vec_id", F.col("vec_id") + 100000
@@ -1079,15 +1087,104 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (xxhash64-based → no SQL oracle)."""
+    """SimHash signatures, md5/60-bit variant — every per-bit vote is
+    replicated in the DuckDB oracle (token→md5→long, bit-shift votes,
+    rebuilt signature). The xxhash64 default path is covered by unit
+    tests (identical→equal sigs, banding blocks)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(docs, "text").select("doc_id", "simhash")
+    return dedup.simhash_signatures(docs, "text", bits=60, algo="md5").select(
+        "doc_id", "simhash"
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (xxhash64-based → rows-only)."""
+    """Rolling-hash document fingerprints, md5-chain variant — the exact
+    fold is replicated in the DuckDB oracle via list_reduce. xxhash64
+    default path covered by unit tests (formatting-insensitivity)."""
     docs = _t(spark, sf_dir, "documents")
-    return textstats.with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    return textstats.with_fingerprint(docs, "text", algo="md5").select(
+        "doc_id", "fingerprint"
+    )
+
+
+SQL_MINHASH_NEARDUP = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+"""
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding, b.embedding) /
+           (sqrt(list_dot_product(a.embedding, a.embedding)) *
+            sqrt(list_dot_product(b.embedding, b.embedding))) AS cosine
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.9
+"""
+
+
+SQL_SIMHASH_SIGNATURES = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(range(60)) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id
+"""
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend('seed', regexp_extract_all(lower(text), '[a-z0-9]+')),
+         (acc, tok) -> md5(acc || '|' || tok)
+       ) AS fingerprint
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3363,6 +3460,10 @@ ORACLES: dict[str, str] = {
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
     "lang_id": SQL_LANG_ID,
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
+    "minhash_neardup_pairs": SQL_MINHASH_NEARDUP,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
+    "fingerprint": SQL_FINGERPRINT,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
