@@ -104,11 +104,13 @@ def extract_features(
         if not payload:
             return [0.0] * dim
         vec = []
-        h = hashlib.sha256(payload).digest()
-        # expand the 32-byte digest deterministically to `dim` floats
+        # hex-string hash chain (not raw-digest chain): each step hashes the
+        # previous HEXDIGEST's utf-8 bytes, so the whole expansion is
+        # expressible as nested sha256(varchar) calls in a SQL oracle
+        h = hashlib.sha256(payload).hexdigest()
         while len(vec) < dim:
-            h = hashlib.sha256(h).digest()
-            vec.extend(b / 255.0 - 0.5 for b in h)
+            h = hashlib.sha256(h.encode()).hexdigest()
+            vec.extend(b / 255.0 - 0.5 for b in bytes.fromhex(h))
         vec = vec[:dim]
         norm = sum(x * x for x in vec) ** 0.5
         return [x / norm for x in vec] if norm else vec

@@ -2012,15 +2012,73 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only: cleaning UDFs, profiling, multimodal
 # --------------------------------------------------------------------------
 
+# Deterministic "dirty" name generator shared verbatim by the Spark query
+# and the DuckDB oracle — fixture c_name values are single mixed-case tokens
+# that the cleaning functions pass through untouched, so the query derives
+# inputs that exercise every path: apostrophe/hyphen token splits (0),
+# all-upper + "Last, First" flip (1), particles + paren truncation +
+# whitespace strip (2), mixed-case pass-through (3).
+DIRTY_NAME_EXPR = """CASE CAST(c_custkey % 4 AS INT)
+  WHEN 0 THEN 'o' || chr(39) || lower(c_name) || '-' || lower(c_mktsegment)
+  WHEN 1 THEN upper(c_name) || ', ' || lower(c_mktsegment)
+  WHEN 2 THEN ' ' || lower(c_name) || ' de ' || lower(c_mktsegment) || ' (dup) '
+  ELSE c_name END"""
+
+
 def q_fixup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized cleaning UDFs over customer names (difflib/casing logic →
-    rows-only; golden unit tests cover exact semantics)."""
+    """Vectorized cleaning UDFs (custom_initcap + fixUpName, reference
+    common.py:631-687) over derived dirty names. Oracle-verified: the full
+    token-split/initcap/particle/mixed-case/flip/truncate logic is
+    replicated relationally in DuckDB (regexp token list + list_transform)."""
     cust = _t(spark, sf_dir, "customer")
-    return cust.select(
+    return cust.withColumn("dirty", F.expr(DIRTY_NAME_EXPR)).select(
         "c_custkey",
-        cleaning.custom_initcap_udf(F.col("c_name")).alias("name_initcap"),
-        cleaning.fix_up_name_udf(F.col("c_name")).alias("name_fixed"),
+        cleaning.custom_initcap_udf(F.col("dirty")).alias("name_initcap"),
+        cleaning.fix_up_name_udf(F.col("dirty")).alias("name_fixed"),
     )
+
+
+def _sql_initcap(x: str) -> str:
+    """DuckDB replica of cleaning.custom_initcap over expression ``x``:
+    split preserving the four delimiters, then per-token init-cap with
+    particle (de/of) and mixed-case rules."""
+    return f"""list_aggregate(
+      list_transform(
+        regexp_extract_all({x}, '[^ ''"-]+|[ ''"-]'),
+        t -> CASE
+               WHEN t IN (' ', chr(39), '-', '"') THEN t
+               WHEN lower(t) IN ('de', 'of') THEN lower(t)
+               WHEN t = upper(t) OR t = lower(t) THEN upper(t[1]) || lower(t[2:])
+               ELSE t
+             END),
+      'string_agg', '')"""
+
+
+SQL_FIXUP_NAMES = f"""
+WITH base AS (
+  SELECT c_custkey, {DIRTY_NAME_EXPR} AS dirty FROM customer
+),
+ic AS (
+  SELECT c_custkey, dirty, trim(dirty) AS stripped,
+         {_sql_initcap('dirty')} AS name_initcap,
+         {_sql_initcap('trim(dirty)')} AS ic_stripped
+  FROM base
+),
+p1 AS (
+  SELECT c_custkey, name_initcap, stripped,
+         CASE WHEN strpos(ic_stripped, '(') > 0
+              THEN trim(substr(ic_stripped, 1, strpos(ic_stripped, '(') - 1))
+              ELSE ic_stripped END AS v
+  FROM ic
+)
+SELECT c_custkey, name_initcap,
+       CASE WHEN stripped IN ('', ',') THEN NULL
+            WHEN strpos(v, ',') > 0 THEN NULLIF(trim(
+                   trim(substr(v, strpos(v, ',') + 1)) || ' ' ||
+                   trim(substr(v, 1, strpos(v, ',') - 1))), '')
+            ELSE NULLIF(v, '') END AS name_fixed
+FROM p1
+"""
 
 
 def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2035,8 +2093,10 @@ def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal retrieval pipeline: binary payloads -> deterministic
-    feature vectors (mapInPandas, stub featurizer) -> exact cosine top-5
-    (rows-only; content-identity invariants covered by unit tests)."""
+    feature vectors (mapInPandas, stub featurizer) -> exact cosine top-5.
+    Oracle-verified: the hex-chain stub featurizer is nested sha256 calls
+    in DuckDB; payloads are utf-8 text bytes, which sha256(VARCHAR) hashes
+    identically."""
     from ..operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2051,13 +2111,62 @@ def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' text bytes stand in for binary blobs;
-    metadata extraction via mapInPandas (decode stubbed, plumbing real)."""
+    metadata extraction via mapInPandas (decode stubbed, plumbing real).
+    Oracle-verified: the deterministic fake decoder (sha256-derived
+    width/height/format) is replicated byte-for-byte in DuckDB."""
     from ..operators.multimodal import decode_image_meta
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_image_meta(docs, "payload")
+
+
+SQL_MULTIMODAL_META = """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         CAST(strlen(text) AS BIGINT) AS byte_size
+  FROM documents
+)
+SELECT doc_id, content_hash, byte_size,
+       CAST(64 + CAST(('0x' || substr(content_hash, 1, 2)) AS INT) % 192 AS INT) AS width,
+       CAST(64 + CAST(('0x' || substr(content_hash, 3, 2)) AS INT) % 192 AS INT) AS height,
+       CASE CAST(('0x' || substr(content_hash, 5, 2)) AS INT) % 3
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM h
+"""
+
+
+SQL_MULTIMODAL_RETRIEVAL = """
+WITH f AS (
+  SELECT doc_id, sha256(sha256(text)) AS h FROM documents
+),
+vecs AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INT) / 255.0 - 0.5) AS raw
+  FROM f
+),
+normed AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_dot_product(raw, raw)) > 0
+              THEN list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+              ELSE raw END AS v
+  FROM vecs
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         list_dot_product(q.v, c.v) /
+           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+  FROM normed q JOIN normed c ON c.doc_id <> q.doc_id
+  WHERE q.doc_id < 3
+)
+SELECT query_id, doc_id, ROUND(score, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2847,14 +2956,54 @@ UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4
 
 def q_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing (density-optimal offline variant of
-    greedy_packing): per-pack roll-up at budget 256. Stateful per-shard
-    scan → rows-only; FFD ≤ greedy pack-count asserted in unit tests."""
+    greedy_packing): per-pack roll-up at budget 256. Oracle-verified: the
+    stateful open-bin scan is a recursive CTE in DuckDB whose per-shard
+    state (remaining room per open pack) rides in a LIST column."""
     from ..operators import packing
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     counted = packing.with_token_count(docs)
     packed = packing.ffd_pack(counted, budget=256)
     return packing.pack_summary(packed, budget=256)
+
+
+SQL_FFD_PACKING = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS INT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, [256 - n_tokens] AS rem
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_tokens,
+         CAST(COALESCE(ff.idx - 1, len(w.rem)) AS BIGINT) AS pack_id,
+         CASE WHEN ff.idx IS NULL THEN list_append(w.rem, 256 - o.n_tokens)
+              ELSE list_transform(range(1, len(w.rem) + 1),
+                     j -> CASE WHEN j = ff.idx THEN w.rem[j] - o.n_tokens
+                               ELSE w.rem[j] END)
+         END AS rem
+  FROM walk w
+  JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+  CROSS JOIN LATERAL (SELECT list_filter(range(1, len(w.rem) + 1),
+                                         i -> w.rem[i] >= o.n_tokens)[1] AS idx) ff
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) / 256, 4) AS fill_ratio
+FROM walk GROUP BY source, pack_id
+"""
 
 
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2932,13 +3081,118 @@ FROM fl GROUP BY o_custkey, first_price, last_price
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-corpus pipeline (operators/pipeline.py): lang ID →
     quality floor → exact dedup → MinHash near-dup prune → token count →
-    greedy packing, reported per source shard. LSH hashing → rows-only;
-    every stage is individually oracle- or property-verified."""
+    greedy packing, reported per source shard.
+
+    Oracle-verified end-to-end: every stage is replicated in one DuckDB
+    query — lang/quality reuse their per-stage oracle logic, the near-dup
+    prune is brute-force all-pairs Jaccard (recall-1 equivalence, same
+    argument as minhash_neardup_pairs), and the sequential greedy packer
+    is a recursive CTE walking each shard in order."""
     from ..operators import pipeline
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     packed = pipeline.prepare_corpus(docs, pack_budget=512)
     return pipeline.corpus_report(packed, pack_budget=512)
+
+
+SQL_CORPUS_PREPARE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, source,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   t -> t <> '')) AS tk
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, text, source,
+    list_reverse_sort([
+      {'hits': CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','that','it','for'])) AS INT), 'lang': 'en'},
+      {'hits': CAST(len(list_intersect(tk, ['el','la','de','que','y','en','un','por','con','los'])) AS INT), 'lang': 'es'},
+      {'hits': CAST(len(list_intersect(tk, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS INT), 'lang': 'de'},
+      {'hits': CAST(len(list_intersect(tk, ['le','la','les','de','et','un','une','est','que','dans'])) AS INT), 'lang': 'fr'},
+      {'hits': CASE WHEN regexp_matches(text, '[一-鿿]') THEN 10
+               ELSE CAST(len(list_intersect(tk, ['的','是','了','在','我','有','和','人','这','不'])) AS INT) END,
+       'lang': 'zh'}
+    ])[1] AS best
+  FROM toks
+),
+quality AS (
+  SELECT doc_id, text, source,
+         CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+         ROUND(
+           (CASE WHEN len(wtoks) < 5 THEN 0.2 WHEN len(wtoks) > 10000 THEN 0.5 ELSE 1.0 END)
+           * (CASE WHEN punct / GREATEST(LENGTH(text), 1) > 0.2 THEN 0.5 ELSE 1.0 END)
+           * (0.5 + 0.5 * (len(list_distinct(wtoks)) / GREATEST(len(wtoks), 1))), 4
+         ) AS quality_score
+  FROM (SELECT *,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS wtoks,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+        FROM lang)
+),
+kept AS (
+  SELECT doc_id, text, source FROM quality
+  WHERE lang_pred = 'en' AND quality_score >= 0.5
+),
+exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t3) - 2, 0) + 1),
+            i -> t3[i] || ' ' || t3[i+1] || ' ' || t3[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t3 FROM exact)
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+losers AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = p.id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = p.id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+),
+counted AS (
+  SELECT e.doc_id, e.source,
+         len(list_filter(string_split_regex(trim(e.text), '\s+'), x -> x <> '')) AS n_tokens
+  FROM exact e ANTI JOIN losers l ON e.doc_id = l.id_b
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 512
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 512
+              THEN o.n_tokens ELSE w.used + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+),
+per_pack AS (
+  SELECT source, pack_id,
+         COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+         ROUND(SUM(n_tokens) / 512, 4) AS fill_ratio
+  FROM walk GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(fill_ratio), 4) AS avg_fill
+FROM per_pack
+GROUP BY source
+"""
 
 
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3005,13 +3259,47 @@ GROUP BY source, pack_id
 def q_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document first-fit packing (documents never split): the
     running-reset scan runs per shard via applyInPandas; roll-up per pack.
-    Non-window-expressible → rows-only; invariants unit-tested."""
+    Non-window-expressible, but oracle-verified via a recursive CTE that
+    walks each shard in doc_id order replicating the running reset."""
     from ..operators import packing
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     counted = packing.with_token_count(docs)
     packed = packing.greedy_pack(counted, budget=256)
     return packing.pack_summary(packed, budget=256)
+
+
+SQL_GREEDY_PACKING = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS INT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN o.n_tokens ELSE w.used + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) / 256, 4) AS fill_ratio
+FROM walk GROUP BY source, pack_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3464,6 +3752,12 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "fingerprint": SQL_FINGERPRINT,
+    "fixup_names": SQL_FIXUP_NAMES,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_retrieval": SQL_MULTIMODAL_RETRIEVAL,
+    "corpus_prepare": SQL_CORPUS_PREPARE,
+    "greedy_packing": SQL_GREEDY_PACKING,
+    "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_funnel": SQL_EVENT_FUNNEL,
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
