@@ -1999,13 +1999,36 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (approximate → rows-only; bounds asserted in
-    unit tests)."""
+    """HLL approximate distinct, oracle-verified: the HLL estimate itself is
+    engine-specific, so the query emits the exact counts plus booleans
+    asserting the estimate landed within 3×rsd (rsd=0.05) of truth — the
+    DuckDB oracle supplies the exact counts and literal TRUEs. On a fixed
+    fixture the HLL sketch is deterministic, so the booleans are stable."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("a_ord"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("a_part"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    tol = 3 * 0.05
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("a_ord") - F.col("exact_orders"))
+         <= tol * F.col("exact_orders")).alias("approx_orders_ok"),
+        (F.abs(F.col("a_part") - F.col("exact_parts"))
+         <= tol * F.col("exact_parts")).alias("approx_parts_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_parts_ok
+FROM lineitem
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3752,6 +3775,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "fingerprint": SQL_FINGERPRINT,
+    "approx_distinct": SQL_APPROX_DISTINCT,
     "fixup_names": SQL_FIXUP_NAMES,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_retrieval": SQL_MULTIMODAL_RETRIEVAL,
