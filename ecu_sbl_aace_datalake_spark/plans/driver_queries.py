@@ -1086,6 +1086,64 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(emb.unionByName(planted), dim=64, threshold=0.9)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the verified MinHash pair
+    relation, computed with the alternating large-star/small-star CC
+    algorithm (Kiveris SoCC'14, ``dedup.duplicate_clusters_bigstar``) —
+    O(log² n) rounds, edge-set-only working state.
+
+    Oracle-verified: DuckDB recomputes the same pair relation brute-force
+    (recall-1 equivalence as in minhash_neardup_pairs) and resolves
+    components by recursive-CTE transitive closure to the min reachable
+    id — the declarative ground truth for the iterative algorithm."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    sh = (
+        dedup.minhash_signatures(dedup.shingle_hashes(docs, "text", n=3), num_hashes=64)
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
+    return dedup.duplicate_clusters_bigstar(pairs)
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+)
+SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, md5/60-bit variant — every per-bit vote is
     replicated in the DuckDB oracle (token→md5→long, bit-shift votes,
@@ -3622,6 +3680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup,
     "exact_dedup": q_exact_dedup,
     "minhash_neardup_pairs": q_minhash_neardup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_signatures": q_simhash_signatures,
     "embedding_neardup": q_embedding_neardup,
     "fingerprint": q_fingerprint,
@@ -3772,6 +3831,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "minhash_neardup_pairs": SQL_MINHASH_NEARDUP,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "fingerprint": SQL_FINGERPRINT,

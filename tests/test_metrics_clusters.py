@@ -73,6 +73,54 @@ class TestDuplicateClusters:
         assert kept[0] == 1 and 4 in kept and 2 not in kept
 
 
+class TestBigStarClusters:
+    """Alternating large-star/small-star CC (Kiveris SoCC'14) must agree
+    exactly with min-label propagation on every graph shape."""
+
+    def _both(self, spark, pairs):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import (
+            duplicate_clusters_bigstar,
+        )
+
+        a = {r.node: r.cluster for r in duplicate_clusters(pairs).collect()}
+        b = {r.node: r.cluster for r in duplicate_clusters_bigstar(pairs).collect()}
+        return a, b
+
+    def test_chain_and_islands(self, spark):
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+        )
+        a, b = self._both(spark, pairs)
+        assert b == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10} == a
+
+    def test_long_path_graph(self, spark):
+        # 64-node path: deepest propagation case at this size
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+        )
+        a, b = self._both(spark, pairs)
+        assert a == b and set(b.values()) == {0}
+
+    def test_random_graph_matches_propagation(self, spark):
+        import random
+
+        rng = random.Random(42)
+        edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+        )
+        a, b = self._both(spark, pairs)
+        assert a == b
+
+    def test_star_and_selfloop(self, spark):
+        # hub-and-spoke with a self loop and reversed duplicates
+        rows = [(5, i) for i in range(6)] + [(3, 5), (7, 7)]
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        a, b = self._both(spark, pairs)
+        assert a == b and b[7] == 7
+        assert {k: v for k, v in b.items() if k != 7} == {i: 0 for i in range(6)}
+
+
 class TestEmbeddingNearDup:
     def test_planted_duplicate_vectors_found(self, spark):
         import math
