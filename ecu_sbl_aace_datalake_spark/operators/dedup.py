@@ -287,6 +287,7 @@ def duplicate_clusters(
     id_col_b: str = "id_b",
     max_iter: int = 30,
     strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive near-dup clusters from a pair relation: connected
     components via iterative min-label propagation.
@@ -326,7 +327,9 @@ def duplicate_clusters(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -371,6 +374,8 @@ def duplicate_clusters(
                 f"duplicate_clusters did not converge in {max_iter} rounds; "
                 "raise max_iter or use duplicate_clusters_bigstar"
             )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
@@ -379,6 +384,7 @@ def duplicate_clusters_bigstar(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -428,7 +434,9 @@ def duplicate_clusters_bigstar(
         return (row["n"], row["h"])
 
     sig = _signature(edges)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # ---- large-star ----------------------------------------------
         und = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -462,6 +470,8 @@ def duplicate_clusters_bigstar(
         if new_sig == sig:
             break
         sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged: edges are (node -> root); add the roots themselves, plus
     # self-labels for nodes whose only pairs were self-pairs (propagation
     # contract: every node appearing in `pairs` gets a label)
