@@ -31,6 +31,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance: str | None = None,
+    right_tie_break: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the latest right row
     with ``right.ts <= left.ts`` within the same ``on`` key (inclusive).
@@ -41,6 +42,10 @@ def asof_join(
     ``tolerance`` (e.g. "1 hour") drops matches older than left.ts - tol.
 
     Matches DuckDB/pandas ``ASOF JOIN`` semantics (direction=backward).
+    When several right rows share the matching timestamp the winner is
+    engine-arbitrary (same as DuckDB ASOF); pass ``right_tie_break`` (a
+    right-side column, e.g. a unique id) to deterministically pick the row
+    with the greatest tie-break value instead.
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
@@ -49,12 +54,15 @@ def asof_join(
     for c in rcols:
         l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     l_tagged = l_tagged.withColumn("__rts", F.lit(None).cast("timestamp"))
+    tb_type = dict(right.dtypes)[right_tie_break] if right_tie_break else "int"
+    l_tagged = l_tagged.withColumn("__tb", F.lit(None).cast(tb_type))
 
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(right_ts).cast("timestamp").alias("__rts"),
+        (F.col(right_tie_break) if right_tie_break else F.lit(0)).alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
     )
     for c in left.columns:
@@ -62,10 +70,14 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
-    # right rows (side=0) sort before left rows at equal ts → inclusive match
+    # right rows (side=0) sort before left rows at equal ts → inclusive match;
+    # among equal-ts right rows the greatest tie-break sorts last and wins
+    # the carry (nulls_first keeps left rows' null __tb inert)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.asc_nulls_first("__tb")
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned

@@ -215,3 +215,76 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
     )
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Sparse cosine retrieval over TF-IDF vectors via an inverted-index
+    join — the term-at-a-time plan search engines use, and the scale-correct
+    alternative to dense brute force for lexical similarity.
+
+    Plan: tf_idf() builds (doc, token, weight) postings; the query side is a
+    tiny slice of those postings (broadcast), joined to the full postings
+    list on token — partial dot products accumulate per (query, doc) with
+    map-side combine, then one row_number window takes top-k per query.
+    No driver collect, no O(n²) pairs: cost is Σ_t |postings(t)|² only over
+    tokens the queries contain.
+
+    Skew/scale: stopword-grade tokens create hot postings lists;
+    ``max_df_ratio`` drops tokens appearing in more than that fraction of
+    docs (standard retrieval pruning — they carry ~zero idf weight anyway).
+
+    Ties: scores are rounded to 6dp and ranked (score desc, id asc), so
+    ranking is deterministic and engine-independent.
+    """
+    w = tf_idf(df, text_col, id_col).select(
+        id_col, "token", "df_t", F.col("tfidf").alias("w")
+    )
+    if max_df_ratio < 1.0:
+        n_docs = df.count()
+        w = w.where(F.col("df_t") <= int(max_df_ratio * n_docs))
+    w = w.drop("df_t")
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    q = w.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), "token", F.col("w").alias("qw")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(w, "token")
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    qnorms = norms.select(
+        F.col(id_col).alias("query_id"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        dots.join(F.broadcast(qnorms), "query_id")
+        .join(norms, id_col)
+        .where((F.col("qnorm") > 0) & (F.col("norm") > 0))
+        .select(
+            "query_id",
+            F.col(id_col).alias("match_id"),
+            F.round(F.col("dot") / (F.col("qnorm") * F.col("norm")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )

@@ -3610,6 +3610,117 @@ SQL_PROMOTION_SUPPLIERS = _SQL_PROMOTION_SUPPLIERS_BODY.format(
 )
 
 
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity search: TF-IDF postings + inverted-index
+    join (term-at-a-time), top-5 per query doc. The scale path for text
+    similarity — cost bounded by postings-list sizes, never O(n²) dense."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_cosine_topk(docs, [1, 2, 3], k=5)
+
+
+SQL_TFIDF_RETRIEVAL = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, token,
+         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+q AS (
+  SELECT doc_id AS query_id, token, w AS qw FROM w WHERE doc_id IN (1, 2, 3)
+),
+dots AS (
+  SELECT q.query_id, w.doc_id AS match_id, SUM(q.qw * w.w) AS dot
+  FROM q JOIN w USING (token)
+  WHERE w.doc_id <> q.query_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.query_id, dots.match_id,
+         ROUND(dot / (qn.norm * dn.norm), 6) AS score
+  FROM dots
+  JOIN norms qn ON qn.doc_id = dots.query_id
+  JOIN norms dn ON dn.doc_id = dots.match_id
+  WHERE qn.norm > 0 AND dn.norm > 0
+)
+SELECT query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, match_id ASC
+       ) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, match_id ASC
+) <= 5
+"""
+
+
+def q_regr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit with the SQL-standard regr_* aggregates:
+    extendedprice regressed on quantity per returnflag. Single partial-agg
+    shuffle; all moments accumulate map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+SQL_REGR_METRICS = """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_argmax_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates: the order carrying the
+    extreme total price per priority, made deterministic under price ties by
+    ordering on struct(price, orderkey) — orderkey is unique, so the struct
+    ordering key is total. One partial-agg shuffle, no window, no join."""
+    orders = _t(spark, sf_dir, "orders")
+    by = F.struct("o_totalprice", "o_orderkey")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", by).alias("top_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+        F.min_by("o_orderkey", by).alias("bottom_order"),
+        F.round(F.min("o_totalprice"), 2).alias("bottom_price"),
+    )
+
+
+SQL_ARGMAX_EXTREMES = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+  FROM orders
+)
+SELECT mx.o_orderpriority,
+       mx.o_orderkey AS top_order,
+       ROUND(mx.o_totalprice, 2) AS top_price,
+       mn.o_orderkey AS bottom_order,
+       ROUND(mn.o_totalprice, 2) AS bottom_price
+FROM (SELECT * FROM ranked WHERE rmax = 1) mx
+JOIN (SELECT * FROM ranked WHERE rmin = 1) mn USING (o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3642,6 +3753,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,
     "returned_items": q_returned_items,
     "tf_idf": q_tf_idf,
+    "tfidf_retrieval": q_tfidf_retrieval,
+    "regr_metrics": q_regr_metrics,
+    "argmax_extremes": q_argmax_extremes,
     "stratified_sample": q_stratified_sample,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -3776,6 +3890,9 @@ ORACLES: dict[str, str] = {
     "percent_rank": SQL_PERCENT_RANK,
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,
+    "tfidf_retrieval": SQL_TFIDF_RETRIEVAL,
+    "regr_metrics": SQL_REGR_METRICS,
+    "argmax_extremes": SQL_ARGMAX_EXTREMES,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,

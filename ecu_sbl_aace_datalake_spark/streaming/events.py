@@ -18,10 +18,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Event-time watermarks require ``TimestampType``; parquet sources read
+    as ``TIMESTAMP_NTZ`` (the parquet type for tz-naive data) are cast in
+    place, interpreting naive timestamps in the session timezone."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
     """Watermark wrapper — bounds state retention for late data when the
     source is a true stream; a no-op semantically in batch."""
-    return df.withWatermark(ts_col, delay)
+    return ensure_event_time(df, ts_col).withWatermark(ts_col, delay)
 
 
 def tumbling_agg(
@@ -156,6 +165,7 @@ def with_trailing_range_agg(
     Spark's WindowExec is streaming-friendly for bounded-preceding frames
     (no full-partition materialization beyond the frame).
     """
+    df = ensure_event_time(df, ts_col)
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.unix_micros(F.col(ts_col)))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.catalog import Lakehouse
+from .events import ensure_event_time
 
 
 def streaming_dedup(
@@ -33,6 +34,7 @@ def streaming_dedup(
     """Drop duplicate keys arriving within the watermark horizon; state for
     a key is evicted once the watermark passes it (bounded memory — plain
     dropDuplicates on a stream grows state forever)."""
+    stream = ensure_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
@@ -51,8 +53,8 @@ def stream_stream_join(
     """Watermarked stream-stream join: match rows sharing ``on`` whose event
     times are within ``range_within`` of each other. The time-range
     condition + watermarks let Spark evict join state for both sides."""
-    l_wm = left.withWatermark(left_ts, watermark_delay).alias("l")
-    r_wm = right.withWatermark(right_ts, watermark_delay).alias("r")
+    l_wm = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark_delay).alias("l")
+    r_wm = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark_delay).alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {range_within}"))

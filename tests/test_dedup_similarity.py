@@ -185,6 +185,28 @@ class TestTextStats:
         toks = df.select(textstats.bpe_ish_tokens("text").alias("t")).first().t
         assert toks == ["ab", "12", "-", "cd", "ef"]
 
+    def test_tfidf_cosine_topk(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "apple banana cherry"),
+                (2, "apple banana cherry"),
+                (3, "apple zebra yak"),
+                (4, "qq ww ee"),
+            ],
+            "doc_id long, text string",
+        )
+        out = textstats.tfidf_cosine_topk(df, [1], k=3).collect()
+        by_rank = {r.rank: r for r in out}
+        # identical doc is the top match at cosine 1.0
+        assert by_rank[1].match_id == 2 and by_rank[1].score == 1.0
+        # partial token overlap ranks below; disjoint doc produces no pair
+        assert by_rank[2].match_id == 3 and 0 < by_rank[2].score < 1.0
+        assert all(r.match_id != 4 and r.match_id != 1 for r in out)
+        # stopword-grade pruning: tokens in >50% of docs dropped, the
+        # all-shared 'apple' no longer contributes but ranking holds
+        pruned = textstats.tfidf_cosine_topk(df, [1], k=3, max_df_ratio=0.5)
+        assert pruned.first().match_id == 2
+
 
 class TestMultimodal:
     def test_decode_meta_plumbing(self, spark):

@@ -43,6 +43,22 @@ class TestAsofJoin:
         out = asof_join(left, right, on="k").collect()
         assert out[0].v_asof is None   # other key's rows never match
 
+    def test_deterministic_tie_break(self, spark):
+        left = _ts_df(
+            spark, [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string"
+        )
+        # three right rows at the SAME matching timestamp — winner must be
+        # the greatest tie-break value, at any partitioning
+        right = _ts_df(
+            spark,
+            [("k", "2024-01-01 09:00:00", 10.0, 7), ("k", "2024-01-01 09:00:00", 30.0, 9),
+             ("k", "2024-01-01 09:00:00", 20.0, 8)],
+            "k string, ts string, v double, seq long",
+        )
+        for r in (right, right.repartition(8)):
+            out = asof_join(left, r, on="k", right_tie_break="seq").collect()
+            assert out[0].v_asof == 30.0 and out[0].seq_asof == 9
+
     def test_tolerance(self, spark):
         left = _ts_df(spark, [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string")
         right = _ts_df(spark, [("k", "2024-01-01 08:00:00", 5.0)], "k string, ts string, v double")

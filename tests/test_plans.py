@@ -174,6 +174,7 @@ class TestGlobalPlanInvariants:
     # PLANS.md reading guide) and bounded pairwise ops
     CARTESIAN_OK = {
         "tf_idf",              # 1-row corpus-size scalar broadcast
+        "tfidf_retrieval",     # same scalar broadcast inside tf_idf()
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "text_embedding_topk",
