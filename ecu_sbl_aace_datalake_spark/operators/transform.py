@@ -359,3 +359,43 @@ def stratified_sample_by_hash(
     if expr is not None:
         frac_col = expr.otherwise(float(default_fraction))
     return df.where(hash_bucket(id_col, salt) < frac_col)
+
+
+def sample_fixed_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    salt: str = "sample",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size sample without replacement: the global ``n``
+    rows with the smallest hash priority. With ``weight_col`` the priority is
+    ``-ln(u)/w`` (Efraimidis–Spirakis exponential keys on a hash-derived
+    uniform), giving weight-proportional inclusion — the reproducible
+    replacement for reservoir sampling in training pipelines, where rand()
+    resampling under retries silently changes the dataset.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — each partition
+    keeps a local n-row heap, one tiny merge at the end. No full sort, no
+    full shuffle; cost is a scan + n·log(n) heap work per partition.
+    u ∈ (0,1] via (h+1)/2^32 so ln(u) is finite; ties (hash collisions)
+    break on id for full determinism.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 32))
+    if weight_col:
+        # rows with non-positive/null weight are unsampleable by definition
+        df = df.where(F.col(weight_col) > 0)
+        pri = -F.log(u) / F.col(weight_col).cast("double")
+    else:
+        pri = u
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__pri")
+    )

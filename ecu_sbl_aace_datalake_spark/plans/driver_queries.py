@@ -3721,6 +3721,51 @@ JOIN (SELECT * FROM ranked WHERE rmin = 1) mn USING (o_orderpriority)
 """
 
 
+def q_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: global 200 docs with the smallest
+    md5 hash priority — reproducible across engines/retries, planned as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return transform.sample_fixed_n(docs, "doc_id", 200).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_SAMPLE_TOPN = """
+WITH p AS (
+  SELECT doc_id, lang, source, n_chars,
+         (CAST(('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1)
+         / 4294967296.0 AS pri
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM p ORDER BY pri ASC, doc_id ASC LIMIT 200
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional fixed-size sample (Efraimidis–Spirakis keys
+    -ln(u)/w on a hash-derived uniform): longer documents proportionally
+    more likely, yet fully deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return transform.sample_fixed_n(
+        docs, "doc_id", 200, weight_col="n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+         -LN((CAST(('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1)
+             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars
+FROM p ORDER BY pri ASC, doc_id ASC LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3757,6 +3802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regr_metrics": q_regr_metrics,
     "argmax_extremes": q_argmax_extremes,
     "stratified_sample": q_stratified_sample,
+    "sample_topn": q_sample_topn,
+    "weighted_sample": q_weighted_sample,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
@@ -3893,6 +3940,8 @@ ORACLES: dict[str, str] = {
     "tfidf_retrieval": SQL_TFIDF_RETRIEVAL,
     "regr_metrics": SQL_REGR_METRICS,
     "argmax_extremes": SQL_ARGMAX_EXTREMES,
+    "sample_topn": SQL_SAMPLE_TOPN,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,

@@ -292,6 +292,36 @@ class TestStratifiedSample:
                 docs, "lang", {"en": 1.5}, id_col="doc_id")
 
 
+class TestSampleFixedN:
+    def test_exact_size_and_partition_invariance(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = {r.doc_id for r in transform.sample_fixed_n(docs, "doc_id", 50).collect()}
+        b = {r.doc_id for r in transform.sample_fixed_n(
+            docs.repartition(9), "doc_id", 50).collect()}
+        assert a == b and len(a) == 50
+
+    def test_weighted_favors_heavy_rows(self, spark):
+        # one row with 1000x the weight of 999 others must (deterministically)
+        # be sampled into a 100-row draw; zero/negative weights are excluded
+        rows = [(i, 1000.0 if i == 7 else 1.0) for i in range(1000)] + [
+            (1000, 0.0), (1001, -3.0)
+        ]
+        df = spark.createDataFrame(rows, "id long, w double")
+        kept = {r.id for r in transform.sample_fixed_n(
+            df, "id", 100, weight_col="w").collect()}
+        assert 7 in kept and len(kept) == 100
+        assert 1000 not in kept and 1001 not in kept
+
+    def test_plan_is_take_ordered(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = transform.sample_fixed_n(docs, "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # heap top-n, no global sort
+
+
 class TestTfIdf:
     def test_golden_small_corpus(self, spark):
         import math
