@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "waiting_suppliers",
     "tf_idf",
     "corpus_dedup",
+    "incremental_neardup",
+    "tfidf_retrieval",
+    "weighted_sample",
     "stratified_sample",
     "cumulative_spend",
     "events_trailing_window",

@@ -157,6 +157,27 @@ def minhash_signatures(
     )
 
 
+def _band_table(
+    df: DataFrame, id_col: str, sig_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: the signature split into ``bands``
+    bands, each hashed with multi-arg xxhash64 over its element_at slots
+    (no string concat, no size() calls)."""
+    rpb = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.element_at(F.col(sig_col), b * rpb + i + 1) for i in range(rpb)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        id_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -186,22 +207,10 @@ def lsh_candidate_pairs(
     materialized (cached/persisted) — the cache boundary blocks the inline
     and the extra exchange would be pure overhead.
     """
-    rpb = num_hashes // bands
     sig_mat = df.select(id_col, sig_col).where(F.col(sig_col).isNotNull())
     if barrier:
         sig_mat = sig_mat.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.element_at(F.col(sig_col), b * rpb + i + 1) for i in range(rpb)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig_mat.select(
-        id_col, F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _band_table(sig_mat, id_col, sig_col, bands, num_hashes)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
@@ -670,3 +679,85 @@ def dedup_against_corpus(
         .join(corpus_hashes, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def neardup_pairs_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verified near-dup pairs between a NEW batch and an existing corpus:
+    ``(new_id, corpus_id, jaccard)`` for every new row whose n-shingle
+    Jaccard with some corpus row reaches ``threshold``. The incremental
+    complement of the self-join MinHash pipeline — a new batch is checked
+    against the accumulated dataset without re-pairing the corpus with
+    itself.
+
+    Plan: both sides shingle-hash → minhash → band; the candidate join is
+    new-bands ⋈ corpus-bands on (band_id, band_hash), so per-batch cost is
+    |new|·bands plus matched-bucket expansion — independent of corpus
+    self-pair count. Candidates are verified with EXACT Jaccard over the
+    shingle-hash sets. At 100 TB persist the corpus band table and
+    shingle-hash table bucketed by band_hash: each batch becomes a
+    bucket-pruned hash join instead of a corpus re-scan/re-hash.
+    """
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            minhash_signatures(
+                shingle_hashes(df, text_col, n=n), num_hashes=num_hashes
+            )
+            .select(id_col, "shingles", "minhash")
+            .persist()
+        )
+
+    new_sh, cor_sh = prep(new_df), prep(corpus_df)
+    new_bands = _band_table(
+        new_sh.where(F.col("minhash").isNotNull()), id_col, "minhash", bands, num_hashes
+    ).withColumnRenamed(id_col, "new_id")
+    cor_bands = _band_table(
+        cor_sh.where(F.col("minhash").isNotNull()), id_col, "minhash", bands, num_hashes
+    ).withColumnRenamed(id_col, "corpus_id")
+    cands = (
+        new_bands.join(cor_bands, ["band_id", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sh_n"))
+    b = cor_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("__sh_c")
+    )
+    return (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_n", "__sh_c"))
+            / F.size(F.array_union("__sh_n", "__sh_c")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def neardup_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Rows of ``new_df`` surviving incremental near-dup dedup: drop every
+    new row with a verified corpus near-duplicate (see
+    :func:`neardup_pairs_against_corpus`), keep the rest."""
+    victims = neardup_pairs_against_corpus(
+        new_df, corpus_df, id_col, text_col, n, num_hashes, bands, threshold
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(victims, id_col, "left_anti")

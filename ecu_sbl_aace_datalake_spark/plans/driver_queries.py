@@ -3766,6 +3766,50 @@ FROM p ORDER BY pri ASC, doc_id ASC LIMIT 200
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a 'new batch' (doc_id % 7 == 0) is
+    LSH-checked against the remaining corpus — band join new×corpus, exact
+    Jaccard verify, never corpus×corpus. Oracle-verified against brute-force
+    cross-slice Jaccard (exact verification ⇒ identical output whenever LSH
+    recall is 1 for above-threshold pairs, which holds on this fixture —
+    deterministic hashing, deterministic data)."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    new_batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup.neardup_pairs_against_corpus(
+        new_batch, corpus, "doc_id", "text", threshold=0.5
+    ).select(
+        F.col("new_id"), F.col("corpus_id"), "jaccard"
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = new_id
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = corpus_id
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3804,6 +3848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "sample_topn": q_sample_topn,
     "weighted_sample": q_weighted_sample,
+    "incremental_neardup": q_incremental_neardup,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
@@ -3942,6 +3987,7 @@ ORACLES: dict[str, str] = {
     "argmax_extremes": SQL_ARGMAX_EXTREMES,
     "sample_topn": SQL_SAMPLE_TOPN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,

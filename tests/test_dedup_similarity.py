@@ -351,6 +351,32 @@ class TestCorpusDedup:
         kept = dedup.dedup_against_corpus(new, corpus, normalize=False).count()
         assert kept == 1
 
+    def test_neardup_against_corpus(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different words entirely here now")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [
+                (10, base),                                   # exact near-dup
+                (11, base + " kilo"),                         # high-jaccard variant
+                (12, "nothing shares shingles with anything"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = dedup.neardup_pairs_against_corpus(
+            new, corpus, "doc_id", threshold=0.5
+        ).collect()
+        assert {(r.new_id, r.corpus_id) for r in pairs} == {(10, 1), (11, 1)}
+        exact = [r for r in pairs if r.new_id == 10][0]
+        assert exact.jaccard == 1.0
+        kept = {r.doc_id for r in dedup.neardup_dedup_against_corpus(
+            new, corpus, "doc_id", threshold=0.5).collect()}
+        assert kept == {12}
+
 
 class TestTopkAuto:
     def test_small_corpus_is_exact(self, spark, sf_dir):
