@@ -3810,6 +3810,88 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate percentiles, oracle-verified via rank-error
+    envelopes: ``approx_percentile(x, p, 1000)`` guarantees rank error ≤
+    n/1000, so the estimate must land inside the exact [p-0.01, p+0.01]
+    quantile envelope. The query emits exact p50/p95 plus those booleans;
+    DuckDB supplies the exact values and literal TRUEs. Deterministic on a
+    fixed fixture (the sketch has no randomness)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = "l_extendedprice"
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile({x}, 0.5, 1000)").alias("a50"),
+        F.expr(f"approx_percentile({x}, 0.95, 1000)").alias("a95"),
+        F.expr(f"percentile({x}, 0.5)").alias("e50"),
+        F.expr(f"percentile({x}, 0.95)").alias("e95"),
+        F.expr(f"percentile({x}, 0.49)").alias("lo50"),
+        F.expr(f"percentile({x}, 0.51)").alias("hi50"),
+        F.expr(f"percentile({x}, 0.94)").alias("lo95"),
+        F.expr(f"percentile({x}, 0.96)").alias("hi95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("median_price"),
+        F.round("e95", 4).alias("p95_price"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "approx_p50_ok"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "approx_p95_ok"
+        ),
+    )
+
+
+SQL_APPROX_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       TRUE AS approx_p50_ok,
+       TRUE AS approx_p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary heads: token frequencies grouped by document
+    language, top-3 per language (freq desc, token asc — deterministic).
+    Two shuffles (token agg, per-lang window over small agg output); partial
+    aggregation absorbs token skew map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    freqs = (
+        docs.select("lang", F.explode(textstats.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freqs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("lang", "token", "freq", "rn")
+    )
+
+
+SQL_TOP_TOKENS_PER_LANG = """
+WITH tok AS (
+  SELECT lang, token FROM (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), freqs AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok GROUP BY lang, token
+)
+SELECT lang, token, freq,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY freq DESC, token ASC
+       ) AS BIGINT) AS rn
+FROM freqs
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token ASC) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3849,6 +3931,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topn": q_sample_topn,
     "weighted_sample": q_weighted_sample,
     "incremental_neardup": q_incremental_neardup,
+    "approx_percentiles": q_approx_percentiles,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
@@ -3988,6 +4072,8 @@ ORACLES: dict[str, str] = {
     "sample_topn": SQL_SAMPLE_TOPN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+    "approx_percentiles": SQL_APPROX_PERCENTILES,
+    "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,
