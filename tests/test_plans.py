@@ -81,6 +81,20 @@ class TestExtensions:
         assert a.cartesian_products + a.broadcast_joins >= 1
         assert a.sort_merge_joins == 0
 
+    def test_tfidf_retrieval_broadcasts_query_postings(self, audits):
+        a = audits("tfidf_retrieval")
+        # query postings + query norms are tiny — both must broadcast; the
+        # whole pipeline stays JVM-side (pure built-in expressions)
+        assert a.broadcast_joins >= 2
+        assert a.python_udf_nodes == 0
+
+    def test_incremental_neardup_is_equi_join_only(self, audits):
+        a = audits("incremental_neardup")
+        # band join new×corpus must stay an equi-join — any cartesian here
+        # would be the O(|new|·|corpus|) disaster LSH exists to avoid
+        assert a.cartesian_products == 0
+        assert a.python_udf_nodes == 0
+
     def test_cleaning_udf_is_arrow_not_pickle(self, spark, sf_dir):
         df = QUERIES["fixup_names"](spark, sf_dir)
         plan = PlanAudit.of(df)
