@@ -1,0 +1,78 @@
+"""Graph analytics over edge DataFrames.
+
+North-star extension breadth beyond the dedup-oriented connected components
+(``dedup.duplicate_clusters`` / ``duplicate_clusters_bigstar``): PageRank as
+fixed-iteration join-aggregate rounds — the canonical "iterative algorithm
+as a DataFrame plan" shape.
+
+Scale design: each iteration is ONE shuffle (contribution aggregation on
+dst); the edge table is cached once and both join sides key on the same
+column, so AQE reuses the edge shuffle across iterations. Ranks are
+persisted per round and the previous round unpersisted — working state is
+one rank table (|V| rows), never the plan history. No driver-side collects
+beyond the node count (a scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank: ``rank = (1-d)/n + d·Σ rank(in)/deg(in)``.
+
+    Runs exactly ``iterations`` synchronous rounds from the uniform vector —
+    deterministic, so results are oracle-comparable (the DuckDB oracle
+    unrolls the same rounds as chained CTEs). Dangling nodes (no out-edges)
+    keep their teleport share but leak their damped mass, the standard
+    simplification when the input graph is symmetric — pass
+    ``symmetrize=True`` to mirror every edge first, which also guarantees no
+    dangling nodes exist.
+
+    Returns ``(node, rank)`` with rank rounded to 6dp (floating sums are
+    association-order-dependent at ~1e-15; rounding makes the result
+    engine- and partitioning-independent).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = e.join(deg, "src").persist()
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    for _ in range(iterations):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+                "rank"
+            ),
+        ).persist()
+        new_ranks.count()  # materialize before dropping the previous round
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

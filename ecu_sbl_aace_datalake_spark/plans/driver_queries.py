@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cleaning
-from ..operators import dedup, profile, similarity, star, textstats, transform
+from ..operators import dedup, graph, profile, similarity, star, textstats, transform
 from ..operators.query import build_select_sql, clean_string_col, sql_over
 from ..sources.io import load_table
 from ..streaming import events as ev
@@ -3892,6 +3892,74 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token ASC) <= 3
 """
 
 
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer–supplier trade graph
+    (an edge per distinct (customer, supplier) pair that shared an order),
+    5 synchronous join-aggregate rounds from the uniform vector.
+
+    Oracle: DuckDB runs the SAME 5 rounds unrolled as chained CTEs —
+    iterative algorithms are SQL-expressible when the round count is fixed,
+    so this stays hash-verified rather than rows-only."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = graph.pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, symmetrize=True
+    )
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+def _pagerank_oracle_sql(iters: int, d: float) -> str:
+    """Unroll the fixed PageRank rounds as chained CTEs (DuckDB side)."""
+    one_minus_d = repr(1.0 - d)
+    parts = [
+        """
+WITH raw_edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM raw_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM raw_edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT node, 1.0::DOUBLE / n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT nodes.node,
+         {one_minus_d}::DOUBLE / nn.n
+           + {d!r}::DOUBLE * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / dg.deg) AS s
+    FROM edges e
+    JOIN it{k - 1} r ON e.src = r.node
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(pr, 6) AS pr FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3933,6 +4001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "approx_percentiles": q_approx_percentiles,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "pagerank": q_pagerank,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
@@ -4074,6 +4143,7 @@ ORACLES: dict[str, str] = {
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "approx_percentiles": SQL_APPROX_PERCENTILES,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
+    "pagerank": SQL_PAGERANK,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,

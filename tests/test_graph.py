@@ -1,0 +1,65 @@
+"""PageRank: golden values vs an independent numpy power iteration."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ecu_sbl_aace_datalake_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edge_list, iters, d):
+    nodes = sorted({n for e in edge_list for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: [] for i in range(n)}
+    for s, t in edge_list:
+        out[idx[s]].append(idx[t])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for i, targets in out.items():
+            if targets:
+                share = d * r[i] / len(targets)
+                for t in targets:
+                    nxt[t] += share
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+class TestPageRank:
+    EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+
+    def test_matches_numpy_power_iteration(self, spark):
+        sym = set(self.EDGES) | {(t, s) for s, t in self.EDGES}
+        expected = _numpy_pagerank(sorted(sym), iters=8, d=0.85)
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=8, symmetrize=True).collect()
+        }
+        assert set(got) == set(expected)
+        for node, val in expected.items():
+            assert abs(got[node] - val) < 1e-6, node
+
+    def test_mass_conserved_on_symmetric_graph(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        import pyspark.sql.functions as F
+
+        edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+            F.concat(F.lit("c"), "o_custkey").alias("src"),
+            F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+        )
+        pr = pagerank(edges, iterations=3, symmetrize=True)
+        total = pr.agg(F.sum("rank")).first()[0]
+        # symmetric graph has no dangling nodes -> total mass stays 1
+        assert abs(total - 1.0) < 1e-3
+
+    def test_higher_degree_ranks_higher(self, spark):
+        # star: hub connected to 4 spokes -> hub must outrank every spoke
+        edges = [("hub", f"s{i}") for i in range(4)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(df, symmetrize=True).collect()}
+        assert all(got["hub"] > got[f"s{i}"] for i in range(4))
