@@ -206,6 +206,71 @@ def add_index_col_distributed(
     return out.select(col_name, *keep)
 
 
+def add_index_col_quantile(
+    df: DataFrame,
+    order_by: str,
+    col_name: str = "index",
+    index_start: int = 0,
+    num_partitions: int | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Contiguous global ids with NO materialization — the
+    :func:`add_index_col_distributed` variant from NEXT.md #12.
+
+    The checkpointed variant pins its range partitioning because
+    ``repartitionByRange`` bounds come from non-seed-stable sampling. Here
+    the partition id is instead a PURE FUNCTION of the (numeric) order key:
+    bucket bounds are driver-computed once via ``approxQuantile`` (a
+    deterministic Greenwald–Khanna pass over one column), and every
+    downstream job recomputes identical assignments — so the counts pass
+    and the id pass can both re-scan the source without pinning anything.
+
+    Trade: two source scans (counts + ids) instead of one materialized
+    intermediate; at 100 TB the counts scan reads a single column and the
+    cluster keeps no copy of the table in memory/disk cache. Skewed keys
+    make buckets uneven (quantile bounds collapse) but never incorrect —
+    equal keys always share a bucket. Nulls sort first (bucket 0).
+
+    Ids are ``index_start+1 … index_start+count`` ordered by ``order_by``
+    (ties arbitrary-but-contiguous, as any row_number over a non-total
+    order).
+    """
+    keep = [c for c in df.columns if c.lower() != col_name.lower()]
+    out = df.select(*keep)
+    n_part = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    probs = [i / n_part for i in range(1, n_part)]
+    bounds = sorted(
+        set(out.stat.approxQuantile(order_by, probs, relative_error))
+    )
+    if bounds:
+        b_arr = F.array(*[F.lit(b).cast("double") for b in bounds])
+        pid = F.size(
+            F.filter(b_arr, lambda b: F.col(order_by).cast("double") > b)
+        )
+    else:
+        pid = F.lit(0)
+    bucketed = out.withColumn("__pid", pid)
+    counts = dict(
+        bucketed.groupBy("__pid").count().select("__pid", "count").collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = index_start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_by).asc())
+    indexed = bucketed.withColumn(
+        col_name,
+        (F.row_number().over(w) + F.element_at(offset_map, F.col("__pid"))).cast(
+            "long"
+        ),
+    ).drop("__pid")
+    return indexed.select(col_name, *keep)
+
+
 def rename_columns_with_prefix(df: DataFrame, prefix: str) -> DataFrame:
     """Prefix every column ``{prefix}_{col}`` (reference common.py:807-810)."""
     return df.toDF(*[f"{prefix}_{c}" for c in df.columns])

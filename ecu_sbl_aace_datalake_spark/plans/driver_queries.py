@@ -3294,6 +3294,20 @@ FROM orders
 """
 
 
+def q_add_index_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids where the bucket id is a pure function of the
+    key (driver-computed approxQuantile bounds) — no checkpoint, no pinned
+    partitioning (transform.add_index_col_quantile, NEXT.md #12). Unique
+    key ⇒ total-order deterministic and oracle-checkable."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return transform.add_index_col_quantile(
+        orders, "o_orderkey", col_name="idx", num_partitions=8
+    )
+
+
+SQL_ADD_INDEX_QUANTILE = SQL_ADD_INDEX_DISTRIBUTED
+
+
 # --------------------------------------------------------------------------
 # training-pipeline: sequence packing (fixed token-budget training batches)
 # --------------------------------------------------------------------------
@@ -4086,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_last_window": q_first_last_window,
     "corpus_prepare": q_corpus_prepare,
     "add_index_distributed": q_add_index_distributed,
+    "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
     "greedy_packing": q_greedy_packing,
     "min_cost_supplier": q_min_cost_supplier,
@@ -4215,6 +4230,7 @@ ORACLES: dict[str, str] = {
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "first_last_window": SQL_FIRST_LAST_WINDOW,
     "add_index_distributed": SQL_ADD_INDEX_DISTRIBUTED,
+    "add_index_quantile": SQL_ADD_INDEX_QUANTILE,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "product_profit": SQL_PRODUCT_PROFIT,

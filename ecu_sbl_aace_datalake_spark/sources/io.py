@@ -562,16 +562,17 @@ def export_files(
     single_file: bool = False,
     **options: Any,
 ) -> dict[str, Any]:
-    """Export a DataFrame under ``{source}/Files/{name}`` as csv/json/parquet —
-    the interchange sink (Delta/parquet under Tables/ stays the analytic
-    format; Files/ is for handing data to external consumers, mirroring the
-    reference lakehouse's Tables/Files split, common.py:313-327).
+    """Export a DataFrame under ``{source}/Files/{name}`` as
+    csv/json/parquet/orc — the interchange sink (Delta/parquet under Tables/
+    stays the analytic format; Files/ is for handing data to external
+    consumers, mirroring the reference lakehouse's Tables/Files split,
+    common.py:313-327).
 
     ``single_file=True`` coalesces to one output file — only for small
     exports (it serializes the final write); large exports keep one file per
     partition.
     """
-    if fmt not in ("csv", "json", "parquet"):
+    if fmt not in ("csv", "json", "parquet", "orc"):
         raise ValueError(f"unsupported export format: {fmt!r}")
     path = posixpath.join(lakehouse.files_path, name)
     out = df.coalesce(1) if single_file else df

@@ -303,6 +303,16 @@ class TestCsvJsonIngestion:
         assert {r.r_name for r in back.collect()} == {
             r.r_name for r in region.collect()}
 
+    def test_orc_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        lh = Lakehouse("x", tempfile.mkdtemp())
+        nation = lio.load_table(spark, sf_dir, "nation")
+        info = lio.export_files(lh, "nation_orc", nation, fmt="orc")
+        back = spark.read.orc(info["path"])
+        assert sorted(r.n_nationkey for r in back.collect()) == list(range(25))
+        assert back.schema == nation.schema
+
     def test_bad_csv_records_quarantined(self, spark, tmp_path):
         p = tmp_path / "bad.csv"
         p.write_text("a,b\n1,2\nnot_an_int,5\n3,4\n")

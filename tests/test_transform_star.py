@@ -110,6 +110,45 @@ class TestIndexColDistributed:
         assert "SinglePartition" not in plan, plan
 
 
+class TestIndexColQuantile:
+    def test_matches_global_row_number(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        got = transform.add_index_col_quantile(
+            orders, "o_orderkey", col_name="idx", num_partitions=8
+        )
+        rows = [(r.idx, r.o_orderkey) for r in got.orderBy("idx").collect()]
+        expected = [
+            (i + 1, k)
+            for i, k in enumerate(sorted(r.o_orderkey for r in orders.collect()))
+        ]
+        assert rows == expected
+
+    def test_contiguous_under_skewed_keys(self, spark):
+        # all-equal keys collapse every quantile bound into one bucket —
+        # ids must still be contiguous 1..n
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(7,)] * 500, "k long")
+        out = transform.add_index_col_quantile(df, "k", col_name="idx",
+                                               num_partitions=8)
+        stats = out.agg(F.min("idx"), F.max("idx"), F.countDistinct("idx")).first()
+        assert tuple(stats) == (1, 500, 500)
+
+    def test_no_single_partition_exchange_or_checkpoint(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        out = transform.add_index_col_quantile(
+            orders, "o_orderkey", col_name="idx", num_partitions=8
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # pure-function bucketing: nothing pinned in the plan lineage
+        assert "Checkpoint" not in plan and "LogicalRDD" not in plan
+
+
 class TestRenames:
     def test_prefix_roundtrip(self, spark):
         df = spark.createDataFrame([(1, "x")], "a long, b string")
