@@ -193,3 +193,110 @@ def simple_map(
                 f"mapping {join_col!r} (duplicate keys in dimension?)"
             )
     return out
+
+
+def scd2_from_events(
+    events: DataFrame,
+    key_cols: str | Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from an attribute event log:
+    one row per (key, consecutive run of equal attributes) with
+    ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    Gaps-and-islands in two window passes over the same (key, ts)
+    partitioning: a change flag (``lag(attrs) is distinct from attrs``), a
+    running sum to number runs, then groupBy(key, run) for valid_from and
+    one lead() for the exclusive valid_to. ONE shuffle on the key — both
+    windows and the aggregation share it.
+
+    ``tiebreak_cols`` makes same-timestamp ordering deterministic (pass a
+    unique event id); required for oracle-stable output when ts has ties.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = F.coalesce(
+        ~attrs.eqNullSafe(F.lag(attrs).over(w)), F.lit(True)
+    ).cast("int")
+    runs = events.withColumn("__chg", changed).withColumn(
+        "__run", F.sum("__chg").over(w)
+    )
+    versions = runs.groupBy(*keys, "__run", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    # order successor lookup by run number, not valid_from: runs are strictly
+    # monotone per key even when tie-broken same-timestamp events split runs
+    w2 = Window.partitionBy(*keys).orderBy(F.col("__run").asc())
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__run")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    attr_cols: Sequence[str],
+    effective_ts_col: str,
+) -> DataFrame:
+    """Apply one batch of changes to an SCD Type-2 dimension built by
+    :func:`scd2_from_events` (columns: keys + attrs + valid_from/valid_to/
+    is_current). ``changes`` carries one row per key (its latest state) with
+    an effective timestamp.
+
+    Semantics per change row:
+    - key absent from the dimension → insert an open version;
+    - current attrs differ → close the current version at the effective ts
+      and insert a new open version;
+    - current attrs equal → no-op (idempotent re-application).
+
+    Plan: one equi-join of the current slice against the (small) change
+    batch — broadcast when the batch is; historical (closed) rows pass
+    through untouched, so at 100 TB with the dimension partitioned on
+    ``is_current`` the rewrite touches only the current partition.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = lambda side: F.struct(*[F.col(f"{side}.{c}") for c in attr_cols])  # noqa: E731
+
+    hist = dim.where(~F.col("is_current"))
+    cur = dim.where(F.col("is_current")).alias("cur")
+    chg = changes.alias("chg")
+    joined = cur.join(chg, keys, "full_outer")
+    differs = ~attrs("cur").eqNullSafe(attrs("chg"))
+    has_cur = F.col("cur.valid_from").isNotNull()
+    has_chg = F.col(f"chg.{effective_ts_col}").isNotNull()
+
+    # current rows: closed if a differing change arrived, else unchanged
+    kept_cur = joined.where(has_cur).select(
+        *keys,
+        *[F.col(f"cur.{c}") for c in attr_cols],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.when(has_chg & differs, F.col(f"chg.{effective_ts_col}"))
+        .otherwise(F.col("cur.valid_to"))
+        .alias("valid_to"),
+        F.when(has_chg & differs, F.lit(False))
+        .otherwise(F.lit(True))
+        .alias("is_current"),
+    )
+    # new open versions: brand-new keys, or keys whose attrs changed
+    inserts = joined.where(has_chg & (~has_cur | differs)).select(
+        *keys,
+        *[F.col(f"chg.{c}") for c in attr_cols],
+        F.col(f"chg.{effective_ts_col}").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out_cols = [*keys, *attr_cols, "valid_from", "valid_to", "is_current"]
+    return (
+        hist.select(*out_cols)
+        .unionByName(kept_cur.select(*out_cols))
+        .unionByName(inserts.select(*out_cols))
+    )

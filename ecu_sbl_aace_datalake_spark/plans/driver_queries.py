@@ -3974,6 +3974,41 @@ it{k} AS (
 SQL_PAGERANK = _pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the event log: per user, one
+    version row per consecutive run of equal event_type, with
+    valid_from/valid_to/is_current (gaps-and-islands, one key shuffle).
+    event_id tie-breaks same-timestamp events so output is deterministic."""
+    evdf = _t(spark, sf_dir, "events")
+    return star.scd2_from_events(
+        evdf, "user_id", ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+
+
+SQL_SCD2_DIMENSION = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, run, event_type, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+FROM versions
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4016,6 +4051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentiles": q_approx_percentiles,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "pagerank": q_pagerank,
+    "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
@@ -4159,6 +4195,7 @@ ORACLES: dict[str, str] = {
     "approx_percentiles": SQL_APPROX_PERCENTILES,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "pagerank": SQL_PAGERANK,
+    "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,
     "exists_subquery": SQL_EXISTS_SUBQUERY,

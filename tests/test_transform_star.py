@@ -301,6 +301,58 @@ class TestSimpleMapMulti:
         assert mapped.count() == 3  # null components join via <=>
 
 
+class TestScd2:
+    def _log(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "u1", "2024-01-01 10:00:00", "bronze"),
+                (2, "u1", "2024-01-02 10:00:00", "bronze"),   # no change
+                (3, "u1", "2024-01-03 10:00:00", "silver"),   # change
+                (4, "u1", "2024-01-04 10:00:00", "bronze"),   # back again → new run
+                (5, "u2", "2024-01-01 09:00:00", "gold"),
+            ],
+            "event_id long, user_id string, ts string, tier string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "tier")
+
+    def test_runs_collapse_and_validity_chain(self, spark):
+        out = star.scd2_from_events(
+            self._log(spark), "user_id", ["tier"], "ts", tiebreak_cols=["event_id"]
+        )
+        u1 = sorted(
+            ((r.tier, r.valid_from.day, r.valid_to.day if r.valid_to else None,
+              r.is_current) for r in out.collect() if r.user_id == "u1"),
+            key=lambda t: t[1],
+        )
+        # bronze(1→3), silver(3→4), bronze(4→open): same attrs, separate runs
+        assert u1 == [("bronze", 1, 3, False), ("silver", 3, 4, False),
+                      ("bronze", 4, None, True)]
+        u2 = [r for r in out.collect() if r.user_id == "u2"]
+        assert len(u2) == 1 and u2[0].is_current
+
+    def test_apply_close_insert_noop(self, spark):
+        dim = star.scd2_from_events(
+            self._log(spark), "user_id", ["tier"], "ts", tiebreak_cols=["event_id"]
+        )
+        changes = spark.createDataFrame(
+            [
+                ("u1", "gold", "2024-02-01 00:00:00"),   # change → close + insert
+                ("u2", "gold", "2024-02-01 00:00:00"),   # same attrs → no-op
+                ("u3", "bronze", "2024-02-01 00:00:00"), # new key → insert
+            ],
+            "user_id string, tier string, eff string",
+        ).selectExpr("user_id", "tier", "CAST(eff AS TIMESTAMP) eff")
+        out = star.scd2_apply(dim, changes, "user_id", ["tier"], "eff")
+        cur = {r.user_id: r.tier for r in out.collect() if r.is_current}
+        assert cur == {"u1": "gold", "u2": "gold", "u3": "bronze"}
+        # the superseded u1 row is closed at the effective ts
+        closed = [r for r in out.collect()
+                  if r.user_id == "u1" and r.tier == "bronze" and r.valid_from.day == 4]
+        assert len(closed) == 1 and closed[0].valid_to.month == 2
+        # re-applying the same batch is a no-op (idempotent)
+        again = star.scd2_apply(out, changes, "user_id", ["tier"], "eff")
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
 class TestStratifiedSample:
     def test_partition_invariant_and_stratum_rates(self, spark, sf_dir):
         from ecu_sbl_aace_datalake_spark.sources.io import load_table
