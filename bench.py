@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "cumulative_spend",
     "events_trailing_window",
+    "scd2_dimension",
+    "pagerank",
 ]
 
 

@@ -249,7 +249,10 @@ def tfidf_cosine_topk(
     if max_df_ratio < 1.0:
         n_docs = df.count()
         w = w.where(F.col("df_t") <= int(max_df_ratio * n_docs))
-    w = w.drop("df_t")
+    # the postings table feeds three consumers (norms, query slice, the
+    # inverted-index join) — persist it or the whole tokenize+tf+idf chain
+    # recomputes per branch (measured 3x the shuffle volume without this)
+    w = w.drop("df_t").persist()
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
