@@ -464,3 +464,51 @@ def sample_fixed_n(
         .limit(n)
         .drop("__pri")
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> dict[str, list]:
+    """Schema drift report between two table versions: added / removed /
+    type-changed columns (by name; order changes are not drift). The
+    guardrail an append pipeline checks before writing a batch whose
+    upstream may have changed shape.
+    """
+    old_types = {f.name: f.dataType for f in old.schema.fields}
+    new_types = {f.name: f.dataType for f in new.schema.fields}
+    return {
+        "added": sorted(set(new_types) - set(old_types)),
+        "removed": sorted(set(old_types) - set(new_types)),
+        "type_changed": sorted(
+            (c, old_types[c].simpleString(), new_types[c].simpleString())
+            for c in set(old_types) & set(new_types)
+            if old_types[c] != new_types[c]
+        ),
+    }
+
+
+def conform_to_schema(
+    df: DataFrame, target: "StructType", strict_extras: bool = True
+) -> DataFrame:
+    """Reshape a batch to a target schema: missing columns appear as typed
+    nulls, matching columns cast to the target type (null-on-failure in
+    non-ANSI mode, consistent with :func:`cast_columns`), columns ordered as
+    the target. Extra columns raise by default (silent data loss otherwise)
+    or are dropped with ``strict_extras=False``.
+
+    Pure projection — no shuffle; pushes into the scan like any select.
+    """
+    have = set(df.columns)
+    extras = have - {f.name for f in target.fields}
+    if extras and strict_extras:
+        raise ValueError(
+            f"batch has columns not in target schema: {sorted(extras)} "
+            "(pass strict_extras=False to drop)"
+        )
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cols)

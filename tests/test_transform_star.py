@@ -301,6 +301,31 @@ class TestSimpleMapMulti:
         assert mapped.count() == 3  # null components join via <=>
 
 
+class TestSchemaDrift:
+    def test_diff_reports_added_removed_changed(self, spark):
+        old = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, score double")
+        new = spark.createDataFrame([(1, "a", "2", True)], "id long, name string, score string, active boolean")
+        d = transform.schema_diff(old, new)
+        assert d["added"] == ["active"] and d["removed"] == []
+        assert d["type_changed"] == [("score", "double", "string")]
+
+    def test_conform_fills_casts_orders_and_guards(self, spark):
+        import pytest as _pytest
+
+        target = spark.createDataFrame(
+            [], "id long, name string, score double"
+        ).schema
+        batch = spark.createDataFrame(
+            [("7", "x", "extra")], "id string, name string, junk string"
+        )
+        with _pytest.raises(ValueError, match="junk"):
+            transform.conform_to_schema(batch, target)
+        out = transform.conform_to_schema(batch, target, strict_extras=False)
+        assert out.columns == ["id", "name", "score"]
+        row = out.first()
+        assert row.id == 7 and row.score is None  # cast + typed null fill
+
+
 class TestScd2:
     def _log(self, spark):
         return spark.createDataFrame(
