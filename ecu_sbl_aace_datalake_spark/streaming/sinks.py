@@ -115,3 +115,75 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_dedup_ingest(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    id_col: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    near_dup: bool = True,
+    threshold: float = 0.7,
+) -> Any:
+    """Streaming corpus ingestion with dedup-at-the-door: every micro-batch
+    keeps only documents that are (a) exact-unique within the batch,
+    (b) not exact duplicates of the accumulated corpus, and — with
+    ``near_dup`` — (c) not near-duplicates (shingle Jaccard ≥ ``threshold``)
+    of the corpus, then appends the survivors. The streaming composition of
+    ``dedup_against_corpus`` + ``neardup_dedup_against_corpus``: the corpus
+    only ever grows by novel content, so downstream training jobs read it
+    without their own dedup pass.
+
+    First batch bootstraps the table. foreachBatch retries re-run the whole
+    batch; both dedup steps are deterministic given (batch, corpus), and
+    re-appending after a partial failure is prevented by the exact
+    corpus-hash check itself — survivors of a replayed batch are already in
+    the corpus and get filtered, making the sink effectively idempotent.
+
+    Scale: per batch, one hash anti-join vs the corpus hash column plus an
+    LSH band probe (cost tracks the batch, not the corpus — measured flat
+    in SCALING.md). Returns the StreamingQuery handle.
+    """
+    from ..operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        neardup_dedup_against_corpus,
+    )
+    from ..sources.catalog import table_path
+    from ..sources.io import append_table, write_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+        from urllib.parse import urlparse
+
+        batch = exact_dedup(
+            batch_df.withColumn("__h", F.md5(F.trim(F.col(text_col)))),
+            ["__h"],
+            tiebreak=[id_col],
+        ).drop("__h")
+        path = table_path(lakehouse, table_name)
+        exists = os.path.isdir(urlparse(path).path or path)
+        if exists:
+            spark = batch.sparkSession
+            corpus = spark.read.parquet(path)
+            batch = dedup_against_corpus(batch, corpus, text_col=text_col)
+            if near_dup:
+                batch = neardup_dedup_against_corpus(
+                    batch, corpus, id_col, text_col, threshold=threshold
+                )
+            if batch.isEmpty():
+                return
+            append_table(lakehouse, table_name, batch)
+        else:
+            write_table(lakehouse, table_name, batch)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -99,3 +99,51 @@ class TestForeachBatchUpsert:
         assert rows[0] == "STREAMED"
         assert rows[99] == "NEWSTREAM"
         assert len(rows) == 26
+
+
+class TestForeachBatchDedupIngest:
+    def test_corpus_grows_only_by_novel_content(self, spark, tmp_path):
+        import os
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_dedup_ingest,
+        )
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        other = "one two three four five six seven eight nine ten eleven twelve"
+        src = str(tmp_path / "ingest_src")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        # one parquet file per micro-batch (maxFilesPerTrigger=1)
+        spark.createDataFrame(
+            [(1, base), (2, other)], schema
+        ).coalesce(1).write.parquet(src + "/b1", mode="overwrite")
+        spark.createDataFrame(
+            [(10, base),                 # exact dup of doc 1
+             (11, base + " kilo"),       # near-dup of doc 1
+             (12, "genuinely novel words never seen before anywhere")],
+            schema,
+        ).coalesce(1).write.parquet(src + "/b2", mode="overwrite")
+        import glob
+        import shutil
+
+        for i, sub in enumerate(("b1", "b2")):
+            part = glob.glob(f"{src}/{sub}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/{sub}")
+            os.utime(f"{src}/batch{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "lh"))
+        q = foreach_batch_dedup_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.5,
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "lh") + "/Tables/corpus")
+        kept = {r.doc_id for r in corpus.collect()}
+        # batch1 both kept; batch2 only the novel doc survives the door
+        assert kept == {1, 2, 12}
