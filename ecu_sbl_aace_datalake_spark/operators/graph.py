@@ -27,8 +27,13 @@ def pagerank(
     damping: float = 0.85,
     symmetrize: bool = False,
     broadcast_ranks: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``rank = (1-d)/n + d·Σ rank(in)/deg(in)``.
+
+    With ``weight_col``, contributions split proportionally to edge weight
+    (``rank·w/Σw(src)`` instead of ``rank/deg``) — weighted PageRank over,
+    e.g., interaction counts; parallel edges' weights are summed.
 
     Runs exactly ``iterations`` synchronous rounds from the uniform vector —
     deterministic, so results are oracle-comparable (the DuckDB oracle
@@ -42,12 +47,21 @@ def pagerank(
     association-order-dependent at ~1e-15; rounding makes the result
     engine- and partitioning-independent).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w_expr = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
+    )
     if symmetrize:
         e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
-    e = e.distinct().persist()
+    if weight_col:
+        # parallel edges merge by weight sum (distinct would drop them)
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    else:
+        e = e.distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -55,7 +69,7 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     if broadcast_ranks:
         deg = F.broadcast(deg)
     out_edges = e.join(deg, "src").persist()
@@ -72,7 +86,10 @@ def pagerank(
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contribs = (
             out_edges.join(rank_side, out_edges["src"] == rank_side["node"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )

@@ -3974,6 +3974,77 @@ it{k} AS (
 SQL_PAGERANK = _pagerank_oracle_sql(_PR_ITERS, _PR_DAMPING)
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: same trade graph, edge weight = number of shared
+    order lines, contributions split ∝ weight (rank·w/Σw). Same unrolled-CTE
+    oracle with weighted degree sums."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        symmetrize=True,
+        weight_col="w",
+    )
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+def _pagerank_weighted_oracle_sql(iters: int, d: float) -> str:
+    one_minus_d = repr(1.0 - d)
+    parts = [
+        """
+WITH raw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT src, dst, w FROM raw
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM raw
+  ) GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT node, 1.0::DOUBLE / n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT nodes.node,
+         {one_minus_d}::DOUBLE / nn.n
+           + {d!r}::DOUBLE * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr * e.w / dg.deg) AS s
+    FROM edges e
+    JOIN it{k - 1} r ON e.src = r.node
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(pr, 6) AS pr FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK_WEIGHTED = _pagerank_weighted_oracle_sql(_PR_ITERS, _PR_DAMPING)
+
+
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the event log: per user, one
     version row per consecutive run of equal event_type, with
@@ -4051,6 +4122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentiles": q_approx_percentiles,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "pagerank": q_pagerank,
+    "pagerank_weighted": q_pagerank_weighted,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -4195,6 +4267,7 @@ ORACLES: dict[str, str] = {
     "approx_percentiles": SQL_APPROX_PERCENTILES,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "pagerank": SQL_PAGERANK,
+    "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,

@@ -57,6 +57,21 @@ class TestPageRank:
         # symmetric graph has no dangling nodes -> total mass stays 1
         assert abs(total - 1.0) < 1e-3
 
+    def test_weighted_edge_pulls_rank(self, spark):
+        # hub→s0 carries 100x the weight of hub→s1..s3: s0 must outrank
+        # the other spokes, which the unweighted form can't distinguish
+        edges = [("hub", "s0", 100.0)] + [("hub", f"s{i}", 1.0) for i in (1, 2, 3)]
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, symmetrize=True, weight_col="w").collect()
+        }
+        assert all(got["s0"] > got[f"s{i}"] for i in (1, 2, 3))
+        unw = {
+            r.node: r.rank for r in pagerank(df, symmetrize=True).collect()
+        }
+        assert unw["s0"] == unw["s1"]  # without weights the spokes tie
+
     def test_higher_degree_ranks_higher(self, spark):
         # star: hub connected to 4 spokes -> hub must outrank every spoke
         edges = [("hub", f"s{i}") for i in range(4)]
