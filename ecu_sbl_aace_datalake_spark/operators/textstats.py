@@ -291,3 +291,75 @@ def tfidf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the same inverted-index plan as
+    :func:`tfidf_cosine_topk` — the standard lexical ranking function
+    (idf · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) summed over shared terms).
+
+    idf uses the non-negative form ln(1 + (N-df+0.5)/(df+0.5)). The length
+    normalization needs per-doc token counts (dl) and the corpus mean
+    (avgdl, a 1-row broadcast scalar). Query side = the query docs' term
+    rows (tiny, broadcast); candidates come from the postings join on
+    token — cost tracks postings-list sizes, never O(n²).
+
+    Scores rounded to 6dp, ranked (score desc, id asc) — deterministic and
+    engine-independent.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    scalars = df.agg(
+        F.count("*").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    postings = (
+        tf.join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            "token",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+        .persist()
+    )
+    q_terms = postings.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), "token"
+    )
+    scored = (
+        F.broadcast(q_terms)
+        .join(postings, "token")
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
+    )

@@ -4080,6 +4080,56 @@ FROM versions
 """
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (idf · saturating-tf · length
+    normalization) over the inverted-index plan, top-5 per query doc.
+    Constants are cast to DOUBLE on the oracle side so both engines do the
+    same IEEE arithmetic (DuckDB would otherwise fold 1.2+1.0 in DECIMAL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk(docs, [1, 2, 3], k=5)
+
+
+SQL_BM25_RETRIEVAL = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+), dfreq AS (
+  SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1
+), scal AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), w AS (
+  SELECT tf.doc_id, tf.token,
+         LN(1.0::DOUBLE + (n_docs - df_t + 0.5::DOUBLE) / (df_t + 0.5::DOUBLE))
+         * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+         / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                + 0.75::DOUBLE * dl / avgdl)) AS w
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN scal
+),
+q AS (SELECT doc_id AS query_id, token FROM w WHERE doc_id IN (1, 2, 3)),
+scored AS (
+  SELECT q.query_id, w.doc_id AS match_id, ROUND(SUM(w.w), 6) AS score
+  FROM q JOIN w USING (token)
+  WHERE w.doc_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, match_id ASC
+       ) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, match_id ASC
+) <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4113,6 +4163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_items": q_returned_items,
     "tf_idf": q_tf_idf,
     "tfidf_retrieval": q_tfidf_retrieval,
+    "bm25_retrieval": q_bm25_retrieval,
     "regr_metrics": q_regr_metrics,
     "argmax_extremes": q_argmax_extremes,
     "stratified_sample": q_stratified_sample,
@@ -4259,6 +4310,7 @@ ORACLES: dict[str, str] = {
     "levenshtein_pairs": SQL_LEVENSHTEIN_PAIRS,
     "stats_agg": SQL_STATS_AGG,
     "tfidf_retrieval": SQL_TFIDF_RETRIEVAL,
+    "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "regr_metrics": SQL_REGR_METRICS,
     "argmax_extremes": SQL_ARGMAX_EXTREMES,
     "sample_topn": SQL_SAMPLE_TOPN,

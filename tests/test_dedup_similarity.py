@@ -207,6 +207,24 @@ class TestTextStats:
         pruned = textstats.tfidf_cosine_topk(df, [1], k=3, max_df_ratio=0.5)
         assert pruned.first().match_id == 2
 
+    def test_bm25_topk(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "rare apple banana"),
+                (2, "rare apple banana"),        # identical → top match
+                (3, "apple banana common words"),  # shares only common terms
+                (4, "zzz yyy xxx"),              # disjoint → no pair
+            ],
+            "doc_id long, text string",
+        )
+        out = textstats.bm25_topk(df, [1], k=3).collect()
+        by_rank = {r.rank: r.match_id for r in out}
+        # the identical doc (sharing the rare high-idf term) outranks the
+        # common-terms-only doc; the disjoint doc never appears
+        assert by_rank[1] == 2 and by_rank[2] == 3
+        assert all(r.match_id != 4 for r in out)
+        assert all(r.score > 0 for r in out)
+
 
 class TestMultimodal:
     def test_decode_meta_plumbing(self, spark):
