@@ -363,3 +363,41 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
     )
+
+
+def rrf_fuse(*ranked: DataFrame, rrf_k: int = 60, k: int = 5) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval result lists — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense embeddings, etc.):
+    ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))``, missing entries
+    contribute nothing. Rank-based, so no per-list score calibration is
+    needed.
+
+    Inputs are DataFrames shaped like the retrieval operators' output
+    (``query_id, match_id, rank``). Union + one aggregation + one top-k
+    window — the fused lists are tiny (|queries|·k per list), so this is
+    driver-negligible at any corpus scale.
+    """
+    from functools import reduce
+
+    contribs = [
+        df.select(
+            "query_id",
+            "match_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("c"),
+        )
+        for df in ranked
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    scored = unioned.groupBy("query_id", "match_id").agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )

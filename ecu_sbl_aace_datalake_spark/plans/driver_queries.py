@@ -4130,6 +4130,42 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 and TF-IDF
+    cosine rankings (score = Σ 1/(60+rank) across lists) — the standard
+    combiner when lexical and a second ranking disagree; rank-based, so no
+    score calibration between the lists is needed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.rrf_fuse(
+        textstats.bm25_topk(docs, [1, 2, 3], k=5),
+        textstats.tfidf_cosine_topk(docs, [1, 2, 3], k=5),
+        k=5,
+    )
+
+
+SQL_HYBRID_RETRIEVAL = f"""
+WITH bm AS (SELECT query_id, match_id, "rank" FROM ({SQL_BM25_RETRIEVAL}) x),
+tfc AS (SELECT query_id, match_id, "rank" FROM ({SQL_TFIDF_RETRIEVAL}) y),
+u AS (
+  SELECT query_id, match_id, 1.0::DOUBLE / (60 + "rank") AS c FROM bm
+  UNION ALL
+  SELECT query_id, match_id, 1.0::DOUBLE / (60 + "rank") AS c FROM tfc
+),
+scored AS (
+  SELECT query_id, match_id, ROUND(SUM(c), 6) AS score
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, match_id ASC
+       ) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, match_id ASC
+) <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4164,6 +4200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_idf": q_tf_idf,
     "tfidf_retrieval": q_tfidf_retrieval,
     "bm25_retrieval": q_bm25_retrieval,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "regr_metrics": q_regr_metrics,
     "argmax_extremes": q_argmax_extremes,
     "stratified_sample": q_stratified_sample,
@@ -4311,6 +4348,7 @@ ORACLES: dict[str, str] = {
     "stats_agg": SQL_STATS_AGG,
     "tfidf_retrieval": SQL_TFIDF_RETRIEVAL,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
+    "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "regr_metrics": SQL_REGR_METRICS,
     "argmax_extremes": SQL_ARGMAX_EXTREMES,
     "sample_topn": SQL_SAMPLE_TOPN,

@@ -225,6 +225,18 @@ class TestTextStats:
         assert all(r.match_id != 4 for r in out)
         assert all(r.score > 0 for r in out)
 
+    def test_rrf_fuse(self, spark):
+        schema = "query_id long, match_id long, rank long"
+        # doc 10 ranks 1st in A and 2nd in B; 11 only in A; 12 only in B
+        a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)], schema)
+        b = spark.createDataFrame([(1, 10, 2), (1, 12, 1)], schema)
+        fused = textstats.rrf_fuse(a, b, k=3).collect()
+        by_rank = {r.rank: r.match_id for r in fused}
+        assert by_rank[1] == 10                     # in both lists → wins
+        assert set(by_rank.values()) == {10, 11, 12}
+        # 11 (rank 2 in A) vs 12 (rank 1 in B): 1/62 < 1/61 → 12 second
+        assert by_rank[2] == 12 and by_rank[3] == 11
+
 
 class TestMultimodal:
     def test_decode_meta_plumbing(self, spark):
