@@ -189,6 +189,8 @@ class TestGlobalPlanInvariants:
     CARTESIAN_OK = {
         "tf_idf",              # 1-row corpus-size scalar broadcast
         "tfidf_retrieval",     # same scalar broadcast inside tf_idf()
+        "bm25_retrieval",      # 1-row (n_docs, avgdl) scalar broadcast
+        "hybrid_retrieval",    # fuses the two queries above
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "text_embedding_topk",
