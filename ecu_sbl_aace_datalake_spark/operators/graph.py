@@ -28,12 +28,17 @@ def pagerank(
     symmetrize: bool = False,
     broadcast_ranks: bool = True,
     weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``rank = (1-d)/n + d·Σ rank(in)/deg(in)``.
 
     With ``weight_col``, contributions split proportionally to edge weight
     (``rank·w/Σw(src)`` instead of ``rank/deg``) — weighted PageRank over,
     e.g., interaction counts; parallel edges' weights are summed.
+
+    With ``seeds``, this becomes PERSONALIZED PageRank: both the initial
+    vector and the teleport mass concentrate uniformly on the seed nodes
+    (rank ≈ relevance to the seed set — the graph-retrieval primitive).
 
     Runs exactly ``iterations`` synchronous rounds from the uniform vector —
     deterministic, so results are oracle-comparable (the DuckDB oracle
@@ -74,8 +79,16 @@ def pagerank(
         deg = F.broadcast(deg)
     out_edges = e.join(deg, "src").persist()
 
-    teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    if seeds is not None:
+        is_seed = F.col("node").isin(list(seeds))
+        init_val = F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+        teleport_expr = F.when(
+            is_seed, F.lit((1.0 - damping) / len(seeds))
+        ).otherwise(F.lit(0.0))
+    else:
+        init_val = F.lit(1.0 / n)
+        teleport_expr = F.lit((1.0 - damping) / n)
+    ranks = nodes.withColumn("rank", init_val).persist()
     for _ in range(iterations):
         # |V| rows vs |E| rows: broadcasting the rank vector turns the
         # per-round join into a map-side pass over the cached edges (no edge
@@ -97,7 +110,7 @@ def pagerank(
             contribs = F.broadcast(contribs)
         new_ranks = nodes.join(contribs, "node", "left").select(
             "node",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+            (teleport_expr + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
                 "rank"
             ),
         ).persist()

@@ -293,6 +293,44 @@ def tfidf_cosine_topk(
     )
 
 
+def _bm25_postings(
+    df: DataFrame, text_col: str, id_col: str, k1: float, b: float
+) -> DataFrame:
+    """Persisted (id, token, w) BM25 postings: w already folds idf,
+    tf saturation, and length normalization, so scoring any query is a
+    token join + SUM(w)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    scalars = df.agg(
+        F.count("*").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    return (
+        tf.join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            "token",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+        .persist()
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -315,36 +353,7 @@ def bm25_topk(
     Scores rounded to 6dp, ranked (score desc, id asc) — deterministic and
     engine-independent.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
-    scalars = df.agg(
-        F.count("*").alias("n_docs")
-    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
-    )
-    postings = (
-        tf.join(dfreq, "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(scalars))
-        .select(
-            id_col,
-            "token",
-            (
-                idf
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("w"),
-        )
-        .persist()
-    )
+    postings = _bm25_postings(df, text_col, id_col, k1, b)
     q_terms = postings.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), "token"
     )
@@ -400,4 +409,44 @@ def rrf_fuse(*ranked: DataFrame, rrf_k: int = 60, k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
+    )
+
+
+def bm25_topk_text(
+    df: DataFrame,
+    queries: list[str],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Free-text BM25 search: score ad-hoc query STRINGS against the corpus
+    (``query_id`` = position in ``queries``). Same persisted postings as
+    :func:`bm25_topk`; the query side is the distinct tokens of each query
+    string — the standard short-query form (query-side tf ignored).
+
+    This is the ad-hoc search entry point; ``bm25_topk`` is query-by-doc.
+    """
+    postings = _bm25_postings(df, text_col, id_col, k1, b)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        list(enumerate(queries)), "query_id long, qtext string"
+    )
+    q_terms = qdf.select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token")
+    )
+    scored = (
+        F.broadcast(q_terms)
+        .join(postings, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
     )

@@ -4045,6 +4045,83 @@ it{k} AS (
 SQL_PAGERANK_WEIGHTED = _pagerank_weighted_oracle_sql(_PR_ITERS, _PR_DAMPING)
 
 
+_PPR_SEEDS = ["c1", "c2", "c3"]
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from three seed customers: initial and teleport
+    mass concentrate on the seeds, so rank measures proximity to them —
+    the graph-retrieval primitive (recommendation / related-entity
+    queries). Same unrolled-CTE oracle with CASE-gated teleport."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = graph.pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        symmetrize=True,
+        seeds=_PPR_SEEDS,
+    )
+    return pr.select("node", F.col("rank").alias("pr"))
+
+
+def _pagerank_personalized_oracle_sql(iters: int, d: float, seeds: list) -> str:
+    one_minus_d = repr(1.0 - d)
+    seed_list = ", ".join(f"'{x}'" for x in seeds)
+    init_r = repr(1.0 / len(seeds))
+    tele_r = repr((1.0 - d) / len(seeds))
+    parts = [
+        f"""
+WITH raw_edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM raw_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM raw_edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+it0 AS (
+  SELECT node,
+         CASE WHEN node IN ({seed_list}) THEN {init_r}::DOUBLE
+              ELSE 0.0::DOUBLE END AS pr
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN ({seed_list}) THEN {tele_r}::DOUBLE
+              ELSE 0.0::DOUBLE END
+           + {d!r}::DOUBLE * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / dg.deg) AS s
+    FROM edges e
+    JOIN it{k - 1} r ON e.src = r.node
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(pr, 6) AS pr FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK_PERSONALIZED = _pagerank_personalized_oracle_sql(
+    _PR_ITERS, _PR_DAMPING, _PPR_SEEDS
+)
+
+
 def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the event log: per user, one
     version row per consecutive run of equal event_type, with
@@ -4166,6 +4243,70 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+_BM25_TEXT_QUERIES = [
+    "hash join shuffle",
+    "customer order line",
+    "vector scan batch window",
+]
+
+
+def q_bm25_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc free-text BM25 search (query strings, not query docs) — the
+    search-box entry point. Query side = distinct tokens of each string;
+    terms absent from the corpus simply contribute nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_topk_text(docs, _BM25_TEXT_QUERIES, k=5)
+
+
+def _bm25_text_oracle_sql(queries: list[str]) -> str:
+    values = ", ".join(
+        f"({qi}, '{tok}')"
+        for qi, q in enumerate(queries)
+        for tok in sorted(set(q.split()))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+), dfreq AS (
+  SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1
+), scal AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), w AS (
+  SELECT tf.doc_id, tf.token,
+         LN(1.0::DOUBLE + (n_docs - df_t + 0.5::DOUBLE) / (df_t + 0.5::DOUBLE))
+         * (tf * (1.2::DOUBLE + 1.0::DOUBLE))
+         / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                                + 0.75::DOUBLE * dl / avgdl)) AS w
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN scal
+),
+q AS (SELECT * FROM (VALUES {values}) AS v(query_id, token)),
+scored AS (
+  SELECT q.query_id, w.doc_id AS match_id, ROUND(SUM(w.w), 6) AS score
+  FROM q JOIN w USING (token)
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, match_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score DESC, match_id ASC
+       ) AS BIGINT) AS "rank"
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, match_id ASC
+) <= 5
+"""
+
+
+SQL_BM25_TEXT_SEARCH = _bm25_text_oracle_sql(_BM25_TEXT_QUERIES)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4201,6 +4342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_retrieval": q_tfidf_retrieval,
     "bm25_retrieval": q_bm25_retrieval,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "bm25_text_search": q_bm25_text_search,
     "regr_metrics": q_regr_metrics,
     "argmax_extremes": q_argmax_extremes,
     "stratified_sample": q_stratified_sample,
@@ -4211,6 +4353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "pagerank": q_pagerank,
     "pagerank_weighted": q_pagerank_weighted,
+    "pagerank_personalized": q_pagerank_personalized,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -4349,6 +4492,7 @@ ORACLES: dict[str, str] = {
     "tfidf_retrieval": SQL_TFIDF_RETRIEVAL,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
+    "bm25_text_search": SQL_BM25_TEXT_SEARCH,
     "regr_metrics": SQL_REGR_METRICS,
     "argmax_extremes": SQL_ARGMAX_EXTREMES,
     "sample_topn": SQL_SAMPLE_TOPN,
@@ -4358,6 +4502,7 @@ ORACLES: dict[str, str] = {
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "pagerank": SQL_PAGERANK,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
+    "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,

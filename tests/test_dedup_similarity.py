@@ -225,6 +225,17 @@ class TestTextStats:
         assert all(r.match_id != 4 for r in out)
         assert all(r.score > 0 for r in out)
 
+    def test_bm25_free_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "rare apple banana"), (2, "apple banana common"), (3, "zzz yyy")],
+            "doc_id long, text string",
+        )
+        out = textstats.bm25_topk_text(df, ["rare apple", "zzz"], k=3).collect()
+        q0 = sorted((r.rank, r.match_id) for r in out if r.query_id == 0)
+        # doc 1 carries the rare term → top for query 0; query 1 only hits doc 3
+        assert q0[0] == (1, 1)
+        assert [(r.query_id, r.match_id) for r in out if r.query_id == 1] == [(1, 3)]
+
     def test_rrf_fuse(self, spark):
         schema = "query_id long, match_id long, rank long"
         # doc 10 ranks 1st in A and 2nd in B; 11 only in A; 12 only in B

@@ -72,6 +72,20 @@ class TestPageRank:
         }
         assert unw["s0"] == unw["s1"]  # without weights the spokes tie
 
+    def test_personalized_concentrates_near_seeds(self, spark):
+        # two disconnected triangles; seeding one triangle must leave the
+        # other with zero rank (no teleport, no path)
+        tri = lambda a, b, c: [(a, b), (b, c), (c, a)]  # noqa: E731
+        edges = tri("a1", "a2", "a3") + tri("b1", "b2", "b3")
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, symmetrize=True, seeds=["a1"]).collect()
+        }
+        assert got["b1"] == got["b2"] == got["b3"] == 0.0
+        assert got["a1"] > got["a2"] > 0
+        assert abs(sum(got.values()) - 1.0) < 1e-3  # mass stays in component
+
     def test_higher_degree_ranks_higher(self, spark):
         # star: hub connected to 4 spokes -> hub must outrank every spoke
         edges = [("hub", f"s{i}") for i in range(4)]

@@ -191,6 +191,7 @@ class TestGlobalPlanInvariants:
         "tfidf_retrieval",     # same scalar broadcast inside tf_idf()
         "bm25_retrieval",      # 1-row (n_docs, avgdl) scalar broadcast
         "hybrid_retrieval",    # fuses the two queries above
+        "bm25_text_search",    # same scalar broadcast as bm25_retrieval
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "text_embedding_topk",
