@@ -118,3 +118,59 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with itself; each round every node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label —
+    fully deterministic, unlike classic random-order LPA, so fixed-round
+    results are oracle-comparable (unrolled CTEs on the DuckDB side).
+
+    Scale: per round, one shuffle for the (node, label) frequency count and
+    one window over it — both keyed on dst, so AQE reuses the exchange.
+    Labels are |V|-row state broadcast into the edge join each round (same
+    tradeoff as :func:`pagerank`; shuffle-join for huge graphs).
+
+    Returns ``(node, label)`` after ``iterations`` rounds; connected
+    regions converge toward their minimum node id.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        freq = (
+            e.join(F.broadcast(labels), e["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+    return labels

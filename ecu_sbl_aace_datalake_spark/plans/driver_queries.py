@@ -4307,6 +4307,60 @@ QUALIFY ROW_NUMBER() OVER (
 SQL_BM25_TEXT_SEARCH = _bm25_text_oracle_sql(_BM25_TEXT_QUERIES)
 
 
+_LPA_ITERS = 5
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the verified MinHash near-dup
+    pair graph (deterministic min-label tie rule, 5 synchronous rounds) —
+    the community-detection complement to the connected-components
+    dedup_clusters query, sharing its edge relation."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    sh = (
+        dedup.minhash_signatures(dedup.shingle_hashes(docs, "text", n=3), num_hashes=64)
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
+    verified = dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
+    return graph.label_propagation(
+        verified.select("id_a", "id_b"), "id_a", "id_b", iterations=_LPA_ITERS
+    )
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    parts = [
+        f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({SQL_MINHASH_NEARDUP}) p),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, r.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.dst ORDER BY COUNT(*) DESC, r.label ASC
+           ) AS rn
+    FROM edges e JOIN l{k - 1} r ON e.src = r.node
+    GROUP BY e.dst, r.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{iters}")
+    return "".join(parts)
+
+
+SQL_LPA_COMMUNITIES = _lpa_oracle_sql(_LPA_ITERS)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4354,6 +4408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "pagerank_weighted": q_pagerank_weighted,
     "pagerank_personalized": q_pagerank_personalized,
+    "lpa_communities": q_lpa_communities,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -4503,6 +4558,7 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
+    "lpa_communities": SQL_LPA_COMMUNITIES,
     "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,

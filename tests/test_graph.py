@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ecu_sbl_aace_datalake_spark.operators.graph import pagerank
+from ecu_sbl_aace_datalake_spark.operators.graph import label_propagation, pagerank
 
 
 def _numpy_pagerank(edge_list, iters, d):
@@ -92,3 +92,20 @@ class TestPageRank:
         df = spark.createDataFrame(edges, "src string, dst string")
         got = {r.node: r.rank for r in pagerank(df, symmetrize=True).collect()}
         assert all(got["hub"] > got[f"s{i}"] for i in range(4))
+
+
+class TestLabelPropagation:
+    def test_components_get_distinct_min_labels(self, spark):
+        tri = lambda a, b, c: [(a, b), (b, c), (c, a)]  # noqa: E731
+        edges = tri("a1", "a2", "a3") + tri("b1", "b2", "b3")
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.label for r in label_propagation(df, iterations=6).collect()}
+        assert {got[n] for n in ("a1", "a2", "a3")} == {"a1"}
+        assert {got[n] for n in ("b1", "b2", "b3")} == {"b1"}
+
+    def test_deterministic_across_partitionings(self, spark):
+        edges = [(f"n{i}", f"n{i+1}") for i in range(20)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(map(tuple, label_propagation(df, iterations=4).collect()))
+        b = sorted(map(tuple, label_propagation(df.repartition(7), iterations=4).collect()))
+        assert a == b
