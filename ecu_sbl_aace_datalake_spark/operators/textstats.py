@@ -450,3 +450,63 @@ def bm25_topk_text(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
     )
+
+
+def persist_bm25_index(
+    df: DataFrame,
+    table_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Materialize the BM25 postings ON DISK: (id, token, w) with idf,
+    tf-saturation, and length normalization already folded into ``w``
+    (see :func:`_bm25_postings`), written bucketed by token.
+
+    The production form of the inline retrieval ops: tokenization and the
+    corpus statistics passes are paid once at ingest; every query
+    afterwards is a bucket-local join against the query terms' postings —
+    no corpus re-scan, no re-hash. Returns write info. Rebuild on corpus
+    change (idf/avgdl are corpus-global).
+    """
+    from ..sources.io import write_bucketed_table
+
+    postings = _bm25_postings(df, text_col, id_col, k1, b)
+    spark = df.sparkSession
+    return write_bucketed_table(
+        spark, table_name, postings, "token", 16, sort_cols="token"
+    )
+
+
+def bm25_topk_text_from_index(
+    spark,
+    table_name: str,
+    queries: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Free-text BM25 against a :func:`persist_bm25_index` table: the
+    postings come off disk (bucketed by token — the join needs no postings
+    shuffle), so query cost is independent of corpus tokenization."""
+    postings = spark.table(table_name)
+    qdf = spark.createDataFrame(
+        list(enumerate(queries)), "query_id long, qtext string"
+    )
+    q_terms = qdf.select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token")
+    )
+    scored = (
+        F.broadcast(q_terms)
+        .join(postings, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
+    )

@@ -488,3 +488,26 @@ class TestIvfPersistence:
         )
         assert sorted(map(tuple, auto.collect())) == \
             sorted(map(tuple, inline.collect()))
+
+
+class TestBm25Index:
+    def test_persisted_index_matches_inline(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        queries = ["hash join window", "customer order"]
+        try:
+            textstats.persist_bm25_index(docs, "t_bm25_idx")
+            from_idx = textstats.bm25_topk_text_from_index(
+                spark, "t_bm25_idx", queries, k=5
+            )
+            inline = textstats.bm25_topk_text(docs, queries, k=5)
+            assert sorted(map(tuple, from_idx.collect())) == sorted(
+                map(tuple, inline.collect())
+            )
+            # bucketed-by-token index: the scoring join must not shuffle
+            # the postings side
+            plan = from_idx._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bm25_idx")
