@@ -4361,6 +4361,46 @@ l{k} AS (
 SQL_LPA_COMMUNITIES = _lpa_oracle_sql(_LPA_ITERS)
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags: events deviating >2σ from the
+    per-user trailing-hour mean. Mean/σ come from exact decimal window
+    sums (float window accumulation is engine/partitioning-dependent;
+    decimal prefix sums are not), converted to double only at the end."""
+    evdf = _t(spark, sf_dir, "events")
+    return ev.with_anomaly_flags(evdf, window_seconds=3600, sigmas=2.0).select(
+        "user_id", "event_id", "trailing_n", "trailing_mean",
+        "trailing_std", "is_anomaly",
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH b AS (
+  SELECT user_id, event_id, value,
+         COUNT(value) OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT user_id, event_id, value, n,
+         s1 / CAST(n AS DOUBLE) AS mean,
+         CASE WHEN n >= 2 THEN
+           SQRT(GREATEST((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1.0), 0.0))
+         END AS std
+  FROM b
+)
+SELECT user_id, event_id, n AS trailing_n,
+       ROUND(mean, 4) AS trailing_mean,
+       ROUND(std, 4) AS trailing_std,
+       COALESCE(ABS(value - mean) > 2.0 * std, FALSE) AS is_anomaly
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4409,6 +4449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_weighted": q_pagerank_weighted,
     "pagerank_personalized": q_pagerank_personalized,
     "lpa_communities": q_lpa_communities,
+    "events_anomaly": q_events_anomaly,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -4559,6 +4600,7 @@ ORACLES: dict[str, str] = {
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "lpa_communities": SQL_LPA_COMMUNITIES,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
     "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,

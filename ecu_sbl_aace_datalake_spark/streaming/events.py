@@ -176,3 +176,50 @@ def with_trailing_range_agg(
         f"trailing_sum_{value_col}",
         F.round(F.sum(dec).over(w), 4).cast("double"),
     )
+
+
+def with_anomaly_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value deviates
+    more than ``sigmas``·σ from the trailing per-user mean (inclusive
+    time-RANGE frame, like :func:`with_trailing_range_agg`).
+
+    Mean/variance derive from EXACT decimal window sums (sum, sum of
+    squares) converted to double only at the end — windowed float
+    accumulation differs between engines and partitionings, exact decimal
+    prefix sums do not. Events with fewer than 2 trailing peers get a null
+    σ and are never flagged. One shuffle on the user key; the window state
+    is the trailing frame only.
+    """
+    df = ensure_event_time(df, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    # decimal(18,6): the square fits decimal(37,12) in BOTH Spark and
+    # DuckDB (wider operands would overflow DuckDB's 38-digit product)
+    dec = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(value_col).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    nn = n.cast("double")
+    mean = s1 / nn
+    var = F.greatest((s2 - s1 * s1 / nn) / (nn - 1.0), F.lit(0.0))
+    std = F.when(n >= 2, F.sqrt(var))
+    dev = F.abs(F.col(value_col) - mean)
+    return (
+        df.withColumn("trailing_n", n.cast("long"))
+        .withColumn("trailing_mean", F.round(mean, 4))
+        .withColumn("trailing_std", F.round(std, 4))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(dev > F.lit(sigmas) * std, F.lit(False)),
+        )
+    )

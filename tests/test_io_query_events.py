@@ -157,6 +157,19 @@ class TestEvents:
         q.awaitTermination(120)
         assert not q.isActive
 
+    def test_anomaly_flags_planted_spike(self, spark):
+        rows = [(i, "u", f"2024-01-01 10:{i:02d}:00", 10.0 + (i % 3) * 0.1)
+                for i in range(20)]
+        rows.append((99, "u", "2024-01-01 10:30:30", 500.0))  # the spike
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string, value double"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+        out = {r.event_id: r for r in ev.with_anomaly_flags(df).collect()}
+        assert out[99].is_anomaly
+        # steady values are never flagged, and n<2 rows have null sigma
+        assert not any(out[i].is_anomaly for i in range(20))
+        assert out[0].trailing_std is None and out[0].trailing_n == 1
+
     def test_parse_props(self, events):
         out = ev.parse_props(events.limit(5))
         assert "k" in out.columns
