@@ -141,3 +141,64 @@ def expect(spark: SparkSession, df: DataFrame, rules: list[Rule]) -> DataFrame:
         ]
         raise ValueError(f"data-quality check failed: {', '.join(failed)}")
     return report
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per bin between a reference distribution
+    and a current batch — the standard data-drift monitor a training
+    pipeline runs before accepting new data (rule of thumb: total PSI
+    < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Equi-width bins over the REFERENCE min/max (a 1-row broadcast scalar);
+    out-of-range current values clamp to the edge bins. Shares are
+    ``eps``-smoothed so empty bins contribute finitely. Everything is one
+    aggregation per side over the bin id plus a ≤``bins``-row join — the
+    two input scans dominate at any scale.
+
+    Output: (bin, n_ref, n_cur, p_ref, p_cur, psi) — one row per bin;
+    ``SUM(psi)`` is the headline index.
+    """
+    from pyspark.sql.window import Window
+
+    stats = reference.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        width = (F.col("mx") - F.col("mn")) / float(bins)
+        raw = F.floor((F.col(col).cast("double") - F.col("mn")) / width)
+        bin_id = F.least(
+            F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int"))
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .where(F.col(col).isNotNull())
+            .select(bin_id.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    spine = reference.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(binned(reference, "n_ref"), "bin", "left")
+        .join(binned(current, "n_cur"), "bin", "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(w) + eps
+    q = F.col("n_cur") / F.sum("n_cur").over(w) + eps
+    return joined.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    ).orderBy("bin")

@@ -4401,6 +4401,63 @@ FROM d
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: per-bin PSI of l_extendedprice between the
+    first-half and second-half shipping periods — the accept/reject check a
+    pipeline runs on each incoming batch against the reference
+    distribution."""
+    from ..operators import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "1996-07-01"
+    ref = li.where(F.col("l_shipdate") < cut)
+    cur = li.where(F.col("l_shipdate") >= cut)
+    return quality.psi_drift(ref, cur, "l_extendedprice", bins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH ref AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1996-07-01'
+),
+cur AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+),
+stats AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+rb AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(FLOOR((v - mn) / ((mx - mn) / 10.0)) AS INT))) AS bin,
+         COUNT(*) AS n_ref
+  FROM ref CROSS JOIN stats GROUP BY 1
+),
+cb AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(FLOOR((v - mn) / ((mx - mn) / 10.0)) AS INT))) AS bin,
+         COUNT(*) AS n_cur
+  FROM cur CROSS JOIN stats GROUP BY 1
+),
+spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+j AS (
+  SELECT spine.bin,
+         COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_cur, 0) AS n_cur
+  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+),
+t AS (
+  SELECT bin, n_ref, n_cur,
+         n_ref / CAST(SUM(n_ref) OVER () AS DOUBLE) + 0.000001 AS p,
+         n_cur / CAST(SUM(n_cur) OVER () AS DOUBLE) + 0.000001 AS q
+  FROM j
+)
+SELECT bin, n_ref, n_cur,
+       ROUND(p, 6) AS p_ref,
+       ROUND(q, 6) AS p_cur,
+       ROUND((p - q) * LN(p / q), 6) AS psi
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4450,6 +4507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_personalized": q_pagerank_personalized,
     "lpa_communities": q_lpa_communities,
     "events_anomaly": q_events_anomaly,
+    "psi_drift": q_psi_drift,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
     "grouping_sets": q_grouping_sets,
@@ -4601,6 +4659,7 @@ ORACLES: dict[str, str] = {
     "pagerank_personalized": SQL_PAGERANK_PERSONALIZED,
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "events_anomaly": SQL_EVENTS_ANOMALY,
+    "psi_drift": SQL_PSI_DRIFT,
     "scd2_dimension": SQL_SCD2_DIMENSION,
     "orders_by_quarter": SQL_ORDERS_BY_QUARTER,
     "split_by_hash": SQL_SPLIT_BY_HASH,

@@ -192,6 +192,7 @@ class TestGlobalPlanInvariants:
         "bm25_retrieval",      # 1-row (n_docs, avgdl) scalar broadcast
         "hybrid_retrieval",    # fuses the two queries above
         "bm25_text_search",    # same scalar broadcast as bm25_retrieval
+        "psi_drift",           # 1-row (min, max) bin-edge scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "text_embedding_topk",

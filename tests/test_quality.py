@@ -72,3 +72,27 @@ class TestRules:
         )
         report, ok = q.check_table(spark, df, [q.unique("k", "v")])
         assert report.first().violations == 2 and not ok
+
+
+class TestPsiDrift:
+    def test_identical_distributions_near_zero(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import psi_drift
+
+        import pyspark.sql.functions as F
+        df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+        out = psi_drift(df, df, "v", bins=10)
+        total = out.agg(F.sum("psi")).first()[0]
+        assert abs(total) < 1e-4  # same distribution → ~0
+
+    def test_shifted_distribution_flags(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import psi_drift
+
+        import pyspark.sql.functions as F
+        ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+        cur = spark.range(1000).select(
+            ((F.col("id") % 100) + 80).cast("double").alias("v")
+        )  # mass shifted right; clamps into the top bins
+        out = psi_drift(ref, cur, "v", bins=10)
+        total = out.agg(F.sum("psi")).first()[0]
+        assert total > 0.25  # rule-of-thumb "shifted" threshold
+        assert out.count() == 10  # full spine even where a side is empty
