@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "events_trailing_window",
     "scd2_dimension",
     "pagerank",
+    "events_anomaly",
+    "psi_drift",
 ]
 
 
