@@ -354,6 +354,32 @@ class TestScd2:
         u2 = [r for r in out.collect() if r.user_id == "u2"]
         assert len(u2) == 1 and u2[0].is_current
 
+    def test_fixture_chain_invariants(self, spark, sf_dir):
+        """On the real event log: per user exactly one open version, and
+        every closed version's valid_to equals the next version's
+        valid_from (no gaps, no overlaps)."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        evdf = load_table(spark, sf_dir, "events")
+        dim = star.scd2_from_events(
+            evdf, "user_id", ["event_type"], "ts", tiebreak_cols=["event_id"]
+        )
+        open_counts = (
+            dim.groupBy("user_id")
+            .agg(F.sum(F.col("is_current").cast("long")).alias("n_open"))
+            .where(F.col("n_open") != 1)
+        )
+        assert open_counts.count() == 0
+        w = Window.partitionBy("user_id").orderBy("valid_from")
+        gaps = (
+            dim.withColumn("next_from", F.lead("valid_from").over(w))
+            .where(F.col("valid_to").isNotNull())
+            .where(F.col("valid_to") != F.col("next_from"))
+        )
+        assert gaps.count() == 0
+
     def test_apply_close_insert_noop(self, spark):
         dim = star.scd2_from_events(
             self._log(spark), "user_id", ["tier"], "ts", tiebreak_cols=["event_id"]
