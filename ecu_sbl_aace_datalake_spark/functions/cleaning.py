@@ -2,8 +2,8 @@
 
 Reference parity (common.py): five row-level UDFs plus driver-side helpers:
 - ``custom_initcap`` (631-661): init-cap each token split on the delimiters
-  `` `` ``'`` ``-`` ``"``, preserving delimiters; leaves mixed-case tokens
-  (McDonald) alone; lower-cases particles ``de``/``of``; None-safe.
+  space ``'`` ``-`` `` ` `` ``/``, preserving delimiters; leaves mixed-case
+  tokens (McDonald) alone; lower-cases particles ``de``/``of``; None-safe.
 - ``fixUpName`` (672-684): ','-strip → None; custom_initcap; truncate at
   first ``(``; flip ``"Last, First"`` → ``"First Last"``.
 - ``garbageCLO`` (695-699): True if falsy / non-str / 'n/a'
@@ -34,8 +34,13 @@ from pyspark.sql.types import BooleanType, StringType
 
 # ---------------------------------------------------------------- plain forms
 
-_DELIMS = (" ", "'", "-", '"')
+_DELIMS = (" ", "'", "-", "`", "/")
 _PARTICLES = {"de", "of"}
+_DELIM_SPLIT = re.compile("(" + "|".join(re.escape(d) for d in _DELIMS) + ")")
+
+
+def _is_mixed_case(s: str) -> bool:
+    return any(c.isupper() for c in s) and any(c.islower() for c in s)
 
 
 def are_strings_similar(a: str, b: str, threshold: float = 0.6) -> bool:
@@ -46,47 +51,54 @@ def are_strings_similar(a: str, b: str, threshold: float = 0.6) -> bool:
     return difflib.SequenceMatcher(None, a, b).ratio() >= threshold
 
 
-def custom_initcap(value: str | None) -> str | None:
-    """Init-cap tokens split on space/'/-/" preserving delimiters; mixed-case
-    tokens (McDonald, O'Brien inner caps) left alone; particles de/of
-    lower-cased; None-safe (reference ``custom_initcap`` common.py:631-661).
+def custom_initcap(value) -> str | None:
+    """Init-cap tokens split on space/'/-/`// preserving the delimiters;
+    mixed-case tokens (McDonald, O'Brien inner caps) left alone; particles
+    de/of lower-cased; falsy input → None; non-str input str()-coerced
+    (reference ``custom_initcap`` common.py:631-661 — delimiter set and
+    check ORDER both mirrored exactly: the mixed-case check precedes the
+    particle check, so "De" survives as "De" while "DE"/"de" → "de").
 
     Differs from builtin ``initcap`` which lower-cases the rest of every
     token and has no mixed-case/particle rules.
     """
-    if value is None:
+    if not value:
         return None
-    tokens = re.split(r"([ '\-\"])", value)
+    if not isinstance(value, str):
+        value = str(value)
     out: list[str] = []
-    for tok in tokens:
-        if tok in _DELIMS or tok == "":
+    for tok in _DELIM_SPLIT.split(value):
+        if tok in _DELIMS or _is_mixed_case(tok):
             out.append(tok)
-            continue
-        if tok.lower() in _PARTICLES:
+        elif tok.lower() in _PARTICLES:
             out.append(tok.lower())
-        elif tok.isupper() or tok.islower():
-            out.append(tok[:1].upper() + tok[1:].lower())
         else:
-            out.append(tok)  # mixed case: assume intentional (McDonald)
+            out.append(tok.capitalize())
     return "".join(out)
 
 
-def fix_up_name(value: str | None) -> str | None:
-    """Name normalizer (reference ``fixUpName`` common.py:672-684):
-    strip; bare ','→None; init-cap; truncate at first '('; flip
-    'Last, First' → 'First Last'."""
-    if value is None:
+def fix_up_name(value) -> str | None:
+    """Name normalizer (reference ``fixUpName`` common.py:672-684): falsy
+    input returned as-is (None→None, ''→''); bare ','→None; non-str
+    str()-coerced; init-cap; truncate at first '('; comma parts REVERSED
+    and space-joined ('Last, First' → 'First Last'; all commas split, not
+    just the first — reference reverses every part).
+
+    The reference coerces non-str AFTER calling ``.strip()`` on the value
+    (latent AttributeError, common.py:676-679); here coercion comes first
+    so e.g. ints are cleaned instead of raising.
+    """
+    if not value:
+        return value
+    if not isinstance(value, str):
+        value = str(value)
+    if value.strip() == ",":
         return None
-    v = value.strip()
-    if v in ("", ","):
-        return None
-    v = custom_initcap(v)
-    if "(" in v:
-        v = v[: v.index("(")].strip()
+    v = custom_initcap(value)
+    v = v.split("(", 1)[0].strip()
     if "," in v:
-        last, _, first = v.partition(",")
-        v = f"{first.strip()} {last.strip()}".strip()
-    return v or None
+        v = " ".join(p.strip() for p in reversed(v.split(",")))
+    return v
 
 
 def garbage_clo(value) -> bool:

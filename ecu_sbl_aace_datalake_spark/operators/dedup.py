@@ -75,20 +75,13 @@ def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
     return df.withColumn(out_col, F.array_distinct(sh)).drop("__toks")
 
 
-def _signed64(x: int) -> int:
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
-def _mix_constants(num_hashes: int, seed: int = 1) -> tuple[list[int], list[int]]:
-    """Deterministic per-hash-function mixing constants (odd multipliers are
-    bijections mod 2^64 → universal-ish hash family)."""
-    a, b, state = [], [], seed
-    for _ in range(num_hashes):
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
-        a.append(_signed64(state | 1))
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
-        b.append(_signed64(state))
-    return a, b
+def _salts(num_hashes: int, seed: int = 1) -> list[int]:
+    """Deterministic per-hash-function salts (distinct positive int32s,
+    golden-ratio stepped). Each salt defines one member of the MinHash
+    family via ``xxhash64(base_hash, salt_i)``."""
+    return [
+        (seed * 0x9E3779B9 + i * 0x85EBCA6B) & 0x7FFFFFFF for i in range(num_hashes)
+    ]
 
 
 def shingle_hashes(
@@ -127,29 +120,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature in ONE pass over the shingle set.
 
-    Each shingle string is xxhash64-ed exactly once; the ``num_hashes``
-    per-function values derive from that base hash by affine integer mixing
-    (``a_i*h + b_i`` with odd ``a_i`` — a permutation of Z/2^64, the standard
-    one-hash MinHash construction). A naive per-function re-hash
-    (``xxhash64(s, i)`` for every i) costs num_hashes× the string hashing
-    and measured ~6s/5k docs single-threaded; this form is one string hash
-    plus cheap integer ops, fused into a single interpreted aggregate.
+    Each shingle (string or long) is xxhash64-ed exactly once to a 64-bit
+    base hash; per-function values are ``xxhash64(base_hash, salt_i)`` —
+    a fixed-width (16-byte input) JVM hash per function, so the expensive
+    variable-length string hashing happens once, not ``num_hashes`` times
+    (a naive per-function string re-hash measured ~6s/5k docs).
+
+    ANSI-safe BY CONSTRUCTION: the previous affine mixing (``a_i*h + b_i``
+    mod 2^64) relied on intentional long wraparound, which Spark 4's
+    default ANSI mode rejects with ARITHMETIC_OVERFLOW on any session this
+    engine didn't configure. xxhash64 is bit-mixing only — no overflowable
+    arithmetic — so signatures work under ANSI-on and ANSI-off alike.
 
     Empty shingle sets get a null signature (excluded from candidate
     generation downstream).
     """
-    a_consts, b_consts = _mix_constants(num_hashes, seed)
-    a_arr = F.array(*[F.lit(x).cast("long") for x in a_consts])
-    b_arr = F.array(*[F.lit(x).cast("long") for x in b_consts])
+    salt_arr = F.array(*[F.lit(s) for s in _salts(num_hashes, seed)])
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     base_hashes = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
     sig = F.aggregate(
         base_hashes,
         init,
         lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_arr, b_arr, lambda x, y: x * h + y),
-            lambda m, n: F.least(m, n),
+            acc, salt_arr, lambda m, salt: F.least(m, F.xxhash64(h, salt))
         ),
     )
     return df.withColumn(

@@ -35,6 +35,7 @@ def prepare_corpus(
     min_quality: float = 0.5,
     pack_budget: int = 512,
     neardup_threshold: float = 0.7,
+    neardup_bands: int = 16,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -60,7 +61,7 @@ def prepare_corpus(
     )
     # near-dup prune (banded LSH, smaller id survives verified pairs)
     pruned = dedup.minhash_dedup(
-        exact, id_col, text_col, threshold=neardup_threshold
+        exact, id_col, text_col, threshold=neardup_threshold, bands=neardup_bands
     )
     counted = packing.with_token_count(pruned, text_col)
     return packing.greedy_pack(

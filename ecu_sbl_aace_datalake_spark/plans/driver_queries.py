@@ -712,13 +712,20 @@ FROM customer
 
 
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface: slice/reverse/contains/distinct-size/flatten."""
+    """Array-function surface: slice/transform/reverse/distinct-size/
+    element_at. Array results are emitted as '|'-joined fixed-format
+    strings (never raw array columns): the driver's pandas canonicalizer
+    hashes cell values, and python lists are unhashable — %.4f keeps the
+    float text identical between Spark and DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     arr = F.transform(F.slice("embedding", 1, 5), lambda x: F.round(x.cast("double"), 4))
+    fmt = lambda a: F.array_join(  # noqa: E731
+        F.transform(a, lambda x: F.format_string("%.4f", x)), "|"
+    )
     return emb.select(
         "vec_id",
-        arr.alias("head5"),
-        F.reverse(arr).alias("head5_rev"),
+        fmt(arr).alias("head5"),
+        fmt(F.reverse(arr)).alias("head5_rev"),
         F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
         F.round(F.element_at(arr, -1), 4).alias("last_of_head"),
     )
@@ -730,8 +737,9 @@ WITH t AS (
          list_transform(CAST(embedding[1:5] AS DOUBLE[]), x -> ROUND(x, 4)) AS head5
   FROM embeddings
 )
-SELECT vec_id, head5,
-       list_reverse(head5) AS head5_rev,
+SELECT vec_id,
+       array_to_string(list_transform(head5, x -> printf('%.4f', x)), '|') AS head5,
+       array_to_string(list_transform(list_reverse(head5), x -> printf('%.4f', x)), '|') AS head5_rev,
        CAST(len(list_distinct(head5)) AS BIGINT) AS n_distinct,
        ROUND(head5[-1], 4) AS last_of_head
 FROM t
@@ -1065,7 +1073,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", "minhash")
         .persist()
     )
-    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
+    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
     return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
 
 
@@ -1102,7 +1110,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", "minhash")
         .persist()
     )
-    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
     pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
     return dedup.duplicate_clusters_bigstar(pairs)
 
@@ -2121,16 +2129,18 @@ def q_fixup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_initcap(x: str) -> str:
     """DuckDB replica of cleaning.custom_initcap over expression ``x``:
-    split preserving the four delimiters, then per-token init-cap with
-    particle (de/of) and mixed-case rules."""
+    split preserving the five delimiters (space ' - ` /, reference
+    common.py:638), then per-token init-cap. Check ORDER mirrors the
+    reference exactly: delimiter → mixed-case pass-through → particle
+    lower → capitalize ("De" stays "De"; "DE"/"de" → "de")."""
     return f"""list_aggregate(
       list_transform(
-        regexp_extract_all({x}, '[^ ''"-]+|[ ''"-]'),
+        regexp_extract_all({x}, '[^ ''`/-]+|[ ''`/-]'),
         t -> CASE
-               WHEN t IN (' ', chr(39), '-', '"') THEN t
+               WHEN t IN (' ', chr(39), '-', '`', '/') THEN t
+               WHEN NOT (t = upper(t) OR t = lower(t)) THEN t
                WHEN lower(t) IN ('de', 'of') THEN lower(t)
-               WHEN t = upper(t) OR t = lower(t) THEN upper(t[1]) || lower(t[2:])
-               ELSE t
+               ELSE upper(t[1]) || lower(t[2:])
              END),
       'string_agg', '')"""
 
@@ -2821,7 +2831,9 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias(
+                "priorities"
+            ),
             F.count_distinct("o_orderpriority").alias("n_priorities"),
         )
     )
@@ -2829,7 +2841,7 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARRAY_AGG_SORTED = """
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -3172,7 +3184,7 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pipeline
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    packed = pipeline.prepare_corpus(docs, pack_budget=512)
+    packed = pipeline.prepare_corpus(docs, pack_budget=512, neardup_bands=32)
     return pipeline.corpus_report(packed, pack_budget=512)
 
 
@@ -3791,7 +3803,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     return dedup.neardup_pairs_against_corpus(
-        new_batch, corpus, "doc_id", "text", threshold=0.5
+        new_batch, corpus, "doc_id", "text", threshold=0.5, bands=32
     ).select(
         F.col("new_id"), F.col("corpus_id"), "jaccard"
     )
@@ -4321,7 +4333,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", "minhash")
         .persist()
     )
-    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=16, barrier=False)
+    pairs = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
     verified = dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
     return graph.label_propagation(
         verified.select("id_a", "id_b"), "id_a", "id_b", iterations=_LPA_ITERS

@@ -54,6 +54,21 @@ def read_path(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT) -> Data
     return spark.read.format(fmt).load(path)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct for ANY
+    storage URI (abfss/s3/hdfs/file). ``os.path`` checks only see the
+    driver-local filesystem and silently return False for remote tables."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hp))
+
+
+def table_exists(spark: SparkSession, lakehouse: Lakehouse, table_name: str) -> bool:
+    """Whether ``{lakehouse}/Tables/{table_name}`` exists in storage."""
+    return path_exists(spark, table_path(lakehouse, table_name))
+
+
 def select_table(
     spark: SparkSession,
     lakehouse: Lakehouse,
@@ -481,6 +496,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC pin: parquet timestamps are naive; a non-UTC session would shift
     # date_format/window outputs relative to engines reading them naively
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI pin: Spark 4 defaults ANSI on; this engine's semantics (null-on-
+    # failure casts matching the reference's castColumns, division safety)
+    # are defined under ANSI-off — same value session.get_spark sets. A
+    # runtime conf, so it applies to any externally-built session too.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

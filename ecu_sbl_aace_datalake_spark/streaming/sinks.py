@@ -84,13 +84,11 @@ def foreach_batch_upsert(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
-        from urllib.parse import urlparse
+        from ..sources.io import table_exists
 
-        from ..sources.catalog import table_path
-
-        path = table_path(lakehouse, table_name)
-        exists = os.path.isdir(urlparse(path).path or path)
+        # Hadoop-FS existence check: os.path would always be False on
+        # remote URIs (abfss/s3), silently re-bootstrapping every batch
+        exists = table_exists(batch_df.sparkSession, lakehouse, table_name)
         # keep-last per key within the batch (a batch can carry several
         # versions of one key)
         from pyspark.sql import Window
@@ -152,24 +150,24 @@ def foreach_batch_dedup_ingest(
         neardup_dedup_against_corpus,
     )
     from ..sources.catalog import table_path
-    from ..sources.io import append_table, write_table
+    from ..sources.io import append_table, path_exists, read_path, write_table
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
-        from urllib.parse import urlparse
-
         batch = exact_dedup(
             batch_df.withColumn("__h", F.md5(F.trim(F.col(text_col)))),
             ["__h"],
             tiebreak=[id_col],
         ).drop("__h")
         path = table_path(lakehouse, table_name)
-        exists = os.path.isdir(urlparse(path).path or path)
-        if exists:
-            spark = batch.sparkSession
-            corpus = spark.read.parquet(path)
+        spark = batch.sparkSession
+        # Hadoop-FS existence check (os.path is driver-local only — on a
+        # remote URI it would bootstrap-OVERWRITE the corpus every batch);
+        # read back with the same format the write path uses: raw
+        # spark.read.parquet on a Delta table dir would see removed files.
+        if path_exists(spark, path):
+            corpus = read_path(spark, path)
             batch = dedup_against_corpus(batch, corpus, text_col=text_col)
             if near_dup:
                 batch = neardup_dedup_against_corpus(

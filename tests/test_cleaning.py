@@ -31,8 +31,37 @@ class TestCustomInitcap:
     def test_none_safe(self):
         assert cleaning.custom_initcap(None) is None
 
+    def test_falsy_is_none(self):
+        # reference common.py:633 `if not name: return None` — empty string
+        # and zero normalize to None, not ''
+        assert cleaning.custom_initcap("") is None
+        assert cleaning.custom_initcap(0) is None
+
+    def test_non_str_coerced(self):
+        # reference common.py:635-636 str()-coerces non-str input
+        assert cleaning.custom_initcap(42) == "42"
+        assert cleaning.custom_initcap(3.5) == "3.5"
+
     def test_compound(self):
         assert cleaning.custom_initcap("o'brien-de la MAR") == "O'Brien-de La Mar"
+
+    def test_slash_delimiter(self):
+        # reference common.py:638 delimiter set includes '/' and '`'
+        assert cleaning.custom_initcap("smith/jones") == "Smith/Jones"
+
+    def test_backtick_delimiter(self):
+        assert cleaning.custom_initcap("o`brien") == "O`Brien"
+
+    def test_double_quote_not_a_delimiter(self):
+        # '"' is NOT in the reference delimiter set: '"smith"' is one token,
+        # no cased chars before s → capitalize() leaves it '"smith"'
+        assert cleaning.custom_initcap('"smith"') == '"smith"'
+
+    def test_mixed_case_beats_particle(self):
+        # reference capitalize_parts checks mixed-case BEFORE the particle
+        # rule: "De" (mixed) survives; "DE"/"de" (unmixed) lower to "de"
+        assert cleaning.custom_initcap("De la cruz") == "De La Cruz"
+        assert cleaning.custom_initcap("DE la cruz") == "de La Cruz"
 
 
 class TestFixUpName:
@@ -44,14 +73,29 @@ class TestFixUpName:
 
     def test_bare_comma_is_none(self):
         assert cleaning.fix_up_name(",") is None
-        assert cleaning.fix_up_name("") is None
-        assert cleaning.fix_up_name("   ") is None
+        assert cleaning.fix_up_name(" , ") is None
+
+    def test_falsy_returned_as_is(self):
+        # reference common.py:674 `if not name: return name` — the falsy
+        # value itself comes back, NOT normalized to None
+        assert cleaning.fix_up_name("") == ""
+        assert cleaning.fix_up_name(None) is None
+
+    def test_whitespace_only_becomes_empty(self):
+        # '   ' is truthy, not ',' → initcap keeps spaces, paren-split
+        # strips them → '' (reference returns '', not None)
+        assert cleaning.fix_up_name("   ") == ""
+
+    def test_multi_comma_reverses_all_parts(self):
+        # reference reverses EVERY comma part (common.py:682-684), not a
+        # single Last/First flip
+        assert cleaning.fix_up_name("a, b, c") == "C B A"
+
+    def test_non_str_coerced(self):
+        assert cleaning.fix_up_name(42) == "42"
 
     def test_plain_name(self):
         assert cleaning.fix_up_name("jane doe") == "Jane Doe"
-
-    def test_none(self):
-        assert cleaning.fix_up_name(None) is None
 
 
 class TestGarbage:

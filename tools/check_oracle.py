@@ -2,7 +2,13 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row-count, column
 names, and an order-insensitive canonicalized value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` replicates the driver's worst-case session: a fresh default
+SparkSession with ANSI **on** and a non-UTC timezone — the engine must
+defensively repin runtime confs at query entry (sources/io.py load_table)
+for every query to pass. Any array/map/struct output column is flagged as a
+failure in both modes: the driver's pandas canonicalizer cannot hash them.
 """
 
 from __future__ import annotations
@@ -55,13 +61,31 @@ def rows_to_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from ecu_sbl_aace_datalake_spark import get_spark
 
-    spark = get_spark("oracle-check")
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-hostile")
+            .master("local[32]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "Australia/Perth")
+            .getOrCreate()
+        )
+    else:
+        from ecu_sbl_aace_datalake_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -71,8 +95,25 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if hostile:
+            # re-hostilize before EVERY query: each one must repin the
+            # runtime confs itself (via load_table), not ride on a
+            # previous query having fixed the session
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            spark.conf.set("spark.sql.session.timeZone", "Australia/Perth")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
         try:
             sdf = fn(spark, sf_dir)
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                failures.append(
+                    (name, f"COMPLEX OUTPUT (driver canonicalizer cannot hash): {complex_cols}")
+                )
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
