@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "token_frequencies",
     "embedding_topk",
+    "embedding_topk_ivf",
     "events_tumbling",
     "events_sessionize",
     "asof_join",

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist_in
+
 
 def exact_dedup(
     df: DataFrame,
@@ -253,6 +255,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup removal: shingle → sign → band →
     candidate pairs → Jaccard verify → connected survivors.
@@ -268,15 +271,14 @@ def minhash_dedup(
     # cache boundary blocks CollapseProject from inlining the signature
     # expression into the 64 banding references. Shingle HASHES, not
     # strings: set semantics only, ~5x cheaper to build.
-    sh = (
+    sh = persist_in(
+        scope,
         minhash_signatures(
             shingle_hashes(ensure_parallelism(df), text_col, n=n),
             num_hashes=num_hashes,
-        )
-        .select(id_col, "shingles", "minhash")
-        .persist()
+        ).select(id_col, "shingles", "minhash"),
     )
-    pairs = lsh_candidate_pairs(sh, id_col, num_hashes=num_hashes, barrier=False)
+    pairs = lsh_candidate_pairs(sh, id_col, bands=bands, num_hashes=num_hashes, barrier=False)
     verified = jaccard_verify(pairs, sh, id_col, threshold=threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     out = df.join(losers, id_col, "left_anti")
@@ -683,6 +685,7 @@ def neardup_pairs_against_corpus(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs between a NEW batch and an existing corpus:
     ``(new_id, corpus_id, jaccard)`` for every new row whose n-shingle
@@ -700,12 +703,11 @@ def neardup_pairs_against_corpus(
     bucket-pruned hash join instead of a corpus re-scan/re-hash.
     """
     def prep(df: DataFrame) -> DataFrame:
-        return (
+        return persist_in(
+            scope,
             minhash_signatures(
                 shingle_hashes(df, text_col, n=n), num_hashes=num_hashes
-            )
-            .select(id_col, "shingles", "minhash")
-            .persist()
+            ).select(id_col, "shingles", "minhash"),
         )
 
     new_sh, cor_sh = prep(new_df), prep(corpus_df)
@@ -746,11 +748,15 @@ def neardup_dedup_against_corpus(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` surviving incremental near-dup dedup: drop every
     new row with a verified corpus near-duplicate (see
-    :func:`neardup_pairs_against_corpus`), keep the rest."""
+    :func:`neardup_pairs_against_corpus`), keep the rest. Pass ``scope``
+    from long-lived callers (streaming sinks) so the persisted signature
+    tables can be released after each batch materializes."""
     victims = neardup_pairs_against_corpus(
-        new_df, corpus_df, id_col, text_col, n, num_hashes, bands, threshold
+        new_df, corpus_df, id_col, text_col, n, num_hashes, bands, threshold,
+        scope=scope,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_df.join(victims, id_col, "left_anti")

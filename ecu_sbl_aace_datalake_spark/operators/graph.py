@@ -26,9 +26,10 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     symmetrize: bool = False,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
     weight_col: str | None = None,
     seeds: list | None = None,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``rank = (1-d)/n + d·Σ rank(in)/deg(in)``.
 
@@ -51,6 +52,10 @@ def pagerank(
     Returns ``(node, rank)`` with rank rounded to 6dp (floating sums are
     association-order-dependent at ~1e-15; rounding makes the result
     engine- and partitioning-independent).
+
+    ``broadcast_ranks`` defaults to a SIZE PROBE: broadcast the |V|-row
+    rank vector only when |V| <= ``broadcast_threshold`` (10⁷), else join
+    by shuffle — pass True/False to force either path.
     """
     w_expr = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -74,6 +79,13 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if broadcast_ranks is None:
+        # size-probed dispatch: the rank vector is |V| rows re-broadcast
+        # every round — fine to ~10^7 nodes, a driver/executor OOM beyond.
+        # n is already counted (needed for the uniform init), so the probe
+        # is free; larger graphs fall back to the shuffle join, where
+        # pre-partitioned cached edges let AQE reuse the exchange.
+        broadcast_ranks = n <= broadcast_threshold
     deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     if broadcast_ranks:
         deg = F.broadcast(deg)
@@ -126,6 +138,8 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 5,
     symmetrize: bool = True,
+    broadcast_labels: bool | None = None,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     starts labeled with itself; each round every node adopts the most
@@ -135,8 +149,9 @@ def label_propagation(
 
     Scale: per round, one shuffle for the (node, label) frequency count and
     one window over it — both keyed on dst, so AQE reuses the exchange.
-    Labels are |V|-row state broadcast into the edge join each round (same
-    tradeoff as :func:`pagerank`; shuffle-join for huge graphs).
+    Labels are |V|-row state joined into the edges each round — broadcast
+    under ``broadcast_threshold`` (10⁷) nodes, shuffle join above (same
+    size-probed dispatch as :func:`pagerank`).
 
     Returns ``(node, label)`` after ``iterations`` rounds; connected
     regions converge toward their minimum node id.
@@ -155,11 +170,14 @@ def label_propagation(
         .distinct()
         .persist()
     )
+    if broadcast_labels is None:
+        broadcast_labels = nodes.count() <= broadcast_threshold
     labels = nodes.withColumn("label", F.col("node")).persist()
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iterations):
+        label_side = F.broadcast(labels) if broadcast_labels else labels
         freq = (
-            e.join(F.broadcast(labels), e["src"] == labels["node"])
+            e.join(label_side, e["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))

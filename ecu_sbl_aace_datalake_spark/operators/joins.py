@@ -37,8 +37,10 @@ def asof_join(
     with ``right.ts <= left.ts`` within the same ``on`` key (inclusive).
 
     Implementation: tag both sides, union, sort per key by (ts, right-first
-    at ties), carry the last seen right values forward with
-    ``last(..., ignorenulls)``, keep left rows. One shuffle, one window.
+    at ties), carry the last seen right ROW forward as a single struct with
+    ``last(struct(...), ignorenulls)`` (atomic — NULL columns of the winning
+    row stay NULL instead of leaking older rows' values), keep left rows.
+    One shuffle, one window, one window function.
     ``tolerance`` (e.g. "1 hour") drops matches older than left.ts - tol.
 
     Matches DuckDB/pandas ``ASOF JOIN`` semantics (direction=backward).
@@ -80,20 +82,29 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned
-    for c in rcols:
-        carried = carried.withColumn(
-            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn("__rts", F.last("__rts", ignorenulls=True).over(w))
+    # carry the matched right row as ONE struct (null on left rows, so
+    # ignorenulls skips them): the winning row's values stay together even
+    # when some of its columns are NULL — per-column last(ignorenulls)
+    # would fill those from an OLDER right row, yielding a mixed-row match.
+    # Also one window function instead of len(rcols)+1.
+    rpack = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rts").alias("__rts"),
+            *[F.col(f"__r_{c}").alias(c) for c in rcols],
+        ),
+    )
+    carried = unioned.withColumn("__rpack", F.last(rpack, ignorenulls=True).over(w))
 
     out = carried.where(F.col("__side") == 1)
     if tolerance:
-        in_tol = F.col("__rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        for c in rcols:
-            out = out.withColumn(f"__r_{c}", F.when(in_tol, F.col(f"__r_{c}")))
-        out = out.withColumn("__rts", F.when(in_tol, F.col("__rts")))
-    keep = [*left.columns] + [F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in rcols]
+        in_tol = F.col("__rpack.__rts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn("__rpack", F.when(in_tol, F.col("__rpack")))
+    keep = [*left.columns] + [
+        F.col(f"__rpack.{c}").alias(f"{c}{suffix}") for c in rcols
+    ]
     return out.select(*keep)
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist_in
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text (empty array for empty text)."""
@@ -224,6 +226,7 @@ def tfidf_cosine_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df_ratio: float = 1.0,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Sparse cosine retrieval over TF-IDF vectors via an inverted-index
     join — the term-at-a-time plan search engines use, and the scale-correct
@@ -252,7 +255,7 @@ def tfidf_cosine_topk(
     # the postings table feeds three consumers (norms, query slice, the
     # inverted-index join) — persist it or the whole tokenize+tf+idf chain
     # recomputes per branch (measured 3x the shuffle volume without this)
-    w = w.drop("df_t").persist()
+    w = persist_in(scope, w.drop("df_t"))
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
@@ -294,11 +297,17 @@ def tfidf_cosine_topk(
 
 
 def _bm25_postings(
-    df: DataFrame, text_col: str, id_col: str, k1: float, b: float
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Persisted (id, token, w) BM25 postings: w already folds idf,
     tf saturation, and length normalization, so scoring any query is a
-    token join + SUM(w)."""
+    token join + SUM(w). Persisted; pass ``scope`` from repeated callers
+    so the cache can be released after materialization."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
@@ -310,7 +319,8 @@ def _bm25_postings(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
     )
-    return (
+    return persist_in(
+        scope,
         tf.join(dfreq, "token")
         .join(dl, id_col)
         .crossJoin(F.broadcast(scalars))
@@ -327,7 +337,6 @@ def _bm25_postings(
                 )
             ).alias("w"),
         )
-        .persist()
     )
 
 
@@ -339,6 +348,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Okapi BM25 retrieval over the same inverted-index plan as
     :func:`tfidf_cosine_topk` — the standard lexical ranking function
@@ -353,7 +363,7 @@ def bm25_topk(
     Scores rounded to 6dp, ranked (score desc, id asc) — deterministic and
     engine-independent.
     """
-    postings = _bm25_postings(df, text_col, id_col, k1, b)
+    postings = _bm25_postings(df, text_col, id_col, k1, b, scope=scope)
     q_terms = postings.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), "token"
     )
@@ -420,6 +430,7 @@ def bm25_topk_text(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Free-text BM25 search: score ad-hoc query STRINGS against the corpus
     (``query_id`` = position in ``queries``). Same persisted postings as
@@ -428,7 +439,7 @@ def bm25_topk_text(
 
     This is the ad-hoc search entry point; ``bm25_topk`` is query-by-doc.
     """
-    postings = _bm25_postings(df, text_col, id_col, k1, b)
+    postings = _bm25_postings(df, text_col, id_col, k1, b, scope=scope)
     spark = df.sparkSession
     qdf = spark.createDataFrame(
         list(enumerate(queries)), "query_id long, qtext string"
@@ -470,13 +481,20 @@ def persist_bm25_index(
     no corpus re-scan, no re-hash. Returns write info. Rebuild on corpus
     change (idf/avgdl are corpus-global).
     """
+    from ..caching import CacheScope
     from ..sources.io import write_bucketed_table
 
-    postings = _bm25_postings(df, text_col, id_col, k1, b)
+    scope = CacheScope()
+    postings = _bm25_postings(df, text_col, id_col, k1, b, scope=scope)
     spark = df.sparkSession
-    return write_bucketed_table(
-        spark, table_name, postings, "token", 16, sort_cols="token"
-    )
+    try:
+        return write_bucketed_table(
+            spark, table_name, postings, "token", 16, sort_cols="token"
+        )
+    finally:
+        # the write materialized the postings; release the cache so
+        # repeated index builds in one session don't accumulate storage
+        scope.unpersist()
 
 
 def bm25_topk_text_from_index(

@@ -1470,12 +1470,16 @@ FROM ranked WHERE rn <= 5
 # --------------------------------------------------------------------------
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-10 for 5 query vectors."""
+    """Cosine top-10 for 5 query vectors through the size-probed
+    dispatcher (similarity.topk_auto): below the measured ~10⁵-row
+    crossover it runs the exact broadcast scan (which the oracle
+    replicates exactly); above it, IVF — so the headline query IS the
+    scale path, not a fixture-only brute force."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.cosine_topk(emb, queries, k=10)
+    return similarity.topk_auto(emb, queries, k=10)
 
 
 SQL_EMBEDDING_TOPK = """

@@ -21,6 +21,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope
 from ..sources.catalog import Lakehouse
 from .events import ensure_event_time
 
@@ -169,13 +170,21 @@ def foreach_batch_dedup_ingest(
         if path_exists(spark, path):
             corpus = read_path(spark, path)
             batch = dedup_against_corpus(batch, corpus, text_col=text_col)
-            if near_dup:
-                batch = neardup_dedup_against_corpus(
-                    batch, corpus, id_col, text_col, threshold=threshold
-                )
-            if batch.isEmpty():
-                return
-            append_table(lakehouse, table_name, batch)
+            # per-batch cache scope: the near-dup probe persists signature
+            # tables; without releasing them after the append, a long-lived
+            # stream accumulates executor storage every micro-batch
+            scope = CacheScope()
+            try:
+                if near_dup:
+                    batch = neardup_dedup_against_corpus(
+                        batch, corpus, id_col, text_col, threshold=threshold,
+                        scope=scope,
+                    )
+                if batch.isEmpty():
+                    return
+                append_table(lakehouse, table_name, batch)
+            finally:
+                scope.unpersist()
         else:
             write_table(lakehouse, table_name, batch)
 

@@ -109,3 +109,25 @@ class TestLabelPropagation:
         a = sorted(map(tuple, label_propagation(df, iterations=4).collect()))
         b = sorted(map(tuple, label_propagation(df.repartition(7), iterations=4).collect()))
         assert a == b
+
+
+class TestBroadcastDispatch:
+    EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("e", "d"), ("c", "e")]
+
+    def test_pagerank_shuffle_fallback_matches_broadcast(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        bc = pagerank(df, iterations=6, broadcast_ranks=True).collect()
+        sh = pagerank(df, iterations=6, broadcast_ranks=False).collect()
+        assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+        # size probe: a threshold below |V| must take the shuffle path and
+        # still produce identical ranks
+        probed = pagerank(df, iterations=6, broadcast_threshold=1).collect()
+        assert sorted(map(tuple, probed)) == sorted(map(tuple, bc))
+
+    def test_lpa_shuffle_fallback_matches_broadcast(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src string, dst string")
+        bc = label_propagation(df, iterations=4, broadcast_labels=True).collect()
+        sh = label_propagation(df, iterations=4, broadcast_labels=False).collect()
+        probed = label_propagation(df, iterations=4, broadcast_threshold=1).collect()
+        assert sorted(map(tuple, bc)) == sorted(map(tuple, sh)) == sorted(map(tuple, probed))

@@ -59,6 +59,31 @@ class TestAsofJoin:
             out = asof_join(left, r, on="k", right_tie_break="seq").collect()
             assert out[0].v_asof == 30.0 and out[0].seq_asof == 9
 
+    def test_winning_row_carried_atomically(self, spark):
+        # the matched right row must come through AS A ROW: when the winner
+        # has NULL in one column, that NULL must survive — a per-column
+        # carry would backfill it from an older row (mixed-row result)
+        left = _ts_df(
+            spark, [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string"
+        )
+        right = _ts_df(
+            spark,
+            [("k", "2024-01-01 09:00:00", 10.0, "old", 1),
+             ("k", "2024-01-01 09:30:00", None, "new", 2)],
+            "k string, ts string, v double, tag string, seq long",
+        )
+        out = asof_join(left, right, on="k").collect()[0]
+        assert out.tag_asof == "new" and out.v_asof is None
+        # same atomicity under an equal-ts tie-break: winner seq=2 has NULL v
+        tied = _ts_df(
+            spark,
+            [("k", "2024-01-01 09:00:00", 10.0, "a", 1),
+             ("k", "2024-01-01 09:00:00", None, "b", 2)],
+            "k string, ts string, v double, tag string, seq long",
+        )
+        out = asof_join(left, tied, on="k", right_tie_break="seq").collect()[0]
+        assert out.tag_asof == "b" and out.v_asof is None and out.seq_asof == 2
+
     def test_tolerance(self, spark):
         left = _ts_df(spark, [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string")
         right = _ts_df(spark, [("k", "2024-01-01 08:00:00", 5.0)], "k string, ts string, v double")
