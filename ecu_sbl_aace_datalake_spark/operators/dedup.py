@@ -760,3 +760,189 @@ def neardup_dedup_against_corpus(
         scope=scope,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_df.join(victims, id_col, "left_anti")
+
+
+def _flat_band_key(band_df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """Collapse (band_id, band_hash) into one join key: ``band_key =
+    xxhash64(band_id, band_hash)``. A single-column key lets the persisted
+    corpus band table be BUCKETED on exactly the probe join key, so the
+    probe join reuses the on-disk clustering (bucketing on a column subset
+    of a composite key can leave the two sides incompatibly partitioned)."""
+    return band_df.select(
+        F.col(id_col).alias(out_id),
+        F.xxhash64("band_id", "band_hash").alias("band_key"),
+    )
+
+
+def persist_neardup_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    band_table: str = "neardup_bands",
+    shingle_table: str = "neardup_shingles",
+    n_buckets: int = 32,
+    seed: int = 1,
+) -> dict:
+    """Materialize the CORPUS side of incremental near-dup detection on
+    disk, so per-batch probes stop re-reading and re-hashing the corpus
+    (the production form of :func:`neardup_pairs_against_corpus`, same
+    pattern as the persisted BM25/IVF indexes):
+
+    - ``band_table``  — (corpus_id, band_key) BUCKETED BY band_key: the
+      candidate join clusters on the bucket layout, no corpus-side shuffle.
+    - ``shingle_table`` — (corpus_id, shingles) bucketed by corpus_id for
+      the exact-Jaccard verify join-back.
+
+    Shingling/minhashing the corpus happens ONCE here, at index-build time;
+    afterwards each batch costs |batch| hashing + a bucket-pruned join.
+    Rebuild-free appends: new accepted batches can append their own bands/
+    shingles to the same tables (hash-bucket layout is append-stable).
+
+    Returns the index parameters; :func:`neardup_pairs_against_index` must
+    be called with the SAME (n, num_hashes, bands, seed) — enforced via the
+    returned dict.
+    """
+    spark = corpus_df.sparkSession
+    from ..sources.io import write_bucketed_table
+
+    scope = CacheScope()
+    sh = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(corpus_df, text_col, n=n),
+            num_hashes=num_hashes,
+            seed=seed,
+        ).select(id_col, "shingles", "minhash"),
+    )
+    try:
+        band = _flat_band_key(
+            _band_table(
+                sh.where(F.col("minhash").isNotNull()),
+                id_col, "minhash", bands, num_hashes,
+            ),
+            id_col,
+            "corpus_id",
+        )
+        write_bucketed_table(
+            spark, band_table, band, "band_key", n_buckets, sort_cols="band_key"
+        )
+        write_bucketed_table(
+            spark,
+            shingle_table,
+            sh.select(F.col(id_col).alias("corpus_id"), "shingles"),
+            "corpus_id",
+            n_buckets,
+        )
+    finally:
+        scope.unpersist()
+    return {
+        "n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed,
+        "band_table": band_table, "shingle_table": shingle_table,
+        "n_buckets": n_buckets,
+    }
+
+
+def neardup_pairs_against_index(
+    new_df: DataFrame,
+    id_col: str,
+    index: dict,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs (new_id, corpus_id, jaccard) of a NEW batch
+    against a :func:`persist_neardup_index` corpus index.
+
+    Plan: only the BATCH is shingled/minhashed/banded; candidates come from
+    an equi-join of the batch's band keys against the bucketed corpus band
+    table (corpus side: bucket-local read, NO exchange — plan-tested), and
+    the exact-Jaccard verify joins the bucketed corpus shingle table on
+    corpus_id. Per-batch cost therefore tracks the batch size; the corpus
+    contributes only the matched buckets' rows.
+    """
+    spark = new_df.sparkSession
+    n, num_hashes = index["n"], index["num_hashes"]
+    bands, seed = index["bands"], index["seed"]
+    new_sh = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(new_df, text_col, n=n),
+            num_hashes=num_hashes,
+            seed=seed,
+        ).select(id_col, "shingles", "minhash"),
+    )
+    new_bands = _flat_band_key(
+        _band_table(
+            new_sh.where(F.col("minhash").isNotNull()),
+            id_col, "minhash", bands, num_hashes,
+        ),
+        id_col,
+        "new_id",
+    )
+    cor_bands = spark.table(index["band_table"])
+    cands = (
+        new_bands.join(cor_bands, "band_key")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_sh.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sh_n"))
+    b = spark.table(index["shingle_table"]).select(
+        "corpus_id", F.col("shingles").alias("__sh_c")
+    )
+    return (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_n", "__sh_c"))
+            / F.size(F.array_union("__sh_n", "__sh_c")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def append_neardup_index(
+    accepted_df: DataFrame,
+    id_col: str,
+    index: dict,
+    text_col: str = "text",
+    scope: CacheScope | None = None,
+) -> None:
+    """Append an ACCEPTED batch's bands + shingles to a persisted near-dup
+    index, so the index keeps covering the growing corpus without a
+    rebuild. Hash-bucket layouts are append-stable: new files land in the
+    bucket their keys hash to, and subsequent probes keep joining
+    bucket-locally. (Corpus-global stats don't exist here, unlike BM25's
+    idf — the index is exactly as rebuild-free as the data structure.)"""
+    sh = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(accepted_df, text_col, n=index["n"]),
+            num_hashes=index["num_hashes"],
+            seed=index["seed"],
+        ).select(id_col, "shingles", "minhash"),
+    )
+    band = _flat_band_key(
+        _band_table(
+            sh.where(F.col("minhash").isNotNull()),
+            id_col, "minhash", index["bands"], index["num_hashes"],
+        ),
+        id_col,
+        "corpus_id",
+    )
+    nb = index["n_buckets"]
+    (
+        band.write.format("parquet").mode("append")
+        .bucketBy(nb, "band_key").sortBy("band_key")
+        .saveAsTable(index["band_table"])
+    )
+    (
+        sh.select(F.col(id_col).alias("corpus_id"), "shingles")
+        .write.format("parquet").mode("append")
+        .bucketBy(nb, "corpus_id")
+        .saveAsTable(index["shingle_table"])
+    )

@@ -3813,6 +3813,25 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup through the PERSISTED corpus band index
+    (dedup.persist_neardup_index → neardup_pairs_against_index): corpus
+    shingling/banding happens once at index build; the probe equi-joins the
+    batch's band keys against the band_key-BUCKETED corpus table — no
+    corpus-side exchange (plan-tested in tests/test_incremental.py). Same
+    semantics and oracle as incremental_neardup; identical results."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    new_batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    idx = dedup.persist_neardup_index(
+        corpus, "doc_id", bands=32,
+        band_table="q_nd_bands", shingle_table="q_nd_shingles",
+    )
+    return dedup.neardup_pairs_against_index(
+        new_batch, "doc_id", idx, threshold=0.5
+    ).select("new_id", "corpus_id", "jaccard")
+
+
 SQL_INCREMENTAL_NEARDUP = r"""
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -4516,6 +4535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topn": q_sample_topn,
     "weighted_sample": q_weighted_sample,
     "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_indexed": q_incremental_neardup_indexed,
     "approx_percentiles": q_approx_percentiles,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "pagerank": q_pagerank,
@@ -4668,6 +4688,7 @@ ORACLES: dict[str, str] = {
     "sample_topn": SQL_SAMPLE_TOPN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+    "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,
     "approx_percentiles": SQL_APPROX_PERCENTILES,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "pagerank": SQL_PAGERANK,

@@ -12,6 +12,9 @@ Completes the streaming surface (SURVEY.md §2.12 — reference has none):
   each micro-batch upserts into a parquet lakehouse table via
   ``sources.incremental.upsert_table`` (Delta would make this transactional;
   the pattern and call-shape are identical).
+- :func:`foreach_batch_dedup_ingest` / ``..._indexed`` — dedup-at-the-door
+  corpus ingestion; the indexed variant maintains persisted hash/band/
+  shingle side tables so per-batch cost stays flat as the corpus grows.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import CacheScope
+from ..caching import CacheScope, persist_in
 from ..sources.catalog import Lakehouse
 from .events import ensure_event_time
 
@@ -187,6 +190,125 @@ def foreach_batch_dedup_ingest(
                 scope.unpersist()
         else:
             write_table(lakehouse, table_name, batch)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_dedup_ingest_indexed(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    id_col: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 32,
+) -> Any:
+    """:func:`foreach_batch_dedup_ingest` with a PERSISTED dedup index —
+    the form whose per-batch cost stays flat as the corpus grows to 100 TB.
+
+    The plain sink re-reads and re-hashes the whole corpus every
+    micro-batch (cost grows linearly with corpus size). This variant
+    maintains three slim side tables next to the corpus:
+
+    - ``{table}_nd_hashes``  — md5 content hashes, bucketed by hash:
+      the exact-dup door is a bucket-local anti-join against 32-char keys.
+    - ``{table}_nd_bands`` / ``{table}_nd_shingles`` — the
+      :func:`~..operators.dedup.persist_neardup_index` pair: the near-dup
+      door probes bucket-locally, zero corpus-side exchange.
+
+    Every accepted batch appends its own rows/hashes/bands/shingles
+    (hash-bucket layouts are append-stable), so no rebuild ever happens.
+
+    Idempotency: a replayed batch re-filters against the hash table, so
+    accepted rows don't re-append. The four appends are not one atomic
+    transaction (parquet; Delta/Iceberg would make them so) — a crash
+    between them can strand index rows for corpus rows that will re-append
+    on replay; strands are harmless (they reference accepted content and
+    filter the same rows). Returns the StreamingQuery handle.
+    """
+    from ..operators.dedup import (
+        append_neardup_index,
+        exact_dedup,
+        neardup_pairs_against_index,
+        persist_neardup_index,
+    )
+    from ..sources.catalog import table_path
+    from ..sources.io import append_table, path_exists, write_bucketed_table, write_table
+
+    hash_table = f"{table_name}_nd_hashes"
+    index = {
+        "n": n, "num_hashes": num_hashes, "bands": bands, "seed": 1,
+        "band_table": f"{table_name}_nd_bands",
+        "shingle_table": f"{table_name}_nd_shingles",
+        "n_buckets": n_buckets,
+    }
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = exact_dedup(
+            batch_df.withColumn("__h", F.md5(F.trim(F.col(text_col)))),
+            ["__h"],
+            tiebreak=[id_col],
+        )
+        path = table_path(lakehouse, table_name)
+        scope = CacheScope()
+        try:
+            if path_exists(spark, path):
+                # exact door: bucket-local anti-join on the 32-char hash
+                batch = batch.join(spark.table(hash_table), "__h", "left_anti")
+                # near-dup door: bucket-local band probe
+                victims = (
+                    neardup_pairs_against_index(
+                        batch, id_col, index, text_col=text_col,
+                        threshold=threshold, scope=scope,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                # localCheckpoint, NOT persist: accepted's lineage reads the
+                # hash table we are about to append to, and Spark invalidates
+                # cached plans over a written table — a persist would
+                # recompute against the UPDATED hashes (anti-join would then
+                # erase the batch from its own index appends). Severing the
+                # lineage freezes the pre-append result.
+                accepted = batch.join(victims, id_col, "left_anti").localCheckpoint()
+                if accepted.isEmpty():
+                    return
+                append_table(lakehouse, table_name, accepted.drop("__h"))
+                (
+                    accepted.select("__h").write.format("parquet")
+                    .mode("append").bucketBy(n_buckets, "__h")
+                    .saveAsTable(hash_table)
+                )
+                append_neardup_index(
+                    accepted, id_col, index, text_col=text_col, scope=scope
+                )
+            else:
+                accepted = persist_in(scope, batch)
+                write_table(lakehouse, table_name, accepted.drop("__h"))
+                write_bucketed_table(
+                    spark, hash_table, accepted.select("__h"), "__h", n_buckets
+                )
+                persist_neardup_index(
+                    accepted, id_col, text_col=text_col, n=n,
+                    num_hashes=num_hashes, bands=bands,
+                    band_table=index["band_table"],
+                    shingle_table=index["shingle_table"],
+                    n_buckets=n_buckets,
+                )
+        finally:
+            scope.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -205,3 +205,64 @@ class TestPartitionedCompaction:
         back = read_path(spark, f"{lh.tables_path}/orders", "parquet")
         assert back.count() == orders.count()
         assert "o_orderstatus" in back.columns
+
+
+class TestNeardupIndex:
+    def test_index_probe_matches_direct_probe(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        new = docs.where(F.col("doc_id") % 7 == 0)
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        idx = dedup.persist_neardup_index(
+            corpus, "doc_id", bands=32,
+            band_table="t_nd_bands", shingle_table="t_nd_shingles",
+        )
+        try:
+            from_index = dedup.neardup_pairs_against_index(
+                new, "doc_id", idx, threshold=0.5
+            )
+            direct = dedup.neardup_pairs_against_corpus(
+                new, corpus, "doc_id", threshold=0.5, bands=32
+            )
+            assert sorted(map(tuple, from_index.collect())) == \
+                sorted(map(tuple, direct.collect()))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_nd_bands")
+            spark.sql("DROP TABLE IF EXISTS t_nd_shingles")
+
+    def test_probe_has_no_corpus_side_exchange(self, spark, sf_dir):
+        """The candidate join must reuse the bucket layout: zero Exchange
+        operators between the corpus band-table scan and the join."""
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        new = docs.where(F.col("doc_id") % 7 == 0)
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        idx = dedup.persist_neardup_index(
+            corpus, "doc_id", bands=32,
+            band_table="t_nd_bands_p", shingle_table="t_nd_shingles_p",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs = dedup.neardup_pairs_against_index(
+                new, "doc_id", idx, threshold=0.5
+            )
+            pairs.collect()
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            # bucketed scans: the corpus band table must appear with its
+            # bucket layout selected and no repartitioning above it
+            assert "t_nd_bands_p" in plan
+            assert "SelectedBucketsCount" in plan, plan[:2000]
+            # every Exchange must be on the probe/candidate side, never
+            # directly above a bucketed corpus scan
+            import re
+            for m in re.finditer(r"Exchange hashpartitioning\(band_key", plan):
+                seg = plan[m.start():m.start() + 1500]
+                assert "t_nd_bands_p" not in seg.split("Exchange", 2)[1], \
+                    "corpus band table shuffled on probe"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_nd_bands_p")
+            spark.sql("DROP TABLE IF EXISTS t_nd_shingles_p")

@@ -147,3 +147,63 @@ class TestForeachBatchDedupIngest:
         kept = {r.doc_id for r in corpus.collect()}
         # batch1 both kept; batch2 only the novel doc survives the door
         assert kept == {1, 2, 12}
+
+
+class TestForeachBatchDedupIngestIndexed:
+    def test_indexed_sink_matches_plain_and_maintains_index(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_dedup_ingest_indexed,
+        )
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        other = "one two three four five six seven eight nine ten eleven twelve"
+        src = str(tmp_path / "ingest_src_idx")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        spark.createDataFrame([(1, base), (2, other)], schema).coalesce(
+            1
+        ).write.parquet(src + "/b1", mode="overwrite")
+        spark.createDataFrame(
+            [(10, base),                 # exact dup of doc 1
+             (11, base + " kilo"),       # near-dup of doc 1
+             (12, "genuinely novel words never seen before anywhere")],
+            schema,
+        ).coalesce(1).write.parquet(src + "/b2", mode="overwrite")
+        for i, sub in enumerate(("b1", "b2")):
+            part = glob.glob(f"{src}/{sub}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/{sub}")
+            os.utime(f"{src}/batch{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "lh_idx"))
+        try:
+            q = foreach_batch_dedup_ingest_indexed(
+                stream, lh, "corpus_i", "doc_id",
+                checkpoint_dir=str(tmp_path / "ckpt_idx"), threshold=0.5,
+                bands=32,
+            )
+            q.awaitTermination(240)
+            corpus = read_path(spark, str(tmp_path / "lh_idx") + "/Tables/corpus_i")
+            kept = {r.doc_id for r in corpus.collect()}
+            assert kept == {1, 2, 12}
+            # side tables cover exactly the accepted corpus
+            n_hashes = spark.table("corpus_i_nd_hashes").count()
+            assert n_hashes == 3
+            sh_ids = {
+                r.corpus_id for r in spark.table("corpus_i_nd_shingles").collect()
+            }
+            assert sh_ids == {1, 2, 12}
+            # band rows: bands per accepted doc
+            assert spark.table("corpus_i_nd_bands").count() == 3 * 32
+        finally:
+            for t in ("corpus_i_nd_hashes", "corpus_i_nd_bands",
+                      "corpus_i_nd_shingles"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
