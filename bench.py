@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "tf_idf",
     "corpus_dedup",
     "incremental_neardup",
+    "incremental_neardup_indexed",
+    "paragraph_dedup",
+    "decontamination",
+    "repetition_stats",
     "tfidf_retrieval",
     "weighted_sample",
     "stratified_sample",

@@ -69,11 +69,16 @@ def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
     expressions (transform over a sequence of offsets), JVM-side."""
     toks = _normalized_tokens(text_col)
     df = df.withColumn("__toks", toks)
-    n_sh = F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
-    )
+    n_sh = F.size("__toks") - F.lit(n - 1)
+    # guard, don't clamp: sequence(0, -1) is DESCENDING in Spark ([0,-1]),
+    # which would feed slice() a 0 start — short docs get an empty set
+    sh = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.withColumn(out_col, F.array_distinct(sh)).drop("__toks")
 
 
@@ -102,14 +107,19 @@ def shingle_hashes(
     """
     toks = _normalized_tokens(text_col)
     hashed = df.withColumn("__tok_hashes", F.transform(toks, lambda t: F.xxhash64(t)))
-    sh = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size("__tok_hashes") - F.lit(n - 1), F.lit(0))
+    n_sh = F.size("__tok_hashes") - F.lit(n - 1)
+    # guard, don't clamp: sequence(1, 0) is DESCENDING in Spark ([1,0]),
+    # and element_at(.., 0) throws INVALID_INDEX_OF_ZERO — docs shorter
+    # than n tokens must yield an empty shingle set instead
+    sh = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__tok_hashes"), i + k) for k in range(n)]
+            ),
         ),
-        lambda i: F.xxhash64(
-            *[F.element_at(F.col("__tok_hashes"), i + k) for k in range(n)]
-        ),
-    )
+    ).otherwise(F.array().cast("array<long>"))
     return hashed.withColumn(out_col, F.array_distinct(sh)).drop("__tok_hashes")
 
 
@@ -946,3 +956,140 @@ def append_neardup_index(
         .bucketBy(nb, "corpus_id")
         .saveAsTable(index["shingle_table"])
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str | None = None,
+    sep: str = r"\n\s*\n",
+    joiner: str = "\n\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """CORPUS-WIDE duplicated-paragraph removal (the RefinedWeb/CCNet LLM
+    pre-training step): boilerplate paragraphs repeated across documents —
+    headers, footers, license blocks — are kept only at their FIRST
+    occurrence (ordered by ``(id, position)``) and dropped everywhere else;
+    each document is reassembled from its surviving paragraphs in order.
+
+    ``normalize`` matches paragraphs on whitespace-collapsed lowercase md5
+    (formatting noise doesn't defeat the dedup). Documents whose every
+    paragraph was seen earlier come back with an empty string (callers
+    typically drop them).
+
+    Scale: one posexplode (no shuffle), ONE shuffle on the paragraph hash
+    for the global keep-first window, one groupBy(id) to reassemble —
+    paragraph text itself rides the shuffles, so at 100 TB the hash shuffle
+    carries the corpus bytes once (unavoidable: the survivors' text is
+    needed for reassembly). Returns the input columns with ``out_col``
+    (default: replace ``text_col``) plus ``n_paras_kept``/``n_paras_total``.
+    """
+    out_col = out_col or text_col
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).where(F.trim("para") != "")
+    norm = (
+        F.lower(F.trim(F.regexp_replace("para", r"\s+", " ")))
+        if normalize
+        else F.col("para")
+    )
+    paras = paras.withColumn("__k", F.md5(norm))
+    w = Window.partitionBy("__k").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__k")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("__out"),
+        F.count("*").alias("n_paras_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras_total"))
+    return (
+        df.drop(out_col)
+        .join(reassembled, id_col, "left")
+        .join(totals, id_col, "left")
+        .withColumn(out_col, F.coalesce("__out", F.lit("")))
+        .withColumn("n_paras_kept", F.coalesce("n_paras_kept", F.lit(0)))
+        .withColumn("n_paras_total", F.coalesce("n_paras_total", F.lit(0)))
+        .drop("__out")
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set DECONTAMINATION flags: which corpus documents share at
+    least ``min_hits`` distinct word ``n``-grams with a benchmark/eval set
+    (the standard pre-training hygiene step — GPT-3 style 8-gram overlap).
+
+    Plan: both sides hash their n-grams (no n-gram strings materialized);
+    the benchmark's distinct n-gram hash set — small by definition — is
+    broadcast, so the check is a map-side semi-join over the corpus with a
+    single groupBy(id) to count distinct hits. Set
+    ``broadcast_benchmark=False`` for giant benchmark suites (falls back
+    to a hash join on the n-gram hash).
+
+    Returns ``(id_col, n_hits, contaminated)`` for EVERY input row
+    (n_hits=0 → clean), so callers can audit matches before dropping.
+    """
+    doc_grams = shingle_hashes(df, text_col, n=n, out_col="__g").select(
+        id_col, F.explode("__g").alias("__s")
+    )
+    bench_grams = (
+        shingle_hashes(benchmark_df, bench_text_col, n=n, out_col="__g")
+        .select(F.explode("__g").alias("__s"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "__s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop corpus rows flagged by :func:`contamination_flags` — the
+    enforcement form of test-set decontamination."""
+    dirty = (
+        contamination_flags(
+            df, benchmark_df, id_col, text_col, bench_text_col, n, min_hits
+        )
+        .where(F.col("contaminated"))
+        .select(id_col)
+    )
+    return df.join(dirty, id_col, "left_anti")

@@ -528,3 +528,95 @@ def bm25_topk_text_from_index(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
     )
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = r"\n",
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition + symbol quality signals, as
+    pure column expressions (no Python, no shuffle — per-row only):
+
+    - ``dup_line_frac``   — fraction of non-empty lines that are repeats of
+      an earlier line (0 when every line is unique).
+    - ``top_2gram_frac``  — occurrences of the most frequent word 2-gram /
+      total 2-grams (boilerplate/spam detector).
+    - ``symbol_word_ratio`` — non-alphanumeric symbol characters (excluding
+      whitespace) per word.
+    - ``frac_words_alpha`` — fraction of words containing at least one
+      letter (Gopher keeps docs with >= 0.8).
+
+    The 2-gram mode is computed with array expressions (distinct → count
+    each) — O(d·n) per document where d = distinct 2-grams; documents are
+    bounded, so this stays cheap and entirely inside codegen'd projection.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), line_sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    grams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_2gram_frac = F.when(
+        F.size(grams) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda y: y == g)),
+            )
+        )
+        / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+    symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    symbol_word_ratio = F.when(
+        n_words > 0, symbols / n_words
+    ).otherwise(F.lit(0.0))
+    frac_words_alpha = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_line_frac", F.round(dup_line_frac, 4))
+        .withColumn("top_2gram_frac", F.round(top_2gram_frac, 4))
+        .withColumn("symbol_word_ratio", F.round(symbol_word_ratio, 4))
+        .withColumn("frac_words_alpha", F.round(frac_words_alpha, 4))
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+    max_symbol_word_ratio: float = 0.10,
+    min_frac_words_alpha: float = 0.80,
+) -> DataFrame:
+    """Apply the Gopher repetition/symbol thresholds: keep rows passing all
+    four :func:`with_repetition_stats` gates (thresholds per the published
+    MassiveText rules; tune per-corpus)."""
+    scored = with_repetition_stats(df, text_col)
+    return scored.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("frac_words_alpha") >= min_frac_words_alpha)
+    )

@@ -3813,6 +3813,159 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# §2.13 — paragraph dedup, decontamination, repetition quality (round 2)
+# --------------------------------------------------------------------------
+
+# Fixture documents are single-paragraph; derive deterministic 3-paragraph
+# text shared VERBATIM by the Spark query and the DuckDB oracle. The third
+# paragraph repeats the first (within-doc duplicate), and documents sharing
+# an 80-char prefix duplicate across documents.
+PARA_TEXT_EXPR = (
+    "substring(text, 1, 80) || chr(10) || chr(10) || substring(text, 81) "
+    "|| chr(10) || chr(10) || substring(text, 1, 80)"
+)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-paragraph removal (RefinedWeb/CCNet
+    boilerplate pruning, dedup.paragraph_dedup): every paragraph kept only
+    at its first (doc_id, position) occurrence, documents reassembled from
+    survivors. Oracle replicates the keep-first window + ordered
+    string_agg reassembly relationally."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PARA_TEXT_EXPR).alias("text")
+    )
+    out = dedup.paragraph_dedup(docs, "doc_id")
+    return out.select(
+        "doc_id", "text",
+        F.col("n_paras_kept").cast("long").alias("n_paras_kept"),
+        F.col("n_paras_total").cast("long").alias("n_paras_total"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = rf"""
+WITH d AS (SELECT doc_id, {PARA_TEXT_EXPR} AS ptxt FROM documents),
+p0 AS (
+  SELECT doc_id, unnest(parts) AS para, unnest(range(len(parts))) AS pos
+  FROM (SELECT doc_id, string_split_regex(ptxt, '
+\s*
+') AS parts FROM d)
+),
+p AS (SELECT * FROM p0 WHERE trim(para) <> ''),
+k AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g'))))
+    ORDER BY doc_id, pos) AS rn
+  FROM p
+),
+r AS (
+  SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS kept
+  FROM k WHERE rn = 1 GROUP BY doc_id
+),
+t AS (SELECT doc_id, COUNT(*) AS total FROM p GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       CAST(COALESCE(kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(COALESCE(total, 0) AS BIGINT) AS n_paras_total
+FROM d LEFT JOIN r USING (doc_id) LEFT JOIN t USING (doc_id)
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination flags (dedup.contamination_flags): corpus
+    docs (doc_id >= 20) sharing any distinct 8-gram with the 'benchmark'
+    slice (doc_id < 20). The benchmark n-gram hash set is broadcast; the
+    oracle recomputes the overlap with string 8-grams (hash/string distinct
+    sets agree — 64-bit collision odds negligible, same argument as the
+    near-dup oracles)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    return dedup.contamination_flags(corpus, bench, "doc_id", n=8).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits"), "contaminated"
+    )
+
+
+SQL_DECONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+         AS grams
+  FROM tok
+),
+bg AS (SELECT DISTINCT unnest(grams) AS s FROM g WHERE doc_id < 20),
+cg AS (SELECT doc_id, unnest(grams) AS s FROM g WHERE doc_id >= 20),
+h AS (
+  SELECT cg.doc_id, COUNT(DISTINCT cg.s) AS n_hits
+  FROM cg JOIN bg ON cg.s = bg.s GROUP BY cg.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN h USING (doc_id)
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition + symbol quality signals
+    (textstats.with_repetition_stats) over the derived paragraph text —
+    duplicate-line fraction, top-2-gram mass, symbol/word ratio, alphabetic
+    word fraction; all pure column expressions, oracle-replicated with
+    DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PARA_TEXT_EXPR).alias("text")
+    )
+    return textstats.with_repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "top_2gram_frac",
+        "symbol_word_ratio", "frac_words_alpha",
+    )
+
+
+SQL_REPETITION_STATS = rf"""
+WITH d AS (SELECT doc_id, {PARA_TEXT_EXPR} AS ptxt FROM documents),
+b AS (
+  SELECT doc_id, ptxt,
+    list_filter(list_transform(string_split_regex(ptxt, '
+'), s -> trim(s)),
+                s -> s <> '') AS lines,
+    list_filter(string_split_regex(trim(ptxt), '\s+'), w -> w <> '') AS toks
+  FROM d
+),
+g AS (
+  SELECT *,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS grams
+  FROM b
+)
+SELECT doc_id,
+  ROUND(CASE WHEN len(lines) > 0
+    THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+    ELSE 0.0 END, 4) AS dup_line_frac,
+  ROUND(CASE WHEN len(grams) > 0
+    THEN CAST(list_max(list_transform(list_distinct(grams),
+           x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams)
+    ELSE 0.0 END, 4) AS top_2gram_frac,
+  ROUND(CASE WHEN len(toks) > 0
+    THEN CAST(LENGTH(regexp_replace(ptxt, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+         / len(toks)
+    ELSE 0.0 END, 4) AS symbol_word_ratio,
+  ROUND(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         / len(toks)
+    ELSE 0.0 END, 4) AS frac_words_alpha
+FROM g
+"""
+
+
 def q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup through the PERSISTED corpus band index
     (dedup.persist_neardup_index → neardup_pairs_against_index): corpus
@@ -4535,6 +4688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topn": q_sample_topn,
     "weighted_sample": q_weighted_sample,
     "incremental_neardup": q_incremental_neardup,
+    "paragraph_dedup": q_paragraph_dedup,
+    "decontamination": q_decontamination,
+    "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
     "approx_percentiles": q_approx_percentiles,
     "top_tokens_per_lang": q_top_tokens_per_lang,
@@ -4688,6 +4844,9 @@ ORACLES: dict[str, str] = {
     "sample_topn": SQL_SAMPLE_TOPN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "decontamination": SQL_DECONTAMINATION,
+    "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,
     "approx_percentiles": SQL_APPROX_PERCENTILES,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,

@@ -511,3 +511,62 @@ class TestBm25Index:
             assert "SortMergeJoin" not in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS t_bm25_idx")
+
+
+class TestParagraphDedup:
+    def test_corpus_wide_keep_first(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "shared header\n\nunique one"),
+             (2, "shared header\n\nunique two\n\nunique one")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.paragraph_dedup(docs, "doc_id").collect()}
+        # doc 1 keeps both paragraphs (first occurrences)
+        assert out[1].text == "shared header\n\nunique one"
+        assert out[1].n_paras_kept == 2 and out[1].n_paras_total == 2
+        # doc 2 loses the shared header AND the cross-doc dup of "unique one"
+        assert out[2].text == "unique two"
+        assert out[2].n_paras_kept == 1 and out[2].n_paras_total == 3
+
+    def test_normalization_catches_formatting_noise(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "Shared  Header"), (2, "shared header")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.paragraph_dedup(docs, "doc_id").collect()}
+        assert out[1].text == "Shared  Header"
+        assert out[2].text == "" and out[2].n_paras_kept == 0
+
+    def test_all_dup_doc_comes_back_empty_not_missing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "only para"), (2, "only para")], "doc_id long, text string"
+        )
+        out = dedup.paragraph_dedup(docs, "doc_id")
+        assert out.count() == 2
+        assert {r.doc_id for r in out.where("text = ''").collect()} == {2}
+
+
+class TestDecontamination:
+    BENCH = "the quick brown fox jumps over the lazy dog tonight"
+
+    def test_flags_and_enforcement(self, spark):
+        bench = spark.createDataFrame([(0, self.BENCH)], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(10, "prefix " + self.BENCH + " suffix"),       # contains 8-grams
+             (11, "completely unrelated words with no overlap at all here")],
+            "doc_id long, text string",
+        )
+        flags = {r.doc_id: r for r in dedup.contamination_flags(
+            docs, bench, "doc_id", n=8).collect()}
+        assert flags[10].contaminated and flags[10].n_hits >= 1
+        assert not flags[11].contaminated and flags[11].n_hits == 0
+        clean = dedup.decontaminate(docs, bench, "doc_id", n=8)
+        assert {r.doc_id for r in clean.collect()} == {11}
+
+    def test_short_docs_cannot_hit(self, spark):
+        bench = spark.createDataFrame([(0, self.BENCH)], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(10, "the quick brown fox")], "doc_id long, text string"
+        )  # < 8 tokens: no 8-grams, can't be contaminated
+        flags = dedup.contamination_flags(docs, bench, "doc_id", n=8).collect()
+        assert flags[0].n_hits == 0 and not flags[0].contaminated

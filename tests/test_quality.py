@@ -96,3 +96,43 @@ class TestPsiDrift:
         total = out.agg(F.sum("psi")).first()[0]
         assert total > 0.25  # rule-of-thumb "shifted" threshold
         assert out.count() == 10  # full spine even where a side is empty
+
+
+class TestRepetitionStats:
+    def test_dup_lines_and_top_gram(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            gopher_quality_filter,
+            with_repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "same line\nsame line\nother line"),
+             (2, "spam spam spam spam spam"),
+             (3, "a perfectly normal english sentence with varied words")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_repetition_stats(docs).collect()}
+        assert abs(out[1].dup_line_frac - 1 / 3) < 1e-3
+        assert out[3].dup_line_frac == 0.0
+        # "spam spam" ×4 of 4 2-grams → 1.0
+        assert out[2].top_2gram_frac == 1.0
+        assert out[3].top_2gram_frac < 0.2
+        assert out[3].frac_words_alpha == 1.0
+        kept = {r.doc_id for r in gopher_quality_filter(docs).collect()}
+        assert kept == {3}
+
+    def test_symbols_and_nonalpha_words(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            with_repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "#### $$$$ 1234 word")], "doc_id long, text string"
+        )
+        r = with_repetition_stats(docs).collect()[0]
+        assert r.symbol_word_ratio == 8 / 4  # 8 symbol chars / 4 words
+        assert r.frac_words_alpha == 0.25
+        empty = spark.createDataFrame([(2, "   ")], "doc_id long, text string")
+        r2 = with_repetition_stats(empty).collect()[0]
+        assert r2.dup_line_frac == 0.0 and r2.top_2gram_frac == 0.0
+        assert r2.symbol_word_ratio == 0.0 and r2.frac_words_alpha == 0.0
