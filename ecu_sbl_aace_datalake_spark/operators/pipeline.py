@@ -5,8 +5,11 @@ verified operators.
     raw documents
       → language ID filter          (textstats.with_lang_id, expressions)
       → quality floor               (textstats.with_quality_score)
+      → [Gopher repetition gates]   (textstats.gopher_quality_filter, opt-in)
+      → [paragraph-level dedup]     (dedup.paragraph_dedup, opt-in)
       → exact dedup                 (dedup.exact_dedup, normalized text)
       → MinHash-LSH near-dup prune  (dedup.minhash_dedup)
+      → [test-set decontamination]  (dedup.decontaminate, opt-in)
       → token count                 (packing.with_token_count)
       → greedy sequence packing     (packing.greedy_pack)
 
@@ -36,10 +39,29 @@ def prepare_corpus(
     pack_budget: int = 512,
     neardup_threshold: float = 0.7,
     neardup_bands: int = 16,
+    gopher_gates: bool = False,
+    paragraph_level_dedup: bool = False,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
-    added and rejected/duplicate documents removed."""
+    added and rejected/duplicate documents removed.
+
+    Opt-in modern-pipeline stages (each a verified operator, inserted at
+    its standard position):
+
+    - ``gopher_gates`` — MassiveText repetition/symbol thresholds
+      (:func:`~.textstats.gopher_quality_filter`) after the quality floor.
+    - ``paragraph_level_dedup`` — corpus-wide boilerplate-paragraph removal
+      (:func:`~.dedup.paragraph_dedup`) BEFORE document-level dedup, so a
+      doc that collapses to previously-seen paragraphs dedups away; docs
+      emptied entirely are dropped.
+    - ``decontaminate_against`` — an eval/benchmark DataFrame (text in
+      ``text_col``); docs sharing any ``decontaminate_ngram``-gram are
+      removed LAST (after dedup, before packing), the cheapest point since
+      the corpus is smallest there.
+    """
     scored = textstats.with_quality_score(
         textstats.with_lang_id(df, text_col), text_col
     )
@@ -47,6 +69,14 @@ def prepare_corpus(
         F.col("lang_pred").isin(*keep_langs)
         & (F.col("quality_score") >= min_quality)
     )
+    if gopher_gates:
+        kept = textstats.gopher_quality_filter(kept, text_col)
+    if paragraph_level_dedup:
+        kept = (
+            dedup.paragraph_dedup(kept, id_col, text_col)
+            .where(F.col(text_col) != "")
+            .drop("n_paras_kept", "n_paras_total")
+        )
     # exact dedup on normalized content, deterministic smallest-id survivor
     normed = kept.withColumn(
         "__norm", F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
@@ -63,6 +93,11 @@ def prepare_corpus(
     pruned = dedup.minhash_dedup(
         exact, id_col, text_col, threshold=neardup_threshold, bands=neardup_bands
     )
+    if decontaminate_against is not None:
+        pruned = dedup.decontaminate(
+            pruned, decontaminate_against, id_col, text_col,
+            n=decontaminate_ngram,
+        )
     counted = packing.with_token_count(pruned, text_col)
     return packing.greedy_pack(
         counted, pack_budget, shard_cols=shard_cols, order_col=id_col

@@ -1061,9 +1061,11 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-verified against brute-force all-pairs 3-shingle Jaccard in
     DuckDB: the Spark side verifies candidates with EXACT Jaccard, so the
-    outputs match whenever LSH recall is 1 for pairs above threshold —
-    which holds on the fixed fixture corpus (verified; deterministic
-    hashing, deterministic data)."""
+    outputs match whenever LSH recall is 1 for pairs above threshold.
+    Banding is 32 bands x 2 rows here, making that recall STRUCTURAL, not
+    fixture luck: P(miss) at s=0.5 is (1-0.25)^32 ~= 1e-4 and falls
+    exponentially above it (16x4 banding would miss s~=0.5 pairs ~36% of
+    the time)."""
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     # one cached projection (id, shingles, minhash) feeds banding + both
     # jaccard join-back sides; the cache boundary doubles as the
@@ -3800,9 +3802,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: a 'new batch' (doc_id % 7 == 0) is
     LSH-checked against the remaining corpus — band join new×corpus, exact
     Jaccard verify, never corpus×corpus. Oracle-verified against brute-force
-    cross-slice Jaccard (exact verification ⇒ identical output whenever LSH
-    recall is 1 for above-threshold pairs, which holds on this fixture —
-    deterministic hashing, deterministic data)."""
+    cross-slice Jaccard: with 32x2 banding, P(missing an s=0.5 pair) is
+    ~1e-4 (structural recall, not fixture luck), and the exact-verify step
+    makes every surfaced pair correct."""
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     new_batch = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)

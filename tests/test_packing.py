@@ -220,3 +220,40 @@ class TestChunkPack:
             .where(F.col("c.n") > F.col("g.n"))
         )
         assert worse.count() == 0
+
+
+class TestFullPipelineGates:
+    def test_opt_in_stages_compose(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        bench = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+        corpus = docs.where(F.col("doc_id") >= 5)
+        packed = pipeline.prepare_corpus(
+            corpus, pack_budget=128,
+            gopher_gates=True,
+            paragraph_level_dedup=True,
+            decontaminate_against=bench,
+        )
+        out = packed.select("doc_id", "text").cache()
+        try:
+            n = out.count()
+            assert 0 < n < corpus.count()
+            # decontamination: no surviving doc shares an 8-gram with bench
+            from ecu_sbl_aace_datalake_spark.operators import dedup
+
+            flags = dedup.contamination_flags(out, bench, "doc_id", n=8)
+            assert flags.where("contaminated").count() == 0
+            # gopher gates: no surviving doc violates the repetition rules
+            from ecu_sbl_aace_datalake_spark.operators.textstats import (
+                with_repetition_stats,
+            )
+
+            bad = with_repetition_stats(out).where(
+                "dup_line_frac > 0.30 OR top_2gram_frac > 0.20"
+            )
+            assert bad.count() == 0
+        finally:
+            out.unpersist()
