@@ -249,6 +249,17 @@ def write_bucketed_table(
     full scale (e.g. 100 TB / 128 MB ≈ 800k → bucket by thousands, not 32).
     """
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    # idempotence: DROP an existing registration, then clear any ORPHANED
+    # managed-table location (a table dir left by another session's
+    # metastore makes saveAsTable fail with LOCATION_ALREADY_EXISTS even
+    # though the current catalog has no such table)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    orphan = f"{warehouse.rstrip('/')}/{table_name.lower()}"
+    if path_exists(spark, orphan):
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(orphan)
+        hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
     writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bcols)
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

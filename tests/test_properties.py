@@ -57,9 +57,13 @@ class TestCleaningProperties:
     @given(simple)
     def test_custom_initcap_preserves_length_and_delims(self, s):
         out = cleaning.custom_initcap(s)
+        if not s:
+            # reference parity: falsy input → None (common.py:633)
+            assert out is None
+            return
         assert len(out) == len(s)
         for i, ch in enumerate(s):
-            if ch in " '-":
+            if ch in " '-`/":
                 assert out[i] == ch
 
     @given(simple)
