@@ -4,10 +4,13 @@ North-star extension (SURVEY.md §2.13). Images/audio/video are carried as
 ``binary`` columns alongside typed metadata; decode / feature-extract /
 resize / frame-sample run as Arrow-batched functions over ``mapInPandas``.
 
-The actual codec step is STUBBED (this container has no image/audio libs):
-``decode_image_meta`` uses a deterministic fake decoder so the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is real and
-tested; swap ``_fake_decode`` for PIL/libav when available.
+Metadata extraction is REAL: ``parse_image_header`` reads dimensions and
+format straight from PNG/GIF/BMP/JPEG/PPM header bytes (production
+metadata extraction never decodes pixels, so no codec library is needed).
+Only compressed PIXEL decode (and video frame decode) is stubbed — swap
+``_decode_frame`` for PIL/libav when available. A deterministic fake
+decoder (``decoder="fake"``) remains for the SQL-oracle-replicable
+multimodal_meta driver query.
 
 Scale design: mapInPandas streams Arrow record batches through one Python
 worker per core — no collect, no per-row pickling; binary payloads never
@@ -30,6 +33,77 @@ IMAGE_META_SCHEMA = (
 )
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    list(range(0xC0, 0xC4)) + list(range(0xC5, 0xC8))
+    + list(range(0xC9, 0xCC)) + list(range(0xCD, 0xD0))
+)
+
+
+def parse_image_header(payload: bytes) -> tuple[int | None, int | None, str]:
+    """REAL image-header parser — pure byte inspection, no codec library:
+    (width, height, format) for PNG / GIF / BMP / JPEG / PPM(P6), or
+    ``(None, None, "unknown")``. This is exactly what production metadata
+    extraction does (dimensions live in fixed header fields; decoding the
+    pixel data is never needed for them), so the metadata path of the
+    multimodal stack is fully functional in this container — only
+    compressed PIXEL decode remains stubbed.
+    """
+    p = payload or b""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            return (
+                int.from_bytes(p[16:20], "big"),
+                int.from_bytes(p[20:24], "big"),
+                "png",
+            )
+        if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            return (
+                int.from_bytes(p[6:8], "little"),
+                int.from_bytes(p[8:10], "little"),
+                "gif",
+            )
+        if p[:2] == b"BM" and len(p) >= 26:
+            return (
+                int.from_bytes(p[18:22], "little", signed=True),
+                abs(int.from_bytes(p[22:26], "little", signed=True)),
+                "bmp",
+            )
+        if p[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 <= len(p) and p[i] == 0xFF:
+                marker = p[i + 1]
+                if marker in _JPEG_SOF_MARKERS:
+                    return (
+                        int.from_bytes(p[i + 7 : i + 9], "big"),
+                        int.from_bytes(p[i + 5 : i + 7], "big"),
+                        "jpeg",
+                    )
+                seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+                i += 2 + seg_len
+            return (None, None, "jpeg")
+        if p[:2] == b"P6":
+            fields: list[int] = []
+            i = 2
+            while i < len(p) and len(fields) < 2:
+                c = p[i : i + 1]
+                if c == b"#":  # comment line
+                    while i < len(p) and p[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isdigit():
+                    j = i
+                    while j < len(p) and p[j : j + 1].isdigit():
+                        j += 1
+                    fields.append(int(p[i:j]))
+                    i = j
+                    continue
+                i += 1
+            if len(fields) == 2:
+                return fields[0], fields[1], "ppm"
+    except Exception:
+        pass
+    return None, None, "unknown"
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for a real image decoder (no PIL in this
     container). Derives (width, height, format) from a content hash so tests
@@ -43,10 +117,25 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, fmt
 
 
-def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, payload_col: str = "payload", decoder: str = "headers"
+) -> DataFrame:
     """Extract (content_hash, byte_size, width, height, format) per blob via
     mapInPandas. Keeps all original columns except the payload (metadata
-    extraction is usually followed by writing a payload-free index table)."""
+    extraction is usually followed by writing a payload-free index table).
+
+    ``decoder="headers"`` (default) parses REAL format headers
+    (:func:`parse_image_header` — PNG/GIF/BMP/JPEG/PPM, no codec lib);
+    unknown formats get null dimensions. ``decoder="fake"`` keeps the
+    deterministic hash-derived stand-in (oracle-replicable via sha256 in
+    SQL — used by the multimodal_meta driver query).
+    """
+    if decoder == "headers":
+        decode = parse_image_header
+    elif decoder == "fake":
+        decode = _fake_decode
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
     passthrough = [c for c in df.columns if c != payload_col]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -66,9 +155,9 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "byte_size": payloads.map(lambda b: len(b or b"")).astype("int64"),
                 }
             )
-            decoded = payloads.map(lambda b: _fake_decode(b or b""))
-            meta["width"] = decoded.map(lambda t: t[0]).astype("int32")
-            meta["height"] = decoded.map(lambda t: t[1]).astype("int32")
+            decoded = payloads.map(lambda b: decode(b or b""))
+            meta["width"] = decoded.map(lambda t: t[0]).astype("Int32")
+            meta["height"] = decoded.map(lambda t: t[1]).astype("Int32")
             meta["format"] = decoded.map(lambda t: t[2])
             yield pd.concat([pdf[passthrough].reset_index(drop=True), meta], axis=1)
 
@@ -128,6 +217,7 @@ def resize_meta(
     df: DataFrame,
     payload_col: str = "payload",
     target: tuple[int, int] = (224, 224),
+    decoder: str = "headers",
 ) -> DataFrame:
     """Resize planning: compute per-image output geometry (scale factor,
     letterbox padding) from decoded dimensions — the cheap driver-side-free
@@ -135,7 +225,7 @@ def resize_meta(
     job). Output adds scale, pad_x, pad_y columns."""
     from pyspark.sql import functions as F
 
-    meta = decode_image_meta(df, payload_col)
+    meta = decode_image_meta(df, payload_col, decoder=decoder)
     tw, th = target
     scale = F.least(F.lit(tw) / F.col("width"), F.lit(th) / F.col("height"))
     return (

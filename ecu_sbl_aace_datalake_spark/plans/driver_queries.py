@@ -2216,7 +2216,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return decode_image_meta(docs, "payload")
+    return decode_image_meta(docs, "payload", decoder="fake")
 
 
 SQL_MULTIMODAL_META = """
@@ -3968,6 +3968,118 @@ FROM g
 """
 
 
+# Shared payload derivation for the REAL image-header-parsing query: both
+# engines derive (w, h, format-case) from c_custkey; Spark BUILDS the
+# actual binary header bytes and PARSES them back with
+# multimodal.parse_image_header; the oracle outputs the constructed values
+# directly (construct → parse → must round-trip).
+_IMG_W = "(16 + c_custkey % 1000)"
+_IMG_H = "(16 + (c_custkey * 7) % 1000)"
+_IMG_CASE = "CAST(c_custkey % 5 AS INT)"
+
+_IMG_PAYLOAD_EXPR = f"""CASE {_IMG_CASE}
+  WHEN 0 THEN unhex('89504e470d0a1a0a' || '0000000d' || '49484452'
+                    || lpad(hex({_IMG_W}), 8, '0') || lpad(hex({_IMG_H}), 8, '0'))
+  WHEN 1 THEN unhex('474946383961'
+                    || format_string('%02x%02x', {_IMG_W} % 256, {_IMG_W} div 256)
+                    || format_string('%02x%02x', {_IMG_H} % 256, {_IMG_H} div 256))
+  WHEN 2 THEN unhex('424d' || repeat('00', 16)
+                    || format_string('%02x%02x', {_IMG_W} % 256, {_IMG_W} div 256) || '0000'
+                    || format_string('%02x%02x', {_IMG_H} % 256, {_IMG_H} div 256) || '0000')
+  WHEN 3 THEN unhex('ffd8' || 'ffe0' || '0004' || '4a46'
+                    || 'ffc0' || '0008' || '08'
+                    || lpad(hex({_IMG_H}), 4, '0') || lpad(hex({_IMG_W}), 4, '0') || '01')
+  ELSE encode('P6' || chr(10) || CAST({_IMG_W} AS STRING) || ' '
+              || CAST({_IMG_H} AS STRING) || chr(10) || '255' || chr(10), 'utf-8')
+END"""
+
+
+def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata extraction (multimodal.parse_image_header, no
+    codec library): per customer a genuine PNG/GIF/BMP/JPEG/PPM header is
+    constructed as binary and parsed back via the mapInPandas decode path.
+    Oracle-verified round-trip: DuckDB outputs the constructed dimensions/
+    format/byte-size; the parse must reproduce them exactly."""
+    from ..operators.multimodal import decode_image_meta
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_IMG_PAYLOAD_EXPR).alias("payload")
+    )
+    return decode_image_meta(cust, "payload").select(
+        "c_custkey", "width", "height", "format",
+        F.col("byte_size").cast("long").alias("byte_size"),
+    )
+
+
+SQL_IMAGE_HEADER_META = f"""
+SELECT c_custkey,
+       CAST({_IMG_W} AS INT) AS width,
+       CAST({_IMG_H} AS INT) AS height,
+       CASE {_IMG_CASE} WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+            WHEN 3 THEN 'jpeg' ELSE 'ppm' END AS format,
+       CAST(CASE {_IMG_CASE}
+         WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26 WHEN 3 THEN 18
+         ELSE strlen('P6' || chr(10) || CAST({_IMG_W} AS VARCHAR) || ' '
+                     || CAST({_IMG_H} AS VARCHAR) || chr(10) || '255' || chr(10))
+       END AS BIGINT) AS byte_size
+FROM customer
+"""
+
+
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate): per-(nation, month) customer sketches merged to
+    per-nation estimates — the 100 TB pattern for distinct counts (build
+    sketches once per partition/day, merge for any rollup; never recount).
+    Oracle-verified via error envelopes, like approx_percentiles: the
+    DataSketches HLL guarantees ~1.6% relative standard error at the
+    default lgConfigK=12, so both the direct and the merged estimate must
+    land within ±5% of the exact distinct (DuckDB supplies exact + TRUEs);
+    the merged estimate must also equal the direct one's guarantee — union
+    of HLLs is lossless at the same precision."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    per_month = j.groupBy("c_nationkey", "month").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = per_month.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_union")
+    )
+    direct = j.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("est"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    tol = 0.05
+    return (
+        direct.join(merged, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("direct_ok"),
+            (
+                F.abs(F.col("est_union") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("union_ok"),
+        )
+    )
+
+
+SQL_HLL_SKETCH_UNION = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS direct_ok,
+       TRUE AS union_ok
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup through the PERSISTED corpus band index
     (dedup.persist_neardup_index → neardup_pairs_against_index): corpus
@@ -4691,6 +4803,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "incremental_neardup": q_incremental_neardup,
     "paragraph_dedup": q_paragraph_dedup,
+    "hll_sketch_union": q_hll_sketch_union,
+    "image_header_meta": q_image_header_meta,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -4847,6 +4961,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "hll_sketch_union": SQL_HLL_SKETCH_UNION,
+    "image_header_meta": SQL_IMAGE_HEADER_META,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

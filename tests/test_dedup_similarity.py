@@ -249,19 +249,75 @@ class TestTextStats:
         assert by_rank[2] == 12 and by_rank[3] == 11
 
 
+def _png(w: int, h: int) -> bytes:
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return b"BM" + b"\x00" * 16 + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI, APP0 stub segment, SOF0 with height/width
+    app0 = b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"
+    sof = (b"\xff\xc0" + (8).to_bytes(2, "big") + b"\x08"
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01")
+    return b"\xff\xd8" + app0 + sof
+
+
+def _ppm(w: int, h: int) -> bytes:
+    return f"P6\n# comment\n{w} {h}\n255\n".encode()
+
+
 class TestMultimodal:
-    def test_decode_meta_plumbing(self, spark):
+    def test_real_header_parsing_all_formats(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            parse_image_header,
+        )
+
+        assert parse_image_header(_png(640, 480)) == (640, 480, "png")
+        assert parse_image_header(_gif(320, 200)) == (320, 200, "gif")
+        assert parse_image_header(_bmp(1024, 768)) == (1024, 768, "bmp")
+        assert parse_image_header(_jpeg(800, 600)) == (800, 600, "jpeg")
+        assert parse_image_header(_ppm(12, 34)) == (12, 34, "ppm")
+        assert parse_image_header(b"not an image") == (None, None, "unknown")
+        assert parse_image_header(b"") == (None, None, "unknown")
+        # truncated PNG: magic ok but header incomplete → unknown, no crash
+        assert parse_image_header(_png(1, 1)[:12]) == (None, None, "unknown")
+
+    def test_decode_meta_real_headers(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_image_meta
+
+        df = spark.createDataFrame(
+            [(1, _png(640, 480)), (2, _jpeg(800, 600)), (3, b"garbage"), (4, b"")],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in decode_image_meta(df).collect()}
+        assert (out[1].width, out[1].height, out[1].format) == (640, 480, "png")
+        assert (out[2].width, out[2].height, out[2].format) == (800, 600, "jpeg")
+        assert out[3].width is None and out[3].format == "unknown"
+        assert out[4].byte_size == 0
+        assert "payload" not in decode_image_meta(df).columns
+
+    def test_decode_meta_fake_mode_is_oracle_replicable(self, spark):
         from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_image_meta
 
         df = spark.createDataFrame(
             [(1, b"fakeimagebytes"), (2, b""), (3, b"fakeimagebytes")],
             "media_id long, payload binary",
         )
-        out = {r.media_id: r for r in decode_image_meta(df).collect()}
+        out = {
+            r.media_id: r
+            for r in decode_image_meta(df, decoder="fake").collect()
+        }
         assert out[1].content_hash == out[3].content_hash  # deterministic
         assert out[1].byte_size == 14 and out[2].byte_size == 0
         assert out[1].width >= 64 and out[1].format in ("png", "jpeg", "webp")
-        assert "payload" not in decode_image_meta(df).columns
 
 
 class TestHashedEmbeddings:
@@ -361,11 +417,13 @@ class TestMultimodalFeatures:
     def test_resize_meta_geometry(self, spark):
         from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_meta
 
-        df = spark.createDataFrame([(1, b"img-bytes")], "media_id long, payload binary")
+        # real 640x480 PNG header → scale 224/640 = 0.35, letterbox pads y
+        df = spark.createDataFrame(
+            [(1, _png(640, 480))], "media_id long, payload binary"
+        )
         r = resize_meta(df, target=(224, 224)).first()
-        assert 0 < r.scale <= 224 / 64       # width/height >= 64 in the stub
-        assert r.pad_x >= 0 and r.pad_y >= 0
-        assert min(r.pad_x, r.pad_y) == 0    # letterbox pads only one axis
+        assert abs(r.scale - 224 / 640) < 1e-6
+        assert r.pad_x == 0 and r.pad_y == (224 - int(480 * 224 / 640)) // 2
 
 
 class TestCorpusDedup:
