@@ -4026,6 +4026,56 @@ FROM customer
 """
 
 
+# Solid-color PPM payloads for the REAL pixel-decode query: every 4th
+# customer instead gets a JPEG header (compressed → decoded=false, null
+# stats). Channel values derive from c_custkey; a solid image's channel
+# means ARE those values, so the oracle computes them directly.
+_PX_W = "(4 + c_custkey % 8)"
+_PX_H = "(3 + c_custkey % 5)"
+_PX_R = "CAST(c_custkey % 256 AS INT)"
+_PX_G = "CAST((c_custkey * 3) % 256 AS INT)"
+_PX_B = "CAST((c_custkey * 7) % 256 AS INT)"
+
+_PX_PAYLOAD_EXPR = f"""CASE WHEN c_custkey % 4 = 0
+  THEN unhex('ffd8ffc0000808' || lpad(hex({_PX_H}), 4, '0')
+             || lpad(hex({_PX_W}), 4, '0') || '01')
+  ELSE unhex(hex(encode('P6' || chr(10) || CAST({_PX_W} AS STRING) || ' '
+                        || CAST({_PX_H} AS STRING) || chr(10) || '255'
+                        || chr(10), 'utf-8'))
+             || repeat(format_string('%02x%02x%02x', {_PX_R}, {_PX_G}, {_PX_B}),
+                       {_PX_W} * {_PX_H}))
+END"""
+
+
+def q_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode (multimodal.pixel_stats — numpy over mapInPandas,
+    no codec lib): solid-color PPM images constructed per customer are
+    decoded to channel means + Rec.601 luma; compressed (JPEG) payloads
+    come back decoded=false with null stats. Oracle computes the expected
+    means arithmetically (solid color → mean == channel value)."""
+    from ..operators.multimodal import pixel_stats
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_PX_PAYLOAD_EXPR).alias("payload")
+    )
+    return pixel_stats(cust, "payload").select(
+        "c_custkey", "decoded", "mean_r", "mean_g", "mean_b", "mean_luma"
+    )
+
+
+SQL_PIXEL_STATS = f"""
+SELECT c_custkey,
+       c_custkey % 4 <> 0 AS decoded,
+       CASE WHEN c_custkey % 4 <> 0 THEN CAST({_PX_R} AS DOUBLE) END AS mean_r,
+       CASE WHEN c_custkey % 4 <> 0 THEN CAST({_PX_G} AS DOUBLE) END AS mean_g,
+       CASE WHEN c_custkey % 4 <> 0 THEN CAST({_PX_B} AS DOUBLE) END AS mean_b,
+       CASE WHEN c_custkey % 4 <> 0 THEN
+         ROUND(0.299 * {_PX_R} + 0.587 * {_PX_G} + 0.114 * {_PX_B}, 4)
+       END AS mean_luma
+FROM customer WHERE c_custkey < 400
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -4805,6 +4855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "hll_sketch_union": q_hll_sketch_union,
     "image_header_meta": q_image_header_meta,
+    "pixel_stats": q_pixel_stats,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -4963,6 +5014,7 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "hll_sketch_union": SQL_HLL_SKETCH_UNION,
     "image_header_meta": SQL_IMAGE_HEADER_META,
+    "pixel_stats": SQL_PIXEL_STATS,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

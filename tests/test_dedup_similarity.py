@@ -628,3 +628,47 @@ class TestDecontamination:
         )  # < 8 tokens: no 8-grams, can't be contaminated
         flags = dedup.contamination_flags(docs, bench, "doc_id", n=8).collect()
         assert flags[0].n_hits == 0 and not flags[0].contaminated
+
+
+class TestPixelDecode:
+    def test_ppm_pixels_real_decode(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import pixel_stats
+
+        # 2x1 PPM: one red, one blue pixel → mean_r = mean_b = 127.5
+        payload = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+        df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+        r = pixel_stats(df).first()
+        assert r.decoded and r.mean_r == 127.5 and r.mean_g == 0.0 and r.mean_b == 127.5
+
+    def test_bmp_bottom_up_bgr_and_padding(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import pixel_stats
+
+        # 2x2 24-bit BMP, bottom-up rows, 8-byte stride (2 pad bytes/row)
+        # image: top row [red, green], bottom row [blue, white]
+        header = (
+            b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + b"\x00" * 20
+        )
+        assert len(header) == 54
+        bottom = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"  # BGR
+        top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+        df = spark.createDataFrame(
+            [(1, header + bottom + top)], "media_id long, payload binary"
+        )
+        r = pixel_stats(df).first()
+        # means over {red, green, blue, white}: r=(255+0+0+255)/4 etc.
+        assert r.decoded
+        assert (r.mean_r, r.mean_g, r.mean_b) == (127.5, 127.5, 127.5)
+
+    def test_compressed_formats_flagged_not_decoded(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import pixel_stats
+
+        df = spark.createDataFrame(
+            [(1, _png(4, 4)), (2, b"junk")], "media_id long, payload binary"
+        )
+        out = {r.media_id: r for r in pixel_stats(df).collect()}
+        assert not out[1].decoded and out[1].mean_r is None
+        assert not out[2].decoded
