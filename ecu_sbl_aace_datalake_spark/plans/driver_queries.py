@@ -4076,6 +4076,67 @@ FROM customer WHERE c_custkey < 400
 """
 
 
+# Constant-signal PCM WAV payloads for the REAL audio-decode query.
+# Sample value is a multiple of 2048 so rms = peak = k/16 terminates in 4
+# decimals (no cross-engine rounding ties); every 5th customer gets a
+# non-WAV payload (decoded=false, null stats).
+_WAV_N = "(100 + c_custkey % 100)"
+_WAV_K = "CAST(c_custkey % 16 AS INT)"
+_WAV_S = f"({_WAV_K} * 2048)"
+
+
+def _le32(expr: str) -> str:
+    e = f"({expr})"  # parenthesize: 'a + b % 256' binds % before +
+    return (f"format_string('%02x%02x%02x%02x', {e} % 256, "
+            f"({e} div 256) % 256, ({e} div 65536) % 256, "
+            f"({e} div 16777216) % 256)")
+
+
+_WAV_PAYLOAD_EXPR = f"""CASE WHEN c_custkey % 5 = 0
+  THEN encode('not audio at all', 'utf-8')
+  ELSE unhex(
+    '52494646' || {_le32(f"36 + 2 * {_WAV_N}")} || '57415645'
+    || '666d7420' || '10000000' || '0100' || '0100'
+    || '401f0000' || '803e0000' || '0200' || '1000'
+    || '64617461' || {_le32(f"2 * {_WAV_N}")}
+    || repeat(format_string('%02x%02x', {_WAV_S} % 256, {_WAV_S} div 256),
+              {_WAV_N}))
+END"""
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM-WAV decode (multimodal.audio_stats — RIFF chunk walk +
+    numpy sample decode, no codec lib): constant-signal WAVs constructed
+    per customer; header fields, duration, RMS and peak must round-trip
+    the construction; non-WAV payloads flagged decoded=false."""
+    from ..operators.multimodal import audio_stats
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_WAV_PAYLOAD_EXPR).alias("payload")
+    )
+    return audio_stats(cust, "payload").select(
+        "c_custkey", "decoded", "sample_rate", "channels", "bits",
+        "n_samples", "duration_s", "rms", "peak",
+    )
+
+
+SQL_AUDIO_STATS = f"""
+SELECT c_custkey,
+       c_custkey % 5 <> 0 AS decoded,
+       CASE WHEN c_custkey % 5 <> 0 THEN 8000 END AS sample_rate,
+       CASE WHEN c_custkey % 5 <> 0 THEN 1 END AS channels,
+       CASE WHEN c_custkey % 5 <> 0 THEN 16 END AS bits,
+       CASE WHEN c_custkey % 5 <> 0 THEN CAST({_WAV_N} AS BIGINT) END AS n_samples,
+       CASE WHEN c_custkey % 5 <> 0
+            THEN ROUND(CAST({_WAV_N} AS DOUBLE) / 8000, 6) END AS duration_s,
+       CASE WHEN c_custkey % 5 <> 0
+            THEN ROUND(CAST({_WAV_K} AS DOUBLE) / 16, 6) END AS rms,
+       CASE WHEN c_custkey % 5 <> 0
+            THEN ROUND(CAST({_WAV_K} AS DOUBLE) / 16, 6) END AS peak
+FROM customer WHERE c_custkey < 400
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -4856,6 +4917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_sketch_union": q_hll_sketch_union,
     "image_header_meta": q_image_header_meta,
     "pixel_stats": q_pixel_stats,
+    "audio_stats": q_audio_stats,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5015,6 +5077,7 @@ ORACLES: dict[str, str] = {
     "hll_sketch_union": SQL_HLL_SKETCH_UNION,
     "image_header_meta": SQL_IMAGE_HEADER_META,
     "pixel_stats": SQL_PIXEL_STATS,
+    "audio_stats": SQL_AUDIO_STATS,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

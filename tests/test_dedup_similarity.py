@@ -672,3 +672,52 @@ class TestPixelDecode:
         out = {r.media_id: r for r in pixel_stats(df).collect()}
         assert not out[1].decoded and out[1].mean_r is None
         assert not out[2].decoded
+
+
+def _wav(sr: int, ch: int, bits: int, data: bytes, extra_chunk: bool = False) -> bytes:
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + ch.to_bytes(2, "little") + sr.to_bytes(4, "little")
+           + (sr * ch * bits // 8).to_bytes(4, "little")
+           + (ch * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    mid = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00" if extra_chunk else b""
+    d = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + mid + d
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class TestAudioDecode:
+    def test_wav_16bit_rms_peak(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import audio_stats
+
+        import struct
+
+        # alternating +/- half-scale square wave: rms = peak = 0.5
+        data = struct.pack("<4h", 16384, -16384, 16384, -16384)
+        df = spark.createDataFrame(
+            [(1, _wav(8000, 1, 16, data)), (2, b"mp3-ish garbage")],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in audio_stats(df).collect()}
+        r = out[1]
+        assert r.decoded and r.sample_rate == 8000 and r.bits == 16
+        assert r.n_samples == 4 and r.duration_s == 0.0005
+        assert r.rms == 0.5 and r.peak == 0.5
+        assert not out[2].decoded and out[2].rms is None
+
+    def test_wav_odd_chunk_walk_and_8bit(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            audio_stats,
+            parse_wav_header,
+        )
+
+        # LIST chunk with odd length before data: chunk walk must pad to even
+        payload = _wav(16000, 2, 8, bytes([128, 128, 255, 0]), extra_chunk=True)
+        h = parse_wav_header(payload)
+        assert h["channels"] == 2 and h["bits"] == 8 and h["n_samples"] == 2
+        df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+        r = audio_stats(df).first()
+        # samples normalized: [0, 0, 127/128, -1]
+        import math
+
+        expected_rms = round(math.sqrt((0 + 0 + (127 / 128) ** 2 + 1.0) / 4), 6)
+        assert r.decoded and r.rms == expected_rms and r.peak == 1.0
