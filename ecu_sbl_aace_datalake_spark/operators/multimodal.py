@@ -490,3 +490,105 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema=full_schema)
+
+
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF container metadata — pure box parsing: walks the
+    top-level box tree for ``ftyp`` (major brand) and ``moov/mvhd``
+    (timescale, duration, → duration_s). Version 0 and 1 mvhd boxes both
+    handled. Returns ``{brand, timescale, duration, duration_s}`` or None
+    for non-MP4 payloads. Frame/pixel decode of the streams inside needs
+    libav and stays stubbed — container metadata does not.
+    """
+    p = payload or b""
+
+    def walk(start: int, end: int, depth: int = 0):
+        i = start
+        while i + 8 <= end and depth < 6:
+            size = int.from_bytes(p[i : i + 4], "big")
+            btype = p[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(p[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to EOF
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield i, i + hdr, i + size, btype, depth
+            if btype in (b"moov", b"trak", b"mdia"):
+                yield from walk(i + hdr, i + size, depth + 1)
+            i += size
+
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    out: dict = {}
+    for _, body_start, body_end, btype, _ in walk(0, len(p)):
+        if btype == b"ftyp" and body_end - body_start >= 4:
+            out["brand"] = p[body_start : body_start + 4].decode(
+                "ascii", "replace"
+            ).strip()
+        elif btype == b"mvhd":
+            ver = p[body_start]
+            if ver == 1 and body_end - body_start >= 28:
+                ts = int.from_bytes(p[body_start + 20 : body_start + 24], "big")
+                dur = int.from_bytes(p[body_start + 24 : body_start + 32], "big")
+            elif ver == 0 and body_end - body_start >= 20:
+                ts = int.from_bytes(p[body_start + 12 : body_start + 16], "big")
+                dur = int.from_bytes(p[body_start + 16 : body_start + 20], "big")
+            else:
+                continue
+            out["timescale"] = ts
+            out["duration"] = dur
+            out["duration_s"] = round(dur / ts, 6) if ts else None
+    return out if out.get("brand") or "timescale" in out else None
+
+
+VIDEO_META_SCHEMA = (
+    "is_mp4 boolean, brand string, timescale int, duration long, "
+    "duration_s double"
+)
+
+
+def video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-level video metadata via :func:`parse_mp4_header` over
+    mapInPandas — brand, timescale, duration. Non-MP4 payloads get
+    ``is_mp4=false`` with nulls."""
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    full_schema = (
+        f"{out_schema}, {VIDEO_META_SCHEMA}" if out_schema else VIDEO_META_SCHEMA
+    )
+
+    def meta(b: bytes):
+        h = parse_mp4_header(b or b"")
+        if h is None:
+            return False, None, None, None, None
+        return (
+            True, h.get("brand"), h.get("timescale"), h.get("duration"),
+            h.get("duration_s"),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = (
+                pdf[passthrough].copy()
+                if passthrough
+                else pd.DataFrame(index=pdf.index)
+            )
+            res = pdf[payload_col].map(lambda b: meta(b or b""))
+            for k, name in enumerate(
+                ("is_mp4", "brand", "timescale", "duration", "duration_s")
+            ):
+                out[name] = res.map(lambda t, k=k: t[k])
+            out["timescale"] = out["timescale"].astype("Int32")
+            out["duration"] = out["duration"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=full_schema)

@@ -4137,6 +4137,51 @@ FROM customer WHERE c_custkey < 400
 """
 
 
+# Minimal-but-valid MP4 (ftyp + moov>mvhd v0) for the REAL container
+# metadata query; duration derives from c_custkey at timescale 1000 so
+# duration_s terminates in 3 decimals. Every 3rd customer gets a non-MP4
+# payload (is_mp4=false, nulls).
+_MP4_DUR = "(c_custkey * 10 + 7)"
+
+_MP4_PAYLOAD_EXPR = f"""CASE WHEN c_custkey % 3 = 0
+  THEN encode('definitely not an mp4 container', 'utf-8')
+  ELSE unhex(
+    '00000018' || '66747970' || '69736f6d' || repeat('00', 12)
+    || '00000074' || '6d6f6f76'
+    || '0000006c' || '6d766864' || '00' || '000000' || repeat('00', 8)
+    || '000003e8' || lpad(hex({_MP4_DUR}), 8, '0') || repeat('00', 80))
+END"""
+
+
+def q_video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container metadata (multimodal.parse_mp4_header —
+    box-tree walk, no libav): ftyp brand + moov/mvhd timescale/duration
+    parsed back from containers constructed in-query; oracle outputs the
+    constructed values (round-trip). Stream/frame decode stays stubbed —
+    container metadata never needed it."""
+    from ..operators.multimodal import video_meta
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_MP4_PAYLOAD_EXPR).alias("payload")
+    )
+    return video_meta(cust, "payload").select(
+        "c_custkey", "is_mp4", "brand", "timescale",
+        F.col("duration").cast("long").alias("duration"), "duration_s",
+    )
+
+
+SQL_VIDEO_CONTAINER_META = f"""
+SELECT c_custkey,
+       c_custkey % 3 <> 0 AS is_mp4,
+       CASE WHEN c_custkey % 3 <> 0 THEN 'isom' END AS brand,
+       CASE WHEN c_custkey % 3 <> 0 THEN 1000 END AS timescale,
+       CASE WHEN c_custkey % 3 <> 0 THEN CAST({_MP4_DUR} AS BIGINT) END AS duration,
+       CASE WHEN c_custkey % 3 <> 0
+            THEN ROUND(CAST({_MP4_DUR} AS DOUBLE) / 1000, 6) END AS duration_s
+FROM customer WHERE c_custkey < 400
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -4918,6 +4963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_header_meta": q_image_header_meta,
     "pixel_stats": q_pixel_stats,
     "audio_stats": q_audio_stats,
+    "video_container_meta": q_video_container_meta,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5078,6 +5124,7 @@ ORACLES: dict[str, str] = {
     "image_header_meta": SQL_IMAGE_HEADER_META,
     "pixel_stats": SQL_PIXEL_STATS,
     "audio_stats": SQL_AUDIO_STATS,
+    "video_container_meta": SQL_VIDEO_CONTAINER_META,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

@@ -721,3 +721,38 @@ class TestAudioDecode:
 
         expected_rms = round(math.sqrt((0 + 0 + (127 / 128) ** 2 + 1.0) / 4), 6)
         assert r.decoded and r.rms == expected_rms and r.peak == 1.0
+
+
+class TestVideoContainerMeta:
+    @staticmethod
+    def _box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    def test_mvhd_v0_and_v1(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            parse_mp4_header,
+            video_meta,
+        )
+
+        b = self._box
+        v0 = b(b"ftyp", b"isom" + bytes(8)) + b(
+            b"moov",
+            b(b"mvhd", bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+              + (1234).to_bytes(4, "big") + bytes(80)),
+        )
+        v1 = b(b"ftyp", b"mp42" + bytes(8)) + b(
+            b"moov",
+            b(b"mvhd", bytes([1]) + bytes(3) + bytes(16)
+              + (90000).to_bytes(4, "big") + (450000).to_bytes(8, "big")
+              + bytes(80)),
+        )
+        assert parse_mp4_header(v0)["duration_s"] == round(1234 / 600, 6)
+        h1 = parse_mp4_header(v1)
+        assert h1["brand"] == "mp42" and h1["duration_s"] == 5.0
+        df = spark.createDataFrame(
+            [(1, v0), (2, v1), (3, b"AVI nope")], "media_id long, payload binary"
+        )
+        out = {r.media_id: r for r in video_meta(df).collect()}
+        assert out[1].is_mp4 and out[1].timescale == 600
+        assert out[2].is_mp4 and out[2].duration == 450000
+        assert not out[3].is_mp4 and out[3].brand is None
