@@ -156,3 +156,48 @@ def _interval_seconds(spec: str) -> int:
         "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
     }[unit.lower()]
     return int(n) * mult
+
+
+def range_join_intervals_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open: ``l_start < r_end AND
+    r_start < l_end``), optionally keyed — the second temporal-join
+    primitive Spark lacks (points-in-intervals being the first).
+
+    Plan: both sides explode to their covered coarse buckets and equi-join
+    on (key, bucket) — a hash join, never the BroadcastNestedLoopJoin a raw
+    inequality join would plan. A pair overlapping many shared buckets
+    would join once per bucket, so each pair is CLAIMED exactly once, at
+    the bucket containing ``greatest(l_start, r_start)`` — which both
+    sides' ranges provably cover when the intervals overlap — instead of
+    an expensive post-join ``distinct`` over the full output.
+    """
+    sec = F.lit(_interval_seconds(bucket))
+
+    def bucketed(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        b_start = (F.unix_timestamp(F.col(start)) / sec).cast("long")
+        b_end = (F.unix_timestamp(F.col(end)) / sec).cast("long")
+        return df.withColumn(
+            f"__{tag}bs", b_start
+        ).withColumn(
+            "__bucket", F.explode(F.sequence(b_start, b_end))
+        )
+
+    l = bucketed(left, left_start, left_end, "l").alias("l")
+    r = bucketed(right, right_start, right_end, "r").alias("r")
+    keys = ["__bucket"] + ([on] if on else [])
+    joined = l.join(r, keys)
+    claimed = joined.where(
+        (F.col("__bucket") == F.greatest(F.col("__lbs"), F.col("__rbs")))
+        & (F.col(f"l.{left_start}") < F.col(f"r.{right_end}"))
+        & (F.col(f"r.{right_start}") < F.col(f"l.{left_end}"))
+    )
+    return claimed.drop("__bucket", "__lbs", "__rbs")

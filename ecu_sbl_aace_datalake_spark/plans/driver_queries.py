@@ -4182,6 +4182,43 @@ FROM customer WHERE c_custkey < 400
 """
 
 
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (joins.range_join_intervals_overlap):
+    per-user event windows (even event_ids → 30-min intervals, odd → 45-min)
+    matched on overlap via bucketed hash join with claim-once dedup — no
+    BroadcastNestedLoopJoin, no post-join distinct. Oracle is the plain
+    inequality join in DuckDB."""
+    from ..operators.joins import range_join_intervals_overlap
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    left = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("lid"), "user_id",
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("l_end"),
+    )
+    right = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("rid"), "user_id",
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 minutes")).alias("r_end"),
+    )
+    return range_join_intervals_overlap(
+        left, right, "user_id", "l_start", "l_end", "r_start", "r_end",
+        bucket="15 minutes",
+    ).select("user_id", "lid", "rid")
+
+
+SQL_INTERVAL_OVERLAP_JOIN = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 20),
+l AS (SELECT event_id AS lid, user_id, ts AS ls, ts + INTERVAL 30 MINUTE AS le
+      FROM e WHERE event_id % 2 = 0),
+r AS (SELECT event_id AS rid, user_id, ts AS rs, ts + INTERVAL 45 MINUTE AS re
+      FROM e WHERE event_id % 2 = 1)
+SELECT user_id, lid, rid
+FROM l JOIN r USING (user_id)
+WHERE ls < re AND rs < le
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -4964,6 +5001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pixel_stats": q_pixel_stats,
     "audio_stats": q_audio_stats,
     "video_container_meta": q_video_container_meta,
+    "interval_overlap_join": q_interval_overlap_join,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5125,6 +5163,7 @@ ORACLES: dict[str, str] = {
     "pixel_stats": SQL_PIXEL_STATS,
     "audio_stats": SQL_AUDIO_STATS,
     "video_container_meta": SQL_VIDEO_CONTAINER_META,
+    "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

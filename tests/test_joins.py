@@ -157,3 +157,72 @@ class TestRangeJoin:
             interval_start="i_start", interval_end="i_end", bucket="1 hour",
         ).collect()
         assert len(out) == 1 and out[0].label == "wide"
+
+
+class TestIntervalOverlapJoin:
+    def test_overlap_semantics_and_claim_once(self, spark):
+        left = _ts_df(
+            spark,
+            [(1, "k", "2024-01-01 00:00:00", "2024-01-01 05:00:00"),   # long: spans 5 buckets
+             (2, "k", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+             (3, "k", "2024-01-01 20:00:00", "2024-01-01 21:00:00")],
+            "lid long, k string, l_start string, l_end string",
+        )
+        right = _ts_df(
+            spark,
+            [(10, "k", "2024-01-01 01:00:00", "2024-01-01 06:00:00"),  # overlaps 1 in 4 shared buckets
+             (11, "k", "2024-01-01 11:00:00", "2024-01-01 12:00:00"),  # touches 2 at boundary: NO overlap (half-open)
+             (12, "k", "2024-01-01 10:30:00", "2024-01-01 10:45:00"),  # inside 2
+             (13, "j", "2024-01-01 10:30:00", "2024-01-01 10:45:00")], # wrong key
+            "rid long, k string, r_start string, r_end string",
+        )
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            range_join_intervals_overlap,
+        )
+
+        out = range_join_intervals_overlap(
+            left, right, "k", "l_start", "l_end", "r_start", "r_end"
+        ).select("lid", "rid").collect()
+        pairs = sorted((r.lid, r.rid) for r in out)
+        # (1,10) exactly ONCE despite 4 shared buckets; boundary touch excluded
+        assert pairs == [(1, 10), (2, 12)]
+
+    def test_matches_duckdb_inequality_join(self, spark, sf_dir):
+        import duckdb
+
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            range_join_intervals_overlap,
+        )
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+        left = ev.where(F.col("event_id") % 2 == 0).select(
+            F.col("event_id").alias("lid"), "user_id",
+            F.col("ts").alias("l_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("l_end"),
+        )
+        right = ev.where(F.col("event_id") % 2 == 1).select(
+            F.col("event_id").alias("rid"), "user_id",
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 45 minutes")).alias("r_end"),
+        )
+        got = sorted(
+            (r.lid, r.rid)
+            for r in range_join_intervals_overlap(
+                left, right, "user_id", "l_start", "l_end", "r_start", "r_end",
+                bucket="15 minutes",
+            ).select("lid", "rid").collect()
+        )
+        sf = sf_dir
+        con = duckdb.connect()
+        exp = con.execute(f"""
+            WITH e AS (SELECT event_id, user_id, ts FROM '{sf}/events.parquet'
+                       WHERE user_id < 20),
+            l AS (SELECT event_id lid, user_id, ts ls, ts + INTERVAL 30 MINUTE le
+                  FROM e WHERE event_id % 2 = 0),
+            r AS (SELECT event_id rid, user_id, ts rs, ts + INTERVAL 45 MINUTE re
+                  FROM e WHERE event_id % 2 = 1)
+            SELECT lid, rid FROM l JOIN r USING (user_id)
+            WHERE ls < re AND rs < le ORDER BY lid, rid
+        """).fetchall()
+        assert got == [tuple(x) for x in exp]
