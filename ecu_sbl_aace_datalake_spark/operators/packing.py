@@ -178,3 +178,62 @@ def pack_summary(
             F.round(F.sum(token_col) / F.lit(budget), 4).alias("fill_ratio"),
         )
     )
+
+
+def sample_token_mixture(
+    df,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+):
+    """Deterministic TOKEN-BUDGET mixture sampling — the data-mixing step
+    of a pre-training run: each source gets ``total_tokens · w_s / Σw``
+    tokens; within a source, documents are admitted in hash-priority order
+    (same md5 convention as ``transform.sample_fixed_n`` — reproducible
+    across runs/engines/partitionings) while the running token total stays
+    within budget (cumulative count INCLUDING the doc ≤ budget, so the
+    sample never overshoots; a doc larger than its source's whole budget
+    is unsampleable). Sources absent from ``weights`` are dropped.
+
+    Returns the sampled rows plus ``n_tokens``. One window per source
+    partition (shuffle on source — low cardinality, so AQE coalesces;
+    skewed giant sources stay a single partition ONLY for the cumsum,
+    which is a streaming frame, not a materialized sort buffer).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if token_col is None:
+        df = with_token_count(df, text_col)
+        token_col = "n_tokens"
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budget = None
+    for name, w in weights.items():
+        b = F.lit(int(total_tokens * w / total_w))
+        cond = F.col(source_col) == name
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    w_cum = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.where(F.col(source_col).isin(list(weights)))
+        .withColumn("__pri", pri)
+        .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w_cum))
+        .where(F.col("__cum") <= budget)
+        .drop("__pri", "__cum")
+    )

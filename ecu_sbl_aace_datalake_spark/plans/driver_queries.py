@@ -4219,6 +4219,42 @@ WHERE ls < re AND rs < le
 """
 
 
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (packing.sample_token_mixture): the
+    pre-training data-mixing step — src0 weighted 3x over src1/src2 against
+    a 1500-token total, documents admitted per source in deterministic
+    md5-priority order while the running token count stays within the
+    source budget. Oracle replicates the priority + cumulative window."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = packing.sample_token_mixture(
+        docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, total_tokens=1500
+    )
+    return out.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+SQL_TOKEN_MIXTURE = r"""
+WITH counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              AS DOUBLE) AS pri
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+),
+budgeted AS (
+  SELECT *, CASE source WHEN 'src0' THEN 900 ELSE 300 END AS budget,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counted
+)
+SELECT doc_id, source, n_tokens FROM budgeted WHERE cum <= budget
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5002,6 +5038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": q_audio_stats,
     "video_container_meta": q_video_container_meta,
     "interval_overlap_join": q_interval_overlap_join,
+    "token_mixture": q_token_mixture,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5164,6 +5201,7 @@ ORACLES: dict[str, str] = {
     "audio_stats": SQL_AUDIO_STATS,
     "video_container_meta": SQL_VIDEO_CONTAINER_META,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
+    "token_mixture": SQL_TOKEN_MIXTURE,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

@@ -257,3 +257,42 @@ class TestFullPipelineGates:
             assert bad.count() == 0
         finally:
             out.unpersist()
+
+
+class TestTokenMixture:
+    def test_budgets_and_determinism(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        docs = spark.createDataFrame(
+            [(i, "w " * 10, "a") for i in range(20)]
+            + [(100 + i, "w " * 10, "b") for i in range(20)]
+            + [(200 + i, "w " * 10, "c") for i in range(5)],
+            "doc_id long, text string, source string",
+        )
+        out = packing.sample_token_mixture(
+            docs, {"a": 3.0, "b": 1.0}, total_tokens=120
+        )
+        rows = out.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        # budgets: a → 90 tokens → 9 docs of 10; b → 30 → 3 docs; c dropped
+        assert len(by_src["a"]) == 9 and len(by_src["b"]) == 3
+        assert "c" not in by_src
+        assert all(r.n_tokens == 10 for r in rows)
+        # deterministic across partitionings
+        again = packing.sample_token_mixture(
+            docs.repartition(13), {"a": 3.0, "b": 1.0}, total_tokens=120
+        ).collect()
+        assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in rows)
+
+    def test_never_overshoots_budget(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        docs = spark.createDataFrame(
+            [(1, "w " * 7, "a"), (2, "w " * 7, "a"), (3, "w " * 7, "a")],
+            "doc_id long, text string, source string",
+        )
+        out = packing.sample_token_mixture(docs, {"a": 1.0}, total_tokens=20)
+        total = sum(r.n_tokens for r in out.collect())
+        assert total <= 20 and total == 14  # two 7-token docs fit, third doesn't
