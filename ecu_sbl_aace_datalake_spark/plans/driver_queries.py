@@ -4255,6 +4255,19 @@ SELECT doc_id, source, n_tokens FROM budgeted WHERE cum <= budget
 """
 
 
+def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8-quantized ANN (similarity.quantized_topk): int8
+    approximate-cosine candidate scan (4x less memory bandwidth than the
+    float scan) + exact float rerank. Approximate stage → rows-only here;
+    recall >= 0.9 vs brute force and exact-rerank score agreement are
+    asserted in unit tests (TestQuantizedTopk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.quantized_topk(emb, queries, k=10)
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5039,6 +5052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_container_meta": q_video_container_meta,
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
+    "embedding_topk_quantized": q_embedding_topk_quantized,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,

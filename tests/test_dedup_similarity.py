@@ -756,3 +756,45 @@ class TestVideoContainerMeta:
         assert out[1].is_mp4 and out[1].timescale == 600
         assert out[2].is_mp4 and out[2].duration == 450000
         assert not out[3].is_mp4 and out[3].brand is None
+
+
+class TestQuantizedTopk:
+    def test_quantization_roundtrip_error(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        q = similarity.quantize_embeddings(emb)
+        r = q.select(
+            F.max(
+                F.array_max(
+                    F.zip_with(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        "qvec",
+                        lambda x, qx: F.abs(x - qx * F.col("qscale")),
+                    )
+                )
+            ).alias("max_err"),
+            F.max(F.array_max(F.transform("qvec", F.abs))).alias("max_q"),
+        ).first()
+        assert r.max_q <= 127
+        # per-component error bounded by scale/2 = max|x|/254 <= ~0.004 here
+        assert r.max_err <= 0.01
+
+    def test_matches_exact_topk_on_fixture(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = similarity.cosine_topk(emb, queries, k=10).collect()
+        quant = similarity.quantized_topk(emb, queries, k=10).collect()
+        exact_pairs = {(r.query_id, r.vec_id): r.score for r in exact}
+        quant_pairs = {(r.query_id, r.vec_id): r.score for r in quant}
+        hits = set(exact_pairs) & set(quant_pairs)
+        recall = len(hits) / len(exact_pairs)
+        assert recall >= 0.9, f"int8-stage recall {recall}"
+        for p in hits:  # rerank scores are exact cosines
+            assert abs(exact_pairs[p] - quant_pairs[p]) < 1e-9
