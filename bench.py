@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "decontamination",
     "repetition_stats",
+    "token_mixture",
+    "interval_overlap_join",
+    "hll_sketch_union",
     "tfidf_retrieval",
     "weighted_sample",
     "stratified_sample",

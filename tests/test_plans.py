@@ -195,6 +195,7 @@ class TestGlobalPlanInvariants:
         "psi_drift",           # 1-row (min, max) bin-edge scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
+        "embedding_topk_quantized",  # same deliberate shape: broadcast query set, int8 scan
         "text_embedding_topk",
         "multimodal_retrieval",
     }
@@ -202,8 +203,12 @@ class TestGlobalPlanInvariants:
     PYTHON_OK = {
         "fixup_names",         # Arrow pandas_udf cleaning
         "text_embedding_topk", # mapInPandas numpy featurizer
-        "multimodal_meta",     # stubbed binary decode
+        "multimodal_meta",     # fake-decoder binary metadata (mapInPandas)
         "multimodal_retrieval",
+        "image_header_meta",   # real header parsing — binary work is Python by design
+        "pixel_stats",         # real numpy pixel decode (mapInPandas)
+        "audio_stats",         # real numpy PCM decode (mapInPandas)
+        "video_container_meta",  # real MP4 box walk (mapInPandas)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
