@@ -620,3 +620,65 @@ def gopher_quality_filter(
         & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
         & (F.col("frac_words_alpha") >= min_frac_words_alpha)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """Corpus-self-trained bigram language-model scoring — the CCNet-style
+    perplexity quality signal WITHOUT an external model: train add-k
+    smoothed bigram probabilities on the corpus itself, score each document
+    by its mean bigram log-probability. Fluent/typical documents score
+    high; gibberish, boilerplate, and wrong-language docs score low —
+    rank-filter on the output (e.g. drop the bottom decile).
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` over lowercase
+    alphanumeric tokens; ``lm_logprob`` = mean ln P over the doc's bigram
+    OCCURRENCES (not distinct), rounded to 4dp; docs with < 2 tokens get
+    null. Also emits ``n_bigrams``.
+
+    Scale: two count shuffles (bigram, unigram-context) + one join of the
+    exploded corpus back to the counts — all keyed on token values, AQE
+    handles the Zipf skew of hot contexts (skew-join split). Vocabulary
+    never collects to the driver; V is a 1-row broadcast scalar.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n_t = F.size("__t")
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                n_t >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("w1"),
+                        F.element_at(F.col("__t"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = base.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    k = F.lit(float(add_k))
+    logp = F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v")))
+    scored = (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), 4).alias(out_col),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return df.join(scored, id_col, "left")

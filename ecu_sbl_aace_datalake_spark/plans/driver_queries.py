@@ -4268,6 +4268,47 @@ def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, queries, k=10)
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality scores
+    (textstats.bigram_lm_scores): add-1 smoothed P(w2|w1) over the corpus,
+    each doc scored by mean bigram log-prob — the model-free CCNet-style
+    perplexity filter. Oracle replicates counts/smoothing/averaging
+    relationally in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textstats.bigram_lm_scores(docs)
+    return out.select(
+        "doc_id", "lm_logprob",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+    )
+
+
+SQL_BIGRAM_LM = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+         i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+  FROM base WHERE len(t) >= 2
+),
+flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM flat GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM base)),
+scored AS (
+  SELECT doc_id,
+         ROUND(AVG(LN((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 4) AS lm_logprob,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT b.doc_id, s.lm_logprob,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5053,6 +5094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
+    "bigram_lm_scores": q_bigram_lm_scores,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5216,6 +5258,7 @@ ORACLES: dict[str, str] = {
     "video_container_meta": SQL_VIDEO_CONTAINER_META,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
+    "bigram_lm_scores": SQL_BIGRAM_LM,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

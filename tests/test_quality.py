@@ -136,3 +136,31 @@ class TestRepetitionStats:
         r2 = with_repetition_stats(empty).collect()[0]
         assert r2.dup_line_frac == 0.0 and r2.top_2gram_frac == 0.0
         assert r2.symbol_word_ratio == 0.0 and r2.frac_words_alpha == 0.0
+
+
+class TestBigramLm:
+    def test_typical_beats_gibberish(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import bigram_lm_scores
+
+        typical = "the cat sat on the mat and the dog sat on the rug"
+        docs = spark.createDataFrame(
+            [(i, typical) for i in range(10)]
+            + [(100, "zxqv wkjh qpzm vbnx kjwq zzyx")]   # gibberish: unseen bigrams
+            + [(200, "one")],                            # < 2 tokens
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+        assert out[0].lm_logprob > out[100].lm_logprob
+        assert out[200].lm_logprob is None and out[200].n_bigrams is None
+        assert out[0].n_bigrams == 12
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import bigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta token{i % 3} epsilon") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, bigram_lm_scores(docs).select("doc_id", "lm_logprob").collect()))
+        b = sorted(map(tuple, bigram_lm_scores(docs.repartition(17)).select("doc_id", "lm_logprob").collect()))
+        assert a == b
