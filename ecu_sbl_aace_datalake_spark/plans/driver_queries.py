@@ -4309,6 +4309,45 @@ FROM base b LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event type (quality.ks_drift): first half of
+    the event stream (by event_id) as reference vs second half as current —
+    exact empirical-CDF sweep per group, one (group, value) shuffle + one
+    partitioned window. Oracle replicates the CDF window in DuckDB."""
+    from ..operators.quality import ks_drift
+
+    evdf = _t(spark, sf_dir, "events")
+    median_id = 5000  # fixture event_ids are dense 0..n
+    tagged = evdf.withColumn("__is_ref", F.col("event_id") < median_id)
+    return ks_drift(tagged, "value", "__is_ref", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+SQL_KS_DRIFT = """
+WITH per_value AS (
+  SELECT event_type, value AS v,
+         SUM(CASE WHEN event_id < 5000 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN event_id < 5000 THEN 0 ELSE 1 END) AS nb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+),
+cdf AS (
+  SELECT event_type,
+         SUM(na) OVER w / CAST(SUM(na) OVER g AS DOUBLE) AS fa,
+         SUM(nb) OVER w / CAST(SUM(nb) OVER g AS DOUBLE) AS fb,
+         SUM(na) OVER g AS ta, SUM(nb) OVER g AS tb
+  FROM per_value
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY event_type)
+)
+SELECT event_type, ROUND(MAX(ABS(fa - fb)), 6) AS ks_stat,
+       CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b
+FROM cdf GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5095,6 +5134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
+    "ks_drift": q_ks_drift,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5259,6 +5299,7 @@ ORACLES: dict[str, str] = {
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,
+    "ks_drift": SQL_KS_DRIFT,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

@@ -164,3 +164,41 @@ class TestBigramLm:
         a = sorted(map(tuple, bigram_lm_scores(docs).select("doc_id", "lm_logprob").collect()))
         b = sorted(map(tuple, bigram_lm_scores(docs.repartition(17)).select("doc_id", "lm_logprob").collect()))
         assert a == b
+
+
+class TestKsDrift:
+    def test_identical_distributions_zero(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import ks_drift
+
+        rows = [(i, float(i % 10), i < 100) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, value double, is_ref boolean")
+        r = ks_drift(df, "value", "is_ref").collect()[0]
+        assert r.ks_stat == 0.0 and r.n_a == 100 and r.n_b == 100
+
+    def test_shifted_distribution_detected(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import ks_drift
+
+        ref = [(i, float(i % 10), True) for i in range(100)]
+        cur = [(1000 + i, float(i % 10) + 5.0, False) for i in range(100)]
+        df = spark.createDataFrame(ref + cur, "id long, value double, is_ref boolean")
+        r = ks_drift(df, "value", "is_ref").collect()[0]
+        # half-overlapping supports → D = 0.5 exactly
+        assert r.ks_stat == 0.5
+
+    def test_grouped_and_scipy_crosscheck(self, spark):
+        import numpy as np
+        from ecu_sbl_aace_datalake_spark.operators.quality import ks_drift
+
+        rng = [((i * 2654435761) % 997) / 997.0 for i in range(300)]
+        a = rng[:150]
+        b = [x * 0.8 + 0.1 for x in rng[150:]]
+        rows = [(i, v, True, "g") for i, v in enumerate(a)] + [
+            (1000 + i, v, False, "g") for i, v in enumerate(b)
+        ]
+        df = spark.createDataFrame(rows, "id long, value double, is_ref boolean, grp string")
+        r = ks_drift(df, "value", "is_ref", ["grp"]).collect()[0]
+        # independent numpy empirical-CDF computation
+        xs = np.array(sorted(set(a) | set(b)))
+        fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        assert abs(r.ks_stat - np.max(np.abs(fa - fb))) < 1e-9
