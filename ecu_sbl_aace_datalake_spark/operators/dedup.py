@@ -1093,3 +1093,71 @@ def decontaminate(
         .select(id_col)
     )
     return df.join(dirty, id_col, "left_anti")
+
+
+def er_candidate_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_len: int = 3,
+    max_edit: int = 2,
+    max_block: int = 200,
+) -> DataFrame:
+    """Entity-resolution candidate matching: BLOCKING + bounded pairwise
+    edit distance — the fuzzy-key dedup family (person/org name matching),
+    complementing the content-hash and MinHash families.
+
+    Names are normalized (lowercase, non-alphanumeric stripped, whitespace
+    collapsed); records sharing a PREFIX or SUFFIX block key of
+    ``block_len`` chars become candidates (two keys so a single edit at
+    either end can't hide a match); candidates are verified with
+    ``levenshtein(norm_a, norm_b) <= max_edit``. Never all-pairs: pair
+    expansion is per block, capped at ``max_block`` ids (same skew guard as
+    the LSH buckets). Returns ``(id_a, id_b, name_a, name_b, edit_dist)``
+    with ``id_a < id_b``, deduplicated across the two block keys.
+    """
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col(name_col)), r"[^a-z0-9 ]", "")),
+        r"\s+",
+        " ",
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"),
+        norm.alias("__norm"),
+    ).where(F.length("__norm") >= block_len)
+    keys = base.select(
+        "__id", "__norm", "__name",
+        F.explode(
+            F.array(
+                F.concat(F.lit("p:"), F.substring("__norm", 1, block_len)),
+                F.concat(F.lit("s:"), F.substring("__norm", -block_len, block_len)),
+            )
+        ).alias("__bk"),
+    )
+    buckets = (
+        keys.groupBy("__bk")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__id", "__norm", "__name"))),
+                1,
+                max_block,
+            ).alias("rs")
+        )
+        .where(F.size("rs") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("rs").alias("a"), F.col("rs"))
+        .select("a", F.explode("rs").alias("b"))
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.__name").alias("name_a"), F.col("b.__name").alias("name_b"),
+            F.col("a.__norm").alias("__na"), F.col("b.__norm").alias("__nb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("__na", "__nb"))
+        .where(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )

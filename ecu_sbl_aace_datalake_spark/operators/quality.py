@@ -258,3 +258,53 @@ def ks_drift(
         F.max("__ta").cast("long").alias("n_a"),
         F.max("__tb").cast("long").alias("n_b"),
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str,
+    sample_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Chi-squared homogeneity drift for CATEGORICAL columns — completes
+    the drift toolkit (PSI: binned numeric, KS: continuous numeric, chi²:
+    categories): are the category frequencies of sample a (``sample_col``
+    true) and sample b drawn from the same distribution?
+
+    ``X² = Σ_cells (observed - expected)² / expected`` over the 2×C table
+    per group, ``expected = row_total·col_total/n``. Also emits the degrees
+    of freedom (C-1) so callers can look up the p-value threshold.
+
+    One groupBy on (group, category) then a tiny per-group aggregation —
+    categories per group are bounded, so nothing sweeps a single partition.
+    """
+    groups = list(group_cols or [])
+    per_cat = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(*groups, F.col(cat_col).alias("__c"))
+        .agg(
+            F.sum(F.when(F.col(sample_col), 1).otherwise(0)).alias("__oa"),
+            F.sum(F.when(~F.col(sample_col), 1).otherwise(0)).alias("__ob"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups)
+    with_tot = per_cat.select(
+        *groups, "__c", "__oa", "__ob",
+        F.sum("__oa").over(w).alias("__ta"),
+        F.sum("__ob").over(w).alias("__tb"),
+    )
+    n = (F.col("__ta") + F.col("__tb")).cast("double")
+    ea = (F.col("__oa") + F.col("__ob")) * F.col("__ta") / n
+    eb = (F.col("__oa") + F.col("__ob")) * F.col("__tb") / n
+    cell = F.when(ea > 0, F.pow(F.col("__oa") - ea, 2) / ea).otherwise(0.0) + F.when(
+        eb > 0, F.pow(F.col("__ob") - eb, 2) / eb
+    ).otherwise(0.0)
+    return with_tot.groupBy(*groups).agg(
+        F.round(F.sum(cell), round_to).alias("chi2"),
+        (F.count("*") - 1).cast("long").alias("dof"),
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+    )

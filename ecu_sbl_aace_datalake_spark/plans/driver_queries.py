@@ -4348,6 +4348,96 @@ FROM cdf GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared categorical drift (quality.chi2_drift): event_type
+    frequency homogeneity between the first and second half of the event
+    stream — the categorical member of the drift toolkit (PSI/KS/chi2).
+    Oracle replicates the 2xC expected-count arithmetic."""
+    from ..operators.quality import chi2_drift
+
+    evdf = _t(spark, sf_dir, "events")
+    tagged = evdf.withColumn("__is_ref", F.col("event_id") < 5000)
+    return chi2_drift(tagged, "event_type", "__is_ref")
+
+
+SQL_CHI2_DRIFT = """
+WITH per_cat AS (
+  SELECT event_type,
+         SUM(CASE WHEN event_id < 5000 THEN 1 ELSE 0 END) AS oa,
+         SUM(CASE WHEN event_id < 5000 THEN 0 ELSE 1 END) AS ob
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type
+),
+tot AS (
+  SELECT *, SUM(oa) OVER () AS ta, SUM(ob) OVER () AS tb FROM per_cat
+),
+cells AS (
+  SELECT *,
+    (oa + ob) * ta / CAST(ta + tb AS DOUBLE) AS ea,
+    (oa + ob) * tb / CAST(ta + tb AS DOUBLE) AS eb
+  FROM tot
+)
+SELECT ROUND(SUM(
+         CASE WHEN ea > 0 THEN POW(oa - ea, 2) / ea ELSE 0 END
+         + CASE WHEN eb > 0 THEN POW(ob - eb, 2) / eb ELSE 0 END), 4) AS chi2,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST(MAX(ta) AS BIGINT) AS n_a,
+       CAST(MAX(tb) AS BIGINT) AS n_b
+FROM cells
+"""
+
+
+# Pseudo-names for the entity-resolution query: 10-hex-char names derived
+# from c_custkey; even customers also get a one-substitution typo variant
+# (position 5 → 'z', impossible in hex → edit distance exactly 1).
+_ER_NAME = "substring(md5('er' || CAST(c_custkey AS STRING)), 1, 10)"
+_ER_NAME_SQL = "substring(md5('er' || CAST(c_custkey AS VARCHAR)), 1, 10)"
+
+
+def q_er_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate matching (dedup.er_candidate_matches):
+    prefix/suffix blocking + levenshtein<=2 verify over pseudo-names with
+    planted single-substitution typos. The oracle replicates the SAME
+    blocking predicate (prefix3 OR suffix3 equality) + edit distance in
+    DuckDB, so blocking semantics are part of the verified contract."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.expr(_ER_NAME).alias("name"),
+    )
+    variants = cust.where(F.col("c_custkey") % 2 == 0).select(
+        (F.col("c_custkey") + 100000).alias("rec_id"),
+        F.expr(
+            f"concat(substring({_ER_NAME}, 1, 4), 'z', substring({_ER_NAME}, 6))"
+        ).alias("name"),
+    )
+    recs = base.unionByName(variants)
+    return dedup.er_candidate_matches(recs, "rec_id", "name", max_edit=2).select(
+        "id_a", "id_b", "name_a", "name_b",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
+
+
+SQL_ER_MATCHES = f"""
+WITH base AS (
+  SELECT c_custkey AS rec_id, {_ER_NAME_SQL} AS name FROM customer
+),
+variants AS (
+  SELECT c_custkey + 100000 AS rec_id,
+         substring({_ER_NAME_SQL}, 1, 4) || 'z' || substring({_ER_NAME_SQL}, 6) AS name
+  FROM customer WHERE c_custkey % 2 = 0
+),
+recs AS (SELECT * FROM base UNION ALL SELECT * FROM variants)
+SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+WHERE (substring(a.name, 1, 3) = substring(b.name, 1, 3)
+       OR substring(a.name, 8, 3) = substring(b.name, 8, 3))
+  AND levenshtein(a.name, b.name) <= 2
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5135,6 +5225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
     "ks_drift": q_ks_drift,
+    "chi2_drift": q_chi2_drift,
+    "er_matches": q_er_matches,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5300,6 +5392,8 @@ ORACLES: dict[str, str] = {
     "token_mixture": SQL_TOKEN_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,
+    "chi2_drift": SQL_CHI2_DRIFT,
+    "er_matches": SQL_ER_MATCHES,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

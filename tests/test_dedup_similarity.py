@@ -798,3 +798,35 @@ class TestQuantizedTopk:
         assert recall >= 0.9, f"int8-stage recall {recall}"
         for p in hits:  # rerank scores are exact cosines
             assert abs(exact_pairs[p] - quant_pairs[p]) < 1e-9
+
+
+class TestErMatching:
+    def test_typos_found_at_either_end(self, spark):
+        recs = spark.createDataFrame(
+            [(1, "Jonathan Smith"), (2, "Jonathan Smyth"),   # edit 1, shared prefix
+             (3, "xonathan Smith"),                          # edit 1 vs 1, first char differs → suffix block
+             (4, "Completely Other")],
+            "rec_id long, name string",
+        )
+        out = dedup.er_candidate_matches(recs, "rec_id", "name", max_edit=2)
+        pairs = sorted((r.id_a, r.id_b) for r in out.collect())
+        assert (1, 2) in pairs and (1, 3) in pairs
+        assert not any(4 in p for p in pairs)
+
+    def test_normalization_and_threshold(self, spark):
+        recs = spark.createDataFrame(
+            [(1, "ACME, Inc."), (2, "acme inc"),       # normalize → edit 0
+             (3, "ACME Incx"),                         # 1 edit, shares prefix block
+             (4, "ACNE Incx")],                        # edits in middle AND end:
+            "rec_id long, name string",                # no shared block vs 1/2
+        )
+        out = {
+            (r.id_a, r.id_b): r.edit_dist
+            for r in dedup.er_candidate_matches(recs, "rec_id", "name").collect()
+        }
+        assert out[(1, 2)] == 0 and out[(1, 3)] == 1
+        # documented blocking recall limit: a pair differing in both its
+        # prefix AND suffix block never becomes a candidate
+        assert (1, 4) not in out and (2, 4) not in out
+        # but (3,4): prefix 'acm'≠'acn', suffix 'ncx'='ncx' → candidate, edit 1
+        assert out[(3, 4)] == 1

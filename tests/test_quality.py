@@ -202,3 +202,25 @@ class TestKsDrift:
         fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
         fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
         assert abs(r.ks_stat - np.max(np.abs(fa - fb))) < 1e-9
+
+
+class TestChi2Drift:
+    def test_identical_frequencies_zero(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import chi2_drift
+
+        rows = [(i, "abc"[i % 3], i < 300) for i in range(600)]
+        df = spark.createDataFrame(rows, "id long, cat string, is_ref boolean")
+        r = chi2_drift(df, "cat", "is_ref").collect()[0]
+        assert r.chi2 == 0.0 and r.dof == 2 and r.n_a == 300 and r.n_b == 300
+
+    def test_matches_scipy_formula(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import chi2_drift
+
+        # ref: a=60 b=40; cur: a=30 b=70
+        rows = ([(i, "a", True) for i in range(60)] + [(100 + i, "b", True) for i in range(40)]
+                + [(200 + i, "a", False) for i in range(30)] + [(300 + i, "b", False) for i in range(70)])
+        df = spark.createDataFrame(rows, "id long, cat string, is_ref boolean")
+        r = chi2_drift(df, "cat", "is_ref").collect()[0]
+        # hand-computed 2x2 chi2: n=200, ea_a=45, chi2 = sum (o-e)^2/e
+        expected = (60-45)**2/45 + (30-45)**2/45 + (40-55)**2/55 + (70-55)**2/55
+        assert abs(r.chi2 - round(expected, 4)) < 1e-9 and r.dof == 1
