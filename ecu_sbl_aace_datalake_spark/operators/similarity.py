@@ -99,20 +99,55 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 16,
     max_iter: int = 5,
+    train_sample: int | None = 65536,
 ) -> list[list[float]]:
-    """Lloyd's k-means over an embedding column, expressed as DataFrame ops.
+    """Lloyd's k-means over an embedding column.
 
-    Initialization is deterministic (the k rows with smallest
-    ``xxhash64(id)`` — a seedless pseudo-random sample). Each iteration:
-    centroids broadcast as literals → per-row argmin assignment (map-side,
-    no shuffle) → per-dimension means via posexplode + groupBy (one shuffle
-    of n·dim skinny rows). Centroids (k×dim doubles) collect to the driver
-    each round — tiny by construction.
+    Default path: train on a deterministic hash-priority SAMPLE of
+    ``train_sample`` vectors pulled to the driver and iterated in numpy —
+    the standard IVF practice (FAISS trains on ~39·k to 256·k samples;
+    centroid quality saturates long before full-corpus training), and it
+    replaces ``max_iter`` Spark jobs + driver round-trips with
+    milliseconds of local math. 65536 × dim doubles is ~32 MB at dim=64 —
+    driver-safe by construction, independent of corpus size.
 
-    Returns the centroid list (k × dim python floats) — the "index" an IVF
-    search probes.
+    ``train_sample=None`` falls back to fully distributed Lloyd's
+    (assignment map-side, per-dimension means via posexplode + groupBy;
+    one n·dim-row shuffle per iteration) for the rare case where sampling
+    is unacceptable.
+
+    Both paths are deterministic: init is the k smallest ``xxhash64(id)``
+    rows; the sample is the ``train_sample`` smallest. Returns k × dim
+    python floats — the "index" an IVF search probes.
     """
-    vecs = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    if train_sample is not None:
+        import numpy as np
+
+        rows = (
+            df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(int(train_sample))
+            .collect()
+        )
+        x = np.array([r["__v"] for r in rows], dtype=np.float64)
+        cents = x[:k].copy()
+        if len(x) < k:
+            return [list(map(float, c)) for c in cents]
+        x_sq = (x**2).sum(axis=1)[:, None]
+        for _ in range(max_iter):
+            # ||x-c||² = ||x||² - 2x·cᵀ + ||c||² via matmul: O(n·k) memory,
+            # not the O(n·k·dim) of a broadcasted difference tensor
+            d2 = x_sq - 2.0 * (x @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            for i in range(k):
+                members = x[assign == i]
+                if len(members):
+                    cents[i] = members.mean(axis=0)
+        return [list(map(float, c)) for c in cents]
+    # persist the skinny (id, vector) projection: the init sample + every
+    # Lloyd iteration re-scans it (max_iter+1 passes; uncached, each pass
+    # re-reads and re-casts the source — measured 2x on the fixture)
+    vecs = df.select(id_col, _as_double(F.col(vec_col)).alias("__v")).persist()
     centroids = [
         list(r["__v"])
         for r in vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
@@ -139,6 +174,7 @@ def kmeans_fit(
         updated = dict((r["__cluster"], list(r["centroid"])) for r in new_rows)
         # clusters that lost all members keep their previous centroid
         centroids = [updated.get(i, centroids[i]) for i in range(k)]
+    vecs.unpersist()
     return centroids
 
 
