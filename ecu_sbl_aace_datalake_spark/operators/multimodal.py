@@ -240,19 +240,34 @@ def frame_sample_plan(
     payload_col: str = "payload",
     every_n: int = 30,
     id_col: str = "media_id",
+    fps: float = 30.0,
 ) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled frame index.
 
-    The decode step is stubbed (``NotImplementedError`` in `_decode_frame`);
-    the plumbing — frame-index fan-out BEFORE decode so each frame decodes
+    Frame counts come from REAL container metadata when the payload parses
+    as MP4 (``duration_s · fps`` via :func:`video_meta`'s box walk); other
+    payloads fall back to a size heuristic (1 frame/KiB). The decode step
+    itself is stubbed (``NotImplementedError`` in ``_decode_frame``); the
+    plumbing — frame-index fan-out BEFORE decode so each frame decodes
     independently (parallelism at frame, not file, granularity) — is the
     real scale design.
     """
-    n_frames = (F.length(payload_col) / 1024).cast("int") + 1  # stub: 1 frame/KiB
+    with_meta = video_meta(df, payload_col)
+    n_frames = (
+        F.when(
+            F.col("is_mp4") & F.col("duration_s").isNotNull(),
+            (F.col("duration_s") * F.lit(float(fps))).cast("int"),
+        )
+        .otherwise((F.length(payload_col) / 1024).cast("int") + 1)
+    )
     frame_idx = F.explode(
         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     )
-    return df.withColumn("frame_index", frame_idx).drop(payload_col)
+    return (
+        with_meta.join(df.select(id_col, payload_col), id_col)
+        .withColumn("frame_index", frame_idx)
+        .drop(payload_col)
+    )
 
 
 def _decode_frame(payload: bytes, frame_index: int) -> bytes:

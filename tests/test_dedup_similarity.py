@@ -830,3 +830,29 @@ class TestErMatching:
         assert (1, 4) not in out and (2, 4) not in out
         # but (3,4): prefix 'acm'≠'acn', suffix 'ncx'='ncx' → candidate, edit 1
         assert out[(3, 4)] == 1
+
+
+class TestFrameSamplePlan:
+    def test_mp4_duration_drives_frame_count(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            frame_sample_plan,
+        )
+
+        b = TestVideoContainerMeta._box
+        mp4 = b(b"ftyp", b"isom" + bytes(8)) + b(
+            b"moov",
+            b(b"mvhd", bytes(4) + bytes(8) + (1000).to_bytes(4, "big")
+              + (3000).to_bytes(4, "big") + bytes(80)),  # 3.0 s
+        )
+        df = spark.createDataFrame(
+            [(1, mp4), (2, b"x" * 2500)], "media_id long, payload binary"
+        )
+        out = frame_sample_plan(df, every_n=30, fps=30.0).collect()
+        frames = {}
+        for r in out:
+            frames.setdefault(r.media_id, []).append(r.frame_index)
+        # 3 s × 30 fps = 90 frames → indices 0, 30, 60
+        assert sorted(frames[1]) == [0, 30, 60]
+        # non-MP4 fallback: 2500 bytes → 3 "frames" → index 0 only
+        assert frames[2] == [0]
+        assert "payload" not in {f for r in out for f in r.__fields__}
