@@ -1161,3 +1161,70 @@ def er_candidate_matches(
         .where(F.col("edit_dist") <= max_edit)
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication metric (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document, the
+    fraction of its ``n``-token windows (stride 1, occurrences not
+    distinct) that appear at least ``min_count`` times ACROSS THE CORPUS —
+    near 0 for original text, near 1 for documents that are stitched
+    boilerplate. The distributed stand-in for suffix-array substring
+    dedup: windows are hashed (multi-arg xxhash64 over token hashes, no
+    strings materialized), counted corpus-wide, and joined back.
+
+    Scale: the window table is ~|corpus tokens| rows of (id, hash) — one
+    count shuffle + one join back, both on the hash; linear, no all-pairs.
+    Docs shorter than ``n`` tokens get 0 spans and null ``dup_span_frac``.
+
+    Returns the input plus ``n_spans``, ``n_dup_spans``, ``dup_span_frac``
+    (rounded 4dp).
+    """
+    toks = _normalized_tokens(text_col)
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__th")
+    )
+    n_sp = F.size("__th") - F.lit(n - 1)
+    spans = hashed.select(
+        id_col,
+        F.explode(
+            F.when(
+                n_sp > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_sp),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(F.col("__th"), i + k) for k in range(n)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("__s"),
+    )
+    counts = spans.groupBy("__s").agg(F.count("*").alias("__c"))
+    per_doc = (
+        spans.join(counts, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("__c") >= min_count, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_spans", F.coalesce("n_spans", F.lit(0)).cast("long"))
+        .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)).cast("long"))
+        .withColumn(
+            "dup_span_frac",
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+            ),
+        )
+    )

@@ -4438,6 +4438,45 @@ WHERE (substring(a.name, 1, 3) = substring(b.name, 1, 3)
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication metric (dedup.duplicate_span_stats,
+    Lee et al. style): per document, the fraction of its 10-token windows
+    appearing >= 2 times corpus-wide — hashed windows, one count shuffle,
+    one join back. Oracle recomputes with string windows (distinct-hash
+    equivalence, negligible 64-bit collisions)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_span_stats(docs, "doc_id", n=10).select(
+        "doc_id", "n_spans", "n_dup_spans", "dup_span_frac"
+    )
+
+
+SQL_DUPLICATE_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+      || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' '
+      || t[i+8] || ' ' || t[i+9])) AS s
+  FROM tok
+),
+counts AS (SELECT s, COUNT(*) AS c FROM spans GROUP BY s),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM spans JOIN counts USING (s) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(n_spans, 0) > 0
+            THEN ROUND(n_dup / CAST(n_spans AS DOUBLE), 4) END AS dup_span_frac
+FROM tok t LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5227,6 +5266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "chi2_drift": q_chi2_drift,
     "er_matches": q_er_matches,
+    "duplicate_spans": q_duplicate_spans,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5394,6 +5434,7 @@ ORACLES: dict[str, str] = {
     "ks_drift": SQL_KS_DRIFT,
     "chi2_drift": SQL_CHI2_DRIFT,
     "er_matches": SQL_ER_MATCHES,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

@@ -856,3 +856,27 @@ class TestFrameSamplePlan:
         # non-MP4 fallback: 2500 bytes → 3 "frames" → index 0 only
         assert frames[2] == [0]
         assert "payload" not in {f for r in out for f in r.__fields__}
+
+
+class TestDuplicateSpans:
+    def test_copied_span_flagged(self, spark):
+        span = "one two three four five six seven eight nine ten"
+        docs = spark.createDataFrame(
+            [(1, span + " original tail here now"),
+             (2, "different head words then " + span),
+             (3, "totally unrelated words that never repeat anywhere else ok")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.duplicate_span_stats(
+            docs, "doc_id", n=10).collect()}
+        # docs 1 and 2 share the 10-token span exactly once each
+        assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+        assert out[3].n_dup_spans == 0 and out[3].dup_span_frac == 0.0
+        assert out[1].dup_span_frac > 0
+
+    def test_short_doc_null_frac(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "too short")], "doc_id long, text string"
+        )
+        r = dedup.duplicate_span_stats(docs, "doc_id", n=10).collect()[0]
+        assert r.n_spans == 0 and r.dup_span_frac is None
