@@ -864,7 +864,7 @@ class TestDuplicateSpans:
         docs = spark.createDataFrame(
             [(1, span + " original tail here now"),
              (2, "different head words then " + span),
-             (3, "totally unrelated words that never repeat anywhere else ok")],
+             (3, "totally unrelated words that never repeat anywhere else in this corpus")],
             "doc_id long, text string",
         )
         out = {r.doc_id: r for r in dedup.duplicate_span_stats(
