@@ -4477,6 +4477,76 @@ FROM tok t LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (ev.funnel_stages): view → click → purchase per user,
+    stage k counting only strictly after stage k-1 — single shuffle, array
+    chain resolution. Stage timestamps emitted as unix micros (the fixture
+    parquet is TIMESTAMP_NS; both engines truncate identically to us).
+    Oracle = chained conditional-min CTEs."""
+    evdf = _t(spark, sf_dir, "events")
+    out = ev.funnel_stages(evdf, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("stage_1_ts").cast("timestamp")).alias("t1_us"),
+        F.unix_micros(F.col("stage_2_ts").cast("timestamp")).alias("t2_us"),
+        F.unix_micros(F.col("stage_3_ts").cast("timestamp")).alias("t3_us"),
+        "stages_reached",
+    )
+
+
+SQL_FUNNEL = """
+WITH base AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM base GROUP BY user_id
+),
+s2 AS (
+  SELECT b.user_id, MIN(b.ts) AS t2
+  FROM base b JOIN s1 USING (user_id)
+  WHERE b.event_type = 'click' AND s1.t1 IS NOT NULL AND b.ts > s1.t1
+  GROUP BY b.user_id
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.ts) AS t3
+  FROM base b JOIN s2 USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+  GROUP BY b.user_id
+)
+SELECT s1.user_id,
+       epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS stages_reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (ev.cohort_retention): users bucketed by
+    first-activity week, distinct-counted per later active week. Oracle
+    replicates the min-window + epoch arithmetic."""
+    evdf = _t(spark, sf_dir, "events")
+    return ev.cohort_retention(evdf)
+
+
+SQL_COHORT_RETENTION = """
+WITH p AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+),
+c AS (
+  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM p
+)
+SELECT cohort,
+       CAST((epoch(wk) - epoch(cohort)) / 604800 AS BIGINT) AS period_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY cohort, period_offset
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5267,6 +5337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_drift": q_chi2_drift,
     "er_matches": q_er_matches,
     "duplicate_spans": q_duplicate_spans,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5435,6 +5507,8 @@ ORACLES: dict[str, str] = {
     "chi2_drift": SQL_CHI2_DRIFT,
     "er_matches": SQL_ER_MATCHES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "funnel": SQL_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

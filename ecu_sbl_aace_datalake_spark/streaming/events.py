@@ -223,3 +223,95 @@ def with_anomaly_flags(
             F.coalesce(dev > F.lit(sigmas) * std, F.lit(False)),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the timestamp at which each
+    stage was first reached IN ORDER (stage k counts only strictly after
+    stage k-1's time) and the deepest stage index reached. The standard
+    product-analytics sequence query, without MATCH_RECOGNIZE (which Spark
+    lacks): one groupBy(user) with conditional-min chaining — stage k's
+    time is ``min(ts WHERE type = stages[k] AND ts > t_{k-1})``, built by
+    iterating the aggregation k times over the SAME grouped frame (single
+    shuffle; each pass is a join-free re-aggregation of the compact
+    per-user event list).
+
+    Implementation detail: per user we aggregate the (type, ts) pairs to a
+    sorted array once, then resolve the stage chain with pure array
+    expressions — no repeated shuffles, no per-stage joins.
+
+    Returns one row per user: ``stage_1_ts .. stage_n_ts`` (null once the
+    funnel breaks) and ``stages_reached``.
+    """
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
+    )
+    grouped = (
+        df.where(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(pairs.alias("__evs"))
+    )
+    # closures, NOT default-arg lambdas: F.filter derives the lambda-var
+    # count from the Python arity, and default args count toward it
+    def _stage_cond(stage: str, prev):
+        if prev is None:
+            return lambda e: e["t"] == F.lit(stage)
+        return lambda e: (e["t"] == F.lit(stage)) & (e["ts"] > prev)
+
+    out_cols = [F.col(user_col)]
+    prev_ts = None
+    for k, stage in enumerate(stages, start=1):
+        matches = F.filter(F.col("__evs"), _stage_cond(stage, prev_ts))
+        stage_ts = F.when(F.size(matches) > 0, F.element_at(matches, 1)["ts"])
+        grouped = grouped.withColumn(f"stage_{k}_ts", stage_ts)
+        out_cols.append(F.col(f"stage_{k}_ts"))
+        prev_ts = F.col(f"stage_{k}_ts")
+    # deepest stage wins: chain whens from the LAST stage down so the
+    # first matching (deepest) branch returns before shallower ones
+    reached = F.when(F.col(f"stage_{len(stages)}_ts").isNotNull(), len(stages))
+    for k in range(len(stages) - 1, 0, -1):
+        reached = reached.when(F.col(f"stage_{k}_ts").isNotNull(), k)
+    reached = reached.otherwise(0)
+    return grouped.select(*out_cols, reached.cast("long").alias("stages_reached"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (cohort), counted as retained in every later period they were
+    active. Classic growth analytics: one window for the per-user cohort,
+    one distinct aggregation per (cohort, period_offset).
+
+    Returns ``(cohort, period_offset, n_users)`` with offset 0 = the
+    cohort's own period (so n_users at offset 0 is the cohort size).
+    """
+    from pyspark.sql import Window
+
+    trunc = F.date_trunc(period, F.col(ts_col))
+    w = Window.partitionBy(user_col)
+    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    with_cohort = df.select(
+        F.col(user_col),
+        trunc.alias("__p"),
+    ).withColumn("__cohort", F.min("__p").over(w))
+    return (
+        with_cohort.select(
+            F.col("__cohort").alias("cohort"),
+            ((F.unix_timestamp("__p") - F.unix_timestamp("__cohort")) / seconds)
+            .cast("long")
+            .alias("period_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )

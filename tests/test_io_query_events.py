@@ -404,3 +404,50 @@ class TestVacuumOrphans:
     def test_noop_on_missing_root(self, tmp_path):
         lh = Lakehouse("v", str(tmp_path / "nowhere"))
         assert lio.vacuum_orphans(lh) == []
+
+
+class TestFunnelAndCohorts:
+    def test_funnel_order_sensitivity(self, spark):
+        import pyspark.sql.functions as F
+
+        from ecu_sbl_aace_datalake_spark.streaming.events import funnel_stages
+
+        rows = [
+            # user 1: full ordered funnel
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "purchase", "2024-01-01 12:00:00"),
+            # user 2: purchase BEFORE click → funnel breaks at stage 2... no:
+            # view 10:00, purchase 10:30, click 11:00 → no purchase after click
+            (2, "view", "2024-01-01 10:00:00"),
+            (2, "purchase", "2024-01-01 10:30:00"),
+            (2, "click", "2024-01-01 11:00:00"),
+            # user 3: never viewed
+            (3, "click", "2024-01-01 10:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+        df = df.withColumn("ts", F.to_timestamp("ts"))
+        out = {r.user_id: r for r in funnel_stages(
+            df, ["view", "click", "purchase"]).collect()}
+        assert out[1].stages_reached == 3
+        assert out[2].stages_reached == 2 and out[2].stage_3_ts is None
+        assert out[3].stages_reached == 0 and out[3].stage_1_ts is None
+
+    def test_cohort_retention_counts(self, spark):
+        import pyspark.sql.functions as F
+
+        from ecu_sbl_aace_datalake_spark.streaming.events import cohort_retention
+
+        rows = [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-08 10:00:00"),  # wk0 + wk1
+            (2, "2024-01-02 10:00:00"),                               # wk0 only
+            (3, "2024-01-09 10:00:00"),                               # second cohort
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {(str(r.cohort), r.period_offset): r.n_users
+               for r in cohort_retention(df).collect()}
+        assert out[("2024-01-01 00:00:00", 0)] == 2
+        assert out[("2024-01-01 00:00:00", 1)] == 1
+        assert out[("2024-01-08 00:00:00", 0)] == 1
