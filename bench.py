@@ -56,6 +56,13 @@ BENCH_QUERIES = [
     "token_mixture",
     "interval_overlap_join",
     "hll_sketch_union",
+    "bigram_lm_scores",
+    "duplicate_spans",
+    "funnel",
+    "cohort_retention",
+    "ks_drift",
+    "chi2_drift",
+    "er_matches",
     "tfidf_retrieval",
     "weighted_sample",
     "stratified_sample",

@@ -193,6 +193,7 @@ class TestGlobalPlanInvariants:
         "hybrid_retrieval",    # fuses the two queries above
         "bm25_text_search",    # same scalar broadcast as bm25_retrieval
         "psi_drift",           # 1-row (min, max) bin-edge scalar broadcast
+        "bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "embedding_topk_quantized",  # same deliberate shape: broadcast query set, int8 scan
