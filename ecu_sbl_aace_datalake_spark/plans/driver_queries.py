@@ -4525,61 +4525,6 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention (ev.cohort_retention): users bucketed by
-    first-activity week, distinct-counted per later active week. Oracle
-    replicates the min-window + epoch arithmetic."""
-    evdf = _t(spark, sf_dir, "events")
-    return ev.cohort_retention(evdf)
-
-
-SQL_COHORT_RETENTION = """
-WITH p AS (
-  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
-),
-c AS (
-  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM p
-)
-SELECT cohort,
-       CAST((epoch(wk) - epoch(cohort)) / 604800 AS BIGINT) AS period_offset,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM c GROUP BY cohort, period_offset
-"""
-
-
-def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding (hopping) event-time windows (ev.sliding_agg, F.window with
-    slide): 1-hour windows every 30 minutes — each event lands in exactly
-    two windows. Oracle fans each event out to both covering window starts
-    with unnest."""
-    evdf = _t(spark, sf_dir, "events")
-    out = ev.sliding_agg(
-        evdf, "1 hour", "30 minutes", group_cols=["event_type"],
-        aggs=[F.count("*").alias("n_events"),
-              F.round(F.sum("value"), 2).alias("sum_value")],
-    )
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type", "n_events", "sum_value",
-    )
-
-
-SQL_EVENTS_SLIDING = """
-WITH fanned AS (
-  SELECT event_type, value,
-         unnest([time_bucket(INTERVAL '30 minutes', ts),
-                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
-           AS ws
-  FROM events
-)
-SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
-FROM fanned GROUP BY 1, 2
-"""
-
-
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5371,8 +5316,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_matches": q_er_matches,
     "duplicate_spans": q_duplicate_spans,
     "funnel": q_funnel,
-    "events_sliding": q_events_sliding,
-    "cohort_retention": q_cohort_retention,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5542,8 +5485,6 @@ ORACLES: dict[str, str] = {
     "er_matches": SQL_ER_MATCHES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "funnel": SQL_FUNNEL,
-    "events_sliding": SQL_EVENTS_SLIDING,
-    "cohort_retention": SQL_COHORT_RETENTION,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,
