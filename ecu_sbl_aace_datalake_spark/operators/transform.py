@@ -512,3 +512,43 @@ def conform_to_schema(
         for f in target.fields
     ]
     return df.select(*cols)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    by_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a split
+    by hash bucket, with bucket boundaries proportional to ``weights`` —
+    reproducible across runs/engines/partitionings (no RNG), unlike
+    ``randomSplit`` whose assignment changes with partition layout.
+
+    ``by_col`` switches the hash to a GROUP key (e.g. source domain or
+    cluster id): every row of a group gets the same split, the standard
+    leakage guard so near-duplicates sharing a group never straddle
+    train/test. Pure narrow projection — no shuffle, no action.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    key = F.col(by_col if by_col else id_col).cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(out_col, expr)

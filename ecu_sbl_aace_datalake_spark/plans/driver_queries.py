@@ -4525,6 +4525,32 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (transform.hash_split):
+    80/10/10 by md5 hash bucket, grouped by source so whole shards stay in
+    one split (the leakage guard). Oracle replicates the bucket arithmetic;
+    counts verify proportionality downstream of determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transform.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, by_col="source"
+    )
+    return out.groupBy("split", "source").agg(F.count("*").alias("n_docs"))
+
+
+SQL_HASH_SPLIT = """
+WITH u AS (
+  SELECT source,
+         (CAST(('0x' || substring(md5('split' || source), 1, 8))::BIGINT AS DOUBLE))
+           / 4294967296.0 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END
+         AS split,
+       source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 hll_sketch_agg / hll_union_agg /
     hll_sketch_estimate): per-(nation, month) customer sketches merged to
@@ -5316,6 +5342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_matches": q_er_matches,
     "duplicate_spans": q_duplicate_spans,
     "funnel": q_funnel,
+    "hash_split": q_hash_split,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "incremental_neardup_indexed": q_incremental_neardup_indexed,
@@ -5485,6 +5512,7 @@ ORACLES: dict[str, str] = {
     "er_matches": SQL_ER_MATCHES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "funnel": SQL_FUNNEL,
+    "hash_split": SQL_HASH_SPLIT,
     "decontamination": SQL_DECONTAMINATION,
     "repetition_stats": SQL_REPETITION_STATS,
     "incremental_neardup_indexed": SQL_INCREMENTAL_NEARDUP,

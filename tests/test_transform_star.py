@@ -516,3 +516,36 @@ class TestTrailingRangeWindow:
             ["user_id", "event_id", "ts", "value"])
         out = {r.event_id: r for r in ev.with_trailing_range_agg(df).collect()}
         assert out[2].trailing_n == 2  # exactly 1h earlier is inside the frame
+
+
+class TestHashSplit:
+    def test_group_leakage_guard_and_determinism(self, spark):
+        import pyspark.sql.functions as F
+
+        from ecu_sbl_aace_datalake_spark.operators.transform import hash_split
+
+        df = spark.createDataFrame(
+            [(i, f"grp{i % 40}") for i in range(2000)], "id long, grp string"
+        )
+        out = hash_split(df, "id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                         by_col="grp")
+        # every group maps to exactly one split
+        per_grp = out.groupBy("grp").agg(
+            F.count_distinct("split").alias("n")
+        ).collect()
+        assert all(r.n == 1 for r in per_grp)
+        # proportions roughly respected at the group level (40 groups)
+        frac = out.where("split = 'train'").count() / 2000
+        assert 0.6 < frac < 0.95
+        # partition-invariant
+        again = hash_split(df.repartition(17), "id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}, by_col="grp")
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+    def test_row_level_split_proportions(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import hash_split
+
+        df = spark.range(10000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", {"a": 0.5, "b": 0.5})
+        n_a = out.where("split = 'a'").count()
+        assert abs(n_a - 5000) < 300  # hash-uniformity tolerance
