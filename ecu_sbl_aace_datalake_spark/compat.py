@@ -336,9 +336,12 @@ def createExtraRow(df: DataFrame, leadingValues: list[Any]) -> DataFrame:
     return _transform.create_extra_row(_session(), df, leadingValues, zero)
 
 
-def dfShape(df: DataFrame) -> tuple[int, int, list[str]]:
-    """Reference common.py:905-908."""
-    return _transform.df_shape(df)
+def dfShape(df: DataFrame) -> dict:
+    """Reference common.py:905-908 — returns the reference's exact shape:
+    ``{"shape": (rows, cols), "columns": [...]}`` (the engine-native tuple
+    form lives at transform.df_shape)."""
+    rows, cols, columns = _transform.df_shape(df)
+    return {"shape": (rows, cols), "columns": columns}
 
 
 def insertValueIntoList(theList: list[Any], oldVal: Any, newVal: Any) -> list[Any]:

@@ -114,11 +114,12 @@ ASSESS_LEVEL_LEGIT = ["Consolidated", "Demonstrated"]
 
 
 def fix_dodgy_thing(value, legit_values: list[str], threshold: float = 0.6) -> str:
-    """None→'None Supplied'; str-coerce; .title(); fuzzy-snap to the FIRST
-    legit value with difflib ratio >= 0.6 (reference ``fixDodgyThing``
-    common.py:572-585)."""
-    if value is None:
-        return "None Supplied"
+    """Falsy→'None Supplied' (reference uses ``if not value`` — empty
+    string and 0 included, common.py:575); str-coerce; .title(); fuzzy-snap
+    to the FIRST legit value with difflib ratio >= 0.6 (reference
+    ``fixDodgyThing`` common.py:572-585)."""
+    if not value:
+        value = "None Supplied"
     v = str(value).title()
     if v in legit_values:
         return v

@@ -49,9 +49,13 @@ def first_char_is_numeric(input_string: str) -> bool:
 def temp_table_name(prefix: str | None = None) -> str:
     """Unique temp-view name ``{prefix}_{uuid4hex}``, alnum-cleaned,
     ``_``-prefixed when it would start with a digit (reference
-    common.py:146-164)."""
-    base = clean_string(prefix or "tmp")
-    name = f"{base}_{uuid.uuid4().hex}" if base else f"tmp_{uuid.uuid4().hex}"
+    common.py:146-164 — non-str or underscore-only prefixes normalize to
+    ``tmp``, trailing underscores strip, exactly as the reference does)."""
+    if not isinstance(prefix, str) or len(prefix.rstrip("_")) == 0:
+        prefix = "tmp"
+    else:
+        prefix = prefix.rstrip("_")
+    name = clean_string(f"{prefix}_{uuid.uuid4().hex}")
     if first_char_is_numeric(name):
         name = f"_{name}"
     return name
@@ -63,7 +67,9 @@ def escape_name(name: str) -> str:
     ``escapeName`` common.py:129-138)."""
     if "." in name:
         return ".".join(escape_name(part) for part in name.split("."))
-    if name.startswith("`") and name.endswith("`"):
+    if "`" in name:
+        # reference passes through on ANY backtick (common.py:134-135), not
+        # only fully-quoted names — re-wrapping would double-quote
         return name
     if " " in name or "-" in name:
         return f"`{name}`"

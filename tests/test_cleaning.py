@@ -165,3 +165,38 @@ class TestVectorizedUdfs:
         rows = df.select(cleaning.garbage_clo_col("v").alias("g")).collect()
         for v, r in zip(vals, rows):
             assert r.g == cleaning.garbage_clo(v), v
+
+
+class TestReferenceParityRound2:
+    def test_fix_dodgy_falsy_inputs(self):
+        # reference common.py:575 `if not value` — '' and 0 are falsy too
+        assert cleaning.fix_dodgy_thing("", ["Completed"]) == "None Supplied"
+        assert cleaning.fix_dodgy_thing(0, ["Completed"]) == "None Supplied"
+        assert cleaning.fix_dodgy_thing(None, ["Completed"]) == "None Supplied"
+
+    def test_escape_name_any_backtick_passthrough(self):
+        from ecu_sbl_aace_datalake_spark.operators.query import escape_name
+
+        # reference common.py:134: ANY backtick → untouched (never re-wrap)
+        assert escape_name("my `col") == "my `col"
+        assert escape_name("`quoted`") == "`quoted`"
+        assert escape_name("has space") == "`has space`"
+        assert escape_name("a.b-c") == "a.`b-c`"
+
+    def test_temp_table_name_prefix_normalization(self):
+        from ecu_sbl_aace_datalake_spark.operators.query import temp_table_name
+
+        # underscore-only / non-str prefixes → 'tmp' (common.py:147-153)
+        assert temp_table_name("___").startswith("tmp_")
+        assert temp_table_name(123).startswith("tmp_")
+        assert temp_table_name("abc__").startswith("abc_")
+        assert not temp_table_name("9lives")[0].isdigit()
+
+    def test_df_shape_compat_returns_reference_dict(self, spark):
+        import pyspark.sql.functions as F
+
+        from ecu_sbl_aace_datalake_spark import compat
+
+        df = spark.range(5).withColumn("x", F.lit(1))
+        out = compat.dfShape(df)
+        assert out == {"shape": (5, 2), "columns": ["id", "x"]}
