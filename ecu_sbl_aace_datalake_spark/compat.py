@@ -329,11 +329,18 @@ def rename_columns_strip_prefix(df: DataFrame, prefixes: str | list[str]) -> Dat
     return _transform.rename_columns_strip_prefix(df, prefixes)
 
 
-def createExtraRow(df: DataFrame, leadingValues: list[Any]) -> DataFrame:
-    """Reference common.py:787-799 (zero-fills 'isActualMetadata' when
-    present, as the reference's setNullToZero call did)."""
+def createExtraRow(df: DataFrame, *args: Any) -> DataFrame:
+    """Reference common.py:787-799: VARARGS leading values, exactly like
+    the reference signature (``createExtraRow(df, v1, v2, ...)``); a single
+    list argument is also accepted for engine-style calls. Zero-fills
+    'isActualMetadata' when present, as the reference's setNullToZero call
+    did."""
+    if len(args) == 1 and isinstance(args[0], (list, tuple)):
+        leading = list(args[0])
+    else:
+        leading = list(args)
     zero = ["isActualMetadata"] if "isActualMetadata" in df.columns else ()
-    return _transform.create_extra_row(_session(), df, leadingValues, zero)
+    return _transform.create_extra_row(_session(), df, leading, zero)
 
 
 def dfShape(df: DataFrame) -> dict:

@@ -129,3 +129,18 @@ class TestCompatFlow:
         assert compat.extract_actual_error(msg).startswith("Caused by: java.io.FileNotFoundException")
         compat.Display({"a": 1})
         compat.Display([1, 2])
+
+
+class TestCreateExtraRowSignature:
+    def test_varargs_like_reference(self, spark):
+        from ecu_sbl_aace_datalake_spark import compat
+
+        compat.sparkSession("t")
+        df = spark.createDataFrame([(1, "a", 5)], "id long, name string, n long")
+        # reference call shape: positional varargs
+        out = compat.createExtraRow(df, 0, "zz")
+        rows = sorted(map(tuple, out.collect()))
+        assert (0, "zz", None) in rows and len(rows) == 2
+        # engine call shape: a single list still works
+        out2 = compat.createExtraRow(df, [0, "zz"])
+        assert sorted(map(tuple, out2.collect())) == rows
