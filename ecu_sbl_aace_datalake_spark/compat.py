@@ -282,41 +282,43 @@ def getSQL(tableName: str, cols: str | list[str], distinct: bool = False) -> str
 
 # ---------------------------------------------------------------- transforms
 
-def castColumns(df: DataFrame, colNames: str | list[str], cast: str = "int") -> DataFrame:
+def castColumns(df: DataFrame, castCols: str | list[str], cast: str = "int") -> DataFrame:
     """Reference common.py:836-869 (single validation pass; failing columns
-    keep their _orig twin and print a warning, like the reference)."""
-    out, failures = _transform.cast_columns(df, colNames, cast)
+    keep their _orig twin and print a warning, like the reference). The
+    parameter is named ``castCols`` exactly as the reference's, so
+    keyword-style calls port unchanged."""
+    out, failures = _transform.cast_columns(df, castCols, cast)
     for col, n in failures.items():
         if n:
             print(f"castColumns: {n} row(s) of {col!r} failed cast to {cast!r}; kept {col}_orig")
     return out
 
 
-def castColumnsToInt(df: DataFrame, colNames: str | list[str]) -> DataFrame:
+def castColumnsToInt(df: DataFrame, castCols: str | list[str]) -> DataFrame:
     """Reference common.py:877-878."""
-    return castColumns(df, colNames, "int")
+    return castColumns(df, castCols, "int")
 
 
-def setDFTextWhenNull(df: DataFrame, colName: str, text: str) -> DataFrame:
-    """Reference common.py:762-764."""
-    return _transform.set_text_when_null(df, colName, text)
+def setDFTextWhenNull(df: DataFrame, column_name: str, nullVal: str) -> DataFrame:
+    """Reference common.py:762-764 (reference parameter names kept)."""
+    return _transform.set_text_when_null(df, column_name, nullVal)
 
 
-def setNullToZero(df: DataFrame, colNames: str | list[str]) -> DataFrame:
-    """Reference common.py:772-779."""
-    return _transform.set_null_to_zero(df, colNames)
+def setNullToZero(df: DataFrame, column_names: str | list[str]) -> DataFrame:
+    """Reference common.py:772-779 (reference parameter name kept)."""
+    return _transform.set_null_to_zero(df, column_names)
 
 
 def addIndexCol(
     df: DataFrame,
-    colName: str = "index",
+    indexColName: str = "index",
     indexStart: int = 0,
     newColPos: int = 0,
     orderBy: str | list[str] | None = None,
 ) -> DataFrame:
     """Reference common.py:888-897, with contiguous row_number ids
-    (bug #4 fixed)."""
-    return _transform.add_index_col(df, colName, indexStart, orderBy, newColPos)
+    (bug #4 fixed); ``indexColName`` matches the reference's keyword."""
+    return _transform.add_index_col(df, indexColName, indexStart, orderBy, newColPos)
 
 
 def rename_columns_with_prefix(df: DataFrame, prefix: str) -> DataFrame:
@@ -324,9 +326,10 @@ def rename_columns_with_prefix(df: DataFrame, prefix: str) -> DataFrame:
     return _transform.rename_columns_with_prefix(df, prefix)
 
 
-def rename_columns_strip_prefix(df: DataFrame, prefixes: str | list[str]) -> DataFrame:
-    """Reference common.py:818-828."""
-    return _transform.rename_columns_strip_prefix(df, prefixes)
+def rename_columns_strip_prefix(df: DataFrame, prefix: str | list[str]) -> DataFrame:
+    """Reference common.py:818-828 (reference parameter name kept; a list
+    of prefixes is also accepted)."""
+    return _transform.rename_columns_strip_prefix(df, prefix)
 
 
 def createExtraRow(df: DataFrame, *args: Any) -> DataFrame:
@@ -385,17 +388,26 @@ def getJoinCondition(factCol: Column | str, mapCol: Column | str | None = None) 
     return _star.null_safe_eq(f, m)
 
 
-def aliasColumns(cols: list[str], indexCol: str) -> list[str]:
+def aliasColumns(selectCols: list[str], indexCol: str) -> list[str]:
     """Reference common.py:972-973: prefix the surrogate col 'map.', all
     others 'fact.' — select-list builder for aliased joins."""
-    return [f"map.{c}" if c == indexCol else f"fact.{c}" for c in cols]
+    return [f"map.{c}" if c == indexCol else f"fact.{c}" for c in selectCols]
 
 
-def insertColumnAndAlias(cols: list[str], joinCol: str, indexCol: str) -> list[str]:
+def insertColumnAndAlias(
+    columns: list[str],
+    valColumn: str,
+    indexColumn: str,
+    mapColumns: list[str] | None = None,
+) -> list[str]:
     """Reference common.py:981-991: post-join select list with the natural
-    key swapped for the surrogate at the same position, fact./map. aliased."""
-    swapped = [indexCol if c == joinCol else c for c in cols]
-    return aliasColumns(swapped, indexCol)
+    key swapped for the surrogate at the same position, fact./map. aliased.
+    Unlike the reference, EVERY column is qualified (fact. for fact-side,
+    map. for the surrogate), which subsumes the reference's ``mapColumns``
+    disambiguation pass — the parameter is accepted for signature parity
+    and the fully-qualified list already covers its cases."""
+    swapped = [indexColumn if c == valColumn else c for c in columns]
+    return aliasColumns(swapped, indexColumn)
 
 
 def simpleMap(
