@@ -246,11 +246,19 @@ def writeTable(
     partitionBy: str | list[str] | None = None,
 ) -> dict[str, Any]:
     """Reference common.py:525-538 (writer chaining fixed, shape opt-in via
-    the underlying io.write_table; registry = module ALL_TABLES)."""
-    return _io.write_table(
-        _as_lakehouse(lh_properties), tableName, df,
+    the underlying io.write_table; registry = module ALL_TABLES). The
+    returned dict is a SUPERSET of the reference's
+    ``{lakehouse_name, shape, columns, path}`` keys — a drop-in caller
+    reading ``info['shape'][0]`` keeps working."""
+    lh = _as_lakehouse(lh_properties)
+    info = _io.write_table(
+        lh, tableName, df,
         partition_by=partitionBy, registry=ALL_TABLES, with_shape=True,
     )
+    info.setdefault("lakehouse_name", lh.name)
+    if "shape" not in info and "rows" in info and "n_cols" in info:
+        info["shape"] = (info["rows"], info["n_cols"])
+    return info
 
 
 def dropTable(lh_properties: Any, tableName: str, spark: SparkSession | None = None) -> None:

@@ -144,3 +144,18 @@ class TestCreateExtraRowSignature:
         # engine call shape: a single list still works
         out2 = compat.createExtraRow(df, [0, "zz"])
         assert sorted(map(tuple, out2.collect())) == rows
+
+
+class TestWriteTableReturnShape:
+    def test_superset_of_reference_keys(self, spark, tmp_path):
+        from ecu_sbl_aace_datalake_spark import compat
+
+        compat.sparkSession("t")
+        compat.register_lakehouse("wt_lh", str(tmp_path / "wt"))
+        df = spark.range(4).withColumnRenamed("id", "x")
+        info = compat.writeTable(compat.lakehouse_properties("wt_lh"), "t_ret", df)
+        # reference common.py:534-537 keys must all exist
+        assert info["shape"] == (4, 1)
+        assert info["columns"] == ["x"]
+        assert info["lakehouse_name"] == "wt_lh"
+        assert "path" in info
