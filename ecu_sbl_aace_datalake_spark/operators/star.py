@@ -43,10 +43,11 @@ from pyspark.sql.column import Column
 
 
 def index_col_name(col_names: str | Sequence[str]) -> str:
-    """Surrogate column name ``index{Cols}`` as the reference composes it
-    (common.py:749-752: 'index' + each source column capitalized)."""
+    """Surrogate column name exactly as the reference composes it
+    (common.py:749: ``"index" + "".join(colNames).replace('_','')`` —
+    underscores REMOVED, original casing kept, no capitalization)."""
     cols = [col_names] if isinstance(col_names, str) else list(col_names)
-    return "index" + "".join(c[:1].upper() + c[1:] for c in cols)
+    return "index" + "".join(cols).replace("_", "")
 
 
 def build_dimension(

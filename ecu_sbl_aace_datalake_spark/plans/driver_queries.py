@@ -262,7 +262,7 @@ def q_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DIM_BUILD = """
-SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexO_orderpriority",
+SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexoorderpriority",
        o_orderpriority
 FROM (SELECT DISTINCT o_orderpriority FROM orders)
 """
@@ -276,7 +276,7 @@ def q_dim_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DIM_BUILD_COUNTS = """
-SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexO_orderpriority",
+SELECT CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS "indexoorderpriority",
        o_orderpriority,
        CAST(COUNT(o_orderkey) AS BIGINT) AS o_orderkey
 FROM orders
@@ -294,7 +294,7 @@ def q_dim_build_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DIM_BUILD_MULTI = """
 SELECT CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT)
-         AS "indexO_orderstatusO_orderpriority",
+         AS "indexoorderstatusoorderpriority",
        o_orderstatus, o_orderpriority
 FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
 """
@@ -317,7 +317,7 @@ WITH dim AS (
 )
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
        CAST(o.o_orderdate AS DATE) AS o_orderdate,
-       d.idx AS "indexO_orderpriority"
+       d.idx AS "indexoorderpriority"
 FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
 """
 
@@ -339,7 +339,7 @@ WITH dim AS (
          o_orderstatus, o_orderpriority
   FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
 )
-SELECT o.o_orderkey, o.o_custkey, d.idx AS "indexO_orderstatusO_orderpriority",
+SELECT o.o_orderkey, o.o_custkey, d.idx AS "indexoorderstatusoorderpriority",
        o.o_totalprice, CAST(o.o_orderdate AS DATE) AS o_orderdate
 FROM orders o
 JOIN dim d ON o.o_orderstatus = d.o_orderstatus

@@ -84,10 +84,10 @@ class TestCompatFlow:
 
         orders = load_table(spark, sf_dir, "orders")
         dim = compat.getDistinctValsFromDataRowsInt(orders, "o_orderpriority")
-        assert dim.columns == ["indexO_orderpriority", "o_orderpriority"]
+        assert dim.columns == ["indexoorderpriority", "o_orderpriority"]
         mapped = compat.simpleMap(orders, dim, "o_orderpriority")
         assert mapped.count() == orders.count()
-        assert "indexO_orderpriority" in mapped.columns
+        assert "indexoorderpriority" in mapped.columns
 
     def test_sql_query_dataframe(self, spark, sf_dir, lh):
         from ecu_sbl_aace_datalake_spark import compat

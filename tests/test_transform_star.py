@@ -191,10 +191,10 @@ class TestDimensionAndMap:
         dim = star.build_dimension(orders, "o_orderpriority")
         mapped = star.simple_map(orders, dim, "o_orderpriority", validate=True)
         assert mapped.count() == orders.count()
-        assert "indexO_orderpriority" in mapped.columns
+        assert "indexoorderpriority" in mapped.columns
         assert "o_orderpriority" not in mapped.columns
         # ordinal position preserved
-        assert mapped.columns.index("indexO_orderpriority") == orders.columns.index(
+        assert mapped.columns.index("indexoorderpriority") == orders.columns.index(
             "o_orderpriority"
         )
 
@@ -273,7 +273,7 @@ class TestSimpleMapMulti:
             orders, dim, ["o_orderstatus", "o_orderpriority"], validate=True
         )
         assert mapped.count() == orders.count()
-        idx = "indexO_orderstatusO_orderpriority"
+        idx = "indexoorderstatusoorderpriority"
         assert idx in mapped.columns
         assert "o_orderstatus" not in mapped.columns
         assert "o_orderpriority" not in mapped.columns
