@@ -1,0 +1,232 @@
+"""Time-series operators: resample, gap-fill (LOCF / linear interpolation),
+gaps-and-islands detection, and keep-latest-per-key compaction.
+
+North-star extension — the reference engine (see SURVEY.md §2.12/§2.13:
+`/root/reference/ecu/sbl/aace/datalake/common.py` has no time-series
+surface) stops at star-schema mapping; a metric/telemetry lakehouse needs
+regular-grid resampling and gap repair as first-class relational operators.
+
+Scale design (100 TB posture):
+
+* ``resample`` is a single partial-aggregated shuffle on
+  ``(keys, bucket)`` — the bucket is a pure column expression, so the
+  pre-aggregation happens map-side and only one row per (key, bucket) per
+  input partition crosses the wire.
+* ``gap_fill`` builds the per-key spine from a ``groupBy(keys)`` bounds
+  aggregate (tiny — one row per key) and explodes ``F.sequence`` map-side;
+  the spine join and the fill windows share the same ``keys`` partitioning,
+  so AQE coalesces them into one exchange chain. Window frames are
+  bounded-preceding/following — WindowExec streams them without
+  materializing whole partitions.
+* ``latest_by_key`` is ``max_by(struct(..))`` — an aggregate, NOT a
+  ``ROW_NUMBER() = 1`` window: partial aggregation reduces each partition
+  to one candidate row per key before the shuffle, where the window form
+  must shuffle and sort every input row. At 100 TB of upsert history this
+  is the difference between a compaction that reads fast and one that
+  spills.
+* ``islands`` needs a per-key ordered pass (lag + running sum) — one
+  shuffle on ``keys``; per-key series must fit a task's window state,
+  which holds whenever a single entity's event history fits an executor
+  (salt the key upstream if a single key is pathological).
+
+All timestamp arithmetic runs through ``unix_micros``/``date_trunc`` on a
+session whose timezone `sources.io.load_table` has pinned to UTC, so
+wall-clock semantics match tz-naive oracles (DuckDB) exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "time_bucket",
+    "resample",
+    "gap_fill",
+    "islands",
+    "latest_by_key",
+]
+
+
+def time_bucket(ts_col: Column | str, step_seconds: int) -> Column:
+    """Floor a timestamp to a ``step_seconds`` grid (epoch-aligned).
+
+    Pure column expression (whole-stage-codegen friendly); equivalent to
+    DuckDB ``time_bucket(INTERVAL n seconds, ts)`` on a UTC-pinned session.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    step_us = int(step_seconds) * 1_000_000
+    return F.timestamp_micros(
+        (F.floor(F.unix_micros(ts) / F.lit(step_us)) * F.lit(step_us)).cast("long")
+    )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    step_seconds: int = 3600,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Downsample an event table onto a regular grid: one row per
+    (``keys``, ``step_seconds``-bucket) with the given aggregates
+    (default: event count + DOUBLE-safe mean of ``value``).
+
+    One shuffle with map-side partial aggregation; no window, no join.
+    """
+    if aggs is None:
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(F.col("value").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("avg_value"),
+        ]
+    bucket = time_bucket(ts_col, step_seconds).alias(bucket_col)
+    return df.groupBy(*[F.col(k) for k in keys], bucket).agg(*aggs)
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str = "bucket",
+    value_col: str = "avg_value",
+    step_seconds: int = 3600,
+    method: str = "locf",
+) -> DataFrame:
+    """Fill missing grid points of an already-resampled frame.
+
+    Expects one row per (``keys``, ``bucket_col``) — the output of
+    :func:`resample`. Emits the dense per-key grid from each key's min to
+    max bucket with:
+
+    * ``value_col`` — observed value, or the filled value where missing;
+    * ``is_filled`` — true on synthesized rows.
+
+    ``method='locf'``: last observation carried forward.
+    ``method='linear'``: linear interpolation between the nearest observed
+    neighbours (interior gaps only by construction — the spine spans
+    min..max observed, so every missing point has both neighbours).
+    ``method='none'``: leave nulls (just densify).
+
+    The spine derives from a one-row-per-key bounds aggregate and a
+    map-side ``sequence``/``explode`` — never a driver-side loop.
+    """
+    if method not in ("locf", "linear", "none"):
+        raise ValueError(f"unknown gap_fill method {method!r}")
+    klist = list(keys)
+    step = F.expr(f"interval {int(step_seconds)} seconds")
+    bounds = df.groupBy(*klist).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    spine = bounds.select(
+        *klist, F.explode(F.sequence(F.col("_mn"), F.col("_mx"), step)).alias(bucket_col)
+    )
+    dense = spine.join(df, klist + [bucket_col], "left").withColumn(
+        "is_filled", F.col(value_col).isNull()
+    )
+    if method == "none":
+        return dense
+    order = F.unix_micros(F.col(bucket_col))
+    back = (
+        Window.partitionBy(*klist)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if method == "locf":
+        return dense.withColumn(
+            value_col, F.last(value_col, ignorenulls=True).over(back)
+        )
+    fwd = (
+        Window.partitionBy(*klist)
+        .orderBy(order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # carry (value, bucket) together as one struct so the neighbour's value
+    # and position can never come from different rows
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(value_col).alias("v"), order.alias("t")),
+    )
+    prev = F.last(obs, ignorenulls=True).over(back)
+    nxt = F.first(obs, ignorenulls=True).over(fwd)
+    frac = (order - prev["t"]) / (nxt["t"] - prev["t"])
+    interp = F.round(prev["v"] + (nxt["v"] - prev["v"]) * frac, 6)
+    return dense.withColumn(
+        value_col,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(interp),
+    )
+
+
+def islands(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    max_gap_seconds: int = 3600,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gaps-and-islands: group each key's events into maximal runs where
+    consecutive events are ≤ ``max_gap_seconds`` apart; one output row per
+    island with start/end/count (+ decimal-exact value sum when
+    ``value_col`` is given).
+
+    Island membership depends only on the multiset of timestamps (ties are
+    trivially within-gap), so the result is deterministic under any
+    partitioning. ``island_id`` is the per-key ordinal of the island.
+    """
+    klist = list(keys)
+    order = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(*klist).orderBy(order)
+    gap_us = int(max_gap_seconds) * 1_000_000
+    new_island = F.when(
+        F.lag(order).over(w).isNull() | (order - F.lag(order).over(w) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*klist).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tagged = df.withColumn("island_id", F.sum(new_island).over(run))
+    aggs = [
+        F.min(ts_col).alias("island_start"),
+        F.max(ts_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias(f"sum_{value_col}")
+        )
+    return tagged.groupBy(*klist, "island_id").agg(*aggs)
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the newest row per key — upsert-log compaction.
+
+    Implemented as ``max_by(struct(<payload>), struct(ts, tiebreak))``:
+    a true aggregate with map-side partial reduction (one candidate per
+    key per partition crosses the shuffle), NOT a sort-everything
+    ``ROW_NUMBER() = 1`` window. The whole winning row is carried as one
+    struct, so payload columns can never mix across tied rows; ties on
+    ``ts_col`` break by ``tiebreak_col`` (pass a unique column for full
+    determinism).
+    """
+    klist = list(keys)
+    payload = [c for c in df.columns if c not in klist]
+    ordering = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(ts_col)
+    )
+    packed = df.groupBy(*klist).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordering).alias("_row")
+    )
+    return packed.select(*klist, *[F.col(f"_row.{c}").alias(c) for c in payload])

@@ -20,7 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import cleaning
-from ..operators import dedup, graph, profile, similarity, star, textstats, transform
+from ..operators import (
+    dedup,
+    graph,
+    profile,
+    similarity,
+    star,
+    textstats,
+    timeseries,
+    transform,
+)
 from ..operators.query import build_select_sql, clean_string_col, sql_over
 from ..sources.io import load_table
 from ..streaming import events as ev
@@ -5286,6 +5295,174 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# time-series family (operators/timeseries.py)
+# --------------------------------------------------------------------------
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type resampling onto a regular grid: one
+    partial-aggregated shuffle (map-side combine), pure-expression bucket.
+    decimal(18,6) mean so the result is association-order independent."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    return timeseries.resample(
+        evdf, step_seconds=3600, keys=["event_type"]
+    ).select("event_type", "bucket", "n_events", "avg_value")
+
+
+SQL_EVENTS_RESAMPLE = """
+SELECT event_type,
+       CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_events,
+       CAST(ROUND(AVG(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per (small-id) user with last-observation-carried-
+    forward fill. Spine from a one-row-per-key bounds agg + map-side
+    sequence/explode; fill via a bounded-preceding window on the same key
+    partitioning as the spine join."""
+    evdf = ev.ensure_event_time(
+        _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    )
+    res = timeseries.resample(evdf, step_seconds=86400, keys=["user_id"])
+    return timeseries.gap_fill(
+        res, ["user_id"], step_seconds=86400, method="locf"
+    ).select("user_id", "bucket", "avg_value", "is_filled")
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH res AS (
+  SELECT user_id,
+         CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS bucket,
+         CAST(ROUND(AVG(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_value
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(bucket), max(bucket),
+                                         INTERVAL 1 DAY)) AS bucket
+  FROM res GROUP BY user_id
+)
+SELECT s.user_id, s.bucket,
+       last_value(r.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       r.avg_value IS NULL AS is_filled
+FROM spine s LEFT JOIN res r USING (user_id, bucket)
+"""
+
+
+def q_events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across interior gaps of the per-user daily
+    grid; neighbours carried as single structs so value/position stay
+    paired. The spine spans min..max observed, so every hole has both
+    neighbours by construction."""
+    evdf = ev.ensure_event_time(
+        _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    )
+    res = timeseries.resample(evdf, step_seconds=86400, keys=["user_id"])
+    return timeseries.gap_fill(
+        res, ["user_id"], step_seconds=86400, method="linear"
+    ).select("user_id", "bucket", "avg_value", "is_filled")
+
+
+SQL_EVENTS_GAP_FILL_INTERP = """
+WITH res AS (
+  SELECT user_id,
+         CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP) AS bucket,
+         CAST(ROUND(AVG(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS avg_value
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(bucket), max(bucket),
+                                         INTERVAL 1 DAY)) AS bucket
+  FROM res GROUP BY user_id
+),
+dense AS (
+  SELECT s.user_id, s.bucket, r.avg_value,
+         last_value((CASE WHEN r.avg_value IS NOT NULL THEN
+             {'v': r.avg_value, 't': epoch(s.bucket)} END) IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value((CASE WHEN r.avg_value IS NOT NULL THEN
+             {'v': r.avg_value, 't': epoch(s.bucket)} END) IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM spine s LEFT JOIN res r USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       COALESCE(avg_value,
+                ROUND(prev.v + (nxt.v - prev.v)
+                      * (epoch(bucket) - prev.t) / (nxt.t - prev.t), 6))
+         AS avg_value,
+       avg_value IS NULL AS is_filled
+FROM dense
+"""
+
+
+def q_events_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user (6-hour tolerance): lag-flag + running
+    sum, one shuffle on user_id; island membership depends only on the
+    timestamp multiset so the result is partitioning-deterministic."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    return timeseries.islands(evdf, ["user_id"], max_gap_seconds=21600).select(
+        "user_id", "island_id", "island_start", "island_end", "n_events", "sum_value"
+    )
+
+
+SQL_EVENTS_ISLANDS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+tagged AS (
+  SELECT user_id, ts, value,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+)
+SELECT user_id, island_id,
+       MIN(ts) AS island_start,
+       MAX(ts) AS island_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key compaction as a max_by(struct) aggregate —
+    map-side partial reduction to one candidate per key, no full-sort
+    window. Tie on ts breaks by unique event_id."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    return timeseries.latest_by_key(
+        evdf.select("user_id", "ts", "event_id", "event_type", "value"),
+        ["user_id"],
+        tiebreak_col="event_id",
+    ).select("user_id", "event_id", "event_type", "ts", "value")
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type, ts, value
+FROM (
+  SELECT user_id, event_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5356,6 +5533,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
+    "events_resample": q_events_resample,
+    "events_gap_fill": q_events_gap_fill,
+    "events_gap_fill_interp": q_events_gap_fill_interp,
+    "events_islands": q_events_islands,
+    "latest_event_per_user": q_latest_event_per_user,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
     "array_agg_sorted": q_array_agg_sorted,
@@ -5479,6 +5661,11 @@ ORACLES: dict[str, str] = {
     "tf_idf": SQL_TF_IDF,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_trailing_window": SQL_EVENTS_TRAILING_WINDOW,
+    "events_resample": SQL_EVENTS_RESAMPLE,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
+    "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,
+    "events_islands": SQL_EVENTS_ISLANDS,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "grouping_sets": SQL_GROUPING_SETS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "array_agg_sorted": SQL_ARRAY_AGG_SORTED,

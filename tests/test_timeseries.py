@@ -1,0 +1,164 @@
+"""Unit tests for operators/timeseries: resample, gap_fill, islands,
+latest_by_key — hand-built frames with exactly known expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import timeseries as ts
+
+
+def _t(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+class TestResample:
+    def test_hourly_buckets(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", _t(0, 10), 1.0),
+                ("a", _t(0, 50), 3.0),
+                ("a", _t(2, 0), 10.0),
+                ("b", _t(0, 0), 5.0),
+            ],
+            "k string, ts timestamp, value double",
+        )
+        out = {
+            (r["k"], r["bucket"].hour): (r["n_events"], r["avg_value"])
+            for r in ts.resample(df, keys=["k"], step_seconds=3600).collect()
+        }
+        assert out == {("a", 0): (2, 2.0), ("a", 2): (1, 10.0), ("b", 0): (1, 5.0)}
+
+    def test_bucket_is_epoch_aligned(self, spark):
+        df = spark.createDataFrame(
+            [("a", _t(0, 37), 1.0)], "k string, ts timestamp, value double"
+        )
+        [row] = ts.resample(df, keys=["k"], step_seconds=900).collect()
+        assert row["bucket"].minute == 30  # 00:37 floors to 00:30 on a 15-min grid
+
+
+class TestGapFill:
+    def _resampled(self, spark):
+        # key a observed at hours 0, 1, 4 (gap at 2, 3); key b dense
+        return spark.createDataFrame(
+            [
+                ("a", _t(0), 1.0),
+                ("a", _t(1), 2.0),
+                ("a", _t(4), 8.0),
+                ("b", _t(0), 5.0),
+                ("b", _t(1), 6.0),
+            ],
+            "k string, bucket timestamp, avg_value double",
+        )
+
+    def test_locf(self, spark):
+        out = ts.gap_fill(self._resampled(spark), ["k"], step_seconds=3600)
+        rows = {
+            (r["k"], r["bucket"].hour): (r["avg_value"], r["is_filled"])
+            for r in out.collect()
+        }
+        assert rows[("a", 2)] == (2.0, True)
+        assert rows[("a", 3)] == (2.0, True)
+        assert rows[("a", 4)] == (8.0, False)
+        assert len(rows) == 7  # a: hours 0-4, b: hours 0-1
+
+    def test_linear(self, spark):
+        out = ts.gap_fill(
+            self._resampled(spark), ["k"], step_seconds=3600, method="linear"
+        )
+        rows = {
+            (r["k"], r["bucket"].hour): r["avg_value"] for r in out.collect()
+        }
+        # 2.0 at h1 -> 8.0 at h4: interior points at 4.0 and 6.0
+        assert rows[("a", 2)] == 4.0
+        assert rows[("a", 3)] == 6.0
+        assert rows[("a", 0)] == 1.0
+
+    def test_none_just_densifies(self, spark):
+        out = ts.gap_fill(
+            self._resampled(spark), ["k"], step_seconds=3600, method="none"
+        )
+        assert out.where(F.col("avg_value").isNull()).count() == 2
+
+    def test_single_point_key_no_fill_needed(self, spark):
+        df = spark.createDataFrame(
+            [("c", _t(5), 9.0)], "k string, bucket timestamp, avg_value double"
+        )
+        out = ts.gap_fill(df, ["k"], step_seconds=3600, method="linear").collect()
+        assert len(out) == 1 and out[0]["avg_value"] == 9.0
+
+
+class TestIslands:
+    def test_runs_split_on_gap(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u", _t(0, 0), 1.0),
+                ("u", _t(0, 30), 2.0),
+                ("u", _t(3, 0), 4.0),  # > 1h gap: new island
+                ("v", _t(1, 0), 7.0),
+            ],
+            "k string, ts timestamp, value double",
+        )
+        out = ts.islands(df, ["k"], max_gap_seconds=3600)
+        rows = {
+            (r["k"], r["island_id"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+        assert rows == {("u", 1): (2, 3.0), ("u", 2): (1, 4.0), ("v", 1): (1, 7.0)}
+
+    def test_exact_gap_boundary_is_same_island(self, spark):
+        df = spark.createDataFrame(
+            [("u", _t(0), 1.0), ("u", _t(1), 1.0)],
+            "k string, ts timestamp, value double",
+        )
+        assert ts.islands(df, ["k"], max_gap_seconds=3600).count() == 1
+
+    def test_simultaneous_events_share_island(self, spark):
+        df = spark.createDataFrame(
+            [("u", _t(0), 1.0), ("u", _t(0), 2.0)],
+            "k string, ts timestamp, value double",
+        )
+        [row] = ts.islands(df, ["k"], max_gap_seconds=60).collect()
+        assert row["n_events"] == 2 and row["sum_value"] == 3.0
+
+
+class TestLatestByKey:
+    def test_latest_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u", _t(1), 10, "old"),
+                ("u", _t(2), 11, "mid"),
+                ("u", _t(2), 12, "new"),  # ts tie -> higher id wins
+                ("v", _t(0), 1, "only"),
+            ],
+            "k string, ts timestamp, id int, payload string",
+        )
+        out = {
+            r["k"]: (r["id"], r["payload"])
+            for r in ts.latest_by_key(df, ["k"], tiebreak_col="id").collect()
+        }
+        assert out == {"u": (12, "new"), "v": (1, "only")}
+
+    def test_row_integrity_under_ties(self, spark):
+        # the winning row's payload columns must all come from the same row
+        df = spark.createDataFrame(
+            [("u", _t(2), 1, None), ("u", _t(2), 2, "keep")],
+            "k string, ts timestamp, id int, payload string",
+        )
+        [row] = ts.latest_by_key(df, ["k"], tiebreak_col="id").collect()
+        assert (row["id"], row["payload"]) == (2, "keep")
+
+    def test_is_partial_aggregate_not_window(self, spark):
+        df = spark.createDataFrame(
+            [("u", _t(1), 1, "x")], "k string, ts timestamp, id int, payload string"
+        )
+        plan = (
+            ts.latest_by_key(df, ["k"], tiebreak_col="id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "partial_max_by" in plan or "HashAggregate" in plan
