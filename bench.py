@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "pagerank",
     "events_anomaly",
     "psi_drift",
+    "events_resample",
+    "events_gap_fill",
+    "events_islands",
+    "latest_event_per_user",
+    "semantic_dedup",
 ]
 
 

@@ -597,3 +597,74 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, compare pairs only WITHIN a cluster,
+    and drop every row that has a lower-id neighbour at cosine ≥
+    ``threshold`` (the min-id member of each near-dup group survives —
+    deterministic under any partitioning).
+
+    Scale design: the whole point of clustering is to bound the candidate
+    join — pair count is Σ|cluster|² instead of n². Centroids come from
+    the deterministic sampled-numpy :func:`kmeans_fit` (driver-side
+    milliseconds, corpus-size independent); assignment is a map-side
+    codegen expression; the self-join shuffles on the cluster id only.
+    ``max_cluster`` guards the quadratic term: clusters above the cap are
+    re-salted by ``xxhash64(id) % ceil(|c|/cap)`` into sub-blocks (trades
+    recall on the rare oversized cluster for a hard cost bound, same
+    posture as LSH ``max_bucket``). For 100 TB embedding stores raise
+    ``k`` so |cluster| ≈ n/k stays bounded; the centroid fit cost does not
+    grow with the corpus.
+
+    Returns ``df`` with near-duplicate rows removed (anti-join on the
+    dropped-id set).
+    """
+    centroids = kmeans_fit(df, id_col=id_col, vec_col=vec_col, k=k)
+    assigned = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__cluster", _nearest_centroid(F.col("__v"), centroids))
+    if max_cluster is not None:
+        counts = assigned.groupBy("__cluster").agg(F.count(F.lit(1)).alias("__n"))
+        assigned = assigned.join(F.broadcast(counts), "__cluster").withColumn(
+            "__cluster",
+            F.concat_ws(
+                "#",
+                F.col("__cluster"),
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("__n") / F.lit(int(max_cluster))).cast("long"),
+                ),
+            ),
+        ).drop("__n")
+    a = assigned.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+    )
+    b = assigned.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+    )
+    va, vb = F.col("__va"), F.col("__vb")
+    dropped = (
+        a.join(b, "__cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .withColumn(
+            "__cos",
+            dot(va, vb) / (F.sqrt(l2_norm_sq(va)) * F.sqrt(l2_norm_sq(vb))),
+        )
+        .where(F.col("__cos") >= F.lit(float(threshold)))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -5294,6 +5294,45 @@ FROM t
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means clusters bound the
+    candidate join (Σ|cluster|² pairs, never n²), within-cluster cosine ≥
+    0.95 drops all but the min-id member of each near-dup group.
+
+    Exact duplicates of vec_ids 0-2 are planted at +100000. Oracle-verified
+    against brute-force all-pairs cosine in DuckDB: identical vectors get
+    identical centroid assignments (the same deterministic expression), so
+    cluster-bounded recall for the planted pairs is 1 BY CONSTRUCTION, and
+    no other pair on this corpus reaches 0.95 (max pairwise ≈ 0.46)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    planted = emb.where(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    kept = similarity.semantic_dedup(
+        emb.unionByName(planted), k=8, threshold=0.95
+    )
+    return kept.select("vec_id", "label")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH all_vecs AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id < 3
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding) /
+          (sqrt(list_dot_product(a.embedding, a.embedding)) *
+           sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.95
+)
+SELECT vec_id, label FROM all_vecs
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series family (operators/timeseries.py)
 # --------------------------------------------------------------------------
@@ -5533,6 +5572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "scd2_dimension": q_scd2_dimension,
     "events_trailing_window": q_events_trailing_window,
+    "semantic_dedup": q_semantic_dedup,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5661,6 +5701,7 @@ ORACLES: dict[str, str] = {
     "tf_idf": SQL_TF_IDF,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "events_trailing_window": SQL_EVENTS_TRAILING_WINDOW,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

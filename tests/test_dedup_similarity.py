@@ -880,3 +880,53 @@ class TestDuplicateSpans:
         )
         r = dedup.duplicate_span_stats(docs, "doc_id", n=10).collect()[0]
         assert r.n_spans == 0 and r.dup_span_frac is None
+
+
+class TestSemanticDedup:
+    def _corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+        # exact duplicates of 0 and 1 under higher ids
+        rows.append((1000, list(rows[0][1])))
+        rows.append((1001, list(rows[1][1])))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_drops_planted_duplicates_keeps_min_id(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = self._corpus(spark)
+        kept = {
+            r["vec_id"]
+            for r in similarity.semantic_dedup(df, k=4, threshold=0.999).collect()
+        }
+        assert 1000 not in kept and 1001 not in kept
+        assert 0 in kept and 1 in kept
+        assert len(kept) == 40
+
+    def test_transitive_group_keeps_one(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        base = [1.0, 0.0, 0.0, 0.0]
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base), (9, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        kept = {
+            r["vec_id"]
+            for r in similarity.semantic_dedup(df, k=2, threshold=0.99).collect()
+        }
+        assert kept == {1, 9}
+
+    def test_cluster_cap_bounds_pairs_without_losing_identicals(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        # identical vectors hash-salt into the same sub-block only by luck
+        # under a tiny cap — but the cap=1 degenerate case must still run
+        # and never drop NON-duplicates
+        df = self._corpus(spark)
+        kept = similarity.semantic_dedup(df, k=2, threshold=0.999, max_cluster=5)
+        assert kept.count() >= 40
