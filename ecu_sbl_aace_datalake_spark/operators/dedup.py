@@ -795,6 +795,7 @@ def persist_neardup_index(
     shingle_table: str = "neardup_shingles",
     n_buckets: int = 32,
     seed: int = 1,
+    reuse_if_exists: bool = False,
 ) -> dict:
     """Materialize the CORPUS side of incremental near-dup detection on
     disk, so per-batch probes stop re-reading and re-hashing the corpus
@@ -814,9 +815,27 @@ def persist_neardup_index(
     Returns the index parameters; :func:`neardup_pairs_against_index` must
     be called with the SAME (n, num_hashes, bands, seed) — enforced via the
     returned dict.
+
+    ``reuse_if_exists=True`` skips the build when BOTH tables are already
+    registered in this session's catalog — the steady-state path (an index
+    is built once, then probed by every batch). The caller owns naming:
+    encode the corpus identity in the table names so a reused index can
+    never refer to a different corpus.
     """
     spark = corpus_df.sparkSession
     from ..sources.io import write_bucketed_table
+
+    params = {
+        "n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed,
+        "band_table": band_table, "shingle_table": shingle_table,
+        "n_buckets": n_buckets,
+    }
+    if (
+        reuse_if_exists
+        and spark.catalog.tableExists(band_table)
+        and spark.catalog.tableExists(shingle_table)
+    ):
+        return params
 
     scope = CacheScope()
     sh = persist_in(
@@ -848,11 +867,7 @@ def persist_neardup_index(
         )
     finally:
         scope.unpersist()
-    return {
-        "n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed,
-        "band_table": band_table, "shingle_table": shingle_table,
-        "n_buckets": n_buckets,
-    }
+    return params
 
 
 def neardup_pairs_against_index(

@@ -682,3 +682,86 @@ def bigram_lm_scores(
         )
     )
     return df.join(scored, id_col, "left")
+
+
+def bm25f_topk_text(
+    df: DataFrame,
+    queries: list[str],
+    field_weights: dict[str, float],
+    k: int = 5,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """BM25F fielded retrieval (simple BM25F, Zaragoza et al. CIKM'04):
+    each field's term frequency is length-normalized within its OWN field
+    (``B_f = 1 - b + b·dl_f/avgdl_f``) and scaled by the field weight,
+    the weighted tfs sum into one pseudo-frequency, and saturation +
+    idf apply ONCE to the combined value — this is what distinguishes
+    BM25F from naively summing per-field BM25 scores (which over-rewards
+    documents matching the same term in many fields).
+
+    ``field_weights`` maps text column → boost (e.g. title 2.0, body 1.0).
+    idf uses the any-field document frequency. Scale shape is identical to
+    :func:`bm25_topk_text`: per-field token stats are partial-agg shuffles
+    on (id, token), the combined postings persist once, and each query is
+    a broadcast token join + SUM.
+    """
+    per_field = []
+    for f_col, wgt in field_weights.items():
+        toks = df.select(F.col(id_col), F.explode(tokens(f_col)).alias("token"))
+        tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+        dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+        avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+        bf = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        per_field.append(
+            tf.join(dl, id_col)
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                id_col,
+                "token",
+                (F.lit(float(wgt)) * F.col("tf") / bf).alias("tfn"),
+            )
+        )
+    combined = per_field[0]
+    for other in per_field[1:]:
+        combined = combined.unionByName(other)
+    tft = combined.groupBy(id_col, "token").agg(F.sum("tfn").alias("tfn"))
+    dfreq = tft.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    postings = persist_in(
+        scope,
+        tft.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            (idf * F.col("tfn") / (F.lit(k1) + F.col("tfn"))).alias("w"),
+        ),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        list(enumerate(queries)), "query_id long, qtext string"
+    )
+    q_terms = qdf.select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token")
+    )
+    scored = (
+        F.broadcast(q_terms)
+        .join(postings, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    wdw = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
+    )

@@ -930,3 +930,43 @@ class TestSemanticDedup:
         df = self._corpus(spark)
         kept = similarity.semantic_dedup(df, k=2, threshold=0.999, max_cluster=5)
         assert kept.count() >= 40
+
+
+class TestBm25F:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "zebra lion", "cat dog bird fish"),
+                (2, "cat dog", "zebra bird fish lion"),
+                (3, "cat dog", "bird fish wolf bear"),
+            ],
+            "doc_id long, title string, body string",
+        )
+
+    def test_title_weight_outranks_body_match(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        out = textstats.bm25f_topk_text(
+            self._docs(spark), ["zebra"], {"title": 2.0, "body": 1.0}, k=3
+        ).collect()
+        ranked = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked[0] == 1  # title hit beats body hit at weight 2
+        assert ranked[1] == 2
+
+    def test_combined_tf_saturates_once(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        # a doc matching in BOTH fields must score less than the sum of two
+        # independent per-field BM25 scores (saturation on the combined tf)
+        docs = spark.createDataFrame(
+            [(1, "zebra", "zebra"), (2, "zebra", "cat"), (3, "dog", "wolf")],
+            "doc_id long, title string, body string",
+        )
+        out = {
+            r["match_id"]: r["score"]
+            for r in textstats.bm25f_topk_text(
+                docs, ["zebra"], {"title": 1.0, "body": 1.0}, k=3
+            ).collect()
+        }
+        assert out[1] < 2 * out[2]
+        assert out[1] > out[2]

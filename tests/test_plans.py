@@ -192,6 +192,7 @@ class TestGlobalPlanInvariants:
         "bm25_retrieval",      # 1-row (n_docs, avgdl) scalar broadcast
         "hybrid_retrieval",    # fuses the two queries above
         "bm25_text_search",    # same scalar broadcast as bm25_retrieval
+        "bm25f_retrieval",     # per-field avgdl + n_docs scalar broadcasts
         "psi_drift",           # 1-row (min, max) bin-edge scalar broadcast
         "bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
@@ -210,6 +211,7 @@ class TestGlobalPlanInvariants:
         "pixel_stats",         # real numpy pixel decode (mapInPandas)
         "audio_stats",         # real numpy PCM decode (mapInPandas)
         "video_container_meta",  # real MP4 box walk (mapInPandas)
+        "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
