@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "events_islands",
     "latest_event_per_user",
     "semantic_dedup",
+    "bm25f_retrieval",
 ]
 
 

@@ -277,17 +277,100 @@ def _decode_frame(payload: bytes, frame_index: int) -> bytes:
     )
 
 
+def _decode_png_rgb(p: bytes):
+    """REAL PNG pixel decode with the standard library only: chunk walk →
+    stdlib ``zlib`` inflate of the IDAT stream → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) in numpy. Supports the
+    overwhelmingly common web shape — bit depth 8, truecolor (type 2) and
+    truecolor+alpha (type 6, alpha dropped), non-interlaced. Returns an
+    (h, w, 3) uint8 array or None (palette/16-bit/interlaced/malformed).
+
+    Up/None rows unfilter as whole-row numpy ops; Sub/Average/Paeth have a
+    per-byte recurrence (each byte depends on the reconstructed byte one
+    pixel left) so they fall back to a per-byte loop — fine for the
+    thumbnail-scale payloads of a metadata pipeline, and still no codec
+    library. JPEG/GIF stay stubbed: DCT and LZW are real codecs.
+    """
+    import zlib
+
+    import numpy as np
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(p):
+        ln = int.from_bytes(p[i : i + 4], "big")
+        typ = p[i + 4 : i + 8]
+        if typ == b"IHDR":
+            ihdr = p[i + 8 : i + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(p[i + 8 : i + 8 + ln])
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or ctype not in (2, 6) or comp or filt or interlace or not (w and h):
+        return None
+    ch = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: whole-row vectorized
+            rec = line + prev
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                # mask at assignment: the left-neighbour recurrence must
+                # read the RECONSTRUCTED byte (mod 256), not a raw sum
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return np.ascontiguousarray(out.reshape(h, w, ch)[:, :, :3])
+
+
 def _decode_pixels_rgb(payload: bytes):
-    """REAL pixel decode for the uncompressed formats — numpy only, no
-    codec library: PPM (P6, maxval 255) and BMP (24/32-bit uncompressed,
-    BI_RGB) to an (h, w, 3) uint8 RGB array. Returns None for compressed
-    formats (PNG/JPEG/GIF need zlib/DCT/LZW — the genuinely stubbed part)
-    or malformed payloads.
+    """REAL pixel decode without any codec library: PPM (P6, maxval 255)
+    and BMP (24/32-bit uncompressed, BI_RGB) via numpy reshapes, and PNG
+    (8-bit truecolor±alpha) via stdlib-zlib inflate + numpy unfilter
+    (:func:`_decode_png_rgb`). Returns an (h, w, 3) uint8 RGB array, or
+    None for the genuinely-codec formats (JPEG needs DCT, GIF needs LZW)
+    and malformed payloads.
     """
     import numpy as np
 
     p = payload or b""
     w, h, fmt = parse_image_header(p)
+    if fmt == "png":
+        return _decode_png_rgb(p)
     if fmt == "ppm" and w and h:
         # header ends after the maxval line: walk 4 tokens (P6, w, h, max)
         i, fields = 2, 0

@@ -970,3 +970,110 @@ class TestBm25F:
         }
         assert out[1] < 2 * out[2]
         assert out[1] > out[2]
+
+
+class TestPngDecode:
+    @staticmethod
+    def _png(arr, ctype=2, filters=None):
+        """Minimal PNG encoder for goldens: arr (h,w,3|4) uint8, one filter
+        byte per row (default all 0/None)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = arr.shape
+        filters = filters or [0] * h
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            f = filters[y]
+            row = arr[y].reshape(-1).astype(np.int32)
+            if f == 0:
+                filt = row
+            elif f == 1:  # Sub
+                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+                filt = row - left
+            elif f == 2:  # Up
+                filt = row - prev
+            elif f == 4:  # Paeth (prev row reconstructed == arr rows here)
+                filt = np.zeros_like(row)
+                for x in range(len(row)):
+                    a = int(row[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if (x >= ch and y) else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = row[x] - pred
+            else:
+                raise ValueError(f)
+            raw.append(f)
+            raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+            prev = row
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_none_filter_roundtrip(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_png_rgb
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_png_rgb(self._png(img)), img)
+
+    def test_all_filters_roundtrip(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_png_rgb
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+        out = _decode_png_rgb(self._png(img, filters=[0, 1, 2, 4, 1, 2]))
+        assert np.array_equal(out, img)
+
+    def test_rgba_drops_alpha(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_png_rgb
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (3, 3, 4), dtype=np.uint8)
+        out = _decode_png_rgb(self._png(img, ctype=6, filters=[0, 2, 1]))
+        assert np.array_equal(out, img[:, :, :3])
+
+    def test_unsupported_returns_none(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_png_rgb
+
+        assert _decode_png_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None
+        assert _decode_png_rgb(b"not a png") is None
+
+    def test_pixel_stats_path_decodes_png(self, spark):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import pixel_stats
+
+        img = np.full((4, 4, 3), 200, dtype=np.uint8)
+        img[:, :, 1] = 100
+        img[:, :, 2] = 50
+        df = spark.createDataFrame(
+            [(1, bytearray(self._png(img)))], "id long, payload binary"
+        )
+        [row] = pixel_stats(df, "payload").collect()
+        assert row["decoded"] is True
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (200.0, 100.0, 50.0)
