@@ -357,13 +357,129 @@ def _decode_png_rgb(p: bytes):
     return np.ascontiguousarray(out.reshape(h, w, ch)[:, :, :3])
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap) in pure Python — LZW is table lookups, not numeric math,
+    so there is no BLAS to reach for; palettes cap the alphabet at 256 and
+    thumbnail payloads keep this loop cheap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple[int, ...] | None] = [(i,) for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            break
+        byte_i, bit_o = divmod(bitpos, 8)
+        c = (
+            int.from_bytes(data[byte_i : byte_i + 3], "little") >> bit_o
+        ) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if c == eoi:
+            break
+        if c == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if c < len(table) and table[c] is not None:
+            entry = table[c]
+        elif c == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return out
+
+
+def _decode_gif_rgb(p: bytes):
+    """REAL GIF pixel decode, standard library only: logical-screen /
+    image-descriptor walk, global or local palette, pure-Python GIF-LZW
+    (:func:`_gif_lzw_decode`), 4-pass interlace reorder. First frame only
+    (animation = repeat per image descriptor). Returns (h, w, 3) uint8 RGB
+    or None on malformed input."""
+    import numpy as np
+
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    packed = p[10]
+    i, gct = 13, None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        if len(p) < i + 3 * n:
+            return None
+        gct = np.frombuffer(p, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(p):
+        b = p[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if len(p) < i + 10:
+                return None
+            w = int.from_bytes(p[i + 5 : i + 7], "little")
+            h = int.from_bytes(p[i + 7 : i + 9], "little")
+            ipacked = p[i + 9]
+            i += 10
+            pal = gct
+            if ipacked & 0x80:  # local colour table
+                n = 2 ** ((ipacked & 7) + 1)
+                if len(p) < i + 3 * n:
+                    return None
+                pal = np.frombuffer(p, np.uint8, 3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if pal is None or not (w and h) or i >= len(p):
+                return None
+            min_code = p[i]
+            i += 1
+            data = bytearray()
+            while i < len(p) and p[i] != 0:
+                ln = p[i]
+                data += p[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = pal[np.asarray(idx[: w * h], dtype=np.int32) % len(pal)].reshape(
+                h, w, 3
+            )
+            if ipacked & 0x40:  # interlace: rows arrive in 4 passes
+                file_order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.zeros_like(arr)
+                out[file_order] = arr
+                arr = out
+            return np.ascontiguousarray(arr)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
 def _decode_pixels_rgb(payload: bytes):
     """REAL pixel decode without any codec library: PPM (P6, maxval 255)
-    and BMP (24/32-bit uncompressed, BI_RGB) via numpy reshapes, and PNG
+    and BMP (24/32-bit uncompressed, BI_RGB) via numpy reshapes, PNG
     (8-bit truecolor±alpha) via stdlib-zlib inflate + numpy unfilter
-    (:func:`_decode_png_rgb`). Returns an (h, w, 3) uint8 RGB array, or
-    None for the genuinely-codec formats (JPEG needs DCT, GIF needs LZW)
-    and malformed payloads.
+    (:func:`_decode_png_rgb`), and GIF via pure-Python LZW + palette
+    lookup (:func:`_decode_gif_rgb`). Returns an (h, w, 3) uint8 RGB
+    array, or None for JPEG (a DCT codec — the one genuinely stubbed
+    image format) and malformed payloads.
     """
     import numpy as np
 
@@ -371,6 +487,8 @@ def _decode_pixels_rgb(payload: bytes):
     w, h, fmt = parse_image_header(p)
     if fmt == "png":
         return _decode_png_rgb(p)
+    if fmt == "gif":
+        return _decode_gif_rgb(p)
     if fmt == "ppm" and w and h:
         # header ends after the maxval line: walk 4 tokens (P6, w, h, max)
         i, fields = 2, 0

@@ -1077,3 +1077,111 @@ class TestPngDecode:
         [row] = pixel_stats(df, "payload").collect()
         assert row["decoded"] is True
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+class TestGifDecode:
+    @staticmethod
+    def _gif(indices, palette, interlace=False, min_code_size=None):
+        """Minimal GIF encoder for goldens: emits LZW codes mirroring the
+        decoder's table-growth rule (no compression wins, always valid)."""
+        import numpy as np
+
+        h, w = indices.shape
+        n_colors = len(palette)
+        exp = max(1, (n_colors - 1).bit_length())
+        mcs = min_code_size if min_code_size is not None else max(2, exp)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+        rows = indices
+        if interlace:
+            file_order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            rows = indices[file_order]
+
+        # pack codes LSB-first, simulating the decoder's table growth
+        bits = bytearray()
+        acc, nacc = 0, 0
+
+        def emit(code, size):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += size
+            while nacc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        code_size = mcs + 1
+        emit(clear, code_size)
+        table_size, first = clear + 2, True
+        for px in rows.reshape(-1):
+            emit(int(px), code_size)
+            if not first:
+                table_size += 1
+                if table_size == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            first = False
+        emit(eoi, code_size)
+        if nacc:
+            bits.append(acc & 0xFF)
+
+        gct_exp = exp - 1  # field stores 2^(field+1) entries
+        pal_full = np.zeros((2 ** exp, 3), dtype=np.uint8)
+        pal_full[:n_colors] = palette
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x80 | gct_exp, 0, 0])
+        out += pal_full.tobytes()
+        out += b"\x2c" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        out += bytes([mcs])
+        data = bytes(bits)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_gif_rgb
+
+        rng = np.random.RandomState(5)
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+        idx = rng.randint(0, 4, (7, 6)).astype(np.uint8)
+        out = _decode_gif_rgb(self._gif(idx, pal))
+        assert np.array_equal(out, pal[idx])
+
+    def test_roundtrip_grows_code_size(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_gif_rgb
+
+        # enough pixels that the simulated table crosses 2^(mcs+1) and the
+        # code width grows mid-stream
+        rng = np.random.RandomState(6)
+        pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+        idx = rng.randint(0, 2, (16, 16)).astype(np.uint8)
+        out = _decode_gif_rgb(self._gif(idx, pal, min_code_size=2))
+        assert np.array_equal(out, pal[idx])
+
+    def test_interlaced(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_gif_rgb
+
+        rng = np.random.RandomState(8)
+        pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+        idx = rng.randint(0, 2, (10, 4)).astype(np.uint8)
+        out = _decode_gif_rgb(self._gif(idx, pal, interlace=True))
+        assert np.array_equal(out, pal[idx])
+
+    def test_malformed_returns_none(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_gif_rgb
+
+        assert _decode_gif_rgb(b"GIF89a\x01\x00") is None
+        assert _decode_gif_rgb(b"nope") is None
