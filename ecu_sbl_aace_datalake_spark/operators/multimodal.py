@@ -4,13 +4,14 @@ North-star extension (SURVEY.md §2.13). Images/audio/video are carried as
 ``binary`` columns alongside typed metadata; decode / feature-extract /
 resize / frame-sample run as Arrow-batched functions over ``mapInPandas``.
 
-Metadata extraction is REAL: ``parse_image_header`` reads dimensions and
-format straight from PNG/GIF/BMP/JPEG/PPM header bytes (production
-metadata extraction never decodes pixels, so no codec library is needed).
-Only compressed PIXEL decode (and video frame decode) is stubbed — swap
-``_decode_frame`` for PIL/libav when available. A deterministic fake
-decoder (``decoder="fake"``) remains for the SQL-oracle-replicable
-multimodal_meta driver query.
+Metadata extraction is REAL (``parse_image_header`` reads dimensions and
+format straight from PNG/GIF/BMP/JPEG/PPM header bytes), and so is PIXEL
+decode for every image format carried by the fixtures: PPM/BMP (numpy
+reshape), PNG (stdlib zlib + RFC 2083 unfilter), GIF (pure-Python LZW),
+and baseline JPEG (huffman + dequant + numpy IDCT, ITU T.81 SOF0). Only
+video FRAME decode is stubbed — swap ``_decode_frame`` for libav when
+available. A deterministic fake decoder (``decoder="fake"``) remains for
+the SQL-oracle-replicable multimodal_meta driver query.
 
 Scale design: mapInPandas streams Arrow record batches through one Python
 worker per core — no collect, no per-row pickling; binary payloads never
@@ -22,6 +23,7 @@ blobs can't OOM the worker.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -478,8 +480,9 @@ def _decode_pixels_rgb(payload: bytes):
     (8-bit truecolor±alpha) via stdlib-zlib inflate + numpy unfilter
     (:func:`_decode_png_rgb`), and GIF via pure-Python LZW + palette
     lookup (:func:`_decode_gif_rgb`). Returns an (h, w, 3) uint8 RGB
-    array, or None for JPEG (a DCT codec — the one genuinely stubbed
-    image format) and malformed payloads.
+    array (JPEG through the real baseline decoder
+    :func:`_decode_jpeg_rgb`), or None for malformed/unsupported payloads
+    — with JPEG decoded, video FRAME decode is the only stub left.
     """
     import numpy as np
 
@@ -489,6 +492,8 @@ def _decode_pixels_rgb(payload: bytes):
         return _decode_png_rgb(p)
     if fmt == "gif":
         return _decode_gif_rgb(p)
+    if fmt == "jpeg":
+        return _decode_jpeg_rgb(p)
     if fmt == "ppm" and w and h:
         # header ends after the maxval line: walk 4 tokens (P6, w, h, max)
         i, fields = 2, 0
@@ -808,3 +813,296 @@ def video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema=full_schema)
+
+
+def _jpeg_idct_matrix():
+    """Orthonormal 8-point DCT-II basis M; 2-D IDCT(B) = Mᵀ·B·M."""
+    import numpy as np
+
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        for i in range(n):
+            m[k, i] = math.cos(math.pi * k * (2 * i + 1) / (2 * n))
+    m[0] *= math.sqrt(1.0 / n)
+    m[1:] *= math.sqrt(2.0 / n)
+    return m
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first entropy-stream reader with 0xFF00 stuffing removal and
+    restart-marker awareness (RSTn resets byte alignment)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d = data
+        self.i = start
+        self.bits = 0
+        self.nbits = 0
+
+    def _next_byte(self):
+        while self.i < len(self.d):
+            b = self.d[self.i]
+            if b == 0xFF:
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.i += 2
+                    return 0xFF
+                return None  # marker — caller handles
+            self.i += 1
+            return b
+        return None
+
+    def read_bit(self):
+        if self.nbits == 0:
+            b = self._next_byte()
+            if b is None:
+                return None
+            self.bits, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def align_and_skip_marker(self):
+        """At a restart marker: drop buffered bits, consume FF Dx."""
+        self.nbits = 0
+        if (
+            self.i + 1 < len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+            return True
+        return False
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical huffman: (length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_huffman(rd: _JpegBitReader, table: dict):
+    code, ln = 0, 0
+    while ln < 16:
+        bit = rd.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """JPEG F.12: map t-bit magnitude to signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg_rgb(p: bytes):
+    """REAL baseline JPEG decode (ITU T.81 SOF0: sequential, huffman,
+    8-bit) with numpy + stdlib only: marker walk → canonical huffman
+    entropy decode per MCU → dequantize → orthonormal 8×8 IDCT (two
+    matmuls per block) → nearest-neighbour chroma upsample → JFIF
+    full-range YCbCr→RGB. Handles byte stuffing and restart intervals;
+    returns (h, w, 3) uint8 RGB or None (progressive SOF2 / arithmetic /
+    12-bit are out of scope — baseline covers the overwhelming majority
+    of real-world JPEGs).
+
+    The entropy decode is a sequential bit-serial loop (that IS the
+    format — no vectorizable structure until coefficients exist); the
+    numeric half (dequant, IDCT, color convert) is vectorized numpy over
+    all blocks at once.
+    """
+    import numpy as np
+
+    if p[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps = None  # list of (cid, h, v, tq)
+    w = h = 0
+    restart = 0
+    i = 2
+    try:
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            seg = p[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(seg, np.uint8, 64, j).astype(np.int32)
+                        j += 64
+                    else:
+                        tbl = np.frombuffer(seg, ">u2", 64, j).astype(np.int32)
+                        j += 128
+                    qt[tq] = tbl
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    o = 6 + 3 * c
+                    comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 15, seg[o + 2]))
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline SOF
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    counts = seg[j + 1 : j + 17]
+                    n = sum(counts)
+                    symbols = seg[j + 17 : j + 17 + n]
+                    huff[(tc, th)] = _jpeg_build_huffman(counts, symbols)
+                    j += 17 + n
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS → entropy data follows
+                if comps is None or not (w and h):
+                    return None
+                ns = seg[0]
+                smap = {}
+                for c in range(ns):
+                    smap[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 15,
+                    )
+                rd = _JpegBitReader(p, i + 2 + seg_len)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # per-component coefficient planes (in 8x8 block grid)
+                planes = {
+                    cid: np.zeros(
+                        (mcuy * cv * 8, mcux * ch * 8), dtype=np.float64
+                    )
+                    for cid, ch, cv, _ in comps
+                }
+                blocks = {cid: [] for cid, *_ in comps}  # (by, bx, coef64)
+                pred = {cid: 0 for cid, *_ in comps}
+                mcu_count = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart and mcu_count and mcu_count % restart == 0:
+                            if not rd.align_and_skip_marker():
+                                return None
+                            pred = {cid: 0 for cid, *_ in comps}
+                        for cid, ch, cv, _tq in comps:
+                            dct, act = smap[cid]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    coef = np.zeros(64, dtype=np.int32)
+                                    t = _jpeg_decode_huffman(rd, huff[(0, dct)])
+                                    if t is None:
+                                        return None
+                                    diff = 0
+                                    if t:
+                                        bits = rd.read_bits(t)
+                                        if bits is None:
+                                            return None
+                                        diff = _jpeg_extend(bits, t)
+                                    pred[cid] += diff
+                                    coef[0] = pred[cid]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _jpeg_decode_huffman(
+                                            rd, huff[(1, act)]
+                                        )
+                                        if rs is None:
+                                            return None
+                                        r, s = rs >> 4, rs & 15
+                                        if s == 0:
+                                            if r == 15:  # ZRL
+                                                k += 16
+                                                continue
+                                            break  # EOB
+                                        k += r
+                                        if k > 63:
+                                            return None
+                                        bits = rd.read_bits(s)
+                                        if bits is None:
+                                            return None
+                                        coef[k] = _jpeg_extend(bits, s)
+                                        k += 1
+                                    blocks[cid].append(
+                                        (my * cv + by, mx * ch + bx, coef)
+                                    )
+                        mcu_count += 1
+                # numeric half — vectorized over all blocks per component
+                m = _jpeg_idct_matrix()
+                zz = np.array(_JPEG_ZIGZAG)
+                for cid, ch, cv, tq in comps:
+                    bl = blocks[cid]
+                    if not bl:
+                        continue
+                    coefs = np.stack([b[2] for b in bl]).astype(np.float64)
+                    deq = coefs * qt[tq][None, :].astype(np.float64)
+                    grid = np.zeros((len(bl), 64))
+                    grid[:, zz] = deq  # un-zigzag
+                    grid = grid.reshape(-1, 8, 8)
+                    spat = np.einsum("ki,nkl,lj->nij", m, grid, m) + 128.0
+                    plane = planes[cid]
+                    for (by, bx, _), s in zip(bl, spat):
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = s
+                # upsample to full res, crop, color-convert
+                out = []
+                for cid, ch, cv, _tq in comps:
+                    pl = planes[cid]
+                    ry, rx = vmax // cv, hmax // ch
+                    if ry > 1 or rx > 1:
+                        pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+                    out.append(pl[:h, :w])
+                if len(out) == 1:
+                    y = np.clip(out[0], 0, 255)
+                    return np.ascontiguousarray(
+                        np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+                    )
+                y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+                r = y + 1.402 * cr
+                g = y - 0.344136 * cb - 0.714136 * cr
+                b = y + 1.772 * cb
+                rgb = np.stack([r, g, b], axis=2)
+                return np.clip(rgb, 0, 255).astype(np.uint8)
+            elif marker == 0xD9:
+                return None
+            i += 2 + seg_len
+    except (IndexError, KeyError, ValueError):
+        return None
+    return None

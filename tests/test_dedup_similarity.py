@@ -1185,3 +1185,198 @@ class TestGifDecode:
 
         assert _decode_gif_rgb(b"GIF89a\x01\x00") is None
         assert _decode_gif_rgb(b"nope") is None
+
+
+class TestJpegDecode:
+    @staticmethod
+    def _encode(img, subsample=False, q=16):
+        """Minimal baseline JPEG encoder for goldens: flat quant table,
+        canonical single-length huffman tables built from the used
+        symbols. img: (h, w, 3) uint8 RGB or (h, w) uint8 grayscale.
+        subsample=True → 4:2:0 chroma."""
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _jpeg_idct_matrix,
+        )
+
+        m = _jpeg_idct_matrix()
+        zz = np.array(_JPEG_ZIGZAG)
+        gray = img.ndim == 2
+        h, w = img.shape[:2]
+        if gray:
+            planes = [img.astype(np.float64)]
+            samp = [(1, 1)]
+        else:
+            rgb = img.astype(np.float64)
+            y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+            cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+            if subsample:
+                # pad to even, then 2x2 mean
+                ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+                def pad(p):
+                    out = np.zeros((ph, pw)); out[:h, :w] = p
+                    out[h:, :w] = p[-1:, :]; out[:h, w:] = p[:, -1:]
+                    out[h:, w:] = p[-1, -1]
+                    return out
+                cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+            else:
+                planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        hmax = max(s[0] for s in samp); vmax = max(s[1] for s in samp)
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+        # pre-pad every plane to its MCU-aligned block grid (edge replicate)
+        padded = []
+        for pl, (sh, sv) in zip(planes, samp):
+            th, tw = mcuy * sv * 8, mcux * sh * 8
+            ph, pw = pl.shape
+            out = np.zeros((th, tw))
+            out[:ph, :pw] = pl
+            out[ph:, :pw] = pl[-1:, :]
+            out[:, pw:] = out[:, pw - 1 : pw]
+            padded.append(out)
+        planes = padded
+
+        def block_at(pl, by, bx):
+            return pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+
+        # entropy symbol stream per component class
+        sym_stream = []  # (kind 'dc'/'ac', comp_class 0/1, symbol, extra_bits(list of (val,nbits)))
+        pred = [0] * len(planes)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (pl, (sh, sv)) in enumerate(zip(planes, samp)):
+                    cls = 0 if ci == 0 else 1
+                    for by in range(sv):
+                        for bx in range(sh):
+                            blk = block_at(pl, my * sv + by, mx * sh + bx) - 128.0
+                            co = m @ blk @ m.T
+                            qc = np.round(co / q).astype(np.int32).reshape(-1)[zz]
+                            diff = int(qc[0]) - pred[ci]
+                            pred[ci] = int(qc[0])
+                            def mag(v):
+                                t = abs(v).bit_length()
+                                bits = v if v >= 0 else v + (1 << t) - 1
+                                return t, bits
+                            t, bits = mag(diff)
+                            sym_stream.append(("dc", cls, t, [(bits, t)]))
+                            run = 0
+                            last_nz = max([k for k in range(1, 64) if qc[k]], default=0)
+                            for k in range(1, last_nz + 1):
+                                v = int(qc[k])
+                                if v == 0:
+                                    run += 1
+                                    if run == 16:
+                                        sym_stream.append(("ac", cls, 0xF0, []))
+                                        run = 0
+                                    continue
+                                s, bits = mag(v)
+                                sym_stream.append(("ac", cls, (run << 4) | s, [(bits, s)]))
+                                run = 0
+                            if last_nz < 63:
+                                sym_stream.append(("ac", cls, 0x00, []))
+
+        # canonical tables: all used symbols at one length
+        tables = {}  # (tc, th) -> {sym: (code, length)}, plus DHT bytes
+        dht_payload = bytearray()
+        for tc in (0, 1):
+            for th in set(c for k, c, _, _ in sym_stream if (k == "dc") == (tc == 0)):
+                syms = sorted({s for k, c, s, _ in sym_stream if c == th and (k == "dc") == (tc == 0)})
+                L = max(2, (len(syms) + 1).bit_length())
+                enc = {s: (i, L) for i, s in enumerate(syms)}
+                tables[(tc, th)] = enc
+                counts = [0] * 16
+                counts[L - 1] = len(syms)
+                dht_payload += bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
+
+        # bit-pack MSB-first with byte stuffing
+        out_bits = bytearray()
+        acc, nacc = 0, 0
+        def emit(code, n):
+            nonlocal acc, nacc
+            for i in range(n - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    out_bits.append(acc)
+                    if acc == 0xFF:
+                        out_bits.append(0x00)
+                    acc, nacc = 0, 0
+        for kind, cls, sym, extras in sym_stream:
+            tc = 0 if kind == "dc" else 1
+            code, L = tables[(tc, cls)][sym]
+            emit(code, L)
+            for bits, n in extras:
+                if n:
+                    emit(bits, n)
+        if nacc:
+            acc <<= (8 - nacc)
+            acc |= (1 << (8 - nacc)) - 1  # pad with 1s per spec
+            out_bits.append(acc)
+            if acc == 0xFF:
+                out_bits.append(0x00)
+
+        import struct
+        buf = bytearray(b"\xff\xd8")
+        qt = bytes([0]) + bytes([q] * 64)
+        buf += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+        nc = len(planes)
+        sof = struct.pack(">BHHB", 8, h, w, nc)
+        for ci, (sh, sv) in enumerate(samp):
+            sof += bytes([ci + 1, (sh << 4) | sv, 0])
+        buf += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        buf += b"\xff\xc4" + struct.pack(">H", 2 + len(dht_payload)) + bytes(dht_payload)
+        sos = bytes([nc])
+        for ci in range(nc):
+            cls = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += b"\x00\x3f\x00"
+        buf += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        buf += bytes(out_bits) + b"\xff\xd9"
+        return bytes(buf)
+
+    def test_solid_gray_exact(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+
+        img = np.full((16, 16), 128, dtype=np.uint8)
+        out = _decode_jpeg_rgb(self._encode(img))
+        assert out is not None and out.shape == (16, 16, 3)
+        assert np.all(out == 128)
+
+    def test_solid_color_444_close(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+        out = _decode_jpeg_rgb(self._encode(img))
+        assert out is not None and out.shape == (8, 8, 3)
+        assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 12
+
+    def test_gradient_420_close(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+
+        yy, xx = np.mgrid[0:24, 0:20]
+        img = np.stack(
+            [(yy * 5) % 256, (xx * 7) % 256, ((yy + xx) * 3) % 256], axis=2
+        ).astype(np.uint8)
+        out = _decode_jpeg_rgb(self._encode(img, subsample=True))
+        assert out is not None and out.shape == (24, 20, 3)
+        # lossy + 4:2:0 chroma: measured mean abs error ~2.6
+        assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 6
+
+    def test_non_baseline_and_garbage_rejected(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+
+        assert _decode_jpeg_rgb(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
+        assert _decode_jpeg_rgb(b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x01") is None
+        assert _decode_jpeg_rgb(b"junk") is None
