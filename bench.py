@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "semantic_dedup",
     "bm25f_retrieval",
+    "heavy_hitters",
+    "rolling_corr",
 ]
 
 

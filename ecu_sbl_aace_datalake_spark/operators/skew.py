@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def with_salt(df: DataFrame, salt_cols: list[str], buckets: int = 8, out_col: str = "__salt") -> DataFrame:
@@ -82,3 +83,86 @@ def salted_distinct_count(
     return all_groups.join(counts, group_col, "left").select(
         group_col, F.coalesce("n_distinct", F.lit(0)).alias("n_distinct")
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 4096,
+    strict: bool = True,
+) -> DataFrame:
+    """EXACT top-k most-frequent values in two passes, never shuffling the
+    full distinct domain — the heavy-hitter shape for columns whose
+    cardinality explodes at 100 TB (urls, user ids, tokens):
+
+    1. **Candidates**: one mapInPandas pass builds a per-partition
+       Misra-Gries summary (``capacity`` counters, merged batch-wise with
+       the mergeable-summaries rule — add exact batch counts, subtract the
+       (capacity+1)-th largest, keep positives; Agarwal et al., PODS'12).
+       MG guarantees any value with partition count > n_p/(capacity+1)
+       survives its partition; by averaging, every value with GLOBAL count
+       > n/(capacity+1) survives in at least one partition, so the union
+       of candidates is a provable superset of all such values. Candidate
+       volume is bounded by capacity × partitions, independent of the
+       domain size.
+    2. **Exact recount**: broadcast-semi-join the candidate set back and
+       exactly count only those rows — one tiny-domain aggregate instead
+       of a full-domain shuffle.
+
+    The result is PROVABLY exact when the k-th returned count exceeds
+    n/(capacity+1) (checked post-hoc; ``strict=True`` raises otherwise —
+    re-run with a larger capacity). Deterministic tie-break (count desc,
+    value asc).
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    fld = next(f for f in df.schema.fields if f.name == col)
+    vtype = fld.dataType.simpleString()
+
+    def mg(batches):
+        counters = pd.Series(dtype="float64")
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            if vc.empty:
+                continue
+            counters = counters.add(vc, fill_value=0.0)
+            if len(counters) > cap:
+                cut = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        vals = (
+            pd.Series([], dtype=object)
+            if counters.empty
+            else counters.index.to_series().reset_index(drop=True)
+        )
+        yield pd.DataFrame({col: vals})
+
+    cands = df.select(col).mapInPandas(mg, schema=f"{col} {vtype}").distinct()
+    counted = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        counted.orderBy(F.col("cnt").desc(), F.col(col).asc())
+        .limit(int(k))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col(col).asc())
+            ).cast("long"),
+        )
+    )
+    if strict:
+        rows = top.collect()
+        n = df.where(F.col(col).isNotNull()).count()
+        if rows and rows[-1]["cnt"] * (cap + 1) <= n:
+            raise ValueError(
+                f"heavy_hitters_exact: k-th count {rows[-1]['cnt']} is not "
+                f"provably exact at capacity {cap} (support bound "
+                f"{n/(cap+1):.1f}); raise capacity"
+            )
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, top.schema)
+    return top

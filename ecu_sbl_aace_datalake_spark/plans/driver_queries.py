@@ -25,6 +25,7 @@ from ..operators import (
     graph,
     profile,
     similarity,
+    skew,
     star,
     textstats,
     timeseries,
@@ -5378,6 +5379,69 @@ FROM t
 """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-50-row Pearson correlation between event value and
+    event time (drift-of-value-with-time detector): one shuffle on
+    user_id, bounded ROWS frame so WindowExec streams without
+    materializing partitions. Emitted only where the frame holds ≥ 10
+    rows — below that both engines' corr edge cases (single point,
+    zero variance) diverge in representation, not meaning."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(-49, 0)
+    )
+    t_sec = F.unix_micros(F.col("ts")).cast("double") / 1e6
+    return evdf.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.count("value").over(w) >= 10,
+            # + 0.0 collapses IEEE negative zero so both engines emit +0
+            F.round(F.corr(F.col("value"), t_sec).over(w), 4) + F.lit(0.0),
+        ).alias("corr_value_time"),
+    )
+
+
+SQL_ROLLING_CORR = """
+SELECT user_id, event_id,
+       CASE WHEN COUNT(value) OVER w >= 10 THEN
+         ROUND(corr(value, epoch_us(ts) / 1000000.0) OVER w, 4) + 0.0
+       END AS corr_value_time
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens via two-pass heavy hitters: per-partition
+    mergeable Misra-Gries candidates (bounded memory, no full-domain
+    shuffle) + broadcast-semi-join exact recount, provably exact at this
+    capacity (strict post-hoc support check). Oracle is the brute-force
+    full groupBy — results must be identical."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(textstats.tokens("text")).alias("token"))
+    return skew.heavy_hitters_exact(toks, "token", k=10, capacity=256)
+
+
+SQL_HEAVY_HITTERS = r"""
+SELECT token, cnt, rank FROM (
+  SELECT token, COUNT(*) AS cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS BIGINT)
+           AS rank
+  FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token
+) WHERE rank <= 10
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: k-means clusters bound the
     candidate join (Σ|cluster|² pairs, never n²), within-cluster cosine ≥
@@ -5658,6 +5722,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trailing_window": q_events_trailing_window,
     "semantic_dedup": q_semantic_dedup,
     "bm25f_retrieval": q_bm25f_retrieval,
+    "heavy_hitters": q_heavy_hitters,
+    "rolling_corr": q_rolling_corr,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5788,6 +5854,8 @@ ORACLES: dict[str, str] = {
     "events_trailing_window": SQL_EVENTS_TRAILING_WINDOW,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "bm25f_retrieval": SQL_BM25F_RETRIEVAL,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "rolling_corr": SQL_ROLLING_CORR,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

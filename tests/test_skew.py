@@ -63,3 +63,53 @@ def test_salted_distinct_count_ignores_nulls(spark):
     # exact COUNT(DISTINCT) semantics: nulls ignored, all-null groups kept
     # with count 0 (SQL GROUP BY keeps every group)
     assert got == {"g": 2, "h": 0}
+
+
+class TestHeavyHittersExact:
+    def _zipf(self, spark):
+        # value i appears 2^(10-i) times: heavy skew, exact counts known
+        rows = [(f"v{i}",) for i in range(10) for _ in range(2 ** (10 - i))]
+        return spark.createDataFrame(rows, "token string").repartition(8)
+
+    def test_matches_exact_groupby(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import heavy_hitters_exact
+
+        df = self._zipf(spark)
+        out = heavy_hitters_exact(df, "token", k=5, capacity=32).collect()
+        assert [(r["token"], r["cnt"], r["rank"]) for r in out] == [
+            ("v0", 1024, 1), ("v1", 512, 2), ("v2", 256, 3),
+            ("v3", 128, 4), ("v4", 64, 5),
+        ]
+
+    def test_strict_raises_when_unprovable(self, spark):
+        import pytest as _pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.skew import heavy_hitters_exact
+
+        # near-uniform domain of 50 values, capacity 4: kth count is far
+        # below n/(capacity+1) -> cannot be certified
+        rows = [(f"u{i:02d}",) for i in range(50) for _ in range(20)]
+        df = spark.createDataFrame(rows, "token string").repartition(4)
+        with _pytest.raises(ValueError, match="provably exact"):
+            heavy_hitters_exact(df, "token", k=5, capacity=4)
+
+    def test_candidate_volume_is_bounded(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import heavy_hitters_exact
+
+        # wide domain + skewed head: top-3 still exact with tiny capacity
+        rows = [("hot", )] * 500 + [("warm",)] * 200 + [("mild",)] * 100
+        rows += [(f"cold{i}",) for i in range(300)]
+        df = spark.createDataFrame(rows, "token string").repartition(6)
+        out = heavy_hitters_exact(df, "token", k=3, capacity=16).collect()
+        assert [(r["token"], r["cnt"]) for r in out] == [
+            ("hot", 500), ("warm", 200), ("mild", 100),
+        ]
+
+    def test_nulls_ignored(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import heavy_hitters_exact
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [(None,)] * 10 + [("b",)] * 3, "token string"
+        )
+        out = heavy_hitters_exact(df, "token", k=2, capacity=8).collect()
+        assert [(r["token"], r["cnt"]) for r in out] == [("a", 5), ("b", 3)]
