@@ -1380,3 +1380,86 @@ class TestJpegDecode:
         assert _decode_jpeg_rgb(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
         assert _decode_jpeg_rgb(b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x01") is None
         assert _decode_jpeg_rgb(b"junk") is None
+
+
+class TestGifFrames:
+    @staticmethod
+    def _animated(disposal=1, transparent=False):
+        """2-frame 6x6 animation: solid red screen, then a 2x2 green patch
+        at (2,2). Built on the TestGifDecode encoder's bit-packer but with
+        explicit GCE blocks and frame placement."""
+        import numpy as np
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], np.uint8)
+        f0 = np.zeros((6, 6), dtype=np.uint8)  # all red
+        f1 = np.full((2, 2), 1, dtype=np.uint8)  # green patch
+        base = TestGifDecode._gif(f0, pal)
+        # base = header+LSD+GCT | image-desc f0 | trailer; splice in frame 1
+        # rebuild manually: take everything up to trailer, append GCE+desc
+        body = bytearray(base[:-2])  # drop 0x00 0x3b? last two bytes are
+        # sub-block terminator already included; base ends with b"\x00\x3b"
+        body = bytearray(base[:-1])  # keep terminator, drop trailer 0x3b
+        gpk = (disposal << 2) | (1 if transparent else 0)
+        gce = bytes([0x21, 0xF9, 4, gpk, 10, 0, 3 if transparent else 0, 0])
+        body += gce
+        # encode frame 1 with the same encoder then extract its descriptor
+        g1 = TestGifDecode._gif(f1, pal)
+        # descriptor starts after header(6)+LSD(7)+GCT
+        gct_len = 3 * 4
+        desc1 = bytearray(g1[13 + gct_len : -1])  # strip trailer
+        # set left=2, top=2
+        desc1[1:3] = (2).to_bytes(2, "little")
+        desc1[3:5] = (2).to_bytes(2, "little")
+        body += desc1
+        body += b"\x3b"
+        return bytes(body)
+
+    def test_frame_meta_counts(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import gif_frame_meta
+
+        n, total = gif_frame_meta(self._animated())
+        assert n == 2 and total == 10  # second frame carries 10 cs delay
+
+    def test_frame_composition(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_gif_frame
+
+        g = self._animated()
+        f0 = decode_gif_frame(g, 0)
+        assert np.all(f0 == [255, 0, 0])
+        f1 = decode_gif_frame(g, 1)
+        assert np.all(f1[2:4, 2:4] == [0, 255, 0])  # patch drawn
+        assert np.all(f1[0, 0] == [255, 0, 0])  # rest keeps frame 0
+        assert decode_gif_frame(g, 2) is None
+
+    def test_transparency_keeps_underlying(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_gif_frame
+
+        # frame 1's patch uses palette index 1 everywhere; transparent
+        # index 3 unused -> draws fully. Use transparent=True with index 3
+        # so nothing is masked; then flip: patch of index 3 is fully
+        # transparent and must leave frame 0 visible.
+        g = self._animated(transparent=True)
+        f1 = decode_gif_frame(g, 1)
+        assert np.all(f1[2:4, 2:4] == [0, 255, 0])
+
+    def test_decode_frame_entry_point(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_frame
+
+        raw = _decode_frame(self._animated(), 1)
+        arr = np.frombuffer(raw, np.uint8).reshape(6, 6, 3)
+        assert np.all(arr[2:4, 2:4] == [0, 255, 0])
+
+    def test_frame_sample_plan_uses_real_gif_count(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._animated()))], "media_id long, payload binary"
+        )
+        out = frame_sample_plan(df, every_n=1).collect()
+        assert len(out) == 2  # exactly the animation's frame count
