@@ -203,3 +203,67 @@ def label_propagation(
         if i % materialize_every == 0 and i < iterations:
             labels = labels.localCheckpoint()
     return labels
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count via degree-ordered edge orientation (the
+    MapReduce-classic of Suri & Vassilvitskii, WWW'11): orient every
+    undirected edge from the endpoint with the smaller (degree, id) to
+    the larger, enumerate wedges from each node's oriented neighbours,
+    and close them against the oriented edge set.
+
+    Why this shape at 100 TB: orientation bounds every node's oriented
+    out-degree by O(√m) — the wedge join (the quadratic step) is
+    generated from the LOW-degree endpoint, so a celebrity node with 10⁸
+    followers contributes almost no wedges instead of 10¹⁶. Three
+    shuffles total (degree agg, wedge self-join, closing join); each
+    triangle is counted exactly once because its three vertices have a
+    unique (degree, id) order.
+
+    Returns a 1-row DataFrame ``(n_triangles)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.struct("db", F.col("b").alias("n")))
+        .otherwise(F.struct(F.col("da").alias("db"), F.col("a").alias("n")))
+        .alias("v"),
+    )
+    # wedges from the low endpoint: (u -> v), (u -> w) with rank(v) < rank(w)
+    lhs = oriented.select("u", F.col("v").alias("v1"))
+    rhs = oriented.select("u", F.col("v").alias("v2"))
+    wedges = lhs.join(rhs, "u").where(
+        (F.col("v1.db") < F.col("v2.db"))
+        | ((F.col("v1.db") == F.col("v2.db")) & (F.col("v1.n") < F.col("v2.n")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("cu"), F.col("v.n").alias("cv")
+    )
+    closed = wedges.join(
+        closing,
+        (F.col("v1.n") == F.col("cu")) & (F.col("v2.n") == F.col("cv")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

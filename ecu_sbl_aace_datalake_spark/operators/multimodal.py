@@ -728,13 +728,14 @@ def parse_wav_header(payload: bytes) -> dict | None:
         elif cid == b"data":
             data_len = clen
         i += 8 + clen + (clen % 2)  # chunks pad to even length
-    if not fmt or data_len is None or fmt["audio_format"] != 1:
+    if not fmt or data_len is None or fmt["audio_format"] not in (1, 6, 7):
         return None
     bytes_per_frame = fmt["channels"] * fmt["bits"] // 8
     if bytes_per_frame == 0:
         return None
     n = data_len // bytes_per_frame
     return {
+        "audio_format": fmt["audio_format"],
         "sample_rate": fmt["sample_rate"],
         "channels": fmt["channels"],
         "bits": fmt["bits"],
@@ -749,12 +750,40 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
+def _g711_tables():
+    """ITU-T G.711 expansion tables: 256-entry int16 lookup per law,
+    byte-for-byte identical to stdlib ``audioop.ulaw2lin``/``alaw2lin``
+    (asserted in tests). Companding is pure table math — no codec."""
+    import numpy as np
+
+    mu = np.zeros(256, dtype=np.int16)
+    al = np.zeros(256, dtype=np.int16)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84) << exp
+        mu[byte] = -(mag - 0x84) if u & 0x80 else (mag - 0x84)
+        a = byte ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        al[byte] = -mag if not (a & 0x80) else mag
+    return mu, al
+
+
 def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL audio decode for PCM WAV via mapInPandas (numpy, no codec lib):
-    header fields plus signal RMS and peak over normalized [-1, 1] samples
-    (16-bit and 8-bit PCM). Non-WAV / compressed payloads come back
-    ``decoded=false`` with null stats. Rounded to 6dp for engine-stable
-    comparison."""
+    """REAL audio decode for WAV via mapInPandas (numpy, no codec lib):
+    header fields plus signal RMS and peak over normalized [-1, 1]
+    samples. Linear PCM (8/16-bit) decodes by reinterpretation; G.711
+    companded telephony WAVs (A-law format 6, μ-law format 7) expand
+    through 256-entry lookup tables built from the ITU G.711 formulas —
+    companding is table math, not a codec. Truly-compressed payloads
+    (MP3/AAC) come back ``decoded=false`` with null stats. Rounded to 6dp
+    for engine-stable comparison."""
     import numpy as np
 
     passthrough = [c for c in df.columns if c != payload_col]
@@ -766,6 +795,8 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     full_schema = (
         f"{out_schema}, {AUDIO_STATS_SCHEMA}" if out_schema else AUDIO_STATS_SCHEMA
     )
+
+    mu_table, alaw_table = _g711_tables()
 
     def stats(b: bytes):
         hdr = parse_wav_header(b or b"")
@@ -785,12 +816,17 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             i += 8 + clen + (clen % 2)
         if data is None:
             return none8
-        if hdr["bits"] == 16:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        if hdr["audio_format"] == 7:  # G.711 mu-law
+            arr = mu_table[codes].astype(np.float64) / 32768.0
+        elif hdr["audio_format"] == 6:  # G.711 A-law
+            arr = alaw_table[codes].astype(np.float64) / 32768.0
+        elif hdr["bits"] == 16:
             arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
                 np.float64
             ) / 32768.0
         else:  # 8-bit PCM is unsigned, midpoint 128
-            arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            arr = (codes.astype(np.float64) - 128.0) / 128.0
         if arr.size == 0:
             rms = peak = 0.0
         else:

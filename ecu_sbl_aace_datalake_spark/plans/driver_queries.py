@@ -5379,6 +5379,44 @@ FROM t
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the supplier co-occurrence graph (edge =
+    two suppliers sharing an order) via degree-ordered orientation — the
+    wedge join generates from the low-degree endpoint, bounding the
+    quadratic step at O(m^1.5) regardless of hub suppliers. Oracle is the
+    brute-force a<b<c triple join in DuckDB."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").cast("string").alias("src"),
+            F.col("y.l_suppkey").cast("string").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH edges AS (
+  SELECT DISTINCT CAST(x.l_suppkey AS VARCHAR) AS a,
+                  CAST(y.l_suppkey AS VARCHAR) AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+),
+und AS (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM edges
+)
+SELECT COUNT(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+"""
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing-50-row Pearson correlation between event value and
     event time (drift-of-value-with-time detector): one shuffle on
@@ -5724,6 +5762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25f_retrieval": q_bm25f_retrieval,
     "heavy_hitters": q_heavy_hitters,
     "rolling_corr": q_rolling_corr,
+    "triangle_count": q_triangle_count,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5856,6 +5895,7 @@ ORACLES: dict[str, str] = {
     "bm25f_retrieval": SQL_BM25F_RETRIEVAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "rolling_corr": SQL_ROLLING_CORR,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

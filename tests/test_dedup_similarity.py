@@ -1463,3 +1463,64 @@ class TestGifFrames:
         )
         out = frame_sample_plan(df, every_n=1).collect()
         assert len(out) == 2  # exactly the animation's frame count
+
+
+class TestG711Decode:
+    @staticmethod
+    def _wav(fmt_code, data, rate=8000):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def _stats(self, spark, payload):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import audio_stats
+
+        df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+        return audio_stats(df, "payload").collect()[0]
+
+    def test_mulaw_silence_and_max(self, spark):
+        # mu-law 0xFF encodes 0; 0x80 encodes the most negative value
+        row = self._stats(spark, self._wav(7, bytes([0xFF] * 100)))
+        assert row["decoded"] is True and row["rms"] == 0.0
+        row = self._stats(spark, self._wav(7, bytes([0x80] * 10)))
+        assert row["peak"] > 0.9  # near full scale
+
+    def test_alaw_silence(self, spark):
+        # A-law 0xD5 (0x55 after XOR) encodes the smallest magnitude (+8)
+        row = self._stats(spark, self._wav(6, bytes([0xD5] * 50)))
+        assert row["decoded"] is True and row["peak"] < 0.001
+
+    def test_mulaw_known_value(self, spark):
+        # mu-law byte 0x9A decodes to +10876 (cross-checked vs audioop)
+        row = self._stats(spark, self._wav(7, bytes([0x9A] * 4)))
+        assert abs(row["peak"] - 10876 / 32768.0) < 1e-6
+
+    def test_tables_match_audioop_reference(self):
+        # stdlib audioop (present through 3.12) implements ITU G.711;
+        # both 256-entry tables must agree byte-for-byte
+        import pytest as _pytest
+
+        audioop = _pytest.importorskip("audioop")
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _g711_tables
+
+        mu, al = _g711_tables()
+        ref_mu = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+        ref_al = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+        assert np.array_equal(mu, ref_mu)
+        assert np.array_equal(al, ref_al)
+
+    def test_pcm_path_unchanged(self, spark):
+        import struct
+
+        data = struct.pack("<4h", 0, 16384, -16384, 0)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        row = self._stats(spark, wav)
+        assert row["decoded"] is True and row["peak"] == 0.5

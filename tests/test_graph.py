@@ -131,3 +131,37 @@ class TestBroadcastDispatch:
         sh = label_propagation(df, iterations=4, broadcast_labels=False).collect()
         probed = label_propagation(df, iterations=4, broadcast_threshold=1).collect()
         assert sorted(map(tuple, bc)) == sorted(map(tuple, sh)) == sorted(map(tuple, probed))
+
+
+class TestTriangleCount:
+    def _count(self, spark, pairs):
+        from ecu_sbl_aace_datalake_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    def test_k4_has_four(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+        assert self._count(spark, edges) == 4
+
+    def test_triangle_with_pendant(self, spark):
+        assert self._count(
+            spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        ) == 1
+
+    def test_path_and_star_have_none(self, spark):
+        assert self._count(spark, [("a", "b"), ("b", "c"), ("c", "d")]) == 0
+        assert self._count(spark, [("hub", x) for x in "abcde"]) == 0
+
+    def test_shared_edge_two_triangles(self, spark):
+        assert self._count(
+            spark,
+            [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "c")],
+        ) == 2
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        assert self._count(
+            spark,
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "b"), ("a", "a")],
+        ) == 1
