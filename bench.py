@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "bm25f_retrieval",
     "heavy_hitters",
     "rolling_corr",
+    "triangle_count",
 ]
 
 
