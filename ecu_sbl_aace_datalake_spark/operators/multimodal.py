@@ -1235,7 +1235,7 @@ def _decode_jpeg_rgb(p: bytes):
                         pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
                     out.append(pl[:h, :w])
                 if len(out) == 1:
-                    y = np.clip(out[0], 0, 255)
+                    y = np.clip(np.round(out[0]), 0, 255)
                     return np.ascontiguousarray(
                         np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
                     )
@@ -1244,7 +1244,7 @@ def _decode_jpeg_rgb(p: bytes):
                 g = y - 0.344136 * cb - 0.714136 * cr
                 b = y + 1.772 * cb
                 rgb = np.stack([r, g, b], axis=2)
-                return np.clip(rgb, 0, 255).astype(np.uint8)
+                return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
             elif marker == 0xD9:
                 return None
             i += 2 + seg_len

@@ -1524,3 +1524,136 @@ class TestG711Decode:
         wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
         row = self._stats(spark, wav)
         assert row["decoded"] is True and row["peak"] == 0.5
+
+
+class TestJpegRestartIntervals:
+    @staticmethod
+    def _encode_with_dri(img, restart_every=2, q=16):
+        """Grayscale baseline JPEG with a DRI segment and RSTn markers
+        every ``restart_every`` MCUs — exercises the decoder's byte
+        realignment and DC-predictor reset."""
+        import struct
+
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _jpeg_idct_matrix,
+        )
+
+        m = _jpeg_idct_matrix()
+        zz = np.array(_JPEG_ZIGZAG)
+        h, w = img.shape
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        pl = np.zeros((mcuy * 8, mcux * 8))
+        pl[:h, :w] = img
+        pl[h:, :w] = img[-1:, :]
+        pl[:, w:] = pl[:, w - 1 : w]
+
+        # build per-MCU symbol groups so RST markers can split them
+        def mag(v):
+            t = abs(v).bit_length()
+            return t, (v if v >= 0 else v + (1 << t) - 1)
+
+        groups, pred = [], 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                qc = np.round((m @ blk @ m.T) / q).astype(np.int32).reshape(-1)[zz]
+                syms = []
+                diff = int(qc[0]) - pred
+                pred = int(qc[0])
+                t, bits = mag(diff)
+                syms.append(("dc", t, [(bits, t)]))
+                run = 0
+                last_nz = max([k for k in range(1, 64) if qc[k]], default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(qc[k])
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            syms.append(("ac", 0xF0, []))
+                            run = 0
+                        continue
+                    s, bits = mag(v)
+                    syms.append(("ac", (run << 4) | s, [(bits, s)]))
+                    run = 0
+                if last_nz < 63:
+                    syms.append(("ac", 0x00, []))
+                groups.append(syms)
+                # DC predictor resets at each restart boundary
+                if (len(groups)) % restart_every == 0:
+                    pred = 0
+
+        dc_syms = sorted({s for g in groups for k, s, _ in g if k == "dc"})
+        ac_syms = sorted({s for g in groups for k, s, _ in g if k == "ac"})
+        Ld = max(2, (len(dc_syms) + 1).bit_length())
+        La = max(2, (len(ac_syms) + 1).bit_length())
+        enc = {("dc", s): (i, Ld) for i, s in enumerate(dc_syms)}
+        enc.update({("ac", s): (i, La) for i, s in enumerate(ac_syms)})
+        dht = bytearray()
+        for tc, syms, L in ((0, dc_syms, Ld), (1, ac_syms, La)):
+            counts = [0] * 16
+            counts[L - 1] = len(syms)
+            dht += bytes([tc << 4]) + bytes(counts) + bytes(syms)
+
+        out_bits = bytearray()
+        acc, nacc = 0, 0
+
+        def emit(code, n):
+            nonlocal acc, nacc
+            for i in range(n - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    out_bits.append(acc)
+                    if acc == 0xFF:
+                        out_bits.append(0x00)
+                    acc, nacc = 0, 0
+
+        def flush():
+            nonlocal acc, nacc
+            if nacc:
+                acc <<= 8 - nacc
+                acc |= (1 << (8 - nacc)) - 1
+                out_bits.append(acc)
+                if acc == 0xFF:
+                    out_bits.append(0x00)
+                acc, nacc = 0, 0
+
+        rst = 0
+        for gi, g in enumerate(groups):
+            for kind, sym, extras in g:
+                code, L = enc[(kind, sym)]
+                emit(code, L)
+                for bits, n in extras:
+                    if n:
+                        emit(bits, n)
+            if (gi + 1) % restart_every == 0 and gi + 1 < len(groups):
+                flush()
+                out_bits += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+        flush()
+
+        buf = bytearray(b"\xff\xd8")
+        qt = bytes([0]) + bytes([q] * 64)
+        buf += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+        buf += b"\xff\xdd" + struct.pack(">HH", 4, restart_every)
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        buf += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        buf += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + bytes(dht)
+        sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        buf += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        buf += bytes(out_bits) + b"\xff\xd9"
+        return bytes(buf)
+
+    def test_restart_markers_roundtrip(self):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+
+        # 4 MCUs wide x 2 tall, restart every 2 MCUs -> 3 RST markers
+        grad = np.linspace(40, 210, 32 * 16).reshape(16, 32).astype(np.uint8)
+        out = _decode_jpeg_rgb(self._encode_with_dri(grad, restart_every=2))
+        assert out is not None and out.shape == (16, 32, 3)
+        assert np.mean(np.abs(out[:, :, 0].astype(int) - grad.astype(int))) < 4

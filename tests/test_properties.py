@@ -112,3 +112,54 @@ class TestListHelperProperties:
         out = transform.replace_value_in_list(lst, old, new)
         assert len(out) == len(lst)
         assert old not in out or old == new
+
+
+class TestCodecProperties:
+    """Round-trip invariants for the pure-Python image codecs: any image,
+    any filter assignment, decode(encode(x)) == x (PNG/GIF are lossless)."""
+
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(0, 2**32 - 1),
+        st.lists(st.sampled_from([0, 1, 2, 4]), min_size=12, max_size=12),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_any_filters(self, h, w, seed, filters):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_png_rgb
+        from tests.test_dedup_similarity import TestPngDecode
+
+        rng = np.random.RandomState(seed % (2**31))
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        out = _decode_png_rgb(TestPngDecode._png(img, filters=filters[:h]))
+        assert np.array_equal(out, img)
+
+    @given(st.integers(1, 10), st.integers(1, 10), st.integers(0, 2**31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_gif_roundtrip(self, h, w, seed):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_gif_rgb
+        from tests.test_dedup_similarity import TestGifDecode
+
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+        idx = rng.randint(0, 4, (h, w)).astype(np.uint8)
+        out = _decode_gif_rgb(TestGifDecode._gif(idx, pal))
+        assert np.array_equal(out, pal[idx])
+
+    @given(st.integers(0, 2**31 - 1))
+    @settings(max_examples=15, deadline=None)
+    def test_jpeg_solid_even_gray_exact(self, seed):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_jpeg_rgb
+        from tests.test_dedup_similarity import TestJpegDecode
+
+        # even gray values decode exactly (DC-only block, integer quotient)
+        g = (seed % 128) * 2
+        img = np.full((8, 8), g, dtype=np.uint8)
+        out = _decode_jpeg_rgb(TestJpegDecode._encode(img))
+        assert out is not None and int(out[0, 0, 0]) == g
