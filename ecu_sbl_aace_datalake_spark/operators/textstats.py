@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..caching import CacheScope, persist_in
 
@@ -764,4 +765,92 @@ def bm25f_topk_text(
         scored.withColumn("rank", F.row_number().over(wdw).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rank")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+    out_col: str = "dsir_weight",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 — Data Selection
+    via Importance Resampling): score every document by how much more
+    likely its hashed-bigram bag is under the TARGET distribution than
+    under the RAW distribution,
+    ``w(x) = Σ_features c(x, f) · [ln p_target(f) − ln p_raw(f)]``,
+    with bigrams hashed into ``n_buckets`` (the paper's hashed n-gram
+    features) and add-k smoothing on both bucket distributions.
+
+    ``is_target`` is a boolean Column splitting the corpus into the
+    target slice (what you want more of) and the raw rest. High-weight
+    documents are most target-like; select by rank (or Gumbel-resample
+    externally) to build the mixture.
+
+    Hashing uses md5 (not xxhash64) so the computation is reproducible in
+    ANSI-SQL engines for oracle verification. Scale: one explode + two
+    bucket-count shuffles over a FIXED n_buckets domain (the per-feature
+    tables are tiny and broadcast back), then one join of the per-doc
+    bucket counts — no vocabulary ever collects, and feature cardinality
+    is capped by construction.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    base = df.select(F.col(id_col), is_target.alias("__tgt"), toks.alias("__t"))
+    n_t = F.size("__t")
+    grams = base.select(
+        id_col,
+        "__tgt",
+        F.explode(
+            F.when(
+                n_t >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__t"), i),
+                        F.element_at(F.col("__t"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    ).alias("bucket")
+    bucketed = grams.select(id_col, "__tgt", bucket)
+    # per-class bucket totals over the FIXED bucket domain
+    totals = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+    )
+    n_t_total = F.sum("c_t").over(Window.partitionBy())
+    n_r_total = F.sum("c_r").over(Window.partitionBy())
+    k = float(add_k)
+    b = float(n_buckets)
+    ratios = totals.select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + F.lit(k)) / (n_t_total + F.lit(k * b)))
+            - F.log((F.col("c_r") + F.lit(k)) / (n_r_total + F.lit(k * b)))
+        ).alias("log_ratio"),
+    )
+    doc_counts = bucketed.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weights = (
+        doc_counts.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            # + 0.0 collapses IEEE negative zero for engine-stable output
+            (F.round(F.sum(F.col("c") * F.col("log_ratio")), round_to) + F.lit(0.0))
+            .alias(out_col)
+        )
+    )
+    return df.select(id_col).join(weights, id_col, "left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
     )

@@ -5379,6 +5379,61 @@ FROM t
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23): hashed-bigram bag
+    likelihood ratio of the English slice (target) vs the rest (raw) —
+    the data-mixing signal for importance resampling. md5 bucket hashing
+    keeps the computation ANSI-SQL-replicable; fixed 1024-bucket feature
+    domain caps cardinality at any corpus size. Rounded to 4dp (the
+    weight is an order-insensitive sum of a few hundred doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.dsir_importance_weights(
+        docs, F.col("lang") == "en", round_to=4
+    )
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tgt,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM tok
+),
+b AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM grams
+),
+totals AS (
+  SELECT bucket,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS c_r
+  FROM b GROUP BY bucket
+),
+ratios AS (
+  SELECT bucket,
+         LN((c_t + 1.0) / (SUM(c_t) OVER () + 1024.0))
+         - LN((c_r + 1.0) / (SUM(c_r) OVER () + 1024.0)) AS log_ratio
+  FROM totals
+),
+doc_counts AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+),
+w AS (
+  SELECT doc_id, ROUND(SUM(c * log_ratio), 4) + 0.0 AS dsir_weight
+  FROM doc_counts JOIN ratios USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(w.dsir_weight, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the supplier co-occurrence graph (edge =
     two suppliers sharing an order) via degree-ordered orientation — the
@@ -5772,6 +5827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "rolling_corr": q_rolling_corr,
     "triangle_count": q_triangle_count,
+    "dsir_weights": q_dsir_weights,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5905,6 +5961,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "rolling_corr": SQL_ROLLING_CORR,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

@@ -1657,3 +1657,41 @@ class TestJpegRestartIntervals:
         out = _decode_jpeg_rgb(self._encode_with_dri(grad, restart_every=2))
         assert out is not None and out.shape == (16, 32, 3)
         assert np.mean(np.abs(out[:, :, 0].astype(int) - grad.astype(int))) < 4
+
+
+class TestDsirWeights:
+    def test_target_slice_scores_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            dsir_importance_weights,
+        )
+
+        rows = [(i, "the quick brown fox jumps over the lazy dog", "en") for i in range(10)]
+        rows += [(100 + i, "der schnelle braune fuchs springt sehr hoch", "de") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = dsir_importance_weights(df, F.col("lang") == "en", n_buckets=64)
+        byl = {
+            r["lang"]: r["avg_w"]
+            for r in out.join(df, "doc_id")
+            .groupBy("lang")
+            .agg(F.avg("dsir_weight").alias("avg_w"))
+            .collect()
+        }
+        assert byl["en"] > 0 > byl["de"]
+
+    def test_short_docs_get_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            dsir_importance_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "word", "en"), (2, "a b c d e", "en"), (3, "a b c d x", "de")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: r["dsir_weight"] for r in
+               dsir_importance_weights(df, F.col("lang") == "en").collect()}
+        assert out[1] == 0.0  # < 2 tokens -> no bigrams -> weight 0
+        assert len(out) == 3
