@@ -854,3 +854,46 @@ def dsir_importance_weights(
     return df.select(id_col).join(weights, id_col, "left").select(
         id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
     )
+
+
+def gumbel_topk_resample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel-top-k resampling — draw ``k`` rows WITHOUT replacement with
+    probability ∝ exp(weight/temperature), as one distributed top-k
+    (Vieira 2014; the selection step of DSIR): adding independent
+    Gumbel(0,1) noise to each log-weight and taking the arg-top-k is
+    exactly weighted sampling without replacement.
+
+    The Gumbel variate is DETERMINISTIC — ``u`` comes from
+    ``md5(seed # id)`` mapped into (0,1), then ``g = −ln(−ln u)`` — so
+    results are reproducible across engines, partitionings, and retries
+    (no RNG), and the whole draw is a TakeOrderedAndProject, not a
+    shuffle-the-world sort.
+    """
+    two53 = float(1 << 53)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(str(seed)), F.col(id_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 53)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(two53)
+    gumbel = -F.log(-F.log(u))
+    score = F.col(weight_col) / F.lit(float(temperature)) + gumbel
+    return (
+        df.withColumn("resample_score", F.round(score, 6))
+        .orderBy(F.col("resample_score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

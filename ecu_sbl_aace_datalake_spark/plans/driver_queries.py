@@ -5434,6 +5434,37 @@ FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 """
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k resampling over the importance
+    weights — k=100 docs drawn without replacement ∝ exp(weight), via
+    deterministic hash-derived Gumbel noise (no RNG: reproducible at any
+    partitioning, and the draw is a TakeOrderedAndProject top-k, not a
+    full sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = textstats.dsir_importance_weights(docs, F.col("lang") == "en", round_to=4)
+    return textstats.gumbel_topk_resample(w, "dsir_weight", k=100).select(
+        "doc_id", "dsir_weight", "resample_score"
+    )
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH w AS ({SQL_DSIR_WEIGHTS}),
+scored AS (
+  SELECT doc_id, dsir_weight,
+         ROUND(dsir_weight / 1.0
+               + (-LN(-LN(
+                   ((CAST(('0x' || substr(md5('42' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 9007199254740992) + 0.5) / 9007199254740992.0
+                 ))), 6) AS resample_score
+  FROM w
+)
+SELECT doc_id, dsir_weight, resample_score
+FROM scored
+ORDER BY resample_score DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the supplier co-occurrence graph (edge =
     two suppliers sharing an order) via degree-ordered orientation — the
@@ -5828,6 +5859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_corr": q_rolling_corr,
     "triangle_count": q_triangle_count,
     "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5962,6 +5994,7 @@ ORACLES: dict[str, str] = {
     "rolling_corr": SQL_ROLLING_CORR,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_resample": SQL_DSIR_RESAMPLE,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

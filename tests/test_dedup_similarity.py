@@ -1695,3 +1695,43 @@ class TestDsirWeights:
                dsir_importance_weights(df, F.col("lang") == "en").collect()}
         assert out[1] == 0.0  # < 2 tokens -> no bigrams -> weight 0
         assert len(out) == 3
+
+
+class TestGumbelResample:
+    def test_sampling_is_deterministic_and_weighted(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            gumbel_topk_resample,
+        )
+
+        # 200 candidates: 100 with weight 5, 100 with weight 0 — the
+        # heavy half must dominate any k=50 draw
+        rows = [(i, 5.0) for i in range(100)] + [(100 + i, 0.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = [r["doc_id"] for r in gumbel_topk_resample(df, "w", k=50).collect()]
+        b = [r["doc_id"] for r in
+             gumbel_topk_resample(df.repartition(13), "w", k=50).collect()]
+        assert a == b  # partitioning-independent (hash noise, not RNG)
+        assert sum(1 for d in a if d < 100) >= 45
+
+    def test_seed_changes_draw(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            gumbel_topk_resample,
+        )
+
+        rows = [(i, 1.0) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = {r["doc_id"] for r in gumbel_topk_resample(df, "w", k=30, seed=1).collect()}
+        b = {r["doc_id"] for r in gumbel_topk_resample(df, "w", k=30, seed=2).collect()}
+        assert a != b
+
+    def test_zero_temperature_limit_is_argmax(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            gumbel_topk_resample,
+        )
+
+        # tiny temperature: weights dominate the bounded Gumbel noise
+        rows = [(1, 100.0), (2, 50.0), (3, 0.0)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = [r["doc_id"] for r in
+               gumbel_topk_resample(df, "w", k=2, temperature=0.01).collect()]
+        assert out == [1, 2]
