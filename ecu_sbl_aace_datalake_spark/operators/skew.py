@@ -166,3 +166,45 @@ def heavy_hitters_exact(
         spark = df.sparkSession
         return spark.createDataFrame(rows, top.schema)
     return top
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+) -> DataFrame:
+    """Frequent item PAIRS above an absolute support threshold — the
+    a-priori pruned market-basket co-occurrence (Agrawal & Srikant,
+    VLDB'94): only items that are themselves frequent can appear in a
+    frequent pair, so the pair join runs over the pruned item set.
+
+    Scale design: the candidate explosion of a naive basket self-join is
+    Σ|basket|² over ALL items; pruning first with a broadcast semi-join
+    of frequent items bounds it to frequent-item co-occurrences only —
+    at retail/log scale this is the difference between quadratic-in-tail
+    and linear-with-a-small-head. Two aggregate shuffles + one broadcast
+    semi-join + one self-join on basket id.
+
+    Returns (item_a, item_b, pair_count) with item_a < item_b,
+    pair_count ≥ min_support, deterministic ordering left to the caller.
+    """
+    pairs_base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        pairs_base.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= int(min_support))
+        .select("__i")
+    )
+    pruned = pairs_base.join(F.broadcast(freq_items), "__i", "left_semi")
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    return (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_support))
+    )

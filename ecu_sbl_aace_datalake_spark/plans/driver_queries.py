@@ -5379,6 +5379,38 @@ FROM t
 """
 
 
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori pruned market-basket pairs: suppliers co-occurring in ≥ 25
+    orders. The broadcast semi-join of frequent items bounds the basket
+    self-join to the frequent head — the VLDB'94 pruning that keeps pair
+    mining linear in the long tail."""
+    li = _t(spark, sf_dir, "lineitem")
+    return skew.frequent_pairs(
+        li, "l_orderkey", "l_suppkey", min_support=25
+    ).select(
+        F.col("item_a").cast("long").alias("supp_a"),
+        F.col("item_b").cast("long").alias("supp_b"),
+        "pair_count",
+    )
+
+
+SQL_FREQUENT_PAIRS = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+),
+freq AS (
+  SELECT i FROM base GROUP BY i HAVING COUNT(*) >= 25
+),
+pruned AS (
+  SELECT b, i FROM base WHERE i IN (SELECT i FROM freq)
+)
+SELECT x.i AS supp_a, y.i AS supp_b, COUNT(*) AS pair_count
+FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+GROUP BY 1, 2
+HAVING COUNT(*) >= 25
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS'23): hashed-bigram bag
     likelihood ratio of the English slice (target) vs the rest (raw) —
@@ -5860,6 +5892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
+    "frequent_pairs": q_frequent_pairs,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -5995,6 +6028,7 @@ ORACLES: dict[str, str] = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_resample": SQL_DSIR_RESAMPLE,
+    "frequent_pairs": SQL_FREQUENT_PAIRS,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

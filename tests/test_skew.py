@@ -113,3 +113,32 @@ class TestHeavyHittersExact:
         )
         out = heavy_hitters_exact(df, "token", k=2, capacity=8).collect()
         assert [(r["token"], r["cnt"]) for r in out] == [("a", 5), ("b", 3)]
+
+
+class TestFrequentPairs:
+    def test_support_threshold_and_pruning(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import frequent_pairs
+
+        # items a,b co-occur in 3 baskets; c appears once (pruned)
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (3, "c")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        out = frequent_pairs(df, "basket", "item", min_support=3).collect()
+        assert [(r["item_a"], r["item_b"], r["pair_count"]) for r in out] == [
+            ("a", "b", 3)
+        ]
+
+    def test_duplicate_items_in_basket_count_once(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import frequent_pairs
+
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        [r] = frequent_pairs(df, "basket", "item", min_support=2).collect()
+        assert r["pair_count"] == 2
+
+    def test_infrequent_pair_of_frequent_items_dropped(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import frequent_pairs
+
+        # a and b each frequent (3 baskets) but never together
+        rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        assert frequent_pairs(df, "basket", "item", min_support=3).count() == 0
