@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "rolling_corr",
     "triangle_count",
+    "dsir_weights",
+    "frequent_pairs",
 ]
 
 
