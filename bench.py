@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "dsir_weights",
     "frequent_pairs",
+    "rolling_active_users",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "gap_fill",
     "islands",
     "latest_by_key",
+    "trailing_distinct_count",
 ]
 
 
@@ -230,3 +231,51 @@ def latest_by_key(
         F.max_by(F.struct(*[F.col(c) for c in payload]), ordering).alias("_row")
     )
     return packed.select(*klist, *[F.col(f"_row.{c}").alias(c) for c in payload])
+
+
+def trailing_distinct_count(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    window_days: int = 7,
+    keys: Sequence[str] = (),
+    out_col: str = "active_entities",
+) -> DataFrame:
+    """Trailing N-day DISTINCT-entity count per day (rolling active
+    users) — the windowed COUNT(DISTINCT) no engine's window functions
+    support natively. Instead of a per-day correlated subquery, each
+    (entity, active-day) pair is deduplicated once and then FANS OUT to
+    the ≤ N report days it contributes to (``sequence`` + ``explode``,
+    map-side); a plain count-distinct groupBy per report day finishes the
+    job.
+
+    Scale shape: dedup shuffle on (keys, entity, day) with map-side
+    combine, bounded ×N fan-out (window length, not data size), one
+    count-distinct aggregate. Nothing is quadratic and no per-day
+    subquery rescans the fact table — this is how rolling actives stay
+    one pass at 100 TB. Report days cover only days the key actually has
+    events on (join against the observed-day set) so the output matches
+    the natural per-day report.
+    """
+    klist = list(keys)
+    day = F.date_trunc("DAY", F.col(ts_col)).alias("__day")
+    active = df.select(*klist, F.col(entity_col).alias("__e"), day).distinct()
+    observed = df.select(*klist, day).distinct()
+    step = F.expr("interval 1 day")
+    contributes = active.select(
+        *klist,
+        "__e",
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.col("__day") + F.expr(f"interval {int(window_days) - 1} days"),
+                step,
+            )
+        ).alias("__report_day"),
+    )
+    counted = contributes.groupBy(
+        *klist, F.col("__report_day").alias("__day")
+    ).agg(F.count_distinct("__e").alias(out_col))
+    return observed.join(counted, klist + ["__day"]).select(
+        *klist, F.col("__day").alias("report_day"), F.col(out_col)
+    )

@@ -5791,6 +5791,33 @@ GROUP BY 1, 2
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — windowed
+    COUNT(DISTINCT) via bounded fan-out: each (user, day) pair explodes
+    to the ≤7 report days it serves, then one count-distinct aggregate.
+    No engine supports DISTINCT in window frames; this is the one-pass
+    shape that replaces a per-day correlated rescan."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    return timeseries.trailing_distinct_count(
+        evdf, window_days=7
+    ).select("report_day", "active_entities")
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+observed AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+)
+SELECT o.d AS report_day,
+       (SELECT COUNT(DISTINCT a.user_id) FROM active a
+        WHERE a.d <= o.d AND a.d > o.d - INTERVAL 7 DAY) AS active_entities
+FROM observed o
+"""
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest-per-key compaction as a max_by(struct) aggregate —
     map-side partial reduction to one candidate per key, no full-sort
@@ -5898,6 +5925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill_interp": q_events_gap_fill_interp,
     "events_islands": q_events_islands,
     "latest_event_per_user": q_latest_event_per_user,
+    "rolling_active_users": q_rolling_active_users,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
     "array_agg_sorted": q_array_agg_sorted,
@@ -6034,6 +6062,7 @@ ORACLES: dict[str, str] = {
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,
     "events_islands": SQL_EVENTS_ISLANDS,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "grouping_sets": SQL_GROUPING_SETS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "array_agg_sorted": SQL_ARRAY_AGG_SORTED,

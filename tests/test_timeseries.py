@@ -162,3 +162,39 @@ class TestLatestByKey:
         )
         assert "Window" not in plan
         assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+class TestTrailingDistinctCount:
+    def test_window_semantics(self, spark):
+        # user u active on day 1 and 3; user v on day 3 only
+        df = spark.createDataFrame(
+            [
+                ("u", dt.datetime(2024, 1, 1, 5)),
+                ("u", dt.datetime(2024, 1, 1, 9)),  # same day, deduped
+                ("u", dt.datetime(2024, 1, 3, 1)),
+                ("v", dt.datetime(2024, 1, 3, 2)),
+            ],
+            "user_id string, ts timestamp",
+        )
+        out = {
+            r["report_day"].day: r["active_entities"]
+            for r in ts.trailing_distinct_count(df, window_days=2).collect()
+        }
+        # day 1: {u}; day 3: {u(day3), v} — u's day-1 activity expired
+        assert out == {1: 1, 3: 2}
+        # day 2 is absent: no observed events that day
+
+    def test_window_one_equals_daily_distinct(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1)),
+                ("b", dt.datetime(2024, 1, 1)),
+                ("a", dt.datetime(2024, 1, 2)),
+            ],
+            "user_id string, ts timestamp",
+        )
+        out = {
+            r["report_day"].day: r["active_entities"]
+            for r in ts.trailing_distinct_count(df, window_days=1).collect()
+        }
+        assert out == {1: 2, 2: 1}
