@@ -723,19 +723,30 @@ def parse_wav_header(payload: bytes) -> dict | None:
                 "audio_format": int.from_bytes(body[0:2], "little"),
                 "channels": int.from_bytes(body[2:4], "little"),
                 "sample_rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
                 "bits": int.from_bytes(body[14:16], "little"),
             }
         elif cid == b"data":
             data_len = clen
         i += 8 + clen + (clen % 2)  # chunks pad to even length
-    if not fmt or data_len is None or fmt["audio_format"] not in (1, 6, 7):
+    if not fmt or data_len is None or fmt["audio_format"] not in (1, 6, 7, 0x11):
         return None
-    bytes_per_frame = fmt["channels"] * fmt["bits"] // 8
-    if bytes_per_frame == 0:
-        return None
-    n = data_len // bytes_per_frame
+    if fmt["audio_format"] == 0x11:
+        # IMA ADPCM: bits=4 per sample; per-block header holds 1 PCM
+        # sample + state. n_samples here = nibble payload estimate (the
+        # decoder computes the exact count block-by-block).
+        if fmt["channels"] != 1:
+            return None
+    if fmt["audio_format"] == 0x11:
+        n = data_len * 2  # ~2 nibbles/byte; exact count is per-block
+    else:
+        bytes_per_frame = fmt["channels"] * fmt["bits"] // 8
+        if bytes_per_frame == 0:
+            return None
+        n = data_len // bytes_per_frame
     return {
         "audio_format": fmt["audio_format"],
+        "block_align": fmt["block_align"],
         "sample_rate": fmt["sample_rate"],
         "channels": fmt["channels"],
         "bits": fmt["bits"],
@@ -801,7 +812,9 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     def stats(b: bytes):
         hdr = parse_wav_header(b or b"")
         none8 = (False, None, None, None, None, None, None, None)
-        if hdr is None or hdr["bits"] not in (8, 16):
+        if hdr is None or (
+            hdr["audio_format"] != 0x11 and hdr["bits"] not in (8, 16)
+        ):
             return none8
         # find the data chunk again to slice samples
         p = b
@@ -817,6 +830,19 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         if data is None:
             return none8
         codes = np.frombuffer(data, dtype=np.uint8)
+        if hdr["audio_format"] == 0x11:  # IMA ADPCM
+            samples = _ima_adpcm_decode(data, hdr["block_align"])
+            if samples is None:
+                return none8
+            arr = np.asarray(samples, dtype=np.float64) / 32768.0
+            n = len(samples)
+            sr = hdr["sample_rate"]
+            return (
+                True, sr, hdr["channels"], hdr["bits"], n,
+                round(n / sr, 6) if sr else None,
+                round(float(np.sqrt(np.mean(arr * arr))) if n else 0.0, 6),
+                round(float(np.max(np.abs(arr))) if n else 0.0, 6),
+            )
         if hdr["audio_format"] == 7:  # G.711 mu-law
             arr = mu_table[codes].astype(np.float64) / 32768.0
         elif hdr["audio_format"] == 6:  # G.711 A-law
@@ -1251,3 +1277,47 @@ def _decode_jpeg_rgb(p: bytes):
     except (IndexError, KeyError, ValueError):
         return None
     return None
+
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int):
+    """IMA/DVI ADPCM decode (WAV format 0x11, mono): per-block 4-byte
+    header (seed PCM sample + step index) then 4-bit deltas, low nibble
+    first. Pure table-and-shift math (IMA ADPCM spec / Microsoft WAVE
+    extension) — no codec library. Returns a list of int16 samples."""
+    if block_align < 4:
+        return None
+    out: list[int] = []
+    for base in range(0, len(data) - 3, block_align):
+        block = data[base : base + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        if idx > 88:
+            return None
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+                out.append(pred)
+    return out
