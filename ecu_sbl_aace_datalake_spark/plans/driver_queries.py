@@ -5379,6 +5379,62 @@ FROM t
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic snapshots of orders (hand-rolled
+    Change Data Feed): one full-outer join + one null-safe struct
+    equality — the old/new images travel as single structs so update
+    detection is atomic. Keys %7==0 exist only in the new snapshot
+    (inserts), %13==0 only in the old (deletes), %11==0 have a perturbed
+    price (updates); everything else drops out as unchanged."""
+    from ..sources.incremental import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.round(F.col("o_totalprice") + 1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.where(F.col("o_orderkey") % 13 != 0)
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_image.o_totalprice").alias("old_price"),
+        F.col("new_image.o_totalprice").alias("new_price"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN ROUND(o_totalprice + 1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'update'
+         END AS change_type
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey, change_type, old_price, new_price
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
 def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori pruned market-basket pairs: suppliers co-occurring in ≥ 25
     orders. The broadcast semi-join of frequent items bounds the basket
@@ -5920,6 +5976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "frequent_pairs": q_frequent_pairs,
+    "snapshot_diff": q_snapshot_diff,
     "events_resample": q_events_resample,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_fill_interp": q_events_gap_fill_interp,
@@ -6057,6 +6114,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dsir_resample": SQL_DSIR_RESAMPLE,
     "frequent_pairs": SQL_FREQUENT_PAIRS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "events_resample": SQL_EVENTS_RESAMPLE,
     "events_gap_fill": SQL_EVENTS_GAP_FILL,
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,

@@ -200,3 +200,46 @@ def incremental_append(
         with open(local_meta, "w") as f:
             json.dump({"watermark": wm_out}, f)
     return {"appended": n, "watermark": get_watermark(lakehouse, table_name)}
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per
+    changed key with ``change_type`` ∈ {insert, delete, update} — the
+    hand-rolled equivalent of a Delta Change Data Feed read, for engines
+    (or history windows) where no CDF was recorded.
+
+    Implementation is a single full-outer join on ``keys`` plus a
+    struct-packed column comparison: both sides' non-key columns travel
+    as ONE struct each, so update detection is a single null-safe struct
+    equality (atomic row semantics — no per-column drift) and the output
+    carries the old/new images the way CDF does. One shuffle, partial
+    nothing — at 100 TB run it on partition-pruned slices (the usual CDC
+    window) or bucketed snapshots for a shuffle-free join.
+
+    Unchanged keys are dropped. Output: keys…, change_type,
+    old_image struct, new_image struct.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in compare_cols]).alias("old_image")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in compare_cols]).alias("new_image")
+    )
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_image").isNull(), F.lit("insert"))
+        .when(F.col("new_image").isNull(), F.lit("delete"))
+        .when(~F.col("old_image").eqNullSafe(F.col("new_image")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", "old_image", "new_image")
+    )

@@ -451,3 +451,33 @@ class TestFunnelAndCohorts:
         assert out[("2024-01-01 00:00:00", 0)] == 2
         assert out[("2024-01-01 00:00:00", 1)] == 1
         assert out[("2024-01-08 00:00:00", 0)] == 1
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        from ecu_sbl_aace_datalake_spark.sources.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20), (3, "c", 31), (4, "d", 40)], "k long, s string, v long"
+        )
+        out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert out == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged
+
+    def test_null_safe_struct_compare(self, spark):
+        from ecu_sbl_aace_datalake_spark.sources.incremental import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+        new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+        out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert out == {2: "update"}  # null == null is NOT a change
+
+    def test_images_carry_old_and_new(self, spark):
+        from ecu_sbl_aace_datalake_spark.sources.incremental import snapshot_diff
+
+        old = spark.createDataFrame([(1, 5)], "k long, v long")
+        new = spark.createDataFrame([(1, 9)], "k long, v long")
+        [r] = snapshot_diff(old, new, ["k"]).collect()
+        assert r["old_image"]["v"] == 5 and r["new_image"]["v"] == 9
