@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "frequent_pairs",
     "rolling_active_users",
+    "snapshot_diff",
+    "dsir_resample",
 ]
 
 

@@ -437,12 +437,14 @@ def _decode_gif_rgb(p: bytes):
     return decode_gif_frame(p, 0)
 
 
-def _gif_parse_frames(p: bytes):
+def _gif_parse_frames(p: bytes, decode: bool = True):
     """Iterate an (animated) GIF's frames: yields dicts with the frame's
     placement (left/top/w/h), palette, decoded index raster, and the
     graphics-control state (transparent index, disposal method, delay in
     centiseconds). Returns (screen_w, screen_h, bg_rgb, generator) or
-    None on malformed header."""
+    None on malformed header. ``decode=False`` skips the LZW expansion
+    (``raster=None``) — the fast path for counting frames and reading
+    delays without per-frame pixel work."""
     import numpy as np
 
     if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
@@ -468,7 +470,7 @@ def _gif_parse_frames(p: bytes):
             if b == 0x21:  # extension
                 label = p[i + 1] if i + 1 < len(p) else 0
                 i += 2
-                if label == 0xF9 and i < len(p) and p[i] >= 4:  # GCE
+                if label == 0xF9 and i + 4 < len(p) and p[i] >= 4:  # GCE
                     gpk = p[i + 1]
                     disposal = (gpk >> 2) & 7
                     delay = int.from_bytes(p[i + 2 : i + 4], "little")
@@ -502,18 +504,22 @@ def _gif_parse_frames(p: bytes):
                     data += p[i + 1 : i + 1 + ln]
                     i += 1 + ln
                 i += 1
-                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
-                if idx is None or len(idx) < w * h:
-                    return
-                raster = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
-                if ipacked & 0x40:  # interlace: rows arrive in 4 passes
-                    file_order = np.concatenate(
-                        [np.arange(0, h, 8), np.arange(4, h, 8),
-                         np.arange(2, h, 4), np.arange(1, h, 2)]
+                raster = None
+                if decode:
+                    idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                    if idx is None or len(idx) < w * h:
+                        return
+                    raster = np.asarray(idx[: w * h], dtype=np.int32).reshape(
+                        h, w
                     )
-                    out = np.zeros_like(raster)
-                    out[file_order] = raster
-                    raster = out
+                    if ipacked & 0x40:  # interlace: rows arrive in 4 passes
+                        file_order = np.concatenate(
+                            [np.arange(0, h, 8), np.arange(4, h, 8),
+                             np.arange(2, h, 4), np.arange(1, h, 2)]
+                        )
+                        out = np.zeros_like(raster)
+                        out[file_order] = raster
+                        raster = out
                 yield {
                     "left": left, "top": top, "w": w, "h": h,
                     "pal": pal, "raster": raster,
@@ -571,8 +577,9 @@ def decode_gif_frame(p: bytes, frame_index: int):
 
 
 def gif_frame_meta(p: bytes):
-    """(n_frames, total_duration_cs) of a GIF animation, or None."""
-    parsed = _gif_parse_frames(p or b"")
+    """(n_frames, total_duration_cs) of a GIF animation, or None —
+    descriptor walk only, no LZW pixel work (decode=False)."""
+    parsed = _gif_parse_frames(p or b"", decode=False)
     if parsed is None:
         return None
     _, _, _, frames = parsed
@@ -655,11 +662,12 @@ PIXEL_STATS_SCHEMA = (
 
 
 def pixel_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Per-image channel statistics via REAL pixel decode (PPM/BMP, numpy)
-    over mapInPandas: mean R/G/B and Rec.601 luma, rounded to 4dp.
-    Compressed formats yield ``decoded=false`` with null stats — the
-    honest boundary: the Spark plumbing and the uncompressed decode are
-    real; only codec-dependent decompression is out of scope here.
+    """Per-image channel statistics via REAL pixel decode over
+    mapInPandas: mean R/G/B and Rec.601 luma, rounded to 4dp. Decodes
+    PPM/BMP (numpy reshape), PNG (stdlib zlib + unfilter), GIF
+    (pure-Python LZW), and baseline JPEG (huffman + IDCT); only
+    non-baseline JPEG (progressive/arithmetic) and malformed payloads
+    yield ``decoded=false`` with null stats.
     """
     import numpy as np
 
@@ -732,13 +740,12 @@ def parse_wav_header(payload: bytes) -> dict | None:
     if not fmt or data_len is None or fmt["audio_format"] not in (1, 6, 7, 0x11):
         return None
     if fmt["audio_format"] == 0x11:
-        # IMA ADPCM: bits=4 per sample; per-block header holds 1 PCM
-        # sample + state. n_samples here = nibble payload estimate (the
-        # decoder computes the exact count block-by-block).
+        # IMA ADPCM: 4-bit deltas; per-block header holds 1 PCM sample +
+        # state. Mono only. n_samples here is the nibble-payload estimate
+        # (~2/byte); the decoder computes the exact count block-by-block.
         if fmt["channels"] != 1:
             return None
-    if fmt["audio_format"] == 0x11:
-        n = data_len * 2  # ~2 nibbles/byte; exact count is per-block
+        n = data_len * 2
     else:
         bytes_per_frame = fmt["channels"] * fmt["bits"] // 8
         if bytes_per_frame == 0:

@@ -157,11 +157,23 @@ def heavy_hitters_exact(
     if strict:
         rows = top.collect()
         n = df.where(F.col(col).isNotNull()).count()
-        if rows and rows[-1]["cnt"] * (cap + 1) <= n:
+        # certified exact iff a full k rows came back AND the weakest
+        # returned count clears the MG support bound — then no pruned
+        # (non-candidate) value, all of which sit at or below the bound,
+        # could displace any returned row. Fewer than k rows is also a
+        # failure: values pruned below the bound might belong in the
+        # top-k (use capacity >= expected distinct count for tiny
+        # domains).
+        if n and (
+            len(rows) < min(int(k), n)
+            or rows[-1]["cnt"] * (cap + 1) <= n
+        ):
+            weakest = rows[-1]["cnt"] if rows else 0
             raise ValueError(
-                f"heavy_hitters_exact: k-th count {rows[-1]['cnt']} is not "
-                f"provably exact at capacity {cap} (support bound "
-                f"{n/(cap+1):.1f}); raise capacity"
+                f"heavy_hitters_exact: result of {len(rows)} rows with "
+                f"weakest count {weakest} is not provably exact at "
+                f"capacity {cap} (support bound {n/(cap+1):.1f}); "
+                f"raise capacity"
             )
         spark = df.sparkSession
         return spark.createDataFrame(rows, top.schema)

@@ -4626,9 +4626,12 @@ def q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     new_batch = docs.where(F.col("doc_id") % 7 == 0)
     corpus = docs.where(F.col("doc_id") % 7 != 0)
     # corpus identity in the table names: a repeated call in the SAME
-    # session (steady-state probing, bench re-runs) reuses the built index;
-    # a different sf_dir can never alias it
+    # session (steady-state probing, bench re-runs) reuses the built
+    # index; a different sf_dir can never alias it, and the row count in
+    # the tag invalidates a stale warehouse dir if fixtures were ever
+    # regenerated (a cheap count scan vs re-hashing the corpus)
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = f"{tag}_{corpus.count()}"
     idx = dedup.persist_neardup_index(
         corpus, "doc_id", bands=32,
         band_table=f"q_nd_bands_{tag}", shingle_table=f"q_nd_shingles_{tag}",

@@ -996,6 +996,9 @@ class TestPngDecode:
                 filt = row - left
             elif f == 2:  # Up
                 filt = row - prev
+            elif f == 3:  # Average
+                left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+                filt = row - (left + prev) // 2
             elif f == 4:  # Paeth (prev row reconstructed == arr rows here)
                 filt = np.zeros_like(row)
                 for x in range(len(row)):
@@ -1044,7 +1047,7 @@ class TestPngDecode:
 
         rng = np.random.RandomState(7)
         img = rng.randint(0, 256, (6, 5, 3), dtype=np.uint8)
-        out = _decode_png_rgb(self._png(img, filters=[0, 1, 2, 4, 1, 2]))
+        out = _decode_png_rgb(self._png(img, filters=[0, 1, 2, 3, 4, 3]))
         assert np.array_equal(out, img)
 
     def test_rgba_drops_alpha(self):
@@ -1845,3 +1848,29 @@ class TestImaAdpcmDecode:
         assert row["decoded"] is True
         assert abs(row["peak"] - max(abs(s) for s in recon) / 32768.0) < 1e-6
         assert row["n_samples"] == len(recon)
+
+
+class TestGifMalformedRobustness:
+    def test_truncated_gce_returns_none(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _decode_gif_rgb,
+            gif_frame_meta,
+        )
+
+        # header + LSD (no GCT) + truncated GCE: must be None, not a crash
+        p = b"GIF89a" + b"\x06\x00\x04\x00\x00\x00\x00" + b"\x21\xf9\x04"
+        assert _decode_gif_rgb(p) is None
+        assert gif_frame_meta(p) is None
+
+    def test_frame_meta_skips_pixel_decode(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import gif_frame_meta
+        from tests.test_dedup_similarity import TestGifFrames
+
+        # corrupt the LZW payload of a valid animation: metadata must
+        # still count descriptors (decode=False path never inflates)
+        g = bytearray(TestGifFrames._animated())
+        # find first image data sub-block and trash a byte inside it
+        idx = g.index(0x2C)
+        g[idx + 12] ^= 0xFF
+        meta = gif_frame_meta(bytes(g))
+        assert meta is not None and meta[0] == 2

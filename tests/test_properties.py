@@ -122,7 +122,7 @@ class TestCodecProperties:
         st.integers(1, 12),
         st.integers(1, 12),
         st.integers(0, 2**32 - 1),
-        st.lists(st.sampled_from([0, 1, 2, 4]), min_size=12, max_size=12),
+        st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=12, max_size=12),
     )
     @settings(max_examples=40, deadline=None)
     def test_png_roundtrip_any_filters(self, h, w, seed, filters):

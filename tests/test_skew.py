@@ -142,3 +142,16 @@ class TestFrequentPairs:
         rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")]
         df = spark.createDataFrame(rows, "basket long, item string")
         assert frequent_pairs(df, "basket", "item", min_support=3).count() == 0
+
+    def test_pruned_to_empty_raises_not_silently_empty(self, spark):
+        import pytest as _pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.skew import heavy_hitters_exact
+
+        # 300 distinct singletons with capacity 256: MG prunes everything,
+        # the candidate set collapses — must raise, never return an
+        # "exact" empty/short result
+        rows = [(f"x{i:03d}",) for i in range(300)]
+        df = spark.createDataFrame(rows, "token string").repartition(2)
+        with _pytest.raises(ValueError, match="provably exact"):
+            heavy_hitters_exact(df, "token", k=10, capacity=256)
