@@ -5877,6 +5877,78 @@ FROM observed o
 """
 
 
+def q_events_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-25-row median per user. Spark rejects median() with
+    a window FRAME (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame's values are collected per row (bounded: ≤ 25 doubles),
+    sorted, and the middle element(s) read out — exact, deterministic
+    (frame ordered on the unique (event-time, event_id) pair), and the
+    state per row is capped by the frame length, not the partition."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(-24, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return evdf.select(
+        "user_id",
+        "event_id",
+        F.round((mid_lo + mid_hi) / 2.0, 6).alias("trailing_median"),
+    )
+
+
+SQL_EVENTS_TRAILING_MEDIAN = """
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS trailing_median
+FROM events
+"""
+
+
+def q_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent l_returnflag per order
+    priority, ties broken to the lexicographically smallest value —
+    count-then-min_by(struct), never the engine's tie-arbitrary mode()."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    counts = joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # struct ordering: highest n wins; ties -> smallest flag (invert
+    # count sign so one min_by expresses "max count, then min value")
+    return counts.groupBy("o_orderpriority").agg(
+        F.min_by(
+            "l_returnflag", F.struct((-F.col("n")).alias("neg"), F.col("l_returnflag"))
+        ).alias("mode_flag"),
+        F.max("n").alias("mode_count"),
+    )
+
+
+SQL_MODE_BY_GROUP = """
+WITH counts AS (
+  SELECT o_orderpriority, l_returnflag, COUNT(*) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, l_returnflag, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, l_returnflag ASC) AS rn
+  FROM counts
+)
+SELECT o_orderpriority, l_returnflag AS mode_flag, n AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-latest-per-key compaction as a max_by(struct) aggregate —
     map-side partial reduction to one candidate per key, no full-sort
@@ -5986,6 +6058,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_islands": q_events_islands,
     "latest_event_per_user": q_latest_event_per_user,
     "rolling_active_users": q_rolling_active_users,
+    "events_trailing_median": q_events_trailing_median,
+    "mode_by_group": q_mode_by_group,
     "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
     "array_agg_sorted": q_array_agg_sorted,
@@ -6124,6 +6198,8 @@ ORACLES: dict[str, str] = {
     "events_islands": SQL_EVENTS_ISLANDS,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
+    "mode_by_group": SQL_MODE_BY_GROUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "array_agg_sorted": SQL_ARRAY_AGG_SORTED,
