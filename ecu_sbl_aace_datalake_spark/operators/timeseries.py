@@ -97,6 +97,7 @@ def gap_fill(
     value_col: str = "avg_value",
     step_seconds: int = 3600,
     method: str = "locf",
+    round_to: int = 4,
 ) -> DataFrame:
     """Fill missing grid points of an already-resampled frame.
 
@@ -154,8 +155,14 @@ def gap_fill(
     )
     prev = F.last(obs, ignorenulls=True).over(back)
     nxt = F.first(obs, ignorenulls=True).over(fwd)
+    # interpolated doubles can land EXACTLY on a decimal half-way point
+    # (inputs are 6dp decimals), where Spark's BigDecimal-exact ROUND and
+    # other engines' scaled-double ROUND disagree by one ulp; the 1e-9
+    # nudge resolves every half-way case upward consistently
     frac = (order - prev["t"]) / (nxt["t"] - prev["t"])
-    interp = F.round(prev["v"] + (nxt["v"] - prev["v"]) * frac, 6)
+    interp = F.round(
+        prev["v"] + (nxt["v"] - prev["v"]) * frac + F.lit(1e-9), round_to
+    )
     return dense.withColumn(
         value_col,
         F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(interp),

@@ -5808,7 +5808,8 @@ dense AS (
 SELECT user_id, bucket,
        COALESCE(avg_value,
                 ROUND(prev.v + (nxt.v - prev.v)
-                      * (epoch(bucket) - prev.t) / (nxt.t - prev.t), 6))
+                      * (epoch(bucket) - prev.t) / (nxt.t - prev.t)
+                      + 1e-9, 4))
          AS avg_value,
        avg_value IS NULL AS is_filled
 FROM dense
