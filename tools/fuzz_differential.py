@@ -145,6 +145,50 @@ def gen_window_query(rng: random.Random) -> str:
     )
 
 
+def gen_subquery_query(rng: random.Random) -> str:
+    """IN / NOT IN (null-free key domains) / EXISTS / scalar-subquery
+    HAVING — the decorrelation surface Catalyst rewrites most."""
+    kind = rng.choice(["in", "not_in", "exists", "scalar"])
+    seg = rng.choice(STR_VALUES["c_mktsegment"])
+    status = rng.choice(STR_VALUES["o_orderstatus"])
+    if kind == "in":
+        return (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            f"WHERE o_orderstatus = '{status}') GROUP BY c_mktsegment"
+        )
+    if kind == "not_in":
+        # o_custkey is non-null, so NOT IN has clean two-valued semantics
+        return (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            f"WHERE o_totalprice > {rng.randint(1, 300) * 1000}.0)"
+        )
+    if kind == "exists":
+        return (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_quantity > {rng.randint(20, 45)}) GROUP BY o_orderpriority"
+        )
+    return (
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+        f"WHERE c_mktsegment = '{seg}' OR c_acctbal > "
+        "(SELECT AVG(c_acctbal) FROM customer) GROUP BY c_mktsegment"
+    )
+
+
+def gen_setop_query(rng: random.Random) -> str:
+    """INTERSECT / EXCEPT / UNION over key projections."""
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+    p1 = rng.randint(2, 5)
+    p2 = rng.randint(2, 5)
+    return (
+        f"SELECT o_custkey AS k FROM orders WHERE o_orderkey % {p1} = 0 "
+        f"{op} "
+        f"SELECT o_custkey AS k FROM orders WHERE o_orderkey % {p2} = 1"
+    )
+
+
 def _equal_with_rounding_tolerance(a_rows, b_rows, atol: float = 1.5e-3) -> bool:
     """ROUND(x, 3) sits on a half-way boundary for some aggregates (found by
     this fuzzer at seed 123: AVG = ...7625 exactly), and engines legitimately
@@ -190,12 +234,16 @@ def run_fuzz(n: int = 50, seed: int = 7, sf_dir: str = "/root/testdata/sf0.01"):
     passed, failures = 0, []
     for i in range(n):
         r = rng.random()
-        if r < 0.6:
+        if r < 0.45:
             sql = gen_query(rng)
-        elif r < 0.85:
+        elif r < 0.65:
             sql = gen_join_query(rng)
-        else:
+        elif r < 0.8:
             sql = gen_window_query(rng)
+        elif r < 0.92:
+            sql = gen_subquery_query(rng)
+        else:
+            sql = gen_setop_query(rng)
         try:
             sdf = spark.sql(sql)
             sms, sc = rows_to_multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
