@@ -163,3 +163,88 @@ class TestCodecProperties:
         img = np.full((8, 8), g, dtype=np.uint8)
         out = _decode_jpeg_rgb(TestJpegDecode._encode(img))
         assert out is not None and int(out[0, 0, 0]) == g
+
+
+class TestDistributedOpInvariants:
+    """Hypothesis invariants for the round-2 distributed operators —
+    driven with small random frames (each example runs Spark jobs, so
+    max_examples stays low; the invariants, not the volume, carry the
+    value)."""
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 100_000), st.integers(0, 100)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_islands_partition_rows_exactly(self, spark, rows):
+        import datetime as dt
+
+        from ecu_sbl_aace_datalake_spark.operators import timeseries as ts
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                (f"k{k}", base + dt.timedelta(seconds=sec), float(v))
+                for k, sec, v in rows
+            ],
+            "k string, ts timestamp, value double",
+        )
+        out = ts.islands(df, ["k"], max_gap_seconds=600).collect()
+        # every input row lands in exactly one island
+        assert sum(r["n_events"] for r in out) == len(rows)
+        # islands of one key never overlap and are separated by > gap
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        for islands_ in by_key.values():
+            islands_.sort(key=lambda r: r["island_start"])
+            for a, b in zip(islands_, islands_[1:]):
+                assert (b["island_start"] - a["island_end"]).total_seconds() > 600
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 1000), st.integers(0, 10**6)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_latest_by_key_row_comes_from_input(self, spark, rows):
+        import datetime as dt
+
+        from ecu_sbl_aace_datalake_spark.operators import timeseries as ts
+
+        base = dt.datetime(2024, 1, 1)
+        data = [
+            (f"k{k}", base + dt.timedelta(seconds=sec), i)
+            for i, (k, sec, _) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "k string, ts timestamp, rid long")
+        out = ts.latest_by_key(df, ["k"], tiebreak_col="rid").collect()
+        in_rows = {(r[0], r[1], r[2]) for r in data}
+        keys = {r[0] for r in data}
+        assert len(out) == len(keys)  # exactly one per key
+        for r in out:
+            assert (r["k"], r["ts"], r["rid"]) in in_rows  # a REAL input row
+            # it is the max (ts, rid) for its key
+            best = max((t, i) for kk, t, i in data if kk == r["k"])
+            assert (r["ts"], r["rid"]) == best
+
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 30))
+    @settings(max_examples=10, deadline=None)
+    def test_gumbel_resample_is_subset_of_k(self, spark, seed, k):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            gumbel_topk_resample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(50)], "doc_id long, w double"
+        )
+        out = gumbel_topk_resample(df, "w", k=k, seed=seed).collect()
+        assert len(out) == min(k, 50)
+        ids = [r["doc_id"] for r in out]
+        assert len(set(ids)) == len(ids)  # without replacement
+        assert all(0 <= i < 50 for i in ids)
