@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "snapshot_diff",
     "dsir_resample",
+    "events_trailing_median",
+    "mode_by_group",
 ]
 
 
