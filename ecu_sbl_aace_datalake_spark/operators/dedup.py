@@ -960,13 +960,17 @@ def append_neardup_index(
         "corpus_id",
     )
     nb = index["n_buckets"]
+    # Same one-file-per-bucket repartition as write_bucketed_table: an
+    # append otherwise adds (input partitions × touched buckets) files.
     (
-        band.write.format("parquet").mode("append")
+        band.repartition(nb, F.col("band_key"))
+        .write.format("parquet").mode("append")
         .bucketBy(nb, "band_key").sortBy("band_key")
         .saveAsTable(index["band_table"])
     )
     (
         sh.select(F.col(id_col).alias("corpus_id"), "shingles")
+        .repartition(nb, F.col("corpus_id"))
         .write.format("parquet").mode("append")
         .bucketBy(nb, "corpus_id")
         .saveAsTable(index["shingle_table"])

@@ -462,7 +462,10 @@ def persist_ivf_index(
 
     assigned = corpus.withColumn(
         cluster_col, _nearest_centroid(_as_double(F.col(vec_col)), centroids)
-    )
+    ).repartition(F.col(cluster_col))
+    # repartition on the cluster id → each partition DIRECTORY receives
+    # files from the one task holding that cluster, not from every input
+    # partition that touched it (small-file layout, VERDICT r2 item 3).
     return write_table(lakehouse, table_name, assigned, partition_by=cluster_col)
 
 

@@ -36,6 +36,7 @@ from typing import Any
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import Lakehouse, TableRegistry, table_path, view_path
 
@@ -260,7 +261,17 @@ def write_bucketed_table(
         jvm = spark._jvm
         hp = jvm.org.apache.hadoop.fs.Path(orphan)
         hp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hp, True)
-    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bcols)
+    # One file per bucket: repartition on the bucket key into exactly
+    # n_buckets partitions BEFORE the bucketed write. repartition and
+    # bucketBy share the same Murmur3 pmod placement, so each write task
+    # holds exactly one bucket's rows — without this, every input
+    # partition emits a file into every bucket it touches (observed:
+    # 1,384 files for a 1.5 MB index, making the bucket-pruned probe
+    # SLOWER than an unindexed scan at bench scale).
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bcols])
+        .write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bcols)
+    )
     if sort_cols:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*scols)

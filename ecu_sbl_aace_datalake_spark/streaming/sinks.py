@@ -287,7 +287,8 @@ def foreach_batch_dedup_ingest_indexed(
                     return
                 append_table(lakehouse, table_name, accepted.drop("__h"))
                 (
-                    accepted.select("__h").write.format("parquet")
+                    accepted.select("__h").repartition(n_buckets, F.col("__h"))
+                    .write.format("parquet")
                     .mode("append").bucketBy(n_buckets, "__h")
                     .saveAsTable(hash_table)
                 )
