@@ -185,6 +185,8 @@ def frequent_pairs(
     basket_col: str,
     item_col: str,
     min_support: int = 10,
+    broadcast_items: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Frequent item PAIRS above an absolute support threshold — the
     a-priori pruned market-basket co-occurrence (Agrawal & Srikant,
@@ -200,6 +202,14 @@ def frequent_pairs(
 
     Returns (item_a, item_b, pair_count) with item_a < item_b,
     pair_count ≥ min_support, deterministic ordering left to the caller.
+
+    ``broadcast_items`` is size-probed by default (same pattern as
+    pagerank's rank-vector dispatch): the frequent-item head is tiny at
+    any sane ``min_support``, but a very low threshold over a 100 TB
+    basket table could exceed broadcast limits — above
+    ``broadcast_threshold`` frequent items the prune falls back to a
+    shuffle semi-join. The probe count reuses the persisted item set, so
+    it costs one tiny-aggregate job, not a recompute.
     """
     pairs_base = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
@@ -210,7 +220,11 @@ def frequent_pairs(
         .where(F.col("__n") >= int(min_support))
         .select("__i")
     )
-    pruned = pairs_base.join(F.broadcast(freq_items), "__i", "left_semi")
+    if broadcast_items is None:
+        freq_items = freq_items.persist()
+        broadcast_items = freq_items.count() <= broadcast_threshold
+    prune_side = F.broadcast(freq_items) if broadcast_items else freq_items
+    pruned = pairs_base.join(prune_side, "__i", "left_semi")
     a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
     return (
