@@ -1247,3 +1247,106 @@ def duplicate_span_stats(
             ),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 10,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the second half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" that
+    :func:`duplicate_span_stats` only measures: every ``n``-token window
+    that occurs more than once corpus-wide keeps exactly its FIRST
+    occurrence (global order ``(id, position)``); all later occurrences
+    have their n token positions cut, and each document is reassembled
+    from its surviving tokens in order (space-joined, normalized tokens —
+    this is a training-corpus transform, not a display edit).
+
+    The distributed stand-in for the paper's suffix-array pass: stride-1
+    windows hash with nested xxhash64 over token hashes (no strings
+    shuffled), a single count+min aggregate per span hash finds the first
+    occurrence, and a positional anti-join cuts covered tokens. All four
+    shuffles are linear in corpus token count — no all-pairs anywhere.
+
+    Overlap semantics: a token is cut when ANY non-first duplicate window
+    covers it, so abutting duplicated spans merge into one cut (the
+    paper's behavior) and a cut may bite into an overlapping kept span.
+
+    Returns ``id_col``, surviving-token counts and ``out_col`` (empty
+    string when nothing survives — callers typically drop those rows).
+    """
+    toks = _normalized_tokens(text_col)
+    hashed = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+        toks.alias("__tk"),
+    )
+    n_sp = F.size("__th") - F.lit(n - 1)
+    spans = hashed.select(
+        id_col,
+        F.explode(
+            F.when(
+                n_sp > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_sp),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            *[F.element_at(F.col("__th"), i + k) for k in range(n)]
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+        ).alias("__sp"),
+    ).select(id_col, F.col("__sp.pos").alias("__pos"), F.col("__sp.h").alias("__h"))
+    firsts = spans.groupBy("__h").agg(
+        F.count("*").alias("__c"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    removed = (
+        spans.join(firsts, "__h")
+        .where(
+            (F.col("__c") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("__first.i"))
+                & (F.col("__pos") == F.col("__first.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__kill"),
+        )
+        .distinct()
+    )
+    tokens = hashed.select(
+        id_col, F.posexplode("__tk").alias("__p0", "__w")
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__w")
+    kept = tokens.join(
+        removed,
+        (tokens[id_col] == removed[id_col]) & (tokens.__pos == removed.__kill),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+        ).alias(out_col),
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .withColumn("n_tokens_kept", F.coalesce("n_tokens_kept", F.lit(0)).cast("long"))
+        .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+    )

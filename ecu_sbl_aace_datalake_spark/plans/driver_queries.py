@@ -4674,6 +4674,66 @@ FROM tok t LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (dedup.remove_duplicate_spans,
+    completing Lee et al.): every 10-token window duplicated corpus-wide
+    keeps only its first occurrence (ordered by doc_id, position); later
+    occurrences' tokens are cut and documents reassembled. Oracle
+    replicates with string windows + ROW_NUMBER first-occurrence marking
+    (hash-window equivalence as in duplicate_spans)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.remove_duplicate_spans(docs, "doc_id", n=10).select(
+        "doc_id", "n_tokens_kept", "deduped_text"
+    )
+
+
+SQL_REMOVE_DUP_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, sp.pos AS pos, sp.s AS s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1),
+      i -> {'pos': i,
+            's': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+              || t[i+7] || ' ' || t[i+8] || ' ' || t[i+9]})) AS sp
+    FROM tok)
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY s) AS c,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+kills AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 10)) AS kp
+  FROM marked WHERE c >= 2 AND rn >= 2
+),
+flat AS (
+  SELECT doc_id, f.pos AS pos, f.w AS w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      i -> {'pos': i, 'w': t[i]})) AS f
+    FROM tok)
+),
+kept AS (
+  SELECT fl.doc_id, fl.pos, fl.w
+  FROM flat fl LEFT JOIN kills k ON k.doc_id = fl.doc_id AND k.kp = fl.pos
+  WHERE k.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens_kept,
+         string_agg(w, ' ' ORDER BY pos) AS s
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(a.s, '') AS deduped_text
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (ev.funnel_stages): view → click → purchase per user,
     stage k counting only strictly after stage k-1 — single shuffle, array
@@ -6216,6 +6276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_drift": q_chi2_drift,
     "er_matches": q_er_matches,
     "duplicate_spans": q_duplicate_spans,
+    "remove_dup_spans": q_remove_dup_spans,
     "funnel": q_funnel,
     "hash_split": q_hash_split,
     "decontamination": q_decontamination,
@@ -6421,6 +6482,7 @@ ORACLES: dict[str, str] = {
     "chi2_drift": SQL_CHI2_DRIFT,
     "er_matches": SQL_ER_MATCHES,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "funnel": SQL_FUNNEL,
     "hash_split": SQL_HASH_SPLIT,
     "decontamination": SQL_DECONTAMINATION,

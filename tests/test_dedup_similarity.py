@@ -882,6 +882,72 @@ class TestDuplicateSpans:
         assert r.n_spans == 0 and r.dup_span_frac is None
 
 
+class TestRemoveDuplicateSpans:
+    SPAN = "one two three four five six seven eight nine ten"
+
+    def test_first_occurrence_kept_later_cut(self, spark):
+        docs = spark.createDataFrame(
+            [(1, self.SPAN + " original tail words"),
+             (2, "unique head stuff then " + self.SPAN),
+             (3, "totally unrelated words that never repeat anywhere")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", n=10).collect()}
+        # doc 1 (first by id) keeps the span intact
+        assert out[1].deduped_text == self.SPAN + " original tail words"
+        # doc 2 loses exactly the 10 duplicated tokens
+        assert out[2].deduped_text == "unique head stuff then"
+        assert out[2].n_tokens_kept == 4
+        # untouched doc round-trips
+        assert out[3].deduped_text == "totally unrelated words that never repeat anywhere"
+
+    def test_self_repetition_within_doc(self, spark):
+        docs = spark.createDataFrame(
+            [(1, self.SPAN + " filler words in between " + self.SPAN)],
+            "doc_id long, text string",
+        )
+        [r] = dedup.remove_duplicate_spans(docs, "doc_id", n=10).collect()
+        assert r.deduped_text == self.SPAN + " filler words in between"
+
+    def test_overlapping_duplicates_merge_cut(self, spark):
+        # doc 2 repeats an 11-token stretch of doc 1 → two overlapping
+        # 10-windows, cut union covers all 11 tokens
+        stretch = self.SPAN + " eleven"
+        docs = spark.createDataFrame(
+            [(1, stretch + " and some original ending"),
+             (2, "fresh opening then " + stretch)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", n=10).collect()}
+        assert out[2].deduped_text == "fresh opening then"
+
+    def test_no_surviving_cross_doc_dup_span(self, spark):
+        # invariant: re-measuring the deduped corpus finds no window that
+        # still occurs twice (planted-dup construction, no new adjacency)
+        docs = spark.createDataFrame(
+            [(1, self.SPAN + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (2, "pre one pre two pre three " + self.SPAN),
+             (3, self.SPAN)],
+            "doc_id long, text string",
+        )
+        deduped = dedup.remove_duplicate_spans(docs, "doc_id", n=10)
+        re_measured = dedup.duplicate_span_stats(
+            deduped.withColumnRenamed("deduped_text", "text"), "doc_id", n=10
+        ).agg(F.sum("n_dup_spans").alias("s")).collect()[0]["s"]
+        assert re_measured == 0
+
+    def test_empty_when_everything_duplicated(self, spark):
+        docs = spark.createDataFrame(
+            [(1, self.SPAN), (2, self.SPAN)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in dedup.remove_duplicate_spans(
+            docs, "doc_id", n=10).collect()}
+        assert out[1].deduped_text == self.SPAN
+        assert out[2].deduped_text == "" and out[2].n_tokens_kept == 0
+
+
 class TestSemanticDedup:
     def _corpus(self, spark):
         import random
