@@ -685,6 +685,102 @@ def bigram_lm_scores(
     return df.join(scored, id_col, "left")
 
 
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    out_col: str = "lm_logprob3",
+) -> DataFrame:
+    """Corpus-self-trained INTERPOLATED trigram LM scoring — the backoff
+    extension of :func:`bigram_lm_scores` (VERDICT r2 item 6):
+
+    ``P(w3|w1,w2) = λ3·P3 + λ2·P2 + λ1·P1`` with add-k smoothing at each
+    order (Jelinek-Mercer interpolation):
+    ``P3 = (c(w1w2w3)+k)/(c(w1w2·)+kV)`` over trigram occurrences,
+    ``P2 = (c(w2w3)+k)/(c(w2·)+kV)`` over bigram occurrences,
+    ``P1 = (c(w3)+k)/(N+kV)`` over tokens. ``lm_logprob3`` is the mean
+    ln P over the doc's trigram OCCURRENCES (4dp); docs with < 3 tokens
+    get null. Also emits ``n_trigrams``.
+
+    Interpolation is what makes trigram usable on a self-trained corpus:
+    raw add-k trigrams are dominated by the kV denominator (almost every
+    trigram is rare), while the λ-mix lets the robust bigram/unigram
+    levels carry unseen contexts — the standard backoff answer.
+
+    Scale: same bounded-vocab two-shuffle-per-level shape as the bigram
+    scorer — five keyed count aggregates + joins back on token keys (AQE
+    splits the Zipf-hot contexts), vocabulary never collected, V and N
+    are 1-row broadcast scalars.
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    n_t = F.size("__t")
+    g3 = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                n_t >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("w1"),
+                        F.element_at(F.col("__t"), i + 1).alias("w2"),
+                        F.element_at(F.col("__t"), i + 2).alias("w3"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2", "g.w3")
+    g2 = base.select(
+        F.explode(
+            F.when(
+                n_t >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n_t - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i).alias("b1"),
+                        F.element_at(F.col("__t"), i + 1).alias("b2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<b1:string,b2:string>>"))
+        ).alias("g")
+    ).select("g.b1", "g.b2")
+    c3 = g3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c12 = g3.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cb2 = g2.groupBy("b1", "b2").agg(F.count("*").alias("cb2"))
+    cb1 = g2.groupBy("b1").agg(F.count("*").alias("cb1"))
+    toks_flat = base.select(F.explode("__t").alias("w"))
+    cu = toks_flat.groupBy("w").agg(F.count("*").alias("cu"))
+    scalars = toks_flat.agg(
+        F.count_distinct("w").alias("v"), F.count("*").alias("nn")
+    )
+    k = F.lit(float(add_k))
+    p3 = (F.col("c3") + k) / (F.col("c12") + k * F.col("v"))
+    p2 = (F.col("cb2") + k) / (F.col("cb1") + k * F.col("v"))
+    p1 = (F.col("cu") + k) / (F.col("nn") + k * F.col("v"))
+    logp = F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1)
+    scored = (
+        g3.join(c3, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(cb2, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")))
+        .drop("b1", "b2")
+        .join(cb1.withColumnRenamed("b1", "w2"), "w2")
+        .join(cu.withColumnRenamed("w", "w3"), "w3")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), 4).alias(out_col),
+            F.count("*").alias("n_trigrams"),
+        )
+    )
+    return df.join(scored, id_col, "left")
+
+
 def bm25f_topk_text(
     df: DataFrame,
     queries: list[str],

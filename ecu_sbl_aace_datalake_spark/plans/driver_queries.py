@@ -4506,6 +4506,70 @@ FROM base b LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_trigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM quality scores (textstats.trigram_lm_scores):
+    λ-mixed add-1 trigram/bigram/unigram probabilities trained on the
+    corpus itself, each doc scored by mean trigram log-prob — the backoff
+    extension of bigram_lm_scores. Oracle replicates all five count
+    levels + the λ mix relationally in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textstats.trigram_lm_scores(docs)
+    return out.select(
+        "doc_id", "lm_logprob3",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+    )
+
+
+# MATERIALIZED (DuckDB CTE hint) on base/sc is load-bearing: with the
+# default inlined CTEs, DuckDB's optimizer places the 1-row `sc` cross
+# join pathologically in the 6-way join tree (observed: minutes + ~100 GB
+# at sf0.001 vs 0.1 s materialized).
+SQL_TRIGRAM_LM = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
+    FROM base WHERE len(t) >= 3)
+),
+g2 AS (
+  SELECT g.b1 AS b1, g.b2 AS b2 FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      i -> {'b1': t[i], 'b2': t[i+1]})) AS g
+    FROM base WHERE len(t) >= 2)
+),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM g3 GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM g3 GROUP BY 1, 2),
+cb2 AS (SELECT b1, b2, COUNT(*) AS cb2 FROM g2 GROUP BY 1, 2),
+cb1 AS (SELECT b1, COUNT(*) AS cb1 FROM g2 GROUP BY 1),
+tokf AS (SELECT unnest(t) AS w FROM base),
+cu AS (SELECT w, COUNT(*) AS cu FROM tokf GROUP BY 1),
+sc AS MATERIALIZED (SELECT COUNT(DISTINCT w) AS v, COUNT(*) AS nn FROM tokf),
+scored AS (
+  SELECT doc_id,
+         ROUND(AVG(LN(
+             0.6 * ((c3.c3 + 1.0) / (c12.c12 + 1.0 * sc.v))
+           + 0.3 * ((cb2.cb2 + 1.0) / (cb1.cb1 + 1.0 * sc.v))
+           + 0.1 * ((cu.cu + 1.0) / (sc.nn + 1.0 * sc.v)))), 4) AS lm_logprob3,
+         CAST(COUNT(*) AS BIGINT) AS n_trigrams
+  FROM g3
+  JOIN c3 ON c3.w1 = g3.w1 AND c3.w2 = g3.w2 AND c3.w3 = g3.w3
+  JOIN c12 ON c12.w1 = g3.w1 AND c12.w2 = g3.w2
+  JOIN cb2 ON cb2.b1 = g3.w2 AND cb2.b2 = g3.w3
+  JOIN cb1 ON cb1.b1 = g3.w2
+  JOIN cu ON cu.w = g3.w3
+  CROSS JOIN sc
+  GROUP BY g3.doc_id
+)
+SELECT b.doc_id, s.lm_logprob3,
+       CAST(COALESCE(s.n_trigrams, 0) AS BIGINT) AS n_trigrams
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift per event type (quality.ks_drift): first half of
     the event stream (by event_id) as reference vs second half as current —
@@ -6272,6 +6336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
+    "trigram_lm_scores": q_trigram_lm_scores,
     "ks_drift": q_ks_drift,
     "chi2_drift": q_chi2_drift,
     "er_matches": q_er_matches,
@@ -6478,6 +6543,7 @@ ORACLES: dict[str, str] = {
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,
+    "trigram_lm_scores": SQL_TRIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,
     "chi2_drift": SQL_CHI2_DRIFT,
     "er_matches": SQL_ER_MATCHES,

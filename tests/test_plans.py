@@ -195,6 +195,7 @@ class TestGlobalPlanInvariants:
         "bm25f_retrieval",     # per-field avgdl + n_docs scalar broadcasts
         "psi_drift",           # 1-row (min, max) bin-edge scalar broadcast
         "bigram_lm_scores",    # 1-row vocabulary-size scalar broadcast
+        "trigram_lm_scores",   # 1-row (V, N) scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "embedding_topk_quantized",  # same deliberate shape: broadcast query set, int8 scan

@@ -166,6 +166,50 @@ class TestBigramLm:
         assert a == b
 
 
+class TestTrigramLm:
+    def test_typical_beats_gibberish(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import trigram_lm_scores
+
+        typical = "the cat sat on the mat and the dog sat on the rug"
+        docs = spark.createDataFrame(
+            [(i, typical) for i in range(10)]
+            + [(100, "zxqv wkjh qpzm vbnx kjwq zzyx")]   # unseen everything
+            + [(200, "one two")],                        # < 3 tokens
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in trigram_lm_scores(docs).collect()}
+        assert out[0].lm_logprob3 > out[100].lm_logprob3
+        assert out[200].lm_logprob3 is None and out[200].n_trigrams is None
+        assert out[0].n_trigrams == 11
+
+    def test_backoff_ranks_seen_bigram_above_unseen(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import trigram_lm_scores
+
+        # both probe docs have unseen TRIgrams; the one whose bigrams exist
+        # in the corpus must win — exactly what interpolation buys over a
+        # raw add-k trigram model (where both would tie at ~k/kV)
+        corpus = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+        docs = spark.createDataFrame(
+            corpus
+            + [(100, "alpha beta delta epsilon gamma delta")]  # seen bigrams? mixed
+            + [(200, "qqq www eee rrr ttt yyy")],               # nothing seen
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in trigram_lm_scores(docs).collect()}
+        assert out[100].lm_logprob3 > out[200].lm_logprob3
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import trigram_lm_scores
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta token{i % 3} epsilon") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, trigram_lm_scores(docs).select("doc_id", "lm_logprob3").collect()))
+        b = sorted(map(tuple, trigram_lm_scores(docs.repartition(17)).select("doc_id", "lm_logprob3").collect()))
+        assert a == b
+
+
 class TestKsDrift:
     def test_identical_distributions_zero(self, spark):
         from ecu_sbl_aace_datalake_spark.operators.quality import ks_drift
