@@ -858,6 +858,75 @@ class TestFrameSamplePlan:
         assert "payload" not in {f for r in out for f in r.__fields__}
 
 
+class TestMjpegAvi:
+    @staticmethod
+    def _avi(colors=(32, 96, 160), fps=25):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_avi, encode_jpeg_solid_gray,
+        )
+
+        return build_mjpeg_avi(
+            [encode_jpeg_solid_gray(v) for v in colors], fps=fps
+        )
+
+    def test_header_roundtrip(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import parse_avi_header
+
+        h = parse_avi_header(self._avi())
+        assert h["codec"] == "MJPG" and h["n_frames"] == 3
+        assert h["fps"] == 25.0 and h["width"] == 8 and h["height"] == 8
+        assert parse_avi_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert parse_avi_header(b"not avi") is None
+
+    def test_frame_decode_exact(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_avi_frame
+
+        avi = self._avi((10, 200, 255))
+        for i, v in enumerate((10, 200, 255)):
+            fr = decode_avi_frame(avi, i)
+            assert fr.shape == (8, 8, 3) and (fr == v).all()
+        assert decode_avi_frame(avi, 3) is None
+
+    def test_decode_frame_entry_point(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_frame
+
+        avi = self._avi((77,))
+        raw = _decode_frame(avi, 0)
+        assert raw == bytes([77] * (8 * 8 * 3))
+
+    def test_video_frame_stats(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            video_frame_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self._avi((32, 96, 160, 224))), (2, b"not a video")],
+            "media_id long, payload binary",
+        )
+        out = video_frame_stats(df, every_n=2).collect()
+        rows = {}
+        for r in out:
+            rows.setdefault(r.media_id, []).append(r)
+        got = sorted((r.frame_index, r.mean_r) for r in rows[1])
+        assert got == [(0, 32.0), (2, 160.0)]
+        r0 = rows[1][0]
+        assert r0.decoded and r0.codec == "MJPG" and r0.n_frames == 4
+        assert r0.fps == 25.0 and r0.width == 8 and r0.height == 8
+        [bad] = rows[2]
+        assert bad.decoded is False and bad.frame_index is None
+
+    def test_frame_sample_plan_uses_real_avi_count(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            frame_sample_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self._avi((5,) * 7))], "media_id long, payload binary"
+        )
+        out = frame_sample_plan(df, every_n=3).collect()
+        assert sorted(r.frame_index for r in out) == [0, 3, 6]
+
+
 class TestDuplicateSpans:
     def test_copied_span_flagged(self, spark):
         span = "one two three four five six seven eight nine ten"
