@@ -8,10 +8,12 @@ Metadata extraction is REAL (``parse_image_header`` reads dimensions and
 format straight from PNG/GIF/BMP/JPEG/PPM header bytes), and so is PIXEL
 decode for every image format carried by the fixtures: PPM/BMP (numpy
 reshape), PNG (stdlib zlib + RFC 2083 unfilter), GIF (pure-Python LZW),
-and baseline JPEG (huffman + dequant + numpy IDCT, ITU T.81 SOF0). Only
-video FRAME decode is stubbed — swap ``_decode_frame`` for libav when
-available. A deterministic fake decoder (``decoder="fake"``) remains for
-the SQL-oracle-replicable multimodal_meta driver query.
+and baseline JPEG (huffman + dequant + numpy IDCT, ITU T.81 SOF0). Video
+FRAME decode is REAL for MJPEG-AVI (``parse_avi_header`` +
+``decode_avi_frame`` + ``video_frame_stats``) and animated GIF; only true
+INTER-frame codecs (H.264 etc.) still raise in ``_decode_frame`` — swap
+in libav when available. A deterministic fake decoder (``decoder="fake"``)
+remains for the SQL-oracle-replicable multimodal_meta driver query.
 
 Scale design: mapInPandas streams Arrow record batches through one Python
 worker per core — no collect, no per-row pickling; binary payloads never

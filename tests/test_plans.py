@@ -212,6 +212,7 @@ class TestGlobalPlanInvariants:
         "pixel_stats",         # real numpy pixel decode (mapInPandas)
         "audio_stats",         # real numpy PCM decode (mapInPandas)
         "video_container_meta",  # real MP4 box walk (mapInPandas)
+        "video_frame_stats",   # real MJPEG-AVI frame decode (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
     }
 
