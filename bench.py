@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "dsir_resample",
     "events_trailing_median",
     "mode_by_group",
+    "trigram_lm_scores",
+    "remove_dup_spans",
+    "video_frame_stats",
+    "embedding_topk_quantized",
 ]
 
 

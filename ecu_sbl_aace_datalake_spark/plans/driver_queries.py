@@ -4485,6 +4485,85 @@ WHERE rn <= 10
 """
 
 
+def q_embedding_topk_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under a FULL oracle: fixed codebooks (the
+    subvectors of vec_id 0..15 — similarity.pq_codebooks_fixed) replace
+    k-means training, so the whole PQ pipeline — per-subspace encode
+    (argmin, ties to lowest code), the ADC m-lookup candidate scan, and
+    the exact cosine rerank — is deterministic and replicated relationally
+    in DuckDB. Trained codebooks (similarity.pq_train) are unit-tested
+    separately."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, cbs, k=10)
+
+
+# MATERIALIZED on dists avoids the CTE-inlining join-order pathology hit
+# by SQL_TRIGRAM_LM (dists feeds both the corpus assignment and the
+# query-side lookup table).
+SQL_EMBEDDING_TOPK_PQ_FIXED = """
+WITH c AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+cb AS (
+  SELECT code, s.m AS m, s.ce AS ce FROM (
+    SELECT vec_id AS code, unnest(list_transform(range(0, 8),
+      mi -> {'m': mi, 'ce': cv[mi*8+1 : mi*8+8]})) AS s
+    FROM c WHERE vec_id < 16)
+),
+sub AS (
+  SELECT vec_id, s.m AS m, s.sv AS sv FROM (
+    SELECT vec_id, unnest(list_transform(range(0, 8),
+      mi -> {'m': mi, 'sv': cv[mi*8+1 : mi*8+8]})) AS s
+    FROM c)
+),
+dists AS MATERIALIZED (
+  SELECT sub.vec_id, sub.m, cb.code,
+         list_sum(list_transform(range(1, 9),
+             i -> (sub.sv[i] - cb.ce[i]) * (sub.sv[i] - cb.ce[i]))) AS d
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+qd AS (SELECT vec_id AS query_id, m, code, d FROM dists WHERE vec_id < 5),
+approx AS (
+  SELECT qd.query_id, a.vec_id, SUM(qd.d) AS d2
+  FROM assign a JOIN qd ON qd.m = a.m AND qd.code = a.code
+  WHERE a.vec_id <> qd.query_id
+  GROUP BY qd.query_id, a.vec_id
+),
+cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rn
+    FROM approx)
+  WHERE rn <= 40
+),
+exact AS (
+  SELECT x.query_id, x.vec_id,
+         ROUND(list_dot_product(d.cv, q.cv)
+           / (sqrt(list_dot_product(d.cv, d.cv))
+              * sqrt(list_dot_product(q.cv, q.cv))), 6) AS score
+  FROM cands x
+  JOIN c d ON d.vec_id = x.vec_id
+  JOIN c q ON q.vec_id = x.query_id
+)
+SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+      FROM exact)
+WHERE rn <= 10
+"""
+
+
 def _lsh_oracle_sql(tables: int = 8, bits: int = 4, dim: int = 64,
                     seed: int = 42) -> str:
     """Generate the FULL multi-table hyperplane-LSH oracle: the planes come
@@ -6505,6 +6584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_embedding_topk": q_text_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_topk_ivf_fixed": q_embedding_topk_ivf_fixed,
+    "embedding_topk_pq_fixed": q_embedding_topk_pq_fixed,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_parse_props": q_events_parse_props,
@@ -6699,6 +6779,7 @@ ORACLES: dict[str, str] = {
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "embedding_topk_quantized": SQL_EMBEDDING_TOPK_QUANTIZED,
     "embedding_topk_ivf_fixed": SQL_EMBEDDING_TOPK_IVF_FIXED,
+    "embedding_topk_pq_fixed": SQL_EMBEDDING_TOPK_PQ_FIXED,
     "embedding_topk_lsh": SQL_EMBEDDING_TOPK_LSH,
     "minhash_neardup_pairs": SQL_MINHASH_NEARDUP,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -758,6 +758,77 @@ class TestVideoContainerMeta:
         assert not out[3].is_mp4 and out[3].brand is None
 
 
+class TestPqTopk:
+    @staticmethod
+    def _planted(spark):
+        # unit-sphere corpus with a near-duplicate planted per query
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(200):
+            v = [rng.gauss(0, 1) for _ in range(64)]
+            n = sum(x * x for x in v) ** 0.5
+            rows.append((i, [x / n for x in v]))
+        for qi in range(5):
+            base = rows[qi][1]
+            dup = [x + rng.gauss(0, 0.01) for x in base]
+            n = sum(x * x for x in dup) ** 0.5
+            rows.append((1000 + qi, [x / n for x in dup]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codebook_shapes(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        for cbs in (
+            similarity.pq_codebooks_fixed(emb, m=8, k=16),
+            similarity.pq_train(emb, m=8, k=16, max_iter=2),
+        ):
+            assert len(cbs) == 8 and all(len(b) == 16 for b in cbs)
+            assert all(len(e) == 8 for b in cbs for e in b)
+
+    def test_encode_codes_in_range(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        rows = similarity.pq_encode(emb, cbs).select("pq_code").collect()
+        for r in rows:
+            assert len(r.pq_code) == 8
+            assert all(0 <= c < 16 for c in r.pq_code)
+
+    def test_planted_neardup_found_top1(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        corpus = self._planted(spark)
+        cbs = similarity.pq_train(corpus, m=8, k=16, max_iter=3)
+        queries = corpus.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.pq_topk(corpus, queries, cbs, k=3)
+        top1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+        assert top1 == {q: 1000 + q for q in range(5)}
+
+    def test_rerank_scores_are_exact_cosines(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        pq = {(r.query_id, r.vec_id): r.score
+              for r in similarity.pq_topk(emb, queries, cbs, k=10).collect()}
+        exact = {(r.query_id, r.vec_id): r.score
+                 for r in similarity.cosine_topk(emb, queries, k=200).collect()}
+        for key, s in pq.items():
+            assert key in exact and abs(exact[key] - s) < 1e-9
+
+
 class TestQuantizedTopk:
     def test_quantization_roundtrip_error(self, spark, sf_dir):
         from ecu_sbl_aace_datalake_spark.operators import similarity
