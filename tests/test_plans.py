@@ -199,6 +199,7 @@ class TestGlobalPlanInvariants:
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
         "embedding_topk_quantized",  # same deliberate shape: broadcast query set, int8 scan
+        "embedding_topk_pq_fixed",   # broadcast query set vs m-byte PQ code scan
         "text_embedding_topk",
         "multimodal_retrieval",
     }
