@@ -4224,6 +4224,48 @@ def _avi_payload_expr() -> str:
 _AVI_PAYLOAD_EXPR = _avi_payload_expr()
 
 
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize (multimodal.resize_pixels — decode + aspect-fit
+    nearest-neighbour resample in numpy): solid-color PPMs resize into an
+    8×8 box; output geometry follows scale = min(8/w, 8/h) with epsilon
+    floor, and nearest keeps solid colors bit-exact so resized means stay
+    the constructed channel values. Compressed (JPEG) payloads →
+    decoded=false."""
+    from ..operators.multimodal import resize_pixels
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_PX_PAYLOAD_EXPR).alias("payload")
+    )
+    return resize_pixels(cust, "payload", target=(8, 8)).select(
+        "c_custkey", "decoded", "src_width", "src_height",
+        "out_width", "out_height", "mean_r", "mean_g", "mean_b",
+    )
+
+
+SQL_IMAGE_RESIZE_STATS = f"""
+WITH p AS (
+  SELECT c_custkey,
+         c_custkey % 4 <> 0 AS ok,
+         CAST({_PX_W} AS INT) AS w,
+         CAST({_PX_H} AS INT) AS h
+  FROM customer WHERE c_custkey < 400
+),
+g AS (
+  SELECT *, least(8.0 / w, 8.0 / h) AS scale FROM p
+)
+SELECT c_custkey,
+       ok AS decoded,
+       CASE WHEN ok THEN w END AS src_width,
+       CASE WHEN ok THEN h END AS src_height,
+       CASE WHEN ok THEN GREATEST(1, CAST(FLOOR(w * scale + 1e-9) AS INT)) END AS out_width,
+       CASE WHEN ok THEN GREATEST(1, CAST(FLOOR(h * scale + 1e-9) AS INT)) END AS out_height,
+       CASE WHEN ok THEN CAST({_PX_R} AS DOUBLE) END AS mean_r,
+       CASE WHEN ok THEN CAST({_PX_G} AS DOUBLE) END AS mean_g,
+       CASE WHEN ok THEN CAST({_PX_B} AS DOUBLE) END AS mean_b
+FROM g
+"""
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MJPEG-AVI FRAME decode (multimodal.video_frame_stats — RIFF
     movi walk + the repo's baseline-JPEG decoder, no codec library):
@@ -6490,6 +6532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_stats": q_audio_stats,
     "video_container_meta": q_video_container_meta,
     "video_frame_stats": q_video_frame_stats,
+    "image_resize_stats": q_image_resize_stats,
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
@@ -6700,6 +6743,7 @@ ORACLES: dict[str, str] = {
     "audio_stats": SQL_AUDIO_STATS,
     "video_container_meta": SQL_VIDEO_CONTAINER_META,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
+    "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,

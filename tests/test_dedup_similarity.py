@@ -929,6 +929,58 @@ class TestFrameSamplePlan:
         assert "payload" not in {f for r in out for f in r.__fields__}
 
 
+class TestResizePixels:
+    @staticmethod
+    def _ppm(w, h, pixels):
+        hdr = f"P6\n{w} {h}\n255\n".encode()
+        return hdr + bytes(b for px in pixels for b in px)
+
+    def test_nearest_downscale_gradient(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_pixels
+
+        # 4x2 horizontal gradient → 2x1 box: nearest picks source cols 1,3
+        pixels = [(0, 0, 0), (60, 0, 0), (120, 0, 0), (180, 0, 0)] * 2
+        df = spark.createDataFrame(
+            [(1, self._ppm(4, 2, pixels))], "media_id long, payload binary"
+        )
+        [r] = resize_pixels(df, target=(2, 2)).collect()
+        assert (r.src_width, r.src_height) == (4, 2)
+        assert (r.out_width, r.out_height) == (2, 1)
+        # scale = 0.5: out col 0 ← src col floor(0.5/0.5)=1, col 1 ← 3
+        assert r.mean_r == (60 + 180) / 2 and r.mean_g == 0.0
+
+    def test_solid_color_survives_exactly(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_pixels
+
+        df = spark.createDataFrame(
+            [(1, self._ppm(10, 6, [(7, 77, 177)] * 60))],
+            "media_id long, payload binary",
+        )
+        [r] = resize_pixels(df, target=(4, 4)).collect()
+        assert (r.out_width, r.out_height) == (4, 2)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (7.0, 77.0, 177.0)
+
+    def test_mean_method_averages(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_pixels
+
+        # 2x2 → 1x1 with box-average: mean of the four pixels
+        pixels = [(0, 0, 0), (100, 0, 0), (200, 0, 0), (100, 0, 0)]
+        df = spark.createDataFrame(
+            [(1, self._ppm(2, 2, pixels))], "media_id long, payload binary"
+        )
+        [r] = resize_pixels(df, target=(1, 1), method="mean").collect()
+        assert r.mean_r == 100.0
+
+    def test_undecodable_flagged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import resize_pixels
+
+        df = spark.createDataFrame(
+            [(1, b"not an image")], "media_id long, payload binary"
+        )
+        [r] = resize_pixels(df).collect()
+        assert r.decoded is False and r.out_width is None
+
+
 class TestMjpegAvi:
     @staticmethod
     def _avi(colors=(32, 96, 160), fps=25):

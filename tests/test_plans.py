@@ -214,6 +214,7 @@ class TestGlobalPlanInvariants:
         "audio_stats",         # real numpy PCM decode (mapInPandas)
         "video_container_meta",  # real MP4 box walk (mapInPandas)
         "video_frame_stats",   # real MJPEG-AVI frame decode (mapInPandas)
+        "image_resize_stats",  # real pixel resize (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
     }
 
