@@ -4149,6 +4149,56 @@ FROM customer WHERE c_custkey < 400
 """
 
 
+# Square-wave PCM WAVs for the REAL signal-analysis query: period
+# P = 2·(2 + custkey%4) samples at amplitude 8192, m = 50 + custkey%50
+# periods. The fundamental of a periodic square wave is the spectrum
+# argmax, so dominant_freq = sr/P and zero_crossings = 2m-1 — both
+# analytic. Every 6th customer gets a non-WAV payload (decoded=false).
+_SQ_H = "(2 + c_custkey % 4)"
+_SQ_M = "(50 + c_custkey % 50)"
+
+_SQWAV_PAYLOAD_EXPR = f"""CASE WHEN c_custkey % 6 = 0
+  THEN encode('nothing acoustic here', 'utf-8')
+  ELSE unhex(
+    '52494646' || {_le32(f"36 + 4 * {_SQ_H} * {_SQ_M}")} || '57415645'
+    || '666d7420' || '10000000' || '0100' || '0100'
+    || '401f0000' || '803e0000' || '0200' || '1000'
+    || '64617461' || {_le32(f"4 * {_SQ_H} * {_SQ_M}")}
+    || repeat(repeat('0020', {_SQ_H}) || repeat('00e0', {_SQ_H}), {_SQ_M}))
+END"""
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio signal analysis (multimodal.audio_features — numpy rfft
+    over mapInPandas): square-wave WAVs constructed per customer; the
+    dominant frequency must land on the fundamental sr/P and the
+    zero-crossing count on 2m-1 — analytic round-trips of the
+    construction. Non-WAV payloads → decoded=false."""
+    from ..operators.multimodal import audio_features
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_SQWAV_PAYLOAD_EXPR).alias("payload")
+    )
+    return audio_features(cust, "payload").select(
+        "c_custkey", "decoded", "sample_rate", "n_samples",
+        "zero_crossings", "dominant_freq",
+    )
+
+
+SQL_AUDIO_FEATURES = f"""
+SELECT c_custkey,
+       c_custkey % 6 <> 0 AS decoded,
+       CASE WHEN c_custkey % 6 <> 0 THEN 8000 END AS sample_rate,
+       CASE WHEN c_custkey % 6 <> 0
+            THEN CAST(2 * {_SQ_H} * {_SQ_M} AS BIGINT) END AS n_samples,
+       CASE WHEN c_custkey % 6 <> 0
+            THEN CAST(2 * {_SQ_M} - 1 AS BIGINT) END AS zero_crossings,
+       CASE WHEN c_custkey % 6 <> 0
+            THEN ROUND(8000.0 / (2 * {_SQ_H}), 4) END AS dominant_freq
+FROM customer WHERE c_custkey < 400
+"""
+
+
 # Minimal-but-valid MP4 (ftyp + moov>mvhd v0) for the REAL container
 # metadata query; duration derives from c_custkey at timescale 1000 so
 # duration_s terminates in 3 decimals. Every 3rd customer gets a non-MP4
@@ -6533,6 +6583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_container_meta": q_video_container_meta,
     "video_frame_stats": q_video_frame_stats,
     "image_resize_stats": q_image_resize_stats,
+    "audio_features": q_audio_features,
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
@@ -6744,6 +6795,7 @@ ORACLES: dict[str, str] = {
     "video_container_meta": SQL_VIDEO_CONTAINER_META,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
+    "audio_features": SQL_AUDIO_FEATURES,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,

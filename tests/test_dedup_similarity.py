@@ -929,6 +929,49 @@ class TestFrameSamplePlan:
         assert "payload" not in {f for r in out for f in r.__fields__}
 
 
+class TestAudioFeatures:
+    @staticmethod
+    def _wav(samples, sr=8000):
+        import struct
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    def test_square_wave_fundamental(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import audio_features
+
+        m, H = 60, 4  # period 8 @ 8 kHz → 1 kHz fundamental
+        samples = ([8192] * H + [-8192] * H) * m
+        df = spark.createDataFrame(
+            [(1, self._wav(samples)), (2, b"nope")],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in audio_features(df).collect()}
+        r = out[1]
+        assert r.decoded and r.dominant_freq == 1000.0
+        assert r.zero_crossings == 2 * m - 1
+        assert r.spectral_peak_ratio > 0.5
+        assert out[2].decoded is False
+
+    def test_noise_has_low_peak_ratio(self, spark):
+        import random
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import audio_features
+
+        rng = random.Random(3)
+        samples = [rng.randint(-20000, 20000) for _ in range(2048)]
+        df = spark.createDataFrame(
+            [(1, self._wav(samples))], "media_id long, payload binary"
+        )
+        [r] = audio_features(df).collect()
+        assert r.decoded and r.spectral_peak_ratio < 0.1
+
+
 class TestResizePixels:
     @staticmethod
     def _ppm(w, h, pixels):

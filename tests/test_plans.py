@@ -215,6 +215,7 @@ class TestGlobalPlanInvariants:
         "video_container_meta",  # real MP4 box walk (mapInPandas)
         "video_frame_stats",   # real MJPEG-AVI frame decode (mapInPandas)
         "image_resize_stats",  # real pixel resize (mapInPandas)
+        "audio_features",      # real rfft signal analysis (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
     }
 
