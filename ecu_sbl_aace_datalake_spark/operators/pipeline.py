@@ -9,6 +9,8 @@ verified operators.
       → [paragraph-level dedup]     (dedup.paragraph_dedup, opt-in)
       → exact dedup                 (dedup.exact_dedup, normalized text)
       → MinHash-LSH near-dup prune  (dedup.minhash_dedup)
+      → [dup-span removal]          (dedup.remove_duplicate_spans, opt-in)
+      → [LM-perplexity floor]       (textstats.bigram_lm_scores, opt-in)
       → [test-set decontamination]  (dedup.decontaminate, opt-in)
       → token count                 (packing.with_token_count)
       → greedy sequence packing     (packing.greedy_pack)
@@ -43,6 +45,9 @@ def prepare_corpus(
     paragraph_level_dedup: bool = False,
     decontaminate_against: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    remove_dup_spans: bool = False,
+    dup_span_ngram: int = 10,
+    lm_quality_quantile: float | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -61,6 +66,15 @@ def prepare_corpus(
       ``text_col``); docs sharing any ``decontaminate_ngram``-gram are
       removed LAST (after dedup, before packing), the cheapest point since
       the corpus is smallest there.
+    - ``remove_dup_spans`` — Lee-et-al exact-substring span removal
+      (:func:`~.dedup.remove_duplicate_spans`) AFTER document-level dedup
+      (whole-doc dups are gone, so span surgery only touches partial
+      repeats); docs cut to nothing are dropped.
+    - ``lm_quality_quantile`` — corpus-self-trained bigram-LM score floor
+      (:func:`~.textstats.bigram_lm_scores`): drop docs below this
+      quantile of ``lm_logprob`` (e.g. ``0.1`` cuts the worst decile —
+      the CCNet-style perplexity prune). Runs after span removal so the
+      model trains on the cleaned text.
     """
     scored = textstats.with_quality_score(
         textstats.with_lang_id(df, text_col), text_col
@@ -93,6 +107,27 @@ def prepare_corpus(
     pruned = dedup.minhash_dedup(
         exact, id_col, text_col, threshold=neardup_threshold, bands=neardup_bands
     )
+    if remove_dup_spans:
+        cleaned = dedup.remove_duplicate_spans(
+            pruned, id_col, text_col, n=dup_span_ngram, out_col="__cut"
+        ).where(F.col("__cut") != "")
+        pruned = (
+            pruned.drop(text_col)
+            .join(cleaned.select(id_col, "__cut"), id_col)
+            .withColumnRenamed("__cut", text_col)
+        )
+    if lm_quality_quantile is not None:
+        scored_lm = textstats.bigram_lm_scores(pruned, text_col, id_col)
+        floor = scored_lm.agg(
+            F.expr(
+                f"percentile_approx(lm_logprob, {float(lm_quality_quantile)}, 10000)"
+            ).alias("q")
+        )
+        pruned = (
+            scored_lm.crossJoin(F.broadcast(floor))
+            .where(F.col("lm_logprob").isNull() | (F.col("lm_logprob") >= F.col("q")))
+            .drop("q", "lm_logprob", "n_bigrams")
+        )
     if decontaminate_against is not None:
         pruned = dedup.decontaminate(
             pruned, decontaminate_against, id_col, text_col,

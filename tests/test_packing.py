@@ -258,6 +258,30 @@ class TestFullPipelineGates:
         finally:
             out.unpersist()
 
+    def test_span_removal_and_lm_floor_compose(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import dedup, pipeline
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        packed = pipeline.prepare_corpus(
+            docs, pack_budget=128,
+            remove_dup_spans=True,
+            lm_quality_quantile=0.1,
+        )
+        out = packed.select("doc_id", "text").cache()
+        try:
+            baseline = pipeline.prepare_corpus(docs, pack_budget=128)
+            n, nb = out.count(), baseline.count()
+            assert 0 < n <= nb
+            # span removal: the surviving corpus has no 10-token window
+            # repeated across documents
+            stats = dedup.duplicate_span_stats(out, "doc_id", n=10)
+            cross = stats.agg(F.sum("n_dup_spans").alias("s")).collect()[0]["s"]
+            assert cross == 0
+        finally:
+            out.unpersist()
+
 
 class TestTokenMixture:
     def test_budgets_and_determinism(self, spark):
