@@ -19,6 +19,7 @@ overall ``ok`` flag; ``expect`` raises on failure for pipeline gating.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -307,4 +308,51 @@ def chi2_drift(
         (F.count("*") - 1).cast("long").alias("dof"),
         F.max("__ta").cast("long").alias("n_a"),
         F.max("__tb").cast("long").alias("n_b"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: per group,
+    ``median`` and ``MAD = median(|x - median|)``; a row is an outlier
+    when ``|x - median| > k · 1.4826 · MAD`` (1.4826 scales MAD to σ for
+    normal data). Unlike the z-score flagger, a few extreme points cannot
+    drag the threshold — the estimator the anomaly literature actually
+    recommends for heavy-tailed telemetry.
+
+    Two exact-percentile aggregates + two broadcast-joins back; group
+    medians are exact (interpolated), not approximate — drift monitoring
+    wants reproducible flags. Adds ``group_median``, ``group_mad`` (6dp)
+    and ``out_col``. Groups where MAD = 0 (over half the values identical)
+    flag any deviation at all as an outlier.
+    """
+    gcols = list(group_cols)
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    j1 = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(F.broadcast(med))
+    j1 = j1.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+    mad = j1.groupBy(*gcols).agg(
+        F.expr("percentile(__adev, 0.5)").alias("__mad")
+    )
+    j2 = (
+        j1.join(F.broadcast(mad), gcols)
+        if gcols
+        else j1.crossJoin(F.broadcast(mad))
+    )
+    thresh = F.lit(float(k) * 1.4826) * F.col("__mad")
+    return (
+        j2.withColumn(
+            out_col,
+            F.when(F.col("__mad") > 0, F.col("__adev") > thresh)
+            .otherwise(F.col("__adev") > 0),
+        )
+        .withColumn("group_median", F.round(F.col("__med") + F.lit(1e-9), 6))
+        .withColumn("group_mad", F.round(F.col("__mad") + F.lit(1e-9), 6))
+        .drop("__med", "__mad", "__adev")
     )

@@ -993,3 +993,50 @@ def gumbel_topk_resample(
         .orderBy(F.col("resample_score").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Per-document n-gram diversity — distinct n-grams over total n-gram
+    occurrences (the n-gram type/token ratio): →1 for non-repetitive
+    prose, →0 for looping/template text. The self-BLEU-flavoured
+    repetition signal pre-training filters use alongside the Gopher
+    gates, as pure array expressions (shingle transform → array_distinct),
+    zero shuffles — it composes into any scan.
+
+    Adds ``n_ngrams`` (long), ``distinct_ngrams`` (long),
+    ``ngram_diversity`` (4dp, null for docs with < n tokens).
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    base = df.withColumn("__t", toks)
+    n_g = F.size("__t") - F.lit(n - 1)
+    grams = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__t"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (
+        base.withColumn("__g", grams)
+        .withColumn("n_ngrams", F.size("__g").cast("long"))
+        .withColumn(
+            "distinct_ngrams", F.size(F.array_distinct("__g")).cast("long")
+        )
+        .withColumn(
+            "ngram_diversity",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.col("distinct_ngrams") / F.col("n_ngrams") + F.lit(1e-9), 4
+                ),
+            ),
+        )
+    )
+    return out.drop("__t", "__g")

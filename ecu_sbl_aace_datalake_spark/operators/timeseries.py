@@ -286,3 +286,59 @@ def trailing_distinct_count(
     return observed.join(counted, klist + ["__day"]).select(
         *klist, F.col("__day").alias("report_day"), F.col(out_col)
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    alpha: float = 0.3,
+    window_n: int = 20,
+    out_col: str = "ewma",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Finite-window exponentially-weighted moving average per key:
+
+    ``ewma_t = Σ_{k<K} (1-α)^k · x_{t-k} / Σ_{k<K,avail} (1-α)^k``
+
+    The K-term truncation (default 20: (1-α)^20 < 1e-3 at α=0.3) is what
+    makes EWMA a WINDOW expression instead of a sequential recurrence —
+    the exact recursive form forces row-at-a-time state, while this form
+    is one bounded window frame per row, runs inside whole-stage codegen,
+    and is off by at most the dropped tail mass. Weights renormalize over
+    the rows actually present, so early rows are plain weighted means,
+    not zero-padded.
+
+    Deterministic ordering: pass ``order_tiebreak`` columns when ``ts``
+    can tie (frame contents must be reproducible for engine parity).
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(-(int(window_n) - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    s = F.size(arr)
+    # weights as LITERAL doubles, not pow() calls: libm pow differs in the
+    # last ulp across engines, literals are bit-identical everywhere (and
+    # cheaper). weights[k+1] = (1-α)^k; position j (1-based, frame
+    # ascending: j=s is the current row) gets exponent s-j.
+    weights = F.array(
+        *[F.lit((1.0 - float(alpha)) ** kk) for kk in range(int(window_n))]
+    )
+    weighted = F.zip_with(
+        arr,
+        F.sequence(F.lit(1), s),
+        lambda x, j: x * F.element_at(weights, s - j + 1),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), s), lambda j: F.element_at(weights, s - j + 1)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return df.withColumn(out_col, F.round(num / den + F.lit(1e-9), 4))

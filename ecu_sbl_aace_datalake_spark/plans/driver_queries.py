@@ -6533,6 +6533,114 @@ FROM (
 """
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA per user (timeseries.ewma): 10-term
+    exponentially-decayed weighted mean over (ts, event_id)-ordered
+    values — the windowed form that stays inside codegen instead of a
+    sequential recurrence. Weights are literal doubles on both sides (no
+    libm pow parity risk); oracle replicates with a window list
+    aggregate."""
+    from ..operators.timeseries import ewma
+
+    evdf = _t(spark, sf_dir, "events")
+    return ewma(
+        evdf, "ts", "value", ["user_id"], alpha=0.3, window_n=10,
+        order_tiebreak=["event_id"],
+    ).select("user_id", "event_id", "ewma")
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, window_n: int = 10) -> str:
+    wlits = "[" + ", ".join(repr((1.0 - alpha) ** kk) for kk in range(window_n)) + "]"
+    return f"""
+WITH b AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {window_n - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT user_id, event_id,
+       ROUND(
+         list_sum(list_transform(range(1, len(arr) + 1),
+             j -> arr[j] * ({wlits})[len(arr) - j + 1]))
+         / list_sum(list_transform(range(1, len(arr) + 1),
+             j -> ({wlits})[len(arr) - j + 1]))
+         + 1e-9, 4) AS ewma
+FROM b
+"""
+
+
+SQL_EVENTS_EWMA = _ewma_oracle_sql()
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per event type (quality.mad_outliers):
+    exact group median + median absolute deviation, flag beyond
+    3·1.4826·MAD — the heavy-tail-safe alternative to z-scores. Oracle
+    replicates with DuckDB's interpolated quantile_cont(0.5)."""
+    from ..operators.quality import mad_outliers
+
+    evdf = _t(spark, sf_dir, "events")
+    return mad_outliers(evdf, "value", ["event_type"], k=3.0).select(
+        "event_id", "event_type", "group_median", "group_mad", "is_outlier"
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.m,
+         abs(e.value - med.m) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       ROUND(d.m + 1e-9, 6) AS group_median,
+       ROUND(mad.md + 1e-9, 6) AS group_mad,
+       CASE WHEN mad.md > 0 THEN d.adev > 3.0 * 1.4826 * mad.md
+            ELSE d.adev > 0 END AS is_outlier
+FROM dev d JOIN mad USING (event_type)
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 4-gram type/token diversity (textstats.ngram_diversity):
+    distinct windows over total windows, pure array expressions, zero
+    shuffles. Oracle recomputes with string windows in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.ngram_diversity(docs, n=4).select(
+        "doc_id", "n_ngrams", "distinct_ngrams", "ngram_diversity"
+    )
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_transform(range(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE [] END AS grams
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                       + 1e-9, 4) END AS ngram_diversity
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6623,6 +6731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill_interp": q_events_gap_fill_interp,
     "events_islands": q_events_islands,
     "latest_event_per_user": q_latest_event_per_user,
+    "events_ewma": q_events_ewma,
+    "mad_outliers": q_mad_outliers,
+    "ngram_diversity": q_ngram_diversity,
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
@@ -6765,6 +6876,9 @@ ORACLES: dict[str, str] = {
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,
     "events_islands": SQL_EVENTS_ISLANDS,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,

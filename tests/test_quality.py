@@ -268,3 +268,63 @@ class TestChi2Drift:
         # hand-computed 2x2 chi2: n=200, ea_a=45, chi2 = sum (o-e)^2/e
         expected = (60-45)**2/45 + (30-45)**2/45 + (40-55)**2/55 + (70-55)**2/55
         assert abs(r.chi2 - round(expected, 4)) < 1e-9 and r.dof == 1
+
+
+class TestMadOutliers:
+    def test_extreme_point_flagged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import mad_outliers
+
+        rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1000])]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = {r.event_id: r for r in mad_outliers(df, "value", ["event_type"]).collect()}
+        assert out[7].is_outlier is True
+        assert all(not out[i].is_outlier for i in range(7))
+
+    def test_robust_to_multiple_outliers(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import mad_outliers
+
+        # 3 of 12 points extreme: classic z-score inflation would mask
+        # them; MAD keeps the threshold tight
+        vals = [10, 10, 11, 9, 10, 11, 9, 10, 10, 500, 600, 700]
+        rows = [(i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        out = {r.event_id: r.is_outlier for r in mad_outliers(df, "value").collect()}
+        assert out[9] and out[10] and out[11]
+        assert not any(out[i] for i in range(9))
+
+    def test_zero_mad_group(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.quality import mad_outliers
+
+        rows = [(i, 5.0) for i in range(6)] + [(6, 5.1)]
+        df = spark.createDataFrame(rows, "event_id long, value double")
+        out = {r.event_id: r.is_outlier for r in mad_outliers(df, "value").collect()}
+        assert out[6] is True and not out[0]
+
+
+class TestNgramDiversity:
+    def test_unique_text_scores_one(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import ngram_diversity
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        [r] = ngram_diversity(df).collect()
+        assert r.ngram_diversity == 1.0 and r.n_ngrams == 5
+
+    def test_repeated_text_scores_low(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import ngram_diversity
+
+        df = spark.createDataFrame(
+            [(1, "spam ham eggs bacon " * 50)], "doc_id long, text string"
+        )
+        [r] = ngram_diversity(df).collect()
+        assert r.ngram_diversity < 0.05
+        assert r.distinct_ngrams == 4
+
+    def test_short_doc_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import ngram_diversity
+
+        df = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
+        [r] = ngram_diversity(df).collect()
+        assert r.n_ngrams == 0 and r.ngram_diversity is None

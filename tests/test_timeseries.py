@@ -198,3 +198,40 @@ class TestTrailingDistinctCount:
             for r in ts.trailing_distinct_count(df, window_days=1).collect()
         }
         assert out == {1: 2, 2: 1}
+
+
+class TestEwma:
+    def test_constant_series_is_constant(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import ewma
+
+        rows = [(1, i, 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = ewma(df, "ts", "value", ["user_id"], alpha=0.3, window_n=5)
+        assert all(r.ewma == 5.0 for r in out.collect())
+
+    def test_hand_computed_three_points(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0)],
+            "user_id long, ts long, value double",
+        )
+        out = {r.ts: r.ewma for r in ewma(
+            df, "ts", "value", ["user_id"], alpha=0.5, window_n=10
+        ).collect()}
+        # weights 0.25, 0.5, 1 → (0.25 + 1 + 4) / 1.75 = 3.0
+        assert out[1] == 1.0
+        assert out[2] == round((0.5 * 1 + 1 * 2) / 1.5 + 1e-9, 4)
+        assert out[3] == 3.0
+
+    def test_step_response_moves_toward_new_level(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import ewma
+
+        rows = [(1, i, 0.0) for i in range(10)] + [(1, i, 10.0) for i in range(10, 20)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = {r.ts: r.ewma for r in ewma(
+            df, "ts", "value", ["user_id"], alpha=0.3, window_n=10
+        ).collect()}
+        assert out[9] == 0.0
+        assert 0 < out[10] < out[15] < out[19] <= 10.0
+        assert out[19] > 9.0  # window full of the new level
