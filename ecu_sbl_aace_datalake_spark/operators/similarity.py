@@ -801,6 +801,124 @@ def pq_topk(
     )
 
 
+def persist_ivfpq_index(
+    corpus: DataFrame,
+    lakehouse,
+    table_name: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+):
+    """Materialize an IVF-PQ index ON DISK — the FAISS-standard composition
+    and the real 100 TB ANN layout: rows are PARTITIONED by their nearest
+    IVF centroid (probes prune to n_probe/k of the files) and each stores
+    only ``(id, pq_code)`` — m bytes of payload instead of dim·4
+    (32× smaller at m=8/dim=64). A probe therefore reads
+    ``(n_probe/k) · (m/4dim)`` of the corpus bytes; at the defaults that
+    is ~1/170th. Cluster assignment + encoding are paid once at ingest;
+    one file per partition (repartition on the cluster id). Returns write
+    info."""
+    from ..sources.io import write_table
+
+    assigned = corpus.withColumn(
+        cluster_col, _nearest_centroid(_as_double(F.col(vec_col)), centroids)
+    )
+    encoded = (
+        pq_encode(assigned, codebooks, vec_col)
+        .select(id_col, cluster_col, "pq_code")
+        .repartition(F.col(cluster_col))
+    )
+    return write_table(lakehouse, table_name, encoded, partition_by=cluster_col)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    lakehouse,
+    table_name: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    rerank_factor: int = 4,
+    cluster_col: str = "ivf_cluster",
+    fmt: str | None = None,
+) -> DataFrame:
+    """Probe a :func:`persist_ivfpq_index` table: each query's ``n_probe``
+    nearest clusters are computed driver-side (centroids are tiny), the
+    scan reads ONLY those partitions' ``(id, pq_code)`` rows (partition
+    pruning at the file source — same proof as the IVF index plan test),
+    ADC ranks candidates by the PQ L2 approximation, and the top
+    ``k·rerank_factor`` join back to the float corpus for the exact
+    cosine top-k."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from ..sources.catalog import table_path
+    from ..sources.io import DEFAULT_FORMAT, read_path
+
+    ds = len(codebooks[0][0])
+    cents = np.asarray(centroids, dtype=np.float64)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        order = np.argsort(((cents - v) ** 2).sum(axis=1), kind="stable")
+        for ci in order[:n_probe]:
+            probe_rows.append((r[query_id_col], int(ci), [float(x) for x in v]))
+    probes = spark.createDataFrame(
+        probe_rows, f"__qid long, {cluster_col} int, __qv array<double>"
+    )
+    wanted = sorted({c for _, c, _ in probe_rows})
+    index = read_path(
+        spark, table_path(lakehouse, table_name), fmt or DEFAULT_FORMAT
+    ).where(F.col(cluster_col).isin(wanted))
+    joined = index.join(F.broadcast(probes), cluster_col).where(
+        F.col("__qid") != F.col(id_col)
+    )
+    terms = []
+    for mi, cb in enumerate(codebooks):
+        sub = F.slice(F.col("__qv"), mi * ds + 1, ds)
+        dists = F.array(*[_pq_sub_d2(sub, entry) for entry in cb])
+        terms.append(
+            F.element_at(dists, F.element_at(F.col("pq_code"), mi + 1) + 1)
+        )
+    d2 = terms[0]
+    for t in terms[1:]:
+        d2 = d2 + t
+    cand_w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc(id_col))
+    cands = (
+        joined.withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * rerank_factor)
+        .select(F.col("__qid").alias(query_id_col), id_col)
+    )
+    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q_vecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qfv"))
+    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qfv"))
+    exact = (
+        cands.join(c_vecs, id_col)
+        .join(F.broadcast(q_vecs), query_id_col)
+        .withColumn(
+            "score",
+            F.round(dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

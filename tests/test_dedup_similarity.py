@@ -508,6 +508,49 @@ class TestTopkAuto:
         assert all(len(v) == 5 for v in by_q.values())
 
 
+class TestIvfPq:
+    def test_probe_all_matches_pq_topk_and_prunes(self, spark, sf_dir):
+        import glob
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.kmeans_fit(emb, k=4, max_iter=3)
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        lh = Lakehouse("ivfpq", tempfile.mkdtemp())
+        similarity.persist_ivfpq_index(emb, lh, "emb_ivfpq", centroids, cbs)
+        # one partition dir per cluster, one data file each (layout fix)
+        dirs = glob.glob(f"{lh.tables_path}/emb_ivfpq/ivf_cluster=*")
+        assert len(dirs) == 4, dirs
+        for d in dirs:
+            files = [f for f in glob.glob(f"{d}/*") if "part-" in f and not f.endswith(".crc")]
+            assert len(files) == 1, files
+
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        # probing ALL clusters must reproduce the plain PQ pipeline
+        from_index = similarity.ivfpq_topk_from_index(
+            spark, lh, "emb_ivfpq", emb, queries, centroids, cbs,
+            k=5, n_probe=4)
+        plain = similarity.pq_topk(emb, queries, cbs, k=5)
+        assert sorted(map(tuple, from_index.collect())) == \
+            sorted(map(tuple, plain.collect()))
+
+        # a partial probe is partition-pruned and returns full result sets
+        pruned = similarity.ivfpq_topk_from_index(
+            spark, lh, "emb_ivfpq", emb, queries, centroids, cbs,
+            k=5, n_probe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cluster" in plan
+        by_q = {}
+        for r in pruned.collect():
+            by_q.setdefault(r.query_id, []).append(r)
+        assert all(len(v) == 5 for v in by_q.values())
+
+
 class TestIvfPersistence:
     def test_persisted_probe_matches_inline_ivf(self, spark, sf_dir):
         import glob
