@@ -65,14 +65,19 @@ def candidate_pairs(
     return out
 
 
-def column_uniqueness(df: DataFrame, cols: list[str] | None = None) -> dict[str, float]:
+def column_uniqueness(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False
+) -> dict[str, float]:
     """distinct/count ratio per column in ONE aggregate job (the candidate-key
     detector). approx_count_distinct keeps this a single streaming pass at
-    100 TB (exact countDistinct would need one shuffle per column)."""
+    100 TB (exact countDistinct would need one shuffle per column);
+    ``exact=True`` switches to exact count_distinct — deterministic output
+    for fixture-scale runs and the SQL-oracle path."""
     cols = cols or df.columns
+    cd = F.count_distinct if exact else F.approx_count_distinct
     row = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.approx_count_distinct(c).alias(c) for c in cols],
+        *[cd(c).alias(c) for c in cols],
     ).first()
     n = row["__n"] or 1
     return {c: min(row[c] / n, 1.0) for c in cols}
@@ -84,6 +89,7 @@ def find_relationships(
     coverage_threshold: float = 0.95,
     name_similarity_threshold: float = 0.8,
     uniqueness_threshold: float = 0.95,
+    exact_uniqueness: bool = False,
 ) -> DataFrame:
     """Infer FK→PK relationships across the given tables.
 
@@ -93,7 +99,10 @@ def find_relationships(
     coverage_threshold. Output columns: from_table, from_col, to_table,
     to_col, coverage, to_uniqueness, many_to_one.
     """
-    uniq = {t: column_uniqueness(df) for t, df in tables.items()}
+    uniq = {
+        t: column_uniqueness(df, exact=exact_uniqueness)
+        for t, df in tables.items()
+    }
     rows = []
     for cand in candidate_pairs(tables, name_similarity_threshold):
         to_uniq = uniq[cand.to_table].get(cand.to_col, 0.0)
@@ -131,8 +140,8 @@ def find_relationships(
                     cand.from_col,
                     cand.to_table,
                     cand.to_col,
-                    round(coverage, 4),
-                    round(to_uniq, 4),
+                    round(coverage + 1e-9, 4),
+                    round(to_uniq + 1e-9, 4),
                     uniq[cand.from_table].get(cand.from_col, 0.0) < uniqueness_threshold,
                 )
             )

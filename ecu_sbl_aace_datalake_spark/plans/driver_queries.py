@@ -2192,12 +2192,79 @@ FROM p1
 
 def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open relationship discovery over the star schema (reference
-    findAndDiagramRelationships common.py:995-1076, minus SemPy)."""
+    findAndDiagramRelationships common.py:995-1076, minus SemPy). FULLY
+    oracled as of round 3: candidate pairs are name-driven (static for the
+    fixed TPC-H schema — the oracle enumerates the same pairs via the same
+    similarity function at registry-import time) and ``exact_uniqueness``
+    replaces the HLL estimate with exact count_distinct, making coverage,
+    uniqueness, and threshold gating deterministic and SQL-replicable."""
     tables = {
         n: _t(spark, sf_dir, n)
         for n in ("region", "nation", "customer", "supplier", "orders", "lineitem", "part")
     }
-    return profile.find_relationships(spark, tables)
+    return profile.find_relationships(spark, tables, exact_uniqueness=True)
+
+
+_TPCH_COLUMNS: dict[str, list[str]] = {
+    # the FIXTURE schemas (trimmed TPC-H) — what q_relationships actually
+    # profiles; keep in sync with /root/testdata parquet (TESTDATA.md)
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+}
+
+
+def _relationships_oracle_sql(
+    coverage_threshold: float = 0.95,
+    name_similarity_threshold: float = 0.8,
+    uniqueness_threshold: float = 0.95,
+) -> str:
+    """Replicate find_relationships relationally: the candidate-pair set is
+    metadata-only (profile._name_similarity over the static TPC-H column
+    lists — computed HERE, at import, with the same function the operator
+    uses), and per-pair coverage/uniqueness are plain distinct-count SQL.
+    One UNION ALL branch per candidate pair, thresholds in WHERE."""
+    from ..operators.profile import _name_similarity
+
+    branches = []
+    names = list(_TPCH_COLUMNS)
+    for ta in names:
+        for tb in names:
+            if ta == tb:
+                continue
+            for ca in _TPCH_COLUMNS[ta]:
+                for cb in _TPCH_COLUMNS[tb]:
+                    if _name_similarity(ca, cb) < name_similarity_threshold:
+                        continue
+                    branches.append(f"""
+SELECT '{ta}' AS from_table, '{ca}' AS from_col,
+       '{tb}' AS to_table, '{cb}' AS to_col,
+       ROUND(CAST(covered AS DOUBLE) / total + 1e-9, 4) AS coverage,
+       ROUND(to_uniq + 1e-9, 4) AS to_uniqueness,
+       from_uniq < {uniqueness_threshold} AS many_to_one
+FROM (
+  SELECT
+    (SELECT COUNT(DISTINCT {ca}) FROM {ta} WHERE {ca} IS NOT NULL) AS total,
+    (SELECT COUNT(DISTINCT {ca}) FROM {ta}
+      WHERE {ca} IS NOT NULL AND {ca} IN (SELECT {cb} FROM {tb})) AS covered,
+    (SELECT CAST(COUNT(DISTINCT {cb}) AS DOUBLE) / COUNT(*) FROM {tb}) AS to_uniq,
+    (SELECT CAST(COUNT(DISTINCT {ca}) AS DOUBLE) / COUNT(*) FROM {ta}) AS from_uniq
+)
+WHERE total > 0
+  AND to_uniq >= {uniqueness_threshold}
+  AND CAST(covered AS DOUBLE) / total >= {coverage_threshold}""")
+    return "\nUNION ALL\n".join(branches)
+
+
+SQL_RELATIONSHIPS = _relationships_oracle_sql()
 
 
 def q_multimodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6876,6 +6943,7 @@ ORACLES: dict[str, str] = {
     "events_gap_fill_interp": SQL_EVENTS_GAP_FILL_INTERP,
     "events_islands": SQL_EVENTS_ISLANDS,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "relationships": SQL_RELATIONSHIPS,
     "events_ewma": SQL_EVENTS_EWMA,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
