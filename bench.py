@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "remove_dup_spans",
     "video_frame_stats",
     "embedding_topk_quantized",
+    "embedding_topk_pq_fixed",
+    "events_ewma",
+    "mad_outliers",
+    "ngram_diversity",
+    "image_resize_stats",
+    "audio_features",
 ]
 
 
