@@ -1,0 +1,100 @@
+"""Incremental aggregate-state maintenance — keep a per-key aggregate
+table current by MERGING each new batch's partial state instead of
+recomputing over history.
+
+The 100 TB pattern: a full `groupBy` over an append-only fact table costs
+a full scan per refresh; a MERGEABLE state (count, sum, min, max, HLL
+sketch) costs one scan of the BATCH plus a key-join against the state
+table — the same algebra Spark's own partial aggregation uses map-side,
+lifted to the storage layer. All components are commutative monoids, so
+``merge(state(A), state(B)) == state(A ∪ B)`` exactly (sums carried as
+DECIMAL(18,6): float accumulation order would make the invariant
+approximate; decimal keeps it bit-exact and engine-portable).
+
+No reference counterpart (the reference recomputes everything —
+common.py:525-538 overwrite-only writes); this is the extension surface's
+lakehouse-maintenance answer, composing with sources/incremental.py's
+MERGE upsert for the write side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: columns a state table carries per key
+STATE_COLS = ("cnt", "sum_dec", "min_v", "max_v", "hll")
+
+
+def agg_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    with_hll: bool = True,
+) -> DataFrame:
+    """Per-key mergeable aggregate state of one batch/partition of data:
+    ``cnt`` (rows with non-null value), ``sum_dec`` (DECIMAL(18,6) sum),
+    ``min_v``/``max_v``, and optionally ``hll`` (a mergeable
+    hll_sketch_agg binary for approx distinct values)."""
+    aggs = [
+        F.count(value_col).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_dec"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    if with_hll:
+        # hll_sketch_agg takes int/bigint/string/binary — hash doubles to a
+        # stable string key (distinct-count semantics survive the cast)
+        aggs.append(
+            F.expr(f"hll_sketch_agg(CAST({value_col} AS STRING))").alias("hll")
+        )
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_agg_states(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge two state tables into one (full outer on keys; every
+    component is a monoid so absent sides contribute identity). The merge
+    touches only the two state tables — never the underlying facts."""
+    klist = list(keys)
+    with_hll = "hll" in a.columns and "hll" in b.columns
+    unioned = a.unionByName(b, allowMissingColumns=False)
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+    if with_hll:
+        aggs.append(F.expr("hll_union_agg(hll)").alias("hll"))
+    else:
+        unioned = unioned.drop("hll")
+    return unioned.groupBy(*klist).agg(*aggs)
+
+
+def finalize_state(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Render a state table as the user-facing aggregate: count, sum, min,
+    max, avg (+ approx distinct when the state carries a sketch). Sum/avg
+    come back as doubles rounded 6dp (the decimal carrier is an internal
+    exactness device, not an output type)."""
+    cols = [
+        *keys,
+        F.col("cnt").cast("long").alias("n"),
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+        # double division of the exact decimal sum (NOT decimal division:
+        # engines disagree on result-scale rounding; double-of-exact is
+        # portable)
+        F.round(
+            F.col("sum_dec").cast("double") / F.col("cnt") + F.lit(1e-9), 6
+        ).alias("avg_v"),
+    ]
+    if "hll" in state.columns:
+        cols.append(
+            F.expr("hll_sketch_estimate(hll)").cast("long").alias("approx_distinct")
+        )
+    return state.select(*cols)

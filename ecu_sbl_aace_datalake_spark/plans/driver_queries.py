@@ -6708,6 +6708,38 @@ FROM g
 """
 
 
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggstate): per-custkey
+    order stats kept current by MERGING a new batch's mergeable state
+    (count/decimal-sum/min/max monoids) into the history's state — no
+    re-scan of history. The merged+finalized result must equal the full
+    recompute, which is exactly what the oracle does."""
+    from ..operators import aggstate
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.where(F.col("o_orderkey") % 2 == 0)
+    batch = orders.where(F.col("o_orderkey") % 2 == 1)
+    s1 = aggstate.agg_state(hist, ["o_custkey"], "o_totalprice", with_hll=False)
+    s2 = aggstate.agg_state(batch, ["o_custkey"], "o_totalprice", with_hll=False)
+    merged = aggstate.merge_agg_states(s1, s2, ["o_custkey"])
+    return aggstate.finalize_state(merged, ["o_custkey"]).select(
+        "o_custkey", "n", "sum_v", "min_v", "max_v", "avg_v"
+    )
+
+
+SQL_INCREMENTAL_AGG_MERGE = """
+SELECT o_custkey,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_v,
+       MIN(o_totalprice) AS min_v,
+       MAX(o_totalprice) AS max_v,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice) + 1e-9, 6) AS avg_v
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6801,6 +6833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma": q_events_ewma,
     "mad_outliers": q_mad_outliers,
     "ngram_diversity": q_ngram_diversity,
+    "incremental_agg_merge": q_incremental_agg_merge,
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
@@ -6947,6 +6980,7 @@ ORACLES: dict[str, str] = {
     "events_ewma": SQL_EVENTS_EWMA,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
+    "incremental_agg_merge": SQL_INCREMENTAL_AGG_MERGE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,

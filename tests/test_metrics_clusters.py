@@ -160,3 +160,44 @@ class TestEmbeddingNearDup:
         pairs = embedding_neardup_pairs(emb, dim=64, threshold=0.9).collect()
         for r in pairs:
             assert r.cosine >= 0.9 and r.id_a < r.id_b
+
+
+class TestAggState:
+    def test_merge_equals_recompute(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pyspark.sql.functions as F
+
+        orders = load_table(spark, sf_dir, "orders")
+        hist = orders.where(F.col("o_orderkey") % 2 == 0)
+        batch = orders.where(F.col("o_orderkey") % 2 == 1)
+        merged = aggstate.merge_agg_states(
+            aggstate.agg_state(hist, ["o_custkey"], "o_totalprice"),
+            aggstate.agg_state(batch, ["o_custkey"], "o_totalprice"),
+            ["o_custkey"],
+        )
+        got = aggstate.finalize_state(merged, ["o_custkey"])
+        want = aggstate.finalize_state(
+            aggstate.agg_state(orders, ["o_custkey"], "o_totalprice"),
+            ["o_custkey"],
+        )
+        cols = ["o_custkey", "n", "sum_v", "min_v", "max_v", "avg_v",
+                "approx_distinct"]
+        assert sorted(map(tuple, got.select(cols).collect())) == \
+            sorted(map(tuple, want.select(cols).collect()))
+
+    def test_merge_with_identity_batch(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pyspark.sql.functions as F
+
+        orders = load_table(spark, sf_dir, "orders")
+        s = aggstate.agg_state(orders, ["o_custkey"], "o_totalprice",
+                               with_hll=False)
+        empty = aggstate.agg_state(
+            orders.where(F.lit(False)), ["o_custkey"], "o_totalprice",
+            with_hll=False,
+        )
+        merged = aggstate.merge_agg_states(s, empty, ["o_custkey"])
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, s.collect()))
