@@ -119,6 +119,53 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_agg_state(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint_dir: str,
+    with_hll: bool = True,
+) -> Any:
+    """Streaming incremental-aggregate maintenance: each micro-batch's
+    mergeable per-key state (operators/aggstate — count, decimal-sum, min,
+    max, HLL) MERGES into a persisted state table; the dashboard-facing
+    aggregate is ``aggstate.finalize_state(spark.table(...))`` at read
+    time. History is never re-scanned — per-batch cost is one batch scan
+    plus a key-join against the state table, the streaming form of the
+    incremental_agg_merge pattern.
+
+    Exactly-once per batch: the merge is deterministic given (state,
+    batch), and foreachBatch replays whole batches — a replayed merge
+    would double-count, so the state write goes through an atomic swap of
+    a localCheckpoint'd result (same lineage-freeze reasoning as the
+    dedup ingest sink below)."""
+    from ..operators import aggstate
+    from ..sources.io import read_table, table_exists, write_table
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_state = aggstate.agg_state(batch_df, keys, value_col, with_hll)
+        if table_exists(spark, lakehouse, table_name):
+            existing = read_table(spark, lakehouse, table_name)
+            merged = aggstate.merge_agg_states(
+                existing, batch_state, keys
+            ).localCheckpoint()
+        else:
+            merged = batch_state
+        write_table(lakehouse, table_name, merged)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_dedup_ingest(
     stream: DataFrame,
     lakehouse: Lakehouse,

@@ -101,6 +101,49 @@ class TestForeachBatchUpsert:
         assert len(rows) == 26
 
 
+class TestForeachBatchAggState:
+    def test_streamed_state_equals_batch_recompute(self, spark, sf_dir, tmp_path):
+        import os
+
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_agg_state,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        src = str(tmp_path / "aggstate_src")
+        os.makedirs(src)
+        # two micro-batches (one file each, maxFilesPerTrigger=1)
+        orders.where("o_orderkey % 2 = 0").coalesce(1).write.parquet(src + "/b1")
+        orders.where("o_orderkey % 2 = 1").coalesce(1).write.parquet(src + "/b2")
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        lh = Lakehouse("ag", tempfile.mkdtemp())
+        q = foreach_batch_agg_state(
+            stream, lh, "order_state", keys=["o_custkey"],
+            value_col="o_totalprice",
+            checkpoint_dir=str(tmp_path / "ag_ckpt"), with_hll=False,
+        )
+        q.awaitTermination(180)
+        from ecu_sbl_aace_datalake_spark.sources.io import read_table
+
+        streamed = aggstate.finalize_state(
+            read_table(spark, lh, "order_state"), ["o_custkey"]
+        )
+        recomputed = aggstate.finalize_state(
+            aggstate.agg_state(orders, ["o_custkey"], "o_totalprice",
+                               with_hll=False),
+            ["o_custkey"],
+        )
+        assert sorted(map(tuple, streamed.collect())) == \
+            sorted(map(tuple, recomputed.collect()))
+
+
 class TestForeachBatchDedupIngest:
     def test_corpus_grows_only_by_novel_content(self, spark, tmp_path):
         import os
