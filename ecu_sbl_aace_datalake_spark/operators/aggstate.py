@@ -61,6 +61,8 @@ def merge_agg_states(
     touches only the two state tables — never the underlying facts."""
     klist = list(keys)
     with_hll = "hll" in a.columns and "hll" in b.columns
+    if not with_hll:
+        a, b = a.drop("hll"), b.drop("hll")
     unioned = a.unionByName(b, allowMissingColumns=False)
     aggs = [
         F.sum("cnt").alias("cnt"),
@@ -70,8 +72,6 @@ def merge_agg_states(
     ]
     if with_hll:
         aggs.append(F.expr("hll_union_agg(hll)").alias("hll"))
-    else:
-        unioned = unioned.drop("hll")
     return unioned.groupBy(*klist).agg(*aggs)
 
 
