@@ -2,10 +2,10 @@
 
 ``entry(spark)`` runs the flagship TPC-H-Q1-shape aggregation at sf0.001.
 ``queries()`` / ``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (+ north-star extensions) with DuckDB oracles where the
-semantics are ANSI-SQL-expressible; the rest (fuzzy cleaning, xxhash64
-signatures, approximate LSH, relationship discovery, multimodal plumbing)
-are rows-only here and covered by golden unit tests in tests/.
+SURVEY.md §2 (+ north-star extensions) with DuckDB oracles; the single
+rows-only query (k-means-trained IVF top-k — the training loop is not
+ANSI-SQL-expressible) is covered by golden unit tests in tests/ and by
+its fully-oracled fixed-centroid twin.
 """
 
 from __future__ import annotations
