@@ -6708,6 +6708,61 @@ FROM g
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregation (beyond the cube/rollup queries):
+    revenue at (returnflag, linestatus), (returnflag), and grand-total
+    grains in ONE pass — Spark expands the sets into a single shuffle with
+    grouping-id, identical semantics in DuckDB."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 4) AS revenue,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS revenue,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions per customer segment:
+    percent_rank and cume_dist of account balances — identical engine
+    semantics, 6dp."""
+    from pyspark.sql.window import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cume"),
+    )
+
+
+SQL_PERCENT_RANK_CUME = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w + 1e-9, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/aggstate): per-custkey
     order stats kept current by MERGING a new batch's mergeable state
@@ -6834,6 +6889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "ngram_diversity": q_ngram_diversity,
     "incremental_agg_merge": q_incremental_agg_merge,
+    "grouping_sets": q_grouping_sets,
+    "percent_rank_cume": q_percent_rank_cume,
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
@@ -6981,6 +7038,8 @@ ORACLES: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "incremental_agg_merge": SQL_INCREMENTAL_AGG_MERGE,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "percent_rank_cume": SQL_PERCENT_RANK_CUME,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,
