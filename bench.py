@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "image_resize_stats",
     "audio_features",
+    "incremental_agg_merge",
+    "grouping_sets",
 ]
 
 

@@ -403,10 +403,13 @@ def topk_auto(
     index_lakehouse=None,
     index_table: str | None = None,
     index_centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Similarity-search dispatcher: exact brute force below
-    ``brute_force_threshold`` corpus rows; above it, a persisted IVF index
-    when one is supplied, else on-the-fly IVF.
+    ``brute_force_threshold`` corpus rows; above it, a persisted index
+    when one is supplied (IVF-PQ if ``pq_codebooks`` ride along with the
+    index coordinates, else IVF), else PQ when only codebooks are given,
+    else on-the-fly IVF.
 
     Measured crossover (SCALING.md): under ~10⁵ vectors a single broadcast
     map-side scan beats any index — bucketing overhead dominates. Above it,
@@ -429,10 +432,22 @@ def topk_auto(
             raise ValueError(
                 "index_table needs index_lakehouse and index_centroids"
             )
+        if pq_codebooks is not None:
+            return ivfpq_topk_from_index(
+                corpus.sparkSession, index_lakehouse, index_table, corpus,
+                queries, index_centroids, pq_codebooks, id_col=id_col,
+                vec_col=vec_col, k=k, n_probe=n_probe,
+                query_id_col=query_id_col,
+            )
         return ivf_topk_from_index(
             corpus.sparkSession, index_lakehouse, index_table, queries,
             index_centroids, id_col=id_col, vec_col=vec_col, k=k,
             n_probe=n_probe, query_id_col=query_id_col,
+        )
+    if pq_codebooks is not None:
+        return pq_topk(
+            corpus, queries, pq_codebooks, id_col=id_col, vec_col=vec_col,
+            k=k, query_id_col=query_id_col,
         )
     centroids = kmeans_fit(corpus, id_col=id_col, vec_col=vec_col, k=ivf_clusters)
     return ivf_topk(

@@ -855,6 +855,22 @@ class TestPqTopk:
         top1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
         assert top1 == {q: 1000 + q for q in range(5)}
 
+    def test_topk_auto_dispatches_to_pq(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        via_auto = similarity.topk_auto(
+            emb, queries, k=5, brute_force_threshold=1, pq_codebooks=cbs
+        )
+        direct = similarity.pq_topk(emb, queries, cbs, k=5)
+        assert sorted(map(tuple, via_auto.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
     def test_rerank_scores_are_exact_cosines(self, spark, sf_dir):
         from ecu_sbl_aace_datalake_spark.operators import similarity
         from ecu_sbl_aace_datalake_spark.sources.io import load_table
