@@ -717,12 +717,46 @@ def pq_codebooks_fixed(
     ]
 
 
-def _pq_sub_d2(sub: Column, entry: list[float]) -> Column:
-    e_lit = F.array(*[F.lit(float(x)) for x in entry])
+def _pq_sub_d2(sub: Column, entry) -> Column:
+    """Squared L2 distance between a subvector column and a codebook entry
+    (literal list or array Column) — sequential left fold, deterministic."""
+    if isinstance(entry, list):
+        entry = F.array(*[F.lit(float(x)) for x in entry])
     return F.aggregate(
-        F.zip_with(sub, e_lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(sub, entry, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    """The full codebook as ONE array<array<array<double>>> literal. A
+    single nested literal + higher-order lambdas keeps the expression tree
+    ~m·k× smaller than unrolling one fold per (subspace, entry) — the
+    unrolled form measured ~10 s of whole-stage-codegen compilation alone
+    at m=8, k=16."""
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in entry]) for entry in cb
+        ])
+        for cb in codebooks
+    ])
+
+
+def _pq_adc_d2(qvec: Column, codes: Column, codebooks) -> Column:
+    """Asymmetric PQ distance: Σ_m ||q_sub_m − CB[m][code_m]||². Indexes
+    the codebook entry FIRST (one subspace distance per m, not k-then-pick
+    — 16× less arithmetic at k=16), sequential fold over m so the double
+    is deterministic."""
+    ds = len(codebooks[0][0])
+    cb_lit = _pq_cb_literal(codebooks)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(codebooks))),
+        F.lit(0.0),
+        lambda acc, mi: acc + _pq_sub_d2(
+            F.slice(qvec, (mi - 1) * F.lit(ds) + 1, ds),
+            F.element_at(F.element_at(cb_lit, mi), F.element_at(codes, mi) + 1),
+        ),
     )
 
 
@@ -739,12 +773,18 @@ def pq_encode(
     ADC scan then never touches the float vectors."""
     v = _as_double(F.col(vec_col))
     ds = len(codebooks[0][0])
-    codes = []
-    for mi, cb in enumerate(codebooks):
-        sub = F.slice(v, mi * ds + 1, ds)
-        darr = F.array(*[_pq_sub_d2(sub, entry) for entry in cb])
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    m = len(codebooks)
+    cb_lit = _pq_cb_literal(codebooks)
+
+    def code_for(mi: Column) -> Column:
+        sub = F.slice(v, (mi - 1) * F.lit(ds) + 1, ds)
+        darr = F.transform(
+            F.element_at(cb_lit, mi), lambda e: _pq_sub_d2(sub, e)
+        )
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(1), F.lit(m)), code_for)
+    return df.withColumn(out_col, codes)
 
 
 def pq_topk(
@@ -773,24 +813,43 @@ def pq_topk(
 
     ds = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col).select(id_col, "pq_code")
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    # textbook ADC: per-QUERY lookup tables lut[m][code] = ||q_sub−entry||²
+    # computed once driver-side (|Q|·m·k tiny floats; queries are a bounded
+    # batch, same contract as ivf_topk_from_index), so the per-pair scan is
+    # m array lookups + adds — no arithmetic re-derived per corpus row.
+    # Python's sequential sums match the fold order of _pq_sub_d2 exactly,
+    # so results are bit-identical to the inline form.
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = [float(x) for x in r[vec_col]]
+        lut = []
+        for mi, cb in enumerate(codebooks):
+            sub = v[mi * ds:(mi + 1) * ds]
+            row = []
+            for entry in cb:
+                acc = 0.0
+                for a, b in zip(sub, entry):
+                    acc = acc + (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        probe_rows.append((r[query_id_col], lut))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, __lut array<array<double>>"
     )
-    terms = []
-    for mi, cb in enumerate(codebooks):
-        sub = F.slice(F.col("__qv"), mi * ds + 1, ds)
-        dists = F.array(*[_pq_sub_d2(sub, entry) for entry in cb])
-        terms.append(
-            F.element_at(dists, F.element_at(F.col("pq_code"), mi + 1) + 1)
-        )
-    d2 = terms[0]
-    for t in terms[1:]:
-        d2 = d2 + t
+    d2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(codebooks))),
+        F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(
+            F.element_at(F.col("__lut"), mi),
+            F.element_at(F.col("pq_code"), mi) + 1,
+        ),
+    )
     cand_w = Window.partitionBy(query_id_col).orderBy(
         F.asc("__d2"), F.asc(id_col)
     )
     cands = (
-        enc.crossJoin(F.broadcast(q))
+        enc.crossJoin(F.broadcast(probes))
         .where(F.col(id_col) != F.col(query_id_col))
         .withColumn("__d2", d2)
         .withColumn("__rn", F.row_number().over(cand_w))
@@ -898,16 +957,7 @@ def ivfpq_topk_from_index(
     joined = index.join(F.broadcast(probes), cluster_col).where(
         F.col("__qid") != F.col(id_col)
     )
-    terms = []
-    for mi, cb in enumerate(codebooks):
-        sub = F.slice(F.col("__qv"), mi * ds + 1, ds)
-        dists = F.array(*[_pq_sub_d2(sub, entry) for entry in cb])
-        terms.append(
-            F.element_at(dists, F.element_at(F.col("pq_code"), mi + 1) + 1)
-        )
-    d2 = terms[0]
-    for t in terms[1:]:
-        d2 = d2 + t
+    d2 = _pq_adc_d2(F.col("__qv"), F.col("pq_code"), codebooks)
     cand_w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc(id_col))
     cands = (
         joined.withColumn("__d2", d2)
