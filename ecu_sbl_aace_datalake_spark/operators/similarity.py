@@ -743,23 +743,6 @@ def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
     ])
 
 
-def _pq_adc_d2(qvec: Column, codes: Column, codebooks) -> Column:
-    """Asymmetric PQ distance: Σ_m ||q_sub_m − CB[m][code_m]||². Indexes
-    the codebook entry FIRST (one subspace distance per m, not k-then-pick
-    — 16× less arithmetic at k=16), sequential fold over m so the double
-    is deterministic."""
-    ds = len(codebooks[0][0])
-    cb_lit = _pq_cb_literal(codebooks)
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(len(codebooks))),
-        F.lit(0.0),
-        lambda acc, mi: acc + _pq_sub_d2(
-            F.slice(qvec, (mi - 1) * F.lit(ds) + 1, ds),
-            F.element_at(F.element_at(cb_lit, mi), F.element_at(codes, mi) + 1),
-        ),
-    )
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -943,12 +926,26 @@ def ivfpq_topk_from_index(
     qrows = queries.select(query_id_col, vec_col).collect()
     probe_rows = []
     for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        order = np.argsort(((cents - v) ** 2).sum(axis=1), kind="stable")
+        v = [float(x) for x in r[vec_col]]
+        # per-query ADC lookup table, same sequential-fold arithmetic as
+        # pq_topk's (bit-identical d2)
+        lut = []
+        for mi, cb in enumerate(codebooks):
+            sub = v[mi * ds:(mi + 1) * ds]
+            row = []
+            for entry in cb:
+                acc = 0.0
+                for a, b in zip(sub, entry):
+                    acc = acc + (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        va = np.asarray(v, dtype=np.float64)
+        order = np.argsort(((cents - va) ** 2).sum(axis=1), kind="stable")
         for ci in order[:n_probe]:
-            probe_rows.append((r[query_id_col], int(ci), [float(x) for x in v]))
+            probe_rows.append((r[query_id_col], int(ci), lut))
     probes = spark.createDataFrame(
-        probe_rows, f"__qid long, {cluster_col} int, __qv array<double>"
+        probe_rows,
+        f"__qid long, {cluster_col} int, __lut array<array<double>>",
     )
     wanted = sorted({c for _, c, _ in probe_rows})
     index = read_path(
@@ -957,7 +954,14 @@ def ivfpq_topk_from_index(
     joined = index.join(F.broadcast(probes), cluster_col).where(
         F.col("__qid") != F.col(id_col)
     )
-    d2 = _pq_adc_d2(F.col("__qv"), F.col("pq_code"), codebooks)
+    d2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(codebooks))),
+        F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(
+            F.element_at(F.col("__lut"), mi),
+            F.element_at(F.col("pq_code"), mi) + 1,
+        ),
+    )
     cand_w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc(id_col))
     cands = (
         joined.withColumn("__d2", d2)
