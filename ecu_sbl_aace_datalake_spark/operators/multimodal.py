@@ -1406,13 +1406,46 @@ def parse_avi_header(payload: bytes) -> dict | None:
     return out
 
 
+def _avi_video_stream_index(payload: bytes) -> int | None:
+    """Index (hdrl order) of the FIRST ``vids`` stream — the stream whose
+    two-digit number prefixes its movi chunks (``00dc`` for stream 0)."""
+    p = payload or b""
+    idx = 0
+
+    def walk(start: int, end: int, depth: int = 0):
+        nonlocal idx
+        i = start
+        while i + 8 <= end and depth < 6:
+            cid = p[i : i + 4]
+            clen = int.from_bytes(p[i + 4 : i + 8], "little")
+            if cid == b"LIST":
+                found = walk(i + 12, min(i + 8 + clen, end), depth + 1)
+                if found is not None:
+                    return found
+            elif cid == b"strh":
+                if p[i + 8 : i + 12] == b"vids":
+                    return idx
+                idx += 1
+            i += 8 + clen + (clen % 2)
+        return None
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    return walk(12, len(p))
+
+
 def _avi_frame_chunks(payload: bytes) -> list[tuple[int, int]]:
-    """(offset, length) of each video frame chunk (``##dc``/``##db``)
-    inside the AVI's ``movi`` LIST, in stream order."""
+    """(offset, length) of the FIRST VIDEO STREAM's frame chunks
+    (``NNdc``/``NNdb`` where NN is that stream's hdrl index) inside the
+    AVI's ``movi`` LIST, in stream order — chunks of other streams
+    (audio ``NNwb``, a second video stream) are skipped so frame indices
+    stay aligned to avih's frame count."""
     p = payload or b""
     frames: list[tuple[int, int]] = []
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
         return frames
+    vstream = _avi_video_stream_index(p)
+    prefix = b"%02d" % vstream if vstream is not None else b"00"
 
     def walk(start: int, end: int, depth: int = 0):
         i = start
@@ -1423,7 +1456,7 @@ def _avi_frame_chunks(payload: bytes) -> list[tuple[int, int]]:
                 kind = p[i + 8 : i + 12]
                 if kind in (b"movi", b"rec "):
                     walk(i + 12, min(i + 8 + clen, end), depth + 1)
-            elif cid[2:4] in (b"dc", b"db"):
+            elif cid[:2] == prefix and cid[2:4] in (b"dc", b"db"):
                 frames.append((i + 8, clen))
             i += 8 + clen + (clen % 2)
 

@@ -668,6 +668,10 @@ def pq_train(
         .toPandas()
     )
     x = np.array([np.asarray(v) for v in pdf["__v"]], dtype=np.float64)
+    if x.ndim != 2 or len(x) < k:
+        raise ValueError(
+            f"pq_train needs >= k={k} training vectors, got {len(x)}"
+        )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -707,6 +711,10 @@ def pq_codebooks_fixed(
         .select(_as_double(F.col(vec_col)).alias("__v"))
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_codebooks_fixed needs >= k={k} corpus rows, got {len(rows)}"
+        )
     dim = len(rows[0]["__v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -726,6 +734,72 @@ def _pq_sub_d2(sub: Column, entry) -> Column:
         F.zip_with(sub, entry, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _pq_query_lut(
+    codebooks: list[list[list[float]]], vec: list[float]
+) -> list[list[float]]:
+    """Per-query ADC lookup table: lut[m][code] = ||q_sub_m − entry||².
+    Python's sequential ``acc = acc + (a-b)*(a-b)`` loop produces the SAME
+    doubles as the Spark fold in :func:`_pq_sub_d2` and DuckDB's list_sum
+    — the single source of the bit-parity invariant pq_topk and
+    ivfpq_topk_from_index both rely on."""
+    ds = len(codebooks[0][0])
+    lut = []
+    for mi, cb in enumerate(codebooks):
+        sub = vec[mi * ds:(mi + 1) * ds]
+        row = []
+        for entry in cb:
+            acc = 0.0
+            for a, b in zip(sub, entry):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def _pq_lut_d2(m: int) -> Column:
+    """ADC distance from a ``__lut`` column and a ``pq_code`` column:
+    Σ_{mi=1..m} lut[mi][code_mi+1], sequential fold."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(
+            F.element_at(F.col("__lut"), mi),
+            F.element_at(F.col("pq_code"), mi) + 1,
+        ),
+    )
+
+
+def _exact_cosine_rerank(
+    cands: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact float-cosine rerank of (query_id, id) candidate pairs against
+    the corpus vectors — the shared second stage of every two-stage ANN
+    here (quantized, PQ, IVF-PQ)."""
+    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q_vecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qfv"))
+    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qfv"))
+    exact = (
+        cands.join(c_vecs, id_col)
+        .join(F.broadcast(q_vecs), query_id_col)
+        .withColumn(
+            "score",
+            F.round(dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
     )
 
 
@@ -794,39 +868,18 @@ def pq_topk(
     """
     from pyspark.sql.window import Window
 
-    ds = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col).select(id_col, "pq_code")
-    # textbook ADC: per-QUERY lookup tables lut[m][code] = ||q_sub−entry||²
-    # computed once driver-side (|Q|·m·k tiny floats; queries are a bounded
-    # batch, same contract as ivf_topk_from_index), so the per-pair scan is
-    # m array lookups + adds — no arithmetic re-derived per corpus row.
-    # Python's sequential sums match the fold order of _pq_sub_d2 exactly,
-    # so results are bit-identical to the inline form.
+    # textbook ADC: per-QUERY lookup tables computed once driver-side
+    # (|Q|·m·k tiny floats; queries are a bounded batch, same contract as
+    # ivf_topk_from_index), so the per-pair scan is m array lookups + adds
+    # — no arithmetic re-derived per corpus row.
     qrows = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        v = [float(x) for x in r[vec_col]]
-        lut = []
-        for mi, cb in enumerate(codebooks):
-            sub = v[mi * ds:(mi + 1) * ds]
-            row = []
-            for entry in cb:
-                acc = 0.0
-                for a, b in zip(sub, entry):
-                    acc = acc + (a - b) * (a - b)
-                row.append(acc)
-            lut.append(row)
-        probe_rows.append((r[query_id_col], lut))
+    probe_rows = [
+        (r[query_id_col], _pq_query_lut(codebooks, [float(x) for x in r[vec_col]]))
+        for r in qrows
+    ]
     probes = queries.sparkSession.createDataFrame(
         probe_rows, f"{query_id_col} long, __lut array<array<double>>"
-    )
-    d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(len(codebooks))),
-        F.lit(0.0),
-        lambda acc, mi: acc + F.element_at(
-            F.element_at(F.col("__lut"), mi),
-            F.element_at(F.col("pq_code"), mi) + 1,
-        ),
     )
     cand_w = Window.partitionBy(query_id_col).orderBy(
         F.asc("__d2"), F.asc(id_col)
@@ -834,27 +887,13 @@ def pq_topk(
     cands = (
         enc.crossJoin(F.broadcast(probes))
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("__d2", d2)
+        .withColumn("__d2", _pq_lut_d2(len(codebooks)))
         .withColumn("__rn", F.row_number().over(cand_w))
         .where(F.col("__rn") <= k * rerank_factor)
         .select(query_id_col, id_col)
     )
-    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    q_vecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qfv"))
-    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qfv"))
-    exact = (
-        cands.join(c_vecs, id_col)
-        .join(F.broadcast(q_vecs), query_id_col)
-        .withColumn(
-            "score",
-            F.round(dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))), 6),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
+    return _exact_cosine_rerank(
+        cands, corpus, queries, id_col, vec_col, query_id_col, k
     )
 
 
@@ -921,24 +960,12 @@ def ivfpq_topk_from_index(
     from ..sources.catalog import table_path
     from ..sources.io import DEFAULT_FORMAT, read_path
 
-    ds = len(codebooks[0][0])
     cents = np.asarray(centroids, dtype=np.float64)
     qrows = queries.select(query_id_col, vec_col).collect()
     probe_rows = []
     for r in qrows:
         v = [float(x) for x in r[vec_col]]
-        # per-query ADC lookup table, same sequential-fold arithmetic as
-        # pq_topk's (bit-identical d2)
-        lut = []
-        for mi, cb in enumerate(codebooks):
-            sub = v[mi * ds:(mi + 1) * ds]
-            row = []
-            for entry in cb:
-                acc = 0.0
-                for a, b in zip(sub, entry):
-                    acc = acc + (a - b) * (a - b)
-                row.append(acc)
-            lut.append(row)
+        lut = _pq_query_lut(codebooks, v)  # bit-identical d2 vs pq_topk
         va = np.asarray(v, dtype=np.float64)
         order = np.argsort(((cents - va) ** 2).sum(axis=1), kind="stable")
         for ci in order[:n_probe]:
@@ -954,37 +981,15 @@ def ivfpq_topk_from_index(
     joined = index.join(F.broadcast(probes), cluster_col).where(
         F.col("__qid") != F.col(id_col)
     )
-    d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(len(codebooks))),
-        F.lit(0.0),
-        lambda acc, mi: acc + F.element_at(
-            F.element_at(F.col("__lut"), mi),
-            F.element_at(F.col("pq_code"), mi) + 1,
-        ),
-    )
     cand_w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc(id_col))
     cands = (
-        joined.withColumn("__d2", d2)
+        joined.withColumn("__d2", _pq_lut_d2(len(codebooks)))
         .withColumn("__rn", F.row_number().over(cand_w))
         .where(F.col("__rn") <= k * rerank_factor)
         .select(F.col("__qid").alias(query_id_col), id_col)
     )
-    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    q_vecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qfv"))
-    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qfv"))
-    exact = (
-        cands.join(c_vecs, id_col)
-        .join(F.broadcast(q_vecs), query_id_col)
-        .withColumn(
-            "score",
-            F.round(dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))), 6),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
+    return _exact_cosine_rerank(
+        cands, corpus, queries, id_col, vec_col, query_id_col, k
     )
 
 

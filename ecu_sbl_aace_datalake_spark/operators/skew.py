@@ -208,8 +208,10 @@ def frequent_pairs(
     any sane ``min_support``, but a very low threshold over a 100 TB
     basket table could exceed broadcast limits — above
     ``broadcast_threshold`` frequent items the prune falls back to a
-    shuffle semi-join. The probe count reuses the persisted item set, so
-    it costs one tiny-aggregate job, not a recompute.
+    shuffle semi-join. The probe costs one extra run of the (small)
+    frequent-item aggregate — deliberately NOT a persist, which would
+    leak a cached DataFrame per call (the result plan outlives the
+    function, so there is no safe unpersist point).
     """
     pairs_base = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
@@ -221,7 +223,6 @@ def frequent_pairs(
         .select("__i")
     )
     if broadcast_items is None:
-        freq_items = freq_items.persist()
         broadcast_items = freq_items.count() <= broadcast_threshold
     prune_side = F.broadcast(freq_items) if broadcast_items else freq_items
     pruned = pairs_base.join(prune_side, "__i", "left_semi")

@@ -312,6 +312,11 @@ def ewma(
 
     Deterministic ordering: pass ``order_tiebreak`` columns when ``ts``
     can tie (frame contents must be reproducible for engine parity).
+
+    Null handling: null values are ABSENT observations — they take no
+    weight, don't shift neighbours' weights (the decay indexes positions
+    among observed values, newest-first), and a frame of only nulls
+    yields a null ``out_col``.
     """
     keys = [F.col(c) for c in key_cols]
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
@@ -341,4 +346,9 @@ def ewma(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    return df.withColumn(out_col, F.round(num / den + F.lit(1e-9), 4))
+    # guard s > 0: collect_list drops nulls, and sequence(1, 0) would
+    # descend into element_at(weights, 0) — an all-null frame is null out
+    return df.withColumn(
+        out_col,
+        F.when(s > 0, F.round(num / den + F.lit(1e-9), 4)),
+    )

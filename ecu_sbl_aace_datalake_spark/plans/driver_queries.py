@@ -4694,7 +4694,11 @@ assign AS (
 ),
 qd AS (SELECT vec_id AS query_id, m, code, d FROM dists WHERE vec_id < 5),
 approx AS (
-  SELECT qd.query_id, a.vec_id, SUM(qd.d) AS d2
+  -- ordered list_sum, NOT SUM(): Spark folds the m subspace terms in
+  -- fixed m=0..7 order; an order-unspecified SUM could differ in the
+  -- last ulp and flip a candidate-boundary tie
+  SELECT qd.query_id, a.vec_id,
+         list_sum(list(qd.d ORDER BY qd.m)) AS d2
   FROM assign a JOIN qd ON qd.m = a.m AND qd.code = a.code
   WHERE a.vec_id <> qd.query_id
   GROUP BY qd.query_id, a.vec_id
@@ -6621,8 +6625,9 @@ def _ewma_oracle_sql(alpha: float = 0.3, window_n: int = 10) -> str:
     return f"""
 WITH b AS (
   SELECT user_id, event_id,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN {window_n - 1} PRECEDING AND CURRENT ROW) AS arr
+         list(value) FILTER (WHERE value IS NOT NULL)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {window_n - 1} PRECEDING AND CURRENT ROW) AS arr
   FROM events
 )
 SELECT user_id, event_id,
@@ -6705,35 +6710,6 @@ SELECT doc_id,
             THEN ROUND(CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
                        + 1e-9, 4) END AS ngram_diversity
 FROM g
-"""
-
-
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS aggregation (beyond the cube/rollup queries):
-    revenue at (returnflag, linestatus), (returnflag), and grand-total
-    grains in ONE pass — Spark expands the sets into a single shuffle with
-    grouping-id, identical semantics in DuckDB."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                          AS DOUBLE), 4) AS revenue,
-               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
-        FROM __gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-    """)
-
-
-SQL_GROUPING_SETS = """
-SELECT l_returnflag, l_linestatus,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
-         AS revenue,
-       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
@@ -6894,7 +6870,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
-    "grouping_sets": q_grouping_sets,
     "corpus_dedup": q_corpus_dedup,
     "array_agg_sorted": q_array_agg_sorted,
     "cumulative_spend": q_cumulative_spend,
@@ -7043,7 +7018,6 @@ ORACLES: dict[str, str] = {
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,
-    "grouping_sets": SQL_GROUPING_SETS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "array_agg_sorted": SQL_ARRAY_AGG_SORTED,
     "cumulative_spend": SQL_CUMULATIVE_SPEND,

@@ -136,27 +136,18 @@ def foreach_batch_agg_state(
     plus a key-join against the state table, the streaming form of the
     incremental_agg_merge pattern.
 
-    Exactly-once per batch: the merge is deterministic given (state,
-    batch), and foreachBatch replays whole batches — a replayed merge
-    would double-count, so the state write goes through an atomic swap of
-    a localCheckpoint'd result (same lineage-freeze reasoning as the
-    dedup ingest sink below)."""
-    from ..operators import aggstate
-    from ..sources.io import read_table, table_exists, write_table
-
+    Replay safety: foreachBatch replays WHOLE batches after a failure, and
+    a replayed merge would double-count — so the state table carries the
+    id of the last merged batch (``__last_batch``, constant column) and
+    ``process`` SKIPS any batch_id it has already absorbed. The remaining
+    exposure is a crash inside write_table's overwrite itself (swap
+    non-atomicity), the same window every foreachBatch parquet sink has —
+    not silent double counting."""
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        batch_state = aggstate.agg_state(batch_df, keys, value_col, with_hll)
-        if table_exists(spark, lakehouse, table_name):
-            existing = read_table(spark, lakehouse, table_name)
-            merged = aggstate.merge_agg_states(
-                existing, batch_state, keys
-            ).localCheckpoint()
-        else:
-            merged = batch_state
-        write_table(lakehouse, table_name, merged)
+        merge_batch_into_state(
+            lakehouse, table_name, keys, value_col, batch_df, batch_id,
+            with_hll=with_hll,
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -164,6 +155,42 @@ def foreach_batch_agg_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_batch_into_state(
+    lakehouse: Lakehouse,
+    table_name: str,
+    keys: list[str],
+    value_col: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    with_hll: bool = True,
+) -> bool:
+    """One idempotent state-merge step (the foreachBatch body, exposed for
+    direct testing and batch-job reuse). Returns False when the batch was
+    skipped as a replay."""
+    from ..operators import aggstate
+    from ..sources.io import read_table, table_exists, write_table
+
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    batch_state = aggstate.agg_state(batch_df, keys, value_col, with_hll)
+    if table_exists(spark, lakehouse, table_name):
+        existing = read_table(spark, lakehouse, table_name)
+        last = existing.agg(F.max("__last_batch")).first()[0]
+        if last is not None and batch_id <= last:
+            return False  # replayed batch: already merged, keep idempotent
+        merged = aggstate.merge_agg_states(
+            existing.drop("__last_batch"), batch_state, keys
+        ).localCheckpoint()
+    else:
+        merged = batch_state
+    write_table(
+        lakehouse, table_name,
+        merged.withColumn("__last_batch", F.lit(batch_id)),
+    )
+    return True
 
 
 def foreach_batch_dedup_ingest(

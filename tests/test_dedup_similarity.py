@@ -1119,6 +1119,34 @@ class TestMjpegAvi:
         raw = _decode_frame(avi, 0)
         assert raw == bytes([77] * (8 * 8 * 3))
 
+    def test_other_stream_chunks_skipped(self):
+        # inject a second stream's chunk (01dc) into movi: frame indexing
+        # must still follow stream 00 only
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _avi_frame_chunks, decode_avi_frame, encode_jpeg_solid_gray,
+        )
+
+        avi = bytearray(self._avi((40, 90)))
+        alien = encode_jpeg_solid_gray(200)
+        chunk = b"01dc" + len(alien).to_bytes(4, "little") + alien \
+            + (b"\x00" if len(alien) % 2 else b"")
+        # splice after the first 00dc chunk inside movi
+        movi_at = bytes(avi).find(b"LIST", 12)
+        while bytes(avi)[movi_at + 8: movi_at + 12] != b"movi":
+            movi_at = bytes(avi).find(b"LIST", movi_at + 4)
+        first = bytes(avi).find(b"00dc", movi_at)
+        flen = int.from_bytes(avi[first + 4: first + 8], "little")
+        insert_at = first + 8 + flen + (flen % 2)
+        avi[insert_at:insert_at] = chunk
+        # fix RIFF + movi LIST sizes
+        for off in (4, movi_at + 4):
+            old = int.from_bytes(avi[off: off + 4], "little")
+            avi[off: off + 4] = (old + len(chunk)).to_bytes(4, "little")
+        avi = bytes(avi)
+        assert len(_avi_frame_chunks(avi)) == 2
+        assert (decode_avi_frame(avi, 0) == 40).all()
+        assert (decode_avi_frame(avi, 1) == 90).all()  # not the alien 200
+
     def test_video_frame_stats(self, spark):
         from ecu_sbl_aace_datalake_spark.operators.multimodal import (
             video_frame_stats,

@@ -143,6 +143,30 @@ class TestForeachBatchAggState:
         assert sorted(map(tuple, streamed.collect())) == \
             sorted(map(tuple, recomputed.collect()))
 
+    def test_replayed_batch_is_skipped(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.sources.io import read_table
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            merge_batch_into_state,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        lh = Lakehouse("agr", tempfile.mkdtemp())
+        assert merge_batch_into_state(
+            lh, "st", ["o_custkey"], "o_totalprice", orders, 0, with_hll=False
+        )
+        once = sorted(map(tuple, aggstate.finalize_state(
+            read_table(spark, lh, "st"), ["o_custkey"]).collect()))
+        # foreachBatch crash-replay of the SAME batch id must be a no-op
+        assert merge_batch_into_state(
+            lh, "st", ["o_custkey"], "o_totalprice", orders, 0, with_hll=False
+        ) is False
+        again = sorted(map(tuple, aggstate.finalize_state(
+            read_table(spark, lh, "st"), ["o_custkey"]).collect()))
+        assert again == once
+
 
 class TestForeachBatchDedupIngest:
     def test_corpus_grows_only_by_novel_content(self, spark, tmp_path):

@@ -224,6 +224,21 @@ class TestEwma:
         assert out[2] == round((0.5 * 1 + 1 * 2) / 1.5 + 1e-9, 4)
         assert out[3] == 3.0
 
+    def test_nulls_are_absent_observations(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [(1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, 20.0)],
+            "user_id long, ts long, value double",
+        )
+        out = {r.ts: r.ewma for r in ewma(
+            df, "ts", "value", ["user_id"], alpha=0.5, window_n=10
+        ).collect()}
+        assert out[1] is None          # all-null frame → null, no crash
+        assert out[2] == 10.0
+        assert out[3] == 10.0          # null adds nothing
+        assert out[4] == round((0.5 * 10 + 20) / 1.5 + 1e-9, 4)
+
     def test_step_response_moves_toward_new_level(self, spark):
         from ecu_sbl_aace_datalake_spark.operators.timeseries import ewma
 
