@@ -139,6 +139,33 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS b_orders2")
 
 
+class TestDynamicPartitionPruning:
+    def test_selective_dim_filter_prunes_fact_partitions(self, spark, sf_dir):
+        """Catalyst's dynamic partition pruning: a fact table partitioned on
+        the join key, joined to a dim with a selective filter, must show a
+        dynamicpruning subquery in the fact scan — at 100 TB this is the
+        difference between scanning one partition and scanning the table."""
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        fact_path = tempfile.mkdtemp() + "/orders_part"
+        orders.write.partitionBy("o_orderpriority").parquet(fact_path)
+        fact = spark.read.parquet(fact_path)
+        dim = (
+            orders.select("o_orderpriority").distinct()
+            .withColumnRenamed("o_orderpriority", "prio")
+            .where("prio LIKE '1-%'")
+        )
+        joined = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy(
+            "prio"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert joined.count() == 1
+
+
 class TestTpchJoinTopologies:
     """The round-1 additions (Q7/Q8/Q10 shapes): dims broadcast, predicates
     at the scans, no accidental cartesian explosion."""

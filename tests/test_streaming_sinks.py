@@ -101,6 +101,71 @@ class TestForeachBatchUpsert:
         assert len(rows) == 26
 
 
+class TestWatermarkLateData:
+    def test_late_event_dropped_from_windowed_agg(self, spark, tmp_path):
+        """Watermark semantics end-to-end: after batch 1 advances the
+        watermark past a window's close, a batch-2 event older than the
+        watermark must NOT reopen that window (append mode only emits
+        closed windows once)."""
+        import os
+
+        from pyspark.sql import functions as SF
+
+        src = str(tmp_path / "wm_src")
+        ckpt = str(tmp_path / "wm_ckpt")
+        os.makedirs(src)
+        schema = "event_id long, ts string, value double"
+
+        out_dir = str(tmp_path / "wm_out")
+
+        def run():
+            stream = (
+                spark.readStream
+                .schema("event_id long, ts timestamp, value double")
+                .parquet(src + "/*")
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(SF.window("ts", "1 hour").alias("w"))
+                .agg(SF.sum("value").alias("total"))
+                .select(SF.col("w.start").cast("string").alias("ws"), "total")
+            )
+            # parquet sink: append-mode + checkpoint-recoverable (memory
+            # sink can't resume from a checkpoint)
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(180)
+            return {r.ws: r.total for r in spark.read.parquet(out_dir).collect()}
+
+        # run 1: events in hour 10 and hour 13 → watermark reaches 12:50,
+        # the 10:00 window closes and is emitted with batch-1 totals
+        spark.createDataFrame(
+            [(1, "2024-01-01 10:05:00", 1.0),
+             (2, "2024-01-01 10:20:00", 2.0),
+             (3, "2024-01-01 13:00:00", 5.0)],
+            schema,
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+        ).coalesce(1).write.parquet(src + "/b1")
+        first = run()
+        assert first.get("2024-01-01 10:00:00") == 3.0, first
+
+        # run 2 (same checkpoint → persisted watermark): a LATE event for
+        # the closed 10:00 window must be DROPPED — no re-emission
+        spark.createDataFrame(
+            [(4, "2024-01-01 10:40:00", 100.0)], schema
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+        ).coalesce(1).write.parquet(src + "/b2")
+        second = run()  # cumulative sink contents; the closed window must
+        # still show ONLY batch-1 totals — the late 100.0 was dropped
+        assert second.get("2024-01-01 10:00:00") == 3.0, second
+
+
 class TestForeachBatchAggState:
     def test_streamed_state_equals_batch_recompute(self, spark, sf_dir, tmp_path):
         import os
