@@ -295,6 +295,45 @@ def minhash_dedup(
     return out
 
 
+def minhash_dedup_transitive(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """:func:`minhash_dedup` with FULL transitive-closure survivor
+    semantics: verified near-dup pairs feed connected components
+    (:func:`duplicate_clusters`), and only each cluster's minimum id
+    survives. Where the single-hop rule can drop a doc via an
+    already-dropped middleman yet keep two docs that are only connected
+    THROUGH it, the cluster rule keeps exactly one representative per
+    connected group — the Lee-et-al./SlimPajama convention.
+
+    Costs one O(log n)-round pointer-jumping CC over the (sparse) verified
+    pair relation on top of minhash_dedup's pipeline; pair volume, not
+    corpus volume, drives the extra work."""
+    sh = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(ensure_parallelism(df), text_col, n=n),
+            num_hashes=num_hashes,
+        ).select(id_col, "shingles", "minhash"),
+    )
+    pairs = lsh_candidate_pairs(
+        sh, id_col, bands=bands, num_hashes=num_hashes, barrier=False
+    )
+    verified = jaccard_verify(pairs, sh, id_col, threshold=threshold)
+    clusters = duplicate_clusters(verified, "id_a", "id_b")
+    losers = clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_col_a: str = "id_a",

@@ -1164,6 +1164,30 @@ FROM reach GROUP BY node
 """
 
 
+def q_minhash_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup removal (dedup.minhash_dedup_transitive):
+    verified pairs → connected components → keep each cluster's min id.
+    Same 32×2 banding recall argument as minhash_neardup_pairs; the
+    oracle recomputes survivors from brute-force pairs + recursive-CTE
+    closure."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_dedup_transitive(
+        docs, "doc_id", "text", num_hashes=64, bands=32, threshold=0.5
+    ).select("doc_id")
+
+
+# survivors variant of the dedup-clusters closure: same recursive CC,
+# final projection keeps docs that are unclustered or their cluster's min
+SQL_MINHASH_DEDUP_TRANSITIVE = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node""",
+    """, cl AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node)
+SELECT t.doc_id FROM tok t LEFT JOIN cl ON cl.node = t.doc_id
+WHERE cl.node IS NULL OR cl.cluster = t.doc_id""",
+)
+assert ", cl AS" in SQL_MINHASH_DEDUP_TRANSITIVE  # replace() must not rot
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, md5/60-bit variant — every per-bit vote is
     replicated in the DuckDB oracle (token→md5→long, bit-shift votes,
@@ -6867,6 +6891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_merge": q_incremental_agg_merge,
     "grouping_sets": q_grouping_sets,
     "percent_rank_cume": q_percent_rank_cume,
+    "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
@@ -7015,6 +7040,7 @@ ORACLES: dict[str, str] = {
     "incremental_agg_merge": SQL_INCREMENTAL_AGG_MERGE,
     "grouping_sets": SQL_GROUPING_SETS,
     "percent_rank_cume": SQL_PERCENT_RANK_CUME,
+    "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,

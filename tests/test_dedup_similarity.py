@@ -2262,3 +2262,31 @@ class TestGifMalformedRobustness:
         g[idx + 12] ^= 0xFF
         meta = gif_frame_meta(bytes(g))
         assert meta is not None and meta[0] == 2
+
+
+class TestMinhashDedupTransitive:
+    def test_chain_collapses_to_one_survivor(self, spark):
+        # A~B and B~C by construction, A/C share less — full closure must
+        # keep ONLY the min id of the chain
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliet kilo lima mike november oscar papa quebec romeo")
+        b = base + " sierra tango"
+        a = base + " uniform victor"
+        c = "whiskey xray " + base
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c),
+             (9, "totally different words entirely unrelated content here")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id for r in dedup.minhash_dedup_transitive(
+            docs, "doc_id", "text", threshold=0.5, bands=32).collect()}
+        assert out == {1, 9}
+
+    def test_no_pairs_keeps_everything(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one set of words here completely"),
+             (2, "другой текст на другом языке вовсе")],
+            "doc_id long, text string",
+        )
+        assert dedup.minhash_dedup_transitive(
+            docs, "doc_id", "text").count() == 2
