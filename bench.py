@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "audio_features",
     "incremental_agg_merge",
     "grouping_sets",
+    "minhash_dedup_transitive",
+    "percent_rank_cume",
 ]
 
 
