@@ -248,3 +248,46 @@ class TestDistributedOpInvariants:
         ids = [r["doc_id"] for r in out]
         assert len(set(ids)) == len(ids)  # without replacement
         assert all(0 <= i < 50 for i in ids)
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 10_000),
+                      st.floats(-100, 100, allow_nan=False)),
+            min_size=1, max_size=25,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_ewma_bounded_by_window_extremes(self, spark, rows):
+        """EWMA is a convex combination of the frame's observed values —
+        it must lie within [min, max] of each row's trailing window."""
+        from ecu_sbl_aace_datalake_spark.operators import timeseries as ts
+
+        data = [(k, t, v) for k, t, v in rows]
+        df = spark.createDataFrame(data, "k long, ts long, v double")
+        out = ts.ewma(df, "ts", "v", ["k"], alpha=0.4, window_n=5,
+                      order_tiebreak=["v"]).collect()
+        per_key = {}
+        for k, t, v in data:
+            per_key.setdefault(k, []).append((t, v))
+        for r in out:
+            series = sorted(per_key[r["k"]])
+            idx = series.index((r["ts"], r["v"]))
+            frame = [v for _, v in series[max(0, idx - 4): idx + 1]]
+            assert min(frame) - 1e-4 <= r["ewma"] <= max(frame) + 1e-4  # 4dp rounding slack
+
+    @given(st.integers(2, 16))
+    @settings(max_examples=8, deadline=None)
+    def test_pq_codes_partition_invariant(self, spark, parts):
+        """pq_encode must produce identical codes regardless of input
+        partitioning (pure per-row expression, no order dependence)."""
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(16)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cbs = similarity.pq_codebooks_fixed(df, m=4, k=8)
+        a = sorted((r.vec_id, tuple(r.pq_code)) for r in
+                   similarity.pq_encode(df, cbs).collect())
+        b = sorted((r.vec_id, tuple(r.pq_code)) for r in
+                   similarity.pq_encode(df.repartition(parts), cbs).collect())
+        assert a == b
