@@ -373,6 +373,11 @@ def duplicate_clusters(
         pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
         .union(pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")))
         .distinct()
+        # materialize ONCE: every propagation round joins edges, and an
+        # un-checkpointed plan re-derives the entire upstream pair pipeline
+        # (e.g. the full MinHash-LSH verify) per round — measured 5.4 s →
+        # 2.5 s on minhash_dedup_transitive at sf0.1
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
