@@ -6763,6 +6763,27 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
+def q_group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: per region, the sorted comma-joined nation
+    list — collect_list is order-nondeterministic, so the engine-portable
+    form sorts INSIDE the aggregate result before joining (Spark
+    array_sort; DuckDB string_agg ORDER BY)."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_GROUP_CONCAT_SORTED = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
 def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/aggstate): per-custkey
     order stats kept current by MERGING a new batch's mergeable state
@@ -6892,6 +6913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "percent_rank_cume": q_percent_rank_cume,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
+    "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
     "events_trailing_median": q_events_trailing_median,
     "mode_by_group": q_mode_by_group,
@@ -7041,6 +7063,7 @@ ORACLES: dict[str, str] = {
     "grouping_sets": SQL_GROUPING_SETS,
     "percent_rank_cume": SQL_PERCENT_RANK_CUME,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
+    "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "events_trailing_median": SQL_EVENTS_TRAILING_MEDIAN,
     "mode_by_group": SQL_MODE_BY_GROUP,
