@@ -60,9 +60,16 @@ def merge_agg_states(
     component is a monoid so absent sides contribute identity). The merge
     touches only the two state tables — never the underlying facts."""
     klist = list(keys)
-    with_hll = "hll" in a.columns and "hll" in b.columns
-    if not with_hll:
-        a, b = a.drop("hll"), b.drop("hll")
+    a_hll, b_hll = "hll" in a.columns, "hll" in b.columns
+    if a_hll != b_hll:
+        # one side would silently lose its approx-distinct sketch — the
+        # states were built with different with_hll settings; refuse.
+        raise ValueError(
+            "merge_agg_states: one state table carries an 'hll' column and "
+            "the other does not (built with different with_hll settings); "
+            "rebuild the states consistently or drop('hll') explicitly"
+        )
+    with_hll = a_hll and b_hll
     unioned = a.unionByName(b, allowMissingColumns=False)
     aggs = [
         F.sum("cnt").alias("cnt"),

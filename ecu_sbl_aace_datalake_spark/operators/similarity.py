@@ -38,6 +38,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _id_ddl(df: DataFrame, col_name: str) -> str:
+    """DDL type string of ``col_name`` in ``df`` — probe schemas built with
+    createDataFrame must carry the caller's actual id type (string ids are
+    as legitimate as longs)."""
+    return df.schema[col_name].dataType.simpleString()
+
+
 def l2_norm_sq(a: Column) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -77,7 +84,7 @@ def cosine_topk(
     joined = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__cvec")
     ).crossJoin(F.broadcast(q.withColumn("__qvec", _as_double(F.col("__qvec")))))
-    joined = joined.where(F.col("__qid") != F.col(id_col))
+    joined = joined.where(~F.col("__qid").eqNullSafe(F.col(id_col)))
     scored = joined.withColumn(
         "score",
         dot(F.col("__cvec"), F.col("__qvec"))
@@ -280,7 +287,7 @@ def ivf_topk(
         )
         .select("__qid", "__qvec", F.explode("__probe").alias("__cluster"))
     )
-    joined = c.join(F.broadcast(q), "__cluster").where(F.col("__qid") != F.col(id_col))
+    joined = c.join(F.broadcast(q), "__cluster").where(~F.col("__qid").eqNullSafe(F.col(id_col)))
     a, b = _as_double(F.col(vec_col)), F.col("__qvec")
     scored = joined.withColumn(
         "score", dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
@@ -369,7 +376,7 @@ def lsh_topk(
     ).select("__qid", "__qvec", F.explode(F.array(*q_buckets)).alias("__tb"))
     candidates = (
         c.join(F.broadcast(q), "__tb")
-        .where(F.col("__qid") != F.col(id_col))
+        .where(~F.col("__qid").eqNullSafe(F.col(id_col)))
         .select("__qid", "__qvec", id_col, vec_col)
         .dropDuplicates(["__qid", id_col])  # union across tables
     )
@@ -421,39 +428,45 @@ def topk_auto(
     then read only the matching cluster partitions (partition-pruned scan)
     and no k-means re-fit happens per query batch.
     """
+    # Every branch is normalized to the SAME schema (query_id, id, score) —
+    # callers crossing the dispatch threshold or adding codebooks must not
+    # see a different column set (the PQ paths internally also emit `rank`).
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(query_id_col, id_col, "score")
+
     n = corpus_size if corpus_size is not None else corpus.count()
     if n <= brute_force_threshold:
-        return cosine_topk(
+        return _norm(cosine_topk(
             corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
             query_id_col=query_id_col,
-        )
+        ))
     if index_table is not None:
         if index_lakehouse is None or index_centroids is None:
             raise ValueError(
                 "index_table needs index_lakehouse and index_centroids"
             )
         if pq_codebooks is not None:
-            return ivfpq_topk_from_index(
+            return _norm(ivfpq_topk_from_index(
                 corpus.sparkSession, index_lakehouse, index_table, corpus,
                 queries, index_centroids, pq_codebooks, id_col=id_col,
                 vec_col=vec_col, k=k, n_probe=n_probe,
                 query_id_col=query_id_col,
-            )
-        return ivf_topk_from_index(
+            ))
+        return _norm(ivf_topk_from_index(
             corpus.sparkSession, index_lakehouse, index_table, queries,
             index_centroids, id_col=id_col, vec_col=vec_col, k=k,
             n_probe=n_probe, query_id_col=query_id_col,
-        )
+        ))
     if pq_codebooks is not None:
-        return pq_topk(
+        return _norm(pq_topk(
             corpus, queries, pq_codebooks, id_col=id_col, vec_col=vec_col,
             k=k, query_id_col=query_id_col,
-        )
+        ))
     centroids = kmeans_fit(corpus, id_col=id_col, vec_col=vec_col, k=ivf_clusters)
-    return ivf_topk(
+    return _norm(ivf_topk(
         corpus, queries, centroids, id_col=id_col, vec_col=vec_col, k=k,
         n_probe=n_probe, query_id_col=query_id_col,
-    )
+    ))
 
 
 def persist_ivf_index(
@@ -516,14 +529,15 @@ def ivf_topk_from_index(
         for ci in order[:n_probe]:
             probe_rows.append((r[query_id_col], int(ci), [float(x) for x in v]))
     probes = spark.createDataFrame(
-        probe_rows, f"__qid long, {cluster_col} int, __qvec array<double>"
+        probe_rows,
+        f"__qid {_id_ddl(queries, query_id_col)}, {cluster_col} int, __qvec array<double>",
     )
     wanted = sorted({c for _, c, _ in probe_rows})
     corpus = read_path(
         spark, table_path(lakehouse, table_name), fmt or DEFAULT_FORMAT
     ).where(F.col(cluster_col).isin(wanted))
     joined = corpus.join(F.broadcast(probes), cluster_col).where(
-        F.col("__qid") != F.col(id_col)
+        ~F.col("__qid").eqNullSafe(F.col(id_col))
     )
     a, b = _as_double(F.col(vec_col)), F.col("__qvec")
     scored = joined.withColumn(
@@ -616,7 +630,7 @@ def quantized_topk(
     )
     cands = (
         qcorp.crossJoin(F.broadcast(qquer))
-        .where(F.col(id_col) != F.col(query_id_col))
+        .where(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
         .where((F.col("__cs") > 0) & (F.col("__qs") > 0))
         .withColumn("__approx", approx)
         .withColumn("__rn", F.row_number().over(cand_w))
@@ -879,14 +893,15 @@ def pq_topk(
         for r in qrows
     ]
     probes = queries.sparkSession.createDataFrame(
-        probe_rows, f"{query_id_col} long, __lut array<array<double>>"
+        probe_rows,
+        f"{query_id_col} {_id_ddl(queries, query_id_col)}, __lut array<array<double>>",
     )
     cand_w = Window.partitionBy(query_id_col).orderBy(
         F.asc("__d2"), F.asc(id_col)
     )
     cands = (
         enc.crossJoin(F.broadcast(probes))
-        .where(F.col(id_col) != F.col(query_id_col))
+        .where(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
         .withColumn("__d2", _pq_lut_d2(len(codebooks)))
         .withColumn("__rn", F.row_number().over(cand_w))
         .where(F.col("__rn") <= k * rerank_factor)
@@ -972,14 +987,14 @@ def ivfpq_topk_from_index(
             probe_rows.append((r[query_id_col], int(ci), lut))
     probes = spark.createDataFrame(
         probe_rows,
-        f"__qid long, {cluster_col} int, __lut array<array<double>>",
+        f"__qid {_id_ddl(queries, query_id_col)}, {cluster_col} int, __lut array<array<double>>",
     )
     wanted = sorted({c for _, c, _ in probe_rows})
     index = read_path(
         spark, table_path(lakehouse, table_name), fmt or DEFAULT_FORMAT
     ).where(F.col(cluster_col).isin(wanted))
     joined = index.join(F.broadcast(probes), cluster_col).where(
-        F.col("__qid") != F.col(id_col)
+        ~F.col("__qid").eqNullSafe(F.col(id_col))
     )
     cand_w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc(id_col))
     cands = (

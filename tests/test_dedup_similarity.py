@@ -867,7 +867,11 @@ class TestPqTopk:
         via_auto = similarity.topk_auto(
             emb, queries, k=5, brute_force_threshold=1, pq_codebooks=cbs
         )
-        direct = similarity.pq_topk(emb, queries, cbs, k=5)
+        # dispatcher normalizes every branch to (query_id, id, score)
+        assert via_auto.columns == ["query_id", "vec_id", "score"]
+        direct = similarity.pq_topk(emb, queries, cbs, k=5).select(
+            "query_id", "vec_id", "score"
+        )
         assert sorted(map(tuple, via_auto.collect())) == \
             sorted(map(tuple, direct.collect()))
 

@@ -201,3 +201,35 @@ class TestAggState:
         merged = aggstate.merge_agg_states(s, empty, ["o_custkey"])
         assert sorted(map(tuple, merged.collect())) == \
             sorted(map(tuple, s.collect()))
+
+    def test_merge_hll_mismatch_raises(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pytest
+
+        orders = load_table(spark, sf_dir, "orders")
+        with_sketch = aggstate.agg_state(orders, ["o_custkey"], "o_totalprice")
+        without = aggstate.agg_state(
+            orders, ["o_custkey"], "o_totalprice", with_hll=False
+        )
+        with pytest.raises(ValueError, match="hll"):
+            aggstate.merge_agg_states(with_sketch, without, ["o_custkey"])
+
+
+class TestStringQueryIds:
+    def test_pq_and_ivf_accept_string_query_ids(self, spark, sf_dir):
+        """ADVICE r3: probe schemas must carry the caller's id type, not a
+        hardcoded long."""
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+        import pyspark.sql.functions as F
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+            "embedding",
+        )
+        out = similarity.pq_topk(emb, queries, cbs, k=3).collect()
+        assert len(out) == 9
+        assert all(r.query_id.startswith("q-") for r in out)
