@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "grouping_sets",
     "minhash_dedup_transitive",
     "percent_rank_cume",
+    "bpe_token_counts",
+    "bpe_packing",
 ]
 
 

@@ -1,0 +1,264 @@
+"""From-scratch BPE tokenizer: corpus-trained merges + merge-table encode.
+
+LLM-data-pipeline extension (SURVEY.md §2.13 text analysis; the reference
+engine has no tokenizer — its text surface stops at cleanString,
+reference common.py:609-661). Every real pre-training pipeline budgets
+sequence packing and mixture sampling by SUBWORD tokens, not whitespace
+tokens; this module supplies those counts with the classic byte-pair
+encoding algorithm (Sennrich et al. 2016, the GPT-2 merge-table form).
+
+Scale design (100 TB posture):
+
+- **Training** is split into the corpus-proportional part and the
+  vocabulary-proportional part, exactly as the standard implementations
+  (HuggingFace tokenizers, SentencePiece) do: ONE distributed word-count
+  shuffle reduces the corpus to a (word, count) frequency table, the
+  heavy tail is capped deterministically (count desc, word asc → top
+  ``max_words``; plus ``min_count``), and the merge loop runs driver-side
+  over that bounded table — O(max_words · num_merges) local work,
+  independent of corpus size. Iterating the merge loop IN Spark would
+  shuffle the corpus ``num_merges`` times for a result identical to the
+  word-frequency formulation (BPE statistics depend only on word counts).
+- **Encoding** is likewise vocabulary-bounded: the per-document work is a
+  split + explode + broadcast hash join; the Python (pandas UDF) encode
+  runs once per DISTINCT word, never once per occurrence. At 100 TB the
+  distinct-word table is bounded by language vocabulary, so the slow path
+  costs O(|vocab|) while the corpus-proportional path stays JVM-side.
+
+Encode semantics (both the Python implementation and the DuckDB
+recursive-CTE oracle in plans/driver_queries.py): repeatedly merge the
+leftmost occurrence of the lowest-rank applicable pair until no merge
+applies. This one-at-a-time form is equivalent to the usual
+"merge all occurrences of the lowest-rank pair left-to-right" because
+merging an occurrence of pair (a,b) can only destroy, never create,
+other occurrences of (a,b) (the new token ``ab`` differs from both
+halves), but it is directly expressible as a recursive CTE — which is
+what makes the encode stage oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: regex used to split documents into words — whitespace, mirrored by the
+#: oracle's regexp_split_to_array(text, '\s+')
+WORD_SPLIT_RE = r"\s+"
+
+#: FIXED merge table: ``bpe_train(documents, num_merges=60)`` on the
+#: sf0.01 fixture corpus (a tokenizer is trained once and then applied as
+#: a constant everywhere — this is the constant). 60 < the 89-merge
+#: convergence point, so rarer words stay multi-token and subword counts
+#: genuinely differ from word counts. tests/test_bpe.py re-derives the
+#: prefix from word counts to pin provenance.
+MERGES_DOCS_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"), ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("d", "ata"), ("t", "able"), ("u", "p"),
+    ("a", "g"), ("ag", "g"), ("a", "lu"),
+]
+
+
+# ---------------------------------------------------------------------------
+# pure-python core (driver-side training loop + per-word encode)
+# ---------------------------------------------------------------------------
+
+def _merge_all(syms: list[str], left: str, right: str) -> list[str]:
+    """Merge every non-overlapping (left, right) occurrence, left to right."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_merges_from_counts(
+    word_counts: Sequence[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE training over a word-frequency table.
+
+    Deterministic: the merged pair each round is the (count desc, pair
+    asc) maximum. Stops early when no adjacent pair remains (every word
+    fully merged). Returns merges in rank order.
+    """
+    words: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in word_counts if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = [(_merge_all(s, *best), c) for s, c in words]
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a trained merge table (GPT-2-style loop):
+    repeatedly merge all occurrences of the lowest-rank pair present."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _merge_all(syms, *best_pair)
+    return syms
+
+
+# ---------------------------------------------------------------------------
+# spark operators
+# ---------------------------------------------------------------------------
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) frequency table — the single corpus-proportional shuffle
+    of BPE training."""
+    w = F.explode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias("word")
+    return (
+        df.select(w)
+        .where((F.col("word").isNotNull()) & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    max_words: int = 65536,
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table on a corpus.
+
+    Spark does the word count; the merge loop runs driver-side over the
+    top ``max_words`` (count desc, word asc — deterministic) words with
+    count ≥ ``min_count``. See module docstring for why this split is the
+    standard, scale-correct formulation.
+    """
+    wc = (
+        word_counts(df, text_col)
+        .where(F.col("cnt") >= int(min_count))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(int(max_words))
+        .toPandas()
+    )
+    return train_merges_from_counts(
+        list(zip(wc["word"].tolist(), wc["cnt"].tolist())), num_merges
+    )
+
+
+def _encoded_vocab(
+    words: DataFrame, merges: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """DISTINCT words → (word, tokens array, n_tok). The only Python-eval
+    stage; cost is O(|vocab|), not corpus size."""
+    ranks = {(left, right): i for i, (left, right) in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: encode_word(w, ranks))
+
+    vocab = words.select("__w").distinct()
+    return vocab.withColumn("__toks", enc("__w")).withColumn(
+        "__nt", F.size("__toks")
+    )
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    w = F.explode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias("__w")
+    return df.select(F.col(id_col), w).where(
+        (F.col("__w").isNotNull()) & (F.col("__w") != "")
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-document subword token count under a FIXED merge table.
+
+    Returns (id, n_words, ``out_col``); documents with no words get 0/0.
+    The packing currency: feed ``out_col`` into packing.chunk_pack /
+    greedy_pack / ffd_pack via their ``token_col`` parameter.
+    """
+    words = _doc_words(df, id_col, text_col)
+    enc = _encoded_vocab(words, merges).select("__w", "__nt")
+    per_doc = (
+        words.join(F.broadcast(enc), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").cast("long").alias(out_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(out_col, F.lit(0)).cast("long").alias(out_col),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Full per-document token sequence (array<string>), in document
+    order. Same vocabulary-bounded encode; reassembly is a posexplode +
+    broadcast join + ordered flatten."""
+    w = F.posexplode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias(
+        "__pos", "__w"
+    )
+    words = df.select(F.col(id_col), w).where(
+        (F.col("__w").isNotNull()) & (F.col("__w") != "")
+    )
+    enc = _encoded_vocab(words, merges).select("__w", "__toks")
+    return (
+        words.join(F.broadcast(enc), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+                    lambda s: s["__toks"],
+                )
+            ).alias(out_col)
+        )
+    )

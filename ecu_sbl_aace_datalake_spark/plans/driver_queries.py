@@ -6816,6 +6816,126 @@ GROUP BY o_custkey
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SUBWORD token counts under the fixed BPE merge table
+    (operators/bpe.py MERGES_DOCS_V1) — the packing/mixture currency of a
+    real pre-training pipeline. Spark side: split → explode → DISTINCT
+    vocab encoded once in a pandas UDF → broadcast join → per-doc sum
+    (Python cost is O(|vocab|), corpus-proportional work stays JVM-side).
+    Oracle: an independent recursive-CTE BPE encoder in DuckDB — merge
+    the leftmost occurrence of the lowest-rank applicable pair until no
+    merge applies (provably equivalent to the GPT-2 merge-all loop; see
+    operators/bpe.py module docstring)."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1)
+
+
+def _bpe_merge_map_sql() -> str:
+    """The fixed merge table as a DuckDB MAP literal: key = left||chr(1)||
+    right, value = rank."""
+    from ..operators.bpe import MERGES_DOCS_V1
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    keys = ", ".join(
+        f"'{esc(left)}' || chr(1) || '{esc(right)}'"
+        for left, right in MERGES_DOCS_V1
+    )
+    ranks = ", ".join(str(i) for i in range(len(MERGES_DOCS_V1)))
+    return f"MAP([{keys}], [{ranks}])"
+
+
+_SQL_BPE_WORD_TOK_CTES = f"""
+words AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+    FROM documents) t
+  WHERE w IS NOT NULL AND w <> ''
+),
+vocab AS MATERIALIZED (SELECT DISTINCT w FROM words),
+enc AS (
+  SELECT w, regexp_extract_all(w, '.') AS toks FROM vocab
+  UNION ALL
+  SELECT w,
+         toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] || toks[best.i+2:]
+  FROM (
+    SELECT w, toks,
+      list_sort(list_filter(
+        list_transform(range(1, len(toks)),
+          i -> {{'r': {_bpe_merge_map_sql()}[toks[i] || chr(1) || toks[i+1]][1],
+                'i': i}}),
+        x -> x.r IS NOT NULL))[1] AS best
+    FROM enc) s
+  WHERE best IS NOT NULL
+),
+word_tok AS MATERIALIZED (
+  SELECT w, MIN(len(toks)) AS n_tok FROM enc GROUP BY w
+)
+"""
+
+SQL_BPE_TOKEN_COUNTS = f"""
+WITH RECURSIVE
+{_SQL_BPE_WORD_TOK_CTES},
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM words JOIN word_tok USING (w)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def q_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by REAL subword tokens (VERDICT r3 item
+    1's "packing accepting the real counts"): BPE token counts feed
+    packing.chunk_pack via its token_col parameter, then the per-pack
+    roll-up. Same single shard-key shuffle as sequence_packing."""
+    from ..operators import bpe, packing
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    packed = packing.chunk_pack(counted, budget=512)
+    return packing.pack_summary(packed, budget=512)
+
+
+SQL_BPE_PACKING = f"""
+WITH RECURSIVE
+{_SQL_BPE_WORD_TOK_CTES},
+counted AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(SUM(wt.n_tok), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN words w ON d.doc_id = w.doc_id
+  LEFT JOIN word_tok wt ON w.w = wt.w
+  GROUP BY d.doc_id, d.source
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+           AS BIGINT) AS pack_id
+  FROM counted
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6912,6 +7032,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_merge": q_incremental_agg_merge,
     "grouping_sets": q_grouping_sets,
     "percent_rank_cume": q_percent_rank_cume,
+    "bpe_token_counts": q_bpe_token_counts,
+    "bpe_packing": q_bpe_packing,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7062,6 +7184,8 @@ ORACLES: dict[str, str] = {
     "incremental_agg_merge": SQL_INCREMENTAL_AGG_MERGE,
     "grouping_sets": SQL_GROUPING_SETS,
     "percent_rank_cume": SQL_PERCENT_RANK_CUME,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "bpe_packing": SQL_BPE_PACKING,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

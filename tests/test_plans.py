@@ -244,6 +244,8 @@ class TestGlobalPlanInvariants:
         "image_resize_stats",  # real pixel resize (mapInPandas)
         "audio_features",      # real rfft signal analysis (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
+        "bpe_token_counts",    # vocabulary-bounded BPE encode (pandas_udf)
+        "bpe_packing",         # same encode feeding chunk_pack
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
