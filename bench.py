@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "percent_rank_cume",
     "bpe_token_counts",
     "bpe_packing",
+    "quality_classifier_scores",
 ]
 
 

@@ -48,6 +48,10 @@ def prepare_corpus(
     remove_dup_spans: bool = False,
     dup_span_ngram: int = 10,
     lm_quality_quantile: float | None = None,
+    classifier_weights: Sequence[float] | None = None,
+    classifier_floor: float = 0.5,
+    classifier_dim: int = 256,
+    bpe_merges: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -75,7 +79,17 @@ def prepare_corpus(
       quantile of ``lm_logprob`` (e.g. ``0.1`` cuts the worst decile —
       the CCNet-style perplexity prune). Runs after span removal so the
       model trains on the cleaned text.
+    - ``classifier_weights`` — TRAINED quality-classifier floor
+      (:func:`~.classifier.classifier_scores`, e.g.
+      ``classifier.WEIGHTS_QUALITY_V1`` or a fresh
+      :func:`~.classifier.train_logreg` fit): drop docs scoring below
+      ``classifier_floor``. Runs right after the heuristic quality floor
+      (the model refines the heuristic it was distilled from).
+    - ``bpe_merges`` — budget packing by REAL subword token counts
+      (:func:`~.bpe.bpe_token_counts`) instead of whitespace counts.
     """
+    from . import bpe as bpe_mod
+    from . import classifier as clf
     scored = textstats.with_quality_score(
         textstats.with_lang_id(df, text_col), text_col
     )
@@ -85,6 +99,17 @@ def prepare_corpus(
     )
     if gopher_gates:
         kept = textstats.gopher_quality_filter(kept, text_col)
+    if classifier_weights is not None:
+        scored_clf = clf.classifier_scores(
+            kept, classifier_weights, id_col, text_col, dim=classifier_dim
+        )
+        kept = kept.join(
+            scored_clf.where(
+                F.col("clf_score") >= float(classifier_floor)
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
     if paragraph_level_dedup:
         kept = (
             dedup.paragraph_dedup(kept, id_col, text_col)
@@ -133,7 +158,15 @@ def prepare_corpus(
             pruned, decontaminate_against, id_col, text_col,
             n=decontaminate_ngram,
         )
-    counted = packing.with_token_count(pruned, text_col)
+    if bpe_merges is not None:
+        counted = pruned.join(
+            bpe_mod.bpe_token_counts(
+                pruned, bpe_merges, id_col, text_col
+            ).select(id_col, "n_tokens"),
+            id_col,
+        )
+    else:
+        counted = packing.with_token_count(pruned, text_col)
     return packing.greedy_pack(
         counted, pack_budget, shard_cols=shard_cols, order_col=id_col
     )

@@ -6936,6 +6936,68 @@ GROUP BY source, pack_id
 """
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality-classifier scoring (CCNet/DCLM-style distillation)
+    with FIXED weights (operators/classifier.py WEIGHTS_QUALITY_V1 —
+    deterministic full-batch logreg over hashed BOW + log-length +
+    diversity, seed labels = heuristic quality_score >= 0.75). The scoring
+    pass is pure column expressions (portable md5 hash buckets, literal
+    weight array, decimal-summed contributions) — the oracle replays the
+    identical arithmetic in SQL."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier.classifier_scores(docs, classifier.WEIGHTS_QUALITY_V1)
+
+
+def _clf_weights_sql() -> str:
+    from ..operators.classifier import WEIGHTS_QUALITY_V1
+
+    return "[" + ", ".join(repr(w) for w in WEIGHTS_QUALITY_V1) + "]"
+
+
+SQL_QUALITY_CLASSIFIER_SCORES = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x IS NOT NULL AND x <> '') AS toks
+  FROM documents
+),
+sized AS MATERIALIZED (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS DOUBLE) AS nw,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd
+  FROM base
+),
+bow AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS INT) AS idx,
+         CAST(COUNT(*) AS DOUBLE) / nw AS value
+  FROM (SELECT doc_id, nw, unnest(toks) AS w FROM sized) t
+  GROUP BY doc_id, nw, idx
+),
+dense AS (
+  SELECT doc_id, 256 AS idx, ROUND(LN(nw + 1.0) + 1e-9, 6) AS value
+  FROM sized WHERE nw > 0
+  UNION ALL
+  SELECT doc_id, 257, nd / nw FROM sized WHERE nw > 0
+  UNION ALL
+  SELECT doc_id, 258, 1.0 FROM sized
+),
+wt AS MATERIALIZED (SELECT {_clf_weights_sql()} AS w),
+z AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(value * w[idx + 1], 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS z
+  FROM (SELECT * FROM bow UNION ALL SELECT * FROM dense) f CROSS JOIN wt
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(1.0 / (1.0 + EXP(-ROUND(z.z, 6))) + 1e-9, 6) AS clf_score
+FROM documents d JOIN z USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7034,6 +7096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percent_rank_cume": q_percent_rank_cume,
     "bpe_token_counts": q_bpe_token_counts,
     "bpe_packing": q_bpe_packing,
+    "quality_classifier_scores": q_quality_classifier_scores,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7186,6 +7249,7 @@ ORACLES: dict[str, str] = {
     "percent_rank_cume": SQL_PERCENT_RANK_CUME,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "bpe_packing": SQL_BPE_PACKING,
+    "quality_classifier_scores": SQL_QUALITY_CLASSIFIER_SCORES,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

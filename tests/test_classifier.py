@@ -1,0 +1,149 @@
+"""Trained quality classifier: determinism, provenance, scoring, pipeline."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import classifier
+
+
+def _seed_labels(docs):
+    from ecu_sbl_aace_datalake_spark.operators import textstats
+
+    return textstats.with_quality_score(docs).withColumn(
+        "label", (F.col("quality_score") >= 0.75).cast("int")
+    )
+
+
+class TestTraining:
+    def test_fixed_weights_provenance(self, spark):
+        """WEIGHTS_QUALITY_V1 == train_logreg(sf0.01 docs, heuristic seed,
+        defaults). Training must be bit-deterministic (decimal-summed
+        gradient), so this re-derivation is exact."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        got = classifier.train_logreg(_seed_labels(docs), "label")
+        assert got == classifier.WEIGHTS_QUALITY_V1
+
+    def test_training_learns_the_seed(self, spark, sf_dir):
+        """AUC of trained scores vs seed labels > 0.95 on the fixture —
+        the distillation actually works."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        labeled = _seed_labels(docs)
+        w = classifier.train_logreg(labeled, "label", epochs=16, lr=1.0)
+        rows = (
+            classifier.classifier_scores(labeled, w)
+            .join(labeled.select("doc_id", "label"), "doc_id")
+            .collect()
+        )
+        pos = sorted(r.clf_score for r in rows if r.label == 1)
+        neg = sorted(r.clf_score for r in rows if r.label == 0)
+        import bisect
+
+        wins = sum(bisect.bisect_left(neg, s) for s in pos)
+        ties = sum(
+            bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+            for s in pos
+        )
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert auc > 0.95, auc
+
+    def test_loss_decreases_with_epochs(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        labeled = _seed_labels(docs)
+
+        def logloss(w):
+            rows = (
+                classifier.classifier_scores(labeled, w)
+                .join(labeled.select("doc_id", "label"), "doc_id")
+                .collect()
+            )
+            eps = 1e-9
+            return -sum(
+                r.label * math.log(max(r.clf_score, eps))
+                + (1 - r.label) * math.log(max(1 - r.clf_score, eps))
+                for r in rows
+            ) / len(rows)
+
+        l2 = logloss(classifier.train_logreg(labeled, "label", epochs=2))
+        l16 = logloss(classifier.train_logreg(labeled, "label", epochs=16))
+        assert l16 < l2
+
+
+class TestScoring:
+    def test_scores_in_unit_interval(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = classifier.classifier_scores(
+            docs, classifier.WEIGHTS_QUALITY_V1
+        ).collect()
+        assert len(rows) == docs.count()
+        assert all(0.0 <= r.clf_score <= 1.0 for r in rows)
+
+    def test_empty_doc_scores_bias_only(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        got = classifier.classifier_scores(
+            df, classifier.WEIGHTS_QUALITY_V1
+        ).collect()[0].clf_score
+        bias = classifier.WEIGHTS_QUALITY_V1[-1]
+        want = round(1.0 / (1.0 + math.exp(-round(bias, 6))) + 1e-9, 6)
+        assert got == want
+
+    def test_scoring_plan_is_python_free(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = classifier.classifier_scores(
+            docs, classifier.WEIGHTS_QUALITY_V1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPipeline:
+    def test_prepare_corpus_classifier_floor(self, spark, sf_dir):
+        """Opt-in classifier floor removes the lowest-scoring docs and the
+        pipeline still packs."""
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = pipeline.prepare_corpus(docs, min_quality=0.0)
+        gated = pipeline.prepare_corpus(
+            docs,
+            min_quality=0.0,
+            classifier_weights=classifier.WEIGHTS_QUALITY_V1,
+            classifier_floor=0.55,
+        )
+        n_base, n_gated = base.count(), gated.count()
+        assert 0 < n_gated < n_base
+        # every surviving doc scores >= the floor
+        scored = classifier.classifier_scores(
+            docs, classifier.WEIGHTS_QUALITY_V1
+        )
+        kept_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+        for r in scored.collect():
+            if r.doc_id in kept_ids:
+                assert r.clf_score >= 0.55
+
+    def test_prepare_corpus_bpe_budget(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import bpe, pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        packed = pipeline.prepare_corpus(
+            docs, min_quality=0.0, bpe_merges=bpe.MERGES_DOCS_V1
+        )
+        rows = packed.collect()
+        assert rows and all(r.n_tokens > 0 for r in rows)
+        # greedy_pack respects the budget for docs under it
+        assert all(
+            r.n_tokens <= 512 or r.pack_id is not None for r in rows
+        )
