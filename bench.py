@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "bpe_packing",
     "quality_classifier_scores",
+    "video_mov_frame_stats",
 ]
 
 

@@ -276,6 +276,14 @@ def frame_sample_plan(
 
         return payloads.map(count).astype("Int32")
 
+    @pandas_udf("int")
+    def _mp4_frames(payloads: pd.Series) -> pd.Series:
+        def count(b):
+            info = _mp4_video_sample_info(b or b"")
+            return info["n_frames"] if info else None
+
+        return payloads.map(count).astype("Int32")
+
     with_meta = video_meta(df, payload_col)
     is_gif = F.col(payload_col).substr(1, 6).cast("string").isin("GIF87a", "GIF89a")
     is_avi = (
@@ -284,8 +292,14 @@ def frame_sample_plan(
     heuristic = (F.length(payload_col) / 1024).cast("int") + 1
     n_frames = (
         F.when(
-            F.col("is_mp4") & F.col("duration_s").isNotNull(),
-            (F.col("duration_s") * F.lit(float(fps))).cast("int"),
+            F.col("is_mp4"),
+            F.coalesce(
+                # exact count from the video track's sample table when the
+                # moov carries one; duration*fps estimate otherwise
+                _mp4_frames(F.col(payload_col)),
+                (F.col("duration_s") * F.lit(float(fps))).cast("int"),
+                heuristic,
+            ),
         )
         .when(is_gif, F.coalesce(_gif_frames(F.col(payload_col)), heuristic))
         .when(is_avi, F.coalesce(_avi_frames(F.col(payload_col)), heuristic))
@@ -320,9 +334,14 @@ def _decode_frame(payload: bytes, frame_index: int) -> bytes:
         if frame is None:
             raise ValueError(f"AVI frame {frame_index} not decodable")
         return frame.tobytes()
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        frame = decode_mp4_frame(payload, frame_index)
+        if frame is not None:
+            return frame.tobytes()
     raise NotImplementedError(
         "inter-frame video codecs (H.264 etc.) require libav/ffmpeg, not "
-        "present in this container; MJPEG-AVI and GIF decode natively above"
+        "present in this container; MJPEG in AVI or MP4/MOV and GIF decode "
+        "natively above"
     )
 
 
@@ -1581,6 +1600,267 @@ def build_mjpeg_avi(
     return b"RIFF" + le32(len(body)) + body
 
 
+#: sample-description fourccs this repo's own JPEG decoder can handle —
+#: intra-frame Motion-JPEG variants only
+_MP4_MJPEG_FOURCCS = {"jpeg", "mjpa", "mjpb", "MJPG"}
+
+
+def _mp4_video_sample_info(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF/QuickTime SAMPLE TABLE parse — pure box walking, no
+    codec library: finds the first ``vide``-handler track and composes its
+    per-frame byte ranges from ``stbl``:
+
+    - ``stsd``  → codec fourcc + coded width/height
+    - ``stsz``  → per-sample sizes (or the uniform size)
+    - ``stco``/``co64`` → chunk byte offsets
+    - ``stsc``  → sample→chunk run-length mapping
+    - ``mdhd``/``stts`` → media timescale + sample delta → fps
+
+    Returns ``{codec, width, height, n_frames, fps, samples: [(off, len)]}``
+    or None when the payload isn't MP4/MOV or has no video track. This is
+    exactly the walk a demuxer performs; with it, intra-frame codecs
+    (MJPEG-in-MOV) decode with the repo's own JPEG decoder and the
+    NotImplementedError shrinks to true inter-frame codecs."""
+    p = payload or b""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+
+    def children(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(p[i : i + 4], "big")
+            btype = p[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(p[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    def find(start: int, end: int, btype: bytes):
+        for t, s, e in children(start, end):
+            if t == btype:
+                return s, e
+        return None
+
+    moov = find(0, len(p), b"moov")
+    if moov is None:
+        return None
+    for t, trak_s, trak_e in children(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(trak_s, trak_e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        if hdlr is None or p[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = find(*mdia, b"mdhd")
+        minf = find(*mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = find(*minf, b"stbl")
+        if stbl is None:
+            continue
+        out: dict = {"codec": None, "width": None, "height": None}
+        if mdhd is not None:
+            s = mdhd[0]
+            ver = p[s]
+            if ver == 1 and mdhd[1] - s >= 32:
+                ts = int.from_bytes(p[s + 20 : s + 24], "big")
+            elif mdhd[1] - s >= 20:
+                ts = int.from_bytes(p[s + 12 : s + 16], "big")
+            else:
+                ts = None
+            out["timescale"] = ts
+        stsd = find(*stbl, b"stsd")
+        if stsd is not None and stsd[1] - stsd[0] >= 16:
+            es = stsd[0] + 8  # entry start (after version/flags + count)
+            if stsd[1] - es >= 36:
+                out["codec"] = p[es + 4 : es + 8].decode("ascii", "replace").strip()
+                out["width"] = int.from_bytes(p[es + 32 : es + 34], "big")
+                out["height"] = int.from_bytes(p[es + 34 : es + 36], "big")
+        stts = find(*stbl, b"stts")
+        fps = None
+        if stts is not None and stts[1] - stts[0] >= 16:
+            delta = int.from_bytes(p[stts[0] + 12 : stts[0] + 16], "big")
+            ts = out.get("timescale")
+            if delta and ts:
+                fps = round(ts / delta, 6)
+        out["fps"] = fps
+        # sample sizes
+        stsz = find(*stbl, b"stsz")
+        if stsz is None or stsz[1] - stsz[0] < 12:
+            return None
+        s = stsz[0]
+        uniform = int.from_bytes(p[s + 4 : s + 8], "big")
+        n = int.from_bytes(p[s + 8 : s + 12], "big")
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            if stsz[1] - s < 12 + 4 * n:
+                return None
+            sizes = [
+                int.from_bytes(p[s + 12 + 4 * k : s + 16 + 4 * k], "big")
+                for k in range(n)
+            ]
+        # chunk offsets
+        stco = find(*stbl, b"stco")
+        if stco is not None:
+            s = stco[0]
+            nc = int.from_bytes(p[s + 4 : s + 8], "big")
+            if stco[1] - s < 8 + 4 * nc:
+                return None
+            chunk_offs = [
+                int.from_bytes(p[s + 8 + 4 * k : s + 12 + 4 * k], "big")
+                for k in range(nc)
+            ]
+        else:
+            co64 = find(*stbl, b"co64")
+            if co64 is None:
+                return None
+            s = co64[0]
+            nc = int.from_bytes(p[s + 4 : s + 8], "big")
+            if co64[1] - s < 8 + 8 * nc:
+                return None
+            chunk_offs = [
+                int.from_bytes(p[s + 8 + 8 * k : s + 16 + 8 * k], "big")
+                for k in range(nc)
+            ]
+        # sample -> chunk mapping
+        stsc = find(*stbl, b"stsc")
+        if stsc is None:
+            return None
+        s = stsc[0]
+        ne = int.from_bytes(p[s + 4 : s + 8], "big")
+        if stsc[1] - s < 8 + 12 * ne:
+            return None
+        runs = [
+            (
+                int.from_bytes(p[s + 8 + 12 * k : s + 12 + 12 * k], "big"),
+                int.from_bytes(p[s + 12 + 12 * k : s + 16 + 12 * k], "big"),
+            )
+            for k in range(ne)
+        ]
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for ci in range(1, len(chunk_offs) + 1):
+            spc = 0
+            for first, cnt in runs:
+                if first <= ci:
+                    spc = cnt
+                else:
+                    break
+            off = chunk_offs[ci - 1]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        out["samples"] = samples[:n]
+        out["n_frames"] = len(out["samples"])
+        return out
+    return None
+
+
+def decode_mp4_frame(payload: bytes, frame_index: int):
+    """Decode one MJPEG-in-MP4/MOV frame to an (h, w, 3) uint8 RGB array
+    via the sample table + the repo's baseline-JPEG decoder; None when the
+    payload isn't MP4/MOV, the codec is inter-frame, or the index is out
+    of range."""
+    info = _mp4_video_sample_info(payload)
+    if info is None or info.get("codec") not in _MP4_MJPEG_FOURCCS:
+        return None
+    samples = info["samples"]
+    if not (0 <= frame_index < len(samples)):
+        return None
+    off, ln = samples[frame_index]
+    return _decode_jpeg_rgb(payload[off : off + ln])
+
+
+def build_mjpeg_mov(
+    frames: list[bytes], fps: int = 25, width: int = 8, height: int = 8
+) -> bytes:
+    """Minimal-but-valid MJPEG QuickTime/MP4 around pre-encoded JPEG
+    frames (the MOV analogue of :func:`build_mjpeg_avi`): ftyp + mdat
+    (all frames, one chunk) + moov with a full sample table (stsd 'jpeg',
+    stts, stsc, stsz, stco). moov-at-end so the single stco offset is
+    just len(ftyp) + 8."""
+
+    def be32(x: int) -> bytes:
+        return int(x).to_bytes(4, "big")
+
+    def be16(x: int) -> bytes:
+        return int(x).to_bytes(2, "big")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return be32(8 + len(body)) + btype + body
+
+    n = len(frames)
+    ts = 600
+    assert ts % fps == 0, "fps must divide the 600 timescale"
+    delta = ts // fps
+    dur = delta * n
+    matrix = (
+        be32(0x00010000) + be32(0) * 2 + be32(0) + be32(0x00010000)
+        + be32(0) * 3 + be32(0x40000000)
+    )
+    ftyp = box(b"ftyp", b"qt  " + be32(0) + b"qt  ")
+    chunk_off = len(ftyp) + 8
+    mdat = box(b"mdat", b"".join(frames))
+    entry = (
+        be32(86) + b"jpeg" + bytes(6) + be16(1)          # hdr + dref idx
+        + be16(0) + be16(0) + bytes(12)                    # pre_defined
+        + be16(width) + be16(height)
+        + be32(0x00480000) + be32(0x00480000)              # 72 dpi
+        + be32(0) + be16(1) + bytes(32)                    # frame count, name
+        + be16(24) + be16(0xFFFF)                          # depth, color table
+    )
+    stbl = box(
+        b"stbl",
+        box(b"stsd", be32(0) + be32(1) + entry)
+        + box(b"stts", be32(0) + be32(1) + be32(n) + be32(delta))
+        + box(b"stsc", be32(0) + be32(1) + be32(1) + be32(n) + be32(1))
+        + box(
+            b"stsz",
+            be32(0) + be32(0) + be32(n) + b"".join(be32(len(f)) for f in frames),
+        )
+        + box(b"stco", be32(0) + be32(1) + be32(chunk_off)),
+    )
+    minf = box(
+        b"minf",
+        box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+        + box(b"dinf", box(b"dref", be32(0) + be32(1) + box(b"url ", be32(1))))
+        + stbl,
+    )
+    mdia = box(
+        b"mdia",
+        box(b"mdhd", be32(0) + be32(0) * 2 + be32(ts) + be32(dur) + be16(0x55C4) + be16(0))
+        + box(b"hdlr", be32(0) + be32(0) + b"vide" + bytes(12) + b"Video\x00")
+        + minf,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + be32(0) * 2 + be32(1) + be32(0) + be32(dur)
+        + bytes(8) + be16(0) * 4 + matrix
+        + be32(width << 16) + be32(height << 16),
+    )
+    mvhd = box(
+        b"mvhd",
+        be32(0) + be32(0) * 2 + be32(ts) + be32(dur) + be32(0x00010000)
+        + be16(0x0100) + be16(0) + bytes(8) + matrix + bytes(24) + be32(2),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
 VIDEO_FRAME_STATS_SCHEMA = (
     "decoded boolean, codec string, n_frames int, fps double, "
     "width int, height int, frame_index int, "
@@ -1643,21 +1923,45 @@ def video_frame_stats(
                 )
             return out or [null_row]
         hdr = parse_avi_header(b)
-        if hdr is None:
+        if hdr is not None:
+            chunks = _avi_frame_chunks(b)
+            n = hdr["n_frames"] or len(chunks)
+            out = []
+            for fi in range(0, n, every_n):
+                if fi >= len(chunks):
+                    break
+                off, ln = chunks[fi]
+                fr = _decode_jpeg_rgb(b[off : off + ln])
+                if fr is None:
+                    continue
+                m = fr.astype(np.float64).reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (True, hdr.get("codec"), n, hdr.get("fps"),
+                     fr.shape[1], fr.shape[0], fi,
+                     round(float(m[0]), 4), round(float(m[1]), 4),
+                     round(float(m[2]), 4))
+                )
+            return out or [null_row]
+        info = _mp4_video_sample_info(b)
+        if info is None:
             return [null_row]
-        chunks = _avi_frame_chunks(b)
-        n = hdr["n_frames"] or len(chunks)
+        if info.get("codec") not in _MP4_MJPEG_FOURCCS:
+            # container parsed, codec is inter-frame: honest undecoded row
+            # that still reports what the sample table knows
+            return [
+                (False, info.get("codec"), info.get("n_frames"),
+                 info.get("fps"), info.get("width"), info.get("height"),
+                 None, None, None, None)
+            ]
+        n = info["n_frames"]
         out = []
         for fi in range(0, n, every_n):
-            if fi >= len(chunks):
-                break
-            off, ln = chunks[fi]
-            fr = _decode_jpeg_rgb(b[off : off + ln])
+            fr = decode_mp4_frame(b, fi)
             if fr is None:
                 continue
             m = fr.astype(np.float64).reshape(-1, 3).mean(axis=0)
             out.append(
-                (True, hdr.get("codec"), n, hdr.get("fps"),
+                (True, info.get("codec"), n, info.get("fps"),
                  fr.shape[1], fr.shape[0], fi,
                  round(float(m[0]), 4), round(float(m[1]), 4),
                  round(float(m[2]), 4))

@@ -2294,3 +2294,86 @@ class TestMinhashDedupTransitive:
         )
         assert dedup.minhash_dedup_transitive(
             docs, "doc_id", "text").count() == 2
+
+
+class TestMjpegMov:
+    @staticmethod
+    def _mov(colors=(32, 96, 160), fps=25):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_mov, encode_jpeg_solid_gray,
+        )
+
+        return build_mjpeg_mov(
+            [encode_jpeg_solid_gray(v) for v in colors], fps=fps
+        )
+
+    def test_sample_table_roundtrip(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _mp4_video_sample_info, parse_mp4_header,
+        )
+
+        info = _mp4_video_sample_info(self._mov())
+        assert info["codec"] == "jpeg" and info["n_frames"] == 3
+        assert info["fps"] == 25.0 and info["width"] == 8 and info["height"] == 8
+        assert len(info["samples"]) == 3
+        # container-level walk agrees on timing
+        h = parse_mp4_header(self._mov())
+        assert h["timescale"] == 600 and h["duration"] == 72
+        assert _mp4_video_sample_info(b"not a video") is None
+        assert _mp4_video_sample_info(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+    def test_frame_decode_exact(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import decode_mp4_frame
+
+        mov = self._mov((10, 200, 255))
+        for i, v in enumerate((10, 200, 255)):
+            fr = decode_mp4_frame(mov, i)
+            assert fr.shape == (8, 8, 3) and (fr == v).all()
+        assert decode_mp4_frame(mov, 3) is None
+
+    def test_decode_frame_entry_point(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_frame
+
+        raw = _decode_frame(self._mov((77,)), 0)
+        assert raw == bytes([77] * (8 * 8 * 3))
+
+    def test_interframe_codec_still_raises(self):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import _decode_frame
+
+        avc = self._mov((50,)).replace(
+            b"\x00\x00\x00\x56jpeg", b"\x00\x00\x00\x56avc1"
+        )
+        with pytest.raises(NotImplementedError):
+            _decode_frame(avc, 0)
+
+    def test_video_frame_stats_mov(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            video_frame_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self._mov((100, 150))), (2, b"junk")],
+            "media_id long, payload binary",
+        )
+        rows = sorted(
+            video_frame_stats(df, "payload").collect(),
+            key=lambda r: (r.media_id, r.frame_index or -1),
+        )
+        assert [r.decoded for r in rows] == [True, True, False]
+        assert rows[0].codec == "jpeg" and rows[0].mean_r == 100.0
+        assert rows[1].frame_index == 1 and rows[1].mean_g == 150.0
+
+    def test_frame_sample_plan_uses_sample_table(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            frame_sample_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, self._mov((60,) * 5))], "media_id long, payload binary"
+        )
+        # 5 real frames, every_n=2 -> indices 0,2,4 (duration*fps estimate
+        # would also give 5 here, so assert via the exact index list)
+        rows = frame_sample_plan(df, "payload", every_n=2).collect()
+        assert sorted(r.frame_index for r in rows) == [0, 2, 4]

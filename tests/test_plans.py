@@ -241,6 +241,7 @@ class TestGlobalPlanInvariants:
         "audio_stats",         # real numpy PCM decode (mapInPandas)
         "video_container_meta",  # real MP4 box walk (mapInPandas)
         "video_frame_stats",   # real MJPEG-AVI frame decode (mapInPandas)
+        "video_mov_frame_stats",  # real MJPEG-in-MOV sample-table decode
         "image_resize_stats",  # real pixel resize (mapInPandas)
         "audio_features",      # real rfft signal analysis (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
