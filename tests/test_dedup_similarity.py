@@ -2377,3 +2377,108 @@ class TestMjpegMov:
         # would also give 5 here, so assert via the exact index list)
         rows = frame_sample_plan(df, "payload", every_n=2).collect()
         assert sorted(r.frame_index for r in rows) == [0, 2, 4]
+
+
+class TestIvfRecall:
+    def test_trained_ivf_recall_at_k_clustered(self, spark):
+        """VERDICT r3 item 6: quantitative recall gate for the
+        k-means-trained IVF path. IVF's contract is high recall on
+        CLUSTERABLE data (its design case): on a deterministic 8-cluster
+        Gaussian corpus, recall@10 vs exact brute force must be >= 0.9
+        with the driver query's parameters (8 centroids, n_probe=3)."""
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(8, 64) * 5.0
+        vecs = [
+            (i, (centers[i % 8] + rng.randn(64)).tolist())
+            for i in range(500)
+        ]
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        queries = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        centroids = similarity.kmeans_fit(emb, k=8, max_iter=2)
+        approx = similarity.ivf_topk(emb, queries, centroids, k=10, n_probe=3)
+        exact = similarity.cosine_topk(emb, queries, k=10)
+        got = {(r.query_id, r.vec_id) for r in approx.collect()}
+        want = {(r.query_id, r.vec_id) for r in exact.collect()}
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, recall
+
+    def test_fixture_recall_monotone_and_beats_random(self, spark):
+        """On the UNSTRUCTURED fixture embeddings (no cluster structure —
+        IVF's worst case) the honest bounds are: recall grows with
+        n_probe, and every n_probe beats the random-partition baseline
+        (n_probe/k of the corpus scanned -> n_probe/k expected recall)."""
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        centroids = similarity.kmeans_fit(emb, k=8, max_iter=2)
+        want = {
+            (r.query_id, r.vec_id)
+            for r in similarity.cosine_topk(emb, queries, k=10).collect()
+        }
+        recalls = {}
+        for n_probe in (2, 4):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in similarity.ivf_topk(
+                    emb, queries, centroids, k=10, n_probe=n_probe
+                ).collect()
+            }
+            recalls[n_probe] = len(got & want) / len(want)
+        assert recalls[4] >= recalls[2]
+        assert recalls[2] > 2 / 8 and recalls[4] > 4 / 8, recalls
+
+
+class TestPqEncodeParity:
+    def test_numpy_encode_matches_sequential_fold(self, spark):
+        """pq_encode is numpy-vectorized for speed; its per-dimension
+        accumulation must stay BIT-IDENTICAL to the sequential left fold
+        the DuckDB oracle replays (same adds, same order, first-min ties)."""
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        cbs = similarity.pq_codebooks_fixed(emb, m=8, k=16)
+        got = {
+            r.vec_id: r.pq_code
+            for r in similarity.pq_encode(emb, cbs)
+            .select("vec_id", "pq_code")
+            .collect()
+        }
+        m, ds = len(cbs), len(cbs[0][0])
+        for r in emb.select("vec_id", "embedding").collect():
+            v = [float(x) for x in r.embedding]
+            want = []
+            for mi in range(m):
+                sub = v[mi * ds : (mi + 1) * ds]
+                best_d, best_c = None, None
+                for ci, entry in enumerate(cbs[mi]):
+                    acc = 0.0
+                    for a, b in zip(sub, entry):
+                        acc = acc + (a - b) * (a - b)  # sequential fold
+                    if best_d is None or acc < best_d:
+                        best_d, best_c = acc, ci
+                want.append(best_c)
+            assert got[r.vec_id] == want, r.vec_id
+
+    def test_null_vector_encodes_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 64), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        cbs = [[[0.0] * 8, [1.0] * 8] for _ in range(8)]
+        rows = {r.vec_id: r.pq_code for r in similarity.pq_encode(df, cbs).collect()}
+        assert rows[1] == [0] * 8 and rows[2] is None

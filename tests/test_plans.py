@@ -246,6 +246,7 @@ class TestGlobalPlanInvariants:
         "audio_features",      # real rfft signal analysis (mapInPandas)
         "semantic_dedup",      # BLAS Gram matmul per cluster (applyInPandas)
         "bpe_token_counts",    # vocabulary-bounded BPE encode (pandas_udf)
+        "embedding_topk_pq_fixed",  # PQ encode is BLAS-vectorized numpy (declared)
         "bpe_packing",         # same encode feeding chunk_pack
     }
 
