@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "bpe_packing",
     "quality_classifier_scores",
     "video_mov_frame_stats",
+    "bpe_fertility",
+    "mixture_weights",
+    "cdc_apply",
+    "event_throttle",
+    "key_skew_report",
 ]
 
 

@@ -237,3 +237,47 @@ def sample_token_mixture(
         .where(F.col("__cum") <= budget)
         .drop("__pri", "__cum")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-pretraining
+    standard, e.g. mC4/XLM-R): per-source sampling probability
+    ``w_s = n_s^alpha / SUM_t n_t^alpha`` where ``n_s`` is the source's
+    token count. ``alpha=1`` reproduces natural proportions; ``alpha<1``
+    upweights small sources.
+
+    Returns (source, n_tokens, weight) with weight rounded 6dp. One
+    aggregate over the corpus; the normalizing sum is decimal-summed over
+    6dp-rounded powers so the ratio is bit-stable across engines
+    (``alpha=0.5`` uses SQRT, which is IEEE-correctly-rounded — prefer it
+    when an oracle must replay the math; other alphas go through pow,
+    whose last ulp is libm-dependent).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if token_col is None:
+        df = with_token_count(df, text_col)
+        token_col = "n_tokens"
+    per_src = df.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("n_tokens")
+    )
+    n = F.col("n_tokens").cast("double")
+    powed = (
+        F.sqrt(n) if float(alpha) == 0.5
+        else F.pow(n, F.lit(float(alpha)))
+    )
+    scaled = per_src.withColumn("__p", F.round(powed, 6))
+    w = Window.partitionBy()
+    denom = F.sum(F.col("__p").cast("decimal(28,6)")).over(w).cast("double")
+    return scaled.select(
+        source_col,
+        "n_tokens",
+        F.round(F.col("__p") / denom + F.lit(1e-9), 6).alias("weight"),
+    )

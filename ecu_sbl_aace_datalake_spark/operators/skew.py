@@ -235,3 +235,36 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .where(F.col("pair_count") >= int(min_support))
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Shuffle-skew diagnostic: row counts per hash bucket of the join/agg
+    key — the distribution a shuffle on ``key_col`` would produce with
+    ``buckets`` reducers. Emits per-bucket rows with the share of the
+    total; a healthy key shows share ≈ 1/buckets everywhere, a hot key
+    shows one bucket holding a multiple of that.
+
+    Uses the repo's portable md5 bucket (engine-replayable) rather than
+    Spark's internal Murmur3, so the report itself is oracle-checkable;
+    the SHAPE of the skew (max/avg ratio) is hash-invariant for hot-key
+    detection even though bucket ids differ from Spark's own partitioner.
+    One aggregate, no Python.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(int(buckets))
+    ).alias("bucket")
+    total = df.count()
+    return (
+        df.groupBy(bucket)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(total)) + F.lit(1e-9), 6).alias("share"),
+        )
+    )

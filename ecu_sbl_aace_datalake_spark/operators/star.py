@@ -301,3 +301,52 @@ def scd2_apply(
         .unionByName(kept_cur.select(*out_cols))
         .unionByName(inserts.select(*out_cols))
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """CDC apply (SCD Type-1 / last-writer-wins): merge an I/U/D changelog
+    into a snapshot and return the new snapshot.
+
+    ``changes`` rows carry ``op_col`` in {'I','U','D'} and ``ts_col``;
+    snapshot rows rank below every change of the same key (a change always
+    supersedes the base row). Per key the LATEST row by (ts, seq) wins;
+    a winning 'D' removes the key. Deterministic given a ``seq_col`` (or
+    unique timestamps).
+
+    Plan: union + one window on the key — the standard relational CDC
+    compaction; at 100 TB this is one shuffle of snapshot+changes on the
+    key, the same cost MERGE INTO pays, with no table format required.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    data_cols = [c for c in snapshot.columns if c not in keys]
+    base = snapshot.select(
+        *keys,
+        *data_cols,
+        F.lit(None).cast("timestamp").alias("__ts"),
+        F.lit(0).cast("long").alias("__seq"),
+        F.lit("I").alias("__op"),
+    )
+    chg = changes.select(
+        *keys,
+        *data_cols,
+        F.col(ts_col).cast("timestamp").alias("__ts"),
+        (F.col(seq_col) if seq_col else F.lit(0)).cast("long").alias("__seq"),
+        F.col(op_col).alias("__op"),
+    )
+    # nulls-first ordering ranks the snapshot's null ts below every change
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__ts").desc_nulls_last(), F.col("__seq").desc()
+    )
+    return (
+        base.unionByName(chg)
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__op") != "D"))
+        .select(*keys, *data_cols)
+    )

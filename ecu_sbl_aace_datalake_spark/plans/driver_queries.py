@@ -7083,6 +7083,225 @@ FROM expanded
 """
 
 
+def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-proportional stage of BPE TRAINING (operators/bpe.py
+    word_counts): one distributed word-frequency shuffle; the driver-side
+    merge loop consumes exactly this table."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.word_counts(docs).select(
+        "word", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+SQL_BPE_WORD_COUNTS = """
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+) t
+WHERE w IS NOT NULL AND w <> ''
+GROUP BY w
+"""
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report (subword tokens per word, the standard
+    tokenizer-quality metric) per source shard, under the fixed merge
+    table — rides on bpe_token_counts, one extra aggregate."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.sum("n_words") + F.lit(1e-9), 6
+        ).alias("fertility"),
+    )
+
+
+SQL_BPE_FERTILITY = f"""
+WITH RECURSIVE
+{_SQL_BPE_WORD_TOK_CTES},
+counted AS (
+  SELECT d.doc_id, d.source,
+         CAST(COUNT(w.w) AS BIGINT) AS n_words,
+         CAST(COALESCE(SUM(wt.n_tok), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN words w ON d.doc_id = w.doc_id
+  LEFT JOIN word_tok wt ON w.w = wt.w
+  GROUP BY d.doc_id, d.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words) + 1e-9, 6)
+         AS fertility
+FROM counted
+GROUP BY source
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights (packing.
+    temperature_mixture_weights, alpha=0.5 — the mC4/XLM-R upsampling
+    form): w_s = sqrt(tokens_s) / SUM sqrt(tokens_t). SQRT is IEEE
+    correctly-rounded, so the oracle replays it bit-exactly; the
+    normalizer decimal-sums 6dp-rounded powers."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.temperature_mixture_weights(docs, alpha=0.5)
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH counted AS (
+  SELECT source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 0)
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM counted
+  GROUP BY source
+),
+powed AS (
+  SELECT source, n_tokens,
+         ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS p
+  FROM per_src
+)
+SELECT source, n_tokens,
+       ROUND(p / CAST(SUM(CAST(p AS DECIMAL(28,6))) OVER () AS DOUBLE)
+             + 1e-9, 6) AS weight
+FROM powed
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE-INTO compaction (star.apply_changelog): an I/U/D
+    changelog with two competing changes per touched key merges into the
+    snapshot, last writer by (ts, seq) wins, 'D' removes the key, changes
+    on absent keys insert. One union + one key window — the relational
+    MERGE plan, no table format needed."""
+    from ..operators import star
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    touched = orders.where(F.col("o_orderkey") % 3 == 0)
+    chg1 = touched.select(
+        "o_orderkey",
+        F.lit("C1").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # a second, later change for half the touched keys: supersedes chg1
+    chg2 = touched.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("C2").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 3, 2).alias("o_totalprice"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return star.apply_changelog(
+        snap, chg1.unionByName(chg2), "o_orderkey", seq_col="seq"
+    )
+
+
+SQL_CDC_APPLY = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS TIMESTAMP) AS ts, 0 AS seq, 'I' AS op
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+chg AS (
+  SELECT o_orderkey, 'C1' AS o_orderstatus,
+         ROUND(o_totalprice * 2, 2) AS o_totalprice,
+         TIMESTAMP '2024-06-01 00:00:00' AS ts, 1 AS seq,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'C2', ROUND(o_totalprice * 3, 2),
+         TIMESTAMP '2024-06-01 00:00:00', 2, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey
+    ORDER BY ts DESC NULLS LAST, seq DESC
+  ) AS rn
+  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg) u
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst dedup / throttling (streaming.events.throttle_dedup): within
+    (user, event_type), an event under 600 s after the previous raw event
+    of that key is dropped; first event always survives. One key window."""
+    evdf = ev.ensure_event_time(_t(spark, sf_dir, "events"))
+    return ev.throttle_dedup(
+        evdf.select("user_id", "event_type", "event_id", "ts"),
+        ["user_id", "event_type"],
+        min_gap_seconds=600,
+        tiebreak_cols=["event_id"],
+    )
+
+
+SQL_EVENT_THROTTLE = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+) t
+WHERE gap_us IS NULL OR gap_us >= 600 * 1000000
+"""
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (skew.key_skew_report): per-hash-bucket row
+    counts + share for the o_custkey join key over 32 virtual reducers —
+    the report that decides whether a join needs salting/AQE skew
+    handling. Portable md5 bucket so the report is engine-replayable."""
+    from ..operators import skew
+
+    orders = _t(spark, sf_dir, "orders")
+    return skew.key_skew_report(orders, "o_custkey", buckets=32)
+
+
+SQL_KEY_SKEW_REPORT = """
+WITH b AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 32 AS INT) AS bucket
+  FROM orders
+),
+total AS (SELECT COUNT(*) AS n FROM orders)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM total) + 1e-9, 6)
+         AS share
+FROM b
+GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7183,6 +7402,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_packing": q_bpe_packing,
     "quality_classifier_scores": q_quality_classifier_scores,
     "video_mov_frame_stats": q_video_mov_frame_stats,
+    "bpe_word_counts": q_bpe_word_counts,
+    "bpe_fertility": q_bpe_fertility,
+    "mixture_weights": q_mixture_weights,
+    "cdc_apply": q_cdc_apply,
+    "event_throttle": q_event_throttle,
+    "key_skew_report": q_key_skew_report,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7337,6 +7562,12 @@ ORACLES: dict[str, str] = {
     "bpe_packing": SQL_BPE_PACKING,
     "quality_classifier_scores": SQL_QUALITY_CLASSIFIER_SCORES,
     "video_mov_frame_stats": SQL_VIDEO_MOV_FRAME_STATS,
+    "bpe_word_counts": SQL_BPE_WORD_COUNTS,
+    "bpe_fertility": SQL_BPE_FERTILITY,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "cdc_apply": SQL_CDC_APPLY,
+    "event_throttle": SQL_EVENT_THROTTLE,
+    "key_skew_report": SQL_KEY_SKEW_REPORT,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

@@ -315,3 +315,35 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def throttle_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    min_gap_seconds: int = 300,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event throttling / burst dedup: within each key, drop an event that
+    arrives less than ``min_gap_seconds`` after the PREVIOUS RAW event of
+    the same key (the standard ``lag``-based formulation — deterministic,
+    one window, no iteration; an "anchor on previous KEPT event" variant
+    is inherently sequential and belongs in stateful streaming).
+
+    The first event of each key always survives. One shuffle on the key.
+    ``tiebreak_cols`` make the within-timestamp order deterministic when
+    duplicate timestamps exist (defaults to the key + ts only).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap_ok = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            >= F.lit(float(min_gap_seconds))
+        )
+    )
+    return df.withColumn("__keep", gap_ok).where(F.col("__keep")).drop("__keep")

@@ -549,3 +549,134 @@ class TestHashSplit:
         out = hash_split(df, "doc_id", {"a": 0.5, "b": 0.5})
         n_a = out.where("split = 'a'").count()
         assert abs(n_a - 5000) < 300  # hash-uniformity tolerance
+
+
+class TestApplyChangelog:
+    def _snap(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, status string, amount double",
+        )
+
+    def test_insert_update_delete_last_wins(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.star import apply_changelog
+
+        changes = spark.createDataFrame(
+            [
+                # two competing updates on k=1: seq 2 wins
+                (1, "u1", 11.0, "2024-06-01 00:00:00", 1, "U"),
+                (1, "u2", 12.0, "2024-06-01 00:00:00", 2, "U"),
+                # delete k=2
+                (2, None, None, "2024-06-01 00:00:00", 1, "D"),
+                # insert new key 9
+                (9, "new", 90.0, "2024-06-01 00:00:00", 1, "I"),
+            ],
+            "k long, status string, amount double, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r.k: (r.status, r.amount)
+            for r in apply_changelog(
+                self._snap(spark), changes, "k", seq_col="seq"
+            ).collect()
+        }
+        assert out == {
+            1: ("u2", 12.0),   # later seq wins
+            3: ("c", 30.0),    # untouched passes through
+            9: ("new", 90.0),  # inserted
+        }  # k=2 deleted
+
+    def test_delete_then_later_insert_resurrects(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.star import apply_changelog
+
+        changes = spark.createDataFrame(
+            [
+                (2, None, None, "2024-06-01 00:00:00", 1, "D"),
+                (2, "back", 21.0, "2024-06-02 00:00:00", 1, "I"),
+            ],
+            "k long, status string, amount double, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r.k: r.status
+            for r in apply_changelog(
+                self._snap(spark), changes, "k", seq_col="seq"
+            ).collect()
+        }
+        assert out[2] == "back"
+
+    def test_idempotent_reapplication(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.star import apply_changelog
+
+        changes = spark.createDataFrame(
+            [(1, "u", 11.0, "2024-06-01 00:00:00", 1, "U")],
+            "k long, status string, amount double, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        once = apply_changelog(self._snap(spark), changes, "k", seq_col="seq")
+        twice = apply_changelog(once, changes, "k", seq_col="seq")
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+
+
+class TestThrottleDedup:
+    def test_first_survives_and_gap_enforced(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming.events import throttle_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "c", 10, "2024-01-01 00:00:00"),
+                (1, "c", 11, "2024-01-01 00:04:59"),   # <300s after #10: drop
+                (1, "c", 12, "2024-01-01 00:05:00"),   # 300s after #11 RAW? 1s -> drop
+                (1, "c", 13, "2024-01-01 00:10:00"),   # 300s after #12: keep
+                (1, "x", 14, "2024-01-01 00:00:30"),   # other key: keep
+                (2, "c", 15, "2024-01-01 00:00:01"),   # other user: keep
+            ],
+            "user_id long, event_type string, event_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        kept = {
+            r.event_id
+            for r in throttle_dedup(
+                df, ["user_id", "event_type"], min_gap_seconds=300,
+                tiebreak_cols=["event_id"],
+            ).collect()
+        }
+        assert kept == {10, 13, 14, 15}
+
+
+class TestMixtureWeights:
+    def test_weights_sum_to_one_and_temperature_flattens(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        w_half = {
+            r.source: r.weight
+            for r in packing.temperature_mixture_weights(docs, alpha=0.5).collect()
+        }
+        w_nat = {
+            r.source: r.weight
+            for r in packing.temperature_mixture_weights(docs, alpha=1.0).collect()
+        }
+        assert abs(sum(w_half.values()) - 1.0) < 1e-3
+        assert abs(sum(w_nat.values()) - 1.0) < 1e-3
+        # temperature < 1 compresses the spread
+        spread = lambda w: max(w.values()) - min(w.values())  # noqa: E731
+        assert spread(w_half) <= spread(w_nat) + 1e-9
+
+
+class TestKeySkewReport:
+    def test_counts_cover_all_rows(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        rep = skew.key_skew_report(orders, "o_custkey", buckets=16).collect()
+        assert sum(r.n_rows for r in rep) == orders.count()
+        assert all(0 <= r.bucket < 16 for r in rep)
+        assert abs(sum(r.share for r in rep) - 1.0) < 1e-3
+
+    def test_hot_key_detected(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        rows = [(1,)] * 900 + [(i,) for i in range(2, 102)]
+        df = spark.createDataFrame(rows, "k long")
+        rep = skew.key_skew_report(df, "k", buckets=8).collect()
+        assert max(r.share for r in rep) > 0.8  # the hot key's bucket
