@@ -248,6 +248,7 @@ class TestGlobalPlanInvariants:
         "bpe_token_counts",    # vocabulary-bounded BPE encode (pandas_udf)
         "embedding_topk_pq_fixed",  # PQ encode is BLAS-vectorized numpy (declared)
         "bpe_packing",         # same encode feeding chunk_pack
+        "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
