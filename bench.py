@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "event_throttle",
     "key_skew_report",
+    "topk_with_ties",
 ]
 
 

@@ -7302,6 +7302,101 @@ GROUP BY bucket
 """
 
 
+def q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE token sequences (not just counts) for a 50-doc sample,
+    flattened to a space-joined string so the driver's canonicalizer can
+    hash them — end-to-end parity proof for bpe_encode's reassembly
+    (posexplode + broadcast join + ordered flatten) against the
+    recursive-CTE encoder."""
+    from ..operators import bpe
+
+    sub = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    enc = bpe.bpe_encode(sub, bpe.MERGES_DOCS_V1)
+    return (
+        sub.select("doc_id")
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.array_join("tokens", " "), F.lit("")).alias("tokens"),
+        )
+    )
+
+
+SQL_BPE_ENCODE_SAMPLE = f"""
+WITH RECURSIVE
+wp AS MATERIALIZED (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr
+    FROM documents WHERE doc_id < 50) t
+),
+words AS MATERIALIZED (
+  SELECT doc_id, pos, w FROM wp WHERE w IS NOT NULL AND w <> ''
+),
+vocab AS MATERIALIZED (SELECT DISTINCT w FROM words),
+enc AS (
+  SELECT w, regexp_extract_all(w, '.') AS toks FROM vocab
+  UNION ALL
+  SELECT w,
+         toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] || toks[best.i+2:]
+  FROM (
+    SELECT w, toks,
+      list_sort(list_filter(
+        list_transform(range(1, len(toks)),
+          i -> {{'r': {_bpe_merge_map_sql()}[toks[i] || chr(1) || toks[i+1]][1],
+                'i': i}}),
+        x -> x.r IS NOT NULL))[1] AS best
+    FROM enc) s
+  WHERE best IS NOT NULL
+),
+word_final AS MATERIALIZED (
+  SELECT w, arg_min(toks, len(toks)) AS toks FROM enc GROUP BY w
+)
+SELECT d.doc_id, COALESCE(sa.tokens, '') AS tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(array_to_string(wf.toks, ' '), ' ' ORDER BY pos) AS tokens
+  FROM words JOIN word_final wf USING (w)
+  GROUP BY doc_id
+) sa USING (doc_id)
+"""
+
+
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (RANK, not ROW_NUMBER): every order tying
+    the group's 3rd-highest total price is kept — the FETCH FIRST k ROWS
+    WITH TIES semantics."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc()
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_TOPK_WITH_TIES = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+         ) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7408,6 +7503,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": q_cdc_apply,
     "event_throttle": q_event_throttle,
     "key_skew_report": q_key_skew_report,
+    "bpe_encode_sample": q_bpe_encode_sample,
+    "topk_with_ties": q_topk_with_ties,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7568,6 +7665,8 @@ ORACLES: dict[str, str] = {
     "cdc_apply": SQL_CDC_APPLY,
     "event_throttle": SQL_EVENT_THROTTLE,
     "key_skew_report": SQL_KEY_SKEW_REPORT,
+    "bpe_encode_sample": SQL_BPE_ENCODE_SAMPLE,
+    "topk_with_ties": SQL_TOPK_WITH_TIES,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

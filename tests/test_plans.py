@@ -249,6 +249,7 @@ class TestGlobalPlanInvariants:
         "embedding_topk_pq_fixed",  # PQ encode is BLAS-vectorized numpy (declared)
         "bpe_packing",         # same encode feeding chunk_pack
         "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
+        "bpe_encode_sample",   # same vocabulary-bounded encode, full tokens
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
