@@ -262,3 +262,34 @@ def bpe_encode(
             ).alias(out_col)
         )
     )
+
+
+def persist_merges(
+    spark,
+    lakehouse,
+    table_name: str,
+    merges: Sequence[tuple[str, str]],
+) -> dict:
+    """Persist a trained merge table as a lakehouse table (rank, left,
+    right) — the tokenizer artifact a pipeline trains once and every later
+    job loads. Returns the write info."""
+    from ..sources.io import write_table
+
+    df = spark.createDataFrame(
+        [(i, left, right) for i, (left, right) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    return write_table(lakehouse, table_name, df)
+
+
+def load_merges(spark, lakehouse, table_name: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into rank order."""
+    from ..sources.catalog import table_path
+    from ..sources.io import read_path
+
+    rows = (
+        read_path(spark, table_path(lakehouse, table_name))
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r["left"], r["right"]) for r in rows]

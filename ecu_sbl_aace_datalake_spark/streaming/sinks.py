@@ -391,3 +391,60 @@ def foreach_batch_dedup_ingest_indexed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_cdc_apply(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    partition_by: str | None = None,
+) -> Any:
+    """Streaming CDC sink: each micro-batch is an I/U/D changelog applied
+    to the lakehouse snapshot with :func:`~..operators.star.apply_changelog`
+    semantics (last writer per key by (ts, seq) wins, 'D' removes the key,
+    changes on absent keys insert). First batch bootstraps the snapshot
+    from the batch's surviving rows.
+
+    Extends :func:`foreach_batch_upsert` with deletes and explicit
+    change-ordering — the changelog form every CDC source (Debezium etc.)
+    emits. Replay-idempotent: re-applying a batch converges to the same
+    snapshot because apply_changelog is deterministic given snapshot+batch
+    and a change ranks above the base row it produced only by being the
+    same change (equal outcome)."""
+    from ..operators.star import apply_changelog
+    from ..sources.io import read_path, table_exists, write_table
+
+    meta_cols = [ts_col, op_col] + ([seq_col] if seq_col else [])
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        exists = table_exists(spark, lakehouse, table_name)
+        if exists:
+            snap = read_path(
+                spark, f"{lakehouse.tables_path}/{table_name}", "parquet"
+            )
+        else:
+            # bootstrap: empty snapshot with the data columns only
+            snap = batch_df.drop(*meta_cols).limit(0)
+        new_snap = apply_changelog(
+            snap, batch_df, keys, ts_col=ts_col, op_col=op_col,
+            seq_col=seq_col,
+        )
+        # materialize BEFORE overwrite: new_snap reads the table it replaces
+        spark.sparkContext.setJobDescription(f"cdc_apply batch {batch_id}")
+        staged = new_snap.localCheckpoint(eager=True)
+        write_table(lakehouse, table_name, staged, partition_by=partition_by)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

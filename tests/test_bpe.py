@@ -155,3 +155,15 @@ class TestSpark:
         for r in rows:
             assert last.get(r.source, -1) <= r.pack_id
             last[r.source] = r.pack_id
+
+
+class TestPersistence:
+    def test_merge_table_roundtrip(self, spark):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+
+        lh = Lakehouse("t", tempfile.mkdtemp())
+        bpe.persist_merges(spark, lh, "bpe_merges", bpe.MERGES_DOCS_V1)
+        back = bpe.load_merges(spark, lh, "bpe_merges")
+        assert back == bpe.MERGES_DOCS_V1

@@ -339,3 +339,52 @@ class TestForeachBatchDedupIngestIndexed:
             for t in ("corpus_i_nd_hashes", "corpus_i_nd_bands",
                       "corpus_i_nd_shingles"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestForeachBatchCdcApply:
+    def test_changelog_stream_equals_batch_apply(self, spark, sf_dir, tmp_path):
+        from ecu_sbl_aace_datalake_spark.operators.star import apply_changelog
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_cdc_apply,
+        )
+
+        lh = Lakehouse("s", tempfile.mkdtemp())
+        nation = load_table(spark, sf_dir, "nation")
+        # bootstrap the snapshot via an initial all-insert changelog, then a
+        # second logical wave with updates, a delete and a competing pair
+        boot = nation.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(0).alias("seq"),
+            F.lit("I").alias("op"),
+        )
+        wave = spark.createDataFrame(
+            [
+                (0, "FIRST", 0, "2024-02-01 00:00:00", 1, "U"),
+                (0, "SECOND", 0, "2024-02-01 00:00:00", 2, "U"),   # wins
+                (1, None, None, "2024-02-01 00:00:00", 1, "D"),    # delete
+                (99, "BRANDNEW", 3, "2024-02-01 00:00:00", 1, "I"),
+            ],
+            "n_nationkey long, n_name string, n_regionkey long, ts string, seq long, op string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        changelog = boot.unionByName(wave)
+
+        stream = _stream_from(spark, changelog, tmp_path, "cdc_src")
+        q = foreach_batch_cdc_apply(
+            stream, lh, "nation_cdc", keys=["n_nationkey"],
+            checkpoint_dir=str(tmp_path / "cdc_ckpt"), seq_col="seq",
+        )
+        q.awaitTermination(180)
+
+        back = read_path(spark, f"{lh.tables_path}/nation_cdc", "parquet")
+        want = apply_changelog(
+            nation.select("n_nationkey", "n_name", "n_regionkey").limit(0),
+            changelog, "n_nationkey", seq_col="seq",
+        )
+        got_rows = {r.n_nationkey: r.n_name for r in back.collect()}
+        want_rows = {r.n_nationkey: r.n_name for r in want.collect()}
+        assert got_rows == want_rows
+        assert got_rows[0] == "SECOND"
+        assert 1 not in got_rows
+        assert got_rows[99] == "BRANDNEW"
+        assert len(got_rows) == 25  # 25 nations - 1 deleted + 1 inserted

@@ -199,18 +199,47 @@ def _equal_with_rounding_tolerance(a_rows, b_rows, atol: float = 1.5e-3) -> bool
     verified boundary-free at three scale factors.)"""
     if len(a_rows) != len(b_rows):
         return False
-    for ra, rb in zip(a_rows, b_rows):
+
+    # A half-way-rounded float can also SHIFT a row's position in the
+    # canonical sort (seed 90210: one group's ROUND(AVG,3) differed, so
+    # the zip compared unrelated group rows). Re-align by the EXACT-valued
+    # fields (strings / integer renderings — group keys are always exact),
+    # then tolerance-compare within each alignment group.
+    from collections import defaultdict
+
+    def is_exact(v) -> bool:
+        s = str(v)
+        try:
+            float(s)
+        except (TypeError, ValueError):
+            return True  # non-numeric: exact
+        return s.lstrip("-").isdigit()  # integer rendering: exact
+
+    def exact_proj(r):
+        return tuple(str(v) if is_exact(v) else None for v in r)
+
+    ga, gb = defaultdict(list), defaultdict(list)
+    for r in a_rows:
+        ga[exact_proj(r)].append(r)
+    for r in b_rows:
+        gb[exact_proj(r)].append(r)
+    if set(ga) != set(gb):
+        return False
+    for key in ga:
+        ra = sorted(ga[key], key=lambda r: tuple(str(v) for v in r))
+        rb = sorted(gb[key], key=lambda r: tuple(str(v) for v in r))
         if len(ra) != len(rb):
             return False
-        for va, vb in zip(ra, rb):
-            if va == vb:
-                continue
-            try:
-                if abs(float(va) - float(vb)) <= atol:
+        for x, y in zip(ra, rb):
+            for va, vb in zip(x, y):
+                if va == vb:
                     continue
-            except (TypeError, ValueError):
+                try:
+                    if abs(float(va) - float(vb)) <= atol:
+                        continue
+                except (TypeError, ValueError):
+                    return False
                 return False
-            return False
     return True
 
 
