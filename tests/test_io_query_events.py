@@ -481,3 +481,70 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, 9)], "k long, v long")
         [r] = snapshot_diff(old, new, ["k"]).collect()
         assert r["old_image"]["v"] == 5 and r["new_image"]["v"] == 9
+
+
+class TestVersionedTables:
+    def _lh(self):
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+
+        return Lakehouse("v", tempfile.mkdtemp())
+
+    def test_time_travel_by_version_and_timestamp(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources import versioned as V
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        lh = self._lh()
+        nation = load_table(spark, sf_dir, "nation")
+        V.write_table_versioned(lh, "nation", nation, commit_ts=100.0)
+        V.write_table_versioned(
+            lh, "nation", nation.where("n_regionkey = 0"), commit_ts=200.0
+        )
+        V.write_table_versioned(
+            lh, "nation", nation.limit(1), commit_ts=300.0
+        )
+
+        latest = V.read_table_versioned(spark, lh, "nation")
+        assert latest.count() == 1
+        v0 = V.read_table_versioned(spark, lh, "nation", version=0)
+        assert v0.count() == nation.count()
+        at_250 = V.read_table_versioned(spark, lh, "nation", timestamp=250.0)
+        assert at_250.count() == nation.where("n_regionkey = 0").count()
+
+        hist = V.table_history(spark, lh, "nation")
+        assert [h["version"] for h in hist] == [0, 1, 2]
+        assert [h["ts"] for h in hist] == [100.0, 200.0, 300.0]
+
+    def test_vacuum_drops_old_versions_and_guards_reads(self, spark, sf_dir):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.sources import versioned as V
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        lh = self._lh()
+        nation = load_table(spark, sf_dir, "nation")
+        for ts in (1.0, 2.0, 3.0):
+            V.write_table_versioned(lh, "nation", nation, commit_ts=ts)
+        dropped = V.vacuum_table(spark, lh, "nation", keep_last=2)
+        assert dropped == [0]
+        assert V.read_table_versioned(spark, lh, "nation", version=2).count() \
+            == nation.count()
+        with pytest.raises(ValueError, match="vacuumed or never"):
+            V.read_table_versioned(spark, lh, "nation", version=0)
+
+    def test_errors(self, spark, sf_dir):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.sources import versioned as V
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        lh = self._lh()
+        with pytest.raises(FileNotFoundError):
+            V.read_table_versioned(spark, lh, "nope")
+        nation = load_table(spark, sf_dir, "nation")
+        V.write_table_versioned(lh, "nation", nation, commit_ts=10.0)
+        with pytest.raises(ValueError, match="not both"):
+            V.read_table_versioned(spark, lh, "nation", version=0, timestamp=1.0)
+        with pytest.raises(ValueError, match="at or before"):
+            V.read_table_versioned(spark, lh, "nation", timestamp=5.0)
