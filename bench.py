@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "event_throttle",
     "key_skew_report",
     "topk_with_ties",
+    "bfs_hops",
 ]
 
 

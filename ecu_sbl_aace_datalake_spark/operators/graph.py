@@ -267,3 +267,46 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum-hop BFS distance from a source set, bounded at ``max_hops``
+    rounds — the level-synchronous MR formulation: each round expands the
+    FRONTIER only (join frontier×edges), anti-joins already-reached nodes,
+    and unions the new level in. Returns (node, hop).
+
+    Scale: per round one equi-join on the edge source + one anti-join on
+    the reached set — never a path enumeration (a recursive walk explodes
+    combinatorially on dense graphs; level-wise BFS is bounded by |V| per
+    level regardless of path counts). Round count is fixed, so plans stay
+    bounded and the whole computation is oracle-expressible as unrolled
+    CTEs, like pagerank's fixed rounds.
+    """
+    reached = sources.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.lit(0).cast("int").alias("hop"),
+    ).distinct()
+    frontier = reached.select("node")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("__s"),
+        F.col(dst_col).cast("string").alias("__d"),
+    ).distinct()
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+        )
+        reached = reached.unionByName(
+            nxt.select("node", F.lit(h).cast("int").alias("hop"))
+        )
+        frontier = nxt
+    return reached

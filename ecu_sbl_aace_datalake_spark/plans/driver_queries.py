@@ -7397,6 +7397,58 @@ WHERE rnk <= 3
 """
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS (graph.bfs_hops): minimum hop distance from
+    two seed customers over the symmetrized customer–supplier trade graph,
+    3 bounded rounds (frontier equi-join + reached anti-join per round —
+    never a path enumeration, so dense bipartite graphs can't explode).
+    Oracle: the same 3 levels unrolled as chained CTEs, like pagerank's
+    fixed rounds."""
+    from ..operators import graph
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = spark.createDataFrame([("c1",), ("c2",)], "node string")
+    return graph.bfs_hops(edges, sources, max_hops=3)
+
+
+SQL_BFS_HOPS = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+eb AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d, s FROM e),
+l0 AS (SELECT node FROM (VALUES ('c1'), ('c2')) t(node)),
+l1 AS MATERIALIZED (
+  SELECT DISTINCT d AS node FROM eb JOIN l0 ON eb.s = l0.node
+  WHERE d NOT IN (SELECT node FROM l0)
+),
+l2 AS MATERIALIZED (
+  SELECT DISTINCT d AS node FROM eb JOIN l1 ON eb.s = l1.node
+  WHERE d NOT IN (SELECT node FROM l0)
+    AND d NOT IN (SELECT node FROM l1)
+),
+l3 AS (
+  SELECT DISTINCT d AS node FROM eb JOIN l2 ON eb.s = l2.node
+  WHERE d NOT IN (SELECT node FROM l0)
+    AND d NOT IN (SELECT node FROM l1)
+    AND d NOT IN (SELECT node FROM l2)
+)
+SELECT node, CAST(0 AS INT) AS hop FROM l0
+UNION ALL SELECT node, CAST(1 AS INT) FROM l1
+UNION ALL SELECT node, CAST(2 AS INT) FROM l2
+UNION ALL SELECT node, CAST(3 AS INT) FROM l3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7505,6 +7557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": q_key_skew_report,
     "bpe_encode_sample": q_bpe_encode_sample,
     "topk_with_ties": q_topk_with_ties,
+    "bfs_hops": q_bfs_hops,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7667,6 +7720,7 @@ ORACLES: dict[str, str] = {
     "key_skew_report": SQL_KEY_SKEW_REPORT,
     "bpe_encode_sample": SQL_BPE_ENCODE_SAMPLE,
     "topk_with_ties": SQL_TOPK_WITH_TIES,
+    "bfs_hops": SQL_BFS_HOPS,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

@@ -165,3 +165,41 @@ class TestTriangleCount:
             spark,
             [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "b"), ("a", "a")],
         ) == 1
+
+
+class TestBfsHops:
+    def test_hand_built_graph(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("d", "a")],
+            "src string, dst string",
+        )
+        sources = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.hop for r in bfs_hops(edges, sources, 3).collect()}
+        # directed: a->b->c->d (d->a is a back edge; x,y unreachable)
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_min_hop_wins_on_multiple_paths(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [("s", "m"), ("m", "t"), ("s", "t")],
+            "src string, dst string",
+        )
+        sources = spark.createDataFrame([("s",)], "node string")
+        got = {r.node: r.hop for r in bfs_hops(edges, sources, 3).collect()}
+        assert got["t"] == 1  # direct edge beats the 2-hop path
+
+    def test_multi_source_and_zero_hop_dedup(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("c", "b")], "src string, dst string"
+        )
+        sources = spark.createDataFrame(
+            [("a",), ("c",), ("a",)], "node string"
+        )
+        rows = bfs_hops(edges, sources, 2).collect()
+        assert len(rows) == 3  # a, c (deduped), b
+        assert {r.node: r.hop for r in rows}["b"] == 1
