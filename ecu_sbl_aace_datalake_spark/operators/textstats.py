@@ -12,6 +12,7 @@ marker tokens.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1040,3 +1041,31 @@ def ngram_diversity(
         )
     )
     return out.drop("__t", "__g")
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the dedup prerequisite
+    nobody skips at web scale: composed ('é') and decomposed ('e'+U+0301)
+    spellings of the same text must hash identically before exact/MinHash
+    dedup. Spark has no built-in normalizer, so this is an Arrow-batched
+    pandas UDF (pure unicodedata, no model); cost is one pass over the
+    string bytes. Nulls pass through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out_col, norm(F.col(text_col)))

@@ -7449,6 +7449,50 @@ UNION ALL SELECT node, CAST(3 AS INT) FROM l3
 """
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textstats.normalize_unicode) — the dedup
+    prerequisite: composed 'é' and decomposed 'e'+U+0301 spellings must
+    hash identically. Fixture: customer names suffixed with a composed or
+    decomposed accent by parity; output the normalized text, its md5, and
+    whether normalization changed the string. Oracle: DuckDB's native
+    nfc_normalize — an independent NFC implementation."""
+    from ..operators import textstats
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    mixed = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("é"))   # U+00E9 composed
+            .otherwise(F.lit("é")),                    # e + U+0301 combining
+        ).alias("text"),
+    )
+    out = textstats.normalize_unicode(mixed, "text", "text_norm", "NFC")
+    return out.select(
+        "c_custkey",
+        "text_norm",
+        F.md5("text_norm").alias("norm_md5"),
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+    )
+
+
+SQL_UNICODE_NORMALIZE = """
+WITH mixed AS (
+  SELECT c_custkey,
+         c_name || CASE WHEN c_custkey % 2 = 0
+                        THEN chr(233)              -- composed é
+                        ELSE 'e' || chr(769)       -- e + combining acute
+                   END AS text
+  FROM customer WHERE c_custkey < 500
+)
+SELECT c_custkey,
+       nfc_normalize(text) AS text_norm,
+       md5(nfc_normalize(text)) AS norm_md5,
+       nfc_normalize(text) <> text AS changed
+FROM mixed
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7558,6 +7602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_sample": q_bpe_encode_sample,
     "topk_with_ties": q_topk_with_ties,
     "bfs_hops": q_bfs_hops,
+    "unicode_normalize": q_unicode_normalize,
     "minhash_dedup_transitive": q_minhash_dedup_transitive,
     "group_concat_sorted": q_group_concat_sorted,
     "rolling_active_users": q_rolling_active_users,
@@ -7721,6 +7766,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode_sample": SQL_BPE_ENCODE_SAMPLE,
     "topk_with_ties": SQL_TOPK_WITH_TIES,
     "bfs_hops": SQL_BFS_HOPS,
+    "unicode_normalize": SQL_UNICODE_NORMALIZE,
     "minhash_dedup_transitive": SQL_MINHASH_DEDUP_TRANSITIVE,
     "group_concat_sorted": SQL_GROUP_CONCAT_SORTED,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

@@ -200,3 +200,35 @@ class TestReferenceParityRound2:
         df = spark.range(5).withColumn("x", F.lit(1))
         out = compat.dfShape(df)
         assert out == {"shape": (5, 2), "columns": ["id", "x"]}
+
+
+class TestNormalizeUnicode:
+    def test_forms_and_nulls(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "café"), (3, None), (4, "ﬁne")],
+            "id long, text string",
+        )
+        nfc = {r.id: r.text_norm for r in normalize_unicode(df).collect()}
+        assert nfc[1] == nfc[2] == "café"
+        assert nfc[3] is None
+        assert nfc[4] == "ﬁne"  # NFC keeps compatibility chars
+        nfkc = {
+            r.id: r.text_norm
+            for r in normalize_unicode(df, form="NFKC").collect()
+        }
+        assert nfkc[4] == "fine"  # NFKC folds the fi ligature
+
+    def test_bad_form_raises(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with pytest.raises(ValueError, match="normalization form"):
+            normalize_unicode(df, form="NFX")

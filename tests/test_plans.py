@@ -250,6 +250,7 @@ class TestGlobalPlanInvariants:
         "bpe_packing",         # same encode feeding chunk_pack
         "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
         "bpe_encode_sample",   # same vocabulary-bounded encode, full tokens
+        "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
