@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "rollup_agg",
     "exact_dedup",
     "minhash_neardup_pairs",
+    "setsim_prefix_pairs",
     "text_token_stats",
     "token_frequencies",
     "embedding_topk",

@@ -1394,3 +1394,106 @@ def remove_duplicate_spans(
         .withColumn("n_tokens_kept", F.coalesce("n_tokens_kept", F.lit(0)).cast("long"))
         .withColumn(out_col, F.coalesce(out_col, F.lit("")))
     )
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int | None = None,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    SSJoin; Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06).
+
+    Returns every pair ``(id_a, id_b, jaccard)`` with
+    ``jaccard(tokens(a), tokens(b)) >= threshold`` — same results as a
+    brute-force all-pairs scan, but candidate generation only joins on
+    *prefix* tokens: with tokens globally ordered rarest-first, a set of
+    size ``s`` needs only its first ``s - ceil(t*s) + 1`` tokens indexed;
+    any pair meeting the threshold provably shares a prefix token (the
+    smallest common token falls inside both prefixes, using
+    ``|x| >= t*|y|`` which every qualifying pair satisfies).
+
+    100 TB shape: candidate volume is driven by rare-token collisions,
+    not corpus x corpus — the document-frequency ordering puts the most
+    selective tokens in the prefix, the length filter
+    (``t*s_a <= s_b <= s_a/t``) prunes at join time, and PPJoin's
+    positional filter (Xiao et al. WWW'08) drops matches whose overlap
+    upper bound ``1 + min(s_a - p_a, s_b - p_b)`` cannot reach the
+    required ``t/(1+t) * (s_a+s_b)``; exactness holds because the
+    smallest common token of any qualifying pair sits in both prefixes
+    and satisfies the bound. Contrast ``lsh_candidate_pairs``
+    (probabilistic recall) and ``q_ngram_jaccard_pairs`` (exact but
+    joins on EVERY shingle): this is exact AND joins only on prefixes.
+
+    ``shingle_n=None`` uses distinct word tokens; an int uses word
+    n-gram shingles (same normalization as the MinHash family).
+    """
+    df = ensure_parallelism(df)
+    if shingle_n is None:
+        sets0 = df.select(
+            F.col(id_col), F.array_distinct(_normalized_tokens(text_col)).alias("__tk")
+        )
+    else:
+        sets0 = shingles(df, text_col, n=shingle_n, out_col="__tk").select(id_col, "__tk")
+    sets0 = sets0.where(F.size("__tk") > 0)
+    ex = sets0.select(id_col, F.explode("__tk").alias("__t"))
+    dfreq = ex.groupBy("__t").agg(F.count("*").alias("__df"))
+    # rarest-first global order, token string as tie-break; per-doc sort is
+    # an array_sort over (df, token) structs — no window, one groupBy
+    sorted_sets = (
+        ex.join(dfreq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
+                lambda s: s["__t"],
+            ).alias("__tk")
+        )
+        .withColumn("__sz", F.size("__tk"))
+        # -1e-9: float ceil(t*s) must never exceed the true integer ceiling
+        # (0.7*20 = 14.000000000000002 -> ceil 15 would SHORTEN the prefix
+        # and silently drop pairs); erring longer is always safe
+        .withColumn(
+            "__plen",
+            (F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1).cast("int"),
+        )
+    )
+    # consumed three times (prefix explode + both verify sides) — persist
+    # so tokenize/df-count/sort run once, not per consumer
+    sorted_sets = persist_in(scope, sorted_sets)
+    # posexplode: __p is the 1-based position of the prefix token within
+    # the FULL sorted set (slice starts at element 1), feeding the
+    # positional filter below
+    prefix = sorted_sets.select(
+        id_col, "__sz", F.posexplode(F.slice("__tk", 1, F.col("__plen"))).alias("__p0", "__t")
+    ).select(id_col, "__sz", (F.col("__p0") + 1).alias("__p"), "__t")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"), F.col("__p").alias("__pa"), "__t"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"), F.col("__p").alias("__pb"), "__t"
+    )
+    # overlap needed for J >= t; -1e-9 keeps the float comparison from
+    # excluding exact-boundary pairs
+    min_overlap = F.lit(threshold / (1.0 + threshold)) * (F.col("__sa") + F.col("__sb")) - F.lit(1e-9)
+    cand = (
+        a.join(b, "__t")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sb") >= F.lit(threshold) * F.col("__sa") - F.lit(1e-9))
+            & (F.col("__sa") >= F.lit(threshold) * F.col("__sb") - F.lit(1e-9))
+            # positional filter: valid overlap upper bound at the smallest
+            # common token; a true pair always survives via that token
+            & (F.lit(1) + F.least(F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb"))
+               >= min_overlap)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(
+        cand, sorted_sets.select(id_col, F.col("__tk").alias("shingles")),
+        id_col, "shingles", threshold,
+    )

@@ -2003,6 +2003,36 @@ WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.01
 """
 
 
+def q_setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (AllPairs/SSJoin):
+    candidate generation joins only on rarest-first prefix tokens (length
+    s - ceil(t*s) + 1) with a length filter, then verifies exactly — same
+    answer as the brute-force oracle, without joining on every shingle.
+    The scale path for exact near-dup pairs (vs LSH's probabilistic
+    recall and ngram_jaccard_pairs' full-inverted-index join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.setsim_prefix_pairs(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+
+
+SQL_SETSIM_PREFIX_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 1, 1))]) AS sh
+  FROM base
+), d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0 /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id
+) WHERE j >= 0.5
+"""
+
+
 def q_embedding_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on an array column: identical embedding vectors collapse
     to the smallest vec_id."""
@@ -7675,6 +7705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "setsim_prefix_pairs": q_setsim_prefix_pairs,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -7869,6 +7900,7 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "setsim_prefix_pairs": SQL_SETSIM_PREFIX_PAIRS,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

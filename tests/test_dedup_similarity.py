@@ -2482,3 +2482,89 @@ class TestPqEncodeParity:
         cbs = [[[0.0] * 8, [1.0] * 8] for _ in range(8)]
         rows = {r.vec_id: r.pq_code for r in similarity.pq_encode(df, cbs).collect()}
         assert rows[1] == [0] * 8 and rows[2] is None
+
+
+class TestSetsimPrefix:
+    """Prefix-filter set-similarity join: exactness vs brute force,
+    including the float-ceil prefix-length edge (0.7*20 = 14.000...002)."""
+
+    def _brute(self, spark, docs, threshold, shingle_n):
+        if shingle_n is None:
+            sets = docs.select(
+                "doc_id",
+                F.array_distinct(dedup._normalized_tokens("text")).alias("sh"),
+            )
+        else:
+            sets = dedup.shingles(docs, "text", n=shingle_n, out_col="sh").select(
+                "doc_id", "sh"
+            )
+        sets = sets.where(F.size("sh") > 0)
+        a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        pairs = (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sa", "sb"))
+                    / F.size(F.array_union("sa", "sb")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return sorted(tuple(r) for r in pairs.collect())
+
+    def test_matches_brute_force_planted(self, spark, planted_docs):
+        for t in (0.3, 0.5, 0.8):
+            got = sorted(
+                tuple(r)
+                for r in dedup.setsim_prefix_pairs(
+                    planted_docs, "doc_id", "text", threshold=t, shingle_n=3
+                ).collect()
+            )
+            assert got == self._brute(spark, planted_docs, t, 3), t
+        # exact-duplicate pair (1,5) must be found at any threshold
+        got = dedup.setsim_prefix_pairs(
+            planted_docs, "doc_id", "text", threshold=0.9, shingle_n=3
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in got} >= {(1, 5)}
+
+    def test_float_ceil_prefix_edge(self, spark):
+        # 20 distinct word tokens, t=0.7: naive ceil(0.7*20)=ceil(14.000...2)
+        # =15 would shorten the prefix and can drop qualifying pairs; the
+        # operator guards with a -1e-9 nudge. Overlap 17/23 ~ 0.739 >= 0.7.
+        w = [f"tok{i:02d}" for i in range(26)]
+        d1 = " ".join(w[:20])
+        d2 = " ".join(w[3:23])  # 17 shared, union 23
+        docs = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        got = dedup.setsim_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.7, shingle_n=None
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+        assert got == [
+            tuple(r) for r in spark.createDataFrame([], "x int").collect()
+        ] or abs(got[0].jaccard - round(17 / 23, 6)) < 1e-9
+
+    def test_empty_and_tiny_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one two three"), (4, "one two three")],
+            "doc_id long, text string",
+        )
+        got = dedup.setsim_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=None
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(3, 4)}
+
+    def test_word_token_mode_matches_brute(self, spark, planted_docs):
+        got = sorted(
+            tuple(r)
+            for r in dedup.setsim_prefix_pairs(
+                planted_docs, "doc_id", "text", threshold=0.6, shingle_n=None
+            ).collect()
+        )
+        assert got == self._brute(spark, planted_docs, 0.6, None)
