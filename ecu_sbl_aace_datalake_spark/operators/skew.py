@@ -13,7 +13,7 @@ oracle-comparable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -267,4 +267,104 @@ def key_skew_report(
             "n_rows",
             F.round(F.col("n_rows") / F.lit(float(total)) + F.lit(1e-9), 6).alias("share"),
         )
+    )
+
+
+def _cms_bucket(col: Column, d: int, width: int, seed: int) -> Column:
+    """Row d's count-min bucket for a value: 60-bit md5 hash (engine-portable
+    -- DuckDB computes the identical value from the same hex digest) mod
+    width. Each depth row gets an independent hash via a distinct salt."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("", F.lit(f"cms{seed}_{d}"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+    ``(d, bucket, cnt)`` table of ``depth * width`` rows.
+
+    The sketch build is ONE map-side-combined aggregate over ``depth``
+    exploded (row, bucket) pairs per input row -- the shuffle carries at
+    most ``depth * width`` groups regardless of input size or column
+    cardinality, so a 100 TB column sketches with a fixed-size exchange.
+    Estimates are biased UP only (``est >= true``, whp within
+    ``2n/width``); two sketches with the same (width, depth, seed) merge
+    by bucket-wise addition (:func:`merge_count_min`) -- the
+    partition/day/shard rollup never rescans history. NULLs are not
+    counted (SQL COUNT semantics).
+    """
+    v = F.col(col)
+    rows = df.where(v.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(v, d, width, seed).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__e")
+    )
+    return (
+        rows.groupBy(F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_count_min(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise sum of count-min sketches built with identical
+    (width, depth, seed). merge(build(A), build(B)) == build(A union B)
+    exactly -- counters are plain sums."""
+    if not sketches:
+        raise ValueError("merge_count_min needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a count-min sketch:
+    min over the depth rows of the key's bucket counters (0 when a bucket
+    is empty -- then the true count is provably 0).
+
+    The probe side is the small relation (a key list, not the corpus);
+    the join touches ``depth`` sketch rows per key. Output:
+    ``(key_col, est)`` with ``est >= true_count`` always.
+    """
+    k = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(k, d, width, seed).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select(key_col, F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -2003,6 +2003,47 @@ WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.01
 """
 
 
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates vs exact counts: the
+    mergeable fixed-size (depth x width) counter table answers "how often
+    does key k appear" with est >= true, from a shuffle that carries at
+    most depth*width groups no matter the column's cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "part").where("p_partkey <= 50").select(
+        F.col("p_partkey").alias("key")
+    )
+    sk = skew.count_min_sketch(li, "l_partkey", width=256, depth=3, seed=1)
+    est = skew.cms_estimate(sk, keys, "key", width=256, depth=3, seed=1)
+    tru = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return est.join(tru, "key", "left").select(
+        "key",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+    )
+
+
+SQL_COUNT_MIN_FREQ = r"""
+WITH vals AS (SELECT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+ds AS (SELECT unnest([0,1,2]) AS d),
+sk AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT ds.d,
+           CAST(CAST(('0x'||substr(md5('cms1_'||CAST(ds.d AS VARCHAR)||CAST(v AS VARCHAR)),1,15)) AS BIGINT) % 256 AS INT) AS bucket
+    FROM vals, ds) GROUP BY 1,2
+),
+keys AS (SELECT p_partkey AS key FROM part WHERE p_partkey <= 50),
+probes AS (
+  SELECT key, ds.d,
+         CAST(CAST(('0x'||substr(md5('cms1_'||CAST(ds.d AS VARCHAR)||CAST(key AS VARCHAR)),1,15)) AS BIGINT) % 256 AS INT) AS bucket
+  FROM keys, ds),
+est AS (SELECT key, CAST(MIN(COALESCE(cnt,0)) AS BIGINT) AS est FROM probes LEFT JOIN sk USING(d,bucket) GROUP BY key),
+tru AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM lineitem GROUP BY 1)
+SELECT est.key, est, COALESCE(true_cnt, 0) AS true_cnt FROM est LEFT JOIN tru ON est.key = tru.key
+"""
+
+
 def q_setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard self-join via prefix filtering (AllPairs/SSJoin):
     candidate generation joins only on rarest-first prefix tokens (length
@@ -7706,6 +7747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "setsim_prefix_pairs": q_setsim_prefix_pairs,
+    "count_min_freq": q_count_min_freq,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -7901,6 +7943,7 @@ ORACLES: dict[str, str] = {
     "range_join": SQL_RANGE_JOIN,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "setsim_prefix_pairs": SQL_SETSIM_PREFIX_PAIRS,
+    "count_min_freq": SQL_COUNT_MIN_FREQ,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

@@ -199,3 +199,52 @@ class TestFrequentPairs:
         df = spark.createDataFrame(rows, "token string").repartition(2)
         with _pytest.raises(ValueError, match="provably exact"):
             heavy_hitters_exact(df, "token", k=10, capacity=256)
+
+
+class TestCountMinSketch:
+    def _freqs(self, spark):
+        rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+        return spark.createDataFrame(rows, "v string").repartition(4)
+
+    def test_estimate_upper_bounds_true_count(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        df = self._freqs(spark)
+        sk = count_min_sketch(df, "v", width=64, depth=3)
+        keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "v string")
+        est = {r.v: r.est for r in cms_estimate(sk, keys, "v", width=64, depth=3).collect()}
+        true = {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+        for k, t in true.items():
+            assert est[k] >= t, (k, est[k], t)
+        # wide-enough sketch on a 4-value domain: estimates are exact
+        sk2 = count_min_sketch(df, "v", width=1024, depth=3)
+        est2 = {r.v: r.est for r in cms_estimate(sk2, keys, "v", width=1024, depth=3).collect()}
+        assert est2 == true
+
+    def test_merge_equals_rebuild(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            count_min_sketch,
+            merge_count_min,
+        )
+
+        a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "v string")
+        b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 5, "v string")
+        merged = merge_count_min(
+            count_min_sketch(a, "v", width=32, depth=2),
+            count_min_sketch(b, "v", width=32, depth=2),
+        )
+        rebuilt = count_min_sketch(a.unionByName(b), "v", width=32, depth=2)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
+    def test_nulls_not_counted_and_sketch_size_bounded(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import count_min_sketch
+
+        df = spark.createDataFrame([("x",), (None,), (None,)], "v string")
+        sk = count_min_sketch(df, "v", width=16, depth=4).collect()
+        assert sum(r.cnt for r in sk) == 4  # 1 non-null row x depth
+        assert len(sk) <= 16 * 4
