@@ -651,3 +651,73 @@ def vacuum_orphans(lakehouse: Lakehouse, dry_run: bool = False) -> list[str]:
             if not dry_run:
                 shutil.rmtree(full, ignore_errors=True)
     return removed
+
+
+def zone_map(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    cols: list[str],
+    fmt: str = DEFAULT_FORMAT,
+) -> DataFrame:
+    """Per-FILE min/max zone map for ``cols`` — the data-skipping index
+    Delta/Iceberg keep in their metadata, computed openly with one
+    aggregate over ``input_file_name()``.
+
+    Output: ``(file, n_rows, <c>_min, <c>_max ...)`` — one row per data
+    file. Combine with :func:`cluster_table` / :func:`zorder_table`
+    (which make per-file ranges narrow) and :func:`read_pruned` (which
+    consults the map to skip files). At 100 TB the map is ~1 row per
+    128 MB file (thousands of rows, not billions) — cheap to persist as a
+    table and rebuild incrementally per appended file.
+    """
+    df = read_path(spark, table_path(lakehouse, table_name), fmt)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def read_pruned(
+    spark: SparkSession,
+    lakehouse: Lakehouse,
+    table_name: str,
+    ranges: dict[str, tuple[Any, Any]],
+    zmap: DataFrame | None = None,
+    fmt: str = DEFAULT_FORMAT,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Range-predicate read that SKIPS whole files via a zone map, then
+    applies the exact row filter — same rows as a plain filtered read,
+    fewer files opened.
+
+    ``ranges`` maps column -> (lo, hi) inclusive bounds (either side None
+    for open). A file survives when every predicate's range overlaps the
+    file's [min, max] (NULL stats — all-null column in a file — keep the
+    file: skipping must be provably safe). Returns ``(df, info)`` where
+    ``info`` reports files_total / files_read for observability; the
+    returned plan lists surviving files explicitly, so the scan never
+    touches a skipped file (footer or data).
+
+    This is the engine-level analogue of parquet row-group pruning one
+    level up: row-group stats still prune WITHIN the surviving files.
+    """
+    if zmap is None:
+        zmap = zone_map(spark, lakehouse, table_name, list(ranges), fmt)
+    keep = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            keep = keep & (F.col(f"{c}_max").isNull() | (F.col(f"{c}_max") >= F.lit(lo)))
+        if hi is not None:
+            keep = keep & (F.col(f"{c}_min").isNull() | (F.col(f"{c}_min") <= F.lit(hi)))
+    files = [r.file for r in zmap.where(keep).select("file").collect()]
+    total = zmap.count()
+    df = spark.read.format(fmt).load(files) if files else read_path(
+        spark, table_path(lakehouse, table_name), fmt
+    ).limit(0)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(c) <= F.lit(hi))
+    return df, {"files_total": total, "files_read": len(files)}

@@ -11,8 +11,10 @@ from ecu_sbl_aace_datalake_spark.functions import zorder
 from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
 from ecu_sbl_aace_datalake_spark.sources.io import (
     cluster_table,
+    read_pruned,
     read_table,
     write_table,
+    zone_map,
     zorder_table,
 )
 
@@ -98,3 +100,59 @@ class TestZOrderLayout:
         agg = df.agg(F.sum("payload")).first()[0]
         expected = sum(x * 1000 + y for x in range(100) for y in range(100))
         assert agg == expected
+
+
+class TestZoneMapPruning:
+    @pytest.fixture(scope="class")
+    def lakehouse(self, spark):
+        lh = Lakehouse("zmap_test", tempfile.mkdtemp())
+        rows = (
+            spark.range(10_000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).alias("m"),
+                (F.col("id") * 3).alias("payload"),
+            )
+        )
+        write_table(lh, "facts", rows)
+        # clustered layout so per-file k ranges are narrow and disjoint
+        cluster_table(spark, lh, "facts", by="k", n_files=20)
+        return lh
+
+    def test_zone_map_covers_every_file_and_row(self, spark, lakehouse):
+        zm = zone_map(spark, lakehouse, "facts", ["k", "m"]).collect()
+        assert len(zm) == 20
+        assert sum(r.n_rows for r in zm) == 10_000
+        for r in zm:
+            assert r.k_min <= r.k_max and r.m_min <= r.m_max
+
+    def test_pruned_read_same_rows_fewer_files(self, spark, lakehouse):
+        lo, hi = 4_000, 4_499
+        pruned, info = read_pruned(spark, lakehouse, "facts", {"k": (lo, hi)})
+        plain = (
+            read_table(spark, lakehouse, "facts")
+            .where((F.col("k") >= lo) & (F.col("k") <= hi))
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        assert info["files_total"] == 20
+        # a 5% k-range over a k-clustered layout must skip most files
+        assert info["files_read"] <= 3, info
+
+    def test_open_bounds_and_no_match(self, spark, lakehouse):
+        pruned, info = read_pruned(spark, lakehouse, "facts", {"k": (9_990, None)})
+        assert pruned.count() == 10
+        assert info["files_read"] <= 2
+        empty, info0 = read_pruned(spark, lakehouse, "facts", {"k": (50_000, None)})
+        assert empty.count() == 0 and info0["files_read"] == 0
+
+    def test_unclustered_column_does_not_prune_but_stays_correct(
+        self, spark, lakehouse
+    ):
+        # m cycles 0..96 in every file: zone map can't skip, rows still exact
+        pruned, info = read_pruned(spark, lakehouse, "facts", {"m": (5, 5)})
+        assert info["files_read"] == info["files_total"]
+        assert pruned.count() == read_table(spark, lakehouse, "facts").where(
+            F.col("m") == 5
+        ).count()
