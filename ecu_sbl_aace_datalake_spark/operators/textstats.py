@@ -1069,3 +1069,69 @@ def normalize_unicode(
         )
 
     return df.withColumn(out_col, norm(F.col(text_col)))
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    count_col: str = "n_matches",
+) -> DataFrame:
+    """Exact phrase occurrence count per document via positional postings
+    — the inverted-index formulation a search engine uses, not a substring
+    scan.
+
+    Each posting of a token appearing in the phrase emits an *anchor*
+    ``pos - i`` for every phrase slot ``i`` it could fill; a phrase
+    occurrence exists at an anchor iff all ``k`` slots are witnessed
+    (``count(DISTINCT slot) == k``). Repeated tokens in the phrase and
+    overlapping occurrences are both handled exactly — "table table" in
+    "table table table" counts 2.
+
+    100 TB shape: the corpus-side postings stream is FILTERED to the
+    phrase's tokens before any shuffle (a tiny in-predicate the scan can
+    push down), so the aggregate sees only matching-token postings — cost
+    tracks the phrase tokens' document frequency, never corpus size.
+    Output: ``(id_col, count_col)`` for documents with >= 1 occurrence.
+    """
+    ph = [t for t in phrase.strip().lower().split() if t]
+    if not ph:
+        raise ValueError("phrase must contain at least one token")
+    k = len(ph)
+    # normalized tokens (lowercase, punctuation stripped) — matching the
+    # dedup-family tokenizer, not the raw-whitespace `tokens()` helper
+    norm = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")),
+            r"\s+",
+        ),
+        lambda t: t != "",
+    )
+    postings = df.select(
+        id_col, F.posexplode(norm).alias("__pos", "__tok")
+    ).where(F.col("__tok").isin(ph))
+    slots = [(i, t) for i, t in enumerate(ph)]
+    anchored = postings.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("slot"),
+                            F.when(F.col("__tok") == F.lit(t), F.col("__pos") - F.lit(i)).alias("anchor"),
+                        )
+                        for i, t in slots
+                    ]
+                ),
+                lambda s: s["anchor"].isNotNull() & (s["anchor"] >= 0),
+            )
+        ).alias("__a"),
+    ).select(id_col, F.col("__a.slot").alias("__slot"), F.col("__a.anchor").alias("__anchor"))
+    occurrences = (
+        anchored.groupBy(id_col, "__anchor")
+        .agg(F.count_distinct("__slot").alias("__hit"))
+        .where(F.col("__hit") == k)
+    )
+    return occurrences.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_col))

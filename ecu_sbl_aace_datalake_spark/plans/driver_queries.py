@@ -2003,6 +2003,72 @@ WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.01
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style per-column profile of orders in ONE aggregate pass:
+    rows, nulls, exact distincts, min/max (strings; doubles via
+    DECIMAL(18,4) for engine-stable formatting)."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile.profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ).withColumnRenamed("column", "column_name")
+
+
+SQL_TABLE_PROFILE = r"""
+SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value, CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase-occurrence counts ("table table" — a self-overlapping
+    phrase) via positional postings: corpus postings filtered to the
+    phrase tokens BEFORE any shuffle, anchor = pos - slot, occurrence iff
+    all slots witnessed. The oracle is an independent brute-force
+    sliding-window compare in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.phrase_search(docs, "doc_id", "text", "table table")
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len([i FOR i IN range(1, GREATEST(len(toks), 1)) IF toks[i:i+1] = ['table','table']]) AS n_matches
+  FROM t
+)
+SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m WHERE n_matches >= 1
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7748,6 +7814,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "setsim_prefix_pairs": q_setsim_prefix_pairs,
     "count_min_freq": q_count_min_freq,
+    "table_profile": q_table_profile,
+    "phrase_search": q_phrase_search,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -7944,6 +8012,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "setsim_prefix_pairs": SQL_SETSIM_PREFIX_PAIRS,
     "count_min_freq": SQL_COUNT_MIN_FREQ,
+    "table_profile": SQL_TABLE_PROFILE,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

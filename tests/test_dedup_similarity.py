@@ -2568,3 +2568,66 @@ class TestSetsimPrefix:
             ).collect()
         )
         assert got == self._brute(spark, planted_docs, 0.6, None)
+
+
+class TestPhraseSearch:
+    def test_overlapping_and_repeated_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "table table table"),
+                (2, "table"),
+                (3, "x table  table, y"),
+                (4, "no match here"),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_matches
+            for r in textstats.phrase_search(docs, "doc_id", "text", "table table").collect()
+        }
+        assert got == {1: 2, 3: 1}
+
+    def test_three_token_phrase_and_case_punct(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "The Quick BROWN fox"), (2, "quick brown. fox"), (3, "quick fox brown")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_matches
+            for r in textstats.phrase_search(docs, "doc_id", "text", "quick brown fox").collect()
+        }
+        assert got == {1: 1, 2: 1}
+
+    def test_single_token_and_empty_phrase(self, spark):
+        docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        got = textstats.phrase_search(docs, "doc_id", "text", "a").collect()
+        assert got[0].n_matches == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            textstats.phrase_search(docs, "doc_id", "text", "   ")
+
+
+class TestProfileColumns:
+    def test_counts_nulls_distincts_minmax(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (3, None, 2.25), (3, "a", 2.25)],
+            "k long, s string, v double",
+        )
+        rows = {r.column: r for r in profile_columns(df).collect()}
+        assert rows["k"].n_rows == 4 and rows["k"].n_nulls == 0
+        assert rows["k"].n_distinct == 3
+        assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+        assert rows["s"].min_value == "a" and rows["s"].max_value == "b"
+        assert rows["v"].min_value == "1.5000" and rows["v"].max_value == "2.2500"
+        assert rows["v"].n_distinct == 2
+
+    def test_column_subset(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame([(1, "x")], "k long, s string")
+        out = profile_columns(df, ["s"]).collect()
+        assert [r.column for r in out] == ["s"]
