@@ -368,3 +368,86 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Fixed-boundary histogram sketch: the mergeable quantile summary
+    completing the sketch family (HLL = distinct, count-min = frequency,
+    this = distribution).
+
+    One map-side-combined aggregate to at most ``bins`` groups — flat
+    shuffle at any input size, like :func:`count_min_sketch`. Values are
+    clamped into [lo, hi] (out-of-range mass lands in the edge bins, so
+    counts are never lost); NULLs are skipped. Bin math is plain IEEE
+    arithmetic (no libm), bit-identical across engines, so estimates are
+    DuckDB-oracle-able. Merge = bin-wise addition
+    (:func:`merge_histograms`); deterministic, unlike sampled t-digests.
+
+    Output: ``(bin, cnt)`` with 0 <= bin < bins.
+    """
+    if not (hi > lo) or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(*sketches: DataFrame) -> DataFrame:
+    """Bin-wise sum of histogram sketches built with identical
+    (lo, hi, bins); merge(build(A), build(B)) == build(A union B) exactly."""
+    if not sketches:
+        raise ValueError("merge_histograms needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the upper
+    edge of the first bin whose cumulative count reaches ``q * n``.
+    Error is bounded by one bin width ((hi-lo)/bins) for in-range data.
+
+    Runs entirely on the tiny sketch relation (cumulative window over
+    <= bins rows, cross join with the literal q list) — no pass over the
+    data. Output: ``(q, est)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    cum = sketch.withColumn(
+        "__cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    )
+    total = sketch.agg(F.sum("cnt").alias("__n"))
+    qdf = sketch.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    width = float(hi - lo) / bins
+    return (
+        qdf.crossJoin(F.broadcast(total))
+        .join(
+            cum,
+            F.col("__cum") >= F.col("q") * F.col("__n") - F.lit(1e-9),
+            "left",
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            "q",
+            (F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width)).alias("est"),
+        )
+    )

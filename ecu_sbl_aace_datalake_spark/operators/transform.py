@@ -552,3 +552,65 @@ def hash_split(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn(out_col, expr)
+
+
+def negative_samples_ring(
+    df: DataFrame,
+    id_col: str,
+    k: int = 2,
+    n_buckets: int = 32,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training pairs: each id gets ``k`` negatives, reproducibly, with no
+    RNG and no global sort.
+
+    Ids are hashed (md5, seeded) into ``n_buckets`` rings; within a
+    bucket, ids are ordered by hash and each takes the next ``k``
+    neighbors (wrapping). The hash order is a fixed pseudo-random
+    permutation, so neighbors are unrelated ids — the standard cheap
+    negative pool. Windows are PARTITIONED by bucket (each ~n/buckets
+    rows), never global: at 100 TB, raise ``n_buckets`` so per-bucket
+    sort stays in-memory; determinism is unaffected.
+
+    Buckets with a single id yield no negatives; buckets with fewer than
+    ``k+1`` ids yield fewer (duplicates collapse, self excluded).
+    Output: ``(id_col, neg_id)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("", F.lit(f"neg{seed}_"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.select(F.col(id_col)).distinct().select(
+        id_col,
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("__b"),
+        h.alias("__h"),
+    )
+    w = W.partitionBy("__b").orderBy("__h", id_col)
+    ranked = base.select(
+        id_col,
+        "__b",
+        (F.row_number().over(w) - 1).alias("__r"),
+        F.count(F.lit(1)).over(W.partitionBy("__b")).alias("__n"),
+    )
+    probes = ranked.select(
+        id_col,
+        "__b",
+        "__r",
+        F.explode(
+            F.array_distinct(
+                F.array(*[F.pmod(F.col("__r") + F.lit(j), F.col("__n")) for j in range(1, k + 1)])
+            )
+        ).alias("__nr"),
+    ).where(F.col("__nr") != F.col("__r"))
+    peers = ranked.select(
+        F.col(id_col).alias("neg_id"), F.col("__b"), F.col("__r").alias("__nr")
+    )
+    return probes.join(peers, ["__b", "__nr"]).select(id_col, "neg_id")

@@ -2069,6 +2069,51 @@ SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m WHERE n_matches >= 
 """
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice from a 64-bin mergeable histogram
+    sketch — the deterministic, oracle-able distribution summary (vs
+    sampled t-digest); estimate error bounded by one bin width."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = skew.histogram_sketch(li, "l_extendedprice", lo=900.0, hi=105000.0, bins=64)
+    return skew.quantile_estimate(
+        sk, [0.25, 0.5, 0.75, 0.95], lo=900.0, hi=105000.0, bins=64
+    )
+
+
+SQL_HISTOGRAM_QUANTILES = r"""
+WITH sk AS (
+  SELECT CAST(LEAST(63, GREATEST(0, FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 64))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c FROM sk),
+tot AS (SELECT SUM(cnt) AS n FROM sk),
+qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+pick AS (SELECT q, MIN(bin) AS b FROM qs CROSS JOIN tot JOIN cum ON c >= q * n - 1e-9 GROUP BY q)
+SELECT q, 900.0 + (b + 1) * (104100.0 / 64) AS est FROM pick
+"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-training negative pairs: hash-bucket
+    rings (md5 permutation, per-bucket windows — never a global sort),
+    each doc takes its next 2 ring neighbors. Reproducible with no RNG."""
+    docs = _t(spark, sf_dir, "documents")
+    return transform.negative_samples_ring(docs, "doc_id", k=2, n_buckets=32)
+
+
+SQL_NEGATIVE_SAMPLES = r"""
+WITH base AS (SELECT DISTINCT doc_id,
+  CAST(('0x'||substr(md5('neg1_'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h FROM documents),
+b AS (SELECT doc_id, CAST(h % 32 AS INT) AS bk, h FROM base),
+r AS (SELECT doc_id, bk, h, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY h, doc_id) - 1 AS r,
+       COUNT(*) OVER (PARTITION BY bk) AS n FROM b),
+p AS (SELECT doc_id, bk, r, unnest(list_distinct([(r+1) % n, (r+2) % n])) AS nr FROM r),
+p2 AS (SELECT * FROM p WHERE nr <> r)
+SELECT p2.doc_id, r2.doc_id AS neg_id FROM p2 JOIN r r2 ON r2.bk = p2.bk AND r2.r = p2.nr
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7816,6 +7861,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_min_freq": q_count_min_freq,
     "table_profile": q_table_profile,
     "phrase_search": q_phrase_search,
+    "histogram_quantiles": q_histogram_quantiles,
+    "negative_samples": q_negative_samples,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8014,6 +8061,8 @@ ORACLES: dict[str, str] = {
     "count_min_freq": SQL_COUNT_MIN_FREQ,
     "table_profile": SQL_TABLE_PROFILE,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

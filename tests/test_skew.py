@@ -248,3 +248,93 @@ class TestCountMinSketch:
         sk = count_min_sketch(df, "v", width=16, depth=4).collect()
         assert sum(r.cnt for r in sk) == 4  # 1 non-null row x depth
         assert len(sk) <= 16 * 4
+
+
+class TestHistogramSketch:
+    def test_quantiles_within_bin_width(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            histogram_sketch,
+            quantile_estimate,
+        )
+
+        df = spark.range(1, 1001).select((F.col("id") * 1.0).alias("v"))
+        sk = histogram_sketch(df, "v", lo=0.0, hi=1000.0, bins=100)
+        est = {
+            r.q: r.est
+            for r in quantile_estimate(sk, [0.1, 0.5, 0.9], 0.0, 1000.0, 100).collect()
+        }
+        for q, e in est.items():
+            assert abs(e - q * 1000) <= 10 + 1e-9, (q, e)
+
+    def test_clamping_and_nulls(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import histogram_sketch
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.5,), (99.0,), (250.0,), (None,)], "v double"
+        )
+        rows = {r.bin: r.cnt for r in histogram_sketch(df, "v", 0.0, 100.0, 10).collect()}
+        assert rows == {0: 2, 9: 2}  # -5 clamps to bin 0, 250 to bin 9; null skipped
+
+    def test_merge_equals_rebuild(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            histogram_sketch,
+            merge_histograms,
+        )
+
+        a = spark.range(0, 500).select((F.col("id") * 1.0).alias("v"))
+        b = spark.range(500, 1000).select((F.col("id") * 1.0).alias("v"))
+        merged = merge_histograms(
+            histogram_sketch(a, "v", 0.0, 1000.0, 32),
+            histogram_sketch(b, "v", 0.0, 1000.0, 32),
+        )
+        rebuilt = histogram_sketch(a.unionByName(b), "v", 0.0, 1000.0, 32)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+
+    def test_bad_bounds_raise(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import histogram_sketch
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with _pytest.raises(ValueError):
+            histogram_sketch(df, "v", 10.0, 10.0, 8)
+
+
+class TestNegativeSamplesRing:
+    def test_deterministic_k_negatives_no_self(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import (
+            negative_samples_ring,
+        )
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"))
+        a = sorted(map(tuple, negative_samples_ring(df, "doc_id", k=3, n_buckets=8).collect()))
+        b = sorted(map(tuple, negative_samples_ring(df, "doc_id", k=3, n_buckets=8).collect()))
+        assert a == b  # reproducible
+        assert all(x != y for x, y in a)  # never self
+        from collections import Counter
+
+        per_doc = Counter(x for x, _ in a)
+        assert set(per_doc) == set(range(100))
+        assert all(c <= 3 for c in per_doc.values())
+        assert sum(per_doc.values()) >= 250  # most docs get all 3
+
+    def test_seed_changes_pairs(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import (
+            negative_samples_ring,
+        )
+
+        df = spark.range(50).select(F.col("id").alias("doc_id"))
+        a = set(map(tuple, negative_samples_ring(df, "doc_id", k=2, seed=1).collect()))
+        b = set(map(tuple, negative_samples_ring(df, "doc_id", k=2, seed=2).collect()))
+        assert a != b
+
+    def test_tiny_buckets(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import (
+            negative_samples_ring,
+        )
+
+        df = spark.range(2).select(F.col("id").alias("doc_id"))
+        out = negative_samples_ring(df, "doc_id", k=3, n_buckets=1).collect()
+        # 2-id ring: each gets exactly the other, once (duplicates collapse)
+        assert sorted((r.doc_id, r.neg_id) for r in out) == [(0, 1), (1, 0)]
