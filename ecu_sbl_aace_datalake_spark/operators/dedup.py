@@ -1497,3 +1497,80 @@ def setsim_prefix_pairs(
         cand, sorted_sets.select(id_col, F.col("__tk").alias("shingles")),
         id_col, "shingles", threshold,
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int | None = 3,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """EXACT asymmetric containment join: every ordered pair
+    ``(id_a, id_b, containment)`` with
+    ``|tokens(a) ∩ tokens(b)| / |tokens(a)| >= threshold`` and
+    ``id_a != id_b`` — catches documents SUBSUMED by a longer one
+    (quotes, excerpts, page-of-a-book), which symmetric Jaccard misses
+    because the union is dominated by the big document.
+
+    Prefix filtering is one-sided (Chaudhuri et al., SSJoin): only the
+    CONTAINED side restricts to its rarest-first prefix of length
+    ``|a| - ceil(t*|a|) + 1`` (if none of those tokens hits B, common
+    tokens <= ceil(t|a|)-1 < t|a| — impossible); the containing side
+    indexes all tokens. Candidate cost is prefix(a) x df(token), never
+    corpus x corpus. Exact verification closes the loop.
+    """
+    df = ensure_parallelism(df)
+    if shingle_n is None:
+        sets0 = df.select(
+            F.col(id_col), F.array_distinct(_normalized_tokens(text_col)).alias("__tk")
+        )
+    else:
+        sets0 = shingles(df, text_col, n=shingle_n, out_col="__tk").select(id_col, "__tk")
+    sets0 = sets0.where(F.size("__tk") > 0)
+    ex = sets0.select(id_col, F.explode("__tk").alias("__t"))
+    dfreq = ex.groupBy("__t").agg(F.count("*").alias("__df"))
+    sorted_sets = (
+        ex.join(dfreq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
+                lambda s: s["__t"],
+            ).alias("__tk")
+        )
+        .withColumn("__sz", F.size("__tk"))
+        .withColumn(
+            "__plen",
+            (F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1).cast("int"),
+        )
+    )
+    sorted_sets = persist_in(scope, sorted_sets)
+    a = sorted_sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("__sa"),
+        F.explode(F.slice("__tk", 1, F.col("__plen"))).alias("__t"),
+    )
+    # containing side indexes ALL tokens — no symmetric-prefix guarantee
+    b = sorted_sets.select(
+        F.col(id_col).alias("id_b"), F.explode("__tk").alias("__t")
+    )
+    cand = (
+        a.join(b, "__t")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "__sa")
+        .distinct()
+    )
+    ta = sorted_sets.select(F.col(id_col).alias("id_a"), F.col("__tk").alias("__ka"))
+    tb = sorted_sets.select(F.col(id_col).alias("id_b"), F.col("__tk").alias("__kb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.size(F.array_intersect("__ka", "__kb")) / F.col("__sa"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

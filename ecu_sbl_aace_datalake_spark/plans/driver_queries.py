@@ -2114,6 +2114,31 @@ SELECT p2.doc_id, r2.doc_id AS neg_id FROM p2 JOIN r r2 ON r2.bk = p2.bk AND r2.
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment join (|A∩B|/|A| >= 0.6): catches docs
+    subsumed by a longer one, which symmetric Jaccard misses. One-sided
+    prefix filter on the contained side; brute-force DuckDB ground
+    truth."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, GREATEST(len(toks) - 1, 1))]) AS sh
+  FROM base
+), d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+SELECT id_a, id_b, ROUND(c, 6) AS containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS c
+  FROM d2 a JOIN d2 b ON a.doc_id <> b.doc_id
+) WHERE c >= 0.6
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7863,6 +7888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "histogram_quantiles": q_histogram_quantiles,
     "negative_samples": q_negative_samples,
+    "containment_pairs": q_containment_pairs,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8063,6 +8089,7 @@ ORACLES: dict[str, str] = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

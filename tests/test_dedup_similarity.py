@@ -2631,3 +2631,48 @@ class TestProfileColumns:
         df = spark.createDataFrame([(1, "x")], "k long, s string")
         out = profile_columns(df, ["s"]).collect()
         assert [r.column for r in out] == ["s"]
+
+
+class TestContainmentPairs:
+    def test_excerpt_found_one_direction(self, spark):
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        excerpt = " ".join(f"w{i}" for i in range(10, 20))  # fully inside
+        other = " ".join(f"z{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, long_doc), (2, excerpt), (3, other)], "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in dedup.containment_pairs(
+                docs, "doc_id", "text", threshold=0.9, shingle_n=None
+            ).collect()
+        }
+        # excerpt ⊂ long: containment(2→1) = 1.0; reverse is 10/40 = 0.25
+        assert got == {(2, 1): 1.0}
+
+    def test_matches_brute_force(self, spark, planted_docs):
+        for t in (0.4, 0.7):
+            got = sorted(
+                tuple(r)
+                for r in dedup.containment_pairs(
+                    planted_docs, "doc_id", "text", threshold=t, shingle_n=3
+                ).collect()
+            )
+            sets = dedup.shingles(planted_docs, "text", n=3, out_col="sh").select(
+                "doc_id", "sh"
+            ).where(F.size("sh") > 0)
+            a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+            b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+            brute = sorted(
+                tuple(r)
+                for r in a.crossJoin(b)
+                .where(F.col("id_a") != F.col("id_b"))
+                .withColumn(
+                    "containment",
+                    F.round(F.size(F.array_intersect("sa", "sb")) / F.size("sa"), 6),
+                )
+                .where(F.col("containment") >= t)
+                .select("id_a", "id_b", "containment")
+                .collect()
+            )
+            assert got == brute, t
