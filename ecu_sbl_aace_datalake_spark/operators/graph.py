@@ -310,3 +310,57 @@ def bfs_hops(
         )
         frontier = nxt
     return reached
+
+
+def sssp_bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, Bellman-Ford style,
+    bounded at ``rounds`` relaxations — distances are exact for every
+    node whose shortest path uses <= ``rounds`` edges (the full
+    Bellman-Ford guarantee needs |V|-1 rounds; a bounded horizon is the
+    scale-sane form, like :func:`bfs_hops` and pagerank's fixed rounds).
+
+    Each round is one equi-join (dist × edges on the edge source) and one
+    min-aggregate — no path enumeration, state is one row per reached
+    node. Negative weights are rejected (with a bounded horizon they
+    would silently under-relax). Returns ``(node, dist)``.
+    """
+    if int(rounds) < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("string").alias("__s"),
+        F.col(dst_col).cast("string").alias("__d"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).where(F.col(weight_col).isNotNull())
+    dist = sources.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(int(rounds)):
+        relaxed = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def validate_nonnegative_weights(edges: DataFrame, weight_col: str = "w") -> None:
+    """Raise if any edge weight is negative — bounded-horizon relaxation
+    has no cycle detection, so negative weights give silently-wrong
+    distances. One tiny aggregate; call before :func:`sssp_bellman_ford`
+    when weights come from untrusted data."""
+    neg = edges.where(F.col(weight_col) < 0).limit(1).count()
+    if neg:
+        raise ValueError("sssp_bellman_ford requires non-negative weights")

@@ -2139,6 +2139,59 @@ SELECT id_a, id_b, ROUND(c, 6) AS containment FROM (
 """
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford shortest paths over the weighted
+    customer-supplier trade graph (weight = min lineitem quantity per
+    pair): 3 relaxation rounds, each one equi-join + min-aggregate —
+    never a path enumeration. Oracle: the rounds unrolled as chained
+    MATERIALIZED CTEs."""
+    from ..operators import graph
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = spark.createDataFrame([("c1",), ("c2",)], "node string")
+    return graph.sssp_bellman_ford(edges, sources, rounds=3)
+
+
+SQL_SSSP_WEIGHTED = r"""
+WITH e0 AS MATERIALIZED (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS s, 's' || CAST(l_suppkey AS VARCHAR) AS d,
+         CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM (VALUES ('c1'), ('c2')) t(node)),
+d1 AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL SELECT e.d AS node, d0.dist + e.w FROM d0 JOIN e ON e.s = d0.node
+  ) GROUP BY node),
+d2 AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL SELECT e.d AS node, d1.dist + e.w FROM d1 JOIN e ON e.s = d1.node
+  ) GROUP BY node),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL SELECT e.d AS node, d2.dist + e.w FROM d2 JOIN e ON e.s = d2.node
+  ) GROUP BY node)
+SELECT node, dist FROM d3
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7889,6 +7942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": q_histogram_quantiles,
     "negative_samples": q_negative_samples,
     "containment_pairs": q_containment_pairs,
+    "sssp_weighted": q_sssp_weighted,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8090,6 +8144,7 @@ ORACLES: dict[str, str] = {
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "sssp_weighted": SQL_SSSP_WEIGHTED,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
