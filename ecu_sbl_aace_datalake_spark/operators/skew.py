@@ -451,3 +451,25 @@ def quantile_estimate(
             (F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width)).alias("est"),
         )
     )
+
+
+def cms_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built on
+    the join keys with identical (width, depth, seed): the sketch inner
+    product ``min over d of sum_b cntA[d,b] * cntB[d,b]`` (Cormode &
+    Muthukrishnan 2005, §4.2) — an upper bound on
+    ``|A JOIN B|  =  sum_k fA(k) * fB(k)``, tight when collisions are
+    rare.
+
+    This is how an optimizer prices a join WITHOUT scanning either input
+    again: both sketches are depth×width rows, the estimate is a join of
+    two tiny relations. Output: one row ``(est)``.
+    """
+    a = sketch_a.select("d", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("d", "bucket", F.col("cnt").alias("__cb"))
+    return (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+        .agg(F.min("__ip").alias("est"))
+    )

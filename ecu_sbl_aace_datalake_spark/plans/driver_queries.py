@@ -2192,6 +2192,40 @@ SELECT node, dist FROM d3
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketch inner products
+    (Cormode-Muthukrishnan §4.2): price customer⋈orders WITHOUT rescanning
+    either side — two depth×width sketch relations joined bucket-wise.
+    est >= true always; overestimate shrinks as width grows (additive
+    ~|A||B|/width). Reported next to the exact size."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    ska = skew.count_min_sketch(cust, "c_custkey", width=16384, depth=3, seed=7)
+    skb = skew.count_min_sketch(orders, "o_custkey", width=16384, depth=3, seed=7)
+    est = skew.cms_join_size_estimate(ska, skb)
+    true_n = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .agg(F.count(F.lit(1)).alias("true_size"))
+    )
+    return est.crossJoin(true_n).select(F.col("est").cast("long").alias("est"), "true_size")
+
+
+SQL_CMS_JOIN_SIZE = r"""
+WITH ds AS (SELECT unnest([0,1,2]) AS d),
+ska AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT ds.d, CAST(CAST(('0x'||substr(md5('cms7_'||CAST(ds.d AS VARCHAR)||CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT) % 16384 AS INT) AS bucket
+    FROM customer, ds WHERE c_custkey IS NOT NULL) GROUP BY 1,2),
+skb AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT ds.d, CAST(CAST(('0x'||substr(md5('cms7_'||CAST(ds.d AS VARCHAR)||CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) % 16384 AS INT) AS bucket
+    FROM orders, ds WHERE o_custkey IS NOT NULL) GROUP BY 1,2),
+ip AS (SELECT a.d, SUM(a.cnt * b.cnt) AS ip FROM ska a JOIN skb b ON a.d = b.d AND a.bucket = b.bucket GROUP BY a.d),
+tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_size FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey)
+SELECT CAST(MIN(ip) AS BIGINT) AS est, (SELECT true_size FROM tru) AS true_size FROM ip
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7943,6 +7977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_samples": q_negative_samples,
     "containment_pairs": q_containment_pairs,
     "sssp_weighted": q_sssp_weighted,
+    "cms_join_size": q_cms_join_size,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8145,6 +8180,7 @@ ORACLES: dict[str, str] = {
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "sssp_weighted": SQL_SSSP_WEIGHTED,
+    "cms_join_size": SQL_CMS_JOIN_SIZE,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

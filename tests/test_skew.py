@@ -338,3 +338,42 @@ class TestNegativeSamplesRing:
         out = negative_samples_ring(df, "doc_id", k=3, n_buckets=1).collect()
         # 2-id ring: each gets exactly the other, once (duplicates collapse)
         assert sorted((r.doc_id, r.neg_id) for r in out) == [(0, 1), (1, 0)]
+
+
+class TestCmsJoinSize:
+    def test_upper_bound_and_tightness(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            cms_join_size_estimate,
+            count_min_sketch,
+        )
+
+        a = spark.createDataFrame(
+            [("k%d" % (i % 10),) for i in range(100)], "k string"
+        )
+        b = spark.createDataFrame(
+            [("k%d" % (i % 5),) for i in range(50)], "k string"
+        )
+        # true join size: keys k0..k4 appear 10x in a, 10x in b -> 5*10*10
+        true = a.join(b, "k").count()
+        assert true == 500
+        for width, depth in ((8, 3), (4096, 3)):
+            ska = count_min_sketch(a, "k", width=width, depth=depth)
+            skb = count_min_sketch(b, "k", width=width, depth=depth)
+            est = cms_join_size_estimate(ska, skb).first().est
+            assert est >= true, (width, est)
+            if width == 4096:  # collision-free at this domain size
+                assert est == true
+
+    def test_disjoint_keys_estimate_small(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            cms_join_size_estimate,
+            count_min_sketch,
+        )
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+        ska = count_min_sketch(a, "k", width=4096, depth=3)
+        skb = count_min_sketch(b, "k", width=4096, depth=3)
+        est = cms_join_size_estimate(ska, skb).first().est
+        # no shared keys: estimate is collision noise only
+        assert est is None or est <= 3
