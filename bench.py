@@ -26,6 +26,11 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_neardup_pairs",
     "setsim_prefix_pairs",
+    "containment_pairs",
+    "count_min_freq",
+    "histogram_quantiles",
+    "cms_join_size",
+    "sssp_weighted",
     "text_token_stats",
     "token_frequencies",
     "embedding_topk",

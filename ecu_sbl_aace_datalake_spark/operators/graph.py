@@ -334,16 +334,19 @@ def sssp_bellman_ford(
     """
     if int(rounds) < 0:
         raise ValueError("rounds must be >= 0")
+    # persist: dist's union lineage references the edge relation once per
+    # round (and dist_{r-1} twice), so an un-cached derived edge pipeline
+    # would recompute ~2^rounds times (same lesson as pagerank's rounds)
     e = edges.select(
         F.col(src_col).cast("string").alias("__s"),
         F.col(dst_col).cast("string").alias("__d"),
         F.col(weight_col).cast("long").alias("__w"),
-    ).where(F.col(weight_col).isNotNull())
+    ).where(F.col(weight_col).isNotNull()).persist()
     dist = sources.select(
         F.col(node_col).cast("string").alias("node"),
         F.lit(0).cast("long").alias("dist"),
     ).distinct()
-    for _ in range(int(rounds)):
+    for r in range(int(rounds)):
         relaxed = (
             dist.join(e, dist["node"] == e["__s"])
             .select(F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
@@ -353,6 +356,10 @@ def sssp_bellman_ford(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        # each round references dist twice (carry + relax): persist the
+        # small per-round state (<= |V| rows) or lineage doubles per round
+        if r < int(rounds) - 1:
+            dist = dist.persist()
     return dist
 
 
