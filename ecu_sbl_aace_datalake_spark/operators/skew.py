@@ -473,3 +473,63 @@ def cms_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFram
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
         .agg(F.min("__ip").alias("est"))
     )
+
+
+def histogram_sketch_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group fixed-boundary histogram sketch — the telemetry shape
+    (latency distribution per endpoint, value distribution per event
+    type): ``(keys..., bin, cnt)``, at most ``bins`` rows per group, one
+    map-side-combined aggregate. Same clamping/NULL semantics and
+    mergeability as :func:`histogram_sketch`."""
+    if not (hi > lo) or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b)).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(*key_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_estimate_grouped(
+    sketch: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group quantiles from a grouped histogram sketch: cumulative
+    window PARTITIONED BY the keys (<= ``bins`` rows per partition — never
+    a global window), upper edge of the first bin reaching ``q * n_group``.
+    Output: ``(keys..., q, est)``."""
+    from pyspark.sql.window import Window as W
+
+    cum = sketch.withColumn(
+        "__cum",
+        F.sum("cnt").over(
+            W.partitionBy(*key_cols).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("__n", F.sum("cnt").over(W.partitionBy(*key_cols)))
+    qdf = sketch.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    width = float(hi - lo) / bins
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("__cum") >= F.col("q") * F.col("__n") - F.lit(1e-9))
+        .groupBy(*key_cols, "q")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            *key_cols,
+            "q",
+            (F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width)).alias("est"),
+        )
+    )

@@ -2226,6 +2226,30 @@ SELECT CAST(MIN(ip) AS BIGINT) AS est, (SELECT true_size FROM tru) AS true_size 
 """
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event value per event type from per-group histogram
+    sketches — cumulative windows partitioned by key over <= bins rows,
+    never a global window; the telemetry-latency shape."""
+    ev = _t(spark, sf_dir, "events")
+    sk = skew.histogram_sketch_grouped(ev, ["event_type"], "value", lo=0.0, hi=500.0, bins=100)
+    return skew.quantile_estimate_grouped(sk, ["event_type"], [0.5, 0.95], 0.0, 500.0, 100)
+
+
+SQL_GROUPED_QUANTILES = r"""
+WITH sk AS (
+  SELECT event_type, CAST(LEAST(99, GREATEST(0, FLOOR((CAST(value AS DOUBLE) - 0.0) / 500.0 * 100))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (SELECT event_type, bin, cnt,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n FROM sk),
+qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+pick AS (SELECT event_type, q, MIN(bin) AS b FROM cum CROSS JOIN qs WHERE c >= q * n - 1e-9 GROUP BY 1, 2)
+SELECT event_type, q, 0.0 + (b + 1) * (500.0 / 100) AS est FROM pick
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -7978,6 +8002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "sssp_weighted": q_sssp_weighted,
     "cms_join_size": q_cms_join_size,
+    "grouped_quantiles": q_grouped_quantiles,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8181,6 +8206,7 @@ ORACLES: dict[str, str] = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "sssp_weighted": SQL_SSSP_WEIGHTED,
     "cms_join_size": SQL_CMS_JOIN_SIZE,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

@@ -377,3 +377,42 @@ class TestCmsJoinSize:
         est = cms_join_size_estimate(ska, skb).first().est
         # no shared keys: estimate is collision noise only
         assert est is None or est <= 3
+
+
+class TestGroupedHistogramQuantiles:
+    def test_per_group_quantiles_within_bin(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            histogram_sketch_grouped,
+            quantile_estimate_grouped,
+        )
+
+        rows = [("a", float(i)) for i in range(1, 101)] + [
+            ("b", float(i * 10)) for i in range(1, 101)
+        ]
+        df = spark.createDataFrame(rows, "k string, v double")
+        sk = histogram_sketch_grouped(df, ["k"], "v", 0.0, 1000.0, 100)
+        est = {
+            (r.k, r.q): r.est
+            for r in quantile_estimate_grouped(sk, ["k"], [0.5, 0.9], 0.0, 1000.0, 100).collect()
+        }
+        assert abs(est[("a", 0.5)] - 50) <= 10
+        assert abs(est[("b", 0.5)] - 500) <= 10
+        assert abs(est[("b", 0.9)] - 900) <= 10
+
+    def test_grouped_merge_equals_rebuild(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            histogram_sketch_grouped,
+        )
+
+        a = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, v double")
+        b = spark.createDataFrame([("x", 3.0)], "k string, v double")
+        merged = (
+            histogram_sketch_grouped(a, ["k"], "v", 0.0, 10.0, 5)
+            .unionByName(histogram_sketch_grouped(b, ["k"], "v", 0.0, 10.0, 5))
+            .groupBy("k", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        rebuilt = histogram_sketch_grouped(a.unionByName(b), ["k"], "v", 0.0, 10.0, 5)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
