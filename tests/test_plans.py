@@ -229,6 +229,9 @@ class TestGlobalPlanInvariants:
         "embedding_topk_pq_fixed",   # broadcast query set vs m-byte PQ code scan
         "text_embedding_topk",
         "multimodal_retrieval",
+        "histogram_quantiles",  # literal q-list × 1-row total, <= bins-row non-equi probe
+        "grouped_quantiles",    # broadcast literal q-list over per-key cum rows
+        "cms_join_size",        # 1-row est × 1-row true_size scalar cross join
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
