@@ -350,6 +350,9 @@ def cms_estimate(
     ``(key_col, est)`` with ``est >= true_count`` always.
     """
     k = F.col(key_col)
+    # NULL keys were never counted into the sketch — estimating them
+    # against salt-only hash buckets would return arbitrary collisions
+    keys = keys.where(k.isNotNull())
     probes = keys.select(
         key_col,
         F.explode(

@@ -588,7 +588,7 @@ def negative_samples_ring(
         16,
         10,
     ).cast("long")
-    base = df.select(F.col(id_col)).distinct().select(
+    base = df.select(F.col(id_col)).where(F.col(id_col).isNotNull()).distinct().select(
         id_col,
         F.pmod(h, F.lit(n_buckets)).cast("int").alias("__b"),
         h.alias("__h"),
