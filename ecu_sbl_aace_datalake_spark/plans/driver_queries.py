@@ -2250,6 +2250,25 @@ SELECT event_type, q, 0.0 + (b + 1) * (500.0 / 100) AS est FROM pick
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user stream
+    (lead window partitioned by user, tie-broken by event_id), with
+    per-state outgoing probabilities."""
+    events = _t(spark, sf_dir, "events")
+    return ev.transition_matrix(events, "event_type", order_cols=["ts", "event_id"])
+
+
+SQL_TRANSITION_MATRIX = r"""
+WITH s AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE to_state IS NOT NULL GROUP BY 1,2)
+SELECT from_state, to_state, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS p FROM c
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8003,6 +8022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_weighted": q_sssp_weighted,
     "cms_join_size": q_cms_join_size,
     "grouped_quantiles": q_grouped_quantiles,
+    "transition_matrix": q_transition_matrix,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8207,6 +8227,7 @@ ORACLES: dict[str, str] = {
     "sssp_weighted": SQL_SSSP_WEIGHTED,
     "cms_join_size": SQL_CMS_JOIN_SIZE,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "transition_matrix": SQL_TRANSITION_MATRIX,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

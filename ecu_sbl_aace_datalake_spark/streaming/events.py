@@ -347,3 +347,40 @@ def throttle_dedup(
         )
     )
     return df.withColumn("__keep", gap_ok).where(F.col("__keep")).drop("__keep")
+
+
+def transition_matrix(
+    df: DataFrame,
+    state_col: str,
+    user_col: str = "user_id",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over each
+    user's ordered event stream: for every observed (state, next_state)
+    pair, how often it occurs and its share of the state's outgoing
+    transitions.
+
+    One window partitioned BY USER (bounded per-partition work at any
+    scale) + one aggregate; probabilities via a window over the tiny
+    per-state groups. Terminal events (no successor) are excluded.
+    Output: ``(from_state, to_state, n, p)`` with p rounded to 6dp.
+    """
+    order = order_cols or ["ts"]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

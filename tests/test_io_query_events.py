@@ -548,3 +548,32 @@ class TestVersionedTables:
             V.read_table_versioned(spark, lh, "nation", version=0, timestamp=1.0)
         with pytest.raises(ValueError, match="at or before"):
             V.read_table_versioned(spark, lh, "nation", timestamp=5.0)
+
+
+class TestTransitionMatrix:
+    def test_hand_stream(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming.events import transition_matrix
+
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "c"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+        got = {
+            (r.from_state, r.to_state): (r.n, r.p)
+            for r in transition_matrix(df, "event_type", order_cols=["ts"]).collect()
+        }
+        # from 'a': a->b twice (user1), a->c once (user2) => p 2/3, 1/3
+        assert got[("a", "b")] == (2, round(2 / 3, 6))
+        assert got[("a", "c")] == (1, round(1 / 3, 6))
+        assert got[("b", "a")] == (1, 1.0)
+        # terminal events (last per user) produce no row
+        assert ("c", None) not in got and all(b is not None for _, b in got)
+
+    def test_single_event_users_excluded(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming.events import transition_matrix
+
+        df = spark.createDataFrame(
+            [(1, 1, "x"), (2, 1, "y")], "user_id long, ts long, event_type string"
+        )
+        assert transition_matrix(df, "event_type", order_cols=["ts"]).count() == 0
