@@ -536,3 +536,66 @@ def quantile_estimate_grouped(
             (F.lit(float(lo)) + (F.col("__bin") + 1) * F.lit(width)).alias("est"),
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+) -> DataFrame:
+    """Association rules from frequent pairs (Agrawal & Srikant VLDB'94,
+    rule-generation step): each frequent pair {a, b} yields the two rules
+    a→b and b→a with
+
+    - ``support``     pair baskets / all baskets,
+    - ``confidence``  pair baskets / antecedent baskets,
+    - ``lift``        confidence / (consequent baskets / all baskets).
+
+    Costs :func:`frequent_pairs` + one distinct-basket item count + a
+    broadcast of the (tiny) pair table against it — no new corpus-scale
+    shuffles. Output: ``(antecedent, consequent, pair_count, support,
+    confidence, lift)`` rounded to 6dp.
+    """
+    pairs = frequent_pairs(df, basket_col, item_col, min_support=min_support)
+    clean = df.where(F.col(item_col).isNotNull() & F.col(basket_col).isNotNull())
+    item_counts = (
+        clean.select(item_col, basket_col)
+        .distinct()
+        .groupBy(F.col(item_col).alias("__item"))
+        .agg(F.count(F.lit(1)).alias("__n_item"))
+    )
+    n_baskets = clean.select(basket_col).distinct().count()
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_count",
+        )
+    ).select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count",
+    )
+    return (
+        both.join(
+            F.broadcast(item_counts.withColumnRenamed("__item", "antecedent")), "antecedent"
+        )
+        .withColumnRenamed("__n_item", "__n_a")
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("__item", "consequent")), "consequent"
+        )
+        .withColumnRenamed("__n_item", "__n_c")
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_count",
+            F.round(F.col("pair_count") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("pair_count") / F.col("__n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_count") / F.col("__n_a"))
+                / (F.col("__n_c") / F.lit(float(n_baskets))),
+                6,
+            ).alias("lift"),
+        )
+    )

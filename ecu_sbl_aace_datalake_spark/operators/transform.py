@@ -614,3 +614,36 @@ def negative_samples_ring(
         F.col(id_col).alias("neg_id"), F.col("__b"), F.col("__r").alias("__nr")
     )
     return probes.join(peers, ["__b", "__nr"]).select(id_col, "neg_id")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other —
+    dominated means another row has lower-or-equal x and higher-or-equal
+    y, strict in at least one. Minimizes x, maximizes y; negate columns
+    on the way in for other orientations. Identical duplicate points all
+    survive (domination needs a strict edge).
+
+    Sort-based, not the O(n²) NOT-EXISTS join: collapse to per-x maxima
+    (one aggregate), then one running-max window over the DISTINCT x rows
+    (strictly-preceding ROWS frame — no float epsilons) decides which x
+    groups survive; the original rows matching (x, ymax) join back. The
+    distinct-x window is global — use on aggregated / dimension-sized
+    inputs (the documented single-partition-window tradeoff); the oracle
+    cross-checks with an independent NOT EXISTS formulation.
+    """
+    clean = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per_x = clean.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__ymax")
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_x = per_x.withColumn("__prev", F.max("__ymax").over(w)).where(
+        F.col("__prev").isNull() | (F.col("__prev") < F.col("__ymax"))
+    )
+    return clean.join(
+        frontier_x,
+        (clean[x_col] == frontier_x["__x"]) & (clean[y_col] == frontier_x["__ymax"]),
+    ).drop("__x", "__ymax", "__prev")

@@ -2269,6 +2269,59 @@ SELECT from_state, to_state, n, ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_s
 """
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier over parts (minimize retail price, maximize
+    size): sort-based skyline — per-x maxima + one strictly-preceding
+    running-max window over distinct x, NOT the O(n^2) dominance join.
+    Oracle: an independent NOT EXISTS dominance formulation."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return transform.pareto_frontier_2d(part, "p_retailprice", "p_size")
+
+
+SQL_PARETO_FRONTIER = r"""
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL AND NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+    AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support/confidence/lift) from a-priori-pruned
+    frequent supplier pairs — rule generation touches only the tiny pair
+    and per-item count tables, no new corpus-scale shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return skew.association_rules(li, "l_orderkey", "l_suppkey", min_support=25)
+
+
+SQL_ASSOCIATION_RULES = r"""
+WITH base AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+freq AS (SELECT i FROM base GROUP BY i HAVING COUNT(*) >= 25),
+pruned AS (SELECT b, i FROM base WHERE i IN (SELECT i FROM freq)),
+pairs AS (
+  SELECT x.i AS ia, y.i AS ib, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+item_counts AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY i),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n_baskets FROM base),
+two_way AS (
+  SELECT ia AS antecedent, ib AS consequent, pair_count FROM pairs
+  UNION ALL SELECT ib, ia, pair_count FROM pairs)
+SELECT antecedent, consequent, pair_count,
+       ROUND(pair_count / n_baskets, 6) AS support,
+       ROUND(pair_count * 1.0 / a.n, 6) AS confidence,
+       ROUND((pair_count * 1.0 / a.n) / (c.n / n_baskets), 6) AS lift
+FROM two_way CROSS JOIN nb
+JOIN item_counts a ON a.i = antecedent
+JOIN item_counts c ON c.i = consequent
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8023,6 +8076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_join_size": q_cms_join_size,
     "grouped_quantiles": q_grouped_quantiles,
     "transition_matrix": q_transition_matrix,
+    "pareto_frontier": q_pareto_frontier,
+    "association_rules": q_association_rules,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8228,6 +8283,8 @@ ORACLES: dict[str, str] = {
     "cms_join_size": SQL_CMS_JOIN_SIZE,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "transition_matrix": SQL_TRANSITION_MATRIX,
+    "pareto_frontier": SQL_PARETO_FRONTIER,
+    "association_rules": SQL_ASSOCIATION_RULES,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

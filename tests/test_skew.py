@@ -416,3 +416,56 @@ class TestGroupedHistogramQuantiles:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, rebuilt.collect())
         )
+
+
+class TestParetoFrontier:
+    def test_hand_points(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import (
+            pareto_frontier_2d,
+        )
+
+        # minimize x, maximize y
+        pts = [
+            (1, 1.0, 10),  # frontier (cheapest)
+            (2, 2.0, 10),  # dominated by 1 (same y, higher x)
+            (3, 2.0, 20),  # frontier
+            (4, 3.0, 15),  # dominated by 3
+            (5, 4.0, 25),  # frontier
+            (6, 4.0, 25),  # identical duplicate -> also survives
+        ]
+        df = spark.createDataFrame(pts, "id long, x double, y long")
+        got = sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect())
+        assert got == [1, 3, 5, 6]
+
+    def test_nulls_dropped(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.transform import (
+            pareto_frontier_2d,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 5), (2, 1.0, None), (3, 1.0, 5)], "id long, x double, y long"
+        )
+        got = [r.id for r in pareto_frontier_2d(df, "x", "y").collect()]
+        assert got == [3]
+
+
+class TestAssociationRules:
+    def test_hand_baskets(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.skew import association_rules
+
+        # 4 baskets; {a,b} in 3, {a} alone in 1
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "a"),
+        ]
+        df = spark.createDataFrame(rows, "b long, i string")
+        got = {
+            (r.antecedent, r.consequent): (r.pair_count, r.support, r.confidence, r.lift)
+            for r in association_rules(df, "b", "i", min_support=2).collect()
+        }
+        # support 3/4; conf a->b = 3/4, lift = (3/4)/(3/4) = 1.0
+        assert got[("a", "b")] == (3, 0.75, 0.75, 1.0)
+        # conf b->a = 3/3 = 1.0, lift = 1/(4/4) = 1.0
+        assert got[("b", "a")] == (3, 0.75, 1.0, 1.0)
