@@ -7798,7 +7798,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+    # dedup on the int key pair BEFORE string building: the distinct
+    # shuffles 16-byte pairs, not concat'd strings (bfs_hops re-distincts
+    # the string form but it is already unique, a cheap pass-through)
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = pairs.select(
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
