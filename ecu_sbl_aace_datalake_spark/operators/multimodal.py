@@ -85,6 +85,31 @@ def parse_image_header(payload: bytes) -> tuple[int | None, int | None, str]:
                 seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
                 i += 2 + seg_len
             return (None, None, "jpeg")
+        if p[:4] in (b"II*\x00", b"MM\x00*") and len(p) >= 8:
+            # TIFF: endian magic, then first-IFD offset; width/height live
+            # in IFD tags 256/257 as SHORT(3) or LONG(4), value inline
+            bo = "little" if p[:2] == b"II" else "big"
+            ifd = int.from_bytes(p[4:8], bo)
+            w = h = None
+            if ifd + 2 <= len(p):
+                n = int.from_bytes(p[ifd : ifd + 2], bo)
+                for k in range(n):
+                    off = ifd + 2 + 12 * k
+                    if off + 12 > len(p):
+                        break
+                    tag = int.from_bytes(p[off : off + 2], bo)
+                    typ = int.from_bytes(p[off + 2 : off + 4], bo)
+                    val_b = p[off + 8 : off + 12]
+                    val = (
+                        int.from_bytes(val_b[:2], bo)
+                        if typ == 3
+                        else int.from_bytes(val_b, bo)
+                    )
+                    if tag == 256:
+                        w = val
+                    elif tag == 257:
+                        h = val
+            return w, h, "tiff"
         if p[:2] == b"P6":
             fields: list[int] = []
             i = 2

@@ -2676,3 +2676,37 @@ class TestContainmentPairs:
                 .collect()
             )
             assert got == brute, t
+
+
+def _tiff(w: int, h: int, little: bool = True) -> bytes:
+    import struct
+
+    bo = "<" if little else ">"
+    head = (b"II*\x00" if little else b"MM\x00*") + struct.pack(bo + "I", 8)
+    # IFD with 2 entries: 256=width (LONG), 257=height (SHORT)
+    ifd = struct.pack(bo + "H", 2)
+    ifd += struct.pack(bo + "HHI", 256, 4, 1) + struct.pack(bo + "I", w)
+    ifd += struct.pack(bo + "HHI", 257, 3, 1) + struct.pack(bo + "H", h) + b"\x00\x00"
+    ifd += struct.pack(bo + "I", 0)  # next IFD
+    return head + ifd
+
+
+class TestTiffHeader:
+    def test_both_endians(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            parse_image_header,
+        )
+
+        assert parse_image_header(_tiff(640, 480, little=True)) == (640, 480, "tiff")
+        assert parse_image_header(_tiff(31, 7, little=False)) == (31, 7, "tiff")
+
+    def test_truncated_tiff_is_safe(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            parse_image_header,
+        )
+
+        full = _tiff(640, 480)
+        for cut in (4, 8, 12):
+            w, h, fmt = parse_image_header(full[:cut])
+            assert fmt in ("tiff", "unknown")  # never raises
+        assert parse_image_header(b"II+\x00rest") == (None, None, "unknown")
