@@ -105,3 +105,66 @@ def finalize_state(state: DataFrame, keys: Sequence[str]) -> DataFrame:
             F.expr("hll_sketch_estimate(hll)").cast("long").alias("approx_distinct")
         )
     return state.select(*cols)
+
+
+def agg_state_hist(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+) -> DataFrame:
+    """Per-key mergeable HISTOGRAM state: one ``hist`` array<long> column
+    of ``bins`` fixed-boundary counters (clamped edges, NULLs skipped —
+    the :func:`~..operators.skew.histogram_sketch` bin math, carried as
+    state).
+
+    ONE map-side-combined aggregate: the array is built from ``bins``
+    conditional-sum expressions, so the shuffle carries |keys| rows of a
+    fixed-width array — keep ``bins`` modest (<= ~128). Merge is
+    element-wise addition (:func:`merge_hist_states`), giving the
+    distribution the same O(batch) incremental-maintenance property as
+    count/sum/min/max/HLL.
+    """
+    if not (hi > lo) or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    x = F.col(value_col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b)).cast("int")
+    flags = F.when(x.isNotNull(), b)
+    return df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.array(
+            *[F.sum((flags == i).cast("long")).alias(f"_b{i}") for i in range(bins)]
+        ).alias("hist")
+    )
+
+
+def merge_hist_states(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Element-wise sum of two histogram state tables built with identical
+    (lo, hi, bins); keys absent on one side contribute identity (zeros).
+    ``merge(state(A), state(B)) == state(A ∪ B)`` exactly — counters are
+    plain longs."""
+    klist = list(keys)
+    unioned = a.unionByName(b)
+    # element-wise array sum as an aggregate: fold the collected (<=2 per
+    # key) arrays with zip_with — collect_list is bounded by the number of
+    # merged STATES per key, not data volume
+    return unioned.groupBy(*klist).agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+            lambda acc, h: F.when(F.size(acc) == 0, h).otherwise(
+                F.zip_with(acc, h, lambda p, q: p + q)
+            ),
+        ).alias("hist")
+    )
+
+
+def state_histogram(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Render a histogram state as the ``(keys..., bin, cnt)`` relation
+    consumed by :func:`~..operators.skew.quantile_estimate_grouped` —
+    per-key quantiles straight from maintained state, no fact rescan."""
+    return state.select(
+        *keys, F.posexplode("hist").alias("bin", "cnt")
+    ).where(F.col("cnt") > 0)

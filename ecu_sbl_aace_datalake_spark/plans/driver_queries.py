@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleaning
 from ..operators import (
+    aggstate,
     dedup,
     graph,
     profile,
@@ -2319,6 +2320,39 @@ SELECT antecedent, consequent, pair_count,
 FROM two_way CROSS JOIN nb
 JOIN item_counts a ON a.i = antecedent
 JOIN item_counts c ON c.i = consequent
+"""
+
+
+def q_state_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from MAINTAINED state: orders split in two
+    batches, histogram states built per batch and merged (element-wise
+    monoid), p50/p95 estimated from the merged state. The oracle computes
+    the same quantiles directly over the full data — passing proves
+    merge(state(A), state(B)) == state(A ∪ B) end-to-end."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    sa = aggstate.agg_state_hist(a, ["o_orderpriority"], "o_totalprice", 0.0, 500000.0, 32)
+    sb = aggstate.agg_state_hist(b, ["o_orderpriority"], "o_totalprice", 0.0, 500000.0, 32)
+    merged = aggstate.merge_hist_states(sa, sb, ["o_orderpriority"])
+    return skew.quantile_estimate_grouped(
+        aggstate.state_histogram(merged, ["o_orderpriority"]),
+        ["o_orderpriority"], [0.5, 0.95], 0.0, 500000.0, 32,
+    )
+
+
+SQL_STATE_QUANTILES = r"""
+WITH sk AS (
+  SELECT o_orderpriority, CAST(LEAST(31, GREATEST(0, FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 500000.0 * 32))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+cum AS (SELECT o_orderpriority, bin, cnt,
+        SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+        SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n FROM sk),
+qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+pick AS (SELECT o_orderpriority, q, MIN(bin) AS b FROM cum CROSS JOIN qs WHERE c >= q * n - 1e-9 GROUP BY 1, 2)
+SELECT o_orderpriority, q, 0.0 + (b + 1) * (500000.0 / 32) AS est FROM pick
 """
 
 
@@ -8086,6 +8120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "pareto_frontier": q_pareto_frontier,
     "association_rules": q_association_rules,
+    "state_quantiles": q_state_quantiles,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8293,6 +8328,7 @@ ORACLES: dict[str, str] = {
     "transition_matrix": SQL_TRANSITION_MATRIX,
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "association_rules": SQL_ASSOCIATION_RULES,
+    "state_quantiles": SQL_STATE_QUANTILES,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

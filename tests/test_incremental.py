@@ -266,3 +266,47 @@ class TestNeardupIndex:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_nd_bands_p")
             spark.sql("DROP TABLE IF EXISTS t_nd_shingles_p")
+
+
+class TestHistogramState:
+    def test_merge_equals_rebuild_and_identity_keys(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.aggstate import (
+            agg_state_hist,
+            merge_hist_states,
+        )
+
+        a = spark.createDataFrame(
+            [("x", 1.0), ("x", 2.0), ("y", 9.0)], "k string, v double"
+        )
+        b = spark.createDataFrame(
+            [("x", 3.0), ("z", 5.0), ("z", None)], "k string, v double"
+        )
+        merged = merge_hist_states(
+            agg_state_hist(a, ["k"], "v", 0.0, 10.0, 5),
+            agg_state_hist(b, ["k"], "v", 0.0, 10.0, 5),
+            ["k"],
+        )
+        rebuilt = agg_state_hist(a.unionByName(b), ["k"], "v", 0.0, 10.0, 5)
+        m = sorted((r.k, list(r.hist)) for r in merged.collect())
+        rb = sorted((r.k, list(r.hist)) for r in rebuilt.collect())
+        assert m == rb
+        # z appears only in b (with one null dropped): identity merge
+        assert dict(m)["z"] == [0, 0, 1, 0, 0]
+
+    def test_state_histogram_feeds_grouped_quantiles(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.aggstate import (
+            agg_state_hist,
+            state_histogram,
+        )
+        from ecu_sbl_aace_datalake_spark.operators.skew import (
+            quantile_estimate_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)], "k string, v double"
+        )
+        st = agg_state_hist(df, ["k"], "v", 0.0, 100.0, 50)
+        est = quantile_estimate_grouped(
+            state_histogram(st, ["k"]), ["k"], [0.5], 0.0, 100.0, 50
+        ).first()
+        assert abs(est.est - 50.0) <= 2.0 + 1e-9
