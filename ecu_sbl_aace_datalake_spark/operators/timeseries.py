@@ -352,3 +352,49 @@ def ewma(
         out_col,
         F.when(s > 0, F.round(num / den + F.lit(1e-9), 4)),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    min_gap: int = 0,
+) -> DataFrame:
+    """Union of overlapping (or within ``min_gap``) intervals per key —
+    interval algebra's coalesce step (maintenance windows, user activity
+    spans, reservation blocks).
+
+    The sort-based one-pass formulation: within each key, order by start
+    and open a new merged interval whenever the running maximum of
+    previous ends (+ ``min_gap``) falls short of the current start; the
+    group id is a running sum of those breaks. Two window passes + one
+    aggregate, all PARTITIONED BY KEY — per-key work is bounded, no
+    self-join (the naive overlap join is quadratic per key).
+
+    Numeric or timestamp columns both work (comparisons only; ``min_gap``
+    is in the column's own units — seconds for epoch numbers, use 0 for
+    pure overlap). Output: ``(key_col, start_col, end_col, n_merged)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end + F.lit(min_gap))
+    ).cast("long")
+    grouped = df.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).withColumn(
+        "__grp",
+        F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grouped.groupBy(key_col, "__grp")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__grp")
+    )

@@ -2356,6 +2356,42 @@ SELECT o_orderpriority, q, 0.0 + (b + 1) * (500000.0 / 32) AS est FROM pick
 """
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra coalesce: per-user activity spans (event ts +
+    value seconds) merged where they overlap — the sort-based one-pass
+    running-max-of-ends formulation, never a per-key self-join. Durations
+    go through DECIMAL (Spark truncates double→long casts, DuckDB
+    rounds)."""
+    events = _t(spark, sf_dir, "events")
+    ts = F.unix_micros(F.col("ts").cast("timestamp"))
+    dur = (F.col("value").cast("decimal(18,2)") * 1000000).cast("long")
+    iv = events.select("user_id", ts.alias("s"), (ts + dur).alias("e"))
+    return timeseries.merge_intervals(iv, "user_id", "s", "e")
+
+
+SQL_MERGE_INTERVALS = r"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS e
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT user_id, MIN(s) AS s, MAX(e) AS e, CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM g GROUP BY user_id, grp
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8121,6 +8157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_frontier": q_pareto_frontier,
     "association_rules": q_association_rules,
     "state_quantiles": q_state_quantiles,
+    "merge_intervals": q_merge_intervals,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8329,6 +8366,7 @@ ORACLES: dict[str, str] = {
     "pareto_frontier": SQL_PARETO_FRONTIER,
     "association_rules": SQL_ASSOCIATION_RULES,
     "state_quantiles": SQL_STATE_QUANTILES,
+    "merge_intervals": SQL_MERGE_INTERVALS,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

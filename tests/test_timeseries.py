@@ -250,3 +250,44 @@ class TestEwma:
         assert out[9] == 0.0
         assert 0 < out[10] < out[15] < out[19] <= 10.0
         assert out[19] > 9.0  # window full of the new level
+
+
+class TestMergeIntervals:
+    def test_hand_intervals(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import merge_intervals
+
+        rows = [
+            ("u", 0, 10), ("u", 5, 12),   # overlap -> [0,12]
+            ("u", 12, 15),                # touching (start == prev end) -> merges
+            ("u", 20, 25),                # separate
+            ("v", 0, 1),
+            ("u", None, 5), ("u", 3, None),  # null bounds dropped
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        got = sorted(
+            (r.k, r.s, r.e, r.n_merged)
+            for r in merge_intervals(df, "k", "s", "e").collect()
+        )
+        assert got == [("u", 0, 15, 3), ("u", 20, 25, 1), ("v", 0, 1, 1)]
+
+    def test_min_gap_bridges_small_holes(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import merge_intervals
+
+        df = spark.createDataFrame(
+            [("u", 0, 10), ("u", 13, 20), ("u", 40, 50)], "k string, s long, e long"
+        )
+        got = sorted(
+            (r.s, r.e) for r in merge_intervals(df, "k", "s", "e", min_gap=5).collect()
+        )
+        assert got == [(0, 20), (40, 50)]
+
+    def test_contained_interval(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.timeseries import merge_intervals
+
+        # second interval entirely inside the first: running-max of ends
+        # must not regress to the shorter end
+        df = spark.createDataFrame(
+            [("u", 0, 100), ("u", 10, 20), ("u", 90, 150)], "k string, s long, e long"
+        )
+        got = [(r.s, r.e, r.n_merged) for r in merge_intervals(df, "k", "s", "e").collect()]
+        assert got == [(0, 150, 3)]
