@@ -1135,3 +1135,82 @@ def phrase_search(
         .where(F.col("__hit") == k)
     )
     return occurrences.groupBy(id_col).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrences within a
+    ±``window`` word distance — the classic collocation / word-association
+    statistic (Church & Hanks 1990).
+
+    The pair join is LINEAR in tokens × window, never per-doc quadratic:
+    each posting is replicated ``window`` times with target positions
+    ``pos+1 .. pos+window`` and equi-joined on (doc, position) — the
+    standard skip-gram pair generation. Pairs are unordered
+    (least/greatest), counts aggregate corpus-wide, and
+    ``pmi = ln(p_ab / (p_a * p_b))`` with p_ab over pair observations and
+    p_a over token observations, rounded to 4dp. Output:
+    ``(tok_a, tok_b, pair_count, pmi)`` for pairs with
+    ``pair_count >= min_count`` (the PMI normalizer uses ALL pairs).
+    """
+    norm = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")),
+            r"\s+",
+        ),
+        lambda t: t != "",
+    )
+    postings = df.select(
+        F.col(id_col).alias("__doc"), F.posexplode(norm).alias("__pos", "__tok")
+    )
+    n_tok = postings.count()
+    left = postings.select(
+        "__doc",
+        F.col("__tok").alias("__ta"),
+        F.explode(
+            F.sequence(F.col("__pos") + 1, F.col("__pos") + window)
+        ).alias("__pos"),
+    )
+    pairs_all = (
+        left.join(postings, ["__doc", "__pos"])
+        .select(
+            F.least(F.col("__ta"), F.col("__tok")).alias("tok_a"),
+            F.greatest(F.col("__ta"), F.col("__tok")).alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist()
+    )
+    # normalizer over ALL pair observations (pre-filter) — true PMI, not
+    # renormalized over the surviving head
+    n_pairs = pairs_all.agg(F.sum("pair_count")).first()[0] or 1
+    pairs = pairs_all.where(F.col("pair_count") >= min_count)
+    uni = postings.groupBy(F.col("__tok").alias("__t")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        pairs.join(F.broadcast(uni.withColumnRenamed("__t", "tok_a")), "tok_a")
+        .withColumnRenamed("__c", "__ca")
+        .join(F.broadcast(uni.withColumnRenamed("__t", "tok_b")), "tok_b")
+        .withColumnRenamed("__c", "__cb")
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("__ca") / F.lit(float(n_tok)))
+                        * (F.col("__cb") / F.lit(float(n_tok)))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -2392,6 +2392,39 @@ FROM g GROUP BY user_id, grp
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (Church & Hanks): token pairs within a ±5 word
+    window, linear skip-gram pair generation (posting × window equi-join,
+    never per-doc quadratic); ln-ratio rounded 4dp. The oracle generates
+    pairs with an independent quadratic position-filter join."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.pmi_cooccurrence(docs, "doc_id", "text", window=5, min_count=20)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(t) AS tokk, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+n_tok AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tok),
+pairs_all AS (
+  SELECT LEAST(a.tokk, b.tokk) AS tok_a, GREATEST(a.tokk, b.tokk) AS tok_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 5
+  GROUP BY 1, 2
+),
+np AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS n_pairs FROM pairs_all),
+uni AS (SELECT tokk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1)
+SELECT tok_a, tok_b, pair_count,
+       ROUND(LN((pair_count / n_pairs) / ((ua.c / nt) * (ub.c / nt))), 4) AS pmi
+FROM pairs_all CROSS JOIN np CROSS JOIN n_tok
+JOIN uni ua ON ua.tokk = tok_a
+JOIN uni ub ON ub.tokk = tok_b
+WHERE pair_count >= 20
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8158,6 +8191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "association_rules": q_association_rules,
     "state_quantiles": q_state_quantiles,
     "merge_intervals": q_merge_intervals,
+    "pmi_collocations": q_pmi_collocations,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8367,6 +8401,7 @@ ORACLES: dict[str, str] = {
     "association_rules": SQL_ASSOCIATION_RULES,
     "state_quantiles": SQL_STATE_QUANTILES,
     "merge_intervals": SQL_MERGE_INTERVALS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

@@ -2710,3 +2710,32 @@ class TestTiffHeader:
             w, h, fmt = parse_image_header(full[:cut])
             assert fmt in ("tiff", "unknown")  # never raises
         assert parse_image_header(b"II+\x00rest") == (None, None, "unknown")
+
+
+class TestPmiCooccurrence:
+    def test_collocated_pair_scores_high(self, spark):
+        # "strong coffee" always adjacent; "strong" and "tea" never co-occur
+        rows = [(i, "strong coffee is good") for i in range(10)] + [
+            (100 + i, "weak tea is fine") for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.tok_a, r.tok_b): r.pmi
+            for r in textstats.pmi_cooccurrence(
+                docs, "doc_id", "text", window=2, min_count=5
+            ).collect()
+        }
+        assert ("coffee", "strong") in got
+        assert got[("coffee", "strong")] > 0
+        assert ("strong", "tea") not in got
+        # within-sentence generic pair has lower PMI than the exclusive one
+        assert got[("coffee", "strong")] >= got.get(("good", "is"), -99)
+
+    def test_window_respected(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a x x x x x b")] * 6, "doc_id long, text string"
+        )
+        near = textstats.pmi_cooccurrence(docs, "doc_id", "text", window=2, min_count=1)
+        assert ("a", "b") not in {(r.tok_a, r.tok_b) for r in near.collect()}
+        far = textstats.pmi_cooccurrence(docs, "doc_id", "text", window=6, min_count=1)
+        assert ("a", "b") in {(r.tok_a, r.tok_b) for r in far.collect()}
