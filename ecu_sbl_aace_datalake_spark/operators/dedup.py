@@ -1574,3 +1574,46 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def corpus_overlap_stats(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram COVERAGE of corpus B in corpus A: for each B
+    document, what fraction of its distinct word n-grams also appear
+    anywhere in A — the corpus-overlap audit behind dataset-mixing and
+    leakage reports (a coarser, quantitative cousin of the 8-gram
+    decontamination flag).
+
+    A's side collapses to a DISTINCT n-gram hash set first (bounded by
+    vocabulary, not corpus size) and the check is a semi-join-shaped
+    aggregate: B's exploded grams LEFT JOIN A's set, one groupBy(id).
+    No n-gram strings shuffle — only 64-bit hashes. Output:
+    ``(id_col, n_grams, n_shared, coverage)`` for every B doc with >= 1
+    n-gram; coverage rounded 6dp.
+    """
+    a_set = (
+        shingle_hashes(df_a, text_col, n=n, out_col="__g")
+        .select(F.explode("__g").alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    b_grams = (
+        shingle_hashes(df_b, text_col, n=n, out_col="__g")
+        .select(id_col, F.explode(F.array_distinct("__g")).alias("__s"))
+    )
+    return (
+        b_grams.join(a_set, "__s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "coverage", F.round(F.col("n_shared") / F.col("n_grams"), 6)
+        )
+    )

@@ -2425,6 +2425,42 @@ WHERE pair_count >= 20
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit: per-document 3-gram coverage of the B slice
+    (doc_id >= 250) in the A slice (doc_id < 250) — A collapses to a
+    distinct hash set (vocabulary-bounded), only 64-bit hashes shuffle.
+    Oracle recomputes with string 3-grams (hash/string sets agree, the
+    decontamination argument)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") < 250)
+    b = docs.where(F.col("doc_id") >= 250)
+    return dedup.corpus_overlap_stats(a, b, "doc_id", n=3)
+
+
+SQL_CORPUS_OVERLAP = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+  FROM tok
+),
+ag AS (SELECT DISTINCT unnest(grams) AS s FROM g WHERE doc_id < 250),
+bgr AS (SELECT doc_id, unnest(grams) AS s FROM g WHERE doc_id >= 250),
+j AS (
+  SELECT bgr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN ag.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM bgr LEFT JOIN ag ON bgr.s = ag.s
+  GROUP BY bgr.doc_id
+)
+SELECT doc_id, n_grams, n_shared, ROUND(n_shared * 1.0 / n_grams, 6) AS coverage FROM j
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8192,6 +8228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "state_quantiles": q_state_quantiles,
     "merge_intervals": q_merge_intervals,
     "pmi_collocations": q_pmi_collocations,
+    "corpus_overlap": q_corpus_overlap,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8402,6 +8439,7 @@ ORACLES: dict[str, str] = {
     "state_quantiles": SQL_STATE_QUANTILES,
     "merge_intervals": SQL_MERGE_INTERVALS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "corpus_overlap": SQL_CORPUS_OVERLAP,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,

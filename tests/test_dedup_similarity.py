@@ -2739,3 +2739,27 @@ class TestPmiCooccurrence:
         assert ("a", "b") not in {(r.tok_a, r.tok_b) for r in near.collect()}
         far = textstats.pmi_cooccurrence(docs, "doc_id", "text", window=6, min_count=1)
         assert ("a", "b") in {(r.tok_a, r.tok_b) for r in far.collect()}
+
+
+class TestCorpusOverlap:
+    def test_full_partial_zero_coverage(self, spark):
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta"),        # all 3-grams in A
+                (11, "beta gamma delta zeta eta"),     # partial
+                (12, "one two three four"),            # none
+                (13, "xy"),                            # too short: no 3-grams
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.n_shared, r.coverage)
+            for r in dedup.corpus_overlap_stats(a, b, "doc_id", n=3).collect()
+        }
+        assert got[10] == (2, 2, 1.0)
+        assert got[11][0] == 3 and got[11][1] == 1
+        assert got[12] == (2, 0, 0.0)
+        assert 13 not in got  # no n-grams -> no row
