@@ -231,6 +231,7 @@ class TestGlobalPlanInvariants:
         "multimodal_retrieval",
         "histogram_quantiles",  # literal q-list × 1-row total, <= bins-row non-equi probe
         "grouped_quantiles",    # broadcast literal q-list over per-key cum rows
+        "state_quantiles",      # same broadcast q-list, fed from histogram state
         "cms_join_size",        # 1-row est × 1-row true_size scalar cross join
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
