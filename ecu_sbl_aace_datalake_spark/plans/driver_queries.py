@@ -2461,6 +2461,47 @@ SELECT doc_id, n_grams, n_shared, ROUND(n_shared * 1.0 / n_grams, 6) AS coverage
 """
 
 
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document (slice
+    doc_id < 50), ranked on the 6dp-rounded score with token tie-break so
+    the ranking is engine-deterministic."""
+    from pyspark.sql.window import Window as W
+
+    tfidf = textstats.tf_idf(_t(spark, sf_dir, "documents")).where(F.col("doc_id") < 50)
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        tfidf.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
+SQL_TOP_TERMS_PER_DOC = r"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+  WHERE doc_id < 50
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tfidf FROM ranked WHERE rank <= 3
+"""
+
+
 def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts: the
     mergeable fixed-size (depth x width) counter table answers "how often
@@ -8229,6 +8270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_intervals": q_merge_intervals,
     "pmi_collocations": q_pmi_collocations,
     "corpus_overlap": q_corpus_overlap,
+    "top_terms_per_doc": q_top_terms_per_doc,
     "embedding_exact_dedup": q_embedding_exact_dedup,
     "approx_distinct": q_approx_distinct,
     "grouped_zscore": q_grouped_zscore,
@@ -8440,6 +8482,7 @@ ORACLES: dict[str, str] = {
     "merge_intervals": SQL_MERGE_INTERVALS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "corpus_overlap": SQL_CORPUS_OVERLAP,
+    "top_terms_per_doc": SQL_TOP_TERMS_PER_DOC,
     "embedding_exact_dedup": SQL_EMBEDDING_EXACT_DEDUP,
     "grouped_zscore": SQL_GROUPED_ZSCORE,
     "grouped_agg_udaf": SQL_GROUPED_AGG_UDAF,
