@@ -1617,3 +1617,137 @@ def corpus_overlap_stats(
             "coverage", F.round(F.col("n_shared") / F.col("n_grams"), 6)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership index: fixed-size broadcast prefilter
+# --------------------------------------------------------------------------
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct values of long column
+    ``key_col`` as a DataFrame of ``(bucket long, word long)`` — bucket
+    ``b`` holds bits ``[64*b, 64*b+63]`` of an ``m_bits``-wide bitset.
+
+    The point at 100 TB: a benchmark/blocklist key set can be billions of
+    rows (too big to broadcast), but its Bloom image is FIXED SIZE —
+    ``m_bits/64`` rows (= ``m_bits/8`` bytes) no matter how many keys went
+    in — so the membership test stays a map-side broadcast join. Bit
+    positions are ``xxhash64(key, seed_i) mod m_bits`` (k independent
+    seeds); buckets are bit_or-merged, so two Bloom images with the same
+    (m_bits, k) merge by unioning the tables and re-aggregating — the
+    standard mergeable-sketch property.
+
+    Pure built-in expressions (explode + shift/mask + bit_or aggregate):
+    no UDF, no driver collect.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(
+        F.array(*[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ])
+    ).alias("__pos")
+    return (
+        keys.select(F.col(key_col)).distinct()
+        .select(pos)
+        .select(
+            F.shiftright("__pos", 6).alias("bucket"),
+            # shiftleft's bit-count arg is Column-typed only in SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("__bit"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_prefilter(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Keep only probe rows whose ``key_col`` MIGHT be in the Bloom set
+    (no false negatives; false-positive rate ~ (1-e^{-kn/m})^k). Purely
+    MAP-SIDE: the fixed-size bloom table is broadcast k times — one
+    left broadcast-hash join per hash function, each immediately followed
+    by its bit-test filter, so misses are pruned after the first probe and
+    the probe side never shuffles. Row multiplicity is preserved.
+    """
+    out = probes
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        out = out.withColumn("__pos", pos)
+        side = F.broadcast(
+            bloom.select(
+                F.col("bucket").alias("__bbk"), F.col("word").alias("__bw")
+            )
+        )
+        out = (
+            out.join(side, F.shiftright("__pos", 6) == F.col("__bbk"), "left")
+            .where(
+                F.expr(
+                    "shiftright(COALESCE(__bw, CAST(0 AS BIGINT)),"
+                    " CAST(__pos % 64 AS INT)) & 1"
+                )
+                == 1
+            )
+            .drop("__pos", "__bbk", "__bw")
+        )
+    return out
+
+
+def bloom_contamination_flags(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Exact test-set decontamination with a Bloom PREFILTER: same output
+    as :func:`contamination_flags` (bit-for-bit — the Bloom has no false
+    negatives and survivors are exactly re-verified), but the corpus-side
+    scan is filtered by a FIXED-SIZE broadcast instead of the full
+    benchmark n-gram set.
+
+    Why this exists: `contamination_flags` broadcasts the benchmark's
+    distinct n-gram hashes — fine for one eval suite, not for a
+    billion-gram blocklist. Here the corpus's exploded grams first pass a
+    ``m_bits/8``-byte Bloom image (map-side, fixed size regardless of
+    benchmark size), and only the tiny surviving fraction reaches the
+    exact verification join, which can then afford to be a shuffle join.
+    """
+    doc_grams = shingle_hashes(df, text_col, n=n, out_col="__g").select(
+        id_col, F.explode("__g").alias("__s")
+    )
+    bench_grams = (
+        shingle_hashes(benchmark_df, bench_text_col, n=n, out_col="__g")
+        .select(F.explode("__g").alias("__s"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_grams, "__s", m_bits=m_bits, k=k)
+    candidates = bloom_prefilter(doc_grams, bloom, "__s", m_bits=m_bits, k=k)
+    hits = (
+        candidates.join(bench_grams, "__s")  # exact verify: kills false positives
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

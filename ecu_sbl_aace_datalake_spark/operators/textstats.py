@@ -1214,3 +1214,230 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal (RefinedWeb-style corpus line filtering)
+# --------------------------------------------------------------------------
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Drop LINES that recur across the corpus (navigation chrome, cookie
+    banners, license footers — the RefinedWeb/CCNet line-filtering step):
+    a line whose whitespace-normalized lowercase form appears in at least
+    ``min_docs`` DISTINCT documents is removed from every document; each
+    document is reassembled from its surviving lines in order.
+
+    Differs from :func:`~..operators.dedup.paragraph_dedup` (keep-first)
+    deliberately: boilerplate is noise in its first document too, so no
+    occurrence survives.
+
+    Scale: one posexplode (no shuffle), one groupBy on the normalized line
+    key (bounded by distinct lines, with map-side partial aggregation),
+    one join back on that key, one groupBy(id) reassembly. Line text rides
+    the shuffle once — same unavoidable cost argument as paragraph_dedup.
+    Output: input id + ``out_col`` (default: replaces ``text_col``) +
+    ``n_lines``/``n_removed`` (counted over non-empty lines).
+    """
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).where(F.trim("line") != "")
+    norm = F.lower(F.trim(F.regexp_replace("line", r"\s+", " ")))
+    lines = lines.withColumn("__k", F.md5(norm))
+    common = (
+        lines.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("__k", F.lit(True).alias("__boiler"))
+    )
+    kept = (
+        lines.join(common, "__k", "left")
+        .withColumn("__rm", F.coalesce("__boiler", F.lit(False)))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__rm"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(out_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("__rm").cast("long")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-distribution quality signals: entropy + Unicode script mix
+# --------------------------------------------------------------------------
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution — the cheap compressibility proxy quality signal: near-0
+    entropy is degenerate repetition (``aaaa...``), unusually high entropy
+    is often binary junk or encoding damage; natural-language text sits in
+    a stable band (~4 bits for English).
+
+    Plan: explode to characters, count per (doc, char), one groupBy(doc)
+    for ``-sum(p*log2(p))``. Both aggregations get map-side partial
+    combine; nothing leaves the JVM. Output ``(id, n_chars, entropy)``
+    with entropy rounded 6dp.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    # H = -sum(p log2 p) = log2(n) - sum(c*log2 c)/n: one aggregate, no
+    # window over the group's own sum
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chars"),
+            F.round(
+                F.log2(F.sum("cnt"))
+                - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+_SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    # (lo, hi) inclusive codepoint ranges per script class — the coarse
+    # blocks a language-mix audit needs, not a full Unicode property table.
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    "digit": [(0x30, 0x39)],
+    "cyrillic": [(0x400, 0x4FF)],
+    "greek": [(0x370, 0x3FF)],
+    "arabic": [(0x600, 0x6FF)],
+    "cjk": [(0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)],
+}
+
+
+def script_mix(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode-script composition: the fraction of non-space
+    characters falling in each coarse script class (latin / digit /
+    cyrillic / greek / arabic / cjk / other) — the standard multilingual-
+    corpus audit signal (mixed-script docs are frequently spam or mojibake,
+    and per-language pipelines route on the dominant script).
+
+    Pure column expressions: one char split + ``size(filter(...))`` per
+    class over codepoints (``ascii`` returns the full codepoint of the
+    first character, not just 7-bit ASCII) — no explode, no shuffle beyond
+    the projection itself, stays in whole-stage codegen.
+    """
+    chars = F.filter(
+        F.split(F.col(text_col), ""),
+        lambda c: (c != "") & ~c.rlike(r"^\s$"),
+    )
+    n = F.size(chars)
+
+    def frac(ranges: list[tuple[int, int]]) -> F.Column:
+        def in_ranges(c):
+            cp = F.ascii(c)
+            cond = F.lit(False)
+            for lo, hi in ranges:
+                cond = cond | ((cp >= lo) & (cp <= hi))
+            return cond
+
+        return F.when(n > 0, F.round(F.size(F.filter(chars, in_ranges)) / n, 6)).otherwise(0.0)
+
+    cols = [F.col(id_col), n.cast("long").alias("n_chars")]
+    for name, ranges in _SCRIPT_RANGES.items():
+        cols.append(frac(ranges).alias(f"frac_{name}"))
+    # "other" is classified directly (chars in NO class), not 1 - sum of
+    # rounded fractions — the subtraction form cancels to ±0.0 artifacts
+    all_ranges = [r for rs in _SCRIPT_RANGES.values() for r in rs]
+
+    def none_of(c):
+        cp = F.ascii(c)
+        cond = F.lit(False)
+        for lo, hi in all_ranges:
+            cond = cond | ((cp >= lo) & (cp <= hi))
+        return ~cond
+
+    cols.append(
+        F.when(n > 0, F.round(F.size(F.filter(chars, none_of)) / n, 6))
+        .otherwise(0.0)
+        .alias("frac_other")
+    )
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Suffix-stripping stemmer (Porter step-1 style, engine-portable rules)
+# --------------------------------------------------------------------------
+
+def stem(col: Column) -> Column:
+    """Light suffix-stripping stemmer (the high-yield Porter step-1
+    subset) as a pure CASE expression — deliberately regex-free so the
+    rules mean exactly the same thing in any engine an oracle runs on:
+
+    1. ``-sses`` → ``-ss``;  2. ``-ies`` → ``-i``;
+    3. ``-s`` dropped unless the word ends ``-ss``/``-us``;
+    4. ``-ing`` dropped when len > 5;  5. ``-ed`` dropped when len > 4.
+
+    Rules apply once, in order, first match wins (no iteration) — enough
+    to fold plural/gerund/past families for token statistics; not a
+    linguistics claim.
+    """
+    ln = F.length(col)
+
+    def drop_last(k: int) -> Column:
+        return col.substr(F.lit(1), ln - k)
+
+    return (
+        F.when(col.endswith("sses"), drop_last(2))
+        .when(col.endswith("ies"), drop_last(2))
+        .when(
+            col.endswith("s") & ~col.endswith("ss") & ~col.endswith("us"),
+            drop_last(1),
+        )
+        .when(col.endswith("ing") & (ln > 5), drop_last(3))
+        .when(col.endswith("ed") & (ln > 4), drop_last(2))
+        .otherwise(col)
+    )
+
+
+def stemmed_token_counts(
+    df: DataFrame, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus token frequencies AFTER suffix stripping: tokenize, apply
+    :func:`stem` inside an array ``transform`` (still codegen — the CASE
+    expression inlines), explode, count. Folds inflected families
+    (``query/queries``, ``sort/sorted/sorting``) into one row, which is
+    what vocabulary-coverage and topic-drift audits actually want to see.
+    One groupBy with map-side partial aggregation; optionally top-``n`` by
+    (count desc, stem) as a single TakeOrderedAndProject.
+    """
+    toks = tokens(F.col(text_col))
+    stemmed = F.transform(toks, lambda t: stem(t))
+    out = (
+        df.select(F.explode(stemmed).alias("stem_tok"))
+        .groupBy("stem_tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    if top_n is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("stem_tok")).limit(top_n)
+    return out

@@ -8519,3 +8519,299 @@ ORACLES: dict[str, str] = {
     "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
     "promotion_suppliers": SQL_PROMOTION_SUPPLIERS,
 }
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: bloom decontamination, line boilerplate removal,
+# char-distribution signals, stemming, JL projection ANN, Morton codes
+# --------------------------------------------------------------------------
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a FIXED-SIZE Bloom prefilter
+    (dedup.bloom_contamination_flags): same slices and bit-identical
+    output as `decontamination` (the Bloom never false-negatives and
+    survivors are exactly re-verified), but the corpus-side check is k
+    map-side broadcast joins against an m/8-byte bitset instead of a
+    broadcast of the full benchmark n-gram set — the shape that still
+    works when the blocklist has billions of grams. Oracle: the exact
+    8-gram overlap (same as the direct query)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    return dedup.bloom_contamination_flags(
+        corpus, bench, "doc_id", n=8, m_bits=1 << 18, k=5
+    ).select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits"), "contaminated"
+    )
+
+
+BOILER_TEXT_EXPR = (
+    "substring(text, 1, 80) || chr(10) || 'subscribe to our newsletter' || "
+    "chr(10) || (CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' "
+    "ELSE 'unique footer ' || CAST(doc_id AS STRING) END) || chr(10) || "
+    "substring(text, 81)"
+)
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus boilerplate removal (RefinedWeb/CCNet line
+    filtering, textstats.remove_boilerplate_lines): lines whose normalized
+    form appears in >= 3 distinct documents are dropped EVERYWHERE (unlike
+    paragraph_dedup's keep-first); documents reassembled in order. The
+    payload injects a universal banner line and a 1-in-3 footer so the
+    threshold actually separates classes; oracle replicates the count +
+    filter + ordered string_agg relationally."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(BOILER_TEXT_EXPR).alias("text")
+    )
+    return textstats.remove_boilerplate_lines(docs, "doc_id", min_docs=3)
+
+
+SQL_BOILERPLATE_REMOVAL = rf"""
+WITH d AS (SELECT doc_id, {BOILER_TEXT_EXPR} AS btxt FROM documents),
+l0 AS (
+  SELECT doc_id,
+         unnest(string_split(btxt, chr(10))) AS line,
+         unnest(range(1, len(string_split(btxt, chr(10))) + 1)) AS pos
+  FROM d
+),
+l AS (
+  SELECT doc_id, pos, line,
+         lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nk
+  FROM l0 WHERE trim(line) <> ''
+),
+common AS (
+  SELECT nk FROM l GROUP BY nk HAVING COUNT(DISTINCT doc_id) >= 3
+),
+k AS (
+  SELECT l.*, (common.nk IS NOT NULL) AS rm
+  FROM l LEFT JOIN common ON l.nk = common.nk
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM k GROUP BY doc_id
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (textstats.char_entropy) — the compressibility-proxy quality signal:
+    both engines compute H = log2(n) - sum(c*log2 c)/n over per-(doc,char)
+    counts, rounded 6dp."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.char_entropy(docs, "doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+f AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+       ROUND(log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt), 6) AS entropy
+FROM f GROUP BY doc_id
+"""
+
+
+SCRIPT_TEXT_EXPR = (
+    "substring(text, 1, 40) || repeat('д', doc_id % 5) || "
+    "repeat('日', doc_id % 4) || repeat('α', doc_id % 3) || "
+    "repeat('7', doc_id % 3) || repeat('ب', doc_id % 2)"
+)
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition per document (textstats.script_mix):
+    fractions of non-space chars per coarse script class from codepoint
+    ranges — pure filter/size expressions, no explode. The payload mixes
+    deterministic Cyrillic/CJK/Greek/Arabic/digit runs into the Latin
+    fixture text so every range is exercised; the oracle classifies with
+    the same ranges via unicode()."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(SCRIPT_TEXT_EXPR).alias("text")
+    )
+    return textstats.script_mix(docs, "doc_id")
+
+
+def _script_mix_oracle_sql() -> str:
+    from ..operators.textstats import _SCRIPT_RANGES
+
+    fracs = []
+    names = []
+    for name, ranges in _SCRIPT_RANGES.items():
+        cond = " OR ".join(
+            f"(unicode(ch) BETWEEN {lo} AND {hi})" for lo, hi in ranges
+        )
+        fracs.append(
+            f"CASE WHEN len(chs) > 0 THEN ROUND(CAST(len(list_filter(chs, "
+            f"ch -> {cond})) AS DOUBLE) / len(chs), 6) ELSE 0.0 END AS frac_{name}"
+        )
+        names.append(f"frac_{name}")
+    all_cond = " OR ".join(
+        f"(unicode(ch) BETWEEN {lo} AND {hi})"
+        for ranges in _SCRIPT_RANGES.values()
+        for lo, hi in ranges
+    )
+    fracs.append(
+        f"CASE WHEN len(chs) > 0 THEN ROUND(CAST(len(list_filter(chs, "
+        f"ch -> NOT ({all_cond}))) AS DOUBLE) / len(chs), 6) ELSE 0.0 END"
+        " AS frac_other"
+    )
+    names.append("frac_other")
+    return f"""
+WITH d AS (SELECT doc_id, {SCRIPT_TEXT_EXPR} AS stxt FROM documents),
+c AS (
+  SELECT doc_id,
+         list_filter(string_split(stxt, ''),
+                     ch -> ch <> '' AND NOT regexp_matches(ch, '^\\s$')) AS chs
+  FROM d
+)
+SELECT doc_id, CAST(len(chs) AS BIGINT) AS n_chars,
+       {', '.join(fracs)}
+FROM c
+"""
+
+
+STEM_TEXT_EXPR = (
+    "text || ' queries sorting sorted batches bus miss classes flies ' || "
+    "source || 's'"
+)
+
+
+def q_stemmed_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies after suffix stripping
+    (textstats.stemmed_token_counts): the engine-portable Porter-step-1
+    CASE rules fold plural/gerund/past families; the payload appends
+    suffixed forms (plus a per-doc pluralized source tag) so every rule
+    fires. Oracle: identical CASE rules over unnested whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr(STEM_TEXT_EXPR).alias("text")
+    )
+    return textstats.stemmed_token_counts(docs)
+
+
+SQL_STEMMED_TOP_TOKENS = rf"""
+WITH d AS (SELECT {STEM_TEXT_EXPR} AS stxt FROM documents),
+t AS (
+  SELECT unnest(list_filter(string_split_regex(trim(stxt), '\s+'), w -> w <> '')) AS w
+  FROM d
+),
+s AS (
+  SELECT CASE
+    WHEN w LIKE '%sses' THEN substr(w, 1, length(w) - 2)
+    WHEN w LIKE '%ies' THEN substr(w, 1, length(w) - 2)
+    WHEN w LIKE '%s' AND w NOT LIKE '%ss' AND w NOT LIKE '%us'
+      THEN substr(w, 1, length(w) - 1)
+    WHEN w LIKE '%ing' AND length(w) > 5 THEN substr(w, 1, length(w) - 3)
+    WHEN w LIKE '%ed' AND length(w) > 4 THEN substr(w, 1, length(w) - 2)
+    ELSE w END AS stem_tok
+  FROM t
+)
+SELECT stem_tok, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY stem_tok
+"""
+
+
+def q_embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection ANN (similarity.rp_topk):
+    corpus and queries projected 64→16 dims with the deterministic
+    Achlioptas ±1/4 sign matrix (fixed LCG), exact top-10 cosine in
+    projected space. FULLY oracled: the oracle regenerates the same
+    matrix as a literal and replicates projection, cosine, and the
+    (score desc, vec_id) tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.rp_topk(emb, queries, k=10, out_dim=16, seed=7)
+
+
+def _rp_topk_oracle_sql() -> str:
+    mat = similarity.projection_matrix(64, 16, seed=7)
+    mat_lit = "[" + ", ".join(
+        "[" + ", ".join(f"{x:.6f}" for x in row) + "]" for row in mat
+    ) + "]"
+    return f"""
+WITH m AS (SELECT CAST({mat_lit} AS DOUBLE[][]) AS mat),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(range(1, 17),
+           j -> list_dot_product(CAST(embedding AS DOUBLE[]), mat[j])) AS qv
+  FROM embeddings, m WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id,
+         list_transform(range(1, 17),
+           j -> list_dot_product(CAST(embedding AS DOUBLE[]), mat[j])) AS cv
+  FROM embeddings, m
+),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv)
+           / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s)
+WHERE rn <= 10
+"""
+
+
+def q_zvalue_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave codes (functions.zorder
+    .morton_interleave — the clustering key behind io.zorder_table's
+    multi-dimension data skipping): 8-bit x/y from order keys,
+    bit-interleaved with pure shift/mask expressions. Oracle: the same
+    16-term shift/mask sum in SQL."""
+    from ..functions.zorder import morton_interleave
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    y = F.pmod(F.col("o_orderkey"), F.lit(256)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        morton_interleave([x, y], bits=8).alias("zval"),
+    )
+
+
+def _zvalue_oracle_sql() -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(o_orderkey % 256 AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey, x, y, CAST({' + '.join(terms)} AS BIGINT) AS zval FROM b
+"""
+
+
+QUERIES.update({
+    "bloom_decontamination": q_bloom_decontamination,
+    "boilerplate_removal": q_boilerplate_removal,
+    "char_entropy": q_char_entropy,
+    "script_mix": q_script_mix,
+    "stemmed_top_tokens": q_stemmed_top_tokens,
+    "embedding_rp_topk": q_embedding_rp_topk,
+    "zvalue_codes": q_zvalue_codes,
+})
+
+ORACLES.update({
+    "bloom_decontamination": SQL_DECONTAMINATION,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "script_mix": _script_mix_oracle_sql(),
+    "stemmed_top_tokens": SQL_STEMMED_TOP_TOKENS,
+    "embedding_rp_topk": _rp_topk_oracle_sql(),
+    "zvalue_codes": _zvalue_oracle_sql(),
+})
