@@ -215,6 +215,7 @@ class TestGlobalPlanInvariants:
     # PLANS.md reading guide) and bounded pairwise ops
     CARTESIAN_OK = {
         "tf_idf",              # 1-row corpus-size scalar broadcast
+        "top_terms_per_doc",   # same scalar broadcast inside tf_idf()
         "tfidf_retrieval",     # same scalar broadcast inside tf_idf()
         "bm25_retrieval",      # 1-row (n_docs, avgdl) scalar broadcast
         "hybrid_retrieval",    # fuses the two queries above
@@ -225,6 +226,7 @@ class TestGlobalPlanInvariants:
         "trigram_lm_scores",   # 1-row (V, N) scalar broadcast
         "levenshtein_pairs",   # bounded slice pairwise
         "embedding_topk",      # tiny query set broadcast vs corpus scan
+        "embedding_rp_topk",   # same shape over JL-projected vectors
         "embedding_topk_quantized",  # same deliberate shape: broadcast query set, int8 scan
         "embedding_topk_pq_fixed",   # broadcast query set vs m-byte PQ code scan
         "text_embedding_topk",

@@ -224,3 +224,21 @@ class TestRandomProjection:
         recall = len(e & p) / len(e)
         n_corpus = emb.count()
         assert recall > 2.5 * (10 / n_corpus), (recall, n_corpus)
+
+
+class TestBloomPlan:
+    def test_prefilter_is_map_side(self, spark):
+        """The probe side must never shuffle: k broadcast-hash joins, zero
+        sort-merge joins anywhere in the prefilter plan."""
+        keys = spark.range(0, 100).select(F.col("id").alias("k"))
+        bloom = dedup.bloom_build(keys, "k", m_bits=1 << 12, k=4)
+        out = dedup.bloom_prefilter(
+            spark.range(0, 1000).select(F.col("id").alias("k")),
+            bloom,
+            "k",
+            m_bits=1 << 12,
+            k=4,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 4, plan
+        assert "SortMergeJoin" not in plan, plan
