@@ -377,3 +377,61 @@ def validate_nonnegative_weights(edges: DataFrame, weight_col: str = "w") -> Non
     neg = edges.where(F.col(weight_col) < 0).limit(1).count()
     if neg:
         raise ValueError("sssp_bellman_ford requires non-negative weights")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    symmetrize: bool = True,
+) -> DataFrame:
+    """k-core decomposition by bounded-round peeling: repeatedly drop
+    nodes with (undirected) degree < ``k`` until stable or ``rounds``
+    peels — the standard dense-subgraph / spam-cluster extractor.
+    Returns ``(node, degree)`` for surviving nodes with their degree
+    INSIDE the core.
+
+    Fixed-round semantics like :func:`pagerank` / :func:`bfs_hops`: each
+    peel is one degree aggregate + two semi-joins (edges restricted to
+    surviving endpoints), working state is the shrinking edge set only —
+    no path enumeration, no per-node iteration. Peeling converges in
+    O(max_core) rounds on most graphs; callers needing a convergence
+    proof compare round r and r+1 (equal => fixed point). Per-round
+    persist for the same reason as sssp: each round references the edge
+    state three times (degree + 2 joins), so an un-cached lineage would
+    triple per round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    prev = None
+    for _ in range(int(rounds)):
+        e = e.persist()
+        if prev is not None:
+            prev.unpersist()
+        prev = e
+        alive = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("src")
+        )
+        e = e.join(alive, "src", "semi").join(
+            alive.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

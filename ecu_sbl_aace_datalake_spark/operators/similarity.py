@@ -1196,3 +1196,38 @@ def rp_topk(
     return cosine_topk(
         c, q, id_col=id_col, vec_col="__p", k=k, query_id_col=query_id_col
     )
+
+
+def mutual_topk(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+) -> DataFrame:
+    """Mutual-nearest-neighbor matching between two embedding sets: keep
+    (a, b) only when b is in a's top-k OVER B *and* a is in b's top-k
+    over A — the reciprocal-best-match criterion behind embedding-space
+    entity alignment and bitext mining (each side must choose the other,
+    which kills the hub-match false positives a one-directional top-k
+    produces).
+
+    Composed from two :func:`cosine_topk` passes (each broadcasts its
+    query side) + one equi-join on the pair. For corpus×corpus scale,
+    feed the two directions from the ANN family (ivf/pq `*_topk`) and
+    join the same way — the mutuality join itself is linear in the
+    candidate lists. Returns ``(a_id, b_id, score)``, score from the a→b
+    direction, deterministic tie-breaks inherited from cosine_topk.
+    """
+    a_q = a_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    b_q = b_df.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    ab = cosine_topk(b_df, a_q, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col("query_id").alias("a_id"),
+        F.col(id_col).alias("b_id"),
+        F.col("score"),
+    )
+    ba = cosine_topk(a_df, b_q, id_col=id_col, vec_col=vec_col, k=k).select(
+        F.col(id_col).alias("a_id"),
+        F.col("query_id").alias("b_id"),
+    )
+    return ab.join(ba, ["a_id", "b_id"])

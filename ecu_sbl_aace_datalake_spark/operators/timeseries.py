@@ -398,3 +398,41 @@ def merge_intervals(
         )
         .drop("__grp")
     )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    top: int | None = 20,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Frequent event PATHS: per-key n-grams of consecutive events in time
+    order (the order-(n-1) generalization of the first-order transition
+    matrix) — the "what do users do next" sequence-mining primitive.
+    Deterministic ordering: (ts, tie_col) so simultaneous events don't
+    float between runs.
+
+    One window sort per key partition (Spark fuses the n-1 leads into a
+    single Window node), then a plain count with map-side partial
+    aggregation — the n-gram expansion never materializes more than n-1
+    extra string columns per event row. Returns ``(path, n_paths)``,
+    optionally top-``top`` by (count desc, path asc) as one
+    TakeOrderedAndProject.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)
+    ]
+    grams = df.select(
+        F.when(steps[-1].isNotNull(), F.concat_ws(" > ", *steps)).alias("path")
+    ).where(F.col("path").isNotNull())
+    out = grams.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    if top is not None:
+        out = out.orderBy(F.col("n_paths").desc(), F.col("path").asc()).limit(top)
+    return out

@@ -647,3 +647,63 @@ def pareto_frontier_2d(
         frontier_x,
         (clean[x_col] == frontier_x["__x"]) & (clean[y_col] == frontier_x["__ymax"]),
     ).drop("__x", "__ymax", "__prev")
+
+
+_US = chr(31)   # unit separator: joins canonical row fields
+_NULMARK = chr(0)  # distinguishes SQL NULL from empty string
+
+
+def _row_hash60(use: list[str]) -> Column:
+    # canonical row string: unit-separator joined, NUL marking nulls, so
+    # ("a", null) and ("a", "") hash differently; first 15 md5 hex chars
+    # parsed to a 60-bit integer (conv base 16 -> 10)
+    canon = F.concat_ws(
+        _US,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULMARK)) for c in use],
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content checksum of a table: per-row md5 over the
+    canonicalized column string, the first 15 hex chars parsed to a 60-bit
+    integer, SUMMED into one DECIMAL(38,0) — plus the row count. Two
+    tables hold identical row multisets iff (n_rows, checksum) match
+    (modulo negligible collision odds in the 60-bit sum).
+
+    The integrity primitive behind migration/replication verification at
+    100 TB: one pass, map-side partial aggregation, no sort — only tiny
+    (count, sum) partial states move; checksums of SHARDS ADD, so
+    per-shard fingerprints roll up to the table fingerprint for free
+    (sum/count are the mergeable state).
+
+    Callers pre-cast floating/temporal columns to an explicitly formatted
+    type (e.g. ``CAST(x AS DECIMAL(18,2))``) so the string form is
+    engine-portable.
+    """
+    use = cols or df.columns
+    return df.select(_row_hash60(use).alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__h").cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+def grouped_fingerprint(
+    df: DataFrame, group_col: str, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-group content checksums (same row hash as
+    :func:`table_fingerprint`, grouped): diffing two table versions by
+    partition key narrows a mismatch to the partitions that changed
+    without comparing any row data — the incremental-verification
+    companion to snapshot_diff."""
+    use = cols or [c for c in df.columns if c != group_col]
+    return (
+        df.select(F.col(group_col), _row_hash60(use).alias("__h"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__h").cast("decimal(38,0)").alias("checksum"),
+        )
+    )

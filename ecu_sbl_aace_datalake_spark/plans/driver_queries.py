@@ -8815,3 +8815,220 @@ ORACLES.update({
     "embedding_rp_topk": _rp_topk_oracle_sql(),
     "zvalue_codes": _zvalue_oracle_sql(),
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 2: k-core, table fingerprints, event paths, mutual matches
+# --------------------------------------------------------------------------
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.k_core): 5 bounded peel rounds at k=4
+    over the symmetrized customer–supplier trade graph (o_orderkey%5
+    slice; converges by round 4 at every fixture SF — round 5 proves the
+    fixed point). Oracle: the same 5 peels unrolled as chained CTEs,
+    like pagerank/bfs fixed rounds."""
+    from ..operators import graph
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.k_core(e, k=4, rounds=5)
+
+
+def _k_core_oracle_sql(k: int = 4, rounds: int = 5) -> str:
+    parts = [
+        "WITH p AS (",
+        "  SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,",
+        "         's' || CAST(l_suppkey AS STRING) AS dst",
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "  WHERE o_orderkey % 5 = 0",
+        "),",
+        "e0 AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", n{r} AS (SELECT src FROM e{r-1} GROUP BY src"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f", e{r} AS (SELECT e.src, e.dst FROM e{r-1} e"
+            f" JOIN n{r} a ON e.src = a.src JOIN n{r} b ON e.dst = b.src)"
+        )
+    parts.append(
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM e{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
+_FPRINT_SEP = chr(31)
+_HEX_PARSE = (
+    "list_reduce(list_transform(string_split(substr(md5({s}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)),"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+def _orders_canonical_spark(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("o_orderkey").cast("string").alias("c1"),
+        F.col("o_custkey").cast("string").alias("c2"),
+        F.col("o_orderstatus").alias("c3"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("c4"),
+        F.col("o_orderdate").cast("date").cast("string").alias("c5"),
+    )
+
+
+_ORDERS_CANON_DUCK = (
+    "SELECT CAST(o_orderkey AS STRING) AS c1, CAST(o_custkey AS STRING) AS c2,"
+    " o_orderstatus AS c3,"
+    " CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS c4,"
+    " CAST(CAST(o_orderdate AS DATE) AS STRING) AS c5 FROM orders"
+)
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content fingerprint
+    (transform.table_fingerprint): summed 60-bit row hashes + row count
+    over a canonicalized orders projection (explicit decimal/date casts
+    make the row string engine-portable). One map-side pass, mergeable
+    state — the migration-verification primitive. Oracle parses the same
+    md5 prefix with a hex fold and sums as HUGEINT."""
+    canon = _orders_canonical_spark(_t(spark, sf_dir, "orders"))
+    out = transform.table_fingerprint(canon)
+    return out.select("n_rows", F.col("checksum").cast("string").alias("checksum"))
+
+
+SQL_TABLE_CHECKSUM = f"""
+WITH canon AS ({_ORDERS_CANON_DUCK}),
+h AS (
+  SELECT {_HEX_PARSE.format(s="concat_ws(chr(31), c1, c2, c3, c4, c5)")} AS rh
+  FROM canon
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(rh) AS STRING) AS checksum
+FROM h
+"""
+
+
+def q_grouped_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group content checksums (transform.grouped_fingerprint) keyed
+    by order status: version-diff verification narrowed to the partitions
+    that changed, no row comparison. Same row hash as table_checksum,
+    one grouped aggregate."""
+    canon = _orders_canonical_spark(_t(spark, sf_dir, "orders"))
+    out = transform.grouped_fingerprint(canon, "c3")
+    return out.select(
+        F.col("c3").alias("status"),
+        "n_rows",
+        F.col("checksum").cast("string").alias("checksum"),
+    )
+
+
+SQL_GROUPED_CHECKSUM = f"""
+WITH canon AS ({_ORDERS_CANON_DUCK}),
+h AS (
+  SELECT c3, {_HEX_PARSE.format(s="concat_ws(chr(31), c1, c2, c4, c5)")} AS rh
+  FROM canon
+)
+SELECT c3 AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rh) AS STRING) AS checksum
+FROM h GROUP BY c3
+"""
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event paths (timeseries.event_path_ngrams): per-user
+    consecutive event-type trigrams in (ts, event_id) order — the
+    order-2 sequence-mining generalization of transition_matrix. Oracle:
+    the same two leads + count + (count desc, path) top-20."""
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.event_path_ngrams(
+        ev, "user_id", "ts", "event_type", n=3, top=20, tie_col="event_id"
+    )
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path FROM s WHERE e3 IS NOT NULL
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM g GROUP BY path
+ORDER BY n_paths DESC, path LIMIT 20
+"""
+
+
+def q_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match embedding alignment (similarity.mutual_topk):
+    (a, b) kept only when each is in the other's top-3 between two fixed
+    vector slices — the hub-killing criterion behind entity alignment /
+    bitext mining. Oracle replicates both directional top-3 windows and
+    the mutuality join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") < 100)
+    b = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300))
+    return similarity.mutual_topk(a, b, k=3)
+
+
+SQL_MUTUAL_TOPK = """
+WITH a AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100
+),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id >= 100 AND vec_id < 300
+),
+ab AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(b.v, a.v)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(a.v, a.v))) AS score
+  FROM a CROSS JOIN b
+),
+ab_r AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rn
+  FROM ab
+),
+ba_r AS (
+  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY score DESC, a_id) AS rn
+  FROM ab
+)
+SELECT x.a_id, x.b_id, ROUND(x.score, 6) AS score
+FROM (SELECT a_id, b_id, score FROM ab_r WHERE rn <= 3) x
+JOIN (SELECT a_id, b_id FROM ba_r WHERE rn <= 3) y
+  ON x.a_id = y.a_id AND x.b_id = y.b_id
+"""
+
+
+QUERIES.update({
+    "k_core": q_k_core,
+    "table_checksum": q_table_checksum,
+    "grouped_checksum": q_grouped_checksum,
+    "event_trigrams": q_event_trigrams,
+    "mutual_topk": q_mutual_topk,
+})
+
+ORACLES.update({
+    "k_core": _k_core_oracle_sql(),
+    "table_checksum": SQL_TABLE_CHECKSUM,
+    "grouped_checksum": SQL_GROUPED_CHECKSUM,
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "mutual_topk": SQL_MUTUAL_TOPK,
+})

@@ -242,3 +242,139 @@ class TestBloomPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") == 4, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestKCore:
+    def test_peels_pendants(self, spark):
+        # triangle a-b-c (2-core) + pendant chain c-d, d-e
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+            ["src", "dst"],
+        )
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        core = graph.k_core(edges, k=2, rounds=4).collect()
+        got = {r["node"]: r["degree"] for r in core}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_fixed_point_stable(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+        )
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        r3 = sorted(map(tuple, graph.k_core(edges, k=2, rounds=3).collect()))
+        r6 = sorted(map(tuple, graph.k_core(edges, k=2, rounds=6).collect()))
+        assert r3 == r6
+
+    def test_k_validation(self, spark):
+        edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        with pytest.raises(ValueError):
+            graph.k_core(edges, k=0)
+
+
+class TestFingerprint:
+    def test_order_independent(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["id", "v"])
+        b = spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], ["id", "v"])
+        fa = transform.table_fingerprint(a).collect()[0]
+        fb = transform.table_fingerprint(b).collect()[0]
+        assert fa["checksum"] == fb["checksum"] and fa["n_rows"] == 3
+
+    def test_sensitive_to_any_change(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+        b = spark.createDataFrame([(1, "x"), (2, "Y")], ["id", "v"])
+        assert (
+            transform.table_fingerprint(a).collect()[0]["checksum"]
+            != transform.table_fingerprint(b).collect()[0]["checksum"]
+        )
+
+    def test_null_vs_empty_distinct(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        a = spark.createDataFrame([(1, None)], "id int, v string")
+        b = spark.createDataFrame([(1, "")], "id int, v string")
+        assert (
+            transform.table_fingerprint(a).collect()[0]["checksum"]
+            != transform.table_fingerprint(b).collect()[0]["checksum"]
+        )
+
+    def test_shards_add(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+        b = spark.createDataFrame([(3, "z")], ["id", "v"])
+        fa = transform.table_fingerprint(a).collect()[0]
+        fb = transform.table_fingerprint(b).collect()[0]
+        fu = transform.table_fingerprint(a.union(b)).collect()[0]
+        assert fu["checksum"] == fa["checksum"] + fb["checksum"]
+        assert fu["n_rows"] == fa["n_rows"] + fb["n_rows"]
+
+    def test_grouped_matches_filtered(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [("g1", 1, "x"), ("g1", 2, "y"), ("g2", 3, "z")], ["g", "id", "v"]
+        )
+        grouped = {
+            r["g"]: r
+            for r in transform.grouped_fingerprint(df, "g").collect()
+        }
+        for g in ("g1", "g2"):
+            direct = transform.table_fingerprint(
+                df.where(F.col("g") == g).drop("g")
+            ).collect()[0]
+            assert grouped[g]["checksum"] == direct["checksum"]
+            assert grouped[g]["n_rows"] == direct["n_rows"]
+
+
+class TestEventPaths:
+    def test_trigram_counts(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {
+            r["path"]: r["n_paths"]
+            for r in timeseries.event_path_ngrams(
+                df, "user_id", "ts", "event_type", n=3, top=None
+            ).collect()
+        }
+        assert got == {"a > b > c": 2, "b > c > b": 1}
+
+    def test_bigrams_and_short_keys_skipped(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        rows = [(1, 1, "a"), (1, 2, "b"), (2, 1, "x")]  # user 2: 1 event only
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {
+            r["path"]: r["n_paths"]
+            for r in timeseries.event_path_ngrams(
+                df, "user_id", "ts", "event_type", n=2, top=None
+            ).collect()
+        }
+        assert got == {"a > b": 1}
+
+
+class TestMutualTopk:
+    def test_mutual_pairs_only(self, spark):
+        # a1<->b1 mutual besties; b_hub is a2's best but prefers a1 (not mutual)
+        rows_a = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.2])]
+        rows_b = [(10, [0.9, 0.1, 0.0]), (11, [0.1, 0.0, 1.0])]
+        a = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+        b = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+        out = similarity.mutual_topk(a, b, k=1).collect()
+        pairs = {(r["a_id"], r["b_id"]) for r in out}
+        assert (1, 10) in pairs
+        # with k=1: a2's best is b10 (cos(a2,b10)=0.1.. check) — mutuality
+        # requires b10's best to be a2, but b10 prefers a1, so no (2, 10)
+        assert (2, 10) not in pairs
