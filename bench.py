@@ -119,6 +119,26 @@ BENCH_QUERIES = [
     "key_skew_report",
     "topk_with_ties",
     "bfs_hops",
+    "state_quantiles",
+    "pmi_collocations",
+    "corpus_overlap",
+    "merge_intervals",
+    "top_terms_per_doc",
+    "association_rules",
+    "pareto_frontier",
+    "transition_matrix",
+    "bloom_decontamination",
+    "boilerplate_removal",
+    "char_entropy",
+    "script_mix",
+    "stemmed_top_tokens",
+    "embedding_rp_topk",
+    "zvalue_codes",
+    "k_core",
+    "table_checksum",
+    "grouped_checksum",
+    "event_trigrams",
+    "mutual_topk",
 ]
 
 

@@ -168,3 +168,85 @@ def state_histogram(state: DataFrame, keys: Sequence[str]) -> DataFrame:
     return state.select(
         *keys, F.posexplode("hist").alias("bin", "cnt")
     ).where(F.col("cnt") > 0)
+
+
+# --------------------------------------------------------------------------
+# Exact mergeable distinct counting: bucketed roaring-style bitmaps
+# --------------------------------------------------------------------------
+
+def bitmap_distinct_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    out_col: str = "bm",
+) -> DataFrame:
+    """EXACT distinct-count state per key group: Spark's bitmap aggregate
+    family packs integer ids into fixed 4 KB bitmaps, bucketed by
+    ``id // 32768`` — the mergeable-bitmap pattern (roaring-lite) that
+    HLL's approximate rollups can't give you when the count must be
+    exact.
+
+    State rows are ``(*keys, bucket, bitmap)``; two states over disjoint
+    or overlapping row sets merge with :func:`merge_bitmap_states`
+    (bit-or is idempotent, so re-delivered rows don't double-count —
+    stronger than count/sum states, which need exactly-once input).
+    Requires a non-negative integral ``id_col``; cost is one shuffle on
+    ``(keys, bucket)`` with map-side partial construction.
+    """
+    key = F.col(id_col).cast("long")
+    return (
+        df.where(key.isNotNull() & (key >= 0))
+        .groupBy(*keys, F.bitmap_bucket_number(key).alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(key)).alias(out_col))
+    )
+
+
+def merge_bitmap_states(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], bm_col: str = "bm"
+) -> DataFrame:
+    """OR-merge two bitmap state tables: union + one bitmap_or_agg per
+    ``(keys, bucket)``. Idempotent and commutative — replaying a batch is
+    harmless, shard states roll up associatively."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bucket")
+        .agg(F.bitmap_or_agg(bm_col).alias(bm_col))
+    )
+
+
+def bitmap_distinct_counts(
+    state: DataFrame, keys: Sequence[str], bm_col: str = "bm"
+) -> DataFrame:
+    """Resolve a bitmap state to exact per-key distinct counts:
+    sum of per-bucket bitmap_count — no rescan of the fact table."""
+    return (
+        state.groupBy(*keys)
+        .agg(F.sum(F.bitmap_count(F.col(bm_col))).cast("long").alias("n_distinct"))
+    )
+
+
+def rolling_distinct_from_bitmaps(
+    state: DataFrame,
+    day_col: str,
+    window_days: int,
+    bm_col: str = "bm",
+) -> DataFrame:
+    """EXACT trailing-N-day distinct counts from a per-day bitmap state:
+    join each day to its trailing window's states (bounded fan-out:
+    ``window_days`` per row), OR-merge per (day, bucket), sum bucket
+    counts. The exact replacement for approximate sliding HLL when the
+    id domain is integral — cost scales with state rows × window, never
+    with fact rows.
+
+    ``day_col`` must be a date column in ``state``.
+    """
+    days = state.select(F.col(day_col).alias("__d")).distinct()
+    in_window = state.join(
+        days,
+        (F.col(day_col) <= F.col("__d"))
+        & (F.col(day_col) > F.date_sub(F.col("__d"), window_days)),
+    )
+    merged = in_window.groupBy(F.col("__d").alias(day_col), F.col("bucket")).agg(
+        F.bitmap_or_agg(bm_col).alias(bm_col)
+    )
+    return bitmap_distinct_counts(merged, [day_col], bm_col=bm_col)

@@ -599,3 +599,78 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def cooccurrence_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+    min_cosine: float = 0.0,
+    top_per_item: int | None = None,
+) -> DataFrame:
+    """Item–item COSINE similarity over basket co-occurrence — the
+    classic collaborative-filtering neighborhood model (Sarwar et al.,
+    WWW'01): ``cos(i,j) = n_ij / sqrt(n_i * n_j)`` where ``n_i`` counts
+    baskets containing i. Normalizing the raw pair counts kills the
+    popularity bias that makes :func:`frequent_pairs` rank ubiquitous
+    items together.
+
+    Same a-priori-pruned shape as frequent_pairs (only frequent items can
+    reach ``min_support`` pairs), plus two broadcast joins of the
+    (small, pruned) item-count table to attach n_i / n_j. Optional
+    top-``top_per_item`` by (cosine desc, item_b) per item_a via one
+    window over the (already reduced) pair rows.
+
+    Returns ``(item_a, item_b, pair_count, cosine)`` with item_a < item_b
+    string order, cosine rounded 6dp.
+    """
+    pairs_base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).cast("string").alias("__i")
+    ).distinct()
+    item_counts = (
+        pairs_base.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= int(min_support))
+    )
+    pruned = pairs_base.join(
+        F.broadcast(item_counts.select("__i")), "__i", "left_semi"
+    )
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_support))
+    )
+    na = item_counts.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("__na")
+    )
+    nb = item_counts.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("__nb")
+    )
+    scored = (
+        pair_counts.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(
+                F.col("pair_count") / F.sqrt(F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= float(min_cosine))
+    )
+    if top_per_item is not None:
+        w = Window.partitionBy("item_a").orderBy(
+            F.col("cosine").desc(), F.col("item_b").asc()
+        )
+        scored = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= int(top_per_item))
+            .drop("__rk")
+        )
+    return scored

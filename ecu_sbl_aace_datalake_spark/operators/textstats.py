@@ -1441,3 +1441,48 @@ def stemmed_token_counts(
     if top_n is not None:
         out = out.orderBy(F.col("n").desc(), F.col("stem_tok")).limit(top_n)
     return out
+
+
+# --------------------------------------------------------------------------
+# Markup stripping: the web-corpus text-extraction cleanup stage
+# --------------------------------------------------------------------------
+
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    # order matters: &amp; LAST or it would double-decode &amp;lt;
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def strip_markup(col: Column) -> Column:
+    """Strip HTML/XML markup from a text column — the standard
+    web-corpus extraction cleanup: drop <script>/<style> blocks WITH
+    their contents, remove remaining tags, decode the six ubiquitous
+    entities, collapse whitespace runs, trim. Pure regexp_replace/replace
+    chain (RE2-safe patterns: no backrefs, no lookaround), so it runs in
+    whole-stage codegen and replicates verbatim in any regex-capable
+    oracle engine."""
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def with_stripped_markup(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Column form of :func:`strip_markup` plus the audit counts a
+    pipeline gate wants: stripped length and the markup fraction
+    (1 - clean/raw length), 4dp."""
+    clean = strip_markup(F.col(text_col))
+    raw_len = F.length(text_col)
+    return df.withColumn(out_col, clean).withColumn(
+        "markup_frac",
+        F.when(
+            raw_len > 0,
+            F.round(1.0 - F.length(out_col) / raw_len, 4),
+        ).otherwise(0.0),
+    )

@@ -707,3 +707,56 @@ def grouped_fingerprint(
             F.sum("__h").cast("decimal(38,0)").alias("checksum"),
         )
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    n_folds: int = 5,
+    fold_key: str | None = None,
+    prior_weight: float = 10.0,
+    hash_algo: str = "xxhash64",
+) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding: each row's category is
+    encoded with the label mean computed from the OTHER folds only, plus
+    additive smoothing toward the global mean (``prior_weight`` pseudo
+    counts) — the standard tabular-ML categorical encoder, done without
+    ever training on a row's own label.
+
+    Deterministic folds: ``xxhash64(fold_key) pmod n_folds`` (fold_key
+    defaults to cat_col — pass the row id for proper row-level folds).
+    All-aggregate implementation: one (cat, fold) aggregate, one global
+    aggregate, and the out-of-fold mean is (cat_total - own_fold) /
+    (cat_cnt - own_fold_cnt) via a broadcast-sized join — no per-fold
+    re-scan, no window over the fact table. Adds ``(fold, te_<cat_col>)``.
+    """
+    key = F.col(fold_key) if fold_key else F.col(cat_col)
+    fold = F.pmod(F.xxhash64(key), F.lit(n_folds)).cast("int")
+    tagged = df.withColumn("fold", fold)
+    per_fold = tagged.groupBy(cat_col, "fold").agg(
+        F.sum(F.col(label_col).cast("double")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    per_cat = per_fold.groupBy(cat_col).agg(
+        F.sum("__s").alias("__cat_s"), F.sum("__c").alias("__cat_c")
+    )
+    glob = df.agg(
+        F.avg(F.col(label_col).cast("double")).alias("__gmean")
+    )
+    enc = (
+        per_fold.join(per_cat, cat_col)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            cat_col,
+            "fold",
+            (
+                (
+                    F.col("__cat_s") - F.col("__s")
+                    + F.lit(float(prior_weight)) * F.col("__gmean")
+                )
+                / (F.col("__cat_c") - F.col("__c") + F.lit(float(prior_weight)))
+            ).alias(f"te_{cat_col}"),
+        )
+    )
+    return tagged.join(F.broadcast(enc), [cat_col, "fold"], "left")
