@@ -724,15 +724,25 @@ def target_encode_oof(
     counts) — the standard tabular-ML categorical encoder, done without
     ever training on a row's own label.
 
-    Deterministic folds: ``xxhash64(fold_key) pmod n_folds`` (fold_key
-    defaults to cat_col — pass the row id for proper row-level folds).
+    Deterministic folds: ``hash(fold_key) pmod n_folds`` (fold_key
+    defaults to cat_col — pass the row id for proper row-level folds);
+    ``hash_algo`` picks xxhash64 (fastest) or an md5-prefix bucket
+    (bit-replicable by any engine with md5, for cross-engine checks).
     All-aggregate implementation: one (cat, fold) aggregate, one global
     aggregate, and the out-of-fold mean is (cat_total - own_fold) /
     (cat_cnt - own_fold_cnt) via a broadcast-sized join — no per-fold
     re-scan, no window over the fact table. Adds ``(fold, te_<cat_col>)``.
     """
     key = F.col(fold_key) if fold_key else F.col(cat_col)
-    fold = F.pmod(F.xxhash64(key), F.lit(n_folds)).cast("int")
+    if hash_algo == "md5":
+        h = F.conv(
+            F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        fold = F.pmod(h, F.lit(n_folds)).cast("int")
+    elif hash_algo == "xxhash64":
+        fold = F.pmod(F.xxhash64(key), F.lit(n_folds)).cast("int")
+    else:
+        raise ValueError(f"unknown hash_algo {hash_algo!r}")
     tagged = df.withColumn("fold", fold)
     per_fold = tagged.groupBy(cat_col, "fold").agg(
         F.sum(F.col(label_col).cast("double")).alias("__s"),

@@ -9032,3 +9032,198 @@ ORACLES.update({
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "mutual_topk": SQL_MUTUAL_TOPK,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 3: markup stripping, target encoding, co-occurrence CF,
+# exact bitmap distinct rollups
+# --------------------------------------------------------------------------
+
+HTML_TEXT_EXPR = (
+    "'<html><body><p class=\"x\">' || substring(text, 1, 60) || "
+    "'</p><script>var x = 1;</script>' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '<b>bold</b> extra' "
+    "ELSE '&amp; &lt;tag&gt; &quot;q&quot;' END) || '</body></html>'"
+)
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus markup stripping (textstats.with_stripped_markup):
+    script/style blocks dropped with contents, tags removed, the six
+    ubiquitous entities decoded, whitespace collapsed — plus the
+    markup-fraction audit column. RE2-safe patterns replicate verbatim
+    in the oracle (DuckDB needs the explicit 'g' flag where Spark
+    replaces all matches by default)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(HTML_TEXT_EXPR).alias("text")
+    )
+    return textstats.with_stripped_markup(docs).select(
+        "doc_id", "clean_text", "markup_frac"
+    )
+
+
+SQL_HTML_STRIP = rf"""
+WITH d AS (SELECT doc_id, {HTML_TEXT_EXPR} AS htxt FROM documents),
+s AS (
+  SELECT doc_id, htxt,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(htxt, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM d
+)
+SELECT doc_id, clean_text,
+       CASE WHEN LENGTH(htxt) > 0
+            THEN ROUND(1.0 - CAST(LENGTH(clean_text) AS DOUBLE) / LENGTH(htxt), 4)
+            ELSE 0.0 END AS markup_frac
+FROM s
+"""
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding
+    (transform.target_encode_oof): order priority encoded by the
+    smoothed mean of the is-F label computed from the other 5 folds only
+    (md5 fold assignment so the oracle replicates the buckets). Output
+    aggregated per (priority, fold) — every distinct encoded value the
+    fact rows carry."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("double").alias("label"),
+    )
+    out = transform.target_encode_oof(
+        orders,
+        "o_orderpriority",
+        "label",
+        n_folds=5,
+        fold_key="o_orderkey",
+        prior_weight=10.0,
+        hash_algo="md5",
+    )
+    return (
+        out.groupBy("o_orderpriority", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.first("te_o_orderpriority"), 6).alias("te"),
+        )
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS STRING)), 1, 15))::BIGINT % 5 AS INT) AS fold
+  FROM orders
+),
+pf AS (
+  SELECT o_orderpriority, fold, SUM(label) AS s, COUNT(*) AS c
+  FROM o GROUP BY o_orderpriority, fold
+),
+pc AS (
+  SELECT o_orderpriority, SUM(s) AS cat_s, SUM(c) AS cat_c
+  FROM pf GROUP BY o_orderpriority
+),
+g AS (SELECT AVG(label) AS gmean FROM o),
+enc AS (
+  SELECT pf.o_orderpriority, pf.fold,
+         (pc.cat_s - pf.s + 10.0 * g.gmean) / (pc.cat_c - pf.c + 10.0) AS te
+  FROM pf JOIN pc USING (o_orderpriority) CROSS JOIN g
+)
+SELECT o.o_orderpriority, o.fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(ANY_VALUE(enc.te), 6) AS te
+FROM o JOIN enc ON o.o_orderpriority = enc.o_orderpriority AND o.fold = enc.fold
+GROUP BY o.o_orderpriority, o.fold
+"""
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (skew.cooccurrence_similarity):
+    supplier pairs scored by co-purchase cosine n_ij/sqrt(n_i*n_j) over
+    the 5%-of-orders basket slice, a-priori pruned, top-5 neighbors per
+    item — the popularity-debiased cousin of frequent_pairs. Oracle is
+    the same normalized self-join."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return skew.cooccurrence_similarity(
+        li, "l_orderkey", "l_suppkey", min_support=3, top_per_item=5
+    )
+
+
+SQL_ITEM_SIMILARITY = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, CAST(l_suppkey AS STRING) AS item
+  FROM lineitem WHERE l_orderkey % 20 = 0
+),
+ic AS (
+  SELECT item, COUNT(*) AS n FROM b GROUP BY item HAVING COUNT(*) >= 3
+),
+pruned AS (SELECT b.* FROM b JOIN ic USING (item)),
+pc AS (
+  SELECT x.item AS item_a, y.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pruned x JOIN pruned y ON x.bk = y.bk AND x.item < y.item
+  GROUP BY x.item, y.item HAVING COUNT(*) >= 3
+),
+sc AS (
+  SELECT pc.item_a, pc.item_b, pc.pair_count,
+         ROUND(pc.pair_count / sqrt(na.n * nb.n), 6) AS cosine
+  FROM pc
+  JOIN ic na ON pc.item_a = na.item
+  JOIN ic nb ON pc.item_b = nb.item
+)
+SELECT item_a, item_b, pair_count, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY item_a ORDER BY cosine DESC, item_b) AS rk FROM sc)
+WHERE rk <= 5
+"""
+
+
+def q_bitmap_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users from per-day bitmap states
+    (aggstate.bitmap_distinct_state + rolling_distinct_from_bitmaps):
+    Spark's bitmap aggregate family as the mergeable EXACT alternative
+    to HLL rollups — per-(day,bucket) 4KB bitmaps OR-merge across the
+    trailing window, never rescanning events. Oracle: the literal
+    trailing COUNT(DISTINCT)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    state = aggstate.bitmap_distinct_state(ev, ["day"], "user_id")
+    return aggstate.rolling_distinct_from_bitmaps(state, "day", 7).select(
+        "day", "n_distinct"
+    )
+
+
+SQL_BITMAP_ROLLING_DISTINCT = """
+WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+d AS (SELECT DISTINCT day FROM e)
+SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct
+FROM d JOIN e ON e.day <= d.day AND e.day > d.day - 7
+GROUP BY d.day
+"""
+
+
+QUERIES.update({
+    "html_strip": q_html_strip,
+    "target_encoding": q_target_encoding,
+    "item_similarity": q_item_similarity,
+    "bitmap_rolling_distinct": q_bitmap_rolling_distinct,
+})
+
+ORACLES.update({
+    "html_strip": SQL_HTML_STRIP,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "item_similarity": SQL_ITEM_SIMILARITY,
+    "bitmap_rolling_distinct": SQL_BITMAP_ROLLING_DISTINCT,
+})

@@ -378,3 +378,160 @@ class TestMutualTopk:
         # with k=1: a2's best is b10 (cos(a2,b10)=0.1.. check) — mutuality
         # requires b10's best to be a2, but b10 prefers a1, so no (2, 10)
         assert (2, 10) not in pairs
+
+
+class TestStripMarkup:
+    def test_golden(self, spark):
+        cases = [
+            ("<p>Hello <b>world</b></p>", "Hello world"),
+            ("a<script>var x = '<b>';</script>b", "a b"),
+            ("x<style>p { color: red }</style>y", "x y"),
+            ("<!-- note -->keep", "keep"),
+            ("Tom &amp; Jerry &lt;3", "Tom & Jerry <3"),
+            ("&amp;lt; stays &amp;lt;", "&lt; stays &lt;"),  # no double-decode
+            ("  lots   of\n\nspace  ", "lots of space"),
+            ("", ""),
+        ]
+        df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], ["i", "text"])
+        out = textstats.with_stripped_markup(df).collect()
+        got = {r["i"]: r["clean_text"] for r in out}
+        for i, (_, expect) in enumerate(cases):
+            assert got[i] == expect, (i, got[i], expect)
+
+    def test_markup_frac(self, spark):
+        df = spark.createDataFrame([(1, "<b>hi</b>")], ["i", "text"])
+        r = textstats.with_stripped_markup(df).collect()[0]
+        assert r["clean_text"] == "hi"
+        assert r["markup_frac"] == round(1 - 2 / 9, 4)
+
+
+class TestTargetEncoding:
+    def test_out_of_fold_no_leakage(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        rows = [(i, "a" if i < 8 else "b", float(i % 2)) for i in range(12)]
+        df = spark.createDataFrame(rows, ["id", "cat", "label"])
+        out = transform.target_encode_oof(
+            df, "cat", "label", n_folds=3, fold_key="id", prior_weight=2.0
+        ).collect()
+        # recompute expectation per (cat, fold) from the raw rows
+        import collections
+
+        folds = {r["id"]: r["fold"] for r in out}
+        stat = collections.defaultdict(lambda: [0.0, 0])
+        for i, c, l in rows:
+            stat[(c, folds[i])][0] += l
+            stat[(c, folds[i])][1] += 1
+        cat_tot = collections.defaultdict(lambda: [0.0, 0])
+        for (c, f), (s, n) in stat.items():
+            cat_tot[c][0] += s
+            cat_tot[c][1] += n
+        gmean = sum(l for _, _, l in rows) / len(rows)
+        for r in out:
+            c, f = r["cat"], r["fold"]
+            s, n = stat[(c, f)]
+            expect = (cat_tot[c][0] - s + 2.0 * gmean) / (cat_tot[c][1] - n + 2.0)
+            assert abs(r["te_cat"] - expect) < 1e-12
+
+    def test_md5_and_xxhash_folds_both_work(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(i, "c", 1.0) for i in range(10)], ["id", "cat", "label"]
+        )
+        for algo in ("md5", "xxhash64"):
+            out = transform.target_encode_oof(
+                df, "cat", "label", n_folds=4, fold_key="id", hash_algo=algo
+            )
+            assert out.count() == 10
+        with pytest.raises(ValueError):
+            transform.target_encode_oof(df, "cat", "label", hash_algo="nope")
+
+
+class TestCooccurrenceSimilarity:
+    def test_cosine_values(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        # items x,y co-occur in 2 of x's 3 / y's 2 baskets
+        rows = [
+            (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "z"),
+        ]
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        out = skew.cooccurrence_similarity(
+            df, "basket", "item", min_support=2
+        ).collect()
+        got = {(r["item_a"], r["item_b"]): r for r in out}
+        assert got[("x", "y")]["pair_count"] == 2
+        import math
+
+        assert abs(got[("x", "y")]["cosine"] - round(2 / math.sqrt(3 * 2), 6)) < 1e-9
+        assert ("x", "z") not in got  # z below support
+
+    def test_top_per_item(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        rows = []
+        for b in range(4):
+            rows += [(b, "a"), (b, "b")]
+        for b in range(4, 6):
+            rows += [(b, "a"), (b, "c")]
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        out = skew.cooccurrence_similarity(
+            df, "basket", "item", min_support=2, top_per_item=1
+        ).collect()
+        a_rows = [r for r in out if r["item_a"] == "a"]
+        assert len(a_rows) == 1 and a_rows[0]["item_b"] == "b"  # higher cosine
+
+
+class TestBitmapDistinct:
+    def test_matches_exact_and_cross_bucket(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        # ids straddle the 32768 bitmap bucket boundary
+        rows = [("g1", i) for i in [1, 2, 32767, 32768, 70000, 70000]] + [
+            ("g2", 5)
+        ]
+        df = spark.createDataFrame(rows, ["g", "uid"])
+        state = aggstate.bitmap_distinct_state(df, ["g"], "uid")
+        got = {
+            r["g"]: r["n_distinct"]
+            for r in aggstate.bitmap_distinct_counts(state, ["g"]).collect()
+        }
+        assert got == {"g1": 5, "g2": 1}
+
+    def test_merge_idempotent(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        df = spark.createDataFrame([("g", i) for i in range(100)], ["g", "uid"])
+        s1 = aggstate.bitmap_distinct_state(df, ["g"], "uid")
+        # replaying the same batch must not change counts (bit-or idempotent)
+        merged = aggstate.merge_bitmap_states(s1, s1, ["g"])
+        got = aggstate.bitmap_distinct_counts(merged, ["g"]).collect()[0]
+        assert got["n_distinct"] == 100
+
+    def test_rolling_matches_exact(self, spark):
+        import datetime
+
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        base = datetime.date(2024, 1, 1)
+        rows = []
+        for d in range(10):
+            for u in range(d % 4 + 1):
+                rows.append((base + datetime.timedelta(days=d), u * 1000 + d % 3))
+        df = spark.createDataFrame(rows, "day date, user_id long")
+        state = aggstate.bitmap_distinct_state(df, ["day"], "user_id")
+        got = {
+            r["day"]: r["n_distinct"]
+            for r in aggstate.rolling_distinct_from_bitmaps(state, "day", 3).collect()
+        }
+        # exact reference
+        exact = {}
+        for d in range(10):
+            day = base + datetime.timedelta(days=d)
+            users = {
+                u for (dd, u) in rows
+                if dd <= day and dd > day - datetime.timedelta(days=3)
+            }
+            exact[day] = len(users)
+        assert got == exact
