@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "grouped_checksum",
     "event_trigrams",
     "mutual_topk",
+    "html_strip",
+    "target_encoding",
+    "item_similarity",
+    "bitmap_rolling_distinct",
 ]
 
 

@@ -235,6 +235,9 @@ class TestGlobalPlanInvariants:
         "grouped_quantiles",    # broadcast literal q-list over per-key cum rows
         "state_quantiles",      # same broadcast q-list, fed from histogram state
         "cms_join_size",        # 1-row est × 1-row true_size scalar cross join
+        "mutual_topk",          # two bounded query-slice broadcasts (cosine_topk x2)
+        "target_encoding",      # 1-row global-mean scalar broadcast
+        "bitmap_rolling_distinct",  # day-spine non-equi probe: |days| x state rows, both bounded
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
