@@ -143,6 +143,13 @@ BENCH_QUERIES = [
     "target_encoding",
     "item_similarity",
     "bitmap_rolling_distinct",
+    "linreg_price_quantity",
+    "linreg_residuals",
+    "lang_id_auc",
+    "correlation_matrix",
+    "events_autocorrelation",
+    "cusum_alarms",
+    "winnowing_fingerprints",
 ]
 
 

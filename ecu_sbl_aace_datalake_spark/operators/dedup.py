@@ -1751,3 +1751,82 @@ def bloom_contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram of the
+    whitespace-normalized text, slide a window of ``w`` consecutive
+    k-gram hashes, select the minimum hash per window (ties broken by
+    the leftmost position via a composite key, so selection is
+    deterministic), and dedupe the selections. The guarantee: any shared
+    substring of length >= k + w - 1 between two documents yields at
+    least one shared fingerprint — position-robust plagiarism/overlap
+    detection that whole-doc hashes and fixed-stride shingles miss.
+
+    Returns ``(id, pos, fingerprint)`` — one row per selected k-gram.
+
+    Scale: everything before the final DISTINCT is a map-side pipeline
+    (normalize -> k-gram explode -> hash); the per-doc window runs over
+    an already-id-partitioned sort (one shuffle on id), and only the
+    winnowed ~2/(w+1) fraction of gram rows survives into the distinct.
+    The hash is the md5-low-60-bits idiom so a SQL oracle replicates it
+    bit-for-bit.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    d = df.select(F.col(id_col).alias("__id"), norm.alias("__t")).withColumn(
+        "__ng", F.length("__t") - F.lit(k - 1)
+    )
+    grams = (
+        d.where(F.col("__ng") >= 1)
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__ng")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.col("__t").substr(i, F.lit(k))), 1, 15
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("__id", "g.pos", "g.h")
+    )
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    key = F.concat(
+        F.lpad(F.col("h").cast("string"), 19, "0"),
+        F.lpad(F.col("pos").cast("string"), 8, "0"),
+    )
+    selected = (
+        grams.withColumn("__selkey", F.min(key).over(win))
+        .withColumn("__wn", F.count(F.lit(1)).over(win))
+        .where(F.col("__wn") == w)
+        .select("__id", "__selkey")
+        .distinct()
+    )
+    return selected.select(
+        F.col("__id").alias(id_col),
+        F.substring("__selkey", 20, 8).cast("int").alias("pos"),
+        F.substring("__selkey", 1, 19).cast("long").alias("fingerprint"),
+    )

@@ -1,0 +1,361 @@
+"""Distributed statistical-learning primitives: regression, ranking
+metrics, and correlation — all aggregate-shaped (one shuffle on the
+grouping key, map-side partial combine) with bit-deterministic arithmetic
+so every result is DuckDB-oracle-able.
+
+Design rules shared by every function here (the same discipline as
+``operators/classifier.py``):
+
+- **Exact sums first, floats last.** Raw doubles are cast to
+  ``DECIMAL(18,6)`` before any SUM, so the accumulated moments are exact
+  and order-independent (a float sum's low bits depend on partition
+  order — unacceptable for a correctness-gated engine). The closed-form
+  float arithmetic (slope, AUC, correlation) happens once per *group*,
+  on the already-reduced moments, in a fixed expression order that an
+  oracle replicates IEEE-exactly.
+- **No per-row windows where an aggregate works.** AUC is computed from
+  per-distinct-score counts (the window runs over distinct scores, not
+  rows) — at 100 TB the rank-sum never materializes a global row order.
+- **Nothing collects.** Multivariate fits reduce to a d×d moment matrix
+  (one aggregate row); only that tiny matrix reaches the driver.
+
+The reference engine has no ML surface (its core is
+``/root/reference/ecu/sbl/aace/datalake/common.py`` — IO + star-schema
+helpers); this module is extension surface for the LLM-data-pipeline
+use cases (quality-score calibration, feature screening, drift).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "linreg_simple",
+    "linreg_fit",
+    "linreg_score",
+    "auc_score",
+    "confusion_metrics",
+    "correlation_matrix",
+]
+
+_DEC = "decimal(18,6)"
+
+# Frozen OLS weights: linreg_fit(lineitem@sf0.001, ["l_quantity",
+# "l_discount"], "l_extendedprice") — [intercept, w_quantity, w_discount].
+# Bit-deterministic provenance (exact decimal moments + fixed LAPACK
+# solve); tests/test_ml.py re-fits and asserts equality, same pattern as
+# classifier.WEIGHTS_QUALITY_V1. Scoring queries embed these as literals
+# so the residual analysis is fully SQL-oracle-able.
+WEIGHTS_PRICE_V1 = [
+    52606.645296310235,
+    -20.778911718791665,
+    16147.383298783365,
+]
+
+
+def _d(c: Column) -> Column:
+    """Exact 6dp fixed-point view of a double column (both engines round
+    the same double to the same decimal; ties at the 6dp boundary cannot
+    occur for binary doubles)."""
+    return c.cast(_DEC)
+
+
+def linreg_simple(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Optional[Sequence[str]] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple (one-feature) OLS regression in ONE aggregate pass.
+
+    Returns one row per group: ``n, slope, intercept, r2``. The five
+    moments (Σx, Σy, Σxx, Σxy, Σyy) accumulate as exact decimals with
+    map-side partial aggregation — a single shuffle on the group key, no
+    second pass, no windows. The closed forms::
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r2 = (n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²))
+
+    run on doubles derived from those exact moments, in this exact
+    order, so a SQL oracle reproduces every bit. Degenerate groups
+    (constant x) return null slope/intercept/r2 rather than ±inf.
+    """
+    keys = list(by or [])
+    x = _d(F.col(x_col))
+    y = _d(F.col(y_col))
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0.0, cov_n / var_x)
+    intercept = F.when(var_x != 0.0, (sy - (cov_n / var_x) * sx) / n)
+    r2 = F.when(
+        (var_x != 0.0) & (var_y != 0.0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def linreg_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    y_col: str,
+    l2: float = 0.0,
+) -> List[float]:
+    """Multivariate OLS (with intercept) via the normal equations.
+
+    One aggregate computes the (d+1)×(d+1) moment matrix XᵀX and vector
+    Xᵀy as exact decimal sums — the ONLY data that reaches the driver —
+    then numpy solves the tiny system. ``l2`` adds ridge regularization
+    to the non-intercept diagonal. Returns ``[w_intercept, w_f1, ...]``.
+
+    Deterministic end to end: exact moments + a fixed LAPACK solve on a
+    fixed matrix. Refitting on the same data reproduces the same weights
+    bit-for-bit (the provenance property the frozen-weight scoring
+    queries rely on, same pattern as classifier.WEIGHTS_QUALITY_V1).
+    """
+    import numpy as np
+
+    feats = list(feature_cols)
+    cols = [F.lit(1.0).cast(_DEC).alias("__x0")] + [
+        _d(F.col(c)).alias(f"__x{i+1}") for i, c in enumerate(feats)
+    ]
+    base = df
+    for c in feats + [y_col]:
+        base = base.where(F.col(c).isNotNull())
+    xy = base.select(*cols, _d(F.col(y_col)).alias("__y"))
+    d = len(feats) + 1
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"m_{i}_{j}")
+            )
+        aggs.append(F.sum(F.col(f"__x{i}") * F.col("__y")).alias(f"v_{i}"))
+    row = xy.agg(*aggs).collect()[0]
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            xtx[i, j] = xtx[j, i] = float(row[f"m_{i}_{j}"] or 0)
+        xty[i] = float(row[f"v_{i}"] or 0)
+    if l2:
+        for i in range(1, d):
+            xtx[i, i] += l2
+    return [float(w) for w in np.linalg.solve(xtx, xty)]
+
+
+def linreg_score(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    weights: Sequence[float],
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Score rows with fixed OLS weights: ``w0 + Σ wi·xi`` as a pure
+    codegen projection (weights become literals — no join, no Python).
+    ``weights[0]`` is the intercept, matching :func:`linreg_fit`."""
+    feats = list(feature_cols)
+    if len(weights) != len(feats) + 1:
+        raise ValueError(
+            f"need {len(feats) + 1} weights (intercept first), got {len(weights)}"
+        )
+    pred = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feats):
+        pred = pred + F.lit(float(w)) * F.col(c).cast("double")
+    return df.withColumn(out_col, pred)
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: Optional[Sequence[str]] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tie-aware ROC AUC (Mann-Whitney U, midrank form) per group —
+    WITHOUT ranking individual rows.
+
+    Scale shape: aggregate to per-(group, distinct score) counts first,
+    run the cumulative window over *distinct scores* (thousands, not
+    billions), and keep the rank-sum in exact integer arithmetic::
+
+        2·midrank(s) = 2·(# rows with smaller score) + count(s) + 1
+        AUC = (Σ_pos 2·midrank − 2·P(P+1)/2) / (2·P·N)
+
+    Every term up to the final division is a BIGINT — no float
+    accumulation anywhere, so the result is bit-deterministic and
+    oracle-able. Groups lacking both classes return null AUC.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*keys, F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(lab).alias("__pos"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if keys
+        else Window.partitionBy(F.lit(1))
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "__below", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+    )
+    # Σ_pos 2·midrank, exactly: pos·(2·below + cnt + 1)
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(
+            F.col("__pos")
+            * (F.lit(2) * F.col("__below") + F.col("__cnt") + F.lit(1))
+        ).alias("__s2"),
+        F.sum("__pos").alias("__p"),
+        F.sum(F.col("__cnt") - F.col("__pos")).alias("__n"),
+    )
+    p = F.col("__p")
+    nn = F.col("__n")
+    auc = F.when(
+        (p > 0) & (nn > 0),
+        (F.col("__s2") - p * (p + 1)).cast("double")
+        / (F.lit(2).cast("double") * p.cast("double") * nn.cast("double")),
+    )
+    return agg.select(
+        *keys,
+        p.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.round(auc, round_to).alias("auc"),
+    )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    by: Optional[Sequence[str]] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary confusion counts + precision/recall/F1 at a fixed threshold,
+    one aggregate pass (four conditional counts). Predicted positive is
+    ``score >= threshold``. F1 from exact counts: 2TP/(2TP+FP+FN)."""
+    keys = list(by or [])
+    lab = F.col(label_col).cast("int") == 1
+    pred = F.col(score_col) >= F.lit(float(threshold))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).groupBy(*keys).agg(
+        cnt(pred & lab).alias("tp"),
+        cnt(pred & ~lab).alias("fp"),
+        cnt(~pred & lab).alias("fn"),
+        cnt(~pred & ~lab).alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    return agg.select(
+        *keys,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp)), round_to).alias(
+            "precision"
+        ),
+        F.round(F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn)), round_to).alias(
+            "recall"
+        ),
+        F.round(
+            F.when(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                (F.lit(2.0) * tp) / (F.lit(2.0) * tp + fp + fn),
+            ),
+            round_to,
+        ).alias("f1"),
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str], round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations over k numeric columns in ONE
+    aggregate pass (k(k+1)/2 exact-decimal product sums + k sums — all
+    map-side combined), unpivoted to ``(col_x, col_y, corr)`` rows for
+    x < y. The k×k moment row is a single record; the unpivot is a
+    driver-free projection over it.
+
+    Unlike ``F.corr`` (float accumulation, partition-order-dependent low
+    bits), the decimal moments make this bit-deterministic — the property
+    screening/drift queries need to be regression-tested on.
+    """
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(names):
+        x = _d(F.col(c))
+        aggs.append(F.sum(x).alias(f"s_{i}"))
+        aggs.append(F.sum(x * x).alias(f"ss_{i}"))
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            aggs.append(
+                F.sum(_d(F.col(names[i])) * _d(F.col(names[j]))).alias(f"p_{i}_{j}")
+            )
+    base = df
+    for c in names:
+        base = base.where(F.col(c).isNotNull())
+    agg = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            sx = F.col(f"s_{i}").cast("double")
+            sy = F.col(f"s_{j}").cast("double")
+            sxx = F.col(f"ss_{i}").cast("double")
+            syy = F.col(f"ss_{j}").cast("double")
+            sxy = F.col(f"p_{i}_{j}").cast("double")
+            var_x = n * sxx - sx * sx
+            var_y = n * syy - sy * sy
+            corr = F.when(
+                (var_x > 0.0) & (var_y > 0.0),
+                (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(names[i]).alias("col_x"),
+                    F.lit(names[j]).alias("col_y"),
+                    F.round(corr, round_to).alias("corr"),
+                )
+            )
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("pair"))
+        .select("pair.col_x", "pair.col_y", "pair.corr")
+    )

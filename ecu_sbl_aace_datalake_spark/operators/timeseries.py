@@ -436,3 +436,138 @@ def event_path_ngrams(
     if top is not None:
         out = out.orderBy(F.col("n_paths").desc(), F.col("path").asc()).limit(top)
     return out
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    tie_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function (ACF): Pearson correlation of
+    the series against itself shifted by lag 1..max_lag — the seasonality
+    /persistence diagnostic for metric streams.
+
+    Shape: ONE window sort per key (Spark fuses the max_lag ``lag``
+    expressions into a single Window node), an unpivot to
+    ``(key, lag, v, v_lag)``, then a plain aggregate. The correlation is
+    computed on aligned pairs only (lag-k series drops the first k
+    points) from exact DECIMAL(18,6) moments — same bit-deterministic
+    discipline as ``operators/ml.py``: float arithmetic happens once per
+    (key, lag) on already-reduced sums, in a fixed expression order, so
+    a DuckDB oracle matches every bit. Degenerate series (constant
+    value) return null acf.
+
+    Ordering is (ts, tie_col) — pass a unique tie column when timestamps
+    can collide, otherwise lag pairing would be run-dependent.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    carry = [ts_col] + ([tie_col] if tie_col else [])
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys, *carry, F.col(value_col).cast("decimal(18,6)").alias("__v")
+    )
+    lag_cols = [
+        F.lag("__v", k).over(w).alias(f"__v_lag{k}") for k in range(1, max_lag + 1)
+    ]
+    shifted = base.select(*keys, "__v", *lag_cols)
+    pairs = shifted.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("__v").alias("v"),
+                        F.col(f"__v_lag{k}").alias("vl"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(*keys, "p.lag", "p.v", "p.vl").where(F.col("vl").isNotNull())
+    agg = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("__sx"),
+        F.sum("vl").alias("__sy"),
+        F.sum(F.col("v") * F.col("v")).alias("__sxx"),
+        F.sum(F.col("vl") * F.col("vl")).alias("__syy"),
+        F.sum(F.col("v") * F.col("vl")).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    acf = F.when(
+        (var_x > 0.0) & (var_y > 0.0),
+        (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, round_to).alias("acf"),
+    )
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Tabular CUSUM change detection per series: the classic recursions
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − target − slack))
+        S⁻_t = max(0, S⁻_{t-1} − (x_t − target + slack))
+
+    rewritten into their closed window form (a recursion is not
+    expressible as a Spark window; the prefix identity is):
+
+        S⁺_t = M_t − min(0, min_{j≤t} M_j),  M_t = Σ_{i≤t} d_i
+
+    i.e. a cumulative sum plus a running min — two frames over ONE sort
+    per key. All state is DECIMAL(18,6)-exact: ``target``/``slack``
+    become exact decimal literals and the cumulative sums are decimal,
+    so results are independent of how either engine internally
+    associates its windowed summation (DuckDB's segment-tree float sums
+    would otherwise diverge in the low bits).
+
+    Returns the input keys + ts + value + ``cusum_pos``/``cusum_neg``.
+    At 100 TB: one shuffle on the series key; a single series must fit a
+    task (the usual per-entity assumption — salt upstream if violated).
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.lit(f"{target:.6f}").cast("decimal(18,6)")
+    k = F.lit(f"{slack:.6f}").cast("decimal(18,6)")
+    v = F.col(value_col).cast("decimal(18,6)")
+    zero = F.lit("0").cast("decimal(28,6)")
+    base = df.where(F.col(value_col).isNotNull()).withColumn(
+        "__d_pos", (v - t - k).cast("decimal(28,6)")
+    ).withColumn("__d_neg", (t - v - k).cast("decimal(28,6)"))
+    out = (
+        base.withColumn("__m_pos", F.sum("__d_pos").over(w_cum))
+        .withColumn("__m_neg", F.sum("__d_neg").over(w_cum))
+        .withColumn("__mn_pos", F.least(zero, F.min("__m_pos").over(w_cum)))
+        .withColumn("__mn_neg", F.least(zero, F.min("__m_neg").over(w_cum)))
+        .withColumn("cusum_pos", F.col("__m_pos") - F.col("__mn_pos"))
+        .withColumn("cusum_neg", F.col("__m_neg") - F.col("__mn_neg"))
+    )
+    return out.select(*keys, ts_col, value_col, "cusum_pos", "cusum_neg")

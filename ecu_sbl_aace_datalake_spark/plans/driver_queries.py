@@ -24,6 +24,7 @@ from ..operators import (
     aggstate,
     dedup,
     graph,
+    ml,
     profile,
     similarity,
     skew,
@@ -9226,4 +9227,335 @@ ORACLES.update({
     "target_encoding": SQL_TARGET_ENCODING,
     "item_similarity": SQL_ITEM_SIMILARITY,
     "bitmap_rolling_distinct": SQL_BITMAP_ROLLING_DISTINCT,
+})
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 4 — ML metrics / regression / change detection / winnowing
+# --------------------------------------------------------------------------
+
+def q_linreg_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (ml.linreg_simple): extendedprice regressed on
+    quantity within each returnflag, one aggregate pass over exact decimal
+    moments — slope/intercept/r2 bit-match the closed forms the oracle
+    computes from the same moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ml.linreg_simple(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+
+
+SQL_LINREG_PRICE_QUANTITY = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(18,6))) sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) sy,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(28,6))
+        * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(28,6))) sxx,
+    SUM(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(28,6))
+        * CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(28,6))) sxy,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(28,6))
+        * CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(28,6))) syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag),
+f AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) n,
+    CAST(n AS DOUBLE) nd, CAST(sx AS DOUBLE) sx, CAST(sy AS DOUBLE) sy,
+    CAST(sxx AS DOUBLE) sxx, CAST(sxy AS DOUBLE) sxy, CAST(syy AS DOUBLE) syy
+  FROM m)
+SELECT l_returnflag, n,
+  ROUND(CASE WHEN nd*sxx - sx*sx <> 0.0
+        THEN (nd*sxy - sx*sy)/(nd*sxx - sx*sx) END, 6) AS slope,
+  ROUND(CASE WHEN nd*sxx - sx*sx <> 0.0
+        THEN (sy - ((nd*sxy - sx*sy)/(nd*sxx - sx*sx))*sx)/nd END, 6) AS intercept,
+  ROUND(CASE WHEN nd*sxx - sx*sx <> 0.0 AND nd*syy - sy*sy <> 0.0
+        THEN ((nd*sxy - sx*sy)*(nd*sxy - sx*sy))
+             /((nd*sxx - sx*sx)*(nd*syy - sy*sy)) END, 6) AS r2
+FROM f
+"""
+
+
+def q_linreg_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight multivariate OLS scoring (ml.linreg_score with the
+    frozen WEIGHTS_PRICE_V1 — provenance-tested against a deterministic
+    refit): price prediction from (quantity, discount) as a pure codegen
+    projection, residual magnitude aggregated per returnflag with exact
+    decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    scored = ml.linreg_score(
+        li, ["l_quantity", "l_discount"], ml.WEIGHTS_PRICE_V1
+    )
+    resid = (F.col("l_extendedprice") - F.col("prediction")).cast(
+        "decimal(18,6)"
+    )
+    return scored.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.abs(resid)).cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_abs_resid"
+        ),
+    )
+
+
+SQL_LINREG_RESIDUALS = """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(CAST(l_extendedprice AS DOUBLE)
+         - (52606.645296310235
+            + (-20.778911718791665) * CAST(l_quantity AS DOUBLE)
+            + 16147.383298783365 * CAST(l_discount AS DOUBLE))
+         AS DECIMAL(18,6)) AS resid
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(ABS(resid)) AS DOUBLE) / COUNT(*), 4) AS mean_abs_resid
+FROM s GROUP BY l_returnflag
+"""
+
+
+def q_lang_id_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC AUC (ml.auc_score, midrank/Mann-Whitney form) of
+    document length as an is-English detector — the rank sum runs over
+    per-distinct-score counts (never a per-row global sort) in exact
+    integer arithmetic until one final division."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return ml.auc_score(docs, "n_chars", "label")
+
+
+SQL_LANG_ID_AUC = """
+WITH d AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+ps AS (SELECT s, COUNT(*) cnt, SUM(lab) pos FROM d GROUP BY s),
+r AS (SELECT *, COALESCE(SUM(cnt) OVER (
+        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) below
+      FROM ps),
+a AS (SELECT SUM(pos*(2*below + cnt + 1)) s2, SUM(pos) p, SUM(cnt - pos) n FROM r)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+  ROUND(CASE WHEN p > 0 AND n > 0
+        THEN CAST(s2 - p*(p+1) AS DOUBLE)
+             / (CAST(2 AS DOUBLE)*CAST(p AS DOUBLE)*CAST(n AS DOUBLE)) END, 6) AS auc
+FROM a
+"""
+
+
+def q_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary confusion counts + precision/recall/F1 at a fixed threshold
+    (ml.confusion_metrics): one aggregate pass of four conditional
+    counts; the float ratios come from exact counts."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    return ml.confusion_metrics(docs, "n_chars", "label", threshold=120.0)
+
+
+SQL_CONFUSION_THRESHOLD = """
+WITH d AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END = 1 AS lab
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+c AS (SELECT
+  CAST(SUM(CASE WHEN s >= 120.0 AND lab THEN 1 ELSE 0 END) AS BIGINT) tp,
+  CAST(SUM(CASE WHEN s >= 120.0 AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) fp,
+  CAST(SUM(CASE WHEN s < 120.0 AND lab THEN 1 ELSE 0 END) AS BIGINT) fn,
+  CAST(SUM(CASE WHEN s < 120.0 AND NOT lab THEN 1 ELSE 0 END) AS BIGINT) tn
+  FROM d)
+SELECT tp, fp, fn, tn,
+  ROUND(CASE WHEN tp + fp > 0
+        THEN CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)) END, 6)
+    AS "precision",
+  ROUND(CASE WHEN tp + fn > 0
+        THEN CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)+CAST(fn AS DOUBLE)) END, 6)
+    AS recall,
+  ROUND(CASE WHEN 2*tp + fp + fn > 0
+        THEN (2.0*CAST(tp AS DOUBLE))
+             /(2.0*CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)+CAST(fn AS DOUBLE)) END, 6)
+    AS f1
+FROM c
+"""
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over the four lineitem measures
+    (ml.correlation_matrix): one aggregate pass of exact decimal moments
+    (k(k+1)/2 product sums, map-side combined) unpivoted to
+    (col_x, col_y, corr) — bit-deterministic, unlike float F.corr."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ml.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    d = lambda c: f"CAST({c} AS DECIMAL(18,6))"  # noqa: E731
+    d28 = lambda c: f"CAST(CAST({c} AS DECIMAL(18,6)) AS DECIMAL(28,6))"  # noqa: E731
+    terms = ["COUNT(*) n"]
+    for i, c in enumerate(cols):
+        terms.append(f"SUM({d(c)}) s_{i}")
+        terms.append(f"SUM({d28(c)}*{d28(c)}) ss_{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            terms.append(f"SUM({d28(cols[i])}*{d28(cols[j])}) p_{i}_{j}")
+    pair_sql = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            vx = f"(CAST(n AS DOUBLE)*CAST(ss_{i} AS DOUBLE)-CAST(s_{i} AS DOUBLE)*CAST(s_{i} AS DOUBLE))"
+            vy = f"(CAST(n AS DOUBLE)*CAST(ss_{j} AS DOUBLE)-CAST(s_{j} AS DOUBLE)*CAST(s_{j} AS DOUBLE))"
+            cv = f"(CAST(n AS DOUBLE)*CAST(p_{i}_{j} AS DOUBLE)-CAST(s_{i} AS DOUBLE)*CAST(s_{j} AS DOUBLE))"
+            pair_sql.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y,\n"
+                f" ROUND(CASE WHEN {vx} > 0.0 AND {vy} > 0.0\n"
+                f"  THEN {cv}/(SQRT({vx})*SQRT({vy})) END, 6) AS corr FROM m"
+            )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(terms)
+        + f" FROM lineitem WHERE {where})\n"
+        + "\nUNION ALL ".join(pair_sql)
+    )
+
+
+SQL_CORRELATION_MATRIX = _corr_sql()
+
+
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type autocorrelation at lags 1..3 (timeseries.autocorrelation):
+    one fused lag-window sort per key, exact decimal moments per
+    (type, lag), deterministic (ts, event_id) ordering."""
+    evts = _t(spark, sf_dir, "events")
+    return timeseries.autocorrelation(
+        evts, ["event_type"], "ts", "value", max_lag=3, tie_col="event_id"
+    )
+
+
+SQL_EVENTS_AUTOCORRELATION = """
+WITH b AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) v, ts, event_id
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT event_type, v,
+  LAG(v,1) OVER w vl1, LAG(v,2) OVER w vl2, LAG(v,3) OVER w vl3
+ FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+p AS (
+ SELECT event_type, 1 lag, v, vl1 vl FROM s WHERE vl1 IS NOT NULL
+ UNION ALL SELECT event_type, 2, v, vl2 FROM s WHERE vl2 IS NOT NULL
+ UNION ALL SELECT event_type, 3, v, vl3 FROM s WHERE vl3 IS NOT NULL),
+m AS (SELECT event_type, lag, COUNT(*) n, SUM(v) sx, SUM(vl) sy,
+  SUM(CAST(v AS DECIMAL(28,6))*CAST(v AS DECIMAL(28,6))) sxx,
+  SUM(CAST(vl AS DECIMAL(28,6))*CAST(vl AS DECIMAL(28,6))) syy,
+  SUM(CAST(v AS DECIMAL(28,6))*CAST(vl AS DECIMAL(28,6))) sxy
+ FROM p GROUP BY event_type, lag),
+f AS (SELECT event_type, lag, CAST(n AS BIGINT) n,
+  CAST(n AS DOUBLE) nd, CAST(sx AS DOUBLE) sx, CAST(sy AS DOUBLE) sy,
+  CAST(sxx AS DOUBLE) sxx, CAST(syy AS DOUBLE) syy, CAST(sxy AS DOUBLE) sxy
+ FROM m)
+SELECT event_type, CAST(lag AS INT) AS lag, n AS n_pairs,
+ ROUND(CASE WHEN nd*sxx - sx*sx > 0.0 AND nd*syy - sy*sy > 0.0
+  THEN (nd*sxy - sx*sy)/(SQRT(nd*sxx - sx*sx)*SQRT(nd*syy - sy*sy)) END, 6) AS acf
+FROM f
+"""
+
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (timeseries.cusum_scores): the classic
+    recursion rewritten as cumulative-sum-minus-running-min window
+    identities over DECIMAL-exact state; per type: the max upper/lower
+    statistics and how many points breached the h=100 decision line."""
+    evts = _t(spark, sf_dir, "events")
+    cus = timeseries.cusum_scores(
+        evts, ["event_type"], "ts", "value",
+        target=50.0, slack=0.25, tie_col="event_id",
+    )
+    return cus.groupBy("event_type").agg(
+        F.round(F.max("cusum_pos").cast("double"), 6).alias("max_pos"),
+        F.round(F.max("cusum_neg").cast("double"), 6).alias("max_neg"),
+        F.sum((F.col("cusum_pos") > 100).cast("long")).alias("n_alarm"),
+    )
+
+
+SQL_CUSUM_ALARMS = """
+WITH b AS (SELECT event_type, ts, event_id,
+  CAST(CAST(value AS DECIMAL(18,6)) - CAST('50.000000' AS DECIMAL(18,6))
+       - CAST('0.250000' AS DECIMAL(18,6)) AS DECIMAL(28,6)) dpos,
+  CAST(CAST('50.000000' AS DECIMAL(18,6)) - CAST(value AS DECIMAL(18,6))
+       - CAST('0.250000' AS DECIMAL(18,6)) AS DECIMAL(28,6)) dneg
+ FROM events WHERE value IS NOT NULL),
+m AS (SELECT event_type, ts, event_id,
+  SUM(dpos) OVER w mpos, SUM(dneg) OVER w mneg
+ FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (SELECT event_type, mpos, mneg,
+  LEAST(CAST('0' AS DECIMAL(28,6)), MIN(mpos) OVER w2) mnpos,
+  LEAST(CAST('0' AS DECIMAL(28,6)), MIN(mneg) OVER w2) mnneg
+ FROM m WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type,
+  ROUND(CAST(MAX(mpos - mnpos) AS DOUBLE), 6) AS max_pos,
+  ROUND(CAST(MAX(mneg - mnneg) AS DOUBLE), 6) AS max_neg,
+  CAST(SUM(CASE WHEN mpos - mnpos > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm
+FROM c GROUP BY event_type
+"""
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (dedup.winnowing_fingerprints — the MOSS
+    algorithm, Schleimer et al. SIGMOD'03): k=5 char-gram hashes, w=4
+    windows, min-per-window selection with positional tie-break; per-doc
+    fingerprint count + decimal hash sum as the canonical summary."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum(F.col("fingerprint").cast("decimal(38,0)")).alias("fp_sum"),
+    )
+
+
+SQL_WINNOWING = r"""
+WITH d AS (SELECT doc_id,
+    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t FROM documents),
+g AS (SELECT doc_id, CAST(u.i AS INT) pos,
+   CAST(('0x' || substring(md5(substring(t, CAST(u.i AS INT), 5)), 1, 15))
+        AS BIGINT) h
+ FROM d, LATERAL unnest(generate_series(1, length(t) - 4)) u(i)
+ WHERE length(t) >= 5),
+w AS (SELECT doc_id,
+   MIN(lpad(CAST(h AS VARCHAR),19,'0') || lpad(CAST(pos AS VARCHAR),8,'0'))
+     OVER win selkey,
+   COUNT(*) OVER win wn
+ FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+sel AS (SELECT DISTINCT doc_id, selkey FROM w WHERE wn = 4)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+  SUM(CAST(CAST(substring(selkey,1,19) AS BIGINT) AS DECIMAL(38,0))) AS fp_sum
+FROM sel GROUP BY doc_id
+"""
+
+
+QUERIES.update({
+    "linreg_price_quantity": q_linreg_price_quantity,
+    "linreg_residuals": q_linreg_residuals,
+    "lang_id_auc": q_lang_id_auc,
+    "confusion_threshold": q_confusion_threshold,
+    "correlation_matrix": q_correlation_matrix,
+    "events_autocorrelation": q_events_autocorrelation,
+    "cusum_alarms": q_cusum_alarms,
+    "winnowing_fingerprints": q_winnowing,
+})
+
+ORACLES.update({
+    "linreg_price_quantity": SQL_LINREG_PRICE_QUANTITY,
+    "linreg_residuals": SQL_LINREG_RESIDUALS,
+    "lang_id_auc": SQL_LANG_ID_AUC,
+    "confusion_threshold": SQL_CONFUSION_THRESHOLD,
+    "correlation_matrix": SQL_CORRELATION_MATRIX,
+    "events_autocorrelation": SQL_EVENTS_AUTOCORRELATION,
+    "cusum_alarms": SQL_CUSUM_ALARMS,
+    "winnowing_fingerprints": SQL_WINNOWING,
 })
