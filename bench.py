@@ -150,6 +150,14 @@ BENCH_QUERIES = [
     "events_autocorrelation",
     "cusum_alarms",
     "winnowing_fingerprints",
+    "mutual_information",
+    "jackknife_ci",
+    "seasonal_anomaly",
+    "weighted_median",
+    "winsorized_mean",
+    "table_diff",
+    "benford_audit",
+    "rake_keyphrases",
 ]
 
 

@@ -359,3 +359,125 @@ def correlation_matrix(
         agg.select(F.explode(F.array(*pairs)).alias("pair"))
         .select("pair.col_x", "pair.col_y", "pair.corr")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns:
+    I(A;B) = Σ_ab p(a,b)·ln( p(a,b) / (p(a)·p(b)) ) — the dependence
+    screen for categorical features that :func:`correlation_matrix` is
+    for numerics.
+
+    Shape: ONE groupBy on (a,b) produces the joint counts; the marginals
+    are window sums over that (tiny) joint table — the raw data is read
+    once. Per-cell ln terms are rounded to 12dp and summed as exact
+    decimals, so the total is independent of engine float-summation
+    order (same discipline as the PMI operator). Returns one row:
+    ``(n, n_cells, mi)``.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy(F.lit(1))
+    cells = (
+        joint.withColumn("__na", F.sum("__nab").over(wa))
+        .withColumn("__nb", F.sum("__nab").over(wb))
+        .withColumn("__n", F.sum("__nab").over(wall))
+    )
+    nab = F.col("__nab").cast("double")
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    n = F.col("__n").cast("double")
+    term = (nab / n) * F.log((nab * n) / (na * nb))
+    return (
+        cells.withColumn("__t", F.round(term, 12).cast("decimal(28,12)"))
+        .groupBy()
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum("__t").cast("double"), round_to).alias("mi"),
+        )
+    )
+
+
+def jackknife_ci(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 32,
+    hash_col: str | None = None,
+    by: Optional[Sequence[str]] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the mean — the
+    distributed-statistics way to put a confidence interval on a 100 TB
+    aggregate without resampling the data.
+
+    Rows are assigned to ``n_buckets`` deterministic md5 hash buckets
+    (of ``hash_col``, or the value itself); the i-th leave-one-out mean
+    is computed from (total sums − bucket sums) — one aggregate over the
+    data, then arithmetic over n_buckets tiny rows. The jackknife
+    variance over g groups is (g−1)/g · Σ(θ̂ᵢ − mean(θ̂))². Per-replicate
+    means are rounded to 12dp and summed as exact decimals so the
+    result is engine-order-independent. Returns
+    ``(n, mean, se_jack)`` per group.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    hsrc = F.col(hash_col) if hash_col else F.col(value_col)
+    bucket = (
+        F.conv(F.substring(F.md5(hsrc.cast("string")), 1, 15), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("__bkt")
+    v = F.col(value_col).cast("decimal(18,6)")
+    per_bucket = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, bucket, v.alias("__v"))
+        .groupBy(*keys, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum("__v").alias("__s"))
+    )
+    wk = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy(F.lit(1))
+    tot = (
+        per_bucket.withColumn("__n", F.sum("__c").over(wk))
+        .withColumn("__t", F.sum("__s").over(wk))
+        .withColumn("__g", F.count(F.lit(1)).over(wk))
+    )
+    # leave-one-out replicate mean, 12dp-rounded for exact summation
+    theta = (
+        (F.col("__t") - F.col("__s")).cast("double")
+        / (F.col("__n") - F.col("__c")).cast("double")
+    )
+    reps = tot.withColumn("__th", F.round(theta, 12).cast("decimal(28,12)"))
+    agg = reps.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__t").alias("__sum"),
+        F.max("__g").cast("long").alias("__gn"),
+        F.sum("__th").alias("__th_sum"),
+        F.sum(
+            (F.col("__th") * F.col("__th")).cast("decimal(38,24)")
+        ).alias("__th_sq"),
+    )
+    g = F.col("__gn").cast("double")
+    th_sum = F.col("__th_sum").cast("double")
+    th_sq = F.col("__th_sq").cast("double")
+    # (g-1)/g * (Σθ² − (Σθ)²/g)
+    var_jack = ((g - F.lit(1.0)) / g) * (th_sq - (th_sum * th_sum) / g)
+    mean = F.col("__sum").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        *keys,
+        "n",
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.sqrt(F.greatest(var_jack, F.lit(0.0))), round_to).alias(
+            "se_jack"
+        ),
+    )

@@ -211,3 +211,86 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def table_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a table keyed by
+    ``key_cols``: one row per key present in either side, with
+    ``diff_status`` ∈ {added, removed, changed, unchanged} — the
+    data-ops audit behind snapshot comparisons and CDC validation.
+
+    Non-key columns are compared via one md5 over a null-sentinel
+    concat (a single 32-char hash crosses the join instead of the full
+    row), so the FULL OUTER join carries keys + two hashes regardless of
+    table width. One shuffle per side on the key.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in df_a.columns if c not in key_cols]
+
+    def _sig(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*key_cols, h.alias(alias))
+
+    a = _sig(df_a, "__ha")
+    b = _sig(df_b, "__hb")
+    joined = a.join(b, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__ha").isNull(), F.lit("added"))
+        .when(F.col("__hb").isNull(), F.lit("removed"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("diff_status"))
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing audit for financial-style
+    measures. Returns one row per digit 1..9: observed count, observed
+    share, Benford-expected share log10(1+1/d), and the χ² contribution
+    (n_d − n·p_d)²/(n·p_d), each rounded.
+
+    One aggregate pass: the first digit is pure math on the double
+    (v / 10^floor(log10(v))) — no string formatting, which engines
+    render differently. Zero/null values are excluded (they have no
+    leading digit).
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (v > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    from pyspark.sql import Window
+
+    n_tot = F.sum("n_obs").over(Window.partitionBy(F.lit(1)))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    n = n_tot.cast("double")
+    dev = F.col("n_obs").cast("double") - n * expected
+    chi2_term = (dev * dev) / (n * expected)
+    return counts.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / n, round_to).alias("share"),
+        F.round(expected, round_to).alias("expected"),
+        F.round(chi2_term, round_to).alias("chi2_term"),
+    )

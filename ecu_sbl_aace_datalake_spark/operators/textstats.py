@@ -1486,3 +1486,97 @@ def with_stripped_markup(
             F.round(1.0 - F.length(out_col) / raw_len, 4),
         ).otherwise(0.0),
     )
+
+
+# Compact English stopword set for RAKE phrase boundaries (function words
+# only — RAKE's quality hinges on boundaries, not coverage).
+RAKE_STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
+    "is", "are", "was", "were", "be", "been", "at", "by", "from", "as",
+    "it", "this", "that", "these", "those", "not", "but", "if", "then",
+)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS_EN,
+    top: int | None = 20,
+    max_phrase_len: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    over the phrase co-occurrence graph; a phrase scores the sum of its
+    member word scores. Returns corpus-level ``(phrase, n_occurrences,
+    score)``, optionally top-N by (score desc, phrase) as one
+    TakeOrderedAndProject.
+
+    Shape: tokens explode once with positions; ``phrase_id`` is a
+    cumulative stopword count per doc (one window sort per doc); word
+    stats are a bounded-vocab aggregate whose result broadcasts back onto
+    member rows. Per-word scores round to 8dp and sum as exact decimals —
+    phrase scores are engine-order-independent. Phrases longer than
+    ``max_phrase_len`` are dropped (RAKE convention: long runs are junk).
+    """
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = tokens(F.lower(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.posexplode(toks))
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__w")
+        .withColumn("__is_stop", F.array_contains(stop_arr, F.col("__w")))
+    )
+    w_cum = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    members = (
+        base.withColumn("__pid", F.sum(F.col("__is_stop").cast("int")).over(w_cum))
+        .where(~F.col("__is_stop"))
+        .select("__id", "__pid", "__pos", "__w")
+    )
+    phrases = (
+        members.groupBy("__id", "__pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+                    ),
+                    lambda s: s["__w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("__plen"),
+        )
+        .where(F.col("__plen") <= max_phrase_len)
+    )
+    scored_members = members.join(phrases, ["__id", "__pid"]).select(
+        "__id", "__pid", "__w", "__plen"
+    )
+    word_stats = scored_members.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("__plen").alias("__deg"),
+    )
+    word_score = F.round(
+        F.col("__deg").cast("double") / F.col("__freq").cast("double"), 8
+    ).cast("decimal(28,8)")
+    phrase_scores = (
+        scored_members.join(F.broadcast(word_stats.withColumn("__ws", word_score)), "__w")
+        .groupBy("__id", "__pid")
+        .agg(F.sum("__ws").alias("__score"))
+    )
+    out = (
+        phrases.join(phrase_scores, ["__id", "__pid"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("__score").cast("double"), round_to).alias("score"),
+        )
+    )
+    if top is not None:
+        out = out.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top)
+    return out

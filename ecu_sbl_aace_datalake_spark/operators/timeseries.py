@@ -571,3 +571,54 @@ def cusum_scores(
         .withColumn("cusum_neg", F.col("__m_neg") - F.col("__mn_neg"))
     )
     return out.select(*keys, ts_col, value_col, "cusum_pos", "cusum_neg")
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season: str = "hour",
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-baseline anomaly scores: each point's z-score against the
+    mean/std of its OWN seasonal bucket (hour-of-day or day-of-week) per
+    key — the first-line detector for metrics with daily/weekly shape,
+    where a global z-score would flag every rush hour.
+
+    Shape: one aggregate builds the per-(key, bucket) baseline from
+    exact decimal moments (n, Σv, Σv²); the baseline table is tiny
+    (keys × 24) and joins back broadcast-style on the same key columns.
+    z = (v − mean)/std is computed per row in a fixed double expression
+    (population std from exact moments), so it oracles bit-for-bit.
+    Buckets with n < 2 or zero variance yield null z.
+
+    Returns input keys + ts + value + ``bucket`` + ``z``.
+    """
+    if season == "hour":
+        bucket = F.hour(F.col(ts_col))
+    elif season == "dow":
+        bucket = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"unknown season {season!r} (hour|dow)")
+    keys = list(key_cols)
+    v6 = F.col(value_col).cast("decimal(18,6)")
+    base = df.where(F.col(value_col).isNotNull()).withColumn("bucket", bucket)
+    stats = base.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v6).alias("__s"),
+        F.sum(v6.cast("decimal(28,6)") * v6.cast("decimal(28,6)")).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * n)
+    joined = base.join(stats, keys + ["bucket"], "left")
+    z = F.when(
+        (F.col("__n") >= 2) & (var > 0.0),
+        (F.col(value_col).cast("double") - mean) / F.sqrt(var),
+    )
+    return joined.select(
+        *keys, ts_col, value_col, "bucket", F.round(z, round_to).alias("z")
+    )

@@ -770,3 +770,104 @@ def target_encode_oof(
         )
     )
     return tagged.join(F.broadcast(enc), [cat_col, "fold"], "left")
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total weight.
+
+    Deterministic under ties by construction: the cumulative weight uses
+    a RANGE frame ordered by value, so every row of an equal-value run
+    sees the same cumulative weight (no arbitrary intra-tie order), and
+    the median is the MIN qualifying value. Weights accumulate as exact
+    decimals. One shuffle on the group key; the per-group sort is the
+    irreducible cost of any exact quantile.
+    """
+    keys = list(by or [])
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    w_rng = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(value_col).asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    wd = F.col(weight_col).cast("decimal(18,6)")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    cum = base.withColumn("__cw", F.sum(wd).over(w_rng)).withColumn(
+        "__tw", F.sum(wd).over(w_all)
+    )
+    qual = cum.where(F.col("__cw") * 2 >= F.col("__tw"))
+    return qual.groupBy(*keys).agg(
+        F.min(F.col(value_col)).alias("weighted_median")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp values at interpolated lower/upper
+    quantiles — the standard heavy-tail tamer before means/regressions.
+
+    The quantile interpolation is spelled out explicitly (rank windows +
+    ``lo + (hi − lo)·frac`` on decimal-cast values) instead of relying on
+    ``percentile``/``quantile_cont`` builtins, so both engines execute
+    the IDENTICAL float expression — builtin quantiles differ across
+    engines in internal summation order. Equal values make any intra-tie
+    row order irrelevant (position k's value is unique). Adds
+    ``{out_col}`` (default ``{value_col}_wins``) plus the per-group
+    bounds ``__lo``/``__hi`` are dropped from the output.
+
+    Two window passes over one per-group sort + a broadcast-sized bounds
+    join — at 100 TB the bounds table is |groups| rows.
+    """
+    keys = list(by or [])
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    out_col = out_col or f"{value_col}_wins"
+    w_rn = Window.partitionBy(*part).orderBy(F.col(value_col).asc())
+    base = df.where(F.col(value_col).isNotNull())
+    ranked = base.select(
+        *keys,
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        F.row_number().over(w_rn).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*part)).alias("__n"),
+    )
+
+    def _bound(q: float, name: str):
+        # 1-based interpolation index: i = 1 + (n-1)q; lo=floor, hi=ceil
+        idx = F.lit(1.0) + (F.col("__n") - 1).cast("double") * F.lit(q)
+        lo_i = F.floor(idx).cast("long")
+        frac = idx - F.floor(idx)
+        lo_v = F.max(F.when(F.col("__rn") == lo_i, F.col("__v")))
+        hi_v = F.max(
+            F.when(F.col("__rn") == F.ceil(idx).cast("long"), F.col("__v"))
+        )
+        return (
+            lo_v.cast("double")
+            + (hi_v.cast("double") - lo_v.cast("double")) * F.max(frac)
+        ).alias(name)
+
+    bounds = ranked.groupBy(*keys).agg(
+        _bound(lower_q, "__lo"), _bound(upper_q, "__hi")
+    )
+    joined = (
+        base.join(F.broadcast(bounds), keys) if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi")
+    )
+    return joined.withColumn(out_col, clamped).drop("__lo", "__hi")

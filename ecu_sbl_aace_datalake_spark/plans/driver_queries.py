@@ -9559,3 +9559,312 @@ ORACLES.update({
     "cusum_alarms": SQL_CUSUM_ALARMS,
     "winnowing_fingerprints": SQL_WINNOWING,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 5 — statistics / audits / keyphrases
+# --------------------------------------------------------------------------
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categoricals (ml.mutual_information):
+    the dependence screen correlation_matrix can't do — one groupBy on the
+    (lang, source) joint, marginals as window sums over the tiny joint
+    table, 12dp-rounded ln terms summed as exact decimals."""
+    docs = _t(spark, sf_dir, "documents")
+    return ml.mutual_information(docs, "lang", "source")
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH j AS (SELECT lang a, source b, COUNT(*) nab FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT *, SUM(nab) OVER (PARTITION BY a) na,
+       SUM(nab) OVER (PARTITION BY b) nb, SUM(nab) OVER () n FROM j),
+t AS (SELECT n, CAST(ROUND((CAST(nab AS DOUBLE)/CAST(n AS DOUBLE))
+        * LN((CAST(nab AS DOUBLE)*CAST(n AS DOUBLE))
+             /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))), 12)
+        AS DECIMAL(28,12)) term FROM c)
+SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi FROM t
+"""
+
+
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for per-flag mean price
+    (ml.jackknife_ci): 32 md5 hash buckets, leave-one-out means from
+    (total − bucket) sums — one aggregate over the data, replicate
+    arithmetic over 32 tiny rows, engine-order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ml.jackknife_ci(
+        li, "l_extendedprice", n_buckets=32, hash_col="l_orderkey",
+        by=["l_returnflag"],
+    )
+
+
+SQL_JACKKNIFE_CI = """
+WITH b AS (SELECT l_returnflag g,
+        CAST(('0x'||substring(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT
+             % 32 AS BIGINT) bkt,
+        CAST(l_extendedprice AS DECIMAL(18,6)) v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+pb AS (SELECT g, bkt, COUNT(*) c, SUM(v) s FROM b GROUP BY 1, 2),
+t AS (SELECT *, SUM(c) OVER (PARTITION BY g) n, SUM(s) OVER (PARTITION BY g) tot,
+       COUNT(*) OVER (PARTITION BY g) gn FROM pb),
+r AS (SELECT g, n, tot, gn,
+       CAST(ROUND(CAST(tot - s AS DOUBLE)/CAST(n - c AS DOUBLE), 12)
+            AS DECIMAL(28,12)) th FROM t),
+a AS (SELECT g, MAX(n) n, MAX(tot) tot, MAX(gn) gn, SUM(th) ths,
+       SUM(CAST(th*th AS DECIMAL(38,24))) thsq FROM r GROUP BY g)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+ ROUND(CAST(tot AS DOUBLE)/CAST(n AS DOUBLE), 6) AS mean,
+ ROUND(SQRT(GREATEST(((CAST(gn AS DOUBLE)-1.0)/CAST(gn AS DOUBLE))
+   * (CAST(thsq AS DOUBLE)
+      - (CAST(ths AS DOUBLE)*CAST(ths AS DOUBLE))/CAST(gn AS DOUBLE)), 0.0)), 6)
+   AS se_jack
+FROM a
+"""
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection (timeseries.seasonal_anomaly):
+    per-point z against the point's own (type, hour-of-day) baseline —
+    exact decimal moments, tiny baseline table joined back; aggregated
+    to per-type anomaly counts + the worst excursion."""
+    evts = _t(spark, sf_dir, "events")
+    sa = timeseries.seasonal_anomaly(
+        evts, ["event_type"], "ts", "value", season="hour"
+    )
+    return sa.groupBy("event_type").agg(
+        F.sum((F.abs(F.col("z")) > 2).cast("long")).alias("n_anom"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+
+
+SQL_SEASONAL_ANOMALY = """
+WITH b AS (SELECT event_type, hour(ts) bucket, CAST(value AS DECIMAL(18,6)) v6,
+        value FROM events WHERE value IS NOT NULL),
+st AS (SELECT event_type, bucket, COUNT(*) n, SUM(v6) s,
+        SUM(CAST(v6 AS DECIMAL(28,6))*CAST(v6 AS DECIMAL(28,6))) ss
+       FROM b GROUP BY 1, 2),
+z AS (SELECT b.event_type,
+   ROUND(CASE WHEN st.n >= 2
+          AND (CAST(st.n AS DOUBLE)*CAST(st.ss AS DOUBLE)
+               - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE))
+              /(CAST(st.n AS DOUBLE)*CAST(st.n AS DOUBLE)) > 0.0
+    THEN (CAST(b.value AS DOUBLE) - CAST(st.s AS DOUBLE)/CAST(st.n AS DOUBLE))
+         / SQRT((CAST(st.n AS DOUBLE)*CAST(st.ss AS DOUBLE)
+                 - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE))
+                /(CAST(st.n AS DOUBLE)*CAST(st.n AS DOUBLE))) END, 6) z
+ FROM b JOIN st ON b.event_type = st.event_type AND b.bucket = st.bucket)
+SELECT event_type,
+  CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+  ROUND(MAX(ABS(z)), 6) AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per returnflag
+    (transform.weighted_median): RANGE-frame cumulative weights make the
+    tie handling deterministic; exact decimal weight sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return transform.weighted_median(
+        li, "l_extendedprice", "l_quantity", by=["l_returnflag"]
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH b AS (SELECT l_returnflag g, l_extendedprice v,
+        CAST(l_quantity AS DECIMAL(18,6)) w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_quantity > 0),
+c AS (SELECT g, v,
+       SUM(w) OVER (PARTITION BY g ORDER BY v
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cw,
+       SUM(w) OVER (PARTITION BY g) tw FROM b)
+SELECT g AS l_returnflag, MIN(v) AS weighted_median
+FROM c WHERE cw*2 >= tw GROUP BY g
+"""
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean price per returnflag (transform.winsorize at
+    p05/p95): quantile interpolation spelled out as rank windows +
+    lo + (hi−lo)·frac on decimal values so both engines run the
+    identical float expression — never a builtin percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    wz = transform.winsorize(
+        li, "l_extendedprice", by=["l_returnflag"], lower_q=0.05, upper_q=0.95
+    )
+    return wz.groupBy("l_returnflag").agg(
+        F.round(
+            F.avg(F.col("l_extendedprice_wins").cast("decimal(18,6)")), 4
+        ).alias("wins_mean")
+    )
+
+
+SQL_WINSORIZED_MEAN = """
+WITH b AS (SELECT l_returnflag g, CAST(l_extendedprice AS DECIMAL(18,6)) v,
+        l_extendedprice raw FROM lineitem WHERE l_extendedprice IS NOT NULL),
+r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) rn,
+       COUNT(*) OVER (PARTITION BY g) n FROM b),
+bounds AS (SELECT g,
+  MAX(CASE WHEN rn = CAST(FLOOR(1.0 + CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)
+      THEN v END) lo_lo,
+  MAX(CASE WHEN rn = CAST(CEIL(1.0 + CAST(n-1 AS DOUBLE)*0.05) AS BIGINT)
+      THEN v END) lo_hi,
+  MAX(1.0 + CAST(n-1 AS DOUBLE)*0.05
+      - FLOOR(1.0 + CAST(n-1 AS DOUBLE)*0.05)) lo_f,
+  MAX(CASE WHEN rn = CAST(FLOOR(1.0 + CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)
+      THEN v END) hi_lo,
+  MAX(CASE WHEN rn = CAST(CEIL(1.0 + CAST(n-1 AS DOUBLE)*0.95) AS BIGINT)
+      THEN v END) hi_hi,
+  MAX(1.0 + CAST(n-1 AS DOUBLE)*0.95
+      - FLOOR(1.0 + CAST(n-1 AS DOUBLE)*0.95)) hi_f
+ FROM r GROUP BY g),
+bb AS (SELECT g,
+        CAST(lo_lo AS DOUBLE) + (CAST(lo_hi AS DOUBLE)-CAST(lo_lo AS DOUBLE))*lo_f lo,
+        CAST(hi_lo AS DOUBLE) + (CAST(hi_hi AS DOUBLE)-CAST(hi_lo AS DOUBLE))*hi_f hi
+       FROM bounds)
+SELECT b.g AS l_returnflag,
+  ROUND(AVG(CAST(LEAST(GREATEST(CAST(b.raw AS DOUBLE), bb.lo), bb.hi)
+            AS DECIMAL(18,6))), 4) AS wins_mean
+FROM b JOIN bb ON b.g = bb.g GROUP BY b.g
+"""
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (profile.table_diff): orders vs a deterministically
+    mutated copy (every 19th key dropped, every 7th price bumped) —
+    FULL OUTER on the key carrying one md5 row-signature per side;
+    per-status counts."""
+    orders = _t(spark, sf_dir, "orders")
+    mutated = (
+        orders.where(F.col("o_orderkey") % 19 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    diff = profile.table_diff(
+        orders, mutated, ["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_TABLE_DIFF = """
+WITH mut AS (SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+             ELSE o_totalprice END o_totalprice,
+        o_orderstatus FROM orders WHERE o_orderkey % 19 <> 0),
+a AS (SELECT o_orderkey, md5(coalesce(CAST(o_totalprice AS VARCHAR), chr(0))
+        || chr(31) || coalesce(CAST(o_orderstatus AS VARCHAR), chr(0))) ha
+      FROM orders),
+b AS (SELECT o_orderkey, md5(coalesce(CAST(o_totalprice AS VARCHAR), chr(0))
+        || chr(31) || coalesce(CAST(o_orderstatus AS VARCHAR), chr(0))) hb
+      FROM mut),
+j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) k, ha, hb
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT CASE WHEN ha IS NULL THEN 'added' WHEN hb IS NULL THEN 'removed'
+        WHEN ha <> hb THEN 'changed' ELSE 'unchanged' END AS diff_status,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over extendedprice
+    (profile.benford_audit): digit via pure double math (no string
+    formatting), per-digit share vs log10(1+1/d) + χ² contribution."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.benford_audit(li, "l_extendedprice")
+
+
+SQL_BENFORD_AUDIT = """
+WITH v AS (SELECT ABS(CAST(l_extendedprice AS DOUBLE)) v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND ABS(CAST(l_extendedprice AS DOUBLE)) > 0),
+d AS (SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS INT) digit FROM v),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) n_obs FROM d GROUP BY digit),
+t AS (SELECT *, SUM(n_obs) OVER () n FROM c)
+SELECT digit, n_obs,
+ ROUND(CAST(n_obs AS DOUBLE)/CAST(n AS DOUBLE), 6) AS "share",
+ ROUND(LOG10(1.0 + 1.0/CAST(digit AS DOUBLE)), 6) AS expected,
+ ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)*LOG10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+     * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)*LOG10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+     / (CAST(n AS DOUBLE)*LOG10(1.0 + 1.0/CAST(digit AS DOUBLE))), 6) AS chi2_term
+FROM t
+"""
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (textstats.rake_keyphrases, Rose et al.
+    2010): stopword-bounded phrase candidates, degree/frequency word
+    scores (8dp-rounded, decimal-summed per phrase), corpus top-20 by
+    (score, phrase)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.rake_keyphrases(docs, top=20)
+
+
+SQL_RAKE_KEYPHRASES = r"""
+WITH tok AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, unnest(list_transform(arr, (x, i) -> {'pos': i, 'w': x}),
+                          recursive := true)
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') arr
+          FROM documents))
+  WHERE w <> ''),
+f AS (SELECT doc_id, pos, w,
+   w IN ('the','a','an','and','or','of','to','in','on','for','with','is',
+         'are','was','were','be','been','at','by','from','as','it','this',
+         'that','these','those','not','but','if','then') is_stop
+ FROM tok),
+m AS (SELECT doc_id, pos, w,
+   SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+     PARTITION BY doc_id ORDER BY pos
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pid,
+   is_stop FROM f),
+mem AS (SELECT doc_id, pid, pos, w FROM m WHERE NOT is_stop),
+ph AS (SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) phrase, COUNT(*) plen
+  FROM mem GROUP BY doc_id, pid HAVING COUNT(*) <= 4),
+sm AS (SELECT mem.doc_id, mem.pid, mem.w, ph.plen
+  FROM mem JOIN ph USING (doc_id, pid)),
+ws AS (SELECT w, COUNT(*) freq, SUM(plen) deg FROM sm GROUP BY w),
+wsc AS (SELECT w, CAST(ROUND(CAST(deg AS DOUBLE)/CAST(freq AS DOUBLE), 8)
+         AS DECIMAL(28,8)) wscore FROM ws),
+psc AS (SELECT sm.doc_id, sm.pid, SUM(wsc.wscore) score
+  FROM sm JOIN wsc USING (w) GROUP BY sm.doc_id, sm.pid),
+agg AS (SELECT ph.phrase, CAST(COUNT(*) AS BIGINT) n_occurrences,
+         ROUND(CAST(MAX(psc.score) AS DOUBLE), 6) score
+  FROM ph JOIN psc ON ph.doc_id = psc.doc_id AND ph.pid = psc.pid
+  GROUP BY ph.phrase)
+SELECT phrase, n_occurrences, score FROM agg
+ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
+
+QUERIES.update({
+    "mutual_information": q_mutual_information,
+    "jackknife_ci": q_jackknife_ci,
+    "seasonal_anomaly": q_seasonal_anomaly,
+    "weighted_median": q_weighted_median,
+    "winsorized_mean": q_winsorized_mean,
+    "table_diff": q_table_diff,
+    "benford_audit": q_benford_audit,
+    "rake_keyphrases": q_rake_keyphrases,
+})
+
+ORACLES.update({
+    "mutual_information": SQL_MUTUAL_INFORMATION,
+    "jackknife_ci": SQL_JACKKNIFE_CI,
+    "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "winsorized_mean": SQL_WINSORIZED_MEAN,
+    "table_diff": SQL_TABLE_DIFF,
+    "benford_audit": SQL_BENFORD_AUDIT,
+    "rake_keyphrases": SQL_RAKE_KEYPHRASES,
+})

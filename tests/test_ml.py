@@ -265,3 +265,209 @@ class TestWinnowing:
         df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
         with pytest.raises(ValueError):
             dedup.winnowing_fingerprints(df, "doc_id", "text", k=0, w=4)
+
+
+class TestMutualInformation:
+    def test_independent_zero(self, spark):
+        # uniform 2x2 joint: p(a,b) = p(a)p(b) exactly -> MI = 0
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 3,
+            "a string, b string",
+        )
+        r = ml.mutual_information(df, "a", "b").collect()[0]
+        assert float(r["mi"]) == 0.0 and r["n_cells"] == 4
+
+    def test_identical_columns(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("y", "y")] * 5, "a string, b string"
+        )
+        r = ml.mutual_information(df, "a", "b").collect()[0]
+        assert abs(float(r["mi"]) - math.log(2)) < 1e-6
+
+
+class TestJackknife:
+    def test_constant_zero_se(self, spark):
+        df = spark.createDataFrame([(i, 5.0) for i in range(100)], "id long, v double")
+        r = ml.jackknife_ci(df, "v", hash_col="id").collect()[0]
+        assert float(r["se_jack"]) == 0.0 and float(r["mean"]) == 5.0
+
+    def test_se_positive_and_plausible(self, spark):
+        import math
+
+        vals = [(i, float(i % 10)) for i in range(1000)]
+        df = spark.createDataFrame(vals, "id long, v double")
+        r = ml.jackknife_ci(df, "v", hash_col="id").collect()[0]
+        se = float(r["se_jack"])
+        # sd of 0..9 uniform ~2.87; se of mean ~0.0908 — jackknife should land near
+        assert 0.03 < se < 0.3
+
+    def test_grouped_keys(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(50)]
+            + [("b", i, 1.0) for i in range(50)],
+            "g string, id long, v double",
+        )
+        out = {r["g"]: r for r in ml.jackknife_ci(df, "v", hash_col="id", by=["g"]).collect()}
+        assert float(out["b"]["se_jack"]) == 0.0
+        assert float(out["a"]["se_jack"]) > 0.0
+
+
+class TestSeasonalAnomaly:
+    def test_hand_z(self, spark):
+        import datetime, math
+
+        base = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        rows_in = [("k", base + datetime.timedelta(minutes=i), v)
+                   for i, v in enumerate([1.0, 1.0, 1.0, 5.0])]
+        df = spark.createDataFrame(rows_in, "k string, ts timestamp, v double")
+        out = timeseries.seasonal_anomaly(df, ["k"], "ts", "v", season="hour")
+        zs = sorted(float(r["z"]) for r in out.collect())
+        exp_hi = round(3.0 / math.sqrt(3.0), 6)
+        assert zs[-1] == exp_hi
+        assert abs(zs[0] + 1.0 / math.sqrt(3.0)) < 1e-6
+
+    def test_single_point_null(self, spark):
+        import datetime
+
+        df = spark.createDataFrame(
+            [("k", datetime.datetime(2024, 1, 1, 3), 1.0)],
+            "k string, ts timestamp, v double",
+        )
+        assert timeseries.seasonal_anomaly(df, ["k"], "ts", "v").collect()[0]["z"] is None
+
+    def test_bad_season_guard(self, spark):
+        df = spark.createDataFrame([("k",)], "k string")
+        with pytest.raises(ValueError):
+            timeseries.seasonal_anomaly(df, ["k"], "ts", "v", season="year")
+
+
+class TestWeightedMedian:
+    def test_weight_dominance(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 1.0), (100.0, 10.0)], "v double, w double"
+        )
+        assert transform.weighted_median(df, "v", "w").collect()[0][
+            "weighted_median"
+        ] == 100.0
+
+    def test_even_unit_weights(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(float(v), 1.0) for v in [1, 2, 3, 4]], "v double, w double"
+        )
+        # cumw*2 >= total first reached at v=2
+        assert transform.weighted_median(df, "v", "w").collect()[0][
+            "weighted_median"
+        ] == 2.0
+
+    def test_zero_weights_excluded(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(1.0, 0.0), (2.0, 1.0)], "v double, w double"
+        )
+        assert transform.weighted_median(df, "v", "w").collect()[0][
+            "weighted_median"
+        ] == 2.0
+
+
+class TestWinsorize:
+    def test_bounds_clamp(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "v double"
+        )
+        out = transform.winsorize(df, "v", lower_q=0.05, upper_q=0.95)
+        vals = [r["v_wins"] for r in out.collect()]
+        # idx = 1 + 99*0.05 = 5.95 -> 5 + 0.95*(6-5) = 5.95; upper = 95.05
+        assert min(vals) == 5.95 and max(vals) == 95.05
+        # interior points untouched
+        assert 50.0 in vals
+
+    def test_constant_column(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame([(7.0,)] * 10, "v double")
+        out = transform.winsorize(df, "v")
+        assert all(r["v_wins"] == 7.0 for r in out.collect())
+
+
+class TestTableDiff:
+    def test_statuses(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        a = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k long, val string"
+        )
+        b = spark.createDataFrame(
+            [(2, "y"), (3, "CHANGED"), (4, "new")], "k long, val string"
+        )
+        out = {r["k"]: r["diff_status"] for r in profile.table_diff(a, b, ["k"]).collect()}
+        assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_null_vs_empty_distinct(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        a = spark.createDataFrame([(1, None)], "k long, val string")
+        b = spark.createDataFrame([(1, "")], "k long, val string")
+        assert profile.table_diff(a, b, ["k"]).collect()[0]["diff_status"] == "changed"
+
+
+class TestBenford:
+    def test_digits_and_small_values(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        df = spark.createDataFrame(
+            [(123.0,), (0.023,), (9.9,), (1000.0,), (-250.0,), (0.0,), (None,)],
+            "v double",
+        )
+        out = {r["digit"]: r["n_obs"] for r in profile.benford_audit(df, "v").collect()}
+        assert out == {1: 2, 2: 2, 9: 1}  # zero/null excluded
+
+    def test_benford_distribution_shares(self, spark):
+        import math
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        df = spark.createDataFrame([(float(v),) for v in range(1, 1000)], "v double")
+        rows_out = profile.benford_audit(df, "v").collect()
+        r1 = next(r for r in rows_out if r["digit"] == 1)
+        assert float(r1["expected"]) == round(math.log10(2), 6)
+        assert abs(float(r1["share"]) - 111.0 / 999.0) < 1e-6
+
+
+class TestRake:
+    def test_hand_scores(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "deep learning of deep networks")], "doc_id long, text string"
+        )
+        out = {r["phrase"]: (r["n_occurrences"], float(r["score"]))
+               for r in textstats.rake_keyphrases(df, top=None).collect()}
+        # freq: deep 2, learning 1, networks 1; degree: deep 4, learning 2, networks 2
+        # word scores: deep 2, learning 2, networks 2 -> both phrases score 4
+        assert out == {"deep learning": (1, 4.0), "deep networks": (1, 4.0)}
+
+    def test_max_phrase_len(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "one two three four five")], "doc_id long, text string"
+        )
+        assert textstats.rake_keyphrases(df, top=None, max_phrase_len=4).count() == 0
+
+    def test_repeated_phrase_counts(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta and alpha beta")], "doc_id long, text string"
+        )
+        out = {r["phrase"]: r["n_occurrences"]
+               for r in textstats.rake_keyphrases(df, top=None).collect()}
+        assert out["alpha beta"] == 2
