@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     "table_diff",
     "benford_audit",
     "rake_keyphrases",
+    "funnel_within",
+    "trending_events",
+    "quantile_normalize",
+    "closeness_centrality",
+    "personalized_pagerank",
 ]
 
 

@@ -1777,7 +1777,15 @@ def winnowing_fingerprints(
     an already-id-partitioned sort (one shuffle on id), and only the
     winnowed ~2/(w+1) fraction of gram rows survives into the distinct.
     The hash is the md5-low-60-bits idiom so a SQL oracle replicates it
-    bit-for-bit.
+    bit-for-bit. The window min runs over a (hash, pos) STRUCT —
+    lexicographic struct ordering gives min-hash-then-leftmost-position
+    directly, without building a padded tie-break string per row
+    (measured 6.5 s -> 4.7 s at sf0.1; the oracle's padded-string MIN
+    selects the same pair, so results are unchanged). Two rejected
+    alternatives, measured: the all-array zero-shuffle form recomputes
+    the hash array per window under projection collapse (O(n²) md5s,
+    minutes), and binding it via a single-element-array lambda keeps it
+    O(n·w) but leaves codegen entirely (10.4 s).
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
@@ -1814,19 +1822,125 @@ def winnowing_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    key = F.concat(
-        F.lpad(F.col("h").cast("string"), 19, "0"),
-        F.lpad(F.col("pos").cast("string"), 8, "0"),
-    )
     selected = (
-        grams.withColumn("__selkey", F.min(key).over(win))
+        grams.withColumn("__m", F.min(F.struct(F.col("h"), F.col("pos"))).over(win))
         .withColumn("__wn", F.count(F.lit(1)).over(win))
         .where(F.col("__wn") == w)
-        .select("__id", "__selkey")
+        .select("__id", F.col("__m.pos").alias("pos"), F.col("__m.h").alias("h"))
         .distinct()
     )
     return selected.select(
-        F.col("__id").alias(id_col),
-        F.substring("__selkey", 20, 8).cast("int").alias("pos"),
-        F.substring("__selkey", 1, 19).cast("long").alias("fingerprint"),
+        F.col("__id").alias(id_col), "pos", F.col("h").alias("fingerprint")
+    )
+
+
+def _jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Reference Jaro-Winkler (Winkler boost above 0.7, 4-char prefix cap)
+    — byte-for-byte the textbook definition, which DuckDB's builtin also
+    implements, so scores verified against it are oracle-comparable."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - md)
+        hi = min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if j > 0.7:
+        pl = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                pl += 1
+            else:
+                break
+        j = j + pl * prefix_weight * (1 - j)
+    return j
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    threshold: float = 0.9,
+    block_expr: F.Column | None = None,
+    max_block: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fuzzy string matching via Jaro-Winkler over BLOCKED candidate
+    pairs — the classic record-linkage scorer (census/MDM lineage),
+    complementing :func:`er_candidate_matches`' edit-distance bound with
+    a length-normalized similarity that favors shared prefixes.
+
+    Never all-pairs: records join within a block key (default: the last
+    3 chars of the name — pass ``block_expr`` for domain blocking),
+    blocks capped at ``max_block`` ids (skew guard). The JW score runs as
+    a vectorized Arrow-batched pandas UDF over the candidate pairs only
+    — the one genuinely non-relational step (per-char matching windows),
+    so it is a declared python-eval operator like the multimodal family.
+    Returns ``(id_a, id_b, name_a, name_b, jw)`` for pairs >= threshold,
+    id_a < id_b.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    bk = (
+        block_expr
+        if block_expr is not None
+        else F.substring(F.col(name_col), -3, 3)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name"),
+        bk.alias("__bk"),
+    ).where(F.col("__name").isNotNull() & F.col("__bk").isNotNull())
+    sizes = base.groupBy("__bk").agg(F.count(F.lit(1)).alias("__bn"))
+    capped = base.join(
+        F.broadcast(sizes.where(F.col("__bn") <= max_block).select("__bk")),
+        "__bk",
+    )
+    a = capped.select(
+        F.col("__bk"), F.col("__id").alias("id_a"), F.col("__name").alias("name_a")
+    )
+    b = capped.select(
+        F.col("__bk"), F.col("__id").alias("id_b"), F.col("__name").alias("name_b")
+    )
+    pairs = a.join(b, "__bk").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("jw", _jw(F.col("name_a"), F.col("name_b")))
+    return (
+        scored.where(F.col("jw") >= F.lit(float(threshold)))
+        .select(
+            "id_a", "id_b", "name_a", "name_b",
+            F.round("jw", round_to).alias("jw"),
+        )
+        .distinct()
     )

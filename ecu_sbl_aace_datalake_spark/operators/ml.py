@@ -481,3 +481,63 @@ def jackknife_ci(
             "se_jack"
         ),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categoricals — the
+    hypothesis-test companion to :func:`mutual_information` (same joint/
+    marginal shape: one groupBy on (a,b), window-sum marginals over the
+    tiny joint table). Returns ``(n, dof, chi2)`` where
+    chi2 = Σ (n_ab − e_ab)²/e_ab with e_ab = n_a·n_b/N over OBSERVED
+    cells plus the unobserved-cell correction Σe over missing cells
+    (χ² over a full contingency table includes empty cells, whose
+    contribution is exactly their expectation — added in closed form as
+    N − Σ_observed e_ab, no need to materialize empty cells). Per-cell
+    terms round to 8dp and sum as exact decimals.
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__nab"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy(F.lit(1))
+    cells = (
+        joint.withColumn("__na", F.sum("__nab").over(wa))
+        .withColumn("__nb", F.sum("__nab").over(wb))
+        .withColumn("__n", F.sum("__nab").over(wall))
+        .withColumn("__ka", F.size(F.collect_set("__a").over(wall)))
+        .withColumn("__kb", F.size(F.collect_set("__b").over(wall)))
+    )
+    nab = F.col("__nab").cast("double")
+    e = (
+        F.col("__na").cast("double")
+        * F.col("__nb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = ((nab - e) * (nab - e)) / e
+    return (
+        cells.withColumn("__t", F.round(term, 8).cast("decimal(28,8)"))
+        .withColumn("__e", F.round(e, 8).cast("decimal(28,8)"))
+        .groupBy()
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            ((F.max("__ka") - 1) * (F.max("__kb") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sum("__t").cast("double")
+                + (
+                    F.max("__n").cast("double")
+                    - F.sum("__e").cast("double")
+                ),
+                round_to,
+            ).alias("chi2"),
+        )
+    )

@@ -294,3 +294,58 @@ def benford_audit(
         F.round(expected, round_to).alias("expected"),
         F.round(chi2_term, round_to).alias("chi2_term"),
     )
+
+
+def concentration_metrics(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group market-concentration metrics over per-entity values
+    (one row per entity, e.g. revenue per supplier): HHI (Σ share²,
+    the antitrust standard) and the Gini coefficient via the rank
+    formula G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n — the inequality audit
+    for data/revenue skew.
+
+    Exact discipline: values are 6dp decimals; Σx, Σx² and Σ i·x₍ᵢ₎
+    accumulate exactly (rank × decimal stays decimal), floats appear
+    once per group in a fixed expression. Ties in the rank ordering are
+    harmless: equal values make Σ i·x invariant under any tie order.
+    Negative values are rejected (Gini is undefined there).
+
+    One per-group sort (the rank window) + one aggregate.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    v = F.col(value_col).cast("decimal(18,6)")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys, v.alias("__v")
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col("__v").asc())
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("__v").alias("__mn"),
+        F.sum("__v").alias("__sx"),
+        F.sum((F.col("__v").cast("decimal(28,6)") * F.col("__v").cast("decimal(28,6)"))).alias("__sxx"),
+        F.sum(F.col("__i") * F.col("__v").cast("decimal(28,6)")).alias("__six"),
+    )
+    bad = agg.where(F.col("__mn") < 0).limit(1).count()
+    if bad:
+        raise ValueError("concentration_metrics requires non-negative values")
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    six = F.col("__six").cast("double")
+    hhi = F.when(sx > 0.0, sxx / (sx * sx))
+    gini = F.when(
+        sx > 0.0, (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(hhi, round_to).alias("hhi"),
+        F.round(gini, round_to).alias("gini"),
+    )

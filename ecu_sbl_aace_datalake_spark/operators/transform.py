@@ -871,3 +871,73 @@ def winsorize(
         F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi")
     )
     return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile normalization across groups: map each value onto the
+    GLOBAL distribution at its within-group midrank percentile — after
+    this, every group has (interpolated) the same distribution. The
+    dataset-mixing primitive for making per-source scores comparable
+    before global thresholds (e.g. quality scores from differently
+    calibrated sources).
+
+    Determinism: the within-group percentile uses MIDRANKS computed from
+    counts (p = (2·|<v| + |=v|) / 2n — pure integers; no tie-arbitrary
+    row_number), and the global target is the explicit interpolation
+    lo + (hi−lo)·frac over decimal-cast order statistics, so both
+    engines execute identical float expressions.
+
+    Shape: two count windows per group ordering + one global rank table
+    joined twice on integer positions. The global row_number here runs
+    single-partition (fine to ~10⁷ rows); at real scale build the
+    position table with ``add_index_col_distributed`` (range-partitioned
+    ranks) — the join shape is unchanged.
+    """
+    out_col = out_col or f"{value_col}_qnorm"
+    keys = list(group_cols)
+    v = F.col(value_col).cast("decimal(18,6)")
+    base = df.where(F.col(value_col).isNotNull()).withColumn("__v", v)
+    w_leq = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tie = Window.partitionBy(*keys, "__v")
+    w_grp = Window.partitionBy(*keys)
+    ranked = (
+        base.withColumn("__leq", F.count(F.lit(1)).over(w_leq))
+        .withColumn("__tie", F.count(F.lit(1)).over(w_tie))
+        .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+    )
+    # midrank percentile p = (2·below + ties) / (2n)  — exact integers
+    p = (
+        (2 * (F.col("__leq") - F.col("__tie")) + F.col("__tie")).cast("double")
+        / (2 * F.col("__n")).cast("double")
+    )
+    glob = base.select("__v").withColumn(
+        "__pos",
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(F.col("__v").asc())),
+    )
+    n_glob = base.count()
+    idx = F.lit(1.0) + F.lit(float(n_glob - 1)) * p
+    with_idx = (
+        ranked.withColumn("__lo_i", F.floor(idx).cast("long"))
+        .withColumn("__hi_i", F.ceil(idx).cast("long"))
+        .withColumn("__frac", idx - F.floor(idx))
+    )
+    lo = glob.select(F.col("__pos").alias("__lo_i"), F.col("__v").alias("__lo_v"))
+    hi = glob.select(F.col("__pos").alias("__hi_i"), F.col("__v").alias("__hi_v"))
+    joined = with_idx.join(lo, "__lo_i").join(hi, "__hi_i")
+    target = F.col("__lo_v").cast("double") + (
+        F.col("__hi_v").cast("double") - F.col("__lo_v").cast("double")
+    ) * F.col("__frac")
+    return joined.withColumn(out_col, F.round(target, round_to)).drop(
+        "__v", "__leq", "__tie", "__n", "__lo_i", "__hi_i", "__frac",
+        "__lo_v", "__hi_v",
+    )

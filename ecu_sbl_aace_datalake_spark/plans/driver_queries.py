@@ -9868,3 +9868,242 @@ ORACLES.update({
     "benford_audit": SQL_BENFORD_AUDIT,
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 6 — funnels, trends, normalization, graph centrality
+# --------------------------------------------------------------------------
+
+def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (ev.funnel_stages within_seconds=86400):
+    signup → view → click where each stage must land within 24h of the
+    previous one, greedy first-match; per-depth user counts."""
+    evts = _t(spark, sf_dir, "events")
+    fw = ev.funnel_stages(
+        evts, ["signup", "view", "click"], within_seconds=86400
+    )
+    return fw.groupBy("stages_reached").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+SQL_FUNNEL_WITHIN = """
+WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 86400 SECONDS GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup','view','click')),
+r AS (SELECT u.user_id, CASE WHEN s3.user_id IS NOT NULL THEN 3
+        WHEN s2.user_id IS NOT NULL THEN 2
+        WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END sr
+ FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+   LEFT JOIN s2 ON u.user_id = s2.user_id
+   LEFT JOIN s3 ON u.user_id = s3.user_id)
+SELECT CAST(sr AS BIGINT) AS stages_reached,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM r GROUP BY sr
+"""
+
+
+def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-window trend ratios (ev.trending_counts): per-type
+    daily counts + ratio to the previous day — one partial-aggregated
+    shuffle, then a lag window over the tiny per-type series."""
+    evts = _t(spark, sf_dir, "events")
+    return ev.trending_counts(evts, bucket="day")
+
+
+SQL_TRENDING_EVENTS = """
+WITH c AS (SELECT event_type AS "type", CAST(ts AS DATE) bucket,
+        CAST(COUNT(*) AS BIGINT) n FROM events GROUP BY 1, 2),
+t AS (SELECT *, LAG(n) OVER (PARTITION BY "type" ORDER BY bucket) n_prev FROM c)
+SELECT "type", bucket, n, n_prev,
+  ROUND(CASE WHEN n_prev >= 1
+        THEN CAST(n AS DOUBLE)/CAST(n_prev AS DOUBLE) END, 6) AS trend_ratio
+FROM t
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (transform.quantile_normalize):
+    each source's doc lengths mapped onto the global distribution at
+    their midrank percentile (integer-exact p, explicit interpolation) —
+    per-source mean of the normalized values proves the alignment."""
+    docs = _t(spark, sf_dir, "documents")
+    qn = transform.quantile_normalize(docs, ["source"], "n_chars")
+    return qn.groupBy("source").agg(
+        F.round(
+            F.avg(F.col("n_chars_qnorm").cast("decimal(18,6)")), 4
+        ).alias("mean_qnorm"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH b AS (SELECT source, CAST(n_chars AS DECIMAL(18,6)) v FROM documents
+           WHERE n_chars IS NOT NULL),
+r AS (SELECT source, v,
+   COUNT(*) OVER (PARTITION BY source ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) leq,
+   COUNT(*) OVER (PARTITION BY source, v) tie,
+   COUNT(*) OVER (PARTITION BY source) n FROM b),
+g AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) pos FROM b),
+ng AS (SELECT COUNT(*) n FROM b),
+w AS (SELECT source, v,
+   1.0 + CAST((SELECT n FROM ng) - 1 AS DOUBLE)
+       * (CAST(2*(leq - tie) + tie AS DOUBLE) / CAST(2*n AS DOUBLE)) idx
+ FROM r),
+j AS (SELECT source,
+   CAST(lo.v AS DOUBLE)
+     + (CAST(hi.v AS DOUBLE) - CAST(lo.v AS DOUBLE)) * (idx - FLOOR(idx)) tgt
+ FROM w JOIN g lo ON lo.pos = CAST(FLOOR(idx) AS BIGINT)
+        JOIN g hi ON hi.pos = CAST(CEIL(idx) AS BIGINT))
+SELECT source,
+  ROUND(AVG(CAST(ROUND(tgt, 6) AS DECIMAL(18,6))), 4) AS mean_qnorm,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY source
+"""
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop closeness + harmonic centrality for 3 seed customers
+    over the symmetrized trade graph (graph.closeness_centrality): all
+    seeds expand in ONE multi-round frontier loop; exact integer distance
+    sums; 12dp-rounded reciprocal distances decimal-summed for
+    harmonic."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return graph.closeness_centrality(edges, ["c1", "c2", "c3"], max_hops=3)
+
+
+SQL_CLOSENESS_CENTRALITY = """
+WITH raw AS (SELECT DISTINCT 'c'||CAST(o_custkey AS VARCHAR) src,
+                    's'||CAST(l_suppkey AS VARCHAR) dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+seeds AS (SELECT unnest(['c1','c2','c3']) seed),
+d0 AS (SELECT seed, seed node, 0 hop FROM seeds),
+d1 AS (SELECT * FROM d0 UNION ALL
+  SELECT DISTINCT f.seed, e.dst, 1 FROM d0 f JOIN e ON f.node = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM d0 r WHERE r.seed = f.seed AND r.node = e.dst)),
+d1x AS (SELECT seed, node, MIN(hop) hop FROM d1 GROUP BY 1, 2),
+d2 AS (SELECT * FROM d1x UNION ALL
+  SELECT DISTINCT f.seed, e.dst, 2 FROM d1x f JOIN e ON f.node = e.src
+  WHERE f.hop = 1 AND NOT EXISTS
+    (SELECT 1 FROM d1x r WHERE r.seed = f.seed AND r.node = e.dst)),
+d2x AS (SELECT seed, node, MIN(hop) hop FROM d2 GROUP BY 1, 2),
+d3 AS (SELECT * FROM d2x UNION ALL
+  SELECT DISTINCT f.seed, e.dst, 3 FROM d2x f JOIN e ON f.node = e.src
+  WHERE f.hop = 2 AND NOT EXISTS
+    (SELECT 1 FROM d2x r WHERE r.seed = f.seed AND r.node = e.dst)),
+d3x AS (SELECT seed, node, MIN(hop) hop FROM d3 GROUP BY 1, 2)
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+ CAST(SUM(hop) AS BIGINT) AS sum_dist,
+ ROUND(CASE WHEN SUM(hop) > 0
+       THEN CAST(COUNT(*)-1 AS DOUBLE)/CAST(SUM(hop) AS DOUBLE) END, 6)
+   AS closeness,
+ ROUND(CAST(SUM(CAST(CASE WHEN hop > 0
+        THEN ROUND(1.0/CAST(hop AS DOUBLE), 12) ELSE 0.0 END
+        AS DECIMAL(28,12))) AS DOUBLE), 6) AS harmonic
+FROM d3x GROUP BY seed
+"""
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (graph.pagerank seeds=): teleport mass and
+    the initial vector concentrate on 3 seed customers — rank becomes
+    relevance-to-the-seeds, the graph-retrieval primitive. Same unrolled
+    fixed-round oracle as plain pagerank with the seed-conditional
+    teleport."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = graph.pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, symmetrize=True,
+        seeds=["c1", "c2", "c3"],
+    )
+    return pr.select("node", F.col("rank").alias("ppr"))
+
+
+def _ppr_oracle_sql(iters: int, d: float, seeds: list[str]) -> str:
+    """Unrolled personalized-PageRank rounds: uniform mass/teleport over
+    the seed set instead of all nodes."""
+    one_minus_d = repr(1.0 - d)
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    k_seeds = len(seeds)
+    parts = [
+        f"""
+WITH raw_edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src, dst FROM raw_edges
+  UNION
+  SELECT dst AS src, src AS dst FROM raw_edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT node,
+  CASE WHEN node IN ({seed_list})
+       THEN 1.0::DOUBLE / {k_seeds} ELSE 0.0::DOUBLE END AS pr
+  FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+it{k} AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN ({seed_list})
+              THEN {one_minus_d}::DOUBLE / {k_seeds}
+              ELSE 0.0::DOUBLE END
+           + {d!r}::DOUBLE * COALESCE(s.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / dg.deg) AS s
+    FROM edges e
+    JOIN it{k - 1} r ON e.src = r.node
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(pr, 6) AS ppr FROM it{iters}")
+    return "".join(parts)
+
+
+SQL_PERSONALIZED_PAGERANK = _ppr_oracle_sql(
+    _PR_ITERS, _PR_DAMPING, ["c1", "c2", "c3"]
+)
+
+
+QUERIES.update({
+    "funnel_within": q_funnel_within,
+    "trending_events": q_trending_events,
+    "quantile_normalize": q_quantile_normalize,
+    "closeness_centrality": q_closeness_centrality,
+    "personalized_pagerank": q_personalized_pagerank,
+})
+
+ORACLES.update({
+    "funnel_within": SQL_FUNNEL_WITHIN,
+    "trending_events": SQL_TRENDING_EVENTS,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "closeness_centrality": SQL_CLOSENESS_CENTRALITY,
+    "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+})

@@ -231,6 +231,7 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis: for each user, the timestamp at which each
     stage was first reached IN ORDER (stage k counts only strictly after
@@ -248,6 +249,12 @@ def funnel_stages(
 
     Returns one row per user: ``stage_1_ts .. stage_n_ts`` (null once the
     funnel breaks) and ``stages_reached``.
+
+    ``within_seconds`` adds the standard CONVERSION WINDOW: stage k only
+    counts if it happens within that many seconds of stage k-1 (the
+    greedy first-match semantics stay: each stage takes its EARLIEST
+    qualifying event, it does not backtrack to find a chain that would
+    survive a later window).
     """
     pairs = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
@@ -262,6 +269,13 @@ def funnel_stages(
     def _stage_cond(stage: str, prev):
         if prev is None:
             return lambda e: e["t"] == F.lit(stage)
+        if within_seconds is not None:
+            # interval arithmetic (not unix_micros) so TIMESTAMP_NTZ
+            # event times work unchanged
+            bound = prev + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            return lambda e: (
+                (e["t"] == F.lit(stage)) & (e["ts"] > prev) & (e["ts"] <= bound)
+            )
         return lambda e: (e["t"] == F.lit(stage)) & (e["ts"] > prev)
 
     out_cols = [F.col(user_col)]
@@ -383,4 +397,43 @@ def transition_matrix(
         "to_state",
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def trending_counts(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+    min_prev: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Window-over-window trend detection: per (type, bucket) event count
+    plus the ratio to the PREVIOUS bucket's count — the batch twin of a
+    streaming trending-topics job. Buckets with no predecessor or a
+    predecessor below ``min_prev`` return a null ratio rather than an
+    explosive division.
+
+    Shape: one partial-aggregated shuffle to (type, bucket) counts, then
+    a lag window over the tiny per-type bucket series. Deterministic:
+    counts are exact; the ratio is one double division.
+    """
+    if bucket == "day":
+        b = F.col(ts_col).cast("date")
+    elif bucket == "hour":
+        b = F.date_trunc("hour", F.col(ts_col))
+    else:
+        raise ValueError(f"unknown bucket {bucket!r} (day|hour)")
+    counts = df.groupBy(F.col(type_col).alias("type"), b.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("type").orderBy("bucket")
+    prev = F.lag("n").over(w)
+    ratio = F.when(
+        prev >= min_prev, F.col("n").cast("double") / prev.cast("double")
+    )
+    return counts.select(
+        "type", "bucket", "n",
+        prev.alias("n_prev"),
+        F.round(ratio, round_to).alias("trend_ratio"),
     )

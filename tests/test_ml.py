@@ -471,3 +471,161 @@ class TestRake:
         out = {r["phrase"]: r["n_occurrences"]
                for r in textstats.rake_keyphrases(df, top=None).collect()}
         assert out["alpha beta"] == 2
+
+
+class TestFunnelWithin:
+    def _events(self, spark, rows_in):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        data = [(u, base + datetime.timedelta(seconds=s), t) for u, s, t in rows_in]
+        return spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+
+    def test_window_enforced(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        df = self._events(spark, [
+            (1, 0, "a"), (1, 50, "b"),            # converts within 100s
+            (2, 0, "a"), (2, 500, "b"),           # too late
+        ])
+        out = {r["user_id"]: r["stages_reached"]
+               for r in ev.funnel_stages(df, ["a", "b"], within_seconds=100).collect()}
+        assert out == {1: 2, 2: 1}
+
+    def test_greedy_first_match(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        # first 'b' (in window) consumed greedily; 'c' measured from it
+        df = self._events(spark, [
+            (1, 0, "a"), (1, 10, "b"), (1, 300, "b"), (1, 350, "c"),
+        ])
+        r = ev.funnel_stages(df, ["a", "b", "c"], within_seconds=100).collect()[0]
+        # c is 340s after the greedy first b -> funnel stops at 2
+        assert r["stages_reached"] == 2
+
+    def test_no_window_matches_plain(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        df = self._events(spark, [(1, 0, "a"), (1, 10_000_000, "b")])
+        plain = ev.funnel_stages(df, ["a", "b"]).collect()[0]["stages_reached"]
+        assert plain == 2
+
+
+class TestTrending:
+    def test_ratios(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        rows_in = []
+        for day, n in [(1, 2), (2, 6), (3, 3)]:
+            for i in range(n):
+                rows_in.append(("x", datetime.datetime(2024, 1, day, i)))
+        df = spark.createDataFrame(rows_in, "event_type string, ts timestamp")
+        out = {str(r["bucket"]): (r["n"], r["trend_ratio"])
+               for r in ev.trending_counts(df).collect()}
+        assert out["2024-01-01"] == (2, None)
+        assert out["2024-01-02"] == (6, 3.0)
+        assert out["2024-01-03"] == (3, 0.5)
+
+    def test_bad_bucket_guard(self, spark):
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+
+        df = spark.createDataFrame([("x",)], "event_type string")
+        with pytest.raises(ValueError):
+            ev.trending_counts(df, bucket="month")
+
+
+class TestQuantileNormalize:
+    def test_identical_groups_fixed_point(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        # both groups already share the global distribution -> near-identity
+        data = [("a", float(v)) for v in range(1, 11)] + [
+            ("b", float(v)) for v in range(1, 11)
+        ]
+        df = spark.createDataFrame(data, "g string, v double")
+        out = transform.quantile_normalize(df, ["g"], "v").collect()
+        for r in out:
+            assert abs(r["v_qnorm"] - r["v"]) <= 0.51  # within half a step
+
+    def test_shifted_group_aligned(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+        from pyspark.sql import functions as SF
+
+        # group b = group a + 1000: after normalization both should have
+        # the same mean (mapped onto the pooled distribution)
+        data = [("a", float(v)) for v in range(1, 51)] + [
+            ("b", float(v + 1000)) for v in range(1, 51)
+        ]
+        df = spark.createDataFrame(data, "g string, v double")
+        out = transform.quantile_normalize(df, ["g"], "v")
+        means = {
+            r["g"]: float(r["m"])
+            for r in out.groupBy("g").agg(SF.round(SF.avg("v_qnorm"), 2).alias("m")).collect()
+        }
+        assert abs(means["a"] - means["b"]) < 1.0
+
+    def test_rowcount_preserved(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        data = [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0)]
+        df = spark.createDataFrame(data, "g string, v double")
+        assert transform.quantile_normalize(df, ["g"], "v").count() == 4
+
+
+class TestCloseness:
+    def test_path_graph(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        # path a-b-c-d: from a (3 hops): reached {a,b,c,d}, dists 0+1+2+3
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        r = {x["seed"]: x for x in graph.closeness_centrality(
+            edges, ["a", "b"], max_hops=3).collect()}
+        assert r["a"]["n_reached"] == 4 and r["a"]["sum_dist"] == 6
+        assert float(r["a"]["closeness"]) == 0.5
+        # harmonic from a: 1/1 + 1/2 + 1/3
+        assert abs(float(r["a"]["harmonic"]) - (1 + 0.5 + 1 / 3)) < 1e-6
+        # from b: dists b0 a1 c1 d2 -> closeness 3/4
+        assert float(r["b"]["closeness"]) == 0.75
+
+    def test_hop_bound(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        r = graph.closeness_centrality(edges, ["a"], max_hops=1).collect()[0]
+        assert r["n_reached"] == 2 and r["sum_dist"] == 1
+
+    def test_isolated_seed(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+        r = graph.closeness_centrality(edges, ["z"], max_hops=2).collect()[0]
+        assert r["n_reached"] == 1 and r["closeness"] is None
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_on_seeds(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        # star: hub h connected to a,b,c; seed = a
+        edges = spark.createDataFrame(
+            [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+        )
+        pr = {r["node"]: float(r["rank"]) for r in graph.pagerank(
+            edges, iterations=10, symmetrize=True, seeds=["a"]).collect()}
+        assert pr["a"] > pr["b"] == pr["c"]
+        assert pr["h"] > pr["b"]  # hub adjacent to the seed
+
+    def test_seedless_unchanged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        pr = graph.pagerank(edges, iterations=3, symmetrize=True)
+        total = sum(float(r["rank"]) for r in pr.collect())
+        assert abs(total - 1.0) < 1e-3
