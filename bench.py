@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "closeness_centrality",
     "personalized_pagerank",
+    "chi2_independence",
+    "market_concentration",
+    "jaro_winkler_matches",
 ]
 
 

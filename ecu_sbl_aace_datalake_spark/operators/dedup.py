@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1838,11 +1839,11 @@ def _jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     """Reference Jaro-Winkler (Winkler boost above 0.7, 4-char prefix cap)
     — byte-for-byte the textbook definition, which DuckDB's builtin also
     implements, so scores verified against it are oracle-comparable."""
-    if s1 == s2:
-        return 1.0
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
-        return 0.0
+        return 0.0  # incl. ("",""), matching DuckDB's builtin
+    if s1 == s2:
+        return 1.0
     md = max(l1, l2) // 2 - 1
     m1 = [False] * l1
     m2 = [False] * l2
@@ -1902,7 +1903,6 @@ def jaro_winkler_pairs(
     Returns ``(id_a, id_b, name_a, name_b, jw)`` for pairs >= threshold,
     id_a < id_b.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

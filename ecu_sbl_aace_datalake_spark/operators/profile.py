@@ -349,3 +349,32 @@ def concentration_metrics(
         F.round(hhi, round_to).alias("hhi"),
         F.round(gini, round_to).alias("gini"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: the
+    privacy pre-release check for training/analytics exports. Returns
+    one row per equivalence class SIZE bucket: ``(class_size, n_classes,
+    n_rows, violates)`` where ``violates`` marks classes smaller than k
+    (those rows are re-identifiable to ≤ class_size candidates).
+
+    One groupBy on the quasi-identifiers (partial-agg shuffle), then a
+    tiny re-aggregation by class size. Nulls count as a value (a null
+    ZIP is itself identifying).
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        classes.groupBy(F.col("__sz").alias("class_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .withColumn(
+            "n_rows", (F.col("class_size") * F.col("n_classes")).cast("long")
+        )
+        .withColumn("violates", F.col("class_size") < k)
+        .select("class_size", "n_classes", "n_rows", "violates")
+    )

@@ -1231,3 +1231,73 @@ def mutual_topk(
         F.col("query_id").alias("b_id"),
     )
     return ab.join(ba, ["a_id", "b_id"])
+
+
+def kcenter_selection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection over an embedding
+    column — the classic DIVERSITY sampling for data curation: pick the
+    min-id point, then k−1 times pick the point farthest (euclidean)
+    from everything selected so far, ties broken by smallest id.
+    2-approximation to the optimal k-center cover (Gonzalez 1985).
+
+    Deterministic end to end — the farthest-point comparisons run on
+    EXACT decimal squared distances (floats cast to 12dp decimals, diffs
+    squared and summed exactly), so the argmax never depends on float
+    summation order and a SQL oracle replicates the selection
+    bit-for-bit (ties break by smallest id). Each round: the selected
+    vector is a literal array — one pass over the corpus updating the
+    running min-dist, one TakeOrderedAndProject for the argmax. k passes
+    total; at 100 TB pick k modestly or run on a pre-clustered sample
+    (IVF centroids) — the greedy structure is inherently sequential in k.
+
+    Returns ``(rank, id)`` — selection order starting at 0.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("decimal(18,12)")
+        ).alias("__v"),
+    ).where(F.col(vec_col).isNotNull())
+    first = vecs.select(F.min("__id").alias("__id")).collect()[0]["__id"]
+    selected = [(0, first)]
+
+    def dist_to(sel_vals: list) -> F.Column:
+        sel_vec = F.array(
+            *[F.lit(str(x)).cast("decimal(18,12)") for x in sel_vals]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                sel_vec,
+                lambda a, b: (
+                    (a - b).cast("decimal(18,12)")
+                    * (a - b).cast("decimal(18,12)")
+                ),
+            ),
+            F.lit("0").cast("decimal(38,24)"),
+            lambda acc, x: acc + x,
+        )
+
+    sel_row = vecs.where(F.col("__id") == first).collect()[0]
+    state = vecs.withColumn("__mind", dist_to(sel_row["__v"]))
+    for r in range(1, k):
+        top = (
+            state.where(~F.col("__id").isin([s[1] for s in selected]))
+            .orderBy(F.col("__mind").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        nxt = top[0]
+        selected.append((r, nxt["__id"]))
+        state = state.withColumn(
+            "__mind", F.least(F.col("__mind"), dist_to(nxt["__v"]))
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(selected, "rank int, id long")

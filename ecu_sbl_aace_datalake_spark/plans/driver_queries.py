@@ -10107,3 +10107,123 @@ ORACLES.update({
     "closeness_centrality": SQL_CLOSENESS_CENTRALITY,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 7 — chi², concentration, fuzzy matching
+# --------------------------------------------------------------------------
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test lang × source
+    (ml.chi2_independence): same tiny-joint shape as mutual_information,
+    with the closed-form unobserved-cell correction N − Σe so empty
+    cells never materialize; 8dp terms decimal-summed."""
+    docs = _t(spark, sf_dir, "documents")
+    return ml.chi2_independence(docs, "lang", "source")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH j AS (SELECT lang a, source b, COUNT(*) nab FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT *, SUM(nab) OVER (PARTITION BY a) na,
+  SUM(nab) OVER (PARTITION BY b) nb, SUM(nab) OVER () n FROM j),
+k AS (SELECT COUNT(DISTINCT a) ka, COUNT(DISTINCT b) kb FROM j),
+t AS (SELECT n,
+  CAST(ROUND(((CAST(nab AS DOUBLE)
+      - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE))
+    *(CAST(nab AS DOUBLE)
+      - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE)))
+    /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE)), 8)
+    AS DECIMAL(28,8)) term,
+  CAST(ROUND(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE), 8)
+    AS DECIMAL(28,8)) e
+ FROM c)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+  CAST((MAX(k.ka)-1)*(MAX(k.kb)-1) AS BIGINT) AS dof,
+  ROUND(CAST(SUM(term) AS DOUBLE)
+        + (CAST(MAX(n) AS DOUBLE) - CAST(SUM(e) AS DOUBLE)), 4) AS chi2
+FROM t CROSS JOIN k
+"""
+
+
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier-revenue concentration
+    (profile.concentration_metrics): HHI + Gini from exact decimal
+    moments over per-supplier revenue — the skew/inequality audit."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    ent = rev.join(sup, rev["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_nationkey", "revenue"
+    )
+    return profile.concentration_metrics(ent, ["s_nationkey"], "revenue")
+
+
+SQL_MARKET_CONCENTRATION = """
+WITH rev AS (SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) revenue
+  FROM lineitem GROUP BY l_suppkey),
+ent AS (SELECT s_nationkey, CAST(revenue AS DECIMAL(18,6)) v
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE revenue IS NOT NULL),
+r AS (SELECT s_nationkey, v,
+    ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY v) i FROM ent),
+a AS (SELECT s_nationkey, COUNT(*) n, SUM(v) sx,
+  SUM(CAST(v AS DECIMAL(28,6))*CAST(v AS DECIMAL(28,6))) sxx,
+  SUM(i*CAST(v AS DECIMAL(28,6))) six FROM r GROUP BY s_nationkey)
+SELECT s_nationkey, CAST(n AS BIGINT) AS n,
+ ROUND(CASE WHEN CAST(sx AS DOUBLE) > 0.0
+   THEN CAST(sxx AS DOUBLE)/(CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END, 6)
+   AS hhi,
+ ROUND(CASE WHEN CAST(sx AS DOUBLE) > 0.0
+   THEN (2.0*CAST(six AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(sx AS DOUBLE))
+        - (CAST(n AS DOUBLE)+1.0)/CAST(n AS DOUBLE) END, 6) AS gini
+FROM a
+"""
+
+
+def q_jaro_winkler_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler fuzzy matching over blocked customer-name pairs
+    (dedup.jaro_winkler_pairs): last-3-char blocking, vectorized pandas
+    UDF scoring over candidates only (a declared python-eval operator);
+    the from-scratch JW is verified against DuckDB's builtin — the
+    oracle is that builtin, so every score is independently checked.
+    Aggregated to (n_pairs, decimal score sum) for the canonicalizer."""
+    cust = _t(spark, sf_dir, "customer")
+    out = dedup.jaro_winkler_pairs(cust, "c_custkey", "c_name", threshold=0.94)
+    return out.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum(F.col("jw").cast("decimal(18,6)")), 4).alias("jw_sum"),
+    )
+
+
+SQL_JARO_WINKLER_MATCHES = """
+WITH b AS (SELECT c_custkey id, c_name nm,
+    substring(c_name, length(c_name)-2, 3) bk
+  FROM customer WHERE c_name IS NOT NULL),
+sz AS (SELECT bk FROM b GROUP BY bk HAVING COUNT(*) <= 500),
+c AS (SELECT b.* FROM b JOIN sz USING (bk)),
+p AS (SELECT a.id id_a, x.id id_b, a.nm na, x.nm nb
+  FROM c a JOIN c x USING (bk) WHERE a.id < x.id),
+s AS (SELECT DISTINCT id_a, id_b, na, nb,
+    ROUND(jaro_winkler_similarity(na, nb), 6) jw FROM p
+  WHERE jaro_winkler_similarity(na, nb) >= 0.94)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(SUM(CAST(jw AS DECIMAL(18,6))), 4) AS jw_sum FROM s
+"""
+
+
+QUERIES.update({
+    "chi2_independence": q_chi2_independence,
+    "market_concentration": q_market_concentration,
+    "jaro_winkler_matches": q_jaro_winkler_matches,
+})
+
+ORACLES.update({
+    "chi2_independence": SQL_CHI2_INDEPENDENCE,
+    "market_concentration": SQL_MARKET_CONCENTRATION,
+    "jaro_winkler_matches": SQL_JARO_WINKLER_MATCHES,
+})

@@ -629,3 +629,97 @@ class TestPersonalizedPagerank:
         pr = graph.pagerank(edges, iterations=3, symmetrize=True)
         total = sum(float(r["rank"]) for r in pr.collect())
         assert abs(total - 1.0) < 1e-3
+
+
+class TestChi2:
+    def test_independent_zero(self, spark):
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 4,
+            "a string, b string",
+        )
+        r = ml.chi2_independence(df, "a", "b").collect()[0]
+        assert float(r["chi2"]) == 0.0 and r["dof"] == 1
+
+    def test_perfect_dependence(self, spark):
+        # 2x2 fully dependent: chi2 = n
+        df = spark.createDataFrame(
+            [("x", "u"), ("y", "v")] * 6, "a string, b string"
+        )
+        r = ml.chi2_independence(df, "a", "b").collect()[0]
+        assert float(r["chi2"]) == float(r["n"]) == 12.0
+
+    def test_unobserved_cell_correction(self, spark):
+        """3 cells observed of a 2x2 table: the missing cell's expected
+        count must still contribute (chi2 of scipy's full table)."""
+        data = [("x", "u")] * 4 + [("x", "v")] * 4 + [("y", "u")] * 4
+        df = spark.createDataFrame(data, "a string, b string")
+        r = ml.chi2_independence(df, "a", "b").collect()[0]
+        # full-table chi2: e = [8*8/12=16/3, 8*4/12=8/3, 4*8/12=8/3, 4*4/12=4/3]
+        e = [16 / 3, 8 / 3, 8 / 3, 4 / 3]
+        o = [4.0, 4.0, 4.0, 0.0]
+        exp = sum((oo - ee) ** 2 / ee for oo, ee in zip(o, e))
+        assert abs(float(r["chi2"]) - round(exp, 4)) < 1e-3
+
+
+class TestConcentration:
+    def test_monopoly_vs_uniform(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        df = spark.createDataFrame(
+            [("mono", 100.0), ("mono", 0.0), ("mono", 0.0), ("mono", 0.0)]
+            + [("unif", 25.0)] * 4,
+            "g string, v double",
+        )
+        out = {r["g"]: r for r in profile.concentration_metrics(df, ["g"], "v").collect()}
+        assert float(out["mono"]["hhi"]) == 1.0
+        assert float(out["unif"]["hhi"]) == 0.25
+        assert float(out["unif"]["gini"]) == 0.0
+        # monopoly of 4: gini = (n-1)/n = 0.75
+        assert float(out["mono"]["gini"]) == 0.75
+
+    def test_negative_guard(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        df = spark.createDataFrame([("g", -1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            profile.concentration_metrics(df, ["g"], "v")
+
+
+class TestJaroWinkler:
+    def test_reference_values(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import _jaro_winkler_py
+
+        assert _jaro_winkler_py("martha", "marhta") == pytest.approx(0.9611111111)
+        assert _jaro_winkler_py("dwayne", "duane") == pytest.approx(0.84)
+        assert _jaro_winkler_py("abc", "abc") == 1.0
+        assert _jaro_winkler_py("abc", "xyz") == 0.0
+        assert _jaro_winkler_py("", "x") == 0.0
+
+    def test_duckdb_parity_random(self, spark):
+        import duckdb, random
+        from ecu_sbl_aace_datalake_spark.operators.dedup import _jaro_winkler_py
+
+        rng = random.Random(42)
+        alpha = "abcdef#0123"
+        con = duckdb.connect()
+        for _ in range(300):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+            d = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert round(_jaro_winkler_py(a, b), 9) == round(d, 9), (a, b)
+
+    def test_blocked_pairs(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "martha_x01"), (2, "marhta_x01"), (3, "zzzzzz_x01"),
+             (4, "martha_y99")],
+            "id long, name string",
+        )
+        out = dedup.jaro_winkler_pairs(df, "id", "name", threshold=0.9)
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        # 1-2 match within block x01; 4 is in block y99 (never a candidate)
+        assert (1, 2) in pairs
+        assert all(4 not in p for p in pairs)

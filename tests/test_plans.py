@@ -260,6 +260,7 @@ class TestGlobalPlanInvariants:
         "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
         "bpe_encode_sample",   # same vocabulary-bounded encode, full tokens
         "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
+        "jaro_winkler_matches",  # JW per-char matching windows (Arrow pandas_udf over blocked candidates)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
