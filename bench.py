@@ -166,6 +166,11 @@ BENCH_QUERIES = [
     "chi2_independence",
     "market_concentration",
     "jaro_winkler_matches",
+    "kcenter_selection",
+    "k_anonymity",
+    "incremental_join",
+    "community_modularity",
+    "scd2_lookup",
 ]
 
 

@@ -203,66 +203,6 @@ def range_join_intervals_overlap(
     return claimed.drop("__bucket", "__lbs", "__rbs")
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    salt: int = 8,
-    hot_threshold: int = 1_000_000,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-safe equi-join: HOT join keys (more than ``hot_threshold``
-    probe-side rows) are salted — the probe side splits each hot key
-    into ``salt`` deterministic sub-keys and the build side replicates
-    its hot-key rows across all sub-keys — so one pathological key
-    spreads over ``salt`` tasks instead of stalling a single reducer.
-    Cold keys join untouched (salt slot 0, no replication). The result
-    is row-identical to the plain join at any salt, which is exactly
-    what the correctness oracle asserts.
-
-    This is the manual form of what AQE's skew-join split does at
-    runtime; use it when skew is KNOWN ahead (e.g. the null-ish default
-    key carrying 30% of a 100 TB fact) or when a deterministic plan is
-    required. Cost: one cheap probe-side key count (reused broadcast),
-    and build-side duplication ∝ (#hot keys × salt) rows — tiny when
-    hot keys are few, which is the definition of skew.
-
-    ``how`` supports inner/left joins (the replicated build side makes
-    right/full-outer semantics ambiguous; use the plain join there).
-    """
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports how='inner'|'left'")
-    if salt < 2:
-        raise ValueError("salt must be >= 2")
-    hot = (
-        left.groupBy(on)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > hot_threshold)
-        .select(on, F.lit(True).alias("__hot"))
-    )
-    l_cols = [c for c in left.columns]
-    # deterministic per-row salt from the full probe row (any spread works;
-    # hashing the row avoids needing a unique id column)
-    l_salt = F.when(
-        F.col("__hot").isNotNull(),
-        F.pmod(F.xxhash64(*[F.col(c) for c in l_cols]), F.lit(salt)).cast("int"),
-    ).otherwise(F.lit(0))
-    lt = left.join(F.broadcast(hot), on, "left").withColumn(
-        "__salt", l_salt
-    ).drop("__hot")
-    r_slots = F.when(
-        F.col("__hot").isNotNull(),
-        F.sequence(F.lit(0), F.lit(salt - 1)),
-    ).otherwise(F.array(F.lit(0)))
-    rt = (
-        right.join(F.broadcast(hot), on, "left")
-        .withColumn("__salt", F.explode(r_slots))
-        .drop("__hot")
-    )
-    out = lt.join(rt, [on, "__salt"], how)
-    return out.drop("__salt")
-
-
 def incremental_join_update(
     prev_join: DataFrame,
     left_old: DataFrame,

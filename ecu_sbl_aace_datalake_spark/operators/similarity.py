@@ -1280,7 +1280,9 @@ def kcenter_selection(
                 ),
             ),
             F.lit("0").cast("decimal(38,24)"),
-            lambda acc, x: acc + x,
+            # Spark's decimal-add widens (38,24)+(37,24) -> (38,23);
+            # re-cast each step (lossless here: values are <= dim * 4)
+            lambda acc, x: (acc + x).cast("decimal(38,24)"),
         )
 
     sel_row = vecs.where(F.col("__id") == first).collect()[0]

@@ -350,3 +350,39 @@ def apply_changelog(
         .where((F.col("__rn") == 1) & (F.col("__op") != "D"))
         .select(*keys, *data_cols)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Point-in-time dimension lookup against a Type-2 history: attach
+    the dimension attributes that were valid AT each fact's event time —
+    the feature-store / as-was-reporting join (fact.ts ∈ [valid_from,
+    valid_to)). Facts before a key's first version (or keys absent from
+    the dimension) get null attributes.
+
+    Implemented as an equi-join on the key plus the interval predicate —
+    at most ONE version matches by SCD2 construction (validated by the
+    scd2_from_events non-overlap invariant), so the fan-out is exactly 1
+    and the join shuffles once on the key. A RANGE/ASOF rewrite isn't
+    needed: the interval predicate prunes inside the same hash join.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    d = dim.select(
+        *keys, "valid_from", "valid_to", *attr_cols
+    )
+    for c in attr_cols:
+        d = d.withColumnRenamed(c, f"dim_{c}")
+    cond = [facts[k] == d[k] for k in keys] + [
+        facts[ts_col] >= d["valid_from"],
+        d["valid_to"].isNull() | (facts[ts_col] < d["valid_to"]),
+    ]
+    joined = facts.join(d, cond, "left")
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[d[f"dim_{c}"] for c in attr_cols],
+    )

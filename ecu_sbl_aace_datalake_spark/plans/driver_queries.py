@@ -24,6 +24,7 @@ from ..operators import (
     aggstate,
     dedup,
     graph,
+    joins,
     ml,
     profile,
     similarity,
@@ -10226,4 +10227,219 @@ ORACLES.update({
     "chi2_independence": SQL_CHI2_INDEPENDENCE,
     "market_concentration": SQL_MARKET_CONCENTRATION,
     "jaro_winkler_matches": SQL_JARO_WINKLER_MATCHES,
+})
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 8 — diversity selection, privacy audit, skew join, IVM
+# --------------------------------------------------------------------------
+
+def q_kcenter_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection (similarity.kcenter_selection,
+    Gonzalez 1985): 5 farthest-point rounds over EXACT decimal squared
+    distances — the argmax never depends on float order, so the oracle
+    unrolls the identical selection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_selection(emb, k=5)
+
+
+def _kcenter_oracle_sql(k: int, dim: int = 64) -> str:
+    parts = [f"""
+WITH e AS (SELECT vec_id id, embedding v FROM embeddings
+           WHERE embedding IS NOT NULL),
+dims AS (SELECT unnest(generate_series(1, {dim})) i),
+s0 AS (SELECT 0 r, MIN(id) id FROM e),
+m0 AS (
+  SELECT e.id,
+    SUM(CAST(CAST(e.v[dims.i] AS DECIMAL(18,12))
+             - CAST(s.v[dims.i] AS DECIMAL(18,12)) AS DECIMAL(18,12))
+      * CAST(CAST(e.v[dims.i] AS DECIMAL(18,12))
+             - CAST(s.v[dims.i] AS DECIMAL(18,12)) AS DECIMAL(18,12))) mind
+  FROM e CROSS JOIN dims
+  JOIN e s ON s.id = (SELECT id FROM s0)
+  GROUP BY e.id)"""]
+    for r in range(1, k):
+        prev_sel = " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(r))
+        parts.append(f""",
+s{r} AS (
+  SELECT {r} r, id FROM m{r - 1}
+  WHERE id NOT IN ({prev_sel})
+  ORDER BY mind DESC, id ASC LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f""",
+m{r} AS (
+  SELECT e.id, LEAST(m{r - 1}.mind,
+    (SELECT SUM(CAST(CAST(e.v[d.i] AS DECIMAL(18,12))
+                - CAST(s.v[d.i] AS DECIMAL(18,12)) AS DECIMAL(18,12))
+       * CAST(CAST(e.v[d.i] AS DECIMAL(18,12))
+              - CAST(s.v[d.i] AS DECIMAL(18,12)) AS DECIMAL(18,12)))
+     FROM dims d JOIN e s ON s.id = (SELECT id FROM s{r}))) mind
+  FROM e JOIN m{r - 1} USING (id))""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(r AS INT) rank, CAST(id AS BIGINT) id FROM s{i}"
+        for i in range(k)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+SQL_KCENTER_SELECTION = _kcenter_oracle_sql(5)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (nation, market segment) quasi-identifiers
+    (profile.k_anonymity): equivalence-class size distribution + the
+    below-k violation flag — the privacy pre-release check."""
+    cust = _t(spark, sf_dir, "customer")
+    return profile.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) sz
+             FROM customer GROUP BY 1, 2)
+SELECT sz AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(sz * COUNT(*) AS BIGINT) AS n_rows, sz < 5 AS violates
+FROM cls GROUP BY sz
+"""
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join maintenance (joins.incremental_join_update): the
+    delta rule ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR unioned onto the previous result —
+    refreshing a materialized join at O(Δ). Oracle: the full recompute,
+    which the incremental result must equal exactly."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    lo = li.where(F.col("l_orderkey") % 10 != 0)
+    ld = li.where(F.col("l_orderkey") % 10 == 0)
+    oo = orders.where(F.col("l_orderkey") % 7 != 0)
+    od = orders.where(F.col("l_orderkey") % 7 == 0)
+    prev = lo.join(oo, "l_orderkey")
+    upd = joins.incremental_join_update(prev, lo, oo, ld, od, on="l_orderkey")
+    return upd.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2
+        ).alias("rev"),
+    )
+
+
+SQL_INCREMENTAL_JOIN = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS rev
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES.update({
+    "kcenter_selection": q_kcenter_selection,
+    "k_anonymity": q_k_anonymity,
+    "incremental_join": q_incremental_join,
+})
+
+ORACLES.update({
+    "kcenter_selection": SQL_KCENTER_SELECTION,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "incremental_join": SQL_INCREMENTAL_JOIN,
+})
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 9 — community quality, point-in-time lookup
+# --------------------------------------------------------------------------
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the customer/supplier bipartite split over
+    the trade graph (graph.modularity): strongly negative by
+    construction — every edge crosses the split. Exact integer counts,
+    8dp-decimal-summed terms."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.substring("node", 1, 1))
+    return graph.modularity(edges, labels)
+
+
+SQL_COMMUNITY_MODULARITY = """
+WITH raw AS (SELECT DISTINCT 'c'||CAST(o_custkey AS VARCHAR) src,
+                    's'||CAST(l_suppkey AS VARCHAR) dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT DISTINCT LEAST(src,dst) a, GREATEST(src,dst) b
+      FROM raw WHERE src <> dst),
+lab AS (SELECT node, substring(node,1,1) l FROM
+  (SELECT DISTINCT a node FROM e UNION SELECT DISTINCT b FROM e)),
+tg AS (SELECT e.a, e.b, la.l la, lb.l lb FROM e
+  JOIN lab la ON e.a = la.node JOIN lab lb ON e.b = lb.node),
+m AS (SELECT COUNT(*) m FROM tg),
+ec AS (SELECT la c, COUNT(*) ec FROM tg WHERE la = lb GROUP BY la),
+deg AS (SELECT c, COUNT(*) dc FROM
+  (SELECT la c FROM tg UNION ALL SELECT lb FROM tg) GROUP BY c),
+per AS (SELECT deg.c, COALESCE(ec.ec, 0) ec, deg.dc
+        FROM deg LEFT JOIN ec USING (c)),
+t AS (SELECT CAST(ROUND(CAST(ec AS DOUBLE)/CAST(m.m AS DOUBLE)
+  - (CAST(dc AS DOUBLE)/(2.0*CAST(m.m AS DOUBLE)))
+    *(CAST(dc AS DOUBLE)/(2.0*CAST(m.m AS DOUBLE))), 8) AS DECIMAL(28,8)) term,
+  m.m FROM per CROSS JOIN m)
+SELECT CAST(MAX(m) AS BIGINT) AS n_edges,
+  CAST(COUNT(*) AS BIGINT) AS n_communities,
+  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS modularity FROM t
+"""
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (star.scd2_lookup): every event
+    joined to the SCD2 attribute version valid AT its timestamp — the
+    as-was feature-store join; exactly-one-version fan-out by SCD2
+    construction. Aggregated per looked-up attribute value."""
+    evts = _t(spark, sf_dir, "events")
+    dim = star.scd2_from_events(
+        evts, "user_id", ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    facts = evts.select("user_id", "ts", "event_id")
+    out = star.scd2_lookup(facts, dim, "user_id", "ts", ["event_type"])
+    return out.groupBy("dim_event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_SCD2_LOOKUP = """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+   LAG(event_type) OVER w p
+ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (SELECT *, SUM(CASE WHEN p IS NULL OR p <> event_type THEN 1 ELSE 0 END)
+   OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) run
+ FROM o),
+v AS (SELECT user_id, run, event_type, MIN(ts) valid_from FROM runs
+      GROUP BY 1, 2, 3),
+dim AS (SELECT user_id, event_type, valid_from,
+   LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) valid_to
+ FROM v),
+j AS (SELECT e.event_id, d.event_type det
+ FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+   AND e.ts >= d.valid_from AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+SELECT det AS dim_event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY det
+"""
+
+
+QUERIES.update({
+    "community_modularity": q_community_modularity,
+    "scd2_lookup": q_scd2_lookup,
+})
+
+ORACLES.update({
+    "community_modularity": SQL_COMMUNITY_MODULARITY,
+    "scd2_lookup": SQL_SCD2_LOOKUP,
 })

@@ -723,3 +723,149 @@ class TestJaroWinkler:
         # 1-2 match within block x01; 4 is in block y99 (never a candidate)
         assert (1, 2) in pairs
         assert all(4 not in p for p in pairs)
+
+
+class TestKCenter:
+    def _emb(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_farthest_point_order(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        # points on a line: 0, 1, 10, 11 -> start id0(x=0), then x=11 (id3),
+        # then mind: id1 (1 vs 10->1), id2 (10->min(100,1)=1)... tie by id -> id1
+        pts = [[0.0, 0.0], [1.0, 0.0], [10.0, 0.0], [11.0, 0.0]]
+        out = {r["rank"]: r["id"] for r in similarity.kcenter_selection(
+            self._emb(spark, pts), k=3).collect()}
+        assert out[0] == 0 and out[1] == 3
+        assert out[2] in (1, 2)  # equal min-dist 1.0; id tie-break -> 1
+        assert out[2] == 1
+
+    def test_k_exceeds_points(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        out = similarity.kcenter_selection(
+            self._emb(spark, [[0.0], [5.0]]), k=10
+        ).collect()
+        assert len(out) == 2
+
+    def test_coverage_property(self, spark):
+        """Each selected point strictly grows coverage: the selected set
+        must be pairwise distinct and k points reduce the max min-dist."""
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        pts = [[float(i % 7), float(i // 7)] for i in range(20)]
+        out = similarity.kcenter_selection(self._emb(spark, pts), k=6).collect()
+        ids = [r["id"] for r in out]
+        assert len(set(ids)) == 6
+
+
+class TestKAnonymity:
+    def test_class_sizes(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", None)],
+            "qi1 string, qi2 int",
+        )
+        out = {r["class_size"]: r for r in profile.k_anonymity(df, ["qi1", "qi2"], k=3).collect()}
+        assert out[3]["n_classes"] == 1 and not out[3]["violates"]
+        assert out[1]["n_classes"] == 2 and out[1]["violates"]
+        assert out[1]["n_rows"] == 2
+
+
+class TestIncrementalJoin:
+    def test_matches_full_recompute(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import joins
+
+        lo = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+        ld = spark.createDataFrame([(3, "c"), (1, "a2")], "k long, lv string")
+        ro = spark.createDataFrame([(1, "X"), (3, "Y")], "k long, rv string")
+        rd = spark.createDataFrame([(2, "Z"), (3, "Y2")], "k long, rv string")
+        prev = lo.join(ro, "k")
+        upd = sorted(map(tuple, joins.incremental_join_update(
+            prev, lo, ro, ld, rd, on="k").collect()))
+        full = sorted(map(tuple, lo.unionByName(ld).join(
+            ro.unionByName(rd), "k").collect()))
+        assert upd == full
+
+
+class TestModularity:
+    def _mk(self, spark, edge_list, label_map):
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        labels = spark.createDataFrame(
+            list(label_map.items()), "node string, label string"
+        )
+        return edges, labels
+
+    def test_two_cliques(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        # two triangles joined by one edge; perfect 2-community split
+        edges = [("a","b"),("b","c"),("a","c"),("x","y"),("y","z"),("x","z"),("c","x")]
+        labels = {n: ("L" if n in "abc" else "R") for n in "abcxyz"}
+        e, l = self._mk(spark, edges, labels)
+        r = graph.modularity(e, l).collect()[0]
+        # m=7, e_L=3, e_R=3; d_L = 2+2+3=7, d_R=7
+        exp = round((3/7 - (7/14)**2) + (3/7 - (7/14)**2), 6)
+        assert float(r["modularity"]) == exp
+        assert r["n_edges"] == 7 and r["n_communities"] == 2
+
+    def test_all_one_community_zero(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = [("a","b"),("b","c")]
+        e, l = self._mk(spark, edges, {"a":"X","b":"X","c":"X"})
+        # single community: Q = e/m - (2m/2m)^2 = 1 - 1 = 0
+        assert float(graph.modularity(e, l).collect()[0]["modularity"]) == 0.0
+
+    def test_empty_graph(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        e, l = self._mk(spark, [("a","a")], {"a":"X"})  # self-loop dropped
+        r = graph.modularity(e, l).collect()[0]
+        assert r["n_edges"] == 0 and r["modularity"] is None
+
+
+class TestScd2Lookup:
+    def test_point_in_time(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import star
+
+        t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+        evts = spark.createDataFrame(
+            [(1, t(1), 1, "bronze"), (1, t(5), 2, "gold"), (1, t(9), 3, "gold")],
+            "user_id long, ts timestamp, event_id long, tier string",
+        )
+        dim = star.scd2_from_events(
+            evts, "user_id", ["tier"], "ts", tiebreak_cols=["event_id"]
+        )
+        facts = spark.createDataFrame(
+            [(1, t(2), 10), (1, t(5), 11), (1, t(30), 12), (2, t(2), 13)],
+            "user_id long, ts timestamp, fact_id long",
+        )
+        out = {r["fact_id"]: r["dim_tier"] for r in star.scd2_lookup(
+            facts, dim, "user_id", "ts", ["tier"]).collect()}
+        assert out == {10: "bronze", 11: "gold", 12: "gold", 13: None}
+
+    def test_fanout_exactly_one(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import star
+
+        t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+        evts = spark.createDataFrame(
+            [(1, t(1), 1, "a"), (1, t(3), 2, "b"), (1, t(6), 3, "a")],
+            "user_id long, ts timestamp, event_id long, v string",
+        )
+        dim = star.scd2_from_events(
+            evts, "user_id", ["v"], "ts", tiebreak_cols=["event_id"]
+        )
+        facts = spark.createDataFrame(
+            [(1, t(d), d) for d in range(1, 10)],
+            "user_id long, ts timestamp, fact_id long",
+        )
+        out = star.scd2_lookup(facts, dim, "user_id", "ts", ["v"])
+        assert out.count() == facts.count()
