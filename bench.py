@@ -171,6 +171,12 @@ BENCH_QUERIES = [
     "incremental_join",
     "community_modularity",
     "scd2_lookup",
+    "macro_f1",
+    "calibration_bins",
+    "stratified_split",
+    "centroid_similarity",
+    "seasonal_naive_backtest",
+    "data_contract",
 ]
 
 

@@ -541,3 +541,135 @@ def chi2_independence(
             ).alias("chi2"),
         )
     )
+
+
+def macro_f1(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multiclass classification report: per-class precision/recall/F1
+    from exact one-vs-rest counts plus the macro averages — the standard
+    eval summary beyond binary :func:`confusion_metrics`.
+
+    One groupBy on (label, pred) builds the confusion matrix; per-class
+    TP/FP/FN are window sums over that tiny matrix. Per-class F1 values
+    are 8dp-rounded and decimal-summed for the macro mean. Returns one
+    row per class (``class``, tp, fp, fn, precision, recall, f1) plus
+    one ``__macro__`` row carrying the macro-averaged metrics.
+    """
+    from pyspark.sql import Window
+
+    cm = (
+        df.where(F.col(pred_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(
+            F.col(label_col).cast("string").alias("__lab"),
+            F.col(pred_col).cast("string").alias("__pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    classes = (
+        cm.select(F.col("__lab").alias("cls"))
+        .unionByName(cm.select(F.col("__pred").alias("cls")))
+        .distinct()
+    )
+    tp = cm.where(F.col("__lab") == F.col("__pred")).select(
+        F.col("__lab").alias("cls"), F.col("__n").alias("tp")
+    )
+    pred_tot = cm.groupBy(F.col("__pred").alias("cls")).agg(
+        F.sum("__n").alias("__pt")
+    )
+    lab_tot = cm.groupBy(F.col("__lab").alias("cls")).agg(
+        F.sum("__n").alias("__lt")
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(pred_tot, "cls", "left")
+        .join(lab_tot, "cls", "left")
+        .na.fill({"tp": 0, "__pt": 0, "__lt": 0})
+        .withColumn("fp", (F.col("__pt") - F.col("tp")).cast("long"))
+        .withColumn("fn", (F.col("__lt") - F.col("tp")).cast("long"))
+    )
+    tpd = F.col("tp").cast("double")
+    prec = F.when(F.col("__pt") > 0, tpd / F.col("__pt").cast("double"))
+    rec = F.when(F.col("__lt") > 0, tpd / F.col("__lt").cast("double"))
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        (F.lit(2.0) * tpd)
+        / (F.lit(2.0) * tpd + F.col("fp").cast("double") + F.col("fn").cast("double")),
+    )
+    scored = per.select(
+        F.col("cls").alias("class"),
+        F.col("tp").cast("long").alias("tp"),
+        "fp",
+        "fn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    dec = lambda c: F.round(F.coalesce(F.col(c), F.lit(0.0)), 8).cast(  # noqa: E731
+        "decimal(28,8)"
+    )
+    macro = (
+        scored.withColumn("__k", F.count(F.lit(1)).over(w))
+        .groupBy()
+        .agg(
+            F.lit("__macro__").alias("class"),
+            F.sum("tp").cast("long").alias("tp"),
+            F.sum("fp").cast("long").alias("fp"),
+            F.sum("fn").cast("long").alias("fn"),
+            F.round(
+                F.sum(dec("precision")).cast("double") / F.count(F.lit(1)),
+                round_to,
+            ).alias("precision"),
+            F.round(
+                F.sum(dec("recall")).cast("double") / F.count(F.lit(1)), round_to
+            ).alias("recall"),
+            F.round(
+                F.sum(dec("f1")).cast("double") / F.count(F.lit(1)), round_to
+            ).alias("f1"),
+        )
+    )
+    return scored.unionByName(macro)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins: scores bucketed into ``n_bins`` equal
+    [0,1) intervals, each reporting mean score vs observed positive rate
+    — the calibration companion to :func:`auc_score` (a well-calibrated
+    scorer's bins lie on the diagonal). One aggregate pass; means from
+    exact decimal sums; score exactly 1.0 lands in the top bin.
+    """
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    base = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (s >= 0)
+        & (s <= 1)
+    )
+    agg = base.groupBy(bucket.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast("decimal(18,12)")).alias("__ss"),
+        F.sum(F.col(label_col).cast("int")).alias("__pos"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round(F.col("__ss").cast("double") / F.col("n").cast("double"), round_to).alias(
+            "mean_score"
+        ),
+        F.round(
+            F.col("__pos").cast("double") / F.col("n").cast("double"), round_to
+        ).alias("pos_rate"),
+    )

@@ -378,3 +378,68 @@ def k_anonymity(
         .withColumn("violates", F.col("class_size") < k)
         .select("class_size", "n_classes", "n_rows", "violates")
     )
+
+
+def data_contract_report(
+    checks: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Data-contract validation: run a list of named violation queries
+    (each a DataFrame whose ROW COUNT is the number of violations) and
+    return one row per check: ``(check, n_violations, passed)`` — the
+    CI-gate shape for pipeline data quality (not-null, uniqueness,
+    referential integrity, ranges).
+
+    Each check DataFrame reduces to a count aggregate; the counts union
+    into one tiny report relation — k independent scans, no driver-side
+    collection of violating rows (point failures are re-queried ad hoc,
+    the report only gates).
+    """
+    if not checks:
+        raise ValueError("no checks given")
+    parts = []
+    for name, df in checks:
+        parts.append(
+            df.groupBy().agg(
+                F.lit(name).alias("check"),
+                F.count(F.lit(1)).cast("long").alias("n_violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def contract_checks_star(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> list[tuple[str, DataFrame]]:
+    """Standard star-schema contract suite over the TPC-H-ish tables:
+    duplicate PKs, FK orphans (lineitem→orders, orders→customer),
+    not-null and range violations — each as a violations DataFrame for
+    :func:`data_contract_report`."""
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    li_orphans = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    ord_orphans = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    null_price = lineitem.where(F.col("l_extendedprice").isNull())
+    bad_discount = lineitem.where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    )
+    return [
+        ("orders_pk_unique", dup_pk),
+        ("lineitem_fk_orders", li_orphans),
+        ("orders_fk_customer", ord_orphans),
+        ("lineitem_price_not_null", null_price),
+        ("lineitem_discount_range", bad_discount),
+    ]

@@ -1303,3 +1303,63 @@ def kcenter_selection(
         ).localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(selected, "rank int, id long")
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group centroid vectors —
+    the domain-overlap diagnostic (are two sources/languages embedding
+    into the same region?). Centroids are exact decimal per-dimension
+    means (posexplode → one aggregate); the tiny k×k centroid matrix
+    cross-scores itself on the driver side of a broadcast join. Output
+    ``(group_a, group_b, cosine)`` for a < b.
+
+    At 100 TB: the explode shuffles (group, dim) cells — dim-bounded —
+    and everything after the first aggregate is k×dim rows.
+    """
+    cells = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.posexplode(F.col(vec_col)))
+        .select(
+            "__g",
+            F.col("pos").alias("__d"),
+            F.col("col").cast("decimal(18,12)").alias("__x"),
+        )
+    )
+    cent = cells.groupBy("__g", "__d").agg(
+        (F.sum("__x").cast("double") / F.count(F.lit(1))).alias("__c")
+    )
+    a = cent.select(
+        F.col("__g").alias("group_a"), "__d", F.col("__c").alias("__ca")
+    )
+    b = cent.select(
+        F.col("__g").alias("group_b"), "__d", F.col("__c").alias("__cb")
+    )
+    pairs = (
+        a.join(b, "__d")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(
+                F.round(F.col("__ca") * F.col("__cb"), 12).cast("decimal(38,12)")
+            ).alias("__dot"),
+            F.sum(
+                F.round(F.col("__ca") * F.col("__ca"), 12).cast("decimal(38,12)")
+            ).alias("__na"),
+            F.sum(
+                F.round(F.col("__cb") * F.col("__cb"), 12).cast("decimal(38,12)")
+            ).alias("__nb"),
+        )
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+    )
+    return pairs.select(
+        "group_a", "group_b", F.round(cos, round_to).alias("cosine")
+    )

@@ -622,3 +622,69 @@ def seasonal_anomaly(
     return joined.select(
         *keys, ts_col, value_col, "bucket", F.round(z, round_to).alias("z")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_lag: int = 7,
+    bucket: str = "day",
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each bucket's aggregate
+    with the value from ``season_lag`` buckets earlier (the
+    same-day-last-week baseline every real forecaster must beat) and
+    score MAE/MAPE per key over the overlap.
+
+    Shape: one resample aggregate to (key, bucket) (map-side combined),
+    one lag window over the tiny per-key series, error aggregation with
+    exact decimal sums (MAE exact; MAPE from 12dp-rounded per-bucket
+    ratios, decimal-summed). Buckets with zero/NULL actuals are excluded
+    from MAPE (division guard) but kept in MAE.
+    """
+    if bucket == "day":
+        b = F.col(ts_col).cast("date")
+    elif bucket == "hour":
+        b = F.date_trunc("hour", F.col(ts_col))
+    else:
+        raise ValueError(f"unknown bucket {bucket!r} (day|hour)")
+    keys = list(key_cols)
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("__b"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v"))
+    )
+    w = Window.partitionBy(*keys).orderBy("__b")
+    fc = per.withColumn("__f", F.lag("__v", season_lag).over(w)).where(
+        F.col("__f").isNotNull()
+    )
+    err = F.abs(F.col("__v") - F.col("__f"))
+    ape = F.when(
+        F.col("__v") != 0,
+        F.round(
+            err.cast("double") / F.abs(F.col("__v")).cast("double"), 12
+        ).cast("decimal(28,12)"),
+    )
+    agg = fc.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(err).alias("__ae"),
+        F.sum(ape).alias("__ape"),
+        F.sum(F.when(F.col("__v") != 0, 1).otherwise(0)).alias("__nz"),
+    )
+    return agg.select(
+        *keys,
+        "n_buckets",
+        F.round(
+            F.col("__ae").cast("double") / F.col("n_buckets").cast("double"),
+            round_to,
+        ).alias("mae"),
+        F.round(
+            F.when(
+                F.col("__nz") > 0,
+                F.col("__ape").cast("double") / F.col("__nz").cast("double"),
+            ),
+            round_to,
+        ).alias("mape"),
+    )

@@ -941,3 +941,38 @@ def quantile_normalize(
         "__v", "__leq", "__tie", "__n", "__lo_i", "__hi_i", "__frac",
         "__lo_v", "__hi_v",
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    test_frac: float = 0.2,
+    hash_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/test split with EXACT per-stratum
+    proportions: within each stratum, rows order by an md5 hash (of
+    ``hash_col``, which should be a stable unique id) and the first
+    ``floor(n·test_frac)`` become ``test`` — unlike Bernoulli sampling
+    (``randomSplit``), every stratum lands exactly on the requested
+    fraction, reproducibly, at any partitioning.
+
+    One window rank per stratum (single shuffle on the strata). The md5
+    order is uniform and independent of the data values, so the split is
+    unbiased; re-running on the same ids yields the same split (the
+    feature-store reproducibility requirement).
+    """
+    if not (0.0 < test_frac < 1.0):
+        raise ValueError("test_frac must be in (0, 1)")
+    if hash_col is None:
+        raise ValueError("pass hash_col: a stable unique id column")
+    h = F.md5(F.col(hash_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(h.asc())
+    wn = Window.partitionBy(*[F.col(c) for c in strata_cols])
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.floor(F.col("__n").cast("double") * F.lit(float(test_frac)))
+    return ranked.withColumn(
+        out_col, F.when(F.col("__rn") <= cut, F.lit("test")).otherwise(F.lit("train"))
+    ).drop("__rn", "__n")

@@ -10443,3 +10443,242 @@ ORACLES.update({
     "community_modularity": SQL_COMMUNITY_MODULARITY,
     "scd2_lookup": SQL_SCD2_LOOKUP,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 10 — ML evaluation + splitting + domain overlap
+# --------------------------------------------------------------------------
+
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass classification report (ml.macro_f1): per-class
+    one-vs-rest P/R/F1 from the exact confusion matrix + macro row
+    (undefined classes contribute 0, sklearn zero_division=0). The
+    synthetic predictor agrees with the lang label except on
+    n_chars%3==0 docs, which it calls 'xx'."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    ).withColumn(
+        "pred",
+        F.when(F.col("n_chars") % 3 != 0, F.col("lang")).otherwise(F.lit("xx")),
+    )
+    return ml.macro_f1(docs, "pred", "lang")
+
+
+SQL_MACRO_F1 = """
+WITH d AS (SELECT lang lab,
+    CASE WHEN n_chars % 3 <> 0 THEN lang ELSE 'xx' END pred
+  FROM documents WHERE lang IS NOT NULL),
+cm AS (SELECT lab, pred, COUNT(*) n FROM d GROUP BY 1, 2),
+cls AS (SELECT DISTINCT lab cls FROM cm UNION SELECT DISTINCT pred FROM cm),
+tp AS (SELECT lab cls, n tp FROM cm WHERE lab = pred),
+pt AS (SELECT pred cls, SUM(n) pt FROM cm GROUP BY pred),
+lt AS (SELECT lab cls, SUM(n) lt FROM cm GROUP BY lab),
+per AS (SELECT cls.cls, COALESCE(tp.tp,0) tp,
+  COALESCE(pt.pt,0) - COALESCE(tp.tp,0) fp,
+  COALESCE(lt.lt,0) - COALESCE(tp.tp,0) fn,
+  COALESCE(pt.pt,0) ptv, COALESCE(lt.lt,0) ltv
+ FROM cls LEFT JOIN tp USING (cls) LEFT JOIN pt USING (cls)
+   LEFT JOIN lt USING (cls)),
+scored AS (SELECT cls "class", CAST(tp AS BIGINT) tp, CAST(fp AS BIGINT) fp,
+  CAST(fn AS BIGINT) fn,
+  ROUND(CASE WHEN ptv > 0 THEN CAST(tp AS DOUBLE)/CAST(ptv AS DOUBLE) END, 6)
+    "precision",
+  ROUND(CASE WHEN ltv > 0 THEN CAST(tp AS DOUBLE)/CAST(ltv AS DOUBLE) END, 6)
+    recall,
+  ROUND(CASE WHEN 2*tp + fp + fn > 0
+    THEN (2.0*CAST(tp AS DOUBLE))
+         /(2.0*CAST(tp AS DOUBLE)+CAST(fp AS DOUBLE)+CAST(fn AS DOUBLE)) END, 6)
+    f1
+ FROM per),
+macro AS (SELECT '__macro__' "class", CAST(SUM(tp) AS BIGINT) tp,
+  CAST(SUM(fp) AS BIGINT) fp, CAST(SUM(fn) AS BIGINT) fn,
+  ROUND(CAST(SUM(CAST(ROUND(COALESCE("precision",0.0),8) AS DECIMAL(28,8)))
+        AS DOUBLE)/COUNT(*), 6) "precision",
+  ROUND(CAST(SUM(CAST(ROUND(COALESCE(recall,0.0),8) AS DECIMAL(28,8)))
+        AS DOUBLE)/COUNT(*), 6) recall,
+  ROUND(CAST(SUM(CAST(ROUND(COALESCE(f1,0.0),8) AS DECIMAL(28,8)))
+        AS DOUBLE)/COUNT(*), 6) f1
+ FROM scored)
+SELECT * FROM scored UNION ALL SELECT * FROM macro
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (ml.calibration_bins): decile buckets of
+    a synthetic [0,1) score vs observed is-English rate — mean-score/
+    pos-rate pairs from exact decimal sums."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .withColumn("score", (F.col("n_chars") % 100).cast("double") / 100.0)
+        .withColumn("label", (F.col("lang") == "en").cast("int"))
+    )
+    return ml.calibration_bins(docs, "score", "label", n_bins=10)
+
+
+SQL_CALIBRATION_BINS = """
+WITH d AS (SELECT CAST(n_chars % 100 AS DOUBLE)/100.0 s,
+  CASE WHEN lang='en' THEN 1 ELSE 0 END lab FROM documents
+ WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+b AS (SELECT LEAST(CAST(FLOOR(s*10) AS INT), 9) bin, s, lab FROM d
+      WHERE s >= 0 AND s <= 1)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(s AS DECIMAL(18,12))) AS DOUBLE)/COUNT(*), 6)
+    AS mean_score,
+  ROUND(CAST(SUM(lab) AS DOUBLE)/COUNT(*), 6) AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/test split
+    (transform.stratified_split): md5-ordered exact 20% per priority
+    stratum — every stratum lands exactly on floor(n·frac), reproducible
+    at any partitioning. Per-(stratum, split) counts."""
+    orders = _t(spark, sf_dir, "orders")
+    sp = transform.stratified_split(
+        orders, ["o_orderpriority"], test_frac=0.2, hash_col="o_orderkey"
+    )
+    return sp.groupBy("o_orderpriority", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_STRATIFIED_SPLIT = """
+WITH r AS (SELECT o_orderpriority,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR))) rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) n FROM orders)
+SELECT o_orderpriority,
+  CASE WHEN rn <= FLOOR(CAST(n AS DOUBLE)*0.2) THEN 'test' ELSE 'train' END
+    AS split,
+  CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine matrix (similarity.centroid_similarity):
+    exact decimal per-dimension means, 12dp-rounded products
+    decimal-summed — the domain-overlap diagnostic over embedding
+    clusters."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_similarity(emb, "label")
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH cells AS (
+  SELECT label g, pos d, CAST(x AS DECIMAL(18,12)) v FROM (
+    SELECT label, unnest(list_transform(embedding,
+           (x, i) -> {'pos': i, 'x': x}), recursive := true)
+    FROM embeddings WHERE embedding IS NOT NULL)),
+cent AS (SELECT g, d, CAST(SUM(v) AS DOUBLE)/COUNT(*) c FROM cells
+         GROUP BY g, d),
+p AS (SELECT a.g ga, b.g gb,
+  SUM(CAST(ROUND(a.c*b.c, 12) AS DECIMAL(38,12))) dot,
+  SUM(CAST(ROUND(a.c*a.c, 12) AS DECIMAL(38,12))) na,
+  SUM(CAST(ROUND(b.c*b.c, 12) AS DECIMAL(38,12))) nb
+ FROM cent a JOIN cent b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2)
+SELECT ga AS group_a, gb AS group_b,
+ ROUND(CASE WHEN na > 0 AND nb > 0
+   THEN CAST(dot AS DOUBLE)/(SQRT(CAST(na AS DOUBLE))*SQRT(CAST(nb AS DOUBLE)))
+   END, 6) AS cosine
+FROM p
+"""
+
+
+QUERIES.update({
+    "macro_f1": q_macro_f1,
+    "calibration_bins": q_calibration_bins,
+    "stratified_split": q_stratified_split,
+    "centroid_similarity": q_centroid_similarity,
+})
+
+ORACLES.update({
+    "macro_f1": SQL_MACRO_F1,
+    "calibration_bins": SQL_CALIBRATION_BINS,
+    "stratified_split": SQL_STRATIFIED_SPLIT,
+    "centroid_similarity": SQL_CENTROID_SIMILARITY,
+})
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 11 — forecasting baseline + data contracts
+# --------------------------------------------------------------------------
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (timeseries.seasonal_naive_backtest):
+    same-day-last-week prediction per event type; MAE from exact decimal
+    errors, MAPE from 12dp-decimal-summed ratios — the baseline every
+    forecaster must beat."""
+    evts = _t(spark, sf_dir, "events")
+    return timeseries.seasonal_naive_backtest(
+        evts, ["event_type"], "ts", "value", season_lag=7
+    )
+
+
+SQL_SEASONAL_NAIVE_BACKTEST = """
+WITH per AS (SELECT event_type, CAST(ts AS DATE) b,
+    SUM(CAST(value AS DECIMAL(18,6))) v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+fc AS (SELECT event_type, v,
+    LAG(v, 7) OVER (PARTITION BY event_type ORDER BY b) f FROM per),
+e AS (SELECT event_type, v, f, ABS(v - f) ae,
+    CASE WHEN v <> 0 THEN CAST(ROUND(CAST(ABS(v-f) AS DOUBLE)
+        /CAST(ABS(v) AS DOUBLE), 12) AS DECIMAL(28,12)) END ape
+  FROM fc WHERE f IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+  ROUND(CAST(SUM(ae) AS DOUBLE)/COUNT(*), 6) AS mae,
+  ROUND(CASE WHEN SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) > 0
+    THEN CAST(SUM(ape) AS DOUBLE)
+         /SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) END, 6) AS mape
+FROM e GROUP BY event_type
+"""
+
+
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract CI gate (profile.data_contract_report over the
+    standard star suite): PK uniqueness, both FK orphan directions,
+    not-null, range — one (check, n_violations, passed) row each."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    checks = profile.contract_checks_star(orders, li, cust)
+    return profile.data_contract_report(checks)
+
+
+SQL_DATA_CONTRACT = """
+SELECT 'orders_pk_unique' AS "check",
+  CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations,
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0 AS passed
+UNION ALL SELECT 'lineitem_fk_orders',
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+  (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+UNION ALL SELECT 'orders_fk_customer',
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+  (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL SELECT 'lineitem_price_not_null',
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NULL) AS BIGINT),
+  (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NULL) = 0
+UNION ALL SELECT 'lineitem_discount_range',
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+  (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) = 0
+"""
+
+
+QUERIES.update({
+    "seasonal_naive_backtest": q_seasonal_naive_backtest,
+    "data_contract": q_data_contract,
+})
+
+ORACLES.update({
+    "seasonal_naive_backtest": SQL_SEASONAL_NAIVE_BACKTEST,
+    "data_contract": SQL_DATA_CONTRACT,
+})

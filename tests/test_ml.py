@@ -869,3 +869,157 @@ class TestScd2Lookup:
         )
         out = star.scd2_lookup(facts, dim, "user_id", "ts", ["v"])
         assert out.count() == facts.count()
+
+
+class TestMacroF1:
+    def test_perfect_predictions(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("a", "a")], "pred string, lab string"
+        )
+        out = {r["class"]: r for r in ml.macro_f1(df, "pred", "lab").collect()}
+        assert float(out["a"]["f1"]) == 1.0 and float(out["b"]["f1"]) == 1.0
+        assert float(out["__macro__"]["f1"]) == 1.0
+
+    def test_hand_confusion(self, spark):
+        # lab a predicted b once: a: tp1 fn1; b: tp1 fp1
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("b", "b")], "pred string, lab string"
+        )
+        out = {r["class"]: r for r in ml.macro_f1(df, "pred", "lab").collect()}
+        assert (out["a"]["tp"], out["a"]["fp"], out["a"]["fn"]) == (1, 0, 1)
+        assert (out["b"]["tp"], out["b"]["fp"], out["b"]["fn"]) == (1, 1, 0)
+        assert float(out["a"]["recall"]) == 0.5
+        assert float(out["b"]["precision"]) == 0.5
+
+    def test_never_predicted_class(self, spark):
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "c")], "pred string, lab string"
+        )
+        out = {r["class"]: r for r in ml.macro_f1(df, "pred", "lab").collect()}
+        assert out["c"]["precision"] is None  # never predicted
+        assert float(out["c"]["recall"]) == 0.0
+
+
+class TestCalibration:
+    def test_bins_and_edges(self, spark):
+        df = spark.createDataFrame(
+            [(0.05, 1), (0.05, 0), (0.95, 1), (1.0, 1), (0.11, 0)],
+            "s double, lab int",
+        )
+        out = {r["bin"]: r for r in ml.calibration_bins(df, "s", "lab").collect()}
+        assert out[0]["n"] == 2 and float(out[0]["pos_rate"]) == 0.5
+        assert out[9]["n"] == 2  # 0.95 and the exactly-1.0 edge case
+        assert out[1]["n"] == 1
+
+    def test_out_of_range_excluded(self, spark):
+        df = spark.createDataFrame([(1.5, 1), (-0.1, 0), (0.5, 1)], "s double, lab int")
+        rows_out = ml.calibration_bins(df, "s", "lab").collect()
+        assert sum(r["n"] for r in rows_out) == 1
+
+
+class TestStratifiedSplit:
+    def test_exact_fractions(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(100)] + [("b", i + 1000) for i in range(10)],
+            "g string, id long",
+        )
+        out = transform.stratified_split(df, ["g"], test_frac=0.2, hash_col="id")
+        counts = {(r["g"], r["split"]): r["n"] for r in
+                  out.groupBy("g", "split").count().withColumnRenamed("count", "n").collect()}
+        assert counts[("a", "test")] == 20 and counts[("b", "test")] == 2
+
+    def test_deterministic(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame([("a", i) for i in range(50)], "g string, id long")
+        s1 = sorted(map(tuple, transform.stratified_split(df, ["g"], 0.3, "id").collect()))
+        s2 = sorted(map(tuple, transform.stratified_split(df, ["g"], 0.3, "id").collect()))
+        assert s1 == s2
+
+    def test_guards(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame([("a", 1)], "g string, id long")
+        with pytest.raises(ValueError):
+            transform.stratified_split(df, ["g"], 1.5, "id")
+        with pytest.raises(ValueError):
+            transform.stratified_split(df, ["g"], 0.2, None)
+
+
+class TestCentroidSimilarity:
+    def test_known_geometry(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        # group A along +x, group B along +y (orthogonal), C along +x too
+        data = (
+            [(i, [1.0, 0.0], "A") for i in range(3)]
+            + [(10 + i, [0.0, 2.0], "B") for i in range(3)]
+            + [(20 + i, [3.0, 0.0], "C") for i in range(3)]
+        )
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<float>, label string"
+        )
+        out = {(r["group_a"], r["group_b"]): float(r["cosine"])
+               for r in similarity.centroid_similarity(df, "label").collect()}
+        assert out[("A", "B")] == 0.0
+        assert out[("A", "C")] == 1.0
+        assert out[("B", "C")] == 0.0
+
+
+class TestSeasonalNaive:
+    def test_perfect_weekly_pattern(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        # exact weekly repetition -> zero error
+        rows_in = []
+        for d in range(21):
+            rows_in.append(("k", datetime.datetime(2024, 1, 1 + d), float(d % 7)))
+        df = spark.createDataFrame(rows_in, "k string, ts timestamp, v double")
+        r = timeseries.seasonal_naive_backtest(df, ["k"], "ts", "v").collect()[0]
+        assert float(r["mae"]) == 0.0 and r["n_buckets"] == 14
+
+    def test_constant_shift(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        rows_in = [("k", datetime.datetime(2024, 1, 1 + d), float(d)) for d in range(14)]
+        df = spark.createDataFrame(rows_in, "k string, ts timestamp, v double")
+        r = timeseries.seasonal_naive_backtest(df, ["k"], "ts", "v").collect()[0]
+        # each forecast is 7 low
+        assert float(r["mae"]) == 7.0
+
+    def test_bucket_guard(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame([("k",)], "k string")
+        with pytest.raises(ValueError):
+            timeseries.seasonal_naive_backtest(df, ["k"], "ts", "v", bucket="week")
+
+
+class TestDataContract:
+    def test_violations_counted(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        orders = spark.createDataFrame(
+            [(1, 10), (1, 10), (2, 99)], "o_orderkey long, o_custkey long"
+        )
+        li = spark.createDataFrame(
+            [(1, 5.0), (7, None)], "l_orderkey long, l_extendedprice double"
+        ).withColumn("l_discount", F.lit(0.5))
+        cust = spark.createDataFrame([(10,)], "c_custkey long")
+        rep = {r["check"]: r for r in profile.data_contract_report(
+            profile.contract_checks_star(orders, li, cust)).collect()}
+        assert rep["orders_pk_unique"]["n_violations"] == 1
+        assert rep["lineitem_fk_orders"]["n_violations"] == 1
+        assert rep["orders_fk_customer"]["n_violations"] == 1  # custkey 99
+        assert rep["lineitem_price_not_null"]["n_violations"] == 1
+        assert rep["lineitem_discount_range"]["passed"]
+
+    def test_empty_checks_guard(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        with pytest.raises(ValueError):
+            profile.data_contract_report([])
