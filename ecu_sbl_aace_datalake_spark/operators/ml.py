@@ -27,7 +27,7 @@ use cases (quality-score calibration, feature screening, drift).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -672,4 +672,47 @@ def calibration_bins(
         F.round(
             F.col("__pos").cast("double") / F.col("n").cast("double"), round_to
         ).alias("pos_rate"),
+    )
+
+
+def wilson_ci(
+    df: DataFrame,
+    success_col: str,
+    by: Optional[Sequence[str]] = None,
+    z: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilson score confidence interval for a per-group proportion —
+    the right CI for conversion/error rates (never leaves [0,1], sane at
+    small n, unlike the normal approximation). ``success_col`` is a
+    0/1 indicator; z defaults to the exact two-sided 95% quantile.
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        halfwidth = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    One aggregate of exact counts per group; the closed form runs once
+    per group in a fixed double expression order (oracle-exact).
+    """
+    keys = list(by or [])
+    agg = df.where(F.col(success_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(success_col).cast("int")).alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    p = F.col("__s").cast("double") / n
+    z_ = F.lit(float(z))
+    z2 = z_ * z_
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        z_
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        F.round(p, round_to).alias("rate"),
+        F.round(center - half, round_to).alias("ci_lo"),
+        F.round(center + half, round_to).alias("ci_hi"),
     )

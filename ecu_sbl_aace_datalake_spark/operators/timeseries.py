@@ -688,3 +688,50 @@ def seasonal_naive_backtest(
             round_to,
         ).alias("mape"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tie_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inter-arrival-time profile per key: mean gap, population std, and
+    the coefficient of variation (CV = std/mean) — the burstiness
+    diagnostic (CV≈1 Poisson, CV>1 bursty, CV<1 regular). Gaps are exact
+    microsecond integers; moments accumulate exactly; floats appear once
+    per key in fixed order. Keys with < 2 events drop out (no gaps).
+
+    One window sort per key fused with the moment aggregate's shuffle.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.withColumn("__gap", us - F.lag(us).over(w))
+        .where(F.col("__gap").isNotNull())
+        .select(*keys, (F.col("__gap").cast("double") / 1e6).cast("decimal(18,6)").alias("__g"))
+    )
+    agg = gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__g").alias("__s"),
+        F.sum(
+            F.col("__g").cast("decimal(28,6)") * F.col("__g").cast("decimal(28,6)")
+        ).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * n)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    cv = F.when(mean != 0.0, std / mean)
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n_gaps"),
+        F.round(mean, round_to).alias("mean_gap_s"),
+        F.round(std, round_to).alias("std_gap_s"),
+        F.round(cv, round_to).alias("cv"),
+    )

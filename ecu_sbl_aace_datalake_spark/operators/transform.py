@@ -976,3 +976,65 @@ def stratified_split(
     return ranked.withColumn(
         out_col, F.when(F.col("__rn") <= cut, F.lit("test")).otherwise(F.lit("train"))
     ).drop("__rn", "__n")
+
+
+def hierarchical_shares(
+    df: DataFrame,
+    levels: list[str],
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Percent-of-parent OLAP rollup: aggregate ``value_col`` at every
+    prefix of the ``levels`` hierarchy and report each node's share of
+    its PARENT (region share of total, nation share of its region, ...).
+
+    One ROLLUP aggregate (single shuffle; Spark expands grouping sets
+    map-side) + a parent self-join on the prefix key — the parent
+    relation is the rollup's own coarser rows, broadcast-small. Sums are
+    exact decimals; the share is one double division. Grand total has
+    share 1. Returns ``(level, <levels...>, total, share)`` where unused
+    level columns are null, like SQL ROLLUP output.
+    """
+    v = F.col(value_col).cast("decimal(18,6)")
+    rolled = (
+        df.where(F.col(value_col).isNotNull())
+        .rollup(*levels)
+        .agg(F.sum(v).alias("__t"), F.grouping_id().alias("__gid"))
+    )
+    n = len(levels)
+    # grouping_id: bit i set => level i is rolled up; depth = n - popcount
+    depth = F.lit(n) - sum(
+        F.shiftright(F.col("__gid"), i).bitwiseAND(F.lit(1)) for i in range(n)
+    )
+    rolled = rolled.withColumn("__depth", depth.cast("int"))
+    out_cols = [F.col("__depth").alias("level")] + [F.col(c) for c in levels]
+    child = rolled.select(*out_cols, F.col("__t"))
+    shares = None
+    for d in range(0, n + 1):
+        c = child.where(F.col("level") == d)
+        if d == 0:
+            part = c.withColumn("share", F.lit(1.0))
+        else:
+            parent_keys = levels[: d - 1]
+            p = child.where(F.col("level") == d - 1).select(
+                *[F.col(k).alias(f"__p_{k}") for k in parent_keys],
+                F.col("__t").alias("__pt"),
+            )
+            cond = [
+                c[k].eqNullSafe(p[f"__p_{k}"]) for k in parent_keys
+            ] or None
+            joined = c.crossJoin(F.broadcast(p)) if cond is None else c.join(
+                F.broadcast(p), cond
+            )
+            part = joined.select(
+                *[c[x] for x in ["level"] + levels + ["__t"]],
+                F.round(
+                    F.col("__t").cast("double") / F.col("__pt").cast("double"), round_to
+                ).alias("share"),
+            )
+        shares = part if shares is None else shares.unionByName(part)
+    return shares.select(
+        "level", *levels,
+        F.round(F.col("__t"), 2).alias("total"),
+        F.round(F.col("share"), round_to).alias("share"),
+    )
