@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "centroid_similarity",
     "seasonal_naive_backtest",
     "data_contract",
+    "hierarchical_shares",
+    "wilson_ci",
+    "interarrival_stats",
 ]
 
 

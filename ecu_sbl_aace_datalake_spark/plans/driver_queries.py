@@ -10682,3 +10682,104 @@ ORACLES.update({
     "seasonal_naive_backtest": SQL_SEASONAL_NAIVE_BACKTEST,
     "data_contract": SQL_DATA_CONTRACT,
 })
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch 12 — OLAP shares, rate CIs, burstiness
+# --------------------------------------------------------------------------
+
+def q_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup (transform.hierarchical_shares): order
+    value shares at every level of priority → status — ONE ROLLUP
+    aggregate + broadcast parent joins; exact decimal sums."""
+    orders = _t(spark, sf_dir, "orders")
+    return transform.hierarchical_shares(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+    )
+
+
+SQL_HIERARCHICAL_SHARES = """
+WITH l2 AS (SELECT o_orderpriority, o_orderstatus,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) t
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+l1 AS (SELECT o_orderpriority, SUM(t) t FROM l2 GROUP BY 1),
+l0 AS (SELECT SUM(t) t FROM l1)
+SELECT 0 AS "level", NULL AS o_orderpriority, NULL AS o_orderstatus,
+  ROUND(t, 2) AS total, 1.0 AS "share" FROM l0
+UNION ALL
+SELECT 1, l1.o_orderpriority, NULL, ROUND(l1.t, 2),
+  ROUND(CAST(l1.t AS DOUBLE)/CAST(l0.t AS DOUBLE), 6)
+FROM l1 CROSS JOIN l0
+UNION ALL
+SELECT 2, l2.o_orderpriority, l2.o_orderstatus, ROUND(l2.t, 2),
+  ROUND(CAST(l2.t AS DOUBLE)/CAST(l1.t AS DOUBLE), 6)
+FROM l2 JOIN l1 USING (o_orderpriority)
+"""
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% CI on a per-type success rate (ml.wilson_ci): the
+    proper small-n proportion interval; exact counts, fixed closed-form
+    double expression."""
+    evts = _t(spark, sf_dir, "events").withColumn(
+        "success", (F.col("value") > 50).cast("int")
+    )
+    return ml.wilson_ci(evts, "success", by=["event_type"])
+
+
+SQL_WILSON_CI = """
+WITH a AS (SELECT event_type, COUNT(*) n,
+    SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) s
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+f AS (SELECT event_type, CAST(n AS BIGINT) n, CAST(n AS DOUBLE) nd,
+  CAST(s AS DOUBLE)/CAST(n AS DOUBLE) p, 1.959963984540054 z FROM a)
+SELECT event_type, n, ROUND(p, 6) AS rate,
+ ROUND((p + z*z/(2.0*nd))/(1.0 + z*z/nd)
+   - z*SQRT(p*(1.0-p)/nd + z*z/(4.0*nd*nd))/(1.0 + z*z/nd), 6) AS ci_lo,
+ ROUND((p + z*z/(2.0*nd))/(1.0 + z*z/nd)
+   + z*SQRT(p*(1.0-p)/nd + z*z/(4.0*nd*nd))/(1.0 + z*z/nd), 6) AS ci_hi
+FROM f
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile (timeseries.interarrival_stats): per-type
+    inter-arrival mean/std/CV from exact microsecond gaps — CV≈1
+    Poisson, >1 bursty."""
+    evts = _t(spark, sf_dir, "events")
+    return timeseries.interarrival_stats(
+        evts, ["event_type"], "ts", tie_col="event_id"
+    )
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH g AS (SELECT event_type,
+   CAST(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+       PARTITION BY event_type ORDER BY ts, event_id) AS DOUBLE)/1e6
+     AS DECIMAL(18,6)) gp
+  FROM events),
+gg AS (SELECT event_type, gp FROM g WHERE gp IS NOT NULL),
+a AS (SELECT event_type, COUNT(*) n, SUM(gp) s,
+  SUM(CAST(gp AS DECIMAL(28,6))*CAST(gp AS DECIMAL(28,6))) ss
+  FROM gg GROUP BY event_type),
+f AS (SELECT event_type, CAST(n AS BIGINT) n, CAST(n AS DOUBLE) nd,
+  CAST(s AS DOUBLE) sd, CAST(ss AS DOUBLE) ssd FROM a)
+SELECT event_type, n AS n_gaps, ROUND(sd/nd, 6) AS mean_gap_s,
+ ROUND(SQRT(GREATEST((nd*ssd - sd*sd)/(nd*nd), 0.0)), 6) AS std_gap_s,
+ ROUND(CASE WHEN sd/nd <> 0.0
+   THEN SQRT(GREATEST((nd*ssd - sd*sd)/(nd*nd), 0.0))/(sd/nd) END, 6) AS cv
+FROM f
+"""
+
+
+QUERIES.update({
+    "hierarchical_shares": q_hierarchical_shares,
+    "wilson_ci": q_wilson_ci,
+    "interarrival_stats": q_interarrival_stats,
+})
+
+ORACLES.update({
+    "hierarchical_shares": SQL_HIERARCHICAL_SHARES,
+    "wilson_ci": SQL_WILSON_CI,
+    "interarrival_stats": SQL_INTERARRIVAL_STATS,
+})

@@ -1023,3 +1023,66 @@ class TestDataContract:
 
         with pytest.raises(ValueError):
             profile.data_contract_report([])
+
+
+class TestHierarchicalShares:
+    def test_shares_sum_to_one_per_parent(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [("r1", "n1", 10.0), ("r1", "n2", 30.0), ("r2", "n3", 60.0)],
+            "region string, nation string, v double",
+        )
+        out = transform.hierarchical_shares(df, ["region", "nation"], "v")
+        rows_out = {(r["level"], r["region"], r["nation"]): float(r["share"])
+                    for r in out.collect()}
+        assert rows_out[(0, None, None)] == 1.0
+        assert rows_out[(1, "r1", None)] == 0.4
+        assert rows_out[(1, "r2", None)] == 0.6
+        assert rows_out[(2, "r1", "n1")] == 0.25
+        assert rows_out[(2, "r1", "n2")] == 0.75
+        assert rows_out[(2, "r2", "n3")] == 1.0
+
+
+class TestWilson:
+    def test_known_interval(self, spark):
+        # p=0.5, n=100, z=1.96...: center 0.5, halfwidth ~0.0958
+        df = spark.createDataFrame(
+            [(1,)] * 50 + [(0,)] * 50, "success int"
+        )
+        r = ml.wilson_ci(df, "success").collect()[0]
+        assert float(r["rate"]) == 0.5
+        assert 0.40 < float(r["ci_lo"]) < 0.41
+        assert 0.59 < float(r["ci_hi"]) < 0.60
+
+    def test_extreme_rate_stays_in_unit(self, spark):
+        df = spark.createDataFrame([(1,)] * 5, "success int")
+        r = ml.wilson_ci(df, "success").collect()[0]
+        assert float(r["ci_hi"]) <= 1.0 and float(r["ci_lo"]) > 0.0
+
+
+class TestInterarrival:
+    def test_regular_vs_bursty(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        base = datetime.datetime(2024, 1, 1)
+        reg = [("reg", base + datetime.timedelta(seconds=10 * i), i) for i in range(10)]
+        burst = [("burst", base + datetime.timedelta(seconds=s), 100 + i)
+                 for i, s in enumerate([0, 1, 2, 3, 100, 101, 102, 200])]
+        df = spark.createDataFrame(reg + burst, "k string, ts timestamp, eid long")
+        out = {r["k"]: r for r in timeseries.interarrival_stats(
+            df, ["k"], "ts", tie_col="eid").collect()}
+        assert float(out["reg"]["cv"]) == 0.0
+        assert float(out["reg"]["mean_gap_s"]) == 10.0
+        assert float(out["burst"]["cv"]) > 1.0
+
+    def test_single_event_key_dropped(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [("only", datetime.datetime(2024, 1, 1), 1)],
+            "k string, ts timestamp, eid long",
+        )
+        assert timeseries.interarrival_stats(df, ["k"], "ts", tie_col="eid").count() == 0
