@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "hierarchical_shares",
     "wilson_ci",
     "interarrival_stats",
+    "bitmap_intersections",
 ]
 
 

@@ -250,3 +250,56 @@ def rolling_distinct_from_bitmaps(
         F.bitmap_or_agg(bm_col).alias(bm_col)
     )
     return bitmap_distinct_counts(merged, [day_col], bm_col=bm_col)
+
+
+def bitmap_intersection_counts(
+    state: DataFrame,
+    key_col: str,
+    bm_col: str = "bm",
+) -> DataFrame:
+    """EXACT pairwise audience overlap from bitmap states — |A ∩ B| for
+    every key pair via inclusion-exclusion: |A∩B| = |A| + |B| − |A∪B|.
+    Spark's bitmap family has OR-merge but no AND aggregate; each pair's
+    union count comes from one ``bitmap_or_agg`` over the two keys'
+    bucket rows, so intersections need NO fact rescan and no bit-level
+    AND — the "users who did A and also B" matrix straight from
+    mergeable state.
+
+    Input: a state table from :func:`bitmap_distinct_state` keyed by one
+    column. Shape: the key-pair relation is k(k−1)/2 rows (broadcast);
+    state rows fan out once per pair they belong to (≤ k−1), then one
+    OR-aggregate per (pair, bucket) — cost scales with state rows ×
+    pairs, never with ids. Returns ``(key_a, key_b, n_a, n_b, n_union,
+    n_intersect)`` for key_a < key_b.
+    """
+    per_key = bitmap_distinct_counts(state, [key_col], bm_col)
+    ka = per_key.select(
+        F.col(key_col).alias("key_a"), F.col("n_distinct").alias("n_a")
+    )
+    kb = per_key.select(
+        F.col(key_col).alias("key_b"), F.col("n_distinct").alias("n_b")
+    )
+    pairs = ka.crossJoin(kb).where(F.col("key_a") < F.col("key_b"))
+    sa = state.select(F.col(key_col).alias("__k"), "bucket", bm_col)
+    tag_a = pairs.select("key_a", "key_b").join(
+        sa, F.col("key_a") == F.col("__k")
+    ).select("key_a", "key_b", "bucket", bm_col)
+    tag_b = pairs.select("key_a", "key_b").join(
+        sa, F.col("key_b") == F.col("__k")
+    ).select("key_a", "key_b", "bucket", bm_col)
+    union_counts = (
+        tag_a.unionByName(tag_b)
+        .groupBy("key_a", "key_b", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg(bm_col)).alias("__c"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum("__c").cast("long").alias("n_union"))
+    )
+    out = pairs.join(union_counts, ["key_a", "key_b"], "left").na.fill(
+        {"n_union": 0}
+    )
+    return out.select(
+        "key_a", "key_b", "n_a", "n_b", "n_union",
+        (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        .cast("long")
+        .alias("n_intersect"),
+    )

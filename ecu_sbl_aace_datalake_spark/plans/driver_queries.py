@@ -10783,3 +10783,32 @@ ORACLES.update({
     "wilson_ci": SQL_WILSON_CI,
     "interarrival_stats": SQL_INTERARRIVAL_STATS,
 })
+
+
+def q_bitmap_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap from mergeable bitmap states
+    (aggstate.bitmap_intersection_counts): |A∩B| by inclusion-exclusion
+    over OR-merged buckets — no fact rescan, no bit-AND primitive
+    needed. Oracle: literal COUNT(DISTINCT) set arithmetic."""
+    evts = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    state = aggstate.bitmap_distinct_state(evts, ["event_type"], "user_id")
+    return aggstate.bitmap_intersection_counts(state, "event_type")
+
+
+SQL_BITMAP_INTERSECTIONS = """
+WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+k AS (SELECT event_type, COUNT(DISTINCT user_id) n FROM e GROUP BY event_type),
+p AS (SELECT a.event_type key_a, b.event_type key_b, a.n n_a, b.n n_b
+  FROM k a JOIN k b ON a.event_type < b.event_type),
+u AS (SELECT p.key_a, p.key_b, COUNT(DISTINCT e.user_id) n_union
+  FROM p JOIN e ON e.event_type = p.key_a OR e.event_type = p.key_b
+  GROUP BY 1, 2)
+SELECT p.key_a, p.key_b, CAST(p.n_a AS BIGINT) AS n_a,
+  CAST(p.n_b AS BIGINT) AS n_b, CAST(u.n_union AS BIGINT) AS n_union,
+  CAST(p.n_a + p.n_b - u.n_union AS BIGINT) AS n_intersect
+FROM p JOIN u ON p.key_a = u.key_a AND p.key_b = u.key_b
+"""
+
+
+QUERIES.update({"bitmap_intersections": q_bitmap_intersections})
+ORACLES.update({"bitmap_intersections": SQL_BITMAP_INTERSECTIONS})

@@ -1086,3 +1086,34 @@ class TestInterarrival:
             "k string, ts timestamp, eid long",
         )
         assert timeseries.interarrival_stats(df, ["k"], "ts", tie_col="eid").count() == 0
+
+
+class TestBitmapIntersections:
+    def test_hand_overlap(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        # A={1,2,3}, B={2,3,4}, C={100000} (cross-bucket id)
+        rows_in = [("A", 1), ("A", 2), ("A", 3), ("B", 2), ("B", 3),
+                   ("B", 4), ("C", 100000)]
+        df = spark.createDataFrame(rows_in, "k string, uid long")
+        state = aggstate.bitmap_distinct_state(df, ["k"], "uid")
+        out = {(r["key_a"], r["key_b"]): r for r in
+               aggstate.bitmap_intersection_counts(state, "k").collect()}
+        ab = out[("A", "B")]
+        assert (ab["n_a"], ab["n_b"], ab["n_union"], ab["n_intersect"]) == (3, 3, 4, 2)
+        ac = out[("A", "C")]
+        assert ac["n_intersect"] == 0 and ac["n_union"] == 4
+
+    def test_merge_then_intersect(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        d1 = spark.createDataFrame([("A", 1), ("B", 1)], "k string, uid long")
+        d2 = spark.createDataFrame([("A", 2), ("B", 3)], "k string, uid long")
+        s = aggstate.merge_bitmap_states(
+            aggstate.bitmap_distinct_state(d1, ["k"], "uid"),
+            aggstate.bitmap_distinct_state(d2, ["k"], "uid"),
+            ["k"],
+        )
+        r = aggstate.bitmap_intersection_counts(s, "k").collect()[0]
+        # A={1,2}, B={1,3} -> intersect {1}
+        assert r["n_intersect"] == 1 and r["n_union"] == 3
