@@ -238,6 +238,8 @@ class TestGlobalPlanInvariants:
         "mutual_topk",          # two bounded query-slice broadcasts (cosine_topk x2)
         "target_encoding",      # 1-row global-mean scalar broadcast
         "bitmap_rolling_distinct",  # day-spine non-equi probe: |days| x state rows, both bounded
+        "hierarchical_shares",  # 1-row grand-total parent broadcast at level 1
+        "bitmap_intersections",  # k x k per-key-count pair build (k = event types)
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
