@@ -591,7 +591,11 @@ def modularity(
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("dc"))
     )
-    per_c = deg.join(e_c, "c", "left").na.fill({"ec": 0})
+    # checkpoint the tiny per-community relation, then release the cached
+    # tagged edges (the m=count() pass materialized them; nothing else
+    # needs them once per_c is pinned)
+    per_c = deg.join(e_c, "c", "left").na.fill({"ec": 0}).localCheckpoint()
+    tagged.unpersist()
     md = float(m)
     term = (
         F.col("ec").cast("double") / F.lit(md)

@@ -38,6 +38,12 @@ __all__ = [
     "auc_score",
     "confusion_metrics",
     "correlation_matrix",
+    "mutual_information",
+    "jackknife_ci",
+    "chi2_independence",
+    "macro_f1",
+    "calibration_bins",
+    "wilson_ci",
 ]
 
 _DEC = "decimal(18,6)"
@@ -434,7 +440,12 @@ def jackknife_ci(
     from pyspark.sql import Window
 
     keys = list(by or [])
-    hsrc = F.col(hash_col) if hash_col else F.col(value_col)
+    if hash_col is None:
+        # bucketing by the value itself correlates buckets with the
+        # statistic (a 0/1 indicator would collapse to 2 effective
+        # groups) — the jackknife needs value-independent buckets
+        raise ValueError("pass hash_col: a stable id column independent of the value")
+    hsrc = F.col(hash_col)
     bucket = (
         F.conv(F.substring(F.md5(hsrc.cast("string")), 1, 15), 16, 10)
         .cast("long") % n_buckets
@@ -608,12 +619,11 @@ def macro_f1(
         F.round(rec, round_to).alias("recall"),
         F.round(f1, round_to).alias("f1"),
     )
-    w = Window.partitionBy(F.lit(1))
     dec = lambda c: F.round(F.coalesce(F.col(c), F.lit(0.0)), 8).cast(  # noqa: E731
         "decimal(28,8)"
     )
     macro = (
-        scored.withColumn("__k", F.count(F.lit(1)).over(w))
+        scored
         .groupBy()
         .agg(
             F.lit("__macro__").alias("class"),

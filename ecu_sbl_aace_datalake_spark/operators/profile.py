@@ -273,7 +273,16 @@ def benford_audit(
     leading digit).
     """
     v = F.abs(F.col(value_col).cast("double"))
-    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    raw_digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    # log10 can round across an integer at power-of-ten boundaries
+    # (v=9.99...e-28 -> digit 0 means the true digit is 9; an exact-10
+    # quotient means the true digit is 1) — remap instead of emitting an
+    # out-of-range digit row with a null expected share
+    digit = (
+        F.when(raw_digit == 0, F.lit(9))
+        .when(raw_digit == 10, F.lit(1))
+        .otherwise(raw_digit)
+    ).cast("int")
     counts = (
         df.where(F.col(value_col).isNotNull() & (v > 0))
         .select(digit.alias("digit"))
@@ -332,8 +341,13 @@ def concentration_metrics(
         F.sum((F.col("__v").cast("decimal(28,6)") * F.col("__v").cast("decimal(28,6)"))).alias("__sxx"),
         F.sum(F.col("__i") * F.col("__v").cast("decimal(28,6)")).alias("__six"),
     )
+    # persist the tiny per-group aggregate BEFORE the validation action so
+    # the guard's materialization is reused by the caller's query — without
+    # it the full rank-window pipeline executes twice
+    agg = agg.persist()
     bad = agg.where(F.col("__mn") < 0).limit(1).count()
     if bad:
+        agg.unpersist()
         raise ValueError("concentration_metrics requires non-negative values")
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")

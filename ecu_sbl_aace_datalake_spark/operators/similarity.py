@@ -1302,7 +1302,10 @@ def kcenter_selection(
             "__mind", F.least(F.col("__mind"), dist_to(nxt["__v"]))
         ).localCheckpoint()
     spark = df.sparkSession
-    return spark.createDataFrame(selected, "rank int, id long")
+    # carry the caller's id type (string ids are as legitimate as longs —
+    # same probe-schema rule as the ANN index probes)
+    id_ddl = _id_ddl(df, id_col)
+    return spark.createDataFrame(selected, f"rank int, id {id_ddl}")
 
 
 def centroid_similarity(

@@ -656,10 +656,17 @@ def seasonal_naive_backtest(
         .groupBy(*keys, b.alias("__b"))
         .agg(F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v"))
     )
-    w = Window.partitionBy(*keys).orderBy("__b")
-    fc = per.withColumn("__f", F.lag("__v", season_lag).over(w)).where(
-        F.col("__f").isNotNull()
+    # CALENDAR lag, not row lag: an equi-join on bucket == bucket+season
+    # keeps the forecast aligned to the same weekday even when buckets are
+    # missing from the data (a row-offset lag silently shifts every bucket
+    # after a gap onto the wrong weekday)
+    unit = "DAYS" if bucket == "day" else "HOURS"
+    lagged = per.select(
+        *keys,
+        (F.col("__b") + F.expr(f"INTERVAL {int(season_lag)} {unit}")).alias("__b"),
+        F.col("__v").alias("__f"),
     )
+    fc = per.join(lagged, keys + ["__b"])
     err = F.abs(F.col("__v") - F.col("__f"))
     ape = F.when(
         F.col("__v") != 0,

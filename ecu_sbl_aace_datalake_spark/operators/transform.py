@@ -924,8 +924,12 @@ def quantile_normalize(
         "__pos",
         F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(F.col("__v").asc())),
     )
-    n_glob = base.count()
-    idx = F.lit(1.0) + F.lit(float(n_glob - 1)) * p
+    # global size as a LAZY 1-row broadcast scalar (max position of the
+    # rank table) — an eager base.count() here would cost a full extra
+    # scan at plan-build time
+    scalar = glob.agg(F.max("__pos").alias("__ng"))
+    ranked = ranked.crossJoin(F.broadcast(scalar))
+    idx = F.lit(1.0) + (F.col("__ng") - 1).cast("double") * p
     with_idx = (
         ranked.withColumn("__lo_i", F.floor(idx).cast("long"))
         .withColumn("__hi_i", F.ceil(idx).cast("long"))
@@ -938,7 +942,7 @@ def quantile_normalize(
         F.col("__hi_v").cast("double") - F.col("__lo_v").cast("double")
     ) * F.col("__frac")
     return joined.withColumn(out_col, F.round(target, round_to)).drop(
-        "__v", "__leq", "__tie", "__n", "__lo_i", "__hi_i", "__frac",
+        "__v", "__leq", "__tie", "__n", "__ng", "__lo_i", "__hi_i", "__frac",
         "__lo_v", "__hi_v",
     )
 
@@ -972,7 +976,11 @@ def stratified_split(
     ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(wn)
     )
-    cut = F.floor(F.col("__n").cast("double") * F.lit(float(test_frac)))
+    # EXACT floor(n*frac): integer arithmetic on the fraction quantized to
+    # 6dp — floor(double(n)*double(frac)) undercounts when the product
+    # rounds just below an integer (e.g. 100*0.29 -> 28.999999999999996)
+    frac_ppm = round(float(test_frac) * 1_000_000)
+    cut = F.expr(f"(__n * {frac_ppm}) DIV 1000000")
     return ranked.withColumn(
         out_col, F.when(F.col("__rn") <= cut, F.lit("test")).otherwise(F.lit("train"))
     ).drop("__rn", "__n")

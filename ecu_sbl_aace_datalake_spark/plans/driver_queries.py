@@ -9789,7 +9789,9 @@ SQL_BENFORD_AUDIT = """
 WITH v AS (SELECT ABS(CAST(l_extendedprice AS DOUBLE)) v FROM lineitem
            WHERE l_extendedprice IS NOT NULL
              AND ABS(CAST(l_extendedprice AS DOUBLE)) > 0),
-d AS (SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS INT) digit FROM v),
+d0 AS (SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS INT) rd FROM v),
+d AS (SELECT CAST(CASE WHEN rd = 0 THEN 9 WHEN rd = 10 THEN 1 ELSE rd END
+               AS INT) digit FROM d0),
 c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) n_obs FROM d GROUP BY digit),
 t AS (SELECT *, SUM(n_obs) OVER () n FROM c)
 SELECT digit, n_obs,
@@ -10550,7 +10552,7 @@ WITH r AS (SELECT o_orderpriority,
                        ORDER BY md5(CAST(o_orderkey AS VARCHAR))) rn,
     COUNT(*) OVER (PARTITION BY o_orderpriority) n FROM orders)
 SELECT o_orderpriority,
-  CASE WHEN rn <= FLOOR(CAST(n AS DOUBLE)*0.2) THEN 'test' ELSE 'train' END
+  CASE WHEN rn <= (n * 200000) // 1000000 THEN 'test' ELSE 'train' END
     AS split,
   CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1, 2
 """
@@ -10620,8 +10622,9 @@ SQL_SEASONAL_NAIVE_BACKTEST = """
 WITH per AS (SELECT event_type, CAST(ts AS DATE) b,
     SUM(CAST(value AS DECIMAL(18,6))) v
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-fc AS (SELECT event_type, v,
-    LAG(v, 7) OVER (PARTITION BY event_type ORDER BY b) f FROM per),
+fc AS (SELECT cur.event_type, cur.v, prev.v f
+  FROM per cur JOIN per prev
+    ON cur.event_type = prev.event_type AND cur.b = prev.b + INTERVAL 7 DAYS),
 e AS (SELECT event_type, v, f, ABS(v - f) ae,
     CASE WHEN v <> 0 THEN CAST(ROUND(CAST(ABS(v-f) AS DOUBLE)
         /CAST(ABS(v) AS DOUBLE), 12) AS DECIMAL(28,12)) END ape

@@ -1117,3 +1117,56 @@ class TestBitmapIntersections:
         r = aggstate.bitmap_intersection_counts(s, "k").collect()[0]
         # A={1,2}, B={1,3} -> intersect {1}
         assert r["n_intersect"] == 1 and r["n_union"] == 3
+
+
+class TestReviewRegressions:
+    """Regression tests for the round-5 self-code-review findings."""
+
+    def test_split_exact_at_float_boundary(self, spark):
+        # 100 * 0.29 = 28.999999999999996 in doubles; exact cut must be 29
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame([("a", i) for i in range(100)], "g string, id long")
+        out = transform.stratified_split(df, ["g"], test_frac=0.29, hash_col="id")
+        assert out.where("split = 'test'").count() == 29
+
+    def test_benford_boundary_digit_remap(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import profile
+
+        # 9.999999999999999e-28: log10 rounds up to the next integer, raw
+        # digit would be 0 — must be remapped to its true first digit 9
+        df = spark.createDataFrame(
+            [(9.999999999999999e-28,), (123.0,)], "v double"
+        )
+        out = {r["digit"]: r["n_obs"] for r in profile.benford_audit(df, "v").collect()}
+        assert out == {9: 1, 1: 1}
+        assert all(1 <= d <= 9 for d in out)
+
+    def test_seasonal_naive_gap_stays_aligned(self, spark):
+        import datetime
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        # weekly-periodic values, but day 10 is MISSING: a row-offset lag
+        # would misalign everything after the gap; calendar join must not
+        rows_in = [("k", datetime.datetime(2024, 1, 1 + d), float(d % 7))
+                   for d in range(21) if d != 10]
+        df = spark.createDataFrame(rows_in, "k string, ts timestamp, v double")
+        r = timeseries.seasonal_naive_backtest(df, ["k"], "ts", "v").collect()[0]
+        assert float(r["mae"]) == 0.0  # perfectly periodic despite the gap
+        # day 10 and day 17 (whose lag target is missing) drop out: 14-2
+        assert r["n_buckets"] == 12
+
+    def test_jackknife_requires_hash_col(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            ml.jackknife_ci(df, "v")
+
+    def test_kcenter_string_ids(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [("a", [0.0]), ("b", [5.0]), ("c", [9.0])],
+            "vec_id string, embedding array<float>",
+        )
+        out = {r["rank"]: r["id"] for r in similarity.kcenter_selection(df, k=2).collect()}
+        assert out == {0: "a", 1: "c"}

@@ -240,6 +240,7 @@ class TestGlobalPlanInvariants:
         "bitmap_rolling_distinct",  # day-spine non-equi probe: |days| x state rows, both bounded
         "hierarchical_shares",  # 1-row grand-total parent broadcast at level 1
         "bitmap_intersections",  # k x k per-key-count pair build (k = event types)
+        "quantile_normalize",   # 1-row global-size scalar broadcast (lazy n_glob)
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
