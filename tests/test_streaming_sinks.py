@@ -388,3 +388,65 @@ class TestForeachBatchCdcApply:
         assert 1 not in got_rows
         assert got_rows[99] == "BRANDNEW"
         assert len(got_rows) == 25  # 25 nations - 1 deleted + 1 inserted
+
+
+class TestStreamedTrending:
+    def test_trending_from_streamed_state_equals_batch(self, spark, sf_dir, tmp_path):
+        """Trend detection over INCREMENTALLY accumulated state: per-(type,
+        day) counts built by the replay-safe agg-state sink across two
+        micro-batches, then lag ratios over the state — must equal
+        ev.trending_counts on the full batch data (the stream/batch-parity
+        contract for the trending pipeline)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+        from ecu_sbl_aace_datalake_spark.streaming import events as ev
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_agg_state,
+        )
+
+        evts = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        src = str(tmp_path / "trend_src")
+        os.makedirs(src)
+        evts.where("event_id % 2 = 0").coalesce(1).write.parquet(src + "/b1")
+        evts.where("event_id % 2 = 1").coalesce(1).write.parquet(src + "/b2")
+        stream = (
+            spark.readStream.schema(evts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        lh = Lakehouse("tr", tempfile.mkdtemp())
+        q = foreach_batch_agg_state(
+            stream, lh, "trend_state", keys=["event_type", "day"],
+            value_col="event_id",
+            checkpoint_dir=str(tmp_path / "tr_ckpt"), with_hll=False,
+        )
+        q.awaitTermination(180)
+        from ecu_sbl_aace_datalake_spark.sources.io import read_table
+
+        state = read_table(spark, lh, "trend_state")
+        counts = state.select(
+            F.col("event_type").alias("type"), F.col("day").alias("bucket"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("type").orderBy("bucket")
+        prev = F.lag("n").over(w)
+        streamed = counts.select(
+            "type", "bucket", "n", prev.alias("n_prev"),
+            F.round(
+                F.when(prev >= 1, F.col("n").cast("double") / prev.cast("double")),
+                6,
+            ).alias("trend_ratio"),
+        )
+        batch = ev.trending_counts(
+            load_table(spark, sf_dir, "events"), bucket="day"
+        )
+        assert sorted(map(tuple, streamed.collect())) == \
+            sorted(map(tuple, batch.collect()))
