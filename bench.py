@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "wilson_ci",
     "interarrival_stats",
     "bitmap_intersections",
+    "neardup_eval",
 ]
 
 

@@ -10815,3 +10815,99 @@ FROM p JOIN u ON p.key_a = u.key_a AND p.key_b = u.key_b
 
 QUERIES.update({"bitmap_intersections": q_bitmap_intersections})
 ORACLES.update({"bitmap_intersections": SQL_BITMAP_INTERSECTIONS})
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-EVALUATING blocking-quality harness: precision/recall of
+    SimHash 16-bit-band blocking against EXACT jaccard>=0.5 ground truth
+    (setsim_prefix_pairs) on a 1/7 doc slice — every stage is an already
+    oracle-verified operator, composed. The measured result is itself
+    the lesson: simhash Hamming-band candidates are high-precision but
+    LOW-recall for word-jaccard-0.5 pairs (simhash approximates cosine
+    over token multisets, not jaccard), which is exactly why the
+    MinHash-LSH family is the production near-dup path and simhash is
+    the near-duplicate-text detector."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    truth = dedup.setsim_prefix_pairs(docs, "doc_id", "text", threshold=0.5)
+    sigs = dedup.simhash_signatures(docs, "text", bits=60, algo="md5")
+    bands = dedup.simhash_bands(sigs, "doc_id")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hits = cands.join(truth.select("id_a", "id_b"), ["id_a", "id_b"])
+    out = (
+        cands.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .crossJoin(
+            truth.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        )
+        .crossJoin(
+            hits.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+    )
+    return out.select(
+        "n_truth", "n_candidates", "n_hits",
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+SQL_NEARDUP_EVAL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+sets AS (SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) tk FROM d),
+sets2 AS (SELECT doc_id, tk, len(tk) sz FROM sets WHERE len(tk) > 0),
+truth AS (SELECT a.doc_id id_a, b.doc_id id_b
+  FROM sets2 a JOIN sets2 b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        / CAST(a.sz + b.sz - len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        >= 0.5),
+tok AS (SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token FROM d),
+hashed AS (SELECT doc_id,
+    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) h FROM tok),
+votes AS (SELECT doc_id, bit,
+   SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) vote
+  FROM hashed, (SELECT unnest(range(60)) AS bit) GROUP BY doc_id, bit),
+sigs AS (SELECT doc_id,
+   SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) sh
+  FROM votes GROUP BY doc_id),
+allsigs AS (SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS BIGINT) sh
+  FROM d LEFT JOIN sigs s ON d.doc_id = s.doc_id),
+bands AS (SELECT doc_id, b band_id, (sh >> (16*b)) & 65535 band_key
+  FROM allsigs, (SELECT unnest(range(4)) AS b)),
+cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+hits AS (SELECT c.id_a, c.id_b FROM cands c JOIN truth t USING (id_a, id_b)),
+agg AS (SELECT (SELECT COUNT(*) FROM truth) nt,
+        (SELECT COUNT(*) FROM cands) nc, (SELECT COUNT(*) FROM hits) nh)
+SELECT CAST(nt AS BIGINT) AS n_truth, CAST(nc AS BIGINT) AS n_candidates,
+  CAST(nh AS BIGINT) AS n_hits,
+  ROUND(CASE WHEN nc > 0 THEN CAST(nh AS DOUBLE)/CAST(nc AS DOUBLE) END, 6)
+    AS "precision",
+  ROUND(CASE WHEN nt > 0 THEN CAST(nh AS DOUBLE)/CAST(nt AS DOUBLE) END, 6)
+    AS recall
+FROM agg
+"""
+
+
+QUERIES.update({"neardup_eval": q_neardup_eval})
+ORACLES.update({"neardup_eval": SQL_NEARDUP_EVAL})

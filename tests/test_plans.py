@@ -241,6 +241,7 @@ class TestGlobalPlanInvariants:
         "hierarchical_shares",  # 1-row grand-total parent broadcast at level 1
         "bitmap_intersections",  # k x k per-key-count pair build (k = event types)
         "quantile_normalize",   # 1-row global-size scalar broadcast (lazy n_glob)
+        "neardup_eval",         # three 1-row count aggregates cross-joined into the report row
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
