@@ -291,3 +291,39 @@ class TestDistributedOpInvariants:
         b = sorted((r.vec_id, tuple(r.pq_code)) for r in
                    similarity.pq_encode(df.repartition(parts), cbs).collect())
         assert a == b
+
+
+class TestJaroWinklerProperties:
+    """The from-scratch JW scorer is pure python — hypothesis can sweep it
+    against metric laws and DuckDB's builtin far beyond the goldens."""
+
+    _s = st.text(alphabet="ab#1 xyz", max_size=14)
+
+    @given(_s, _s)
+    @settings(max_examples=200, deadline=None)
+    def test_symmetric_and_bounded(self, a, b):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import _jaro_winkler_py
+
+        x = _jaro_winkler_py(a, b)
+        assert 0.0 <= x <= 1.0
+        assert x == _jaro_winkler_py(b, a)
+
+    @given(_s)
+    @settings(max_examples=100, deadline=None)
+    def test_identity_is_one(self, a):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import _jaro_winkler_py
+
+        expected = 1.0 if a else 0.0  # empty-string edge matches DuckDB
+        assert _jaro_winkler_py(a, a) == expected
+
+    @given(_s, _s)
+    @settings(max_examples=200, deadline=None)
+    def test_duckdb_parity(self, a, b):
+        import duckdb
+
+        from ecu_sbl_aace_datalake_spark.operators.dedup import _jaro_winkler_py
+
+        d = duckdb.connect().execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert round(_jaro_winkler_py(a, b), 9) == round(d, 9)
