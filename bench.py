@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "interarrival_stats",
     "bitmap_intersections",
     "neardup_eval",
+    "time_to_conversion",
 ]
 
 

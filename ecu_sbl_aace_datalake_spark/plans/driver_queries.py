@@ -10911,3 +10911,61 @@ FROM agg
 
 QUERIES.update({"neardup_eval": q_neardup_eval})
 ORACLES.update({"neardup_eval": SQL_NEARDUP_EVAL})
+
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency profile: the ordered funnel's
+    stage timestamps (ev.funnel_stages — greedy first-match, the same
+    machinery as funnel/funnel_within) turned into an exact latency
+    distribution summary (mean from decimal sums, min/max)."""
+    evts = _t(spark, sf_dir, "events")
+    fs = ev.funnel_stages(evts, ["signup", "purchase"])
+    lat = fs.withColumn(
+        "lat_s",
+        F.when(
+            F.col("stage_2_ts").isNotNull(),
+            (
+                F.unix_micros(F.col("stage_2_ts").cast("timestamp"))
+                - F.unix_micros(F.col("stage_1_ts").cast("timestamp"))
+            ).cast("double")
+            / 1e6,
+        ),
+    )
+    return lat.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("lat_s").isNotNull().cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("lat_s").cast("decimal(18,6)")).cast("double")
+            / F.sum(F.col("lat_s").isNotNull().cast("long")),
+            4,
+        ).alias("mean_latency_s"),
+        F.round(F.min("lat_s"), 4).alias("min_latency_s"),
+        F.round(F.max("lat_s"), 4).alias("max_latency_s"),
+    )
+
+
+SQL_TIME_TO_CONVERSION = """
+WITH s1 AS (SELECT user_id, MIN(ts) t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup','purchase')),
+lat AS (SELECT u.user_id,
+   CASE WHEN s2.t2 IS NOT NULL
+     THEN CAST(epoch_us(s2.t2) - epoch_us(s1.t1) AS DOUBLE)/1e6 END lat_s
+  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_converted,
+  ROUND(CAST(SUM(CAST(lat_s AS DECIMAL(18,6))) AS DOUBLE)
+        / SUM(CASE WHEN lat_s IS NOT NULL THEN 1 ELSE 0 END), 4)
+    AS mean_latency_s,
+  ROUND(MIN(lat_s), 4) AS min_latency_s,
+  ROUND(MAX(lat_s), 4) AS max_latency_s
+FROM lat
+"""
+
+
+QUERIES.update({"time_to_conversion": q_time_to_conversion})
+ORACLES.update({"time_to_conversion": SQL_TIME_TO_CONVERSION})
