@@ -19,7 +19,6 @@ Scale design:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -444,6 +443,7 @@ def duplicate_clusters_bigstar(
     id_col_b: str = "id_b",
     max_iter: int = 20,
     stats: dict | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -494,6 +494,7 @@ def duplicate_clusters_bigstar(
 
     sig = _signature(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # ---- large-star ----------------------------------------------
@@ -527,10 +528,19 @@ def duplicate_clusters_bigstar(
         new_sig = _signature(small)
         edges = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged and strict:
+        # same contract as duplicate_clusters(strict=True): never hand
+        # back possibly over-split components silently
+        raise RuntimeError(
+            f"duplicate_clusters_bigstar did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     # converged: edges are (node -> root); add the roots themselves, plus
     # self-labels for nodes whose only pairs were self-pairs (propagation
     # contract: every node appearing in `pairs` gets a label)
@@ -1903,6 +1913,7 @@ def jaro_winkler_pairs(
     Returns ``(id_a, id_b, name_a, name_b, jw)`` for pairs >= threshold,
     id_a < id_b.
     """
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -393,6 +393,11 @@ def k_core(
     Returns ``(node, degree)`` for surviving nodes with their degree
     INSIDE the core.
 
+    With ``symmetrize=False`` the input is treated as a directed graph
+    and "degree" is TOTAL degree (out + in, over the distinct directed
+    edge set) — a node appearing only as a destination still counts and
+    survives peeling; both endpoint roles are aggregated each round.
+
     Fixed-round semantics like :func:`pagerank` / :func:`bfs_hops`.
     Scale shape: the (symmetrized, distinct) edge set is cached ONCE and
     never shuffled again — each peel restricts it by the shrinking ALIVE
@@ -419,6 +424,18 @@ def k_core(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     e = e.persist()
+
+    def _degrees(cur: DataFrame) -> DataFrame:
+        # symmetrized edges already carry both directions, so src-side
+        # counts ARE undirected degree; on a directed graph both endpoint
+        # roles must be aggregated (out + in = total degree).
+        ends = cur.select(F.col("src").alias("node"))
+        if not symmetrize:
+            ends = ends.unionAll(cur.select(F.col("dst").alias("node")))
+        return ends.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+
     alive = None  # None = all nodes (round 1 aggregates the full edge set)
     prev = None
     for _ in range(int(rounds)):
@@ -430,10 +447,9 @@ def k_core(
                 "semi",
             )
         nxt = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("__deg"))
-            .where(F.col("__deg") >= k)
-            .select("src")
+            _degrees(cur)
+            .where(F.col("degree") >= k)
+            .select(F.col("node").alias("src"))
         ).persist()
         if prev is not None:
             prev.unpersist()
@@ -442,10 +458,7 @@ def k_core(
     final = e.join(F.broadcast(alive), "src", "semi").join(
         F.broadcast(alive.select(F.col("src").alias("dst"))), "dst", "semi"
     )
-    out = final.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
-    )
-    return out
+    return _degrees(final)
 
 
 def closeness_centrality(

@@ -1242,7 +1242,9 @@ def remove_boilerplate_lines(
     one join back on that key, one groupBy(id) reassembly. Line text rides
     the shuffle once — same unavoidable cost argument as paragraph_dedup.
     Output: input id + ``out_col`` (default: replaces ``text_col``) +
-    ``n_lines``/``n_removed`` (counted over non-empty lines).
+    ``n_lines``/``n_removed`` (counted over non-empty lines). Every input
+    row yields an output row — documents with no non-empty lines come back
+    with empty text and zero counts (same contract as paragraph_dedup).
     """
     out_col = out_col or text_col
     lines = df.select(
@@ -1261,7 +1263,7 @@ def remove_boilerplate_lines(
         lines.join(common, "__k", "left")
         .withColumn("__rm", F.coalesce("__boiler", F.lit(False)))
     )
-    return (
+    rebuilt = (
         kept.groupBy(id_col)
         .agg(
             F.array_join(
@@ -1277,9 +1279,23 @@ def remove_boilerplate_lines(
                     lambda s: s["line"],
                 ),
                 "\n",
-            ).alias(out_col),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.col("__rm").cast("long")).cast("long").alias("n_removed"),
+            ).alias("__out"),
+            F.count(F.lit(1)).cast("long").alias("__n_lines"),
+            F.sum(F.col("__rm").cast("long")).cast("long").alias("__n_removed"),
+        )
+    )
+    # left-join back onto the full id set: documents whose every line was
+    # empty/whitespace have no exploded rows, but must still come out
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__out"), F.lit("")).alias(out_col),
+            F.coalesce(F.col("__n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("__n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
         )
     )
 

@@ -744,9 +744,12 @@ def target_encode_oof(
     else:
         raise ValueError(f"unknown hash_algo {hash_algo!r}")
     tagged = df.withColumn("fold", fold)
+    # count only labeled rows so numerator and denominator cover the same
+    # set — NULL labels add nothing to sums and must add nothing to counts
+    # (keeps the OOF means consistent with the avg()-based global mean)
     per_fold = tagged.groupBy(cat_col, "fold").agg(
         F.sum(F.col(label_col).cast("double")).alias("__s"),
-        F.count(F.lit(1)).alias("__c"),
+        F.count(F.col(label_col)).alias("__c"),
     )
     per_cat = per_fold.groupBy(cat_col).agg(
         F.sum("__s").alias("__cat_s"), F.sum("__c").alias("__cat_c")

@@ -8589,11 +8589,17 @@ k AS (
   SELECT l.*, (common.nk IS NOT NULL) AS rm
   FROM l LEFT JOIN common ON l.nk = common.nk
 )
-SELECT doc_id,
-       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-FROM k GROUP BY doc_id
+g AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(g.text, '') AS text,
+       CAST(COALESCE(g.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(g.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN g ON d.doc_id = g.doc_id
 """
 
 

@@ -1,0 +1,103 @@
+"""Round-6 regression tests: the five ADVICE_r05 fixes, then the round-6
+operator additions (byte-level BPE, trained lang-id, per-group caps,
+deterministic k-means IVF)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import dedup, graph, textstats, transform
+
+
+class TestAdviceFixes:
+    def test_boilerplate_keeps_all_empty_docs(self, spark):
+        # doc 5 is whitespace-only: it has no non-empty lines, but must
+        # still come back (ADVICE r05: it used to vanish entirely)
+        rows = [(i, "the banner\nbody %d" % i) for i in range(1, 4)] + [
+            (5, "  \n\n  "),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = textstats.remove_boilerplate_lines(df, "doc_id", min_docs=3)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == {1, 2, 3, 5}
+        assert got[5]["text"] == ""
+        assert got[5]["n_lines"] == 0 and got[5]["n_removed"] == 0
+        assert got[1]["text"] == "body 1" and got[1]["n_removed"] == 1
+
+    def test_target_encode_ignores_null_labels(self, spark):
+        # NULL labels must not inflate the denominators (ADVICE r05):
+        # with nulls excluded, cat 'a' fold means match the labeled rows only
+        rows = [(i, "a", float(i % 2)) for i in range(8)] + [
+            (100 + i, "a", None) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, ["id", "cat", "label"])
+        out = transform.target_encode_oof(
+            df, "cat", "label", n_folds=2, fold_key="id", prior_weight=0.0
+        ).collect()
+        folds = {r["id"]: r["fold"] for r in out}
+        stat = {0: [0.0, 0], 1: [0.0, 0]}
+        for i, _, lbl in rows:
+            if lbl is not None:
+                stat[folds[i]][0] += lbl
+                stat[folds[i]][1] += 1
+        tot_s = stat[0][0] + stat[1][0]
+        tot_n = stat[0][1] + stat[1][1]
+        for r in out:
+            f = r["fold"]
+            n_oof = tot_n - stat[f][1]
+            expect = (tot_s - stat[f][0]) / n_oof if n_oof else None
+            if expect is not None:
+                assert abs(r["te_cat"] - expect) < 1e-12, (r, expect)
+
+    def test_k_core_directed_counts_total_degree(self, spark):
+        # directed triangle a->b->c->a: every node has out-degree 1 but
+        # total degree 2; symmetrize=False must keep the triangle at k=2
+        # (ADVICE r05: dst-only roles used to be invisible to peeling)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+        )
+        core = graph.k_core(edges, k=2, rounds=4, symmetrize=False).collect()
+        got = {r["node"]: r["degree"] for r in core}
+        assert got == {"a": 2, "b": 2, "c": 2}
+        # and a node appearing ONLY as dst still gets counted / peeled fairly
+        edges2 = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], ["src", "dst"]
+        )
+        got2 = {
+            r["node"]: r["degree"]
+            for r in graph.k_core(edges2, k=2, rounds=4, symmetrize=False).collect()
+        }
+        assert set(got2) == {"a", "b", "c"}
+
+    def test_bigstar_strict_and_stats(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        stats: dict = {}
+        out = dedup.duplicate_clusters_bigstar(pairs, stats=stats, strict=True)
+        got = {r["node"]: r["cluster"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert stats["converged"] is True and stats["rounds"] >= 1
+        # strict=True with an impossible round budget raises
+        with pytest.raises(RuntimeError):
+            dedup.duplicate_clusters_bigstar(
+                pairs.union(
+                    spark.createDataFrame(
+                        [(i, i + 1) for i in range(20, 40)], ["id_a", "id_b"]
+                    )
+                ),
+                max_iter=1,
+                strict=True,
+            )
+
+    def test_dedup_importable_without_pandas_at_module_level(self):
+        import importlib
+        import inspect
+
+        mod = importlib.import_module(
+            "ecu_sbl_aace_datalake_spark.operators.dedup"
+        )
+        src = inspect.getsource(mod)
+        head = src.split("def exact_dedup")[0]
+        assert "import pandas" not in head
