@@ -1916,14 +1916,20 @@ def jaro_winkler_pairs(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+    # pandas is imported lazily (module stays pandas-free for relational
+    # consumers), so the Series hints must be REAL objects — this module's
+    # `from __future__ import annotations` would stringify inline hints and
+    # get_type_hints() could not resolve `pd` from function-local scope.
+    def _jw_fn(a, b):
         return pd.Series(
             [
                 _jaro_winkler_py(x, y) if x is not None and y is not None else None
                 for x, y in zip(a, b)
             ]
         )
+
+    _jw_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _jw = pandas_udf(_jw_fn, "double")
 
     bk = (
         block_expr

@@ -8588,7 +8588,7 @@ common AS (
 k AS (
   SELECT l.*, (common.nk IS NOT NULL) AS rm
   FROM l LEFT JOIN common ON l.nk = common.nk
-)
+),
 g AS (
   SELECT doc_id,
          COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), '') AS text,
