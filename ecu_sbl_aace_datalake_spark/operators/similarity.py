@@ -187,6 +187,106 @@ def kmeans_fit(
     return centroids
 
 
+def kmeans_fit_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 2,
+    train_sample: int = 256,
+) -> list[list[float]]:
+    """Deterministic, cross-engine-replicable k-means-style coarse
+    quantizer training (VERDICT r05 item #2: the trainer an ANSI-SQL
+    oracle can unroll bit-for-bit).
+
+    Three choices remove every source of engine-dependent drift that
+    makes ordinary Lloyd's un-oracle-able:
+
+    - **Deterministic sample + init**: train on the ``train_sample``
+      rows with the smallest ``md5(id)``-prefix priority (id tiebreak) —
+      the md5→BIGINT fold both engines share (same trick as
+      target_encode_oof's folds); the first ``k`` of those rows seed the
+      centroids, centroid index = sample rank.
+    - **Exact decimal arithmetic**: vector components are quantized once
+      to DECIMAL(18,12) (by SPARK's cast, the same cast the oracle
+      applies — kcenter_selection proved the two engines agree), then
+      all distances are integer math at scale 10^12 — no float-order
+      dependence anywhere in training.
+    - **Medoid-by-mean updates instead of mean updates**: the new
+      centroid of a cluster is the MEMBER vector minimizing
+      ``sum_d (n*x_d - s_d)^2`` (exact integers; ties to smallest id),
+      i.e. the point closest to the cluster mean WITHOUT ever dividing —
+      decimal division rounds differently across engines, so the update
+      rule is division-free by construction. Empty clusters keep their
+      previous centroid. This is k-medoids with a mean-proximity
+      objective: for an IVF *coarse quantizer* the partition quality is
+      equivalent in practice (recall gate asserted in unit tests), and
+      each centroid stays an exact 12-dp decimal so the final
+      decimal→double conversion is a single correctly-rounded step both
+      engines perform identically.
+
+    The training loop itself runs on the driver over the collected
+    sample — the same bounded-sample pattern as :func:`kmeans_fit`
+    (256 × 64 ints is ~128 KB; FAISS-style coarse quantizers train on
+    samples by design, independent of corpus size). Returns k × dim
+    python floats for :func:`ivf_topk`.
+    """
+    pri = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                _as_double(F.col(vec_col)),
+                lambda x: x.cast("decimal(18,12)"),
+            ).alias("__v"),
+            pri.alias("__pri"),
+        )
+        .orderBy("__pri", "__id")
+        .limit(int(train_sample))
+        .collect()
+    )
+    # exact integers at scale 10^12 (Decimal -> int is lossless: the cast
+    # above fixed every component at 12 decimal places)
+    ids = [r["__id"] for r in rows]
+    vecs = [[int(x.scaleb(12)) for x in r["__v"]] for r in rows]
+    if not vecs:
+        return []
+    cents = [v[:] for v in vecs[:k]]
+    for _ in range(int(max_iter)):
+        assign: list[int] = []
+        for x in vecs:
+            best_d, best_c = None, 0
+            for ci, c in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(x, c))
+                if best_d is None or d < best_d:
+                    best_d, best_c = d, ci
+            assign.append(best_c)
+        new_cents = []
+        for ci in range(len(cents)):
+            members = [j for j in range(len(vecs)) if assign[j] == ci]
+            if not members:
+                new_cents.append(cents[ci])
+                continue
+            n = len(members)
+            sums = [sum(vecs[j][d] for j in members) for d in range(len(vecs[0]))]
+            best = None
+            for j in members:
+                d = sum(
+                    (n * xd - sd) * (n * xd - sd)
+                    for xd, sd in zip(vecs[j], sums)
+                )
+                if best is None or d < best[0] or (d == best[0] and ids[j] < best[1]):
+                    best = (d, ids[j], j)
+            new_cents.append(vecs[best[2]][:])
+        cents = new_cents
+    # int / 10^12: one correctly-rounded division — identical to the
+    # oracle's CAST(DECIMAL(18,12) AS DOUBLE)
+    return [[c / 10**12 for c in cent] for cent in cents]
+
+
 def assign_clusters_vectorized(
     vec_col: Column | str, centroids: list[list[float]]
 ) -> Column:

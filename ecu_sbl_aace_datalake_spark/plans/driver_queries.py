@@ -1580,15 +1580,157 @@ def q_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means inverted file, n_probe nearest
-    centroids' buckets scored exactly (approximate -> rows-only; recall
-    monotonicity + probe-all==exact asserted in unit tests)."""
+    """IVF approximate top-k with TRAINED centroids under a FULL oracle
+    (VERDICT r05 item #2): similarity.kmeans_fit_exact trains the coarse
+    quantizer deterministically — md5-priority sample of 256, first-8
+    init, 2 medoid-by-mean iterations in exact scale-10^12 integers, no
+    division anywhere — so the oracle unrolls the identical training as
+    CTEs (exact DECIMAL(18,12) arithmetic) and then replays the proven
+    double-precision probe/re-score of embedding_topk_ivf_fixed. The
+    production float trainer (similarity.kmeans_fit, sampled numpy
+    Lloyd's) stays unit-tested with a recall gate."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = similarity.kmeans_fit(emb, k=8, max_iter=2)
+    centroids = similarity.kmeans_fit_exact(
+        emb, k=8, max_iter=2, train_sample=256
+    )
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(emb, queries, centroids, k=10, n_probe=3)
+
+
+def _ivf_trained_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    sample: int = 256,
+    n_probe: int = 3,
+    topk: int = 10,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE replica of kmeans_fit_exact + ivf_topk: per iteration
+    one exact-decimal assignment (argmin L2², ties to lowest centroid
+    index), per-cluster exact sums, and the division-free medoid-by-mean
+    update (argmin sum((n*x - s)^2), ties to smallest id; empty clusters
+    keep the previous centroid). Training arithmetic is DECIMAL —
+    subtraction of two (18,12)s recast to (19,12) before squaring keeps
+    every product inside DuckDB's 38-digit cap while staying exact. The
+    final probe stage (double centroids, n_probe buckets, exact cosine
+    rerank) is byte-identical logic to SQL_EMBEDDING_TOPK_IVF_FIXED."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(x AS DECIMAL(18,12))) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, qv, rn FROM (
+    SELECT vec_id, qv, row_number() OVER (ORDER BY pri, vec_id) AS rn
+    FROM (SELECT vec_id, qv,
+            ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS pri
+          FROM e))
+  WHERE rn <= {sample}
+),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+sl AS MATERIALIZED (
+  SELECT samp.vec_id AS sid, dims.i, samp.qv[dims.i] AS x
+  FROM samp CROSS JOIN dims
+),
+c0 AS (
+  SELECT rn - 1 AS cid, dims.i, qv[dims.i] AS c
+  FROM samp CROSS JOIN dims WHERE rn <= {k}
+)"""]
+    for t in range(iters):
+        parts.append(f""",
+d{t} AS (
+  SELECT sl.sid, c{t}.cid,
+         SUM(CAST(sl.x - c{t}.c AS DECIMAL(19,12))
+           * CAST(sl.x - c{t}.c AS DECIMAL(19,12))) AS d
+  FROM sl JOIN c{t} ON sl.i = c{t}.i
+  GROUP BY sl.sid, c{t}.cid
+),
+a{t} AS (
+  SELECT sid, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY sid ORDER BY d ASC, cid ASC) AS rn
+    FROM d{t})
+  WHERE rn = 1
+),
+st{t} AS (
+  SELECT a.cid, sl.i, SUM(sl.x) AS s, COUNT(*) AS n
+  FROM sl JOIN a{t} a ON a.sid = sl.sid
+  GROUP BY a.cid, sl.i
+),
+md{t} AS (
+  SELECT a.cid, sl.sid,
+         SUM(CAST(CAST(st.n AS DECIMAL(18,0)) * sl.x - st.s AS DECIMAL(19,12))
+           * CAST(CAST(st.n AS DECIMAL(18,0)) * sl.x - st.s AS DECIMAL(19,12))) AS d
+  FROM sl JOIN a{t} a ON a.sid = sl.sid
+  JOIN st{t} st ON st.cid = a.cid AND st.i = sl.i
+  GROUP BY a.cid, sl.sid
+),
+m{t} AS (
+  SELECT cid, sid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cid ORDER BY d ASC, sid ASC) AS rn
+    FROM md{t})
+  WHERE rn = 1
+),
+c{t + 1} AS (
+  SELECT c.cid, c.i, COALESCE(sx.x, c.c) AS c
+  FROM c{t} c
+  LEFT JOIN m{t} m ON m.cid = c.cid
+  LEFT JOIN sl sx ON sx.sid = m.sid AND sx.i = c.i
+)""")
+    parts.append(f""",
+cent AS MATERIALIZED (
+  SELECT cid, list(CAST(c AS DOUBLE) ORDER BY i) AS ce
+  FROM c{iters} GROUP BY cid
+),
+fd AS MATERIALIZED (
+  SELECT e.vec_id, cent.cid,
+         list_sum(list_transform(range(1, 1 + {dim}),
+             i -> (e.cv[i] - cent.ce[i]) * (e.cv[i] - cent.ce[i]))) AS d
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM fd)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM fd WHERE vec_id < 5)
+  WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id
+  FROM qprobe q JOIN assigned a USING (cluster)
+  WHERE a.vec_id <> q.query_id
+),
+s AS (
+  SELECT x.query_id, x.vec_id,
+         list_dot_product(d.cv, q.cv)
+           / (sqrt(list_dot_product(d.cv, d.cv))
+              * sqrt(list_dot_product(q.cv, q.cv))) AS score
+  FROM cand x
+  JOIN e d ON d.vec_id = x.vec_id
+  JOIN e q ON q.vec_id = x.query_id
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+      FROM s)
+WHERE rn <= {topk}
+""")
+    return "".join(parts)
+
+
+SQL_EMBEDDING_TOPK_IVF = _ivf_trained_oracle_sql()
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8493,6 +8635,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "embedding_topk_quantized": SQL_EMBEDDING_TOPK_QUANTIZED,
+    "embedding_topk_ivf": SQL_EMBEDDING_TOPK_IVF,
     "embedding_topk_ivf_fixed": SQL_EMBEDDING_TOPK_IVF_FIXED,
     "embedding_topk_pq_fixed": SQL_EMBEDDING_TOPK_PQ_FIXED,
     "embedding_topk_lsh": SQL_EMBEDDING_TOPK_LSH,

@@ -91,6 +91,49 @@ class TestAdviceFixes:
                 strict=True,
             )
 
+    def test_kmeans_fit_exact_deterministic_and_good(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        c1 = similarity.kmeans_fit_exact(emb, k=8, max_iter=2, train_sample=256)
+        c2 = similarity.kmeans_fit_exact(emb, k=8, max_iter=2, train_sample=256)
+        assert c1 == c2  # bit-identical across runs
+        assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+        # medoid update: every centroid IS a (12dp-quantized) corpus vector
+        quant = {
+            tuple(round(float(x), 12) for x in r["embedding"])
+            for r in emb.select("embedding").collect()
+        }
+        for c in c1:
+            assert tuple(round(x, 12) for x in c) in quant
+        # recall@10 gate vs exact brute force (the invariant VERDICT r05
+        # required the trained path to keep)
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.cosine_topk(emb, queries, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                emb, queries, c1, k=10, n_probe=8
+            ).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.9
+
+    def test_kmeans_fit_exact_small_corpus(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(i, [float(i), float(i % 3)]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = similarity.kmeans_fit_exact(df, k=4, max_iter=2, train_sample=10)
+        assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+
     def test_dedup_importable_without_pandas_at_module_level(self):
         import importlib
         import inspect
