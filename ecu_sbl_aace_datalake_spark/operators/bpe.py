@@ -49,12 +49,79 @@ from pyspark.sql.functions import pandas_udf
 #: oracle's regexp_split_to_array(text, '\s+')
 WORD_SPLIT_RE = r"\s+"
 
+#: GPT-2-style pre-tokenization (round-6, VERDICT r05 item #3): contraction
+#: suffixes, then letter / digit / punctuation runs with the leading-space
+#: convention, then whitespace runs. Deliberate deviation from the exact
+#: GPT-2 pattern: the ``\s+(?!\S)`` lookahead is dropped because RE2 (the
+#: DuckDB oracle's engine) has no lookahead — so a run of 2+ spaces stays
+#: one whitespace token and the following word carries no leading space
+#: (GPT-2 would split the run). Verified char-identical between Java
+#: (Spark regexp_extract_all) and RE2 (DuckDB) on mixed fixtures:
+#: leftmost-first alternation + greedy quantifiers agree in both.
+GPT2_PRETOK_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode alphabet (public algorithm from the GPT-2
+    paper's released tokenizer): printable latin bytes map to themselves,
+    every other byte to a printable codepoint 256+n — so ANY utf-8 string
+    becomes a sequence of printable symbols and no token is ever OOV
+    (byte fallback). Space maps to 'Ġ' (U+0120), which is what makes the
+    leading-space convention visible in merge tables."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_B2U = bytes_to_unicode()
+
+
+def map_word_bytes(word: str) -> str:
+    """utf-8 encode then byte→unicode map: the byte-level symbol string
+    whose CHARS are the BPE base alphabet."""
+    return "".join(_B2U[b] for b in word.encode("utf-8"))
+
 #: FIXED merge table: ``bpe_train(documents, num_merges=60)`` on the
 #: sf0.01 fixture corpus (a tokenizer is trained once and then applied as
 #: a constant everywhere — this is the constant). 60 < the 89-merge
 #: convergence point, so rarer words stay multi-token and subword counts
 #: genuinely differ from word counts. tests/test_bpe.py re-derives the
 #: prefix from word counts to pin provenance.
+#: FIXED byte-level merge table: ``bpe_train(documents, num_merges=80,
+#: byte_level=True)`` on the sf0.01 fixture corpus — GPT-2 pre-split +
+#: byte-symbol alphabet, so the leading-space convention is visible as
+#: 'Ġ' merges. 80 < the 127-merge convergence point. tests/test_bpe.py
+#: re-derives the prefix from pre-token counts to pin provenance.
+MERGES_DOCS_BYTES_V1: list[tuple[str, str]] = [
+    ('Ġ', 's'), ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+    ('m', 'er'), ('a', 't'), ('l', 'u'), ('Ġ', 'c'), ('a', 's'),
+    ('Ġ', 'b'), ('Ġ', 'v'), ('a', 'r'), ('p', 'ar'), ('Ġ', 'f'),
+    ('Ġ', 'a'), ('Ġ', 't'), ('j', 'o'), ('jo', 'in'), ('as', 'h'),
+    ('h', 'ash'), ('Ġ', 'join'), ('s', 't'), ('r', 'ow'), ('at', 'c'),
+    ('atc', 'h'), ('a', 'n'), ('c', 'an'), ('lu', 'm'), ('lum', 'n'),
+    ('o', 'lumn'), ('o', 'mer'), ('st', 'omer'), ('u', 'stomer'),
+    ('i', 'l'), ('il', 't'), ('ilt', 'er'), ('Ġ', 'hash'), ('a', 'l'),
+    ('al', 'l'), ('m', 'all'), ('Ġ', 'row'), ('Ġs', 'can'), ('g', 'e'),
+    ('l', 'ow'), ('mer', 'ge'), ('Ġ', 'd'), ('Ġs', 'mall'), ('Ġb', 'atch'),
+    ('Ġc', 'olumn'), ('Ġf', 'ilter'), ('c', 't'), ('ct', 'or'),
+    ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('Ġc', 'ustomer'),
+    ('in', 'e'), ('l', 'ine'), ('a', 'b'), ('ab', 'l'), ('abl', 'e'),
+    ('at', 'a'), ('u', 'p'), ('Ġs', 'low'), ('g', 'g'), ('Ġ', 'order'),
+    ('Ġv', 'ector'), ('a', 'lu'), ('alu', 'e'), ('Ġ', 'merge'), ('e', 'y'),
+    ('k', 'ey'), ('Ġ', 'line'), ('Ġd', 'ata'), ('a', 'm'), ('e', 'am'),
+    ('r', 'eam'), ('Ġa', 'gg'), ('Ġt', 'able'),
+]
+
 MERGES_DOCS_V1: list[tuple[str, str]] = [
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
     ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
@@ -137,10 +204,23 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 # spark operators
 # ---------------------------------------------------------------------------
 
-def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _split_expr(text_col: str, byte_level: bool):
+    """The pre-tokenizer: whitespace split (legacy scheme) or GPT-2-style
+    regex runs (byte-level scheme). Both are JVM-side expressions."""
+    if byte_level:
+        return F.regexp_extract_all(F.col(text_col), F.lit(GPT2_PRETOK_RE), 0)
+    return F.split(F.col(text_col), WORD_SPLIT_RE)
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", byte_level: bool = False
+) -> DataFrame:
     """(word, cnt) frequency table — the single corpus-proportional shuffle
-    of BPE training."""
-    w = F.explode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias("word")
+    of BPE training. ``byte_level=True`` counts GPT-2-style pre-tokens
+    (leading-space words, digit/punct runs, whitespace runs) instead of
+    whitespace words; the byte mapping happens later, driver-side, so this
+    stage stays JVM-only either way."""
+    w = F.explode(_split_expr(text_col, byte_level)).alias("word")
     return (
         df.select(w)
         .where((F.col("word").isNotNull()) & (F.col("word") != ""))
@@ -155,6 +235,7 @@ def bpe_train(
     num_merges: int = 100,
     max_words: int = 65536,
     min_count: int = 1,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Train a BPE merge table on a corpus.
 
@@ -162,29 +243,44 @@ def bpe_train(
     top ``max_words`` (count desc, word asc — deterministic) words with
     count ≥ ``min_count``. See module docstring for why this split is the
     standard, scale-correct formulation.
+
+    ``byte_level=True`` = the real-tokenizer scheme (GPT-2): pre-split
+    with :data:`GPT2_PRETOK_RE`, then train over BYTE symbols
+    (:func:`map_word_bytes`) so merges like ('Ġ', 'c') capture the
+    leading-space convention and byte fallback guarantees no OOV.
     """
     wc = (
-        word_counts(df, text_col)
+        word_counts(df, text_col, byte_level)
         .where(F.col("cnt") >= int(min_count))
         .orderBy(F.col("cnt").desc(), F.col("word").asc())
         .limit(int(max_words))
         .toPandas()
     )
-    return train_merges_from_counts(
-        list(zip(wc["word"].tolist(), wc["cnt"].tolist())), num_merges
-    )
+    pairs = list(zip(wc["word"].tolist(), wc["cnt"].tolist()))
+    if byte_level:
+        pairs = [(map_word_bytes(w), c) for w, c in pairs]
+    return train_merges_from_counts(pairs, num_merges)
 
 
 def _encoded_vocab(
-    words: DataFrame, merges: Sequence[tuple[str, str]]
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    byte_level: bool = False,
 ) -> DataFrame:
     """DISTINCT words → (word, tokens array, n_tok). The only Python-eval
-    stage; cost is O(|vocab|), not corpus size."""
+    stage; cost is O(|vocab|), not corpus size. Byte-level: the raw
+    pre-token is byte-mapped before the merge loop, so the join key back
+    to the corpus stays the raw string (no Python on the corpus side)."""
     ranks = {(left, right): i for i, (left, right) in enumerate(merges)}
 
-    @pandas_udf("array<string>")
-    def enc(s: pd.Series) -> pd.Series:
-        return s.map(lambda w: encode_word(w, ranks))
+    if byte_level:
+        @pandas_udf("array<string>")
+        def enc(s: pd.Series) -> pd.Series:
+            return s.map(lambda w: encode_word(map_word_bytes(w), ranks))
+    else:
+        @pandas_udf("array<string>")
+        def enc(s: pd.Series) -> pd.Series:
+            return s.map(lambda w: encode_word(w, ranks))
 
     vocab = words.select("__w").distinct()
     return vocab.withColumn("__toks", enc("__w")).withColumn(
@@ -192,8 +288,10 @@ def _encoded_vocab(
     )
 
 
-def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    w = F.explode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias("__w")
+def _doc_words(
+    df: DataFrame, id_col: str, text_col: str, byte_level: bool = False
+) -> DataFrame:
+    w = F.explode(_split_expr(text_col, byte_level)).alias("__w")
     return df.select(F.col(id_col), w).where(
         (F.col("__w").isNotNull()) & (F.col("__w") != "")
     )
@@ -205,15 +303,20 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "n_tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-document subword token count under a FIXED merge table.
 
     Returns (id, n_words, ``out_col``); documents with no words get 0/0.
     The packing currency: feed ``out_col`` into packing.chunk_pack /
     greedy_pack / ffd_pack via their ``token_col`` parameter.
+    ``byte_level=True``: GPT-2 pre-split + byte-symbol encode (pass a
+    merge table trained with the same scheme, e.g.
+    :data:`MERGES_DOCS_BYTES_V1`); n_words then counts pre-tokens
+    (whitespace runs included — they are real tokens in that scheme).
     """
-    words = _doc_words(df, id_col, text_col)
-    enc = _encoded_vocab(words, merges).select("__w", "__nt")
+    words = _doc_words(df, id_col, text_col, byte_level)
+    enc = _encoded_vocab(words, merges, byte_level).select("__w", "__nt")
     per_doc = (
         words.join(F.broadcast(enc), "__w")
         .groupBy(id_col)
@@ -239,17 +342,17 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "tokens",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Full per-document token sequence (array<string>), in document
     order. Same vocabulary-bounded encode; reassembly is a posexplode +
-    broadcast join + ordered flatten."""
-    w = F.posexplode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias(
-        "__pos", "__w"
-    )
+    broadcast join + ordered flatten. Byte-level tokens are the mapped
+    symbols ('Ġthe', not ' the') — the standard visible form."""
+    w = F.posexplode(_split_expr(text_col, byte_level)).alias("__pos", "__w")
     words = df.select(F.col(id_col), w).where(
         (F.col("__w").isNotNull()) & (F.col("__w") != "")
     )
-    enc = _encoded_vocab(words, merges).select("__w", "__toks")
+    enc = _encoded_vocab(words, merges, byte_level).select("__w", "__toks")
     return (
         words.join(F.broadcast(enc), "__w")
         .groupBy(id_col)

@@ -7531,47 +7531,80 @@ GROUP BY o_custkey
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document SUBWORD token counts under the fixed BPE merge table
-    (operators/bpe.py MERGES_DOCS_V1) — the packing/mixture currency of a
-    real pre-training pipeline. Spark side: split → explode → DISTINCT
-    vocab encoded once in a pandas UDF → broadcast join → per-doc sum
-    (Python cost is O(|vocab|), corpus-proportional work stays JVM-side).
-    Oracle: an independent recursive-CTE BPE encoder in DuckDB — merge
-    the leftmost occurrence of the lowest-rank applicable pair until no
-    merge applies (provably equivalent to the GPT-2 merge-all loop; see
+    """Per-document SUBWORD token counts under the fixed BYTE-LEVEL BPE
+    merge table (operators/bpe.py MERGES_DOCS_BYTES_V1; VERDICT r05 item
+    #3) — GPT-2-style pre-split (letter/digit/punct runs, leading-space
+    convention, whitespace-run tokens) + byte-symbol alphabet, so no
+    pre-token is ever OOV. Spark side: regex pre-split → explode →
+    DISTINCT vocab byte-mapped + encoded once in a pandas UDF → broadcast
+    join → per-doc sum (Python cost is O(|vocab|), corpus-proportional
+    work stays JVM-side). Oracle: the same independent recursive-CTE BPE
+    encoder in DuckDB, now seeded from byte-mapped chars — merge the
+    leftmost occurrence of the lowest-rank applicable pair until no merge
+    applies (provably equivalent to the GPT-2 merge-all loop; see
     operators/bpe.py module docstring)."""
     from ..operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1)
+    return bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_BYTES_V1, byte_level=True)
 
 
 def _bpe_merge_map_sql() -> str:
-    """The fixed merge table as a DuckDB MAP literal: key = left||chr(1)||
-    right, value = rank."""
-    from ..operators.bpe import MERGES_DOCS_V1
+    """The fixed byte-level merge table as a DuckDB MAP literal: key =
+    left||chr(1)||right, value = rank. chr(1) can't collide: byte-level
+    symbols are printable by construction (bytes_to_unicode maps every
+    byte to a printable codepoint)."""
+    from ..operators.bpe import MERGES_DOCS_BYTES_V1
 
     def esc(s: str) -> str:
         return s.replace("'", "''")
 
     keys = ", ".join(
         f"'{esc(left)}' || chr(1) || '{esc(right)}'"
-        for left, right in MERGES_DOCS_V1
+        for left, right in MERGES_DOCS_BYTES_V1
     )
-    ranks = ", ".join(str(i) for i in range(len(MERGES_DOCS_V1)))
+    ranks = ", ".join(str(i) for i in range(len(MERGES_DOCS_BYTES_V1)))
     return f"MAP([{keys}], [{ranks}])"
+
+
+def _b2u_charmap_sql() -> str:
+    """GPT-2 bytes_to_unicode as a DuckDB MAP literal over the ASCII
+    range (chr(1)..chr(127); DuckDB strings cannot hold NUL, and the
+    fixtures are ASCII — the Spark path handles full unicode via real
+    utf-8 byte fallback)."""
+    from ..operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    keys = ", ".join(f"chr({i})" for i in range(1, 128))
+    vals = ", ".join(
+        "'" + b2u[i].replace("'", "''") + "'" for i in range(1, 128)
+    )
+    return f"MAP([{keys}], [{vals}])"
+
+
+#: the GPT-2-style pre-split regex as a SQL string literal (RE2-safe —
+#: see operators/bpe.py GPT2_PRETOK_RE for the verified Java/RE2 parity)
+def _gpt2_re_sql() -> str:
+    # plain (non-E) DuckDB string literal: backslashes pass through
+    # verbatim, only quotes need doubling
+    from ..operators.bpe import GPT2_PRETOK_RE
+
+    return "'" + GPT2_PRETOK_RE.replace("'", "''") + "'"
 
 
 _SQL_BPE_WORD_TOK_CTES = f"""
 words AS MATERIALIZED (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+    SELECT doc_id, unnest(regexp_extract_all(text, {_gpt2_re_sql()})) AS w
     FROM documents) t
   WHERE w IS NOT NULL AND w <> ''
 ),
 vocab AS MATERIALIZED (SELECT DISTINCT w FROM words),
 enc AS (
-  SELECT w, regexp_extract_all(w, '.') AS toks FROM vocab
+  SELECT w,
+         list_transform(regexp_extract_all(w, '.'),
+                        c -> {_b2u_charmap_sql()}[c][1]) AS toks
+  FROM vocab
   UNION ALL
   SELECT w,
          toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] || toks[best.i+2:]
@@ -7615,9 +7648,9 @@ def q_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe, packing
 
     docs = _t(spark, sf_dir, "documents")
-    counted = bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    counted = bpe.bpe_token_counts(
+        docs, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+    ).join(docs.select("doc_id", "source"), "doc_id")
     packed = packing.chunk_pack(counted, budget=512)
     return packing.pack_summary(packed, budget=512)
 
@@ -7804,15 +7837,16 @@ def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe.word_counts(docs).select(
+    return bpe.word_counts(docs, byte_level=True).select(
         "word", F.col("cnt").cast("long").alias("cnt")
     )
 
 
-SQL_BPE_WORD_COUNTS = """
+SQL_BPE_WORD_COUNTS = f"""
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (
-  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+  SELECT unnest(regexp_extract_all(text, {_gpt2_re_sql()})) AS w
+  FROM documents
 ) t
 WHERE w IS NOT NULL AND w <> ''
 GROUP BY w
@@ -7820,15 +7854,17 @@ GROUP BY w
 
 
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer FERTILITY report (subword tokens per word, the standard
-    tokenizer-quality metric) per source shard, under the fixed merge
-    table — rides on bpe_token_counts, one extra aggregate."""
+    """Tokenizer FERTILITY report (subword tokens per pre-token, the
+    standard tokenizer-quality metric) per source shard, under the fixed
+    byte-level merge table — rides on bpe_token_counts, one extra
+    aggregate. n_words counts GPT-2 pre-tokens (whitespace runs are real
+    tokens in the byte-level scheme)."""
     from ..operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    counted = bpe.bpe_token_counts(docs, bpe.MERGES_DOCS_V1).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    counted = bpe.bpe_token_counts(
+        docs, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+    ).join(docs.select("doc_id", "source"), "doc_id")
     return counted.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("sum_words"),

@@ -157,6 +157,86 @@ class TestSpark:
             last[r.source] = r.pack_id
 
 
+class TestByteLevel:
+    def test_bytes_to_unicode_bijective_printable(self):
+        b2u = bpe.bytes_to_unicode()
+        assert len(b2u) == 256 and len(set(b2u.values())) == 256
+        assert b2u[ord(" ")] == "Ġ" and b2u[ord("a")] == "a"
+        # every mapped symbol is printable (no control chars survive)
+        assert all(c.isprintable() for c in b2u.values())
+
+    def test_map_word_bytes_fallback_no_oov(self):
+        # any unicode string maps to base symbols — the no-OOV guarantee
+        s = bpe.map_word_bytes(" héllo\n日")
+        assert s.startswith("Ġ") and len(s) == len(" héllo\n日".encode())
+        ranks = {p: i for i, p in enumerate(bpe.MERGES_DOCS_BYTES_V1)}
+        toks = bpe.encode_word(bpe.map_word_bytes("日本"), ranks)
+        assert "".join(toks) == bpe.map_word_bytes("日本")
+
+    def test_fixed_byte_table_provenance(self, spark):
+        """MERGES_DOCS_BYTES_V1 == bpe_train(sf0.01 documents, 80 merges,
+        byte_level=True)."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        got = bpe.bpe_train(docs, num_merges=80, byte_level=True)
+        assert got == bpe.MERGES_DOCS_BYTES_V1
+
+    def test_byte_level_counts_match_local_encode(self, spark, sf_dir):
+        import re
+
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = {
+            r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe.bpe_token_counts(
+                docs, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+            ).collect()
+        }
+        # Java \p{L} == python's re [^\W\d_] for this ascii fixture
+        py_re = re.compile(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+        )
+        ranks = {p: i for i, p in enumerate(bpe.MERGES_DOCS_BYTES_V1)}
+        for r in docs.select("doc_id", "text").limit(50).collect():
+            pretoks = py_re.findall(r.text or "")
+            want = (
+                len(pretoks),
+                sum(
+                    len(bpe.encode_word(bpe.map_word_bytes(w), ranks))
+                    for w in pretoks
+                ),
+            )
+            assert got[r.doc_id] == want, (r.doc_id, got[r.doc_id], want)
+
+    def test_byte_level_leading_space_convention(self, spark):
+        df = spark.createDataFrame(
+            [(1, "small table")], "doc_id long, text string"
+        )
+        toks = bpe.bpe_encode(
+            df, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+        ).collect()[0].tokens
+        # 'small' (no leading space) stays s+mall; ' table' merges to Ġtable
+        assert toks == ["s", "mall", "Ġtable"]
+
+    def test_byte_level_counts_feed_packing(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        counted = bpe.bpe_token_counts(
+            docs, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+        ).join(docs.select("doc_id", "source"), "doc_id")
+        packed = packing.chunk_pack(counted, budget=256)
+        assert packed.count() == docs.count()
+        rows = packed.orderBy("source", "doc_id").collect()
+        last = {}
+        for r in rows:
+            assert last.get(r.source, -1) <= r.pack_id
+            last[r.source] = r.pack_id
+
+
 class TestPersistence:
     def test_merge_table_roundtrip(self, spark):
         import tempfile
