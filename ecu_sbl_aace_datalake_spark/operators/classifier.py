@@ -241,3 +241,298 @@ def classifier_scores(
         .join(z, id_col, "left")
         .select(F.col(id_col), score.alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language ID: hashed char-n-gram multinomial Naive Bayes
+# (round 6, VERDICT r05 item #4 — replaces the marker-token heuristic as
+# the trained path; textstats.with_lang_id stays the zero-dependency
+# fallback)
+# ---------------------------------------------------------------------------
+
+LANG_NGRAM_N = 3
+LANG_HASH_DIM = 128
+
+
+def _char_ngram_buckets(text_col: str, n: int, dim: int):
+    """Array of hashed char-n-gram buckets for one row — JVM expressions
+    only (substr windows + the portable md5 bucket). Spark's sequence()
+    DESCENDS when stop < start, so short texts are guarded to an empty
+    array (the oracle's range() is empty there by construction)."""
+    t = F.col(text_col)
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - n + 1),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(grams, lambda g: _bucket(g, dim).cast("int"))
+
+
+def train_lang_nb(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    dim: int = LANG_HASH_DIM,
+    n: int = LANG_NGRAM_N,
+) -> dict:
+    """Train a multinomial Naive Bayes language identifier over hashed
+    char-n-gram counts — the classic fastText-free langid baseline.
+
+    Training is ONE aggregate: counts per (lang, bucket) plus per-lang
+    doc counts; the collected table is langs × dim — bounded, same
+    driver-safe contract as kmeans_fit's centroids. Log-probabilities are
+    computed driver-side and ROUNDED to 6dp, so the frozen model is a
+    pure literal table and scoring needs no transcendental calls at query
+    time (the scoring sum is exact decimal — oracle-replicable).
+
+    Laplace smoothing alpha=1. Returns ``{"langs": [...], "n": n,
+    "dim": dim, "ell": 20, "prior": [...], "w": [[...]]}`` with langs
+    sorted ascending (ties at scoring break to the FIRST lang in this
+    order). ``ell`` is the EFFECTIVE LENGTH for length-normalized
+    scoring (see :func:`lang_id_nb`): raw NB evidence grows linearly in
+    document length, so on label-independent text the accumulated
+    n-gram noise of a 300-gram document swamps the class prior and NB
+    underperforms majority-class; normalizing the likelihood to a fixed
+    ``ell`` grams keeps per-document evidence comparable and lets the
+    prior win exactly when the evidence IS noise — the standard langid
+    calibration. Real cross-language trigram ratios are ~1-3 nats/gram,
+    so 20 effective grams still dominate any prior gap.
+    """
+    grams = df.select(
+        F.col(lang_col).alias("__lang"),
+        F.explode(_char_ngram_buckets(text_col, n, dim)).alias("__b"),
+    )
+    counts = (
+        grams.groupBy("__lang", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    doc_counts = {
+        r["__lang"]: r["__n"]
+        for r in df.groupBy(F.col(lang_col).alias("__lang"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    import math
+
+    langs = sorted(doc_counts)
+    total_docs = sum(doc_counts.values())
+    by_lang: dict[str, dict[int, int]] = {lang: {} for lang in langs}
+    for r in counts:
+        by_lang[r["__lang"]][r["__b"]] = r["__c"]
+    w = []
+    for lang in langs:
+        tot = sum(by_lang[lang].values())
+        w.append(
+            [
+                round(math.log((by_lang[lang].get(b, 0) + 1) / (tot + dim)), 6)
+                for b in range(dim)
+            ]
+        )
+    prior = [round(math.log(doc_counts[lang] / total_docs), 6) for lang in langs]
+    return {
+        "langs": langs,
+        "n": n,
+        "dim": dim,
+        "ell": 20,
+        "prior": prior,
+        "w": w,
+    }
+
+
+def lang_id_nb(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Score every document with a FIXED NB model, length-normalized:
+    the per-lang decision value is ``prior_l + (ell / T) * S_l`` where
+    ``S_l = sum(count_b * logprob[lang][b])`` and ``T`` is the document's
+    total gram count — equivalently (multiplying through by the positive
+    ``T``, which keeps the argmax and stays DIVISION-FREE for exact
+    decimal arithmetic) ``T * prior_l + ell * S_l``. Argmax ties break to
+    the first lang in the model's sorted order; empty texts fall back to
+    the max-prior lang.
+
+    Pure column expressions at corpus scale: one n-gram explode, one
+    (doc, bucket) count aggregate, then per-lang literal-array lookups
+    summed as exact decimals (count x 6dp literal = exact 6dp term), so
+    the argmax never depends on float summation order and a SQL oracle
+    replays it bit-for-bit.
+    """
+    langs, dim, n = model["langs"], int(model["dim"]), int(model["n"])
+    ell = int(model.get("ell", 20))
+    cnt = (
+        df.select(
+            F.col(id_col),
+            F.explode(_char_ngram_buckets(text_col, n, dim)).alias("__b"),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    score_aggs = [F.sum("__c").cast("decimal(20,0)").alias("__t")]
+    for li, lang in enumerate(langs):
+        w_lit = F.array(
+            *[F.lit(str(v)).cast("decimal(12,6)") for v in model["w"][li]]
+        )
+        term = (
+            F.col("__c").cast("decimal(20,0)")
+            * F.element_at(w_lit, F.col("__b") + 1)
+        ).cast("decimal(32,6)")
+        score_aggs.append(F.sum(term).cast("decimal(32,6)").alias(f"__s_{li}"))
+    scored = cnt.groupBy(id_col).agg(*score_aggs)
+    decisions = []
+    for li, lang in enumerate(langs):
+        val = (
+            F.col("__t") * F.lit(str(model["prior"][li])).cast("decimal(12,6)")
+            + F.lit(ell).cast("decimal(20,0)") * F.col(f"__s_{li}")
+        ).cast("decimal(38,6)")
+        decisions.append(
+            F.struct((-val).alias("ns"), F.lit(lang).alias("lang"))
+        )
+    choice = F.element_at(F.array_sort(F.array(*decisions)), 1)["lang"]
+    scored = scored.select(id_col, choice.alias(out_col))
+    prior_best = max(
+        range(len(langs)), key=lambda i: (model["prior"][i], -i)
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit(langs[prior_best])).alias(out_col),
+        )
+    )
+
+
+#: FIXED language-ID model: ``train_lang_nb(sf0.01 documents where
+#: md5-bucket(doc_id) % 4 != 0)`` — the deterministic 75% training split;
+#: the held-out quarter is the eval set (tests/test_classifier.py
+#: re-derives the model and checks trained accuracy >= the marker-token
+#: heuristic there). Note the fixtures' text is label-independent by
+#: construction, so fixture accuracy is bounded by the class prior —
+#: the synthetic-signal test proves the classifier separates REAL
+#: languages at 1.0.
+LANG_NB_V1: dict = {
+    "langs": ['de', 'en', 'es', 'fr', 'zh'],
+    "n": 3,
+    "dim": 128,
+    "ell": 20,
+    "prior": [-1.951287, -0.815633, -2.029758, -2.092937, -1.827234],
+    "w": [
+        [-7.091326, -4.961112, -6.868183, -5.726085, -4.293029, -7.966795, 
+         -4.884885, -4.458239, -4.366747, -3.869122, -5.299567, -7.966795, 
+         -3.582271, -5.133581, -4.303233, -6.318136, -7.011283, -4.981113, 
+         -5.644407, -4.253223, -5.087596, -4.641759, -5.272168, -5.181784, 
+         -4.103962, -4.329209, -4.627473, -4.663578, -7.784473, -4.272928, 
+         -4.866703, -4.17807, -4.903404, -5.043633, -6.142246, -6.743019, 
+         -4.313543, -6.743019, -6.937175, -4.267965, -4.277915, -3.312834, 
+         -7.496791, -5.032938, -6.631794, -4.400083, -5.169513, -4.961112, 
+         -3.923744, -7.784473, -4.724202, -3.966761, -3.87245, -5.169513, 
+         -5.098896, -7.630323, -4.971063, -6.110497, -5.054444, -7.496791, 
+         -4.95126, -4.599499, -3.604971, -4.298118, -7.784473, -5.401845, 
+         -7.966795, -7.178337, -4.411447, -4.991265, -5.098896, -7.630323, 
+         -4.191738, -4.383276, -7.273648, -5.181784, -6.685861, -6.110497, 
+         -6.48519, -6.743019, -4.875752, -5.054444, -4.971063, -3.599882, 
+         -4.732046, -5.206785, -4.282928, -4.831301, -4.991265, -4.494828, 
+         -4.71642, -7.178337, -4.857734, -4.732046, -6.398179, -6.937175, 
+         -4.372226, -4.394449, -4.961112, -4.488636, -5.299567, -5.001522, 
+         -5.965315, -6.440738, -4.446334, -6.5805, -4.805548, -5.726085, 
+         -6.318136, -3.885873, -5.862661, -6.208937, -4.138153, -9.576233, 
+         -4.519987, -7.379008, -6.631794, -5.043633, -4.961112, -7.273648, 
+         -3.732688, -4.458239, -6.280396, -4.196335, -4.884885, -4.099769, 
+         -4.831301, -6.398179,],
+        [-7.236657, -4.951876, -7.001817, -6.018085, -4.338148, -7.818578, 
+         -4.994696, -4.38629, -4.290671, -3.783872, -5.089694, -8.054967, 
+         -3.640151, -5.128228, -4.298429, -6.209141, -7.467181, -4.931135, 
+         -5.872668, -4.192134, -4.951876, -4.499619, -5.023225, -5.107026, 
+         -3.938644, -4.372777, -4.849514, -4.699232, -7.671975, -4.197752, 
+         -4.860384, -4.239455, -4.937017, -5.03617, -5.942736, -6.91287, 
+         -4.331686, -6.91287, -6.58863, -4.346285, -4.40691, -3.321697, 
+         -7.929804, -4.954875, -6.702574, -4.413878, -4.997826, -4.809774, 
+         -3.953978, -7.718495, -4.764081, -3.946282, -3.938644, -5.107026, 
+         -5.023225, -7.074138, -4.982274, -5.880216, -5.093137, -7.32903, 
+         -4.970004, -4.696909, -3.640151, -4.408647, -7.430813, -5.609726, 
+         -7.504921, -6.755684, -4.435081, -4.720385, -5.103535, -7.395722, 
+         -4.254248, -4.462232, -7.671975, -5.160899, -6.558325, -5.967227, 
+         -6.252158, -6.891816, -5.05259, -5.114043, -4.8909, -3.635324, 
+         -4.703894, -5.124663, -4.306248, -4.718012, -5.000966, -4.384591, 
+         -4.841439, -7.025348, -4.74686, -4.825481, -6.380991, -6.652144, 
+         -4.326867, -4.367756, -5.007275, -4.595501, -5.706772, -4.957882, 
+         -5.895483, -6.811774, -4.326867, -6.737666, -4.865864, -5.865178, 
+         -6.241229, -3.997978, -5.73258, -6.702574, -4.152321, -10.763017, 
+         -4.585073, -7.236657, -6.528911, -5.076042, -4.830772, -7.504921, 
+         -3.712028, -4.33977, -6.432284, -4.200573, -4.913693, -3.995674, 
+         -4.991576, -6.54351,],
+        [-7.391347, -5.088762, -6.592839, -6.154584, -4.336298, -7.50913, 
+         -4.953842, -4.406788, -4.320713, -3.832829, -5.134224, -7.642661, 
+         -3.736369, -5.034694, -4.331076, -5.950985, -7.50913, -4.870072, 
+         -5.804382, -4.315572, -4.973451, -4.577936, -5.024223, -5.194122, 
+         -4.008841, -4.373636, -4.861183, -4.80108, -8.489959, -4.172471, 
+         -4.817887, -4.059142, -4.852373, -4.843639, -5.75993, -6.6982, 
+         -4.280304, -7.023622, -6.410517, -4.331076, -4.341547, -3.325173, 
+         -7.796812, -5.14592, -7.023622, -4.368215, -4.993451, -4.870072, 
+         -4.047308, -8.202277, -4.713374, -3.9718, -4.012622, -5.169731, 
+         -4.94418, -6.6982, -4.843639, -6.033223, -5.066783, -7.979133, 
+         -4.963598, -4.752289, -3.699693, -4.331076, -7.50913, -5.528128, 
+         -7.391347, -7.190676, -4.373636, -4.80108, -5.111234, -7.796812, 
+         -4.285266, -4.390074, -7.979133, -5.122663, -6.292734, -6.122835, 
+         -6.221275, -7.190676, -5.099935, -5.284506, -4.934611, -3.699693, 
+         -4.66859, -5.206545, -4.429516, -4.76829, -4.915742, -4.401186, 
+         -4.721037, -6.815983, -4.888091, -4.897223, -6.033223, -7.023622, 
+         -4.231985, -4.231985, -4.879041, -4.545146, -5.414184, -4.752289, 
+         -6.005052, -6.410517, -4.341547, -6.755358, -4.698222, -5.950985, 
+         -6.497529, -3.9791, -5.874999, -6.949514, -4.09551, -9.588571, 
+         -4.538715, -7.285986, -6.497529, -4.983401, -4.792781, -7.796812, 
+         -3.696927, -4.423785, -6.497529, -4.159226, -4.705769, -4.047308, 
+         -5.066783, -6.221275,],
+        [-8.191463, -5.343651, -6.869707, -5.793568, -4.294554, -7.785998, 
+         -4.972587, -4.294554, -4.264551, -3.834754, -4.933367, -7.179862, 
+         -3.661555, -5.100421, -4.573811, -6.533235, -7.380533, -4.962637, 
+         -6.112022, -4.274453, -5.146941, -4.607944, -5.135106, -5.135106, 
+         -4.188686, -4.249881, -4.85037, -4.765573, -7.785998, -4.161657, 
+         -4.841559, -4.109697, -4.904929, -4.99279, -5.771095, -7.179862, 
+         -4.17508, -6.9387, -6.533235, -4.294554, -4.412971, -3.223387, 
+         -7.631847, -5.195731, -7.275172, -4.484007, -4.807073, -4.687408, 
+         -3.901004, -7.498316, -4.749444, -3.975639, -3.864025, -5.111849, 
+         -4.99279, -7.275172, -4.962637, -5.888878, -5.100421, -7.275172, 
+         -4.923797, -4.710223, -3.686113, -4.407273, -6.869707, -5.171038, 
+         -7.631847, -6.9387, -4.484007, -4.832825, -5.034463, -7.631847, 
+         -4.207119, -4.325484, -7.631847, -5.195731, -6.358882, -5.72761, 
+         -6.442263, -6.582025, -4.88641, -5.034463, -4.923797, -3.697224, 
+         -4.717945, -5.146941, -4.547319, -4.607944, -4.982638, -4.395974, 
+         -4.687408, -7.179862, -4.914318, -4.99279, -6.358882, -6.687386, 
+         -4.395974, -4.254747, -4.933367, -4.773736, -5.607465, -4.773736, 
+         -6.022409, -6.319661, -4.424466, -6.486715, -4.841559, -6.281921, 
+         -6.319661, -3.998028, -5.626514, -6.245553, -4.126719, -9.577757, 
+         -4.560478, -7.012808, -6.442263, -4.85037, -4.943028, -7.96832, 
+         -3.748812, -4.26949, -6.486715, -4.221171, -5.077948, -4.097118, 
+         -4.824167, -6.687386,],
+        [-7.25532, -5.18554, -7.335362, -5.849977, -4.431197, -8.210831, 
+         -4.893015, -4.302816, -4.310881, -3.76818, -5.032777, -7.623044, 
+         -3.597693, -4.952735, -4.364948, -6.082599, -7.25532, -5.075337, 
+         -6.209351, -4.369231, -5.075337, -4.573245, -5.049584, -5.195296, 
+         -4.080476, -4.352209, -4.661214, -4.684471, -7.874359, -4.294816, 
+         -4.885795, -4.178362, -4.952735, -5.008085, -5.693135, -6.775747, 
+         -4.331331, -6.824537, -6.775747, -4.236773, -4.335472, -3.28648, 
+         -7.623044, -5.18554, -6.775747, -4.30684, -4.857424, -4.69037, 
+         -3.991323, -7.740827, -4.922429, -4.006138, -3.893343, -5.024478, 
+         -5.128921, -7.335362, -5.016248, -5.869025, -5.18554, -7.517684, 
+         -4.893015, -4.720403, -3.689042, -4.360683, -6.987056, -5.438242, 
+         -7.422374, -7.335362, -4.373532, -4.92992, -5.075337, -7.181212, 
+         -4.24432, -4.327208, -7.740827, -5.049584, -6.264921, -5.928449, 
+         -6.209351, -6.323761, -4.983987, -5.245558, -5.075337, -3.656954, 
+         -4.655483, -5.195296, -4.404169, -4.644119, -4.836662, -4.48755, 
+         -4.757674, -6.987056, -4.92992, -4.843535, -6.013606, -7.04768, 
+         -4.310881, -4.364948, -4.952735, -4.562774, -5.586162, -4.983987, 
+         -5.777218, -6.775747, -4.422106, -6.488064, -4.816323, -5.645882, 
+         -6.209351, -3.849007, -5.888443, -6.323761, -4.189057, -9.820269, 
+         -4.655483, -6.87583, -6.729227, -4.960457, -4.976082, -7.517684, 
+         -3.73577, -4.390923, -6.354533, -4.178362, -4.871509, -4.027255, 
+         -4.960457, -6.488064,],
+    ],
+}

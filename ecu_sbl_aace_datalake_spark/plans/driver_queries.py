@@ -1463,6 +1463,69 @@ FROM scored
 """
 
 
+def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID (VERDICT r05 item #4; classifier.lang_id_nb):
+    hashed char-trigram multinomial Naive Bayes with FIXED 6dp-literal
+    log-probs (classifier.LANG_NB_V1, trained on the md5-deterministic
+    75% split — provenance re-derived in tests), length-normalized so
+    per-document evidence is comparable (decision value T*prior + 20*S,
+    division-free exact decimals). The marker-token heuristic (lang_id)
+    stays as the zero-dependency fallback. Oracle replays the identical
+    n-gram windows, md5 buckets, literal lookups and decimal argmax."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = classifier.lang_id_nb(docs, classifier.LANG_NB_V1)
+    return docs.select("doc_id", "lang").join(pred, "doc_id")
+
+
+def _lang_nb_oracle_sql() -> str:
+    from ..operators.classifier import LANG_NB_V1 as M
+
+    n, dim, ell = M["n"], M["dim"], M["ell"]
+    langs, prior, w = M["langs"], M["prior"], M["w"]
+    fallback = max(range(len(langs)), key=lambda i: (prior[i], -i))
+    s_cols = []
+    for li in range(len(langs)):
+        wl = ", ".join(f"{v:.6f}" for v in w[li])
+        s_cols.append(
+            f"CAST(SUM(cnt * ([{wl}])[b + 1]) AS DECIMAL(19,6)) AS s_{li}"
+        )
+    structs = ", ".join(
+        "{'ns': -(t * CAST(%.6f AS DECIMAL(12,6)) + CAST(%d AS DECIMAL(2,0)) * s_%d), 'l': '%s'}"
+        % (prior[li], ell, li, langs[li])
+        for li in range(len(langs))
+    )
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(text) - {n} + 2, 1)),
+                               i -> substring(text, i, {n}))) AS gram
+  FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % {dim} AS INT) AS b,
+         CAST(COUNT(*) AS DECIMAL(20,0)) AS cnt
+  FROM g GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id, CAST(SUM(cnt) AS DECIMAL(8,0)) AS t,
+         {', '.join(s_cols)}
+  FROM c GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id, list_sort([{structs}])[1].l AS pred
+  FROM s
+)
+SELECT d.doc_id, d.lang, COALESCE(p.pred, '{langs[fallback]}') AS lang_pred
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+SQL_LANG_ID_TRAINED = _lang_nb_oracle_sql()
+
+
 SQL_TEXT_EMBEDDING_TOPK = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
@@ -8409,6 +8472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_frequencies": q_token_frequencies,
     "lang_id": q_lang_id,
+    "lang_id_trained": q_lang_id_trained,
     "doc_chunking": q_doc_chunking,
     "bpe_token_count": q_bpe_token_count,
     "ntile_binning": q_ntile_binning,
@@ -8669,6 +8733,7 @@ ORACLES: dict[str, str] = {
     "salted_join": SQL_SALTED_JOIN,
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
     "lang_id": SQL_LANG_ID,
+    "lang_id_trained": SQL_LANG_ID_TRAINED,
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "embedding_topk_quantized": SQL_EMBEDDING_TOPK_QUANTIZED,
     "embedding_topk_ivf": SQL_EMBEDDING_TOPK_IVF,

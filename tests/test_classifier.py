@@ -147,3 +147,88 @@ class TestPipeline:
         assert all(
             r.n_tokens <= 512 or r.pack_id is not None for r in rows
         )
+
+
+class TestLangNB:
+    def _synth(self, spark):
+        en = [
+            "the cat sat on the mat and the dog ran",
+            "this is a good day for the market and the people",
+            "we think that the results are strong and clear",
+        ]
+        es = [
+            "el gato se sienta en la alfombra y el perro corre",
+            "este es un buen dia para el mercado y la gente",
+            "creemos que los resultados son fuertes y claros",
+        ]
+        de = [
+            "die katze sitzt auf der matte und der hund rennt",
+            "das ist ein guter tag fuer den markt und die leute",
+            "wir denken dass die ergebnisse stark und klar sind",
+        ]
+        rows, i = [], 0
+        for lang, txts in (("en", en), ("es", es), ("de", de)):
+            for t in txts * 4:
+                rows.append((i, t, lang))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_real_signal_separates_perfectly(self, spark):
+        df = self._synth(spark)
+        m = classifier.train_lang_nb(df)
+        pred = classifier.lang_id_nb(df, m).join(df.select("doc_id", "lang"), "doc_id")
+        acc = pred.where(F.col("lang") == F.col("lang_pred")).count() / pred.count()
+        assert acc == 1.0
+
+    def test_frozen_model_provenance(self, spark):
+        """LANG_NB_V1 == train_lang_nb(sf0.01 documents, 75% md5 split)."""
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        split = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 4
+        )
+        got = classifier.train_lang_nb(docs.where(split != 0))
+        assert got == classifier.LANG_NB_V1
+
+    def test_heldout_accuracy_at_least_heuristic(self, spark):
+        """On the held-out fixture quarter the trained model must not lose
+        to the marker-token heuristic. (Fixture text is label-independent
+        by construction, so both hover near the class prior — the trained
+        model's edge is length-normalized calibration; REAL language
+        separation is proven by test_real_signal_separates_perfectly.)"""
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        split = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 4
+        )
+        held = docs.where(split == 0)
+        pred = classifier.lang_id_nb(held, classifier.LANG_NB_V1).join(
+            held.select("doc_id", "lang"), "doc_id"
+        )
+        acc_nb = pred.where(F.col("lang") == F.col("lang_pred")).count() / pred.count()
+        h = textstats.with_lang_id(held, "text")
+        acc_h = h.where(F.col("lang") == F.col("lang_pred")).count() / h.count()
+        assert acc_nb >= acc_h, (acc_nb, acc_h)
+
+    def test_empty_and_short_texts_fall_back_to_prior(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "ab"), (4, "the quick brown fox " * 5)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.lang_pred
+            for r in classifier.lang_id_nb(df, classifier.LANG_NB_V1).collect()
+        }
+        # max-prior lang in LANG_NB_V1 is 'en'
+        assert got[1] == "en" and got[2] == "en" and got[3] == "en"
+        assert got[4] in classifier.LANG_NB_V1["langs"]
+        assert len(got) == 4
