@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "bitmap_intersections",
     "neardup_eval",
     "time_to_conversion",
+    "lang_id_trained",
+    "capped_mixture",
 ]
 
 

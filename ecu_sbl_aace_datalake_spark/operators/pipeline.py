@@ -52,6 +52,7 @@ def prepare_corpus(
     classifier_floor: float = 0.5,
     classifier_dim: int = 256,
     bpe_merges: Sequence[tuple[str, str]] | None = None,
+    cap_per_source: int | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -87,6 +88,11 @@ def prepare_corpus(
       (the model refines the heuristic it was distilled from).
     - ``bpe_merges`` — budget packing by REAL subword token counts
       (:func:`~.bpe.bpe_token_counts`) instead of whitespace counts.
+    - ``cap_per_source`` — per-``shard_cols``-group contribution cap
+      (:func:`~.transform.cap_per_group`, md5-deterministic top-n per
+      group), mirroring how RefinedWeb/C4 bound any single domain's
+      share. Runs LAST before token counting — caps apply to the
+      deduplicated, decontaminated survivors.
     """
     from . import bpe as bpe_mod
     from . import classifier as clf
@@ -157,6 +163,12 @@ def prepare_corpus(
         pruned = dedup.decontaminate(
             pruned, decontaminate_against, id_col, text_col,
             n=decontaminate_ngram,
+        )
+    if cap_per_source is not None:
+        from . import transform as tf
+
+        pruned = tf.cap_per_group(
+            pruned, list(shard_cols), int(cap_per_source), id_col
         )
     if bpe_merges is not None:
         counted = pruned.join(

@@ -5305,6 +5305,42 @@ SELECT doc_id, source, n_tokens FROM budgeted WHERE cum <= budget
 """
 
 
+def q_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution caps (transform.cap_per_group; VERDICT r05
+    item #5) — the RefinedWeb/C4 curation rule bounding any single
+    domain's share: at most 15 docs per source, selected by
+    md5-deterministic priority (salt 'cap', doc_id tiebreak). Output
+    aggregates the KEPT set per source with an id checksum, so the oracle
+    verifies the exact selection, not just the counts."""
+    from ..operators import transform as tf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    capped = tf.cap_per_group(docs, "source", cap=15, id_col="doc_id")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_CAPPED_MIXTURE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rn <= 15
+GROUP BY source
+"""
+
+
 def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage int8-quantized ANN (similarity.quantized_topk): int8
     approximate-cosine candidate scan (4x less memory bandwidth than the
@@ -8367,6 +8403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
+    "capped_mixture": q_capped_mixture,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
     "trigram_lm_scores": q_trigram_lm_scores,
@@ -8641,6 +8678,7 @@ ORACLES: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
+    "capped_mixture": SQL_CAPPED_MIXTURE,
     "bigram_lm_scores": SQL_BIGRAM_LM,
     "trigram_lm_scores": SQL_TRIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,

@@ -144,3 +144,50 @@ class TestAdviceFixes:
         src = inspect.getsource(mod)
         head = src.split("def exact_dedup")[0]
         assert "import pandas" not in head
+
+
+class TestCapPerGroup:
+    def test_cap_and_passthrough(self, spark):
+        rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = transform.cap_per_group(df, "source", cap=10, id_col="doc_id")
+        got = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == {"big": 10, "small": 10}
+        out2 = transform.cap_per_group(df, "source", cap=100, id_col="doc_id")
+        assert out2.count() == 50  # groups under the cap pass through whole
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        a = {
+            r["doc_id"]
+            for r in transform.cap_per_group(
+                df.repartition(2), "source", 7, "doc_id"
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in transform.cap_per_group(
+                df.repartition(17, "doc_id"), "source", 7, "doc_id"
+            ).collect()
+        }
+        assert a == b and len(a) == 21
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "s")], ["doc_id", "source"])
+        with pytest.raises(ValueError):
+            transform.cap_per_group(df, "source", 0, "doc_id")
+
+    def test_pipeline_cap_invariant(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        packed = pipeline.prepare_corpus(
+            docs, min_quality=0.0, cap_per_source=5
+        )
+        per_src = packed.groupBy("source").agg(F.count("*").alias("n")).collect()
+        assert per_src and all(r["n"] <= 5 for r in per_src)
