@@ -91,12 +91,6 @@ def map_word_bytes(word: str) -> str:
     whose CHARS are the BPE base alphabet."""
     return "".join(_B2U[b] for b in word.encode("utf-8"))
 
-#: FIXED merge table: ``bpe_train(documents, num_merges=60)`` on the
-#: sf0.01 fixture corpus (a tokenizer is trained once and then applied as
-#: a constant everywhere — this is the constant). 60 < the 89-merge
-#: convergence point, so rarer words stay multi-token and subword counts
-#: genuinely differ from word counts. tests/test_bpe.py re-derives the
-#: prefix from word counts to pin provenance.
 #: FIXED byte-level merge table: ``bpe_train(documents, num_merges=80,
 #: byte_level=True)`` on the sf0.01 fixture corpus — GPT-2 pre-split +
 #: byte-symbol alphabet, so the leading-space convention is visible as
@@ -122,6 +116,13 @@ MERGES_DOCS_BYTES_V1: list[tuple[str, str]] = [
     ('r', 'eam'), ('Ġa', 'gg'), ('Ġt', 'able'),
 ]
 
+#: FIXED whitespace-scheme merge table (legacy default): ``bpe_train(
+#: documents, num_merges=60)`` on the sf0.01 fixture corpus (a tokenizer
+#: is trained once and then applied as a constant everywhere — this is
+#: the constant). 60 < the 89-merge convergence point, so rarer words
+#: stay multi-token and subword counts genuinely differ from word
+#: counts. tests/test_bpe.py re-derives the prefix from word counts to
+#: pin provenance.
 MERGES_DOCS_V1: list[tuple[str, str]] = [
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
     ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
@@ -396,3 +397,46 @@ def load_merges(spark, lakehouse, table_name: str) -> list[tuple[str, str]]:
         .collect()
     )
     return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_vocab_bytes(merges: Sequence[tuple[str, str]]) -> dict[str, int]:
+    """The token→id table for a byte-level merge table, GPT-2 layout:
+    ids 0..255 are the byte alphabet in byte order (every input is
+    encodable — the no-OOV guarantee), id 256+rank is merge ``rank``'s
+    product. Merge products are ≥2 mapped chars so they can never
+    collide with the single-char base alphabet."""
+    b2u = _B2U
+    vocab = {b2u[b]: b for b in range(256)}
+    for i, (left, right) in enumerate(merges):
+        vocab[left + right] = 256 + i
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TOKEN-ID sequence under a byte-level merge table —
+    the artifact a training pipeline actually materializes (ids, not
+    strings). Returns long-form ``(id, pos, token_id)`` rows (scalar
+    columns — oracle- and parquet-friendly; window-free: pos is computed
+    inside the reassembled array, not by a row_number).
+
+    Same vocabulary-bounded cost shape as :func:`bpe_encode`: the Python
+    encode runs once per DISTINCT pre-token; the id mapping is a literal
+    map lookup (JVM-side)."""
+    vocab = bpe_vocab_bytes(merges)
+    toks = bpe_encode(df, merges, id_col, text_col, byte_level=True)
+    m = F.create_map(
+        *[x for t, i in sorted(vocab.items()) for x in (F.lit(t), F.lit(i))]
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col("tokens"), lambda t: F.element_at(m, t))
+        ).alias("pos", "token_id"),
+    ).select(
+        id_col, F.col("pos").cast("int"), F.col("token_id").cast("int")
+    )

@@ -7739,6 +7739,68 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding (bpe.bpe_encode_ids) — the artifact a training
+    pipeline materializes: GPT-2-layout vocab (ids 0..255 = byte
+    alphabet, 256+rank = merge products) applied per document, long-form
+    (doc_id, pos, token_id). Oracle: the same recursive-CTE encoder's
+    FINAL token list per pre-token (unique minimal length), positional
+    zip-unnest reassembly, and a literal token→id map."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_encode_ids(docs, bpe.MERGES_DOCS_BYTES_V1)
+
+
+def _bpe_id_map_sql() -> str:
+    """token→id MAP literal: ASCII byte alphabet (keyed by its MAPPED
+    char — e.g. 'Ġ'→32) + merge products at 256+rank."""
+    from ..operators.bpe import MERGES_DOCS_BYTES_V1, bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    items = [(b2u[i], i) for i in range(1, 128)] + [
+        (left + right, 256 + k)
+        for k, (left, right) in enumerate(MERGES_DOCS_BYTES_V1)
+    ]
+    keys = ", ".join(f"'{esc(t)}'" for t, _ in items)
+    vals = ", ".join(str(i) for _, i in items)
+    return f"MAP([{keys}], [{vals}])"
+
+
+SQL_BPE_ENCODE_IDS = f"""
+WITH RECURSIVE
+{_SQL_BPE_WORD_TOK_CTES},
+final_toks AS MATERIALIZED (
+  SELECT w, toks FROM (
+    SELECT w, toks,
+           row_number() OVER (PARTITION BY w ORDER BY len(toks) ASC) AS rn
+    FROM enc)
+  WHERE rn = 1
+),
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, {_gpt2_re_sql()})) AS w,
+         unnest(range(1, len(regexp_extract_all(text, {_gpt2_re_sql()})) + 1)) AS wpos
+  FROM documents
+),
+tr AS (
+  SELECT dw.doc_id, dw.wpos,
+         unnest(ft.toks) AS tok,
+         unnest(range(1, len(ft.toks) + 1)) AS tpos
+  FROM dw JOIN final_toks ft USING (w)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1
+            AS INT) AS pos,
+       CAST({_bpe_id_map_sql()}[tok][1] AS INT) AS token_id
+FROM tr
+"""
+
+
 def q_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing budgeted by REAL subword tokens (VERDICT r3 item
     1's "packing accepting the real counts"): BPE token counts feed
@@ -8404,6 +8466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_join": q_interval_overlap_join,
     "token_mixture": q_token_mixture,
     "capped_mixture": q_capped_mixture,
+    "bpe_encode_ids": q_bpe_encode_ids,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
     "trigram_lm_scores": q_trigram_lm_scores,
@@ -8679,6 +8742,7 @@ ORACLES: dict[str, str] = {
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "token_mixture": SQL_TOKEN_MIXTURE,
     "capped_mixture": SQL_CAPPED_MIXTURE,
+    "bpe_encode_ids": SQL_BPE_ENCODE_IDS,
     "bigram_lm_scores": SQL_BIGRAM_LM,
     "trigram_lm_scores": SQL_TRIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,

@@ -247,3 +247,29 @@ class TestPersistence:
         bpe.persist_merges(spark, lh, "bpe_merges", bpe.MERGES_DOCS_V1)
         back = bpe.load_merges(spark, lh, "bpe_merges")
         assert back == bpe.MERGES_DOCS_V1
+
+
+class TestEncodeIds:
+    def test_vocab_layout_and_roundtrip(self, spark):
+        vocab = bpe.bpe_vocab_bytes(bpe.MERGES_DOCS_BYTES_V1)
+        assert len(vocab) == 256 + len(bpe.MERGES_DOCS_BYTES_V1)
+        assert vocab["a"] == ord("a") and vocab["Ġ"] == ord(" ")
+        inv = {i: t for t, i in vocab.items()}
+        df = spark.createDataFrame(
+            [(1, "small table scan")], "doc_id long, text string"
+        )
+        rows = sorted(
+            bpe.bpe_encode_ids(df, bpe.MERGES_DOCS_BYTES_V1).collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.pos for r in rows] == list(range(len(rows)))
+        # decoding the id sequence reproduces the byte-mapped text exactly
+        decoded = "".join(inv[r.token_id] for r in rows)
+        assert decoded == bpe.map_word_bytes("small table scan")
+
+    def test_empty_docs_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "key")], "doc_id long, text string"
+        )
+        got = bpe.bpe_encode_ids(df, bpe.MERGES_DOCS_BYTES_V1)
+        assert {r.doc_id for r in got.collect()} == {3}
