@@ -8319,13 +8319,14 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # dedup on the int key pair BEFORE string building: the distinct
-    # shuffles 16-byte pairs, not concat'd strings (bfs_hops re-distincts
-    # the string form but it is already unique, a cheap pass-through)
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
+    # NO pre-dedup (round-6 re-measurement): the (cust, supp) pair table
+    # is ~98% distinct already, so a dedup shuffle of the whole fact join
+    # costs far more than the ~2% duplicate fanout it saves — BFS
+    # correctness never depends on edge multiplicity (each round's
+    # frontier dedups), so dedup_edges=False keeps the edge build
+    # entirely scan-side (no shuffle before the persist).
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey"
     )
     e = pairs.select(
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
@@ -8335,7 +8336,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sources = spark.createDataFrame([("c1",), ("c2",)], "node string")
-    return graph.bfs_hops(edges, sources, max_hops=3)
+    return graph.bfs_hops(edges, sources, max_hops=3, dedup_edges=False)
 
 
 SQL_BFS_HOPS = """
