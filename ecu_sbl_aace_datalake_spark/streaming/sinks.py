@@ -448,3 +448,140 @@ def foreach_batch_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_corpus_ingest(
+    stream: DataFrame,
+    lakehouse: Lakehouse,
+    table_name: str,
+    id_col: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    keep_langs: tuple = ("en",),
+    min_quality: float = 0.5,
+    lang_model: dict | None = None,
+    cap_per_source: int | None = None,
+    near_dup: bool = True,
+    threshold: float = 0.7,
+) -> Any:
+    """STREAMING training-corpus preparation — the foreachBatch composition
+    of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
+    curated AT INGEST instead of by periodic batch rebuilds:
+
+    1. language gate — ``classifier.lang_id_nb`` when ``lang_model`` is a
+       trained model dict (e.g. ``classifier.LANG_NB_V1``), else the
+       marker-token heuristic; keep only ``keep_langs``.
+    2. quality floor — ``textstats.with_quality_score >= min_quality``.
+    3. dedup-at-the-door — exact-unique within the batch, exact vs the
+       corpus, and (``near_dup``) shingle-Jaccard vs the corpus, exactly
+       like :func:`foreach_batch_dedup_ingest` (swap in the
+       ``..._indexed`` doors for 100 TB corpora — the gates compose the
+       same way).
+    4. per-source contribution caps ACROSS batches — a mergeable count
+       state table ``{table}_src_counts`` (the :func:`merge_batch_into_state`
+       machinery, hll-free) tracks accepted docs per source; each batch
+       admits only up to the REMAINING budget per source, chosen by the
+       same md5 priority as :func:`~..operators.transform.cap_per_group`
+       so the admitted set is deterministic under replays/retries.
+
+    Idempotency: replayed batches re-filter against the corpus hash door
+    (survivors are already in the corpus → rejected) and the counts state
+    skips already-merged batch ids. Same non-atomicity caveat as the
+    indexed dedup sink: a crash between the corpus append and the counts
+    merge under-counts that batch (caps may overshoot by at most one
+    batch's admissions) — Delta/Iceberg would make the two writes one
+    transaction. The appended corpus carries ``lang_pred`` and
+    ``quality_score`` as provenance columns. Returns the StreamingQuery
+    handle.
+    """
+    from ..operators import classifier, textstats
+    from ..operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        neardup_dedup_against_corpus,
+    )
+    from ..sources.catalog import table_path
+    from ..sources.io import (
+        append_table,
+        path_exists,
+        read_path,
+        read_table,
+        table_exists,
+        write_table,
+    )
+
+    counts_table = f"{table_name}_src_counts"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if lang_model is not None:
+            pred = classifier.lang_id_nb(
+                batch_df, lang_model, id_col=id_col, text_col=text_col
+            )
+            gated = batch_df.join(pred, id_col)
+        else:
+            gated = textstats.with_lang_id(batch_df, text_col)
+        gated = textstats.with_quality_score(gated, text_col).where(
+            F.col("lang_pred").isin(*list(keep_langs))
+            & (F.col("quality_score") >= float(min_quality))
+        )
+        batch = exact_dedup(gated, [text_col], tiebreak=[id_col])
+        scope = CacheScope()
+        try:
+            path = table_path(lakehouse, table_name)
+            if path_exists(spark, path):
+                corpus = read_path(spark, path)
+                batch = dedup_against_corpus(batch, corpus, text_col)
+                if near_dup:
+                    batch = neardup_dedup_against_corpus(
+                        batch, corpus, id_col, text_col,
+                        threshold=threshold, scope=scope,
+                    )
+            if cap_per_source is not None:
+                from pyspark.sql import Window
+
+                pri = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cap"), F.col(id_col).cast("string"))),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long")
+                w = Window.partitionBy(source_col).orderBy(
+                    pri.asc(), F.col(id_col).asc()
+                )
+                batch = batch.withColumn("__rn", F.row_number().over(w))
+                if table_exists(spark, lakehouse, counts_table):
+                    used = read_table(spark, lakehouse, counts_table).select(
+                        F.col(source_col), F.col("cnt").alias("__used")
+                    )
+                    batch = batch.join(F.broadcast(used), source_col, "left")
+                else:
+                    batch = batch.withColumn("__used", F.lit(None).cast("long"))
+                batch = batch.where(
+                    F.col("__rn")
+                    <= F.lit(int(cap_per_source)) - F.coalesce("__used", F.lit(0))
+                ).drop("__rn", "__used")
+            accepted = batch.localCheckpoint()
+            if accepted.isEmpty():
+                return
+            if path_exists(spark, path):
+                append_table(lakehouse, table_name, accepted)
+            else:
+                write_table(lakehouse, table_name, accepted)
+            if cap_per_source is not None:
+                merge_batch_into_state(
+                    lakehouse, counts_table, [source_col], id_col,
+                    accepted, batch_id, with_hll=False,
+                )
+        finally:
+            scope.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -450,3 +450,110 @@ class TestStreamedTrending:
         )
         assert sorted(map(tuple, streamed.collect())) == \
             sorted(map(tuple, batch.collect()))
+
+
+class TestForeachBatchCorpusIngest:
+    def test_gates_dedup_and_cross_batch_caps(self, spark, tmp_path):
+        import glob
+        import hashlib
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        b1 = [
+            (1, "the quick brown fox jumps over the lazy dog", "s0"),
+            (2, "the cat and the hat went off to the market", "s0"),
+            (3, "the sun and the moon and all of the stars", "s0"),
+            (4, "the rain in spain falls mostly on the plain", "s1"),
+            (5, "uno dos tres cuatro cinco seis siete ocho", "s1"),  # und
+        ]
+        b2 = [
+            (10, "the quick brown fox jumps over the lazy dog", "s0"),  # dup
+            (11, "the wind and the waves and also the tide", "s0"),  # cap full
+            (12, "the bird and the bee and also the tree", "s1"),
+        ]
+        src = str(tmp_path / "ci_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/batch{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "ci_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "ci_ckpt"),
+            keep_langs=("en",), min_quality=0.0,
+            cap_per_source=2, near_dup=False,
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "ci_lh") + "/Tables/corpus")
+        kept = {r.doc_id for r in corpus.collect()}
+        # batch-1 s0 admits the 2 smallest md5('cap'||id) priorities of {1,2,3}
+        pri = lambda i: int(hashlib.md5(f"cap{i}".encode()).hexdigest()[:15], 16)
+        s0_expect = set(sorted([1, 2, 3], key=lambda i: (pri(i), i))[:2])
+        assert kept == s0_expect | {4, 12}, kept
+        # provenance columns present; per-source cap invariant holds
+        assert {"lang_pred", "quality_score"} <= set(corpus.columns)
+        per_src = {
+            r["source"]: r["n"]
+            for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_src == {"s0": 2, "s1": 2}
+        # counts state reflects the accepted totals
+        counts = read_path(
+            spark, str(tmp_path / "ci_lh") + "/Tables/corpus_src_counts"
+        )
+        got = {r["source"]: r["cnt"] for r in counts.collect()}
+        assert got == {"s0": 2, "s1": 2}
+
+    def test_trained_lang_model_path(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.operators import classifier
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        rows = [(i, f"the data table row {i} join merge scan", "s0") for i in range(4)]
+        src = str(tmp_path / "cl_src")
+        os.makedirs(src)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src + "/b0", mode="overwrite"
+        )
+        part = glob.glob(f"{src}/b0/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch0.parquet")
+        shutil.rmtree(f"{src}/b0")
+        stream = spark.readStream.schema(schema).parquet(src)
+        lh = Lakehouse("x", str(tmp_path / "cl_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "cl_ckpt"),
+            keep_langs=tuple(classifier.LANG_NB_V1["langs"]),  # pass-all gate
+            min_quality=0.0, lang_model=classifier.LANG_NB_V1,
+            near_dup=False,
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "cl_lh") + "/Tables/corpus")
+        assert corpus.count() == 4
+        assert set(corpus.select("lang_pred").distinct().toPandas()["lang_pred"]) <= set(
+            classifier.LANG_NB_V1["langs"]
+        )
