@@ -53,6 +53,7 @@ def prepare_corpus(
     classifier_dim: int = 256,
     bpe_merges: Sequence[tuple[str, str]] | None = None,
     cap_per_source: int | None = None,
+    lang_model: dict | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -93,12 +94,21 @@ def prepare_corpus(
       group), mirroring how RefinedWeb/C4 bound any single domain's
       share. Runs LAST before token counting — caps apply to the
       deduplicated, decontaminated survivors.
+    - ``lang_model`` — a trained NB model dict (e.g.
+      ``classifier.LANG_NB_V1``) routes the language gate through
+      :func:`~.classifier.lang_id_nb` instead of the marker-token
+      heuristic; same ``lang_pred`` column either way.
     """
     from . import bpe as bpe_mod
     from . import classifier as clf
-    scored = textstats.with_quality_score(
-        textstats.with_lang_id(df, text_col), text_col
-    )
+    if lang_model is not None:
+        tagged = df.join(
+            clf.lang_id_nb(df, lang_model, id_col=id_col, text_col=text_col),
+            id_col,
+        )
+    else:
+        tagged = textstats.with_lang_id(df, text_col)
+    scored = textstats.with_quality_score(tagged, text_col)
     kept = scored.where(
         F.col("lang_pred").isin(*keep_langs)
         & (F.col("quality_score") >= min_quality)

@@ -263,6 +263,7 @@ class TestGlobalPlanInvariants:
         "bpe_packing",         # same encode feeding chunk_pack
         "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
         "bpe_encode_sample",   # same vocabulary-bounded encode, full tokens
+        "bpe_encode_ids",      # same encode + literal-map id lookup (JVM map, Python encode)
         "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
         "jaro_winkler_matches",  # JW per-char matching windows (Arrow pandas_udf over blocked candidates)
     }

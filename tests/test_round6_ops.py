@@ -191,3 +191,21 @@ class TestCapPerGroup:
         )
         per_src = packed.groupBy("source").agg(F.count("*").alias("n")).collect()
         assert per_src and all(r["n"] <= 5 for r in per_src)
+
+
+class TestPipelineTrainedLang:
+    def test_prepare_corpus_with_trained_lang_model(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import classifier, pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        packed = pipeline.prepare_corpus(
+            docs,
+            min_quality=0.0,
+            keep_langs=tuple(classifier.LANG_NB_V1["langs"]),
+            lang_model=classifier.LANG_NB_V1,
+        )
+        rows = packed.collect()
+        assert rows and all(
+            r.lang_pred in classifier.LANG_NB_V1["langs"] for r in rows
+        )
