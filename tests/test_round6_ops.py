@@ -209,3 +209,17 @@ class TestPipelineTrainedLang:
         assert rows and all(
             r.lang_pred in classifier.LANG_NB_V1["langs"] for r in rows
         )
+
+
+class TestCapPerGroupPlan:
+    def test_window_group_limit_pushdown(self, spark):
+        """The rn <= cap filter must compile to WindowGroupLimit with a
+        map-side Partial pass — each task keeps a per-group top-cap heap
+        before the shuffle, so hot groups never ship their full rows."""
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(100)], ["doc_id", "source"]
+        )
+        out = transform.cap_per_group(df, "source", 5, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+        assert "Partial" in plan, plan
