@@ -8214,15 +8214,17 @@ GROUP BY bucket
 
 
 def q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE token sequences (not just counts) for a 50-doc sample,
-    flattened to a space-joined string so the driver's canonicalizer can
-    hash them — end-to-end parity proof for bpe_encode's reassembly
-    (posexplode + broadcast join + ordered flatten) against the
-    recursive-CTE encoder."""
+    """FULL byte-level BPE token sequences (not just counts) for a 50-doc
+    sample, flattened to a space-joined string so the driver's
+    canonicalizer can hash them — end-to-end parity proof for
+    bpe_encode's reassembly (posexplode + broadcast join + ordered
+    flatten) against the recursive-CTE encoder. Unambiguous join: byte
+    mapping turns every raw space into 'Ġ', so token strings never
+    contain literal spaces."""
     from ..operators import bpe
 
     sub = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    enc = bpe.bpe_encode(sub, bpe.MERGES_DOCS_V1)
+    enc = bpe.bpe_encode(sub, bpe.MERGES_DOCS_BYTES_V1, byte_level=True)
     return (
         sub.select("doc_id")
         .join(enc, "doc_id", "left")
@@ -8238,7 +8240,7 @@ WITH RECURSIVE
 wp AS MATERIALIZED (
   SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
   FROM (
-    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr
+    SELECT doc_id, regexp_extract_all(text, {_gpt2_re_sql()}) AS arr
     FROM documents WHERE doc_id < 50) t
 ),
 words AS MATERIALIZED (
@@ -8246,7 +8248,10 @@ words AS MATERIALIZED (
 ),
 vocab AS MATERIALIZED (SELECT DISTINCT w FROM words),
 enc AS (
-  SELECT w, regexp_extract_all(w, '.') AS toks FROM vocab
+  SELECT w,
+         list_transform(regexp_extract_all(w, '.'),
+                        c -> {_b2u_charmap_sql()}[c][1]) AS toks
+  FROM vocab
   UNION ALL
   SELECT w,
          toks[1:best.i-1] || [toks[best.i] || toks[best.i+1]] || toks[best.i+2:]
