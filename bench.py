@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "time_to_conversion",
     "lang_id_trained",
     "capped_mixture",
+    "neardup_decontamination",
 ]
 
 

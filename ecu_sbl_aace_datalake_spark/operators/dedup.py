@@ -1169,6 +1169,77 @@ def decontaminate(
     return df.join(dirty, id_col, "left_anti")
 
 
+def decontaminate_neardup(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """FUZZY test-set decontamination (round 6): drop corpus rows whose
+    word-``n``-gram Jaccard against ANY benchmark document reaches
+    ``threshold`` — the near-dup complement of the exact-8-gram
+    :func:`decontaminate` (RefinedWeb/FineWeb run both: exact n-gram hits
+    catch verbatim leakage, MinHash catches lightly-paraphrased leakage
+    the exact pass misses).
+
+    Scale shape: the corpus is shingled/signed/banded ONCE (same cached
+    projection as minhash_dedup); the benchmark side is small by
+    definition, so its band table BROADCASTS into the candidate join and
+    its shingle sets broadcast into the exact-Jaccard verify — the corpus
+    never self-joins and never shuffles for the probe. Default banding is
+    32 bands x 2 rows, making recall at the 0.5 threshold structural
+    (P(miss) ~= 1e-4), the same argument as the minhash_neardup_pairs
+    oracle.
+    """
+    corp = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(ensure_parallelism(df), text_col, n=n),
+            num_hashes=num_hashes,
+        ).select(id_col, "shingles", "minhash"),
+    )
+    bench = minhash_signatures(
+        shingle_hashes(
+            benchmark_df.select(F.col(bench_text_col).alias("__btext")),
+            "__btext",
+            n=n,
+        ),
+        num_hashes=num_hashes,
+    ).select(
+        F.xxhash64("__btext").alias("__bid"),
+        F.col("shingles").alias("__bsh"),
+        "minhash",
+    )
+    cbands = _band_table(corp, id_col, "minhash", bands, num_hashes)
+    bbands = _band_table(
+        bench.select("__bid", "minhash"), "__bid", "minhash", bands, num_hashes
+    )
+    cands = (
+        cbands.join(F.broadcast(bbands), ["band_id", "band_hash"])
+        .select(id_col, "__bid")
+        .distinct()
+    )
+    verified = (
+        cands.join(corp.select(id_col, "shingles"), id_col)
+        .join(F.broadcast(bench.select("__bid", "__bsh")), "__bid")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("shingles", "__bsh"))
+            / F.size(F.array_union("shingles", "__bsh")),
+        )
+        .where(F.col("__j") >= float(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(verified, id_col, "left_anti")
+
+
 def er_candidate_matches(
     df: DataFrame,
     id_col: str,

@@ -1092,6 +1092,70 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(pairs, sh, "doc_id", threshold=0.5)
 
 
+def q_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (dedup.decontaminate_neardup): the
+    benchmark is every 37th document with its first ~word clipped — NOT
+    an exact duplicate, but 3-shingle Jaccard vs its original stays far
+    above the 0.5 threshold, so the MinHash probe must remove exactly the
+    paraphrased-leak originals. 32x2 banding makes recall structural (the
+    minhash_neardup_pairs argument); oracle is brute-force corpus x
+    benchmark Jaccard, survivors aggregated per source with an id
+    checksum so the exact kept SET is verified."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.expr("substring(text, 8)").alias("text")
+    )
+    out = dedup.decontaminate_neardup(docs, bench, "doc_id", threshold=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+SQL_NEARDUP_DECONTAMINATION = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+csh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM c
+),
+b AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS bid,
+         regexp_extract_all(lower(substring(text, 8)), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id % 37 = 0
+),
+bsh AS (
+  SELECT bid,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM b
+),
+cex AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+bex AS (SELECT bid, unnest(sh) AS s FROM bsh),
+inter AS (
+  SELECT cex.doc_id, bex.bid, COUNT(*) AS i
+  FROM cex JOIN bex USING (s) GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT inter.doc_id
+  FROM inter
+  JOIN (SELECT doc_id, len(sh) AS n FROM csh) cn USING (doc_id)
+  JOIN (SELECT bid, len(sh) AS n FROM bsh) bn USING (bid)
+  WHERE CAST(i AS DOUBLE) / (cn.n + bn.n - i) >= 0.5
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+GROUP BY source
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH self-candidates + exact cosine
     verify. The fixture corpus has no natural near-dups (max pairwise
@@ -8473,6 +8537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "capped_mixture": q_capped_mixture,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "neardup_decontamination": q_neardup_decontamination,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
     "trigram_lm_scores": q_trigram_lm_scores,
@@ -8749,6 +8814,7 @@ ORACLES: dict[str, str] = {
     "token_mixture": SQL_TOKEN_MIXTURE,
     "capped_mixture": SQL_CAPPED_MIXTURE,
     "bpe_encode_ids": SQL_BPE_ENCODE_IDS,
+    "neardup_decontamination": SQL_NEARDUP_DECONTAMINATION,
     "bigram_lm_scores": SQL_BIGRAM_LM,
     "trigram_lm_scores": SQL_TRIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,

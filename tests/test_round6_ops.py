@@ -223,3 +223,42 @@ class TestCapPerGroupPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, plan
         assert "Partial" in plan, plan
+
+
+class TestNeardupDecontamination:
+    def test_paraphrased_leak_removed_clean_kept(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+                (2, "one two three four five six seven eight nine ten"),
+                (3, "totally unrelated words about completely different topics here"),
+            ],
+            ["doc_id", "text"],
+        )
+        # benchmark = doc 1 with one word swapped: NOT an exact dup
+        bench = spark.createDataFrame(
+            [("alpha bravo charlie delta echo foxtrot golf hotel JULIET",)],
+            ["text"],
+        )
+        out = dedup.decontaminate_neardup(corpus, bench, "doc_id", threshold=0.5)
+        assert {r.doc_id for r in out.collect()} == {2, 3}
+
+    def test_empty_benchmark_is_noop(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "alpha bravo charlie delta echo foxtrot")], ["doc_id", "text"]
+        )
+        bench = spark.createDataFrame([], "text string")
+        out = dedup.decontaminate_neardup(corpus, bench, "doc_id")
+        assert out.count() == 1
+
+    def test_threshold_controls_strictness(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l m n o p")], ["doc_id", "text"]
+        )
+        # half-overlapping benchmark: jaccard well below 0.9, above 0.2
+        bench = spark.createDataFrame(
+            [("a b c d e f g h zz yy xx ww vv uu tt ss",)], ["text"]
+        )
+        strict = dedup.decontaminate_neardup(corpus, bench, "doc_id", threshold=0.9)
+        loose = dedup.decontaminate_neardup(corpus, bench, "doc_id", threshold=0.2)
+        assert strict.count() == 1 and loose.count() == 0
