@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "lang_id_trained",
     "capped_mixture",
     "neardup_decontamination",
+    "corpus_shuffle",
 ]
 
 

@@ -1090,3 +1090,40 @@ def hierarchical_shares(
         F.round(F.col("__t"), 2).alias("total"),
         F.round(F.col("share"), round_to).alias("share"),
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """DETERMINISTIC global shuffle for training-data ordering: every row
+    gets a contiguous 0-based ``pos_col`` in md5-priority order (salt +
+    id; id tiebreak) — the reproducible replacement for
+    ``df.orderBy(rand())``, whose order changes on every retry /
+    partitioning and silently breaks run-to-run training comparisons.
+    Change ``salt`` per epoch for a fresh permutation.
+
+    Scale: delegates to :func:`add_index_col_distributed` — range
+    partition on the priority + per-partition row_number + broadcast
+    offsets; no single-partition global sort. The priority is a pure
+    function of (salt, id), so the permutation is stable across engines,
+    retries, and cluster layouts.
+    """
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = add_index_col_distributed(
+        df.withColumn("__pri", pri),
+        col_name=pos_col,
+        index_start=0,
+        order_by=["__pri", id_col],
+    )
+    return out.drop("__pri").withColumn(
+        pos_col, (F.col(pos_col) - F.lit(1)).cast("long")
+    )

@@ -5405,6 +5405,31 @@ GROUP BY source
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle (transform.shuffle_corpus):
+    every document gets a contiguous 0-based position in md5-priority
+    order — the reproducible replacement for orderBy(rand()). Distributed
+    form: range partition on the priority + per-partition row_number +
+    broadcast offsets (add_index_col_distributed), no single-task global
+    sort. Oracle is the literal row_number over the same priority."""
+    from ..operators import transform as tf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return tf.shuffle_corpus(docs, "doc_id").select("doc_id", "shuffle_pos")
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY pri, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM (
+  SELECT doc_id,
+         ('0x' || substring(md5('shuffle' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pri
+  FROM documents
+)
+"""
+
+
 def q_embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage int8-quantized ANN (similarity.quantized_topk): int8
     approximate-cosine candidate scan (4x less memory bandwidth than the
@@ -8538,6 +8563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capped_mixture": q_capped_mixture,
     "bpe_encode_ids": q_bpe_encode_ids,
     "neardup_decontamination": q_neardup_decontamination,
+    "corpus_shuffle": q_corpus_shuffle,
     "embedding_topk_quantized": q_embedding_topk_quantized,
     "bigram_lm_scores": q_bigram_lm_scores,
     "trigram_lm_scores": q_trigram_lm_scores,
@@ -8815,6 +8841,7 @@ ORACLES: dict[str, str] = {
     "capped_mixture": SQL_CAPPED_MIXTURE,
     "bpe_encode_ids": SQL_BPE_ENCODE_IDS,
     "neardup_decontamination": SQL_NEARDUP_DECONTAMINATION,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "bigram_lm_scores": SQL_BIGRAM_LM,
     "trigram_lm_scores": SQL_TRIGRAM_LM,
     "ks_drift": SQL_KS_DRIFT,

@@ -262,3 +262,24 @@ class TestNeardupDecontamination:
         strict = dedup.decontaminate_neardup(corpus, bench, "doc_id", threshold=0.9)
         loose = dedup.decontaminate_neardup(corpus, bench, "doc_id", threshold=0.2)
         assert strict.count() == 1 and loose.count() == 0
+
+
+class TestShuffleCorpus:
+    def test_contiguous_and_partition_independent(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+        a = {
+            r.doc_id: r.shuffle_pos
+            for r in transform.shuffle_corpus(df.repartition(3), "doc_id").collect()
+        }
+        b = {
+            r.doc_id: r.shuffle_pos
+            for r in transform.shuffle_corpus(df.repartition(17), "doc_id").collect()
+        }
+        assert a == b
+        assert sorted(a.values()) == list(range(200))  # contiguous 0-based
+        # a different salt gives a different permutation of the same range
+        c = {
+            r.doc_id: r.shuffle_pos
+            for r in transform.shuffle_corpus(df, "doc_id", salt="epoch2").collect()
+        }
+        assert sorted(c.values()) == list(range(200)) and c != a
