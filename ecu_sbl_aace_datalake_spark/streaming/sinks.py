@@ -528,7 +528,14 @@ def foreach_batch_corpus_ingest(
             F.col("lang_pred").isin(*list(keep_langs))
             & (F.col("quality_score") >= float(min_quality))
         )
-        batch = exact_dedup(gated, [text_col], tiebreak=[id_col])
+        # in-batch exact door on the SAME trimmed-content hash the corpus
+        # door uses (dedup_against_corpus normalize=True) — raw-text
+        # equality would let trim-equal rows through within one batch
+        batch = exact_dedup(
+            gated.withColumn("__h", F.md5(F.trim(F.col(text_col)))),
+            ["__h"],
+            tiebreak=[id_col],
+        ).drop("__h")
         scope = CacheScope()
         try:
             path = table_path(lakehouse, table_name)
