@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "capped_mixture",
     "neardup_decontamination",
     "corpus_shuffle",
+    "bootstrap_ci",
 ]
 
 

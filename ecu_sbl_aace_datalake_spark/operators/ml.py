@@ -726,3 +726,118 @@ def wilson_ci(
         F.round(center - half, round_to).alias("ci_lo"),
         F.round(center + half, round_to).alias("ci_hi"),
     )
+
+
+#: cumulative Poisson(1) pmf at k = 0..8, rounded 12dp — the multiplicity
+#: thresholds of the Poisson bootstrap (the ~1e-6 of mass beyond the last
+#: threshold draws multiplicity 9). Literals so both engines compare the
+#: same numbers.
+POISSON1_CUM: list[float] = [
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+    0.999998874797,
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 32,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    round_to: int = 6,
+) -> DataFrame:
+    """POISSON bootstrap percentile CI for the mean — the distributed
+    bootstrap (each row's multiplicity in replica b is an independent
+    Poisson(1) draw, the classic approximation of multinomial resampling
+    that needs no global coordination; used for CIs on massive
+    aggregates where true resampling is impossible).
+
+    Fully deterministic and oracle-replicable: the draw is the inverse
+    CDF of Poisson(1) applied to a uniform derived from
+    ``md5(salt || b || '_' || id)`` against the literal
+    :data:`POISSON1_CUM` thresholds; per-replica means are exact decimal
+    sums divided once in IEEE doubles; the CI bounds are ORDER
+    STATISTICS of the replica means (ceil(alpha/2·B)-th and
+    ceil((1-alpha/2)·B)-th smallest — integer indexing, no
+    interpolation), so no step depends on float summation order.
+
+    Cost: one fan-out of ``n_replicas`` per row (explode of a literal
+    sequence — map-side), one groupBy(replica) aggregate (B rows), then
+    driver-free arithmetic over the tiny replica relation. Returns ONE
+    row ``(n, mean, ci_lo, ci_hi, n_replicas)``.
+    """
+    from pyspark.sql import Window
+
+    b_col = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))
+    ).alias("__b")
+    rows = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("decimal(28,6)").alias("__x"),
+        )
+        .select("__id", "__x", b_col)
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("__b").cast("string"),
+                        F.lit("_"),
+                        F.col("__id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    mult = F.lit(len(POISSON1_CUM)).cast("int")
+    for k in range(len(POISSON1_CUM) - 1, -1, -1):
+        mult = F.when(u < F.lit(POISSON1_CUM[k]), F.lit(k)).otherwise(mult)
+    reps = (
+        rows.withColumn("__m", mult)
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__m").cast("decimal(10,0)") * F.col("__x")).alias("__s"),
+            F.sum("__m").cast("long").alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            (F.col("__s").cast("double") / F.col("__n")).alias("__mean")
+        )
+    )
+    import math
+
+    lo_idx = max(1, math.ceil(alpha / 2 * n_replicas))
+    hi_idx = min(n_replicas, math.ceil((1 - alpha / 2) * n_replicas))
+    w = Window.orderBy(F.col("__mean").asc())
+    ranked = reps.withColumn("__r", F.row_number().over(w))
+    bounds = ranked.groupBy().agg(
+        F.max(F.when(F.col("__r") == lo_idx, F.col("__mean"))).alias("__lo"),
+        F.max(F.when(F.col("__r") == hi_idx, F.col("__mean"))).alias("__hi"),
+    )
+    stats = df.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__sum"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(bounds))
+        .select(
+            "n",
+            F.round(F.col("__sum").cast("double") / F.col("n"), round_to).alias(
+                "mean"
+            ),
+            F.round("__lo", round_to).alias("ci_lo"),
+            F.round("__hi", round_to).alias("ci_hi"),
+            F.lit(int(n_replicas)).cast("int").alias("n_replicas"),
+        )
+    )

@@ -10040,6 +10040,75 @@ SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
 """
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the mean extended price of a
+    1-in-10-order slice (ml.bootstrap_mean_ci, 32 replicas): per-row
+    multiplicities are inverse-CDF Poisson(1) draws from md5-derived
+    uniforms against literal cumulative thresholds; replica means are
+    exact decimal sums / IEEE division; CI bounds are integer order
+    statistics — every step engine-order-independent, so the oracle
+    replays the full resampling bit-for-bit. The resampling complement
+    of jackknife_ci."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    rows = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_extendedprice",
+    )
+    return ml.bootstrap_mean_ci(
+        rows, "l_extendedprice", "rid", n_replicas=32, alpha=0.05
+    )
+
+
+def _bootstrap_oracle_sql() -> str:
+    from ..operators.ml import POISSON1_CUM
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CUM)
+    ) + f" ELSE {len(POISSON1_CUM)} END"
+    return f"""
+WITH v AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         CAST(l_extendedprice AS DECIMAL(28,6)) AS x
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0 AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT t.b, v.rid, v.x,
+         CAST(('0x' || substring(md5('boot' || CAST(t.b AS VARCHAR) || '_'
+               || CAST(v.rid AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM v CROSS JOIN (SELECT unnest(range(0, 32)) AS b) t
+),
+reps AS (
+  SELECT b, SUM(CAST(m AS DECIMAL(10,0)) * x) AS s, SUM(m) AS n
+  FROM (SELECT b, x, {case} AS m FROM r)
+  GROUP BY b HAVING SUM(m) > 0
+),
+ranked AS (
+  SELECT CAST(s AS DOUBLE) / n AS mean,
+         row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n ASC) AS rk
+  FROM reps
+),
+bounds AS (
+  SELECT MAX(CASE WHEN rk = 1 THEN mean END) AS lo,
+         MAX(CASE WHEN rk = 32 THEN mean END) AS hi
+  FROM ranked
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS total FROM v
+)
+SELECT stats.n,
+       ROUND(CAST(stats.total AS DOUBLE) / stats.n, 6) AS mean,
+       ROUND(bounds.lo, 6) AS ci_lo,
+       ROUND(bounds.hi, 6) AS ci_hi,
+       CAST(32 AS INT) AS n_replicas
+FROM stats CROSS JOIN bounds
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_oracle_sql()
+
+
 def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-one-bucket jackknife standard error for per-flag mean price
     (ml.jackknife_ci): 32 md5 hash buckets, leave-one-out means from
@@ -10304,6 +10373,7 @@ ORDER BY score DESC, phrase ASC LIMIT 20
 QUERIES.update({
     "mutual_information": q_mutual_information,
     "jackknife_ci": q_jackknife_ci,
+    "bootstrap_ci": q_bootstrap_ci,
     "seasonal_anomaly": q_seasonal_anomaly,
     "weighted_median": q_weighted_median,
     "winsorized_mean": q_winsorized_mean,
@@ -10315,6 +10385,7 @@ QUERIES.update({
 ORACLES.update({
     "mutual_information": SQL_MUTUAL_INFORMATION,
     "jackknife_ci": SQL_JACKKNIFE_CI,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "winsorized_mean": SQL_WINSORIZED_MEAN,

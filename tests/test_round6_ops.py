@@ -283,3 +283,32 @@ class TestShuffleCorpus:
             for r in transform.shuffle_corpus(df, "doc_id", salt="epoch2").collect()
         }
         assert sorted(c.values()) == list(range(200)) and c != a
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            "l_extendedprice",
+        )
+        a = ml.bootstrap_mean_ci(li, "l_extendedprice", "rid").collect()[0]
+        b = ml.bootstrap_mean_ci(li, "l_extendedprice", "rid").collect()[0]
+        assert a == b  # fully deterministic resampling
+        assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+        assert a["n_replicas"] == 32 and a["n"] > 0
+        # a different salt gives a different (but still bracketing) CI
+        c = ml.bootstrap_mean_ci(
+            li, "l_extendedprice", "rid", salt="boot2"
+        ).collect()[0]
+        assert (c["ci_lo"], c["ci_hi"]) != (a["ci_lo"], a["ci_hi"])
+        assert c["ci_lo"] <= c["mean"] <= c["ci_hi"]
+
+    def test_constant_data_degenerate_ci(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame([(i, 7.0) for i in range(200)], ["rid", "v"])
+        r = ml.bootstrap_mean_ci(df, "v", "rid").collect()[0]
+        assert r["mean"] == r["ci_lo"] == r["ci_hi"] == 7.0
