@@ -242,6 +242,7 @@ class TestGlobalPlanInvariants:
         "bitmap_intersections",  # k x k per-key-count pair build (k = event types)
         "quantile_normalize",   # 1-row global-size scalar broadcast (lazy n_glob)
         "neardup_eval",         # three 1-row count aggregates cross-joined into the report row
+        "bootstrap_ci",         # 1-row stats x 1-row CI-bounds scalar cross join
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
