@@ -221,6 +221,46 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     per_query: dict[str, dict] = {}
+
+    # Calibration rows (VERDICT_r06 item #1): fixed-work probes that measure
+    # the MACHINE, not the engine, so cross-round BENCH_rNN totals can be
+    # normalized for driver-box co-tenancy. `calib_cpu` is a pure JVM
+    # whole-stage-codegen loop (1e9 xxhash64 rows — zero I/O, zero shuffle,
+    # constant work regardless of sf); `calib_scan` is a full parquet scan +
+    # column sum of lineitem at the bench sf (I/O + decode path). Both are
+    # medians of the same n_runs, EXCLUDED from `value` (total) so totals
+    # stay comparable with pre-r7 rounds, and force-kept in the compact
+    # line. BASELINE.md documents how to normalize with them.
+    from pyspark.sql import functions as _F
+
+    _lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    calib_fns = {
+        "calib_cpu": lambda: spark.range(1_000_000_000)
+        .select(_F.sum(_F.xxhash64("id")).alias("h"))
+        .count(),
+        "calib_scan": lambda: _lineitem.select(
+            _F.sum("l_extendedprice").alias("s"), _F.count("*").alias("n")
+        ).count(),
+    }
+    calib: dict[str, float] = {}
+    for cname, fn in calib_fns.items():
+        fn()  # one untimed warmup per probe (codegen cache / footer cache)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2.0
+        calib[cname] = round(med, 3)
+        per_query[cname] = {
+            "median": round(med, 3),
+            "min": round(srt[0], 3),
+            "max": round(srt[-1], 3),
+            "runs": [round(r, 3) for r in runs],
+            "n_runs": n_runs,
+        }
     for name in BENCH_QUERIES:
         runs: list[float] = []
         for _ in range(n_runs):
@@ -251,6 +291,8 @@ def main() -> None:
         "stat": "median",
         "n_runs": n_runs,
         "n_queries": len(timings),
+        "calib_cpu": calib["calib_cpu"],
+        "calib_scan": calib["calib_scan"],
         "queries": timings,
         "per_query": per_query,
         "sf": sf_val,
@@ -275,6 +317,8 @@ def main() -> None:
             "unit": "sec",
             "stat": "median",
             "n_runs": n_runs,
+            "calib_cpu": calib["calib_cpu"],
+            "calib_scan": calib["calib_scan"],
             "queries": q,
             "sf": sf_val,
         }

@@ -755,50 +755,74 @@ def bootstrap_mean_ci(
     aggregates where true resampling is impossible).
 
     Fully deterministic and oracle-replicable: the draw is the inverse
-    CDF of Poisson(1) applied to a uniform derived from
-    ``md5(salt || b || '_' || id)`` against the literal
-    :data:`POISSON1_CUM` thresholds; per-replica means are exact decimal
-    sums divided once in IEEE doubles; the CI bounds are ORDER
-    STATISTICS of the replica means (ceil(alpha/2·B)-th and
-    ceil((1-alpha/2)·B)-th smallest — integer indexing, no
-    interpolation), so no step depends on float summation order.
+    CDF of Poisson(1) applied to a uniform derived from an md5 digest
+    against the literal :data:`POISSON1_CUM` thresholds; per-replica
+    means are exact decimal sums divided once in IEEE doubles; the CI
+    bounds are ORDER STATISTICS of the replica means
+    (ceil(alpha/2·B)-th and ceil((1-alpha/2)·B)-th smallest — integer
+    indexing, no interpolation), so no step depends on float summation
+    order.
 
-    Cost: one fan-out of ``n_replicas`` per row (explode of a literal
-    sequence — map-side), one groupBy(replica) aggregate (B rows), then
-    driver-free arithmetic over the tiny replica relation. Returns ONE
-    row ``(n, mean, ci_lo, ci_hi, n_replicas)``.
+    Hash amortization (round 7): ONE digest feeds FOUR replicas. The
+    32-hex md5 of ``salt || (b div 4) || '_' || id`` is sliced into four
+    8-hex (32-bit) uniforms, replica ``b`` taking slice ``b mod 4`` —
+    4× fewer md5 evaluations than one digest per (row × replica). The
+    2⁻³² tail granularity is ample against the 12-dp Poisson CDF
+    thresholds (nearest threshold gap ≫ 2⁻³²), and the slices of an
+    md5 output are independently uniform. The digest is materialized
+    as a column BETWEEN the two explodes (groups × slices) so Catalyst
+    evaluates it once per (row, group), never per (row, replica).
+
+    Cost: one fan-out of ``ceil(B/4)`` digests + ``B`` slices per row
+    (two chained explodes of literal sequences — map-side, no shuffle),
+    one groupBy(replica) aggregate (B rows), then driver-free arithmetic
+    over the tiny replica relation. Returns ONE row
+    ``(n, mean, ci_lo, ci_hi, n_replicas)``.
     """
     from pyspark.sql import Window
 
-    b_col = F.explode(
-        F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))
-    ).alias("__b")
+    n_b = int(n_replicas)
+    n_groups = (n_b + 3) // 4
     rows = (
         df.where(F.col(value_col).isNotNull())
         .select(
             F.col(id_col).alias("__id"),
             F.col(value_col).cast("decimal(28,6)").alias("__x"),
         )
-        .select("__id", "__x", b_col)
+        .select(
+            "__id",
+            "__x",
+            F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("__g"),
+        )
+        # digest column sits between the two Generates: computed once per
+        # (row, group), reused by the four slice rows below
+        .withColumn(
+            "__d",
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("__g").cast("string"),
+                    F.lit("_"),
+                    F.col("__id").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "__x",
+            "__g",
+            "__d",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__j"),
+        )
+        .withColumn("__b", F.col("__g") * 4 + F.col("__j"))
+        .where(F.col("__b") < F.lit(n_b))
     )
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.col("__b").cast("string"),
-                        F.lit("_"),
-                        F.col("__id").cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
+            F.substring(F.col("__d"), F.lit(1) + F.col("__j") * 8, F.lit(8)),
             16,
             10,
         ).cast("double")
-        / F.lit(float(1 << 60))
+        / F.lit(float(1 << 32))
     )
     mult = F.lit(len(POISSON1_CUM)).cast("int")
     for k in range(len(POISSON1_CUM) - 1, -1, -1):

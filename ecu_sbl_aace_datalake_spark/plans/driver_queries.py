@@ -10072,12 +10072,19 @@ WITH v AS (
   FROM lineitem
   WHERE l_orderkey % 10 = 0 AND l_extendedprice IS NOT NULL
 ),
+dg AS (
+  -- one digest per (row, group-of-4-replicas): md5(salt || g || '_' || id)
+  SELECT v.rid, v.x, t.g,
+         md5('boot' || CAST(t.g AS VARCHAR) || '_'
+             || CAST(v.rid AS VARCHAR)) AS d
+  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS g) t
+),
 r AS (
-  SELECT t.b, v.rid, v.x,
-         CAST(('0x' || substring(md5('boot' || CAST(t.b AS VARCHAR) || '_'
-               || CAST(v.rid AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-           / 1152921504606846976.0 AS u
-  FROM v CROSS JOIN (SELECT unnest(range(0, 32)) AS b) t
+  -- four 8-hex (32-bit) uniform slices per digest; replica b = g*4 + j
+  SELECT dg.g * 4 + jt.j AS b, dg.rid, dg.x,
+         CAST(('0x' || substring(dg.d, 1 + jt.j * 8, 8))::BIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM dg CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jt
 ),
 reps AS (
   SELECT b, SUM(CAST(m AS DECIMAL(10,0)) * x) AS s, SUM(m) AS n
