@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "neardup_decontamination",
     "corpus_shuffle",
     "bootstrap_ci",
+    "corpus_prepare_full",
 ]
 
 

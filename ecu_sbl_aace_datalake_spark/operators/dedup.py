@@ -1197,6 +1197,32 @@ def decontaminate_neardup(
     (P(miss) ~= 1e-4), the same argument as the minhash_neardup_pairs
     oracle.
     """
+    dirty = neardup_contamination_ids(
+        df, benchmark_df, id_col, text_col, bench_text_col,
+        n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        scope=scope,
+    )
+    return df.join(dirty, id_col, "left_anti")
+
+
+def neardup_contamination_ids(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """FLAG form of :func:`decontaminate_neardup`: the distinct ``id_col``
+    values whose word-``n``-gram Jaccard against any benchmark document
+    reaches ``threshold`` — lets a caller union dirty-id sets from several
+    doors (exact + fuzzy) and pay ONE anti-join over a pinned corpus
+    instead of chaining filters that each re-evaluate the corpus lineage
+    (pipeline.prepare_corpus does exactly that)."""
     corp = persist_in(
         scope,
         minhash_signatures(
@@ -1237,7 +1263,7 @@ def decontaminate_neardup(
         .select(id_col)
         .distinct()
     )
-    return df.join(verified, id_col, "left_anti")
+    return verified
 
 
 def er_candidate_matches(

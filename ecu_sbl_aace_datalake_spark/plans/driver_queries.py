@@ -4238,6 +4238,218 @@ GROUP BY source
 """
 
 
+def q_corpus_prepare_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-WIRED corpus pipeline (round 7, VERDICT_r06 item #4): the
+    corpus_prepare composition PLUS both decontamination doors and the
+    deterministic shuffle — lang ID → quality floor → exact dedup →
+    MinHash near-dup prune → exact 8-gram decontamination → FUZZY
+    MinHash decontamination → md5-deterministic corpus shuffle → token
+    count → greedy packing in SHUFFLE order, reported per source shard.
+
+    The benchmark plants both leak kinds: every 41st doc verbatim (the
+    exact door must catch it) and every 37th doc with a marker word
+    injected after every 6th word — NO shared word-8-gram survives (every
+    benchmark 8-gram spans a marker), but bigram Jaccard stays ≈0.64
+    (measured ≥0.63 on the fixture, noise ceiling 0.12), so ONLY the
+    fuzzy door catches it: the composed query fails if either door is
+    unwired. Packing consumes shuffle_pos, so pack boundaries verify the
+    shuffle too. Oracle replays every stage, brute-force where the
+    engine uses sketches."""
+    from ..operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench_a = docs.where(F.col("doc_id") % 41 == 0).select("text")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    marked = F.array_join(
+        F.flatten(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    ((i + 1) % 6) == 0, F.array(w, F.lit("zzmk"))
+                ).otherwise(F.array(w)),
+            )
+        ),
+        " ",
+    )
+    bench_b = docs.where(F.col("doc_id") % 37 == 0).select(
+        marked.alias("text")
+    )
+    packed = pipeline.prepare_corpus(
+        docs,
+        pack_budget=512,
+        neardup_bands=32,
+        benchmark_df=bench_a.unionByName(bench_b),
+        decontaminate_ngram=8,
+        decontaminate_fuzzy_ngram=2,
+        decontaminate_fuzzy_threshold=0.5,
+        shuffle_salt="epoch0",
+    )
+    return pipeline.corpus_report(packed, pack_budget=512)
+
+
+SQL_CORPUS_PREPARE_FULL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, source,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   t -> t <> '')) AS tk
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, text, source,
+    list_reverse_sort([
+      {'hits': CAST(len(list_intersect(tk, ['the','and','of','to','a','in','is','that','it','for'])) AS INT), 'lang': 'en'},
+      {'hits': CAST(len(list_intersect(tk, ['el','la','de','que','y','en','un','por','con','los'])) AS INT), 'lang': 'es'},
+      {'hits': CAST(len(list_intersect(tk, ['der','die','und','das','ist','von','mit','den','ein','zu'])) AS INT), 'lang': 'de'},
+      {'hits': CAST(len(list_intersect(tk, ['le','la','les','de','et','un','une','est','que','dans'])) AS INT), 'lang': 'fr'},
+      {'hits': CASE WHEN regexp_matches(text, '[一-鿿]') THEN 10
+               ELSE CAST(len(list_intersect(tk, ['的','是','了','在','我','有','和','人','这','不'])) AS INT) END,
+       'lang': 'zh'}
+    ])[1] AS best
+  FROM toks
+),
+quality AS (
+  SELECT doc_id, text, source,
+         CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+         ROUND(
+           (CASE WHEN len(wtoks) < 5 THEN 0.2 WHEN len(wtoks) > 10000 THEN 0.5 ELSE 1.0 END)
+           * (CASE WHEN punct / GREATEST(LENGTH(text), 1) > 0.2 THEN 0.5 ELSE 1.0 END)
+           * (0.5 + 0.5 * (len(list_distinct(wtoks)) / GREATEST(len(wtoks), 1))), 4
+         ) AS quality_score
+  FROM (SELECT *,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS wtoks,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+        FROM lang)
+),
+kept AS (
+  SELECT doc_id, text, source FROM quality
+  WHERE lang_pred = 'en' AND quality_score >= 0.5
+),
+exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t3) - 2, 0) + 1),
+            i -> t3[i] || ' ' || t3[i+1] || ' ' || t3[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t3 FROM exact)
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+losers AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = p.id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = p.id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+),
+deduped AS (
+  SELECT e.doc_id, e.text, e.source
+  FROM exact e ANTI JOIN losers l ON e.doc_id = l.id_b
+),
+-- benchmark: slice A verbatim (every 41st raw doc), slice B every 37th raw
+-- doc with 'zzmk' injected after every 6th word (DuckDB lambda index i is
+-- 1-based; Spark's 0-based (i+1)%6 matches)
+bench AS (
+  SELECT text FROM documents WHERE doc_id % 41 = 0
+  UNION ALL
+  SELECT array_to_string(
+           flatten(list_transform(
+             list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
+             (w, i) -> CASE WHEN i % 6 = 0 THEN [w, 'zzmk'] ELSE [w] END)), ' ')
+  FROM documents WHERE doc_id % 37 = 0
+),
+-- exact door: shared word-8-gram with any benchmark text
+b8 AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM bench)
+),
+c8 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM deduped)
+),
+exact_dirty AS (SELECT DISTINCT c8.doc_id FROM c8 JOIN b8 ON c8.s = b8.s),
+after_exact AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM deduped d ANTI JOIN exact_dirty x ON d.doc_id = x.doc_id
+),
+-- fuzzy door: word-BIGRAM Jaccard >= 0.5 vs any benchmark text (brute force;
+-- the engine's 32x2 MinHash banding is structural at this threshold)
+b2 AS (
+  SELECT row_number() OVER () AS bid,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+            i -> t[i] || ' ' || t[i+1])) AS g
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM bench)
+),
+c2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+            i -> t[i] || ' ' || t[i+1])) AS g
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM after_exact)
+),
+fuzzy_dirty AS (
+  SELECT DISTINCT c2.doc_id
+  FROM c2 JOIN b2 ON len(list_intersect(c2.g, b2.g)) > 0
+  WHERE CAST(len(list_intersect(c2.g, b2.g)) AS DOUBLE)
+        / (len(c2.g) + len(b2.g) - len(list_intersect(c2.g, b2.g))) >= 0.5
+),
+survivors AS (
+  SELECT a.doc_id, a.text, a.source
+  FROM after_exact a ANTI JOIN fuzzy_dirty f ON a.doc_id = f.doc_id
+),
+-- deterministic shuffle: md5('epoch0' || id) priority; packing walks each
+-- shard in (priority, id) order — identical to global shuffle_pos order
+counted AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+         ('0x' || substring(md5('epoch0' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pri
+  FROM survivors
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 512
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 512
+              THEN o.n_tokens ELSE w.used + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+),
+per_pack AS (
+  SELECT source, pack_id,
+         COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+         ROUND(SUM(n_tokens) / 512, 4) AS fill_ratio
+  FROM walk GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(fill_ratio), 4) AS avg_fill
+FROM per_pack
+GROUP BY source
+"""
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -8728,6 +8940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_metrics": q_unpivot_metrics,
     "first_last_window": q_first_last_window,
     "corpus_prepare": q_corpus_prepare,
+    "corpus_prepare_full": q_corpus_prepare_full,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -8951,6 +9164,7 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_retrieval": SQL_MULTIMODAL_RETRIEVAL,
     "corpus_prepare": SQL_CORPUS_PREPARE,
+    "corpus_prepare_full": SQL_CORPUS_PREPARE_FULL,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

@@ -464,6 +464,10 @@ def foreach_batch_corpus_ingest(
     cap_per_source: int | None = None,
     near_dup: bool = True,
     threshold: float = 0.7,
+    benchmark_df: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
+    decontaminate_fuzzy_threshold: float = 0.5,
+    decontaminate_fuzzy_ngram: int = 3,
 ) -> Any:
     """STREAMING training-corpus preparation — the foreachBatch composition
     of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
@@ -478,7 +482,17 @@ def foreach_batch_corpus_ingest(
        like :func:`foreach_batch_dedup_ingest` (swap in the
        ``..._indexed`` doors for 100 TB corpora — the gates compose the
        same way).
-    4. per-source contribution caps ACROSS batches — a mergeable count
+    4. benchmark decontamination at the door (round 7, ``benchmark_df``):
+       every batch runs BOTH doors against the static eval/benchmark set —
+       the exact ``decontaminate_ngram``-gram pass and the FUZZY MinHash
+       pass (:func:`~..operators.dedup.decontaminate_neardup`, word
+       ``decontaminate_fuzzy_ngram``-gram Jaccard ≥
+       ``decontaminate_fuzzy_threshold``) — so a paraphrased leak is
+       rejected in WHICHEVER batch it arrives, not by a periodic batch
+       sweep. The benchmark is driver-supplied and static; its band/
+       shingle tables rebuild per batch from a small relation (pre-sign
+       once and swap in the ``..._indexed`` door for giant benchmarks).
+    5. per-source contribution caps ACROSS batches — a mergeable count
        state table ``{table}_src_counts`` (the :func:`merge_batch_into_state`
        machinery, hll-free) tracks accepted docs per source; each batch
        admits only up to the REMAINING budget per source, chosen by the
@@ -497,6 +511,8 @@ def foreach_batch_corpus_ingest(
     """
     from ..operators import classifier, textstats
     from ..operators.dedup import (
+        decontaminate,
+        decontaminate_neardup,
         dedup_against_corpus,
         exact_dedup,
         neardup_dedup_against_corpus,
@@ -528,6 +544,21 @@ def foreach_batch_corpus_ingest(
             F.col("lang_pred").isin(*list(keep_langs))
             & (F.col("quality_score") >= float(min_quality))
         )
+        scope = CacheScope()
+        if benchmark_df is not None:
+            # both decontamination doors per batch: exact n-gram first
+            # (verbatim leaks), then the MinHash probe (paraphrased leaks
+            # the exact pass misses) — the benchmark is static, so any
+            # batch a leak arrives in rejects it
+            gated = decontaminate(
+                gated, benchmark_df, id_col, text_col, n=decontaminate_ngram
+            )
+            gated = decontaminate_neardup(
+                gated, benchmark_df, id_col, text_col,
+                n=decontaminate_fuzzy_ngram,
+                threshold=decontaminate_fuzzy_threshold,
+                scope=scope,
+            )
         # in-batch exact door on the SAME trimmed-content hash the corpus
         # door uses (dedup_against_corpus normalize=True) — raw-text
         # equality would let trim-equal rows through within one batch
@@ -536,7 +567,6 @@ def foreach_batch_corpus_ingest(
             ["__h"],
             tiebreak=[id_col],
         ).drop("__h")
-        scope = CacheScope()
         try:
             path = table_path(lakehouse, table_name)
             if path_exists(spark, path):

