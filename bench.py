@@ -197,6 +197,11 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "bootstrap_ci",
     "corpus_prepare_full",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "twap",
+    "ohlc_bars",
+    "vocabulary_drift",
 ]
 
 

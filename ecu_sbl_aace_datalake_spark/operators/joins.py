@@ -32,9 +32,15 @@ def asof_join(
     suffix: str = "_asof",
     tolerance: str | None = None,
     right_tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the latest right row
-    with ``right.ts <= left.ts`` within the same ``on`` key (inclusive).
+    """As-of join: for each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (``direction="backward"``, the default) or the
+    EARLIEST right row with ``right.ts >= left.ts``
+    (``direction="forward"``) within the same ``on`` key (inclusive both
+    ways). Forward is the same one-window carry walked in descending
+    timestamp order — the last right row seen before a left row is then
+    the smallest timestamp ≥ the left's.
 
     Implementation: tag both sides, union, sort per key by (ts, right-first
     at ties), carry the last seen right ROW forward as a single struct with
@@ -71,15 +77,19 @@ def asof_join(
         if c not in (on,):
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
     # right rows (side=0) sort before left rows at equal ts → inclusive match;
     # among equal-ts right rows the greatest tie-break sorts last and wins
-    # the carry (nulls_first keeps left rows' null __tb inert)
+    # the carry (nulls_first keeps left rows' null __tb inert). Forward
+    # walks ts DESCENDING with the same side/tie order.
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(
-            F.col("__ts").asc(), F.col("__side").asc(), F.asc_nulls_first("__tb")
-        )
+        .orderBy(ts_order, F.col("__side").asc(), F.asc_nulls_first("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # carry the matched right row as ONE struct (null on left rows, so
@@ -98,14 +108,76 @@ def asof_join(
 
     out = carried.where(F.col("__side") == 1)
     if tolerance:
-        in_tol = F.col("__rpack.__rts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            in_tol = F.col("__rpack.__rts") >= F.col("__ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            in_tol = F.col("__rpack.__rts") <= F.col("__ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         out = out.withColumn("__rpack", F.when(in_tol, F.col("__rpack")))
     keep = [*left.columns] + [
         F.col(f"__rpack.{c}").alias(f"{c}{suffix}") for c in rcols
     ]
     return out.select(*keep)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+    right_tie_break: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: each left row takes whichever of its backward
+    (latest ≤) and forward (earliest ≥) matches is CLOSER in time; exact
+    ties go backward (pandas ``merge_asof(direction='nearest')``
+    convention). Two one-window passes (one per direction) + a map-side
+    pick — still no per-row range scan.
+
+    The matched right row's timestamp is exposed as ``__nearest_ts`` so
+    callers (and oracles) can verify the pick; pass ``right_cols`` to
+    bound the carried payload exactly as in :func:`asof_join`.
+
+    The two directional passes re-join on the full left row, so LEFT ROWS
+    MUST BE UNIQUE (carry a unique id column); duplicate left rows would
+    fan out in the recombine join.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    ts_out = "__rts_dir"
+    r_with_ts = right.withColumn(ts_out, F.col(right_ts).cast("timestamp"))
+    common = dict(
+        on=on, left_ts=left_ts, right_ts=right_ts,
+        right_cols=[*rcols, ts_out], tolerance=tolerance,
+        right_tie_break=right_tie_break,
+    )
+    back = asof_join(left, r_with_ts, suffix="__b", direction="backward", **common)
+    fwd = asof_join(left, r_with_ts, suffix="__f", direction="forward", **common)
+    join_keys = [c for c in left.columns]
+    both = back.join(fwd, join_keys)
+    lts = F.col(left_ts).cast("timestamp")
+    d_b = lts.cast("long") - F.col(f"{ts_out}__b").cast("long")
+    d_f = F.col(f"{ts_out}__f").cast("long") - lts.cast("long")
+    # backward wins ties and whenever forward is absent; forward wins only
+    # when strictly closer or backward is absent
+    use_fwd = F.when(
+        F.col(f"{ts_out}__b").isNull(), F.col(f"{ts_out}__f").isNotNull()
+    ).otherwise(F.col(f"{ts_out}__f").isNotNull() & (d_f < d_b))
+    picked = [
+        F.when(use_fwd, F.col(f"{c}__f")).otherwise(F.col(f"{c}__b")).alias(
+            f"{c}{suffix}"
+        )
+        for c in rcols
+    ]
+    nearest_ts = F.when(use_fwd, F.col(f"{ts_out}__f")).otherwise(
+        F.col(f"{ts_out}__b")
+    )
+    return both.select(*join_keys, *picked, nearest_ts.alias("__nearest_ts"))
 
 
 def range_join_points_to_intervals(

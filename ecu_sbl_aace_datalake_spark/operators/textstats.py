@@ -1596,3 +1596,66 @@ def rake_keyphrases(
     if top is not None:
         out = out.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(top)
     return out
+
+
+def vocabulary_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group vocabulary drift: Jensen-Shannon divergence (log2, so
+    JSD ∈ [0,1]) between each group's unigram distribution and the WHOLE
+    corpus's — the standard corpus-mix monitor (a source whose token
+    distribution drifts from the blend shows up as a rising JSD; the
+    symmetric, always-finite alternative to KL when a token is absent on
+    one side).
+
+    Exact + engine-stable arithmetic: token counts are exact integers;
+    each token's JSD contribution is computed in ONE fixed double
+    expression, rounded to 12dp and DECIMAL-summed per group (summation
+    order cannot change the result). Tokens absent from a group
+    contribute the corpus-side half-term (p=0). Shape: one token explode
+    + one (group, token) count shuffle; everything after is
+    vocabulary-bounded (corpus token totals broadcast into the
+    group × vocab frame).
+
+    Returns ``(group_col, n_tokens, vocab, jsd)``.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    tok = df.select(F.col(group_col).alias("__g"), F.explode(toks).alias("__t"))
+    # ONE corpus pass: the (group, token) counts are persisted (vocabulary-
+    # bounded — groups × distinct tokens rows), and every later relation
+    # (group totals, corpus totals, the scalar N) derives from the cache
+    gt = tok.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c")).persist()
+    g_tot = gt.groupBy("__g").agg(
+        F.sum("__c").alias("__gn"), F.count(F.lit(1)).alias("__vocab_g")
+    )
+    t_tot = gt.groupBy("__t").agg(F.sum("__c").alias("__tc"))
+    corpus_n = gt.agg(F.sum("__c")).collect()[0][0]
+    # group × corpus-vocab frame: every group scores every corpus token
+    frame = (
+        g_tot.crossJoin(F.broadcast(t_tot))
+        .join(gt, ["__g", "__t"], "left")
+        .na.fill({"__c": 0})
+    )
+    p = F.col("__c").cast("double") / F.col("__gn").cast("double")
+    q = F.col("__tc").cast("double") / F.lit(float(corpus_n))
+    m = (p + q) / F.lit(2.0)
+    ln2 = 0.6931471805599453
+    term_p = F.when(
+        F.col("__c") > 0, p * (F.log(p / m) / F.lit(ln2))
+    ).otherwise(F.lit(0.0))
+    term_q = q * (F.log(q / m) / F.lit(ln2))
+    contrib = F.round((term_p + term_q) / F.lit(2.0), 12).cast("decimal(28,12)")
+    out = (
+        frame.withColumn("__j", contrib)
+        .groupBy("__g")
+        .agg(
+            F.max("__gn").cast("long").alias("n_tokens"),
+            F.max("__vocab_g").cast("long").alias("vocab"),
+            F.round(F.sum("__j").cast("double"), round_to).alias("jsd"),
+        )
+        .withColumnRenamed("__g", group_col)
+    )
+    return out

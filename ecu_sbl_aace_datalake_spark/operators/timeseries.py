@@ -742,3 +742,119 @@ def interarrival_stats(
         F.round(std, round_to).alias("std_gap_s"),
         F.round(cv, round_to).alias("cv"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-weighted average value per key (TWAP): each observation is
+    weighted by the time until the NEXT observation of the same key —
+    the standard guard against sampling bias when observation density
+    varies (a price sampled 100×/min must not out-vote one sampled
+    1×/hour). The final observation of a key has no forward interval and
+    contributes no weight (the bounded-window convention; pass an
+    explicit end-of-window sentinel row to weight it).
+
+    Exact arithmetic: weights are integer microseconds, the weighted sum
+    accumulates as DECIMAL(38,6)·µs before ONE double division per key.
+    One window (lead) fused with the aggregate's shuffle on the key.
+    Keys with a single observation drop out. Returns
+    ``(*keys, n_obs, twap, span_s)``.
+    """
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gapped = (
+        df.withColumn("__w_us", F.lead(us).over(w) - us)
+        .where(F.col("__w_us").isNotNull())
+        .select(
+            *keys,
+            # DECIMAL(18,0) µs weights: 18+18+1 = 37 ≤ 38 keeps the product
+            # at scale 6 in BOTH engines (a 20-digit weight would push
+            # Spark past precision 38 and silently shrink the scale)
+            F.col("__w_us").cast("decimal(18,0)").alias("__w"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+    )
+    agg = gapped.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__w") * F.col("__v")).alias("__wv"),
+        F.sum("__w").alias("__wsum"),
+    )
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n_obs"),
+        F.round(
+            F.col("__wv").cast("double") / F.col("__wsum").cast("double"),
+            round_to,
+        ).alias("twap"),
+        F.round(F.col("__wsum").cast("double") / F.lit(1e6), round_to).alias(
+            "span_s"
+        ),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    tie_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Open/high/low/close bars per key per time bucket — the canonical
+    downsampling for monitoring and market data. Open/close are the
+    first/last observation by (ts[, tie]) within the bucket via ONE
+    min_by/max_by aggregate pass (no window sort); high/low are plain
+    min/max. Ties on timestamp are broken by ``tie_col`` (REQUIRED for a
+    deterministic result when timestamps can collide — both engines then
+    agree on the struct ordering).
+
+    Returns ``(*keys, bucket_start, open, high, low, close, n_obs)``.
+    """
+    keys = list(key_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = (
+        F.floor(us / F.lit(int(bucket_seconds) * 1_000_000))
+        * F.lit(int(bucket_seconds))
+    ).cast("long")
+    key_sql = _ohlc_key_sql(ts_col, tie_col)
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.withColumn("__b", bucket)
+        .groupBy(*keys, "__b")
+        .agg(
+            F.round(
+                F.expr(f"min_by({value_col}, {key_sql})").cast("double"),
+                round_to,
+            ).alias("open"),
+            F.round(F.max(v), round_to).alias("high"),
+            F.round(F.min(v), round_to).alias("low"),
+            F.round(
+                F.expr(f"max_by({value_col}, {key_sql})").cast("double"),
+                round_to,
+            ).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    return agg.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
+        "open", "high", "low", "close", "n_obs",
+    )
+
+
+def _ohlc_key_sql(ts_col: str, tie_col: str | None) -> str:
+    """min_by/max_by ordering key: a struct of (epoch µs, tie) compared
+    lexicographically — identical semantics in Spark and DuckDB."""
+    base = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+    if tie_col:
+        return f"struct({base}, {tie_col})"
+    return base

@@ -4450,6 +4450,232 @@ GROUP BY source
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (joins.asof_join direction=forward): each
+    click/view event gets the NEXT error event's value for the same user
+    (earliest right.ts >= left.ts, inclusive) — the "what broke after
+    this action" probe, mirror of the backward default. Same one-window
+    carry walked in descending timestamp order; ties on the (second-
+    truncated) error timestamp break on greatest event_id, replicated by
+    the oracle."""
+    from ..operators.joins import asof_join
+
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    left = evdf.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    errors = evdf.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join(
+        left, errors, on="user_id", right_cols=["err_value"], suffix="",
+        right_tie_break="err_id", direction="forward",
+    )
+    return out.select("event_id", "user_id", "err_value")
+
+
+SQL_ASOF_JOIN_FORWARD = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  date_trunc('second', ts) AS ts FROM events),
+l AS (SELECT event_id, user_id, ts FROM e WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, event_id AS err_id, value AS err_value
+      FROM e WHERE event_type = 'error'),
+m AS (
+  SELECT l.event_id, l.user_id, r.err_value, r.ts AS rts, r.err_id,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts ASC, r.err_id DESC) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT l.event_id, l.user_id, m.err_value
+FROM l LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON l.event_id = m.event_id
+"""
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (joins.asof_join_nearest): each click/view event
+    takes whichever error event is closer in time — backward wins exact
+    ties (pandas merge_asof direction='nearest' convention). Two
+    directional one-window passes + a map-side pick; the matched error
+    timestamp is returned so the oracle verifies the pick itself."""
+    from ..operators.joins import asof_join_nearest
+
+    evdf = _t(spark, sf_dir, "events").withColumn("ts", F.date_trunc("second", "ts"))
+    left = evdf.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    errors = evdf.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join_nearest(
+        left, errors, on="user_id", right_cols=["err_value"], suffix="",
+        right_tie_break="err_id",
+    )
+    return out.select(
+        "event_id", "user_id", "err_value",
+        F.col("__nearest_ts").alias("matched_ts"),
+    )
+
+
+SQL_ASOF_JOIN_NEAREST = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  date_trunc('second', ts) AS ts FROM events),
+l AS (SELECT event_id, user_id, ts FROM e WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, event_id AS err_id, value AS err_value
+      FROM e WHERE event_type = 'error'),
+b AS (
+  SELECT l.event_id, r.err_value, r.ts AS rts,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.err_id DESC) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+),
+f AS (
+  SELECT l.event_id, r.err_value, r.ts AS rts,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts ASC, r.err_id DESC) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT l.event_id, l.user_id,
+       CASE WHEN b.rts IS NULL AND f.rts IS NOT NULL THEN f.err_value
+            WHEN f.rts IS NOT NULL
+                 AND epoch_us(f.rts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b.rts) THEN f.err_value
+            ELSE b.err_value END AS err_value,
+       CASE WHEN b.rts IS NULL AND f.rts IS NOT NULL THEN f.rts
+            WHEN f.rts IS NOT NULL
+                 AND epoch_us(f.rts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b.rts) THEN f.rts
+            ELSE b.rts END AS matched_ts
+FROM l
+LEFT JOIN (SELECT * FROM b WHERE rk = 1) b ON l.event_id = b.event_id
+LEFT JOIN (SELECT * FROM f WHERE rk = 1) f ON l.event_id = f.event_id
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (timeseries.twap): each
+    observation weighted by its µs interval to the next observation of
+    the same type — the sampling-bias-proof mean for irregular series.
+    Exact µs·DECIMAL(18,6) products, one double division per key."""
+    evdf = _t(spark, sf_dir, "events")
+    return timeseries.twap(
+        evdf, ["event_type"], "ts", "value", tie_col="event_id"
+    )
+
+
+SQL_TWAP = """
+WITH g AS (
+  SELECT event_type,
+         CAST(epoch_us(LEAD(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS DECIMAL(18,0)) AS w,
+         -- DECIMAL(20,6) keeps w*v inside DuckDB's 38-digit product cap
+         -- (18+20=38) while Spark's (18,0)x(18,6) widens to (37,6); both
+         -- are exact integer arithmetic, so the sums agree bit-for-bit
+         CAST(value AS DECIMAL(20,6)) AS v
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS twap,
+       ROUND(CAST(SUM(w) AS DOUBLE) / 1e6, 6) AS span_s
+FROM g WHERE w IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type (timeseries.ohlc_bars): open/close
+    via ONE min_by/max_by pass keyed on (epoch µs, event_id) — no window
+    sort; high/low plain min/max. The composite key makes timestamp ties
+    deterministic in both engines."""
+    evdf = _t(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(
+        evdf, ["event_type"], "ts", "value",
+        bucket_seconds=86400, tie_col="event_id",
+    )
+
+
+SQL_OHLC_BARS = """
+WITH b AS (
+  SELECT event_type, value, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) * 86400 AS BIGINT) AS bk
+  FROM events
+),
+r AS (
+  SELECT event_type, bk, value, us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bk
+                            ORDER BY us ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bk
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type,
+       CAST(to_timestamp(bk) AS TIMESTAMP) AS bucket_start,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM r
+GROUP BY event_type, bk
+"""
+
+
+def q_vocabulary_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift (textstats.vocabulary_drift): log2
+    Jensen-Shannon divergence of each source's unigram distribution vs
+    the whole corpus — the corpus-mix monitor. Token counts exact; each
+    token's contribution one fixed double expression, 12dp-rounded and
+    decimal-summed per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocabulary_drift(docs, "source")
+
+
+SQL_VOCABULARY_DRIFT = r"""
+WITH tok AS (
+  SELECT source AS g, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+gt AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY g, t),
+g_tot AS (SELECT g, SUM(c) AS gn, COUNT(*) AS vocab_g FROM gt GROUP BY g),
+t_tot AS (SELECT t, SUM(c) AS tc FROM gt GROUP BY t),
+n_all AS (SELECT SUM(c) AS nc FROM gt),
+frame AS (
+  SELECT g_tot.g, g_tot.gn, g_tot.vocab_g, t_tot.t, t_tot.tc,
+         COALESCE(gt.c, 0) AS c, n_all.nc
+  FROM g_tot CROSS JOIN t_tot
+  LEFT JOIN gt ON gt.g = g_tot.g AND gt.t = t_tot.t
+  CROSS JOIN n_all
+),
+terms AS (
+  SELECT g, gn, vocab_g,
+    CAST(ROUND((
+      CASE WHEN c > 0
+        THEN (CAST(c AS DOUBLE) / CAST(gn AS DOUBLE))
+             * (LN((CAST(c AS DOUBLE) / CAST(gn AS DOUBLE))
+                    / ((CAST(c AS DOUBLE) / CAST(gn AS DOUBLE)
+                        + CAST(tc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2.0))
+                / 0.6931471805599453)
+        ELSE 0.0 END
+      + (CAST(tc AS DOUBLE) / CAST(nc AS DOUBLE))
+        * (LN((CAST(tc AS DOUBLE) / CAST(nc AS DOUBLE))
+               / ((CAST(c AS DOUBLE) / CAST(gn AS DOUBLE)
+                   + CAST(tc AS DOUBLE) / CAST(nc AS DOUBLE)) / 2.0))
+           / 0.6931471805599453)
+    ) / 2.0, 12) AS DECIMAL(28,12)) AS j
+  FROM frame
+)
+SELECT g AS source,
+       CAST(MAX(gn) AS BIGINT) AS n_tokens,
+       CAST(MAX(vocab_g) AS BIGINT) AS vocab,
+       ROUND(CAST(SUM(j) AS DOUBLE), 6) AS jsd
+FROM terms
+GROUP BY g
+"""
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -8941,6 +9167,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_last_window": q_first_last_window,
     "corpus_prepare": q_corpus_prepare,
     "corpus_prepare_full": q_corpus_prepare_full,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_nearest": q_asof_join_nearest,
+    "twap": q_twap,
+    "ohlc_bars": q_ohlc_bars,
+    "vocabulary_drift": q_vocabulary_drift,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9165,6 +9396,11 @@ ORACLES: dict[str, str] = {
     "multimodal_retrieval": SQL_MULTIMODAL_RETRIEVAL,
     "corpus_prepare": SQL_CORPUS_PREPARE,
     "corpus_prepare_full": SQL_CORPUS_PREPARE_FULL,
+    "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
+    "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
+    "twap": SQL_TWAP,
+    "ohlc_bars": SQL_OHLC_BARS,
+    "vocabulary_drift": SQL_VOCABULARY_DRIFT,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

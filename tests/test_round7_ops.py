@@ -90,3 +90,117 @@ class TestPrepareCorpusFull:
         assert survivors == {2, 3, 4}
         all_ids = {r.doc_id for r in docs.collect()}
         assert survivors == all_ids - flagged
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00"),
+             (2, "u", "2024-01-01 12:00:00"),
+             (3, "v", "2024-01-01 09:00:00")],
+            "id long, k string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(10, "u", "2024-01-01 09:30:00", 1.0),
+             (11, "u", "2024-01-01 11:00:00", 2.0),
+             (12, "u", "2024-01-01 12:00:00", 3.0),   # == left id=2 ts
+             (13, "u", "2024-01-01 12:00:00", 4.0)],  # tie, greater id wins
+            "rid long, k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        return left, right
+
+    def test_forward_vs_backward(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        back = {r.id: r.v for r in asof_join(
+            left, right, on="k", right_cols=["v"], suffix="",
+            right_tie_break="rid", direction="backward").collect()}
+        fwd = {r.id: r.v for r in asof_join(
+            left, right, on="k", right_cols=["v"], suffix="",
+            right_tie_break="rid", direction="forward").collect()}
+        # backward: latest <=; 12:00 tie -> greatest rid (13, v=4.0)
+        assert back == {1: 1.0, 2: 4.0, 3: None}
+        # forward: earliest >=; at 10:00 next is 11:00 (2.0); inclusive tie
+        # at 12:00 -> greatest rid again; v has no right rows at all
+        assert fwd == {1: 2.0, 2: 4.0, 3: None}
+
+    def test_nearest_prefers_closer_and_backward_on_tie(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00"),   # back 1h, fwd 30m -> fwd
+             (2, "u", "2024-01-01 12:30:00"),   # back 30m, fwd 30m -> back
+             (3, "u", "2024-01-01 08:00:00")],  # only fwd exists
+            "id long, k string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(10, "u", "2024-01-01 09:00:00", 1.0),
+             (11, "u", "2024-01-01 10:30:00", 2.0),
+             (12, "u", "2024-01-01 12:00:00", 3.0),
+             (13, "u", "2024-01-01 13:00:00", 4.0)],
+            "rid long, k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r.id: r.v for r in asof_join_nearest(
+            left, right, on="k", right_cols=["v"], suffix="",
+            right_tie_break="rid").collect()}
+        assert got == {1: 2.0, 2: 3.0, 3: 1.0}
+
+
+class TestTwapOhlc:
+    def test_twap_exact(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00", 10.0),
+             (2, "a", "2024-01-01 00:00:10", 20.0),   # 10s @ 10.0
+             (3, "a", "2024-01-01 00:00:40", 99.0)],  # 30s @ 20.0
+            "event_id long, k string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        r = timeseries.twap(df, ["k"], "ts", "value", tie_col="event_id").collect()[0]
+        # (10*10 + 30*20) / 40 = 17.5; the last obs carries no weight
+        assert r["twap"] == 17.5 and r["n_obs"] == 2 and r["span_s"] == 40.0
+
+    def test_ohlc_ties_break_on_tie_col(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00", 5.0),
+             (2, "a", "2024-01-01 00:00:00", 7.0),   # ts tie: open -> id 1
+             (3, "a", "2024-01-01 23:59:59", 2.0),
+             (4, "a", "2024-01-01 23:59:59", 9.0)],  # ts tie: close -> id 4
+            "event_id long, k string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        r = timeseries.ohlc_bars(
+            df, ["k"], "ts", "value", bucket_seconds=86400, tie_col="event_id"
+        ).collect()[0]
+        assert (r["open"], r["high"], r["low"], r["close"], r["n_obs"]) == (
+            5.0, 9.0, 2.0, 9.0, 4,
+        )
+
+
+class TestVocabularyDrift:
+    def test_uniform_source_scores_zero(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        # s0/s1 carry the majority distribution; the minority disjoint-vocab
+        # source s2 sits farther from the corpus blend than they do
+        df = spark.createDataFrame(
+            [(1, "aa bb cc", "s0"), (2, "aa bb cc", "s0"),
+             (3, "aa bb cc", "s1"), (4, "aa bb cc", "s1"),
+             (5, "xx yy zz", "s2")],
+            "doc_id long, text string, source string",
+        )
+        got = {r["source"]: r["jsd"] for r in
+               textstats.vocabulary_drift(df, "source").collect()}
+        assert got["s0"] == got["s1"]
+        assert got["s2"] > got["s0"] > 0.0  # s0/s1 differ from the blend too
+        same = spark.createDataFrame(
+            [(1, "aa bb", "s0"), (2, "aa bb", "s1")],
+            "doc_id long, text string, source string",
+        )
+        z = {r["source"]: r["jsd"] for r in
+             textstats.vocabulary_drift(same, "source").collect()}
+        assert z == {"s0": 0.0, "s1": 0.0}
