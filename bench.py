@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "twap",
     "ohlc_bars",
     "vocabulary_drift",
+    "mmr_selection",
+    "attribution",
 ]
 
 

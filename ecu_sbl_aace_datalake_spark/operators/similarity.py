@@ -19,6 +19,8 @@ expression path is competitive at 64 dims and avoids worker startup.
 
 from __future__ import annotations
 
+import decimal
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1406,6 +1408,116 @@ def kcenter_selection(
     # same probe-schema rule as the ANN index probes)
     id_ddl = _id_ddl(df, id_col)
     return spark.createDataFrame(selected, f"rank int, id {id_ddl}")
+
+
+def mmr_selection(
+    df: DataFrame,
+    query_id,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell-Goldstein 1998) —
+    the RAG/result-diversification primitive: greedily pick k vectors
+    maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` so results stay
+    relevant to the query WITHOUT collapsing onto near-duplicates of the
+    first hit. ``sim`` is the exact-decimal DOT product (cosine's sqrt
+    is irrational and would break exactness; pre-normalize upstream when
+    cosine semantics are required).
+
+    Deterministic end to end, the :func:`kcenter_selection` recipe: dots
+    accumulate as exact DECIMAL(38,24); λ is the RATIONAL lam_num/lam_den,
+    so the argmax compares ``lam_num·rel − (lam_den−lam_num)·maxsim`` —
+    integer-scaled exact decimals, no float and no rounding anywhere in
+    the comparison, so ties break on smallest id identically in any
+    engine and the SQL oracle unrolls the selection bit-for-bit.
+
+    Each round: one pass updating the running max-similarity (map-side
+    over the scored relation) + one TakeOrderedAndProject argmax; k
+    sequential rounds, same 100 TB guidance as k-center (modest k, or
+    run over a pre-clustered candidate pool).
+
+    Returns ``(rank, id, rel)`` — selection order and the (6dp) query
+    relevance of each pick. The query row itself is excluded.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("decimal(18,12)")
+        ).alias("__v"),
+    ).where(F.col(vec_col).isNotNull())
+    q_rows = vecs.where(F.col("__id") == query_id).collect()
+    if not q_rows:
+        raise ValueError(f"query_id {query_id!r} not found / null vector")
+    q_vec = q_rows[0]["__v"]
+
+    def dot_with(sel_vals: list) -> F.Column:
+        sel_vec = F.array(
+            *[F.lit(str(x)).cast("decimal(18,12)") for x in sel_vals]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                sel_vec,
+                lambda a, b: a * b,
+            ),
+            F.lit("0").cast("decimal(38,24)"),
+            lambda acc, x: (acc + x).cast("decimal(38,24)"),
+        )
+
+    a = F.lit(int(lam_num)).cast("decimal(4,0)")
+    b = F.lit(int(lam_den) - int(lam_num)).cast("decimal(4,0)")
+    # |dot| <= dim * max|v|^2 — decimal(30,24) holds 6 integer digits,
+    # ample for unit-ish embeddings; the cast is EXACT (no rounding)
+    state = (
+        vecs.where(F.col("__id") != query_id)
+        .withColumn("__rel", dot_with(q_vec).cast("decimal(30,24)"))
+        .withColumn("__maxsim", F.lit(None).cast("decimal(30,24)"))
+    )
+    score = F.when(
+        F.col("__maxsim").isNull(), a * F.col("__rel")
+    ).otherwise(a * F.col("__rel") - b * F.col("__maxsim"))
+    selected: list = []
+    sel_out = []
+    for r in range(int(k)):
+        top = (
+            state.where(~F.col("__id").isin(selected) if selected else F.lit(True))
+            .withColumn("__score", score)
+            .orderBy(F.col("__score").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        nxt = top[0]
+        selected.append(nxt["__id"])
+        # HALF_UP quantize (SQL ROUND convention) — Python round() on
+        # Decimal is banker's rounding and would diverge from the oracle
+        # at exact .5 ulp boundaries
+        rel6 = float(
+            decimal.Decimal(nxt["__rel"]).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        sel_out.append((r, nxt["__id"], rel6))
+        if r + 1 < int(k):
+            nxt_vec = (
+                vecs.where(F.col("__id") == nxt["__id"]).collect()[0]["__v"]
+            )
+            sim_new = dot_with(nxt_vec).cast("decimal(30,24)")
+            state = state.withColumn(
+                "__maxsim",
+                F.when(F.col("__maxsim").isNull(), sim_new).otherwise(
+                    F.greatest(F.col("__maxsim"), sim_new)
+                ),
+            ).localCheckpoint()
+    spark = df.sparkSession
+    id_ddl = _id_ddl(df, id_col)
+    return spark.createDataFrame(
+        sel_out, f"rank int, id {id_ddl}, rel double"
+    )
 
 
 def centroid_similarity(

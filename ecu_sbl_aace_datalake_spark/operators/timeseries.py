@@ -858,3 +858,60 @@ def _ohlc_key_sql(ts_col: str, tie_col: str | None) -> str:
     if tie_col:
         return f"struct({base}, {tie_col})"
     return base
+
+
+def attribution_touchpoints(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key_col: str,
+    conv_ts: str = "ts",
+    touch_ts: str = "ts",
+    touch_cols: Sequence[str] | None = None,
+    window: str = "7 days",
+    touch_tie_break: str | None = None,
+) -> DataFrame:
+    """FIRST-touch and LAST-touch marketing attribution: for each
+    conversion, find the earliest and the latest touch event of the same
+    key inside the lookback ``window`` ending at the conversion
+    (inclusive). The two industry-standard single-touch models, computed
+    in the same pass structure.
+
+    Shape: two :func:`~.joins.asof_join` one-window passes — LAST touch
+    is the backward as-of with ``tolerance=window``; FIRST touch is the
+    FORWARD as-of anchored at ``conv_ts − window`` with the same
+    tolerance (earliest touch ≥ window start, and ≤ the conversion by
+    the tolerance bound). No conversions × touches range join, so the
+    plan stays two shuffles regardless of how many touches fall in each
+    window. Ties on the touch timestamp break on greatest
+    ``touch_tie_break`` in BOTH directions (the as-of convention).
+
+    Returns the conversions relation + ``<col>_first`` / ``<col>_last``
+    for each of ``touch_cols`` (null when no touch in window).
+    """
+    from .joins import asof_join
+
+    tcols = list(
+        touch_cols
+        if touch_cols is not None
+        else [c for c in touches.columns if c not in (key_col, touch_ts)]
+    )
+    last = asof_join(
+        conversions, touches, on=key_col,
+        left_ts=conv_ts, right_ts=touch_ts, right_cols=tcols,
+        suffix="_last", tolerance=window,
+        right_tie_break=touch_tie_break, direction="backward",
+    )
+    anchored = last.withColumn(
+        "__wstart",
+        F.col(conv_ts).cast("timestamp") - F.expr(f"INTERVAL {window}"),
+    )
+    first = asof_join(
+        anchored, touches, on=key_col,
+        left_ts="__wstart", right_ts=touch_ts, right_cols=tcols,
+        suffix="_first", tolerance=window,
+        right_tie_break=touch_tie_break, direction="forward",
+    )
+    # forward tolerance bounds touches to [conv−window, conv−window+window]
+    # = [window start, the conversion itself] — both ends inclusive, no
+    # post-filter needed
+    return first.drop("__wstart")

@@ -4676,6 +4676,123 @@ GROUP BY g
 """
 
 
+def q_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (similarity.mmr_selection,
+    λ=0.7 as the rational 7/10): 5 picks balancing query relevance
+    against redundancy with already-picked vectors — the RAG
+    result-diversification primitive. Exact-decimal dot products and an
+    integer-scaled score (7·rel − 3·maxsim) keep every comparison
+    float-free, so the oracle unrolls the identical greedy selection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_selection(emb, query_id=0, k=5)
+
+
+def _mmr_oracle_sql(k: int, dim: int = 64) -> str:
+    dot = (
+        "SUM(CAST(e.v[d.i] AS DECIMAL(18,12))"
+        " * CAST(s.v[d.i] AS DECIMAL(18,12)))"
+    )
+    parts = [f"""
+WITH e AS (SELECT vec_id id, embedding v FROM embeddings
+           WHERE embedding IS NOT NULL),
+dims AS (SELECT unnest(generate_series(1, {dim})) i),
+rel AS (
+  SELECT e.id, CAST({dot} AS DECIMAL(26,24)) rel
+  FROM e CROSS JOIN dims d
+  JOIN e s ON s.id = 0
+  WHERE e.id <> 0
+  GROUP BY e.id),
+s0 AS (SELECT 0 r, id, rel FROM rel ORDER BY rel DESC, id ASC LIMIT 1),
+m0 AS (
+  SELECT e.id, CAST({dot} AS DECIMAL(26,24)) ms
+  FROM e CROSS JOIN dims d
+  JOIN e s ON s.id = (SELECT id FROM s0)
+  WHERE e.id <> 0
+  GROUP BY e.id)"""]
+    for r in range(1, k):
+        prev_sel = " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(r))
+        parts.append(f""",
+s{r} AS (
+  SELECT {r} r, rel.id, rel.rel FROM rel JOIN m{r - 1} USING (id)
+  WHERE id NOT IN ({prev_sel})
+  ORDER BY 7 * rel.rel - 3 * m{r - 1}.ms DESC, id ASC LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f""",
+m{r} AS (
+  SELECT m{r - 1}.id, GREATEST(m{r - 1}.ms,
+    (SELECT CAST(SUM(CAST(e.v[d.i] AS DECIMAL(18,12))
+                 * CAST(s.v[d.i] AS DECIMAL(18,12))) AS DECIMAL(26,24))
+     FROM dims d JOIN e s ON s.id = (SELECT id FROM s{r}))) ms
+  FROM e JOIN m{r - 1} USING (id))""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(r AS INT) rank, CAST(id AS BIGINT) id,"
+        f" CAST(ROUND(rel, 6) AS DOUBLE) rel FROM s{i}"
+        for i in range(k)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+SQL_MMR_SELECTION = _mmr_oracle_sql(5)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution
+    (timeseries.attribution_touchpoints): every purchase is attributed to
+    the earliest and the latest click/view of the same user within a
+    7-day lookback — two as-of one-window passes (backward for last,
+    forward anchored at conv−7d for first), never a conversions × touches
+    range join. Grouped into the (first_touch, last_touch) transition
+    counts; timestamp ties break on greatest touch event_id in both
+    directions, replicated by the oracle."""
+    evdf = _t(spark, sf_dir, "events")
+    conv = evdf.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = evdf.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts",
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    out = timeseries.attribution_touchpoints(
+        conv, touches, "user_id", touch_cols=["touch_type"],
+        window="7 days", touch_tie_break="touch_id",
+    )
+    return out.groupBy(
+        F.coalesce("touch_type_first", F.lit("none")).alias("first_touch"),
+        F.coalesce("touch_type_last", F.lit("none")).alias("last_touch"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+
+
+SQL_ATTRIBUTION = """
+WITH conv AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts, event_type AS touch_type, event_id AS touch_id
+      FROM events WHERE event_type IN ('click', 'view')),
+lastt AS (
+  SELECT c.event_id, t.touch_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.touch_id DESC) rk
+  FROM conv c JOIN t ON t.user_id = c.user_id
+   AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+),
+firstt AS (
+  SELECT c.event_id, t.touch_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts ASC, t.touch_id DESC) rk
+  FROM conv c JOIN t ON t.user_id = c.user_id
+   AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+)
+SELECT COALESCE(f.touch_type, 'none') AS first_touch,
+       COALESCE(l.touch_type, 'none') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM conv c
+LEFT JOIN (SELECT * FROM firstt WHERE rk = 1) f ON f.event_id = c.event_id
+LEFT JOIN (SELECT * FROM lastt WHERE rk = 1) l ON l.event_id = c.event_id
+GROUP BY 1, 2
+"""
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -9172,6 +9289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twap": q_twap,
     "ohlc_bars": q_ohlc_bars,
     "vocabulary_drift": q_vocabulary_drift,
+    "mmr_selection": q_mmr_selection,
+    "attribution": q_attribution,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9401,6 +9520,8 @@ ORACLES: dict[str, str] = {
     "twap": SQL_TWAP,
     "ohlc_bars": SQL_OHLC_BARS,
     "vocabulary_drift": SQL_VOCABULARY_DRIFT,
+    "mmr_selection": SQL_MMR_SELECTION,
+    "attribution": SQL_ATTRIBUTION,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

@@ -204,3 +204,59 @@ class TestVocabularyDrift:
         z = {r["source"]: r["jsd"] for r in
              textstats.vocabulary_drift(same, "source").collect()}
         assert z == {"s0": 0.0, "s1": 0.0}
+
+
+class TestMMRSelection:
+    def test_diversity_beats_pure_relevance(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        # query q=[1,0]; a picked first (max rel). a2 is a near-dup of a
+        # (sim(a,a2)=0.973) with rel 0.69; b is ORTHOGONAL to a (sim=0)
+        # with rel 0.68. Pure relevance would rank a2 second (0.69 > 0.68);
+        # MMR at λ=0.7 scores a2 at 7·0.69−3·0.973=1.911 vs b at
+        # 7·0.68−0=4.76, so diversity flips the second pick to b.
+        rows = [
+            (0, [1.0, 0.0]),            # query
+            (1, [0.70, 0.70]),          # a
+            (2, [0.69, 0.70]),          # a2 (near-dup of a)
+            (3, [0.68, -0.68]),         # b (orthogonal to a)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = similarity.mmr_selection(df, query_id=0, k=3)
+        order = [r.id for r in got.orderBy("rank").collect()]
+        assert order == [1, 3, 2], order
+        rels = {r.id: r.rel for r in got.collect()}
+        assert rels[1] == 0.7 and rels[3] == 0.68
+
+    def test_deterministic_and_excludes_query(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = [tuple(r) for r in similarity.mmr_selection(emb, 0, k=4).collect()]
+        b = [tuple(r) for r in similarity.mmr_selection(emb, 0, k=4).collect()]
+        assert a == b and all(r[1] != 0 for r in a) and len(a) == 4
+
+
+class TestAttribution:
+    def test_first_last_touch_window(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        conv = spark.createDataFrame(
+            [(100, "u", "2024-01-10 12:00:00"),
+             (101, "w", "2024-01-10 12:00:00")],  # w has no touches
+            "event_id long, user_id string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        touches = spark.createDataFrame(
+            [(1, "u", "2024-01-01 00:00:00", "click"),   # outside 7d window
+             (2, "u", "2024-01-05 00:00:00", "view"),    # first in window
+             (3, "u", "2024-01-09 00:00:00", "click"),   # last in window
+             (4, "u", "2024-01-10 13:00:00", "view")],   # after conversion
+            "touch_id long, user_id string, ts string, touch_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = timeseries.attribution_touchpoints(
+            conv, touches, "user_id", touch_cols=["touch_type"],
+            window="7 days", touch_tie_break="touch_id",
+        ).collect()
+        got = {r.event_id: (r.touch_type_first, r.touch_type_last) for r in out}
+        assert got == {100: ("view", "click"), 101: (None, None)}
