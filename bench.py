@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "vocabulary_drift",
     "mmr_selection",
     "attribution",
+    "ngram_novelty",
+    "vocab_growth",
+    "bootstrap_ab_diff",
 ]
 
 

@@ -44,6 +44,8 @@ __all__ = [
     "macro_f1",
     "calibration_bins",
     "wilson_ci",
+    "bootstrap_mean_ci",
+    "bootstrap_ab_diff_ci",
 ]
 
 _DEC = "decimal(18,6)"
@@ -863,5 +865,133 @@ def bootstrap_mean_ci(
             F.round("__lo", round_to).alias("ci_lo"),
             F.round("__hi", round_to).alias("ci_hi"),
             F.lit(int(n_replicas)).cast("int").alias("n_replicas"),
+        )
+    )
+
+
+def bootstrap_ab_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    group_a,
+    group_b,
+    n_replicas: int = 32,
+    alpha: float = 0.05,
+    salt: str = "bootab",
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap percentile CI for the DIFFERENCE OF MEANS between
+    two groups — the A/B-test companion of :func:`bootstrap_mean_ci`:
+    each replica resamples BOTH groups independently (multiplicities are
+    the same md5-sliced Poisson(1) draws) and the CI bounds are integer
+    order statistics of the replica ``mean_A − mean_B`` values. A CI
+    excluding 0 is the standard distribution-free significance read.
+
+    Inherits the round-7 hash amortization: one md5 digest per (row ×
+    4 replicas), four 8-hex uniform slices per digest, materialized
+    between two explodes so the digest is computed once per group of
+    four. Fully deterministic; the oracle replays the resampling.
+
+    Returns ONE row ``(n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi,
+    n_replicas)``.
+    """
+    from pyspark.sql import Window
+
+    n_b_rep = int(n_replicas)
+    n_groups = (n_b_rep + 3) // 4
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("decimal(28,6)").alias("__x"),
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("__grp"),
+    )
+    rows = (
+        base.select(
+            "__id", "__x", "__grp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("__g"),
+        )
+        .withColumn(
+            "__d",
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("__g").cast("string"),
+                    F.lit("_"),
+                    F.col("__id").cast("string"),
+                )
+            ),
+        )
+        .select(
+            "__x", "__grp", "__g", "__d",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__j"),
+        )
+        .withColumn("__b", F.col("__g") * 4 + F.col("__j"))
+        .where(F.col("__b") < F.lit(n_b_rep))
+    )
+    u = (
+        F.conv(
+            F.substring(F.col("__d"), F.lit(1) + F.col("__j") * 8, F.lit(8)),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    mult = F.lit(len(POISSON1_CUM)).cast("int")
+    for k in range(len(POISSON1_CUM) - 1, -1, -1):
+        mult = F.when(u < F.lit(POISSON1_CUM[k]), F.lit(k)).otherwise(mult)
+    reps = (
+        rows.withColumn("__m", mult)
+        .groupBy("__b", "__grp")
+        .agg(
+            F.sum(F.col("__m").cast("decimal(10,0)") * F.col("__x")).alias("__s"),
+            F.sum("__m").cast("long").alias("__n"),
+        )
+        .where(F.col("__n") > 0)
+        .groupBy("__b")
+        .agg(
+            F.max(
+                F.when(F.col("__grp") == "a", F.col("__s").cast("double") / F.col("__n"))
+            ).alias("__ma"),
+            F.max(
+                F.when(F.col("__grp") == "b", F.col("__s").cast("double") / F.col("__n"))
+            ).alias("__mb"),
+        )
+        .where(F.col("__ma").isNotNull() & F.col("__mb").isNotNull())
+        .select((F.col("__ma") - F.col("__mb")).alias("__diff"))
+    )
+    import math
+
+    lo_idx = max(1, math.ceil(alpha / 2 * n_b_rep))
+    hi_idx = min(n_b_rep, math.ceil((1 - alpha / 2) * n_b_rep))
+    w = Window.orderBy(F.col("__diff").asc())
+    ranked = reps.withColumn("__r", F.row_number().over(w))
+    bounds = ranked.groupBy().agg(
+        F.max(F.when(F.col("__r") == lo_idx, F.col("__diff"))).alias("__lo"),
+        F.max(F.when(F.col("__r") == hi_idx, F.col("__diff"))).alias("__hi"),
+    )
+    stats = base.groupBy().agg(
+        F.sum(F.when(F.col("__grp") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__grp") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__grp") == "a", F.col("__x"))).alias("__sa"),
+        F.sum(F.when(F.col("__grp") == "b", F.col("__x"))).alias("__sb"),
+    )
+    mean_a = F.col("__sa").cast("double") / F.col("n_a")
+    mean_b = F.col("__sb").cast("double") / F.col("n_b")
+    return (
+        stats.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(mean_a, round_to).alias("mean_a"),
+            F.round(mean_b, round_to).alias("mean_b"),
+            F.round(mean_a - mean_b, round_to).alias("diff"),
+            F.round("__lo", round_to).alias("ci_lo"),
+            F.round("__hi", round_to).alias("ci_hi"),
+            F.lit(n_b_rep).cast("int").alias("n_replicas"),
         )
     )

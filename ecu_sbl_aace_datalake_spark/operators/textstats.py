@@ -1659,3 +1659,113 @@ def vocabulary_drift(
         .withColumnRenamed("__g", group_col)
     )
     return out
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came before it
+    in ``id_col`` order: the fraction of the doc's distinct word
+    ``n``-grams whose FIRST corpus occurrence is this document — the
+    memorization/staleness signal (novelty → 0 as a crawl re-collects
+    the same content; duplicate-heavy shards sink first).
+
+    Shape: one (gram → min id) aggregate + one per-doc ratio — the
+    "first occurrence" is a plain MIN over the exploded gram relation,
+    never a sequential scan, so doc order costs nothing extra. Docs with
+    fewer than ``n`` tokens emit no grams and drop out.
+
+    Returns ``(id_col, n_grams, n_novel, novelty)``.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            toks.alias("__tk"),
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("__tk") - n, F.lit(-1)),
+                )
+            ).alias("__i"),
+            F.col("__tk"),
+        )
+        .where(F.col("__i") >= 0)
+        .select(
+            "__id",
+            F.array_join(
+                F.slice("__tk", F.lit(1) + F.col("__i"), n), " "
+            ).alias("__g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        grams.join(first, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            round_to,
+        ).alias("novelty"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bucket_size: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: bucket documents by
+    ``floor(id / bucket_size)`` in id order and report, per bucket, the
+    number of NEW token types (first corpus occurrence falls in the
+    bucket), the running cumulative vocabulary, and total token volume —
+    the diminishing-returns diagnostic for corpus growth (a crawl whose
+    new-type curve flattens early is re-collecting itself).
+
+    Shape: token explode → (type → min id) aggregate → one tiny
+    per-bucket roll-up + a cumulative window over the handful of bucket
+    rows. Returns ``(bucket, n_tokens, new_types, cum_vocab)``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    bucket = F.floor(F.col("__id") / F.lit(int(bucket_size))).cast("long")
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__t")
+    )
+    vol = tok.withColumn("__b", bucket).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first = tok.groupBy("__t").agg(F.min("__id").alias("__id"))
+    news = first.withColumn("__b", bucket).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vol.join(news, "__b", "left")
+        .na.fill({"new_types": 0})
+        .withColumn("cum_vocab", F.sum("new_types").over(w).cast("long"))
+        .select(
+            F.col("__b").alias("bucket"), "n_tokens", "new_types", "cum_vocab"
+        )
+    )

@@ -4793,6 +4793,158 @@ GROUP BY 1, 2
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs everything earlier in id order
+    (textstats.ngram_novelty): fraction of the doc's distinct word
+    3-grams whose FIRST corpus occurrence is this doc — the
+    memorization/staleness monitor. First occurrence is one MIN
+    aggregate over the exploded gram relation, not a sequential scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.ngram_novelty(docs, "doc_id", n=3)
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents)
+),
+f AS (SELECT g, MIN(doc_id) fid FROM g GROUP BY g)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.fid = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.fid = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS novelty
+FROM g JOIN f USING (g)
+GROUP BY g.doc_id
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (textstats.vocab_growth): per
+    100-doc bucket in id order, the count of token types first seen in
+    the bucket, the running cumulative vocabulary, and token volume —
+    the corpus-growth diminishing-returns diagnostic."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_growth(docs, "doc_id", bucket_size=100)
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+vol AS (
+  SELECT CAST(FLOOR(doc_id / 100) AS BIGINT) b,
+         CAST(COUNT(*) AS BIGINT) n_tokens
+  FROM tok GROUP BY 1
+),
+first AS (SELECT t, MIN(doc_id) fid FROM tok GROUP BY t),
+news AS (
+  SELECT CAST(FLOOR(fid / 100) AS BIGINT) b,
+         CAST(COUNT(*) AS BIGINT) new_types
+  FROM first GROUP BY 1
+)
+SELECT vol.b AS bucket, vol.n_tokens,
+       CAST(COALESCE(news.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(news.new_types, 0))
+            OVER (ORDER BY vol.b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM vol LEFT JOIN news ON news.b = vol.b
+"""
+
+
+def q_bootstrap_ab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the A/B difference of mean extended
+    prices between returnflag 'A' and 'R' lineitems of a 1-in-10-order
+    slice (ml.bootstrap_ab_diff_ci, 32 replicas) — both groups resampled
+    independently per replica with the round-7 amortized md5 slicing;
+    CI bounds are order statistics of the replica mean differences."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    rows = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    return ml.bootstrap_ab_diff_ci(
+        rows, "l_extendedprice", "l_returnflag", "rid", "A", "R",
+        n_replicas=32, alpha=0.05,
+    )
+
+
+def _bootstrap_ab_oracle_sql() -> str:
+    from ..operators.ml import POISSON1_CUM
+
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CUM)
+    ) + f" ELSE {len(POISSON1_CUM)} END"
+    return f"""
+WITH v AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         CAST(l_extendedprice AS DECIMAL(28,6)) AS x,
+         CASE WHEN l_returnflag = 'A' THEN 'a' ELSE 'b' END AS grp
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0 AND l_extendedprice IS NOT NULL
+    AND l_returnflag IN ('A', 'R')
+),
+dg AS (
+  SELECT v.rid, v.x, v.grp, t.g,
+         md5('bootab' || CAST(t.g AS VARCHAR) || '_'
+             || CAST(v.rid AS VARCHAR)) AS d
+  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS g) t
+),
+r AS (
+  SELECT dg.g * 4 + jt.j AS b, dg.rid, dg.x, dg.grp,
+         CAST(('0x' || substring(dg.d, 1 + jt.j * 8, 8))::BIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM dg CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jt
+),
+reps AS (
+  SELECT b, grp, SUM(CAST(m AS DECIMAL(10,0)) * x) AS s, SUM(m) AS n
+  FROM (SELECT b, grp, x, {case} AS m FROM r)
+  GROUP BY b, grp HAVING SUM(m) > 0
+),
+diffs AS (
+  SELECT b,
+         MAX(CASE WHEN grp = 'a' THEN CAST(s AS DOUBLE) / n END)
+       - MAX(CASE WHEN grp = 'b' THEN CAST(s AS DOUBLE) / n END) AS diff
+  FROM reps GROUP BY b
+  HAVING MAX(CASE WHEN grp = 'a' THEN 1 END) = 1
+     AND MAX(CASE WHEN grp = 'b' THEN 1 END) = 1
+),
+ranked AS (
+  SELECT diff, row_number() OVER (ORDER BY diff ASC) AS rk FROM diffs
+),
+bounds AS (
+  SELECT MAX(CASE WHEN rk = 1 THEN diff END) AS lo,
+         MAX(CASE WHEN rk = 32 THEN diff END) AS hi
+  FROM ranked
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN grp = 'a' THEN x END) AS sa,
+         SUM(CASE WHEN grp = 'b' THEN x END) AS sb
+  FROM v
+)
+SELECT stats.n_a, stats.n_b,
+       ROUND(CAST(stats.sa AS DOUBLE) / stats.n_a, 6) AS mean_a,
+       ROUND(CAST(stats.sb AS DOUBLE) / stats.n_b, 6) AS mean_b,
+       ROUND(CAST(stats.sa AS DOUBLE) / stats.n_a
+             - CAST(stats.sb AS DOUBLE) / stats.n_b, 6) AS diff,
+       ROUND(bounds.lo, 6) AS ci_lo,
+       ROUND(bounds.hi, 6) AS ci_hi,
+       CAST(32 AS INT) AS n_replicas
+FROM stats CROSS JOIN bounds
+"""
+
+
+SQL_BOOTSTRAP_AB_DIFF = _bootstrap_ab_oracle_sql()
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -9291,6 +9443,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocabulary_drift": q_vocabulary_drift,
     "mmr_selection": q_mmr_selection,
     "attribution": q_attribution,
+    "ngram_novelty": q_ngram_novelty,
+    "vocab_growth": q_vocab_growth,
+    "bootstrap_ab_diff": q_bootstrap_ab_diff,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9522,6 +9677,9 @@ ORACLES: dict[str, str] = {
     "vocabulary_drift": SQL_VOCABULARY_DRIFT,
     "mmr_selection": SQL_MMR_SELECTION,
     "attribution": SQL_ATTRIBUTION,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "bootstrap_ab_diff": SQL_BOOTSTRAP_AB_DIFF,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

@@ -243,6 +243,8 @@ class TestGlobalPlanInvariants:
         "quantile_normalize",   # 1-row global-size scalar broadcast (lazy n_glob)
         "neardup_eval",         # three 1-row count aggregates cross-joined into the report row
         "bootstrap_ci",         # 1-row stats x 1-row CI-bounds scalar cross join
+        "bootstrap_ab_diff",    # same shape: 1-row stats x 1-row CI bounds
+        "vocabulary_drift",     # groups x corpus-vocab frame: both sides vocabulary-bounded, t_tot broadcast
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

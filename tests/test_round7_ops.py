@@ -260,3 +260,44 @@ class TestAttribution:
         ).collect()
         got = {r.event_id: (r.touch_type_first, r.touch_type_last) for r in out}
         assert got == {100: ("view", "click"), 101: (None, None)}
+
+
+class TestCorpusGrowthSignals:
+    def test_ngram_novelty(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"),        # 2 trigrams, both novel
+             (2, "a b c e"),        # "a b c" seen in doc 1 -> 1/2 novel
+             (3, "a b c d")],       # exact repeat -> 0 novel
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+               for r in textstats.ngram_novelty(df, "doc_id", n=3).collect()}
+        assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+    def test_vocab_growth_cumulative(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(0, "aa bb"), (1, "aa cc"),      # bucket 0: types aa bb cc
+             (2, "aa bb"), (3, "dd")],        # bucket 1: new type dd
+            "doc_id long, text string",
+        )
+        rows = {r.bucket: (r.n_tokens, r.new_types, r.cum_vocab)
+                for r in textstats.vocab_growth(df, "doc_id", bucket_size=2).collect()}
+        assert rows == {0: (4, 3, 3), 1: (3, 1, 4)}
+
+    def test_bootstrap_ab_diff_brackets_and_detects_shift(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [(i, 10.0 + (i % 7) * 0.1, "A") for i in range(300)]
+        rows += [(1000 + i, 20.0 + (i % 5) * 0.1, "B") for i in range(300)]
+        df = spark.createDataFrame(rows, "rid long, v double, grp string")
+        r = ml.bootstrap_ab_diff_ci(df, "v", "grp", "rid", "A", "B").collect()[0]
+        assert r["n_a"] == 300 and r["n_b"] == 300
+        assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
+        assert r["ci_hi"] < 0  # a true ~-10 shift: CI excludes 0
+        # deterministic
+        r2 = ml.bootstrap_ab_diff_ci(df, "v", "grp", "rid", "A", "B").collect()[0]
+        assert r == r2
