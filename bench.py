@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "vocab_growth",
     "bootstrap_ab_diff",
+    "kaplan_meier",
+    "two_proportion_ztest",
+    "dup_cluster_sizes",
 ]
 
 

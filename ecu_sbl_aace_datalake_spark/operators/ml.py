@@ -46,6 +46,8 @@ __all__ = [
     "wilson_ci",
     "bootstrap_mean_ci",
     "bootstrap_ab_diff_ci",
+    "kaplan_meier",
+    "two_proportion_ztest",
 ]
 
 _DEC = "decimal(18,6)"
@@ -994,4 +996,133 @@ def bootstrap_ab_diff_ci(
             F.round("__hi", round_to).alias("ci_hi"),
             F.lit(n_b_rep).cast("int").alias("n_replicas"),
         )
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, event) pairs —
+    ``event=1`` observed, ``event=0`` right-censored: the standard
+    time-to-event curve (churn, time-to-conversion, failure analysis)
+    that a naive mean-of-observed silently biases.
+
+    ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` over distinct event times, with
+    ``nᵢ`` the at-risk count (everyone whose duration ≥ tᵢ; censored
+    subjects leave the risk set after their time, the whole point of
+    KM). Shape: ONE distinct-time aggregate + one ordered window over
+    the (tiny, distinct-times-sized) relation — rows never sort
+    globally.
+
+    Engine-stable product: each factor's ``ln(1 − d/n)`` is computed in
+    doubles, ROUNDED TO 12dp, decimal-summed cumulatively (exact,
+    order-free given the window order), and exponentiated once per
+    output row — the same log-domain determinism recipe as the LM
+    scores. Emits one row per distinct EVENT time:
+    ``(t, n_risk, n_events, n_censored, survival)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(duration_col).cast("double").alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+    ).where(F.col(duration_col).isNotNull())
+    per_t = base.groupBy("__t").agg(
+        F.sum("__e").cast("long").alias("__d"),
+        F.sum(F.lit(1) - F.col("__e")).cast("long").alias("__c"),
+    )
+    w_all = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    total = per_t.select(F.sum(F.col("__d") + F.col("__c"))).collect()[0][0]
+    at_risk = F.lit(int(total)) - F.coalesce(
+        F.sum(F.col("__d") + F.col("__c")).over(w_all), F.lit(0)
+    )
+    # d = n (the whole risk set dies) sends ln(1-d/n) to -inf — keep that
+    # factor OUT of the log-sum and instead latch survival to exactly 0
+    # from that time onward via a cumulative flag
+    factor_ln = F.when(
+        F.col("__d") < F.col("__n"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("__d").cast("double") / F.col("__n").cast("double")
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit("0").cast("decimal(28,12)"))
+    hit_zero = F.max(
+        F.when(F.col("__d") >= F.col("__n"), 1).otherwise(0)
+    ).over(w_cum)
+    out = (
+        per_t.withColumn("__n", at_risk.cast("long"))
+        .where(F.col("__d") > 0)
+        .withColumn("__lnf", factor_ln)
+        .withColumn("__lns", F.sum("__lnf").over(w_cum))
+        .withColumn("__z", hit_zero)
+        .select(
+            F.col("__t").alias("t"),
+            F.col("__n").alias("n_risk"),
+            F.col("__d").alias("n_events"),
+            F.col("__c").alias("n_censored"),
+            F.when(F.col("__z") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__lns").cast("double")), round_to))
+            .alias("survival"),
+        )
+    )
+    return out
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test (pooled standard error) — the classical A/B
+    conversion-rate significance test, complementing the
+    distribution-free :func:`bootstrap_ab_diff_ci`::
+
+        z = (p̂_a − p̂_b) / √( p̂(1−p̂) · (1/n_a + 1/n_b) )
+
+    with ``p̂`` the pooled rate. ONE aggregate of exact integer counts;
+    the closed form runs once in fixed double order (oracle-exact).
+    Returns ``(n_a, n_b, rate_a, rate_b, z, significant)`` with the
+    two-sided 5% decision (|z| > 1.96).
+    """
+    base = df.where(
+        F.col(success_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    is_a = F.col(group_col) == group_a
+    agg = base.groupBy().agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, F.col(success_col).cast("int")).otherwise(0))
+        .cast("long")
+        .alias("__sa"),
+        F.sum(F.when(~is_a, F.col(success_col).cast("int")).otherwise(0))
+        .cast("long")
+        .alias("__sb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("__sa").cast("double") / na
+    pb = F.col("__sb").cast("double") / nb
+    pool = (F.col("__sa") + F.col("__sb")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0.0, (pa - pb) / se)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(pa, round_to).alias("rate_a"),
+        F.round(pb, round_to).alias("rate_b"),
+        F.round(z, round_to).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
     )

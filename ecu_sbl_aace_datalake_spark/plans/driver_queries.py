@@ -4945,6 +4945,194 @@ FROM stats CROSS JOIN bounds
 SQL_BOOTSTRAP_AB_DIFF = _bootstrap_ab_oracle_sql()
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (ml.kaplan_meier): per user,
+    hours from first signup to first subsequent purchase; users who never
+    convert are right-CENSORED at the fixed 2024-02-01 horizon — exactly
+    the bias a mean-of-converted-only hides. One distinct-time aggregate
+    + a tiny ordered window; 12dp-rounded log factors decimal-summed so
+    the survival product is engine-exact."""
+    evdf = _t(spark, sf_dir, "events")
+    su = (
+        evdf.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = evdf.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    firstp = (
+        su.join(pu, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    horizon = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    obs = (
+        su.join(firstp.select("user_id", "p_ts"), "user_id", "left")
+        .withColumn(
+            "event",
+            (F.col("p_ts").isNotNull() & (F.col("p_ts") <= horizon)).cast("int"),
+        )
+        .withColumn(
+            "dur_h",
+            F.floor(
+                (
+                    F.unix_micros(
+                        F.when(F.col("event") == 1, F.col("p_ts"))
+                        .otherwise(horizon)
+                        .cast("timestamp")
+                    )
+                    - F.unix_micros(F.col("s_ts").cast("timestamp"))
+                )
+                / F.lit(3_600_000_000)
+            ).cast("double"),
+        )
+    )
+    return ml.kaplan_meier(obs, "dur_h", "event")
+
+
+SQL_KAPLAN_MEIER = """
+WITH su AS (
+  SELECT user_id, MIN(ts) s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT su.user_id, MIN(e.ts) p_ts
+  FROM su JOIN events e ON e.user_id = su.user_id
+   AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY su.user_id
+),
+obs AS (
+  SELECT su.user_id,
+    CASE WHEN fp.p_ts IS NOT NULL
+          AND fp.p_ts <= TIMESTAMP '2024-02-01 00:00:00'
+         THEN 1 ELSE 0 END AS e,
+    CAST(FLOOR((epoch_us(CASE WHEN fp.p_ts IS NOT NULL
+                   AND fp.p_ts <= TIMESTAMP '2024-02-01 00:00:00'
+                  THEN fp.p_ts
+                  ELSE TIMESTAMP '2024-02-01 00:00:00' END)
+         - epoch_us(su.s_ts)) / 3600000000) AS DOUBLE) AS t
+  FROM su LEFT JOIN fp ON fp.user_id = su.user_id
+),
+per_t AS (
+  SELECT t, CAST(SUM(e) AS BIGINT) d, CAST(SUM(1 - e) AS BIGINT) c
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+    (SELECT COUNT(*) FROM obs) - COALESCE(SUM(d + c) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM per_t
+),
+ev AS (
+  SELECT t, n, d, c,
+    CASE WHEN d < n
+         THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(28,12))
+         ELSE CAST(0 AS DECIMAL(28,12)) END AS lnf,
+    CASE WHEN d >= n THEN 1 ELSE 0 END AS zf
+  FROM risk WHERE d > 0
+)
+SELECT t, CAST(n AS BIGINT) n_risk, d AS n_events, c AS n_censored,
+  CASE WHEN MAX(zf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+       ELSE ROUND(EXP(CAST(SUM(lnf) OVER (
+              ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END
+    AS survival
+FROM ev
+"""
+
+
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (ml.two_proportion_ztest): signup→purchase
+    conversion rates of the even vs odd user-id cohorts, pooled-SE z and
+    the two-sided 5% decision — the classical A/B significance read next
+    to bootstrap_ab_diff's distribution-free CI."""
+    evdf = _t(spark, sf_dir, "events")
+    users = evdf.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    cohorts = users.withColumn(
+        "cohort", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    return ml.two_proportion_ztest(cohorts, "cohort", "converted", "even", "odd")
+
+
+SQL_TWO_PROPORTION_ZTEST = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) conv,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END cohort
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN cohort = 'even' THEN 1 ELSE 0 END) AS BIGINT) n_a,
+         CAST(SUM(CASE WHEN cohort = 'odd' THEN 1 ELSE 0 END) AS BIGINT) n_b,
+         SUM(CASE WHEN cohort = 'even' THEN conv ELSE 0 END) sa,
+         SUM(CASE WHEN cohort = 'odd' THEN conv ELSE 0 END) sb
+  FROM u
+),
+f AS (
+  SELECT n_a, n_b,
+    CAST(sa AS DOUBLE) / n_a pa, CAST(sb AS DOUBLE) / n_b pb,
+    CAST(sa + sb AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) pool
+  FROM agg
+)
+SELECT n_a, n_b, ROUND(pa, 6) rate_a, ROUND(pb, 6) rate_b,
+  ROUND(CASE WHEN SQRT(pool * (1.0 - pool)
+             * (1.0 / n_a + 1.0 / n_b)) > 0.0
+        THEN (pa - pb) / SQRT(pool * (1.0 - pool)
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END, 6) z,
+  ABS(CASE WHEN SQRT(pool * (1.0 - pool)
+           * (1.0 / n_a + 1.0 / n_b)) > 0.0
+      THEN (pa - pb) / SQRT(pool * (1.0 - pool)
+           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END)
+    > 1.96 AS significant
+FROM f
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER SIZE distribution: the dedup_clusters
+    closure rolled up to (cluster_size → n_clusters, n_docs) — the
+    dedup-health dashboard row (a fat head of large clusters means the
+    crawl is re-collecting a template). Clusters are size ≥ 2 by
+    construction (singletons never enter the pair relation)."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    sh = (
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+        )
+        .select("doc_id", "shingles", "minhash")
+        .persist()
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
+    clusters = dedup.duplicate_clusters_bigstar(pairs)
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node""",
+    """, cl AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+szs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cl GROUP BY cluster)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM szs GROUP BY cluster_size""",
+)
+assert ", cl AS" in SQL_DUP_CLUSTER_SIZES  # replace() must not rot
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -9446,6 +9634,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "vocab_growth": q_vocab_growth,
     "bootstrap_ab_diff": q_bootstrap_ab_diff,
+    "kaplan_meier": q_kaplan_meier,
+    "two_proportion_ztest": q_two_proportion_ztest,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9680,6 +9871,9 @@ ORACLES: dict[str, str] = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "bootstrap_ab_diff": SQL_BOOTSTRAP_AB_DIFF,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "two_proportion_ztest": SQL_TWO_PROPORTION_ZTEST,
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

@@ -301,3 +301,45 @@ class TestCorpusGrowthSignals:
         # deterministic
         r2 = ml.bootstrap_ab_diff_ci(df, "v", "grp", "rid", "A", "B").collect()[0]
         assert r == r2
+
+
+class TestSurvivalAndZtest:
+    def test_kaplan_meier_textbook(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # classic 4-subject example: event@1, censor@2, event@3, event@4
+        df = spark.createDataFrame(
+            [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)], "d double, e int"
+        )
+        rows = {r.t: (r.n_risk, r.n_events, r.survival)
+                for r in ml.kaplan_meier(df, "d", "e").collect()}
+        # S(1)=3/4; censor at 2 leaves risk set; S(3)=3/4*1/2=0.375;
+        # S(4): d=n=1 -> survival exactly 0
+        assert rows == {1.0: (4, 1, 0.75), 3.0: (2, 1, 0.375), 4.0: (1, 1, 0.0)}
+
+    def test_censoring_changes_curve(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # same event times, but the censored subject treated as an event
+        # would drag survival lower — KM must NOT do that
+        df_cens = spark.createDataFrame(
+            [(1.0, 1), (2.0, 0), (3.0, 1), (10.0, 0)], "d double, e int"
+        )
+        df_evt = spark.createDataFrame(
+            [(1.0, 1), (2.0, 1), (3.0, 1), (10.0, 0)], "d double, e int"
+        )
+        s_cens = {r.t: r.survival for r in ml.kaplan_meier(df_cens, "d", "e").collect()}
+        s_evt = {r.t: r.survival for r in ml.kaplan_meier(df_evt, "d", "e").collect()}
+        assert s_cens[3.0] > s_evt[3.0]
+        assert 2.0 not in s_cens and 2.0 in s_evt
+
+    def test_two_proportion_ztest(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [(i, "a", 1 if i < 60 else 0) for i in range(100)]
+        rows += [(1000 + i, "b", 1 if i < 40 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, grp string, conv int")
+        r = ml.two_proportion_ztest(df, "grp", "conv", "a", "b").collect()[0]
+        # p_a=0.6 p_b=0.4 pooled=0.5 -> z = 0.2/sqrt(0.5*0.5*0.02) ~ 2.8284
+        assert (r["n_a"], r["n_b"], r["rate_a"], r["rate_b"]) == (100, 100, 0.6, 0.4)
+        assert abs(r["z"] - 2.828427) < 1e-6 and bool(r["significant"])
