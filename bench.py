@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "kaplan_meier",
     "two_proportion_ztest",
     "dup_cluster_sizes",
+    "mahalanobis_outliers",
+    "sessionize_capped",
 ]
 
 

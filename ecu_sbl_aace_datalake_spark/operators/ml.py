@@ -48,6 +48,7 @@ __all__ = [
     "bootstrap_ab_diff_ci",
     "kaplan_meier",
     "two_proportion_ztest",
+    "mahalanobis_outliers",
 ]
 
 _DEC = "decimal(18,6)"
@@ -1125,4 +1126,91 @@ def two_proportion_ztest(
         F.round(pb, round_to).alias("rate_b"),
         F.round(z, round_to).alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    top: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multivariate outliers by squared Mahalanobis distance
+    ``d² = (x−μ)ᵀ Σ⁻¹ (x−μ)`` against the population covariance of
+    EXACTLY three columns — the correlation-aware generalization of
+    per-column z-scores (a row can be unremarkable per column yet far
+    off the joint ellipsoid).
+
+    Fully declarative and oracle-exact: the nine covariance moments
+    accumulate as exact decimals in ONE aggregate; Σ⁻¹ comes from the
+    CLOSED-FORM 3×3 adjugate/determinant (no LAPACK — the same fixed
+    double expressions run in any SQL engine); the 1-row stats relation
+    broadcasts into the row scan, and d² is one fixed-order expression
+    per row. Returns the ``top`` rows by (d² desc, id asc):
+    ``(id_col, d2)``.
+    """
+    if len(cols) != 3:
+        raise ValueError("mahalanobis_outliers is specialized to 3 columns")
+    c1, c2, c3 = cols
+    base = df.where(
+        F.col(c1).isNotNull() & F.col(c2).isNotNull() & F.col(c3).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(c1).cast("double").alias("__x1"),
+        F.col(c2).cast("double").alias("__x2"),
+        F.col(c3).cast("double").alias("__x3"),
+    )
+    d1, d2_, d3 = (_d(F.col(f"__x{i}")) for i in (1, 2, 3))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d1).alias("__s1"),
+        F.sum(d2_).alias("__s2"),
+        F.sum(d3).alias("__s3"),
+        F.sum(d1 * d1).alias("__s11"),
+        F.sum(d2_ * d2_).alias("__s22"),
+        F.sum(d3 * d3).alias("__s33"),
+        F.sum(d1 * d2_).alias("__s12"),
+        F.sum(d1 * d3).alias("__s13"),
+        F.sum(d2_ * d3).alias("__s23"),
+    )
+    n = F.col("__n").cast("double")
+    mu = {i: F.col(f"__s{i}").cast("double") / n for i in (1, 2, 3)}
+    cov = {}
+    for (i, j) in ((1, 1), (2, 2), (3, 3), (1, 2), (1, 3), (2, 3)):
+        sij = F.col(f"__s{i}{j}").cast("double")
+        cov[(i, j)] = sij / n - mu[i] * mu[j]
+    a, b_, c_ = cov[(1, 1)], cov[(1, 2)], cov[(1, 3)]
+    d_, e_, f_ = cov[(2, 2)], cov[(2, 3)], cov[(3, 3)]
+    det = (
+        a * (d_ * f_ - e_ * e_)
+        - b_ * (b_ * f_ - e_ * c_)
+        + c_ * (b_ * e_ - d_ * c_)
+    )
+    # adjugate (symmetric): inv = adj / det
+    i11 = (d_ * f_ - e_ * e_)
+    i12 = -(b_ * f_ - e_ * c_)
+    i13 = (b_ * e_ - d_ * c_)
+    i22 = (a * f_ - c_ * c_)
+    i23 = -(a * e_ - b_ * c_)
+    i33 = (a * d_ - b_ * b_)
+    st = stats.select(
+        mu[1].alias("m1"), mu[2].alias("m2"), mu[3].alias("m3"),
+        (i11 / det).alias("i11"), (i12 / det).alias("i12"),
+        (i13 / det).alias("i13"), (i22 / det).alias("i22"),
+        (i23 / det).alias("i23"), (i33 / det).alias("i33"),
+    )
+    joined = base.crossJoin(F.broadcast(st))
+    v1 = F.col("__x1") - F.col("m1")
+    v2 = F.col("__x2") - F.col("m2")
+    v3 = F.col("__x3") - F.col("m3")
+    d2 = (
+        v1 * (v1 * F.col("i11") + v2 * F.col("i12") + v3 * F.col("i13"))
+        + v2 * (v1 * F.col("i12") + v2 * F.col("i22") + v3 * F.col("i23"))
+        + v3 * (v1 * F.col("i13") + v2 * F.col("i23") + v3 * F.col("i33"))
+    )
+    return (
+        joined.select(F.col("__id").alias(id_col), F.round(d2, round_to).alias("d2"))
+        .orderBy(F.col("d2").desc(), F.col(id_col).asc())
+        .limit(int(top))
     )

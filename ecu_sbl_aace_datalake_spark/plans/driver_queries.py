@@ -5133,6 +5133,113 @@ FROM szs GROUP BY cluster_size""",
 assert ", cl AS" in SQL_DUP_CLUSTER_SIZES  # replace() must not rot
 
 
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers (ml.mahalanobis_outliers): top-20 lineitems
+    of a 1-in-20-order slice by squared Mahalanobis distance over
+    (quantity, extendedprice, discount) — correlation-aware joint
+    outliers a per-column z-score misses. Exact decimal moments, the
+    CLOSED-FORM 3×3 adjugate inverse in fixed double order, 1-row stats
+    broadcast; the oracle replays every term."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    rows = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return ml.mahalanobis_outliers(
+        rows, ["l_quantity", "l_extendedprice", "l_discount"], "rid", top=20
+    )
+
+
+SQL_MAHALANOBIS_OUTLIERS = """
+WITH v AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         CAST(l_quantity AS DOUBLE) x1,
+         CAST(l_extendedprice AS DOUBLE) x2,
+         CAST(l_discount AS DOUBLE) x3
+  FROM lineitem
+  WHERE l_orderkey % 20 = 0 AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) n,
+    CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) s1,
+    CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) s2,
+    CAST(SUM(CAST(x3 AS DECIMAL(18,6))) AS DOUBLE) s3,
+    CAST(SUM(CAST(CAST(x1 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x1 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s11,
+    CAST(SUM(CAST(CAST(x2 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x2 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s22,
+    CAST(SUM(CAST(CAST(x3 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x3 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s33,
+    CAST(SUM(CAST(CAST(x1 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x2 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s12,
+    CAST(SUM(CAST(CAST(x1 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x3 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s13,
+    CAST(SUM(CAST(CAST(x2 AS DECIMAL(18,6)) AS DECIMAL(28,6)) * CAST(CAST(x3 AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) s23
+  FROM v
+),
+c AS (
+  SELECT s1/n m1, s2/n m2, s3/n m3,
+    s11/n - (s1/n)*(s1/n) a,  s12/n - (s1/n)*(s2/n) b,
+    s13/n - (s1/n)*(s3/n) cc, s22/n - (s2/n)*(s2/n) d,
+    s23/n - (s2/n)*(s3/n) e,  s33/n - (s3/n)*(s3/n) f
+  FROM m
+),
+inv AS (
+  SELECT m1, m2, m3,
+    (d*f - e*e) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i11,
+    -(b*f - e*cc) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i12,
+    (b*e - d*cc) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i13,
+    (a*f - cc*cc) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i22,
+    -(a*e - b*cc) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i23,
+    (a*d - b*b) / (a*(d*f - e*e) - b*(b*f - e*cc) + cc*(b*e - d*cc)) i33
+  FROM c
+)
+SELECT rid,
+  ROUND((v.x1 - m1) * ((v.x1 - m1)*i11 + (v.x2 - m2)*i12 + (v.x3 - m3)*i13)
+      + (v.x2 - m2) * ((v.x1 - m1)*i12 + (v.x2 - m2)*i22 + (v.x3 - m3)*i23)
+      + (v.x3 - m3) * ((v.x1 - m1)*i13 + (v.x2 - m2)*i23 + (v.x3 - m3)*i33),
+      6) AS d2
+FROM v CROSS JOIN inv
+ORDER BY d2 DESC, rid ASC LIMIT 20
+"""
+
+
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + max-duration sessionization (timeseries.sessionize_capped,
+    30 min idle / 2 h cap): the production variant whose max-duration
+    cut is inherently sequential per key — one Arrow applyInPandas group
+    per user, per-user history bounded. Oracle replays the identical
+    sequential walk as a per-user recursive CTE. One row per session."""
+    evdf = _t(spark, sf_dir, "events")
+    return timeseries.sessionize_capped(
+        evdf, "user_id", "ts", gap_seconds=1800, max_seconds=7200,
+        tie_col="event_id",
+    )
+
+
+SQL_SESSIONIZE_CAPPED = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, us, CAST(1 AS BIGINT) AS sid, us AS anchor
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.us,
+    CASE WHEN o.us - w.us > 1800000000 OR o.us - w.anchor > 7200000000
+         THEN w.sid + 1 ELSE w.sid END,
+    CASE WHEN o.us - w.us > 1800000000 OR o.us - w.anchor > 7200000000
+         THEN o.us ELSE w.anchor END
+  FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, sid AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us)) AS session_end
+FROM walk
+GROUP BY user_id, sid
+"""
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -9637,6 +9744,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kaplan_meier": q_kaplan_meier,
     "two_proportion_ztest": q_two_proportion_ztest,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "mahalanobis_outliers": q_mahalanobis_outliers,
+    "sessionize_capped": q_sessionize_capped,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9874,6 +9983,8 @@ ORACLES: dict[str, str] = {
     "kaplan_meier": SQL_KAPLAN_MEIER,
     "two_proportion_ztest": SQL_TWO_PROPORTION_ZTEST,
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
+    "mahalanobis_outliers": SQL_MAHALANOBIS_OUTLIERS,
+    "sessionize_capped": SQL_SESSIONIZE_CAPPED,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,

@@ -245,6 +245,7 @@ class TestGlobalPlanInvariants:
         "bootstrap_ci",         # 1-row stats x 1-row CI-bounds scalar cross join
         "bootstrap_ab_diff",    # same shape: 1-row stats x 1-row CI bounds
         "vocabulary_drift",     # groups x corpus-vocab frame: both sides vocabulary-bounded, t_tot broadcast
+        "mahalanobis_outliers",  # 1-row (means + closed-form inverse) stats broadcast
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
@@ -269,6 +270,7 @@ class TestGlobalPlanInvariants:
         "bpe_encode_ids",      # same encode + literal-map id lookup (JVM map, Python encode)
         "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
         "jaro_winkler_matches",  # JW per-char matching windows (Arrow pandas_udf over blocked candidates)
+        "sessionize_capped",   # max-duration cut is sequential per key (Arrow applyInPandas, bounded per-user history)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):

@@ -343,3 +343,43 @@ class TestSurvivalAndZtest:
         # p_a=0.6 p_b=0.4 pooled=0.5 -> z = 0.2/sqrt(0.5*0.5*0.02) ~ 2.8284
         assert (r["n_a"], r["n_b"], r["rate_a"], r["rate_b"]) == (100, 100, 0.6, 0.4)
         assert abs(r["z"] - 2.828427) < 1e-6 and bool(r["significant"])
+
+
+class TestMahalanobisAndSessions:
+    def test_mahalanobis_flags_joint_outlier(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # x2 ~ 10*x1 everywhere except row 99, which is per-column normal
+        # but breaks the correlation — Mahalanobis must rank it first
+        rows = [(i, float(i % 10 + 1), float((i % 10 + 1) * 10), 0.05)
+                for i in range(99)]
+        rows.append((99, 2.0, 90.0, 0.05))  # joint outlier
+        df = spark.createDataFrame(rows, "rid long, a double, b double, c double")
+        top = ml.mahalanobis_outliers(df, ["a", "b", "c"], "rid", top=3).collect()
+        assert top[0]["rid"] == 99
+        assert top[0]["d2"] > top[1]["d2"]
+
+    def test_sessionize_capped_cuts(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        # user 1: events every 10 min for 3h -> pure-gap sessionization
+        # would keep ONE session; a 1h cap must cut it into 4 (the first
+        # event past each 60-min anchor window opens a new session)
+        rows = [(i, 1, f"2024-01-01 00:{'%02d' % 0}:00") for i in range(0)]
+        base = 1704067200  # 2024-01-01 00:00:00 UTC epoch seconds
+        rows = [(i, 1, base + i * 600) for i in range(19)]  # 0..180 min
+        df = spark.createDataFrame(rows, "event_id long, user_id long, es long") \
+            .withColumn("ts", F.timestamp_seconds(F.col("es")))
+        out = timeseries.sessionize_capped(
+            df, "user_id", "ts", gap_seconds=1800, max_seconds=3600,
+            tie_col="event_id",
+        ).collect()
+        sessions = sorted((r.session_id, r.n_events) for r in out)
+        # anchors at 0/70/140min: 0-60 incl = 7 events, then 7, then 5
+        assert sessions == [(1, 7), (2, 7), (3, 5)]
+        # and a pure-gap run (no cap) keeps one session
+        one = timeseries.sessionize_capped(
+            df, "user_id", "ts", gap_seconds=1800, max_seconds=10**9,
+            tie_col="event_id",
+        ).collect()
+        assert len(one) == 1 and one[0].n_events == 19
