@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "dup_cluster_sizes",
     "mahalanobis_outliers",
     "sessionize_capped",
+    "keyword_screening",
 ]
 
 

@@ -1769,3 +1769,29 @@ def vocab_growth(
             F.col("__b").alias("bucket"), "n_tokens", "new_types", "cum_vocab"
         )
     )
+
+
+def keyword_hits(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-term keyword screening — the policy/blocklist stage of a
+    content pipeline: per document, the total number of word-boundary
+    matches across ``terms`` and a flagged bit. Pure JVM regexp counting
+    (one ``regexp_count`` per term, summed as a column expression — no
+    UDF, no explode); term lists beyond a few hundred should move to the
+    n-gram hash door (:func:`~.dedup.contamination_flags`) instead.
+
+    Returns ``(id_col, n_hits, flagged)`` for every input row.
+    """
+    lowered = F.lower(F.col(text_col))
+    total = F.lit(0)
+    for t in terms:
+        total = total + F.regexp_count(lowered, F.lit(rf"\b{t}\b"))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_hits"),
+        (total > 0).alias("flagged"),
+    )

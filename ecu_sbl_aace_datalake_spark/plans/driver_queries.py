@@ -5240,6 +5240,41 @@ GROUP BY user_id, sid
 """
 
 
+def q_keyword_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist keyword screening (textstats.keyword_hits): per source,
+    documents flagged and total word-boundary hits for a 3-term list —
+    the policy-filter stage, pure JVM regexp counting (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = textstats.keyword_hits(docs, ["fast", "slow", "merge"], "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("flagged").cast("int")).cast("long").alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+        )
+    )
+
+
+SQL_KEYWORD_SCREENING = r"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '\bfast\b'))
+            + len(regexp_extract_all(lower(text), '\bslow\b'))
+            + len(regexp_extract_all(lower(text), '\bmerge\b')) AS BIGINT)
+           AS n_hits
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM h GROUP BY source
+"""
+
+
 def q_add_index_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global ids without a single-partition sort: range
     partition on the key, per-partition row_number + broadcast offsets
@@ -9746,6 +9781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "mahalanobis_outliers": q_mahalanobis_outliers,
     "sessionize_capped": q_sessionize_capped,
+    "keyword_screening": q_keyword_screening,
     "add_index_distributed": q_add_index_distributed,
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
@@ -9985,6 +10021,7 @@ ORACLES: dict[str, str] = {
     "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "mahalanobis_outliers": SQL_MAHALANOBIS_OUTLIERS,
     "sessionize_capped": SQL_SESSIONIZE_CAPPED,
+    "keyword_screening": SQL_KEYWORD_SCREENING,
     "greedy_packing": SQL_GREEDY_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,
