@@ -66,20 +66,27 @@ def _normalized_tokens(text_col: str) -> F.Column:
 
 def shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
     """Word n-gram shingle sets (distinct) per document — pure built-in
-    expressions (transform over a sequence of offsets), JVM-side."""
+    expressions (transform over a sequence of offsets), JVM-side. The
+    token array is let-bound through a single-element-array lambda so
+    CollapseProject cannot inline the tokenizer into every slice (see
+    :func:`shingle_hashes` — same fix, same bit-identical values)."""
     toks = _normalized_tokens(text_col)
-    df = df.withColumn("__toks", toks)
-    n_sh = F.size("__toks") - F.lit(n - 1)
-    # guard, don't clamp: sequence(0, -1) is DESCENDING in Spark ([0,-1]),
-    # which would feed slice() a 0 start — short docs get an empty set
-    sh = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out_col, F.array_distinct(sh)).drop("__toks")
+
+    def _shingles_of(tk):
+        n_sh = F.size(tk) - F.lit(n - 1)
+        # guard, don't clamp: sequence(0, -1) is DESCENDING in Spark
+        # ([0,-1]), which would feed slice() a 0 start — short docs get
+        # an empty set
+        return F.when(
+            n_sh > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = F.element_at(F.transform(F.array(toks), _shingles_of), 1)
+    return df.withColumn(out_col, F.array_distinct(sh))
 
 
 def _salts(num_hashes: int, seed: int = 1) -> list[int]:
@@ -101,26 +108,37 @@ def shingle_hashes(
     strings entirely (no concat; ~5x faster than the string form measured
     on the fixture corpus). Hash collisions are negligible at 64 bits.
 
-    CollapseProject does inline the token-hash transform into its n+1
-    references here — measured and accepted: tokenizing is cheap relative
-    to the string-concat shingle construction this replaces.
+    The token-hash array is LET-BOUND through a single-element-array
+    ``transform`` lambda (round 7): CollapseProject inlines plain column
+    references, so the earlier ``withColumn`` form re-evaluated the FULL
+    tokenize+hash pipeline inside every ``element_at`` — n references per
+    shingle position × ~(tokens−n) positions ≈ 350 copies per row at
+    n=8, measured 43 s for one 5000-doc pass at sf0.1. A lambda VARIABLE
+    cannot be inlined, so the bound form evaluates tokenization once per
+    row (same pass: 0.6 s). Values are bit-identical — pure plan shape.
     """
     toks = _normalized_tokens(text_col)
-    hashed = df.withColumn("__tok_hashes", F.transform(toks, lambda t: F.xxhash64(t)))
-    n_sh = F.size("__tok_hashes") - F.lit(n - 1)
-    # guard, don't clamp: sequence(1, 0) is DESCENDING in Spark ([1,0]),
-    # and element_at(.., 0) throws INVALID_INDEX_OF_ZERO — docs shorter
-    # than n tokens must yield an empty shingle set instead
-    sh = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("__tok_hashes"), i + k) for k in range(n)]
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _shingles_of(th):
+        n_sh = F.size(th) - F.lit(n - 1)
+        # guard, don't clamp: sequence(1, 0) is DESCENDING in Spark
+        # ([1,0]), and element_at(.., 0) throws INVALID_INDEX_OF_ZERO —
+        # docs shorter than n tokens must yield an empty shingle set
+        return F.when(
+            n_sh > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + k) for k in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return hashed.withColumn(out_col, F.array_distinct(sh)).drop("__tok_hashes")
+        ).otherwise(F.array().cast("array<long>"))
+
+    sh = F.element_at(
+        F.transform(F.array(tok_hashes), _shingles_of), 1
+    )
+    return df.withColumn(out_col, F.array_distinct(sh))
 
 
 def minhash_signatures(

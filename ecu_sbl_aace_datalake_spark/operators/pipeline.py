@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist_in
 from . import dedup, packing, textstats
 
 
@@ -58,6 +59,7 @@ def prepare_corpus(
     bpe_merges: Sequence[tuple[str, str]] | None = None,
     cap_per_source: int | None = None,
     lang_model: dict | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
     ``lang_pred``, ``quality_score``, ``n_tokens``, ``pack_id`` columns
@@ -159,10 +161,9 @@ def prepare_corpus(
     # persist the dedup boundary: minhash_dedup consumes it twice (signature
     # build + final anti-join), and everything upstream (lang/quality/window)
     # would otherwise recompute both times
-    exact = (
-        dedup.exact_dedup(normed, ["__norm"], tiebreak=[id_col])
-        .drop("__norm")
-        .persist()
+    exact = persist_in(
+        scope,
+        dedup.exact_dedup(normed, ["__norm"], tiebreak=[id_col]).drop("__norm"),
     )
     # near-dup prune (banded LSH, smaller id survives verified pairs)
     pruned = dedup.minhash_dedup(
@@ -193,8 +194,12 @@ def prepare_corpus(
         # pin the pruned relation: each decon door consumes it TWICE
         # (n-gram/signature build + the final anti-join), and without the
         # persist every branch re-runs the whole MinHash prune — measured
-        # 19.3 s -> 5.6 s at sf0.1 for the fully-wired pipeline
-        pruned = pruned.persist()
+        # 19.3 s -> 5.6 s at sf0.1 for the fully-wired pipeline. Pass a
+        # CacheScope to reclaim these once the result is materialized — a
+        # long-lived session re-running the pipeline otherwise accumulates
+        # leaked caches (measured 16 s vs 6 s for the same query after 180
+        # earlier bench queries' leaks)
+        pruned = persist_in(scope, pruned)
     if decontaminate_against is not None:
         pruned = dedup.decontaminate(
             pruned, decontaminate_against, id_col, text_col,
@@ -218,6 +223,7 @@ def prepare_corpus(
             pruned, benchmark_df, id_col, text_col,
             n=decontaminate_fuzzy_ngram,
             threshold=decontaminate_fuzzy_threshold,
+            scope=scope,
         )
         pruned = pruned.join(
             dirty_exact.unionByName(dirty_fuzzy).distinct(),
