@@ -1376,24 +1376,25 @@ def duplicate_span_stats(
     (rounded 4dp).
     """
     toks = _normalized_tokens(text_col)
-    hashed = df.select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("__th")
-    )
-    n_sp = F.size("__th") - F.lit(n - 1)
-    spans = hashed.select(
-        id_col,
-        F.explode(
-            F.when(
-                n_sp > 0,
-                F.transform(
-                    F.sequence(F.lit(1), n_sp),
-                    lambda i: F.xxhash64(
-                        *[F.element_at(F.col("__th"), i + k) for k in range(n)]
-                    ),
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _spans_of(thb):
+        # let-bound token-hash array (see shingle_hashes): a plain column
+        # reference here would let CollapseProject inline the tokenizer
+        # into every element_at — n copies per span position
+        n_sp = F.size(thb) - F.lit(n - 1)
+        return F.when(
+            n_sp > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sp),
+                lambda i: F.xxhash64(
+                    *[F.element_at(thb, i + k) for k in range(n)]
                 ),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("__s"),
-    )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    span_arr = F.element_at(F.transform(F.array(th), _spans_of), 1)
+    spans = df.select(F.col(id_col), F.explode(span_arr).alias("__s"))
     counts = spans.groupBy("__s").agg(F.count("*").alias("__c"))
     per_doc = (
         spans.join(counts, "__s")
@@ -1449,29 +1450,34 @@ def remove_duplicate_spans(
     string when nothing survives — callers typically drop those rows).
     """
     toks = _normalized_tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     hashed = df.select(
         F.col(id_col),
         F.col(text_col),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
         toks.alias("__tk"),
     )
-    n_sp = F.size("__th") - F.lit(n - 1)
-    spans = hashed.select(
-        id_col,
-        F.explode(
-            F.when(
-                n_sp > 0,
-                F.transform(
-                    F.sequence(F.lit(1), n_sp),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(
-                            *[F.element_at(F.col("__th"), i + k) for k in range(n)]
-                        ).alias("h"),
-                    ),
+
+    def _spans_of(thb):
+        # let-bound token-hash array (see shingle_hashes): a plain column
+        # reference here would let CollapseProject inline the tokenizer
+        # into every element_at — n copies per span position
+        n_sp = F.size(thb) - F.lit(n - 1)
+        return F.when(
+            n_sp > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sp),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(thb, i + k) for k in range(n)]
+                    ).alias("h"),
                 ),
-            ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
-        ).alias("__sp"),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+
+    span_arr = F.element_at(F.transform(F.array(th), _spans_of), 1)
+    spans = df.select(
+        F.col(id_col), F.explode(span_arr).alias("__sp")
     ).select(id_col, F.col("__sp.pos").alias("__pos"), F.col("__sp.h").alias("__h"))
     firsts = spans.groupBy("__h").agg(
         F.count("*").alias("__c"),
