@@ -133,20 +133,26 @@ def asof_join_nearest(
     suffix: str = "_asof",
     tolerance: str | None = None,
     right_tie_break: str | None = None,
+    left_id: str | None = None,
 ) -> DataFrame:
     """Nearest as-of join: each left row takes whichever of its backward
     (latest ≤) and forward (earliest ≥) matches is CLOSER in time; exact
     ties go backward (pandas ``merge_asof(direction='nearest')``
     convention). Two one-window passes (one per direction) + a map-side
-    pick — still no per-row range scan.
+    pick — still no per-row range scan. Distances compare at MICROSECOND
+    precision (``unix_micros``), so sub-second timestamps pick correctly
+    (a whole-second cast would truncate 0.9s and 0.1s both to 0).
 
     The matched right row's timestamp is exposed as ``__nearest_ts`` so
     callers (and oracles) can verify the pick; pass ``right_cols`` to
     bound the carried payload exactly as in :func:`asof_join`.
 
-    The two directional passes re-join on the full left row, so LEFT ROWS
-    MUST BE UNIQUE (carry a unique id column); duplicate left rows would
-    fan out in the recombine join.
+    Pass ``left_id`` naming a UNIQUE left column and the two directional
+    passes recombine on that single key (the scale-correct shape: one
+    narrow shuffle key, and left rows with NULL payload columns survive).
+    Without it the recombine joins null-safely on the full left row —
+    left rows must then be unique as a TUPLE, and duplicate left rows
+    would fan out.
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     ts_out = "__rts_dir"
@@ -159,10 +165,26 @@ def asof_join_nearest(
     back = asof_join(left, r_with_ts, suffix="__b", direction="backward", **common)
     fwd = asof_join(left, r_with_ts, suffix="__f", direction="forward", **common)
     join_keys = [c for c in left.columns]
-    both = back.join(fwd, join_keys)
+    fwd_carry = [f"{c}__f" for c in [*rcols, ts_out]]
+    if left_id is not None:
+        if left_id not in left.columns:
+            raise ValueError(f"left_id {left_id!r} is not a left column")
+        both = back.join(fwd.select(left_id, *fwd_carry), left_id)
+    else:
+        # Null-safe recombine on the full left tuple: a plain name-list
+        # join drops any left row with a NULL attribute (inner-join null
+        # semantics). eqNullSafe keeps them.
+        fwd_r = fwd.select(
+            *[F.col(c).alias(f"__fw_{c}") for c in join_keys], *fwd_carry
+        )
+        cond = None
+        for c in join_keys:
+            term = back[c].eqNullSafe(fwd_r[f"__fw_{c}"])
+            cond = term if cond is None else (cond & term)
+        both = back.join(fwd_r, cond).drop(*[f"__fw_{c}" for c in join_keys])
     lts = F.col(left_ts).cast("timestamp")
-    d_b = lts.cast("long") - F.col(f"{ts_out}__b").cast("long")
-    d_f = F.col(f"{ts_out}__f").cast("long") - lts.cast("long")
+    d_b = F.unix_micros(lts) - F.unix_micros(F.col(f"{ts_out}__b"))
+    d_f = F.unix_micros(F.col(f"{ts_out}__f")) - F.unix_micros(lts)
     # backward wins ties and whenever forward is absent; forward wins only
     # when strictly closer or backward is absent
     use_fwd = F.when(

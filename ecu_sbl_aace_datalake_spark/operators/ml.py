@@ -823,7 +823,9 @@ def bootstrap_mean_ci(
     )
     u = (
         F.conv(
-            F.substring(F.col("__d"), F.lit(1) + F.col("__j") * 8, F.lit(8)),
+            # expr form: Column pos/len for substring needs pyspark>=4.0;
+            # pyproject floors at 3.5, the SQL form works on both
+            F.expr("substring(__d, 1 + __j*8, 8)"),
             16,
             10,
         ).cast("double")
@@ -938,7 +940,9 @@ def bootstrap_ab_diff_ci(
     )
     u = (
         F.conv(
-            F.substring(F.col("__d"), F.lit(1) + F.col("__j") * 8, F.lit(8)),
+            # expr form: Column pos/len for substring needs pyspark>=4.0;
+            # pyproject floors at 3.5, the SQL form works on both
+            F.expr("substring(__d, 1 + __j*8, 8)"),
             16,
             10,
         ).cast("double")

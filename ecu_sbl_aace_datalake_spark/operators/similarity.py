@@ -1503,10 +1503,10 @@ def mmr_selection(
         )
         sel_out.append((r, nxt["__id"], rel6))
         if r + 1 < int(k):
-            nxt_vec = (
-                vecs.where(F.col("__id") == nxt["__id"]).collect()[0]["__v"]
-            )
-            sim_new = dot_with(nxt_vec).cast("decimal(30,24)")
+            # the argmax row already carries the vector (state retains
+            # __v) — same reuse as kcenter_selection; re-scanning the
+            # corpus for it would cost one extra job per round
+            sim_new = dot_with(nxt["__v"]).cast("decimal(30,24)")
             state = state.withColumn(
                 "__maxsim",
                 F.when(F.col("__maxsim").isNull(), sim_new).otherwise(

@@ -1603,6 +1603,7 @@ def vocabulary_drift(
     group_col: str,
     text_col: str = "text",
     round_to: int = 6,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Per-group vocabulary drift: Jensen-Shannon divergence (log2, so
     JSD ∈ [0,1]) between each group's unigram distribution and the WHOLE
@@ -1626,8 +1627,11 @@ def vocabulary_drift(
     tok = df.select(F.col(group_col).alias("__g"), F.explode(toks).alias("__t"))
     # ONE corpus pass: the (group, token) counts are persisted (vocabulary-
     # bounded — groups × distinct tokens rows), and every later relation
-    # (group totals, corpus totals, the scalar N) derives from the cache
-    gt = tok.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c")).persist()
+    # (group totals, corpus totals, the scalar N) derives from the cache.
+    # Lifetime is caller-scoped: pass a CacheScope to unpersist after the
+    # output is materialized (long-lived sessions would otherwise leak one
+    # vocabulary-sized cache per call).
+    gt = persist_in(scope, tok.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c")))
     g_tot = gt.groupBy("__g").agg(
         F.sum("__c").alias("__gn"), F.count(F.lit(1)).alias("__vocab_g")
     )
@@ -1687,17 +1691,20 @@ def ngram_novelty(
             F.col(id_col).alias("__id"),
             toks.alias("__tk"),
         )
+        # Guard BEFORE generating positions: sequence(0, size-n) with a
+        # negative upper bound is DESCENDING in Spark ([0, -1]), so clamping
+        # the bound (the old greatest(size-n, -1)) still emitted one
+        # truncated gram for short/empty docs. Docs with < n tokens must
+        # emit no grams at all (matches the DuckDB oracle's end-exclusive
+        # range).
+        .where(F.size("__tk") >= n)
         .select(
             "__id",
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("__tk") - n, F.lit(-1)),
-                )
+                F.sequence(F.lit(0), F.size("__tk") - n)
             ).alias("__i"),
             F.col("__tk"),
         )
-        .where(F.col("__i") >= 0)
         .select(
             "__id",
             F.array_join(

@@ -1,0 +1,141 @@
+"""Round-8 regression tests for the ADVICE-r7 findings: ngram_novelty
+short-doc grams, asof_join_nearest sub-second distances + null-safe
+recombine, mmr_selection vector reuse, bootstrap substring portability,
+vocabulary_drift cache scoping."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+class TestNgramNoveltyShortDocs:
+    def test_short_and_empty_docs_emit_no_grams(self, spark):
+        # sequence(0, size-n) with a negative bound is DESCENDING in Spark
+        # ([0,-1]), so the old greatest(size-n, -1) clamp still emitted one
+        # truncated gram for docs shorter than n — breaking oracle parity
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"),   # 2 trigrams
+             (2, "a b"),       # < n tokens: NO row
+             (3, ""),          # empty: NO row
+             (4, None),        # null text: NO row
+             (5, "a b c")],    # exactly n tokens: 1 gram
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_grams, r.n_novel)
+               for r in textstats.ngram_novelty(df, "doc_id", n=3).collect()}
+        assert got == {1: (2, 2), 5: (1, 0)}, got
+
+
+class TestAsofNearestSubSecond:
+    def test_microsecond_distances(self, spark):
+        # left at .9s: backward match is 0.9s away, forward 0.1s away —
+        # whole-second casts truncate both to 0s/1s and pick backward
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 00:00:00.9")], "id long, k string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(10, "u", "2024-01-01 00:00:00.0", 1.0),
+             (11, "u", "2024-01-01 00:00:01.0", 2.0)],
+            "rid long, k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = asof_join_nearest(
+            left, right, on="k", right_cols=["v"], suffix=""
+        ).collect()
+        assert len(got) == 1 and got[0].v == 2.0
+
+    def test_null_left_attributes_survive_recombine(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00", None),
+             (2, "u", "2024-01-01 11:00:00", "x")],
+            "id long, k string, ts string, payload string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(10, "u", "2024-01-01 09:00:00", 1.0),
+             (11, "u", "2024-01-01 12:00:00", 2.0)],
+            "rid long, k string, ts string, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # default (tuple recombine): eqNullSafe keeps the null-payload row
+        got = {r.id: r.v for r in asof_join_nearest(
+            left, right, on="k", right_cols=["v"], suffix="").collect()}
+        assert set(got) == {1, 2}
+        # explicit unique key: single-column recombine, same result
+        got2 = {r.id: r.v for r in asof_join_nearest(
+            left, right, on="k", right_cols=["v"], suffix="",
+            left_id="id").collect()}
+        assert got2 == got
+
+    def test_left_id_must_exist(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.joins import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u", "2024-01-01 10:00:00")], "id long, k string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="left_id"):
+            asof_join_nearest(left, left, on="k", left_id="nope")
+
+
+class TestMMRVectorReuse:
+    def test_no_per_round_corpus_scan(self, spark):
+        # the argmax row retains __v; re-scanning the corpus for the picked
+        # vector cost one extra job per round (k-1 per call). Count jobs via
+        # a job group: the fixed shape runs <= 3 jobs per round (argmax +
+        # localCheckpoint) + setup; the old shape added k-1 more.
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        rows = [(0, [1.0, 0.0]), (1, [0.70, 0.70]),
+                (2, [0.69, 0.70]), (3, [0.68, -0.68])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sc = spark.sparkContext
+        sc.setJobGroup("mmr_job_count", "regression")
+        out = similarity.mmr_selection(df, query_id=0, k=3)
+        order = [r.id for r in out.orderBy("rank").collect()]
+        sc.setJobGroup("", "")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("mmr_job_count"))
+        assert order == [1, 3, 2]
+        # measured: 9 jobs fixed (1 q-row + 3 argmax + 2 checkpoints + 1
+        # schema probe + output collects); the re-scan shape measured 11
+        assert n_jobs <= 9, n_jobs
+
+
+class TestVocabularyDriftScope:
+    def test_scope_collects_and_releases_cache(self, spark):
+        from ecu_sbl_aace_datalake_spark.caching import CacheScope
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "aa bb", "s0"), (2, "aa cc", "s1")],
+            "doc_id long, text string, source string",
+        )
+        scope = CacheScope()
+        out = textstats.vocabulary_drift(df, "source", scope=scope)
+        out.collect()
+        assert len(scope) == 1
+        scope.unpersist()
+        assert len(scope) == 0
+
+
+class TestBootstrapSubstringPortability:
+    def test_no_column_pos_substring(self):
+        # Column pos/len for F.substring needs pyspark>=4.0; pyproject
+        # floors at 3.5 so the slicing must stay in SQL-expr form
+        import inspect
+
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        src = inspect.getsource(ml)
+        assert 'F.substring(F.col("__d")' not in src
+        assert src.count('F.expr("substring(__d, 1 + __j*8, 8)")') == 2
