@@ -43,6 +43,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# One outstanding CacheScope per query name: releases the PREVIOUS call's
+# pipeline caches when the query is built again, so long-lived sessions
+# stay leak-bounded (≤ 1 corpus-sized cache set per query) WITHOUT eagerly
+# materializing inside the builder — the round-7 localCheckpoint shape cost
+# ~0.8 s/run at sf0.1 (measured A/B) because it ran the pipeline before the
+# caller's own action and paid the checkpoint store on top.
+_QUERY_SCOPES: dict = {}
+
+
+def _rotating_scope(name: str):
+    from ..caching import CacheScope
+
+    old = _QUERY_SCOPES.pop(name, None)
+    if old is not None:
+        old.unpersist()
+    scope = CacheScope()
+    _QUERY_SCOPES[name] = scope
+    return scope
+
+
 # --------------------------------------------------------------------------
 # §2.1/2.2 — scans, SQL-over-DataFrames
 # --------------------------------------------------------------------------
@@ -4131,19 +4151,17 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune is brute-force all-pairs Jaccard (recall-1 equivalence, same
     argument as minhash_neardup_pairs), and the sequential greedy packer
     is a recursive CTE walking each shard in order."""
-    from ..caching import CacheScope
     from ..operators import pipeline
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    scope = CacheScope()
+    # rotating scope: the previous call's caches are released here, this
+    # call's stay alive through the caller's action (lazy — no eager
+    # materialization in the builder)
+    scope = _rotating_scope("corpus_prepare")
     packed = pipeline.prepare_corpus(
         docs, pack_budget=512, neardup_bands=32, scope=scope
     )
-    # materialize, then reclaim the pipeline's internal caches — a
-    # long-lived session re-running this query otherwise leaks them
-    out = pipeline.corpus_report(packed, pack_budget=512).localCheckpoint()
-    scope.unpersist()
-    return out
+    return pipeline.corpus_report(packed, pack_budget=512)
 
 
 SQL_CORPUS_PREPARE = r"""
@@ -4284,9 +4302,11 @@ def q_corpus_prepare_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_b = docs.where(F.col("doc_id") % 37 == 0).select(
         marked.alias("text")
     )
-    from ..caching import CacheScope
-
-    scope = CacheScope()
+    # rotating scope: previous call's three pipeline caches are released
+    # here; this call's stay alive through the caller's action (the leaked
+    # caches once made re-runs 16 s vs 6 s — the rotation bounds the leak
+    # to one outstanding set without the eager-checkpoint cost)
+    scope = _rotating_scope("corpus_prepare_full")
     packed = pipeline.prepare_corpus(
         docs,
         pack_budget=512,
@@ -4298,11 +4318,7 @@ def q_corpus_prepare_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_salt="epoch0",
         scope=scope,
     )
-    # materialize, then reclaim the pipeline's three internal caches — in a
-    # long-lived session the leaked caches made re-runs 16 s vs 6 s
-    out = pipeline.corpus_report(packed, pack_budget=512).localCheckpoint()
-    scope.unpersist()
-    return out
+    return pipeline.corpus_report(packed, pack_budget=512)
 
 
 SQL_CORPUS_PREPARE_FULL = r"""
