@@ -1340,6 +1340,7 @@ def kcenter_selection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    candidate_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) selection over an embedding
     column — the classic DIVERSITY sampling for data curation: pick the
@@ -1354,8 +1355,13 @@ def kcenter_selection(
     bit-for-bit (ties break by smallest id). Each round: the selected
     vector is a literal array — one pass over the corpus updating the
     running min-dist, one TakeOrderedAndProject for the argmax. k passes
-    total; at 100 TB pick k modestly or run on a pre-clustered sample
-    (IVF centroids) — the greedy structure is inherently sequential in k.
+    total; the greedy structure is inherently sequential in k.
+
+    ``candidate_pool`` is the 100 TB composition: a DataFrame whose
+    ``id_col`` restricts the candidate set (e.g. an IVF-pruned probe
+    result or a per-cluster sample) — selection then scans pool-sized
+    relations per round instead of the corpus, flat in corpus size for a
+    fixed pool.
 
     Returns ``(rank, id)`` — selection order starting at 0.
     """
@@ -1365,6 +1371,12 @@ def kcenter_selection(
             F.col(vec_col), lambda x: x.cast("decimal(18,12)")
         ).alias("__v"),
     ).where(F.col(vec_col).isNotNull())
+    if candidate_pool is not None:
+        vecs = vecs.join(
+            candidate_pool.select(F.col(id_col).alias("__id")).distinct(),
+            "__id",
+            "left_semi",
+        )
     first = vecs.select(F.min("__id").alias("__id")).collect()[0]["__id"]
     selected = [(0, first)]
 
@@ -1418,6 +1430,8 @@ def mmr_selection(
     k: int = 5,
     lam_num: int = 7,
     lam_den: int = 10,
+    candidate_pool: DataFrame | None = None,
+    candidate_top_m: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell-Goldstein 1998) —
     the RAG/result-diversification primitive: greedily pick k vectors
@@ -1436,8 +1450,16 @@ def mmr_selection(
 
     Each round: one pass updating the running max-similarity (map-side
     over the scored relation) + one TakeOrderedAndProject argmax; k
-    sequential rounds, same 100 TB guidance as k-center (modest k, or
-    run over a pre-clustered candidate pool).
+    sequential rounds.
+
+    The 100 TB composition is built in: ``candidate_pool`` restricts
+    candidates to a DataFrame of ids (an IVF-pruned probe, a blocked
+    prefilter); ``candidate_top_m`` additionally keeps only the m MOST
+    QUERY-RELEVANT candidates (exact-decimal rel, ties by smallest id)
+    before the greedy loop — the standard retrieve-then-diversify shape,
+    making every round's scan pool-sized (flat in corpus size for fixed
+    m) instead of corpus-sized. Both compose; the query row is excluded
+    before either.
 
     Returns ``(rank, id, rel)`` — selection order and the (6dp) query
     relevance of each pick. The query row itself is excluded.
@@ -1469,13 +1491,26 @@ def mmr_selection(
 
     a = F.lit(int(lam_num)).cast("decimal(4,0)")
     b = F.lit(int(lam_den) - int(lam_num)).cast("decimal(4,0)")
+    cands = vecs.where(F.col("__id") != query_id)
+    if candidate_pool is not None:
+        cands = cands.join(
+            candidate_pool.select(F.col(id_col).alias("__id")).distinct(),
+            "__id",
+            "left_semi",
+        )
     # |dot| <= dim * max|v|^2 — decimal(30,24) holds 6 integer digits,
     # ample for unit-ish embeddings; the cast is EXACT (no rounding)
-    state = (
-        vecs.where(F.col("__id") != query_id)
-        .withColumn("__rel", dot_with(q_vec).cast("decimal(30,24)"))
-        .withColumn("__maxsim", F.lit(None).cast("decimal(30,24)"))
-    )
+    state = cands.withColumn("__rel", dot_with(q_vec).cast("decimal(30,24)"))
+    if candidate_top_m is not None:
+        # retrieve-then-diversify: ONE corpus-wide relevance pass, then the
+        # greedy loop runs over the pinned m-row pool (localCheckpoint —
+        # re-deriving the top-m each round would rescan the corpus)
+        state = (
+            state.orderBy(F.col("__rel").desc(), F.col("__id").asc())
+            .limit(int(candidate_top_m))
+            .localCheckpoint()
+        )
+    state = state.withColumn("__maxsim", F.lit(None).cast("decimal(30,24)"))
     score = F.when(
         F.col("__maxsim").isNull(), a * F.col("__rel")
     ).otherwise(a * F.col("__rel") - b * F.col("__maxsim"))

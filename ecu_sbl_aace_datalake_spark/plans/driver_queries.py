@@ -4768,6 +4768,69 @@ m{r} AS (
 SQL_MMR_SELECTION = _mmr_oracle_sql(5)
 
 
+def q_mmr_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-diversify MMR (similarity.mmr_selection with
+    candidate_top_m): ONE corpus-wide exact-decimal relevance pass keeps
+    the 20 most query-relevant vectors, then the λ=0.7 greedy selection
+    runs entirely over that pinned 20-row pool — the 100 TB shape for
+    greedy selection (per-round cost is pool-sized, flat in corpus
+    size). Oracle replays the pool cut and the unrolled selection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_selection(
+        emb, query_id=0, k=5, candidate_top_m=20
+    )
+
+
+def _mmr_pooled_oracle_sql(k: int, m: int, dim: int = 64) -> str:
+    dot = (
+        "SUM(CAST(e.v[d.i] AS DECIMAL(18,12))"
+        " * CAST(s.v[d.i] AS DECIMAL(18,12)))"
+    )
+    parts = [f"""
+WITH e AS (SELECT vec_id id, embedding v FROM embeddings
+           WHERE embedding IS NOT NULL),
+dims AS (SELECT unnest(generate_series(1, {dim})) i),
+rel_all AS (
+  SELECT e.id, CAST({dot} AS DECIMAL(26,24)) rel
+  FROM e CROSS JOIN dims d
+  JOIN e s ON s.id = 0
+  WHERE e.id <> 0
+  GROUP BY e.id),
+rel AS (SELECT * FROM rel_all ORDER BY rel DESC, id ASC LIMIT {m}),
+s0 AS (SELECT 0 r, id, rel FROM rel ORDER BY rel DESC, id ASC LIMIT 1),
+m0 AS (
+  SELECT e.id, CAST({dot} AS DECIMAL(26,24)) ms
+  FROM e CROSS JOIN dims d
+  JOIN e s ON s.id = (SELECT id FROM s0)
+  WHERE e.id IN (SELECT id FROM rel)
+  GROUP BY e.id)"""]
+    for r in range(1, k):
+        prev_sel = " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(r))
+        parts.append(f""",
+s{r} AS (
+  SELECT {r} r, rel.id, rel.rel FROM rel JOIN m{r - 1} USING (id)
+  WHERE id NOT IN ({prev_sel})
+  ORDER BY 7 * rel.rel - 3 * m{r - 1}.ms DESC, id ASC LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f""",
+m{r} AS (
+  SELECT m{r - 1}.id, GREATEST(m{r - 1}.ms,
+    (SELECT CAST(SUM(CAST(e.v[d.i] AS DECIMAL(18,12))
+                 * CAST(s.v[d.i] AS DECIMAL(18,12))) AS DECIMAL(26,24))
+     FROM dims d JOIN e s ON s.id = (SELECT id FROM s{r}))) ms
+  FROM e JOIN m{r - 1} USING (id))""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(r AS INT) rank, CAST(id AS BIGINT) id,"
+        f" CAST(ROUND(rel, 6) AS DOUBLE) rel FROM s{i}"
+        for i in range(k)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+SQL_MMR_POOLED = _mmr_pooled_oracle_sql(5, 20)
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch attribution
     (timeseries.attribution_touchpoints): every purchase is attributed to
@@ -9804,6 +9867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_bars": q_ohlc_bars,
     "vocabulary_drift": q_vocabulary_drift,
     "mmr_selection": q_mmr_selection,
+    "mmr_pooled": q_mmr_pooled,
     "attribution": q_attribution,
     "ngram_novelty": q_ngram_novelty,
     "vocab_growth": q_vocab_growth,
@@ -10044,6 +10108,7 @@ ORACLES: dict[str, str] = {
     "ohlc_bars": SQL_OHLC_BARS,
     "vocabulary_drift": SQL_VOCABULARY_DRIFT,
     "mmr_selection": SQL_MMR_SELECTION,
+    "mmr_pooled": SQL_MMR_POOLED,
     "attribution": SQL_ATTRIBUTION,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "vocab_growth": SQL_VOCAB_GROWTH,

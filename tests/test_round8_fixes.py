@@ -139,3 +139,50 @@ class TestBootstrapSubstringPortability:
         src = inspect.getsource(ml)
         assert 'F.substring(F.col("__d")' not in src
         assert src.count('F.expr("substring(__d, 1 + __j*8, 8)")') == 2
+
+
+class TestPooledSelection:
+    def _emb(self, spark):
+        rows = [(0, [1.0, 0.0]), (1, [0.70, 0.70]), (2, [0.69, 0.70]),
+                (3, [0.68, -0.68]), (4, [0.10, 0.99]), (5, [-1.0, 0.0])]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_top_m_large_equals_unpooled(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = self._emb(spark)
+        base = [tuple(r) for r in
+                similarity.mmr_selection(df, 0, k=3).orderBy("rank").collect()]
+        pooled = [tuple(r) for r in similarity.mmr_selection(
+            df, 0, k=3, candidate_top_m=100).orderBy("rank").collect()]
+        assert pooled == base
+
+    def test_top_m_restricts_to_most_relevant(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = self._emb(spark)
+        # rel to q=[1,0]: 1->0.70, 2->0.69, 3->0.68, 4->0.10, 5->-1.0
+        # top_m=2 pool = {1, 2}; greedy must never pick outside it
+        got = [r.id for r in similarity.mmr_selection(
+            df, 0, k=3, candidate_top_m=2).orderBy("rank").collect()]
+        assert got == [1, 2], got
+
+    def test_candidate_pool_dataframe(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = self._emb(spark)
+        pool = spark.createDataFrame([(2,), (3,), (4,)], "vec_id long")
+        got = [r.id for r in similarity.mmr_selection(
+            df, 0, k=2, candidate_pool=pool).orderBy("rank").collect()]
+        # best in-pool rel is 2 (0.69); 3 is orthogonal to 2 -> diversity pick
+        assert got == [2, 3], got
+
+    def test_kcenter_pool(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        df = self._emb(spark)
+        pool = spark.createDataFrame([(1,), (3,), (5,)], "vec_id long")
+        got = [r.id for r in similarity.kcenter_selection(
+            df, k=2, candidate_pool=pool).orderBy("rank").collect()]
+        # min-id in pool is 1; farthest from [0.7,0.7] among {3,5} is 5
+        assert got == [1, 5], got
