@@ -12678,3 +12678,204 @@ FROM lat
 
 QUERIES.update({"time_to_conversion": q_time_to_conversion})
 ORACLES.update({"time_to_conversion": SQL_TIME_TO_CONVERSION})
+
+
+# --------------------------------------------------------------------------
+# Round 8 — URL canonicalization / URL-level dedup / domain audit (CCNet
+# stage; operators/urls.py). The documents fixture has no URL column, so
+# each query SYNTHESIZES a messy-but-deterministic URL per doc_id with the
+# identical expression in both engines (www/case/port/trailing-slash/
+# tracking-param/fragment variation keyed on doc_id residues) — the
+# canonicalizer, not the synth, is what's under test.
+# --------------------------------------------------------------------------
+
+def _synth_url_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 7).cast("string"),
+        F.when(d % 9 == 0, F.lit(".Example.co.uk")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 11).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+_SQL_URL_SYNTH = """
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || 'site' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 9 = 0 THEN '.Example.co.uk'
+                 ELSE '.Example.COM' END
+         || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+         || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                 WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+"""
+
+# DuckDB replica of urls.canonical_url (same regexes, same order)
+_SQL_URL_CANON = """
+  SELECT doc_id, url,
+    CASE WHEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              IN ('http', 'https')
+          AND host <> ''
+    THEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         || '://' || host
+         || CASE WHEN port = '' THEN ''
+                 WHEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http' AND port = '80' THEN ''
+                 WHEN lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https' AND port = '443' THEN ''
+                 ELSE ':' || port END
+         || regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+         || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+    END AS canonical_url
+  FROM (
+    SELECT doc_id, url, nf, pathq, host, port,
+      -- COALESCE: DuckDB array_to_string of an EMPTY list is NULL,
+      -- Spark's array_join is '' — normalize to the Spark behavior
+      COALESCE(array_to_string(list_sort(list_filter(string_split(
+        regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[^=]*|gclid|fbclid|msclkid|ref|ref_src)(=.*)?$'))), '&'), '')
+        AS q2
+    FROM (
+      SELECT doc_id, url, nf,
+        regexp_extract(after, '^[^/?]*(.*)$', 1) AS pathq,
+        regexp_replace(regexp_extract(host_port, '^([^:]*)', 1),
+                       '^www\\.', '') AS host,
+        regexp_extract(host_port, ':([0-9]+)$', 1) AS port
+      FROM (
+        SELECT doc_id, url, nf, after,
+          lower(regexp_replace(
+            regexp_extract(after, '^([^/?]*)', 1), '^[^@]*@', ''))
+            AS host_port
+        FROM (
+          SELECT doc_id, url,
+            regexp_replace(trim(url), '#.*', '') AS nf,
+            regexp_extract(regexp_replace(trim(url), '#.*', ''),
+              '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS after
+          FROM synth
+        )
+      )
+    )
+  )
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (urls.canonical_url): fragment/tracking-param
+    strip, host lowercase + www/default-port drop, trailing-slash and
+    param-order normalization — pure regexp Column expressions, fully
+    inside whole-stage codegen. The CCNet crawl-curation stage."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn("url", _synth_url_col())
+    return tagged.select(
+        "doc_id", "url", urls.canonical_url("url").alias("canonical_url")
+    )
+
+
+SQL_URL_CANONICALIZE = (
+    "WITH synth AS (" + _SQL_URL_SYNTH + ")" + _SQL_URL_CANON
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (urls.url_dedup): ONE surviving row per canonical
+    URL, smallest doc_id wins — a min_by-struct aggregate (map-side
+    partial combine, no window), one shuffle on the canonical string."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn("url", _synth_url_col())
+    kept = urls.url_dedup(tagged, "url", tiebreak="doc_id")
+    return kept.select("doc_id", "canonical_url")
+
+
+SQL_URL_DEDUP = (
+    "WITH synth AS (" + _SQL_URL_SYNTH + "), canon AS (" + _SQL_URL_CANON
+    + """)
+SELECT doc_id, canonical_url FROM (
+  SELECT doc_id, canonical_url,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url
+                            ORDER BY doc_id ASC) AS rn
+  FROM canon WHERE canonical_url IS NOT NULL
+) WHERE rn = 1
+UNION ALL
+SELECT doc_id, canonical_url FROM canon WHERE canonical_url IS NULL
+"""
+)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain crawl audit (urls.domain_stats): URL count,
+    distinct canonical count, corpus share — the boilerplate-farm /
+    over-crawl detector. Approximate eTLD+1 via a frozen 2-level-TLD
+    list (co.uk-style suffixes take 3 labels)."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn("url", _synth_url_col())
+    return urls.domain_stats(tagged, "url")
+
+
+SQL_DOMAIN_STATS = (
+    "WITH synth AS (" + _SQL_URL_SYNTH + "), canon AS (" + _SQL_URL_CANON
+    + """),
+hosts AS (
+  SELECT regexp_extract(canonical_url, '^https?://([^:/?]*)', 1) AS h,
+         canonical_url
+  FROM canon WHERE canonical_url IS NOT NULL
+),
+doms AS (
+  SELECT CASE
+    WHEN len(string_split(h, '.')) <= 2 THEN h
+    WHEN array_to_string(list_slice(string_split(h, '.'),
+           greatest(len(string_split(h, '.')) - 1, 1),
+           len(string_split(h, '.'))), '.')
+         IN ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au','org.au',
+             'co.jp','co.kr','co.in','co.nz','co.za','com.br','com.cn',
+             'com.mx','com.tr','com.sg','com.ar')
+    THEN array_to_string(list_slice(string_split(h, '.'),
+           greatest(len(string_split(h, '.')) - 2, 1),
+           len(string_split(h, '.'))), '.')
+    ELSE array_to_string(list_slice(string_split(h, '.'),
+           greatest(len(string_split(h, '.')) - 1, 1),
+           len(string_split(h, '.'))), '.')
+  END AS domain, canonical_url
+  FROM hosts
+),
+per AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical
+  FROM doms GROUP BY domain
+)
+SELECT domain, n_urls, n_canonical,
+       ROUND(CAST(n_urls AS DOUBLE) / (SELECT SUM(n_urls) FROM per), 6)
+         AS share
+FROM per
+"""
+)
+
+
+QUERIES.update({
+    "url_canonicalize": q_url_canonicalize,
+    "url_dedup": q_url_dedup,
+    "domain_stats": q_domain_stats,
+})
+ORACLES.update({
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_dedup": SQL_URL_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
+})

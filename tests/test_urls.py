@@ -1,0 +1,86 @@
+"""URL canonicalization / dedup / domain audit (operators/urls.py) —
+the CCNet crawl-curation stage."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecu_sbl_aace_datalake_spark.operators import urls
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # tracking params dropped, survivors sorted, www + default port +
+        # trailing slash + fragment stripped, host lowercased
+        ("https://WWW.Example.COM:443/path/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/path?a=1&b=2"),
+        ("http://example.com:80/path", "http://example.com/path"),
+        # non-default port kept
+        ("http://example.com:8080/path/", "http://example.com:8080/path"),
+        # userinfo dropped; internal duplicate slashes and path case kept
+        ("https://user:pw@sub.Site.co.uk/a//b/?ref=tw&z=1&y=2",
+         "https://sub.site.co.uk/a//b?y=2&z=1"),
+        # scheme gate
+        ("ftp://example.com/x", None),
+        ("not a url", None),
+        # bare host; root slash == no path; empty query drops the '?'
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?", "https://example.com"),
+        # duplicate param keys survive, sorted bytewise
+        ("HTTPS://EXAMPLE.com/Path?a=1&a=0",
+         "https://example.com/Path?a=0&a=1"),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            "id long, url string",
+        )
+        got = {r.id: r.c for r in
+               df.select("id", urls.canonical_url("url").alias("c")).collect()}
+        for i, (u, want) in enumerate(self.CASES):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_registrable_domain(self, spark):
+        cases = [("sub.a.example.com", "example.com"),
+                 ("example.com", "example.com"),
+                 ("deep.sub.site.co.uk", "site.co.uk"),
+                 ("co.uk", "co.uk"),            # <= 2 labels pass through
+                 ("localhost", "localhost")]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(cases)], "id long, h string"
+        )
+        got = {r.id: r.d for r in
+               df.select("id", urls.registrable_domain("h").alias("d")).collect()}
+        for i, (h, want) in enumerate(cases):
+            assert got[i] == want, (h, got[i], want)
+
+
+class TestUrlDedupDomainStats:
+    def test_dedup_keeps_min_tiebreak_and_null_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x/"),
+             (2, "https://a.com/x?utm_source=s"),   # same canonical as 1
+             (3, "https://a.com/y"),
+             (4, "nope")],                           # uncanonicalizable: kept
+            "doc_id long, url string",
+        )
+        got = sorted((r.doc_id, r.canonical_url)
+                     for r in urls.url_dedup(df, "url", tiebreak="doc_id").collect())
+        assert got == [(1, "https://a.com/x"), (3, "https://a.com/y"),
+                       (4, None)]
+
+    def test_dedup_requires_tiebreak(self, spark):
+        df = spark.createDataFrame([(1, "https://a.com")], "doc_id long, url string")
+        with pytest.raises(ValueError, match="tiebreak"):
+            urls.url_dedup(df, "url")
+
+    def test_domain_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "https://www.a.com/x"),
+             (3, "https://b.co.uk/z"), (4, "garbage")],
+            "doc_id long, url string",
+        )
+        got = sorted(tuple(r) for r in urls.domain_stats(df, "url").collect())
+        # 2 a.com rows collapse to 1 canonical; garbage row excluded
+        assert got == [("a.com", 2, 1, 0.666667), ("b.co.uk", 1, 1, 0.333333)]
