@@ -507,6 +507,59 @@ def cap_per_group(
     )
 
 
+def cap_per_group_bytes(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    bytes_col: str,
+    budget: int,
+    id_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group BYTE budget — the size-aware sibling of
+    :func:`cap_per_group`: admit rows in md5-hash priority order (salt +
+    id; id tiebreak) while the group's cumulative admitted bytes stay
+    within ``budget``. The admission rule is the prefix cumsum: a row is
+    kept iff the inclusive running sum of ``bytes_col`` over all
+    earlier-priority rows (kept or not) is ≤ ``budget`` — so the kept
+    set is a PREFIX of the priority order, replayable from (salt, id,
+    budget) alone. A later small row does NOT back-fill around an
+    earlier over-budget row (knapsack back-fill would make admission
+    depend on the whole group, breaking the prefix/replay property the
+    streaming ingest relies on — see ``foreach_batch_corpus_ingest``'s
+    cross-batch byte state).
+
+    Rows with NULL/negative byte counts are rejected (a crawl record
+    with unknown size cannot be budgeted). A single row larger than the
+    whole budget blocks its group's tail by design — the same contract
+    as a stream that admits in arrival order.
+
+    Scale: ONE window over the group key (one shuffle on ``group_cols``)
+    computing the running sum; no global order, no second pass.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = F.col(bytes_col).cast("long")
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.where(b.isNotNull() & (b >= 0))
+        .withColumn("__cum", F.sum(b).over(w))
+        .where(F.col("__cum") <= int(budget))
+        .drop("__cum")
+    )
+
+
 def schema_diff(old: DataFrame, new: DataFrame) -> dict[str, list]:
     """Schema drift report between two table versions: added / removed /
     type-changed columns (by name; order changes are not drift). The

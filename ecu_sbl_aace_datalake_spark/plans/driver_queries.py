@@ -12879,3 +12879,44 @@ ORACLES.update({
     "url_dedup": SQL_URL_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
 })
+
+
+def q_byte_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BYTE budget (transform.cap_per_group_bytes): admit docs
+    in md5-hash priority order while each source's cumulative admitted
+    bytes stay within 3000 — the size-aware mixture control (a count cap
+    lets one source dominate by length; the byte budget bounds actual
+    training tokens). Prefix cumsum rule: one window per source, no
+    global sort, replayable from (salt, id, budget) alone."""
+    from ..operators import transform as tf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = tf.cap_per_group_bytes(docs, "source", "n_chars", 3000, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("bytes_admitted"),
+    )
+
+
+SQL_BYTE_BUDGET_MIXTURE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes_admitted
+FROM ranked WHERE cum <= 3000
+GROUP BY source
+"""
+
+
+QUERIES.update({"byte_budget_mixture": q_byte_budget_mixture})
+ORACLES.update({"byte_budget_mixture": SQL_BYTE_BUDGET_MIXTURE})

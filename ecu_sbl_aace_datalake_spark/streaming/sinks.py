@@ -462,6 +462,7 @@ def foreach_batch_corpus_ingest(
     min_quality: float = 0.5,
     lang_model: dict | None = None,
     cap_per_source: int | None = None,
+    byte_budget_per_source: int | None = None,
     near_dup: bool = True,
     threshold: float = 0.7,
     benchmark_df: DataFrame | None = None,
@@ -498,6 +499,16 @@ def foreach_batch_corpus_ingest(
        admits only up to the REMAINING budget per source, chosen by the
        same md5 priority as :func:`~..operators.transform.cap_per_group`
        so the admitted set is deterministic under replays/retries.
+    6. per-source BYTE budgets across batches (round 8,
+       ``byte_budget_per_source``) — the size-aware sibling of step 5:
+       a second state table ``{table}_src_bytes`` accumulates ADMITTED
+       ``octet_length(text)`` per source (the state's ``sum_dec``
+       monoid); each batch admits rows in md5-priority order while the
+       inclusive running byte sum stays within the remaining budget —
+       the same prefix rule as
+       :func:`~..operators.transform.cap_per_group_bytes`, so admission
+       is replayable and never depends on arrival order. Composes with
+       step 5 (count cap applies first).
 
     Idempotency: replayed batches re-filter against the corpus hash door
     (survivors are already in the corpus → rejected) and the counts state
@@ -528,6 +539,7 @@ def foreach_batch_corpus_ingest(
     )
 
     counts_table = f"{table_name}_src_counts"
+    bytes_table = f"{table_name}_src_bytes"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -601,16 +613,60 @@ def foreach_batch_corpus_ingest(
                     F.col("__rn")
                     <= F.lit(int(cap_per_source)) - F.coalesce("__used", F.lit(0))
                 ).drop("__rn", "__used")
+            if byte_budget_per_source is not None:
+                from pyspark.sql import Window
+
+                # inclusive running byte sum in md5-priority order vs the
+                # REMAINING budget (accumulated admitted bytes live in the
+                # {table}_src_bytes state's sum_dec monoid) — the
+                # cap_per_group_bytes prefix rule, replay-deterministic
+                prib = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("capb"), F.col(id_col).cast("string"))),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long")
+                wb = (
+                    Window.partitionBy(source_col)
+                    .orderBy(prib.asc(), F.col(id_col).asc())
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                batch = batch.withColumn(
+                    "__nb", F.octet_length(F.col(text_col)).cast("long")
+                )
+                if table_exists(spark, lakehouse, bytes_table):
+                    usedb = read_table(spark, lakehouse, bytes_table).select(
+                        F.col(source_col),
+                        F.col("sum_dec").cast("long").alias("__usedb"),
+                    )
+                    batch = batch.join(F.broadcast(usedb), source_col, "left")
+                else:
+                    batch = batch.withColumn("__usedb", F.lit(None).cast("long"))
+                batch = (
+                    batch.withColumn("__cumb", F.sum("__nb").over(wb))
+                    .where(
+                        F.col("__cumb")
+                        <= F.lit(int(byte_budget_per_source))
+                        - F.coalesce("__usedb", F.lit(0))
+                    )
+                    .drop("__cumb", "__usedb")
+                )
             accepted = batch.localCheckpoint()
             if accepted.isEmpty():
                 return
+            corpus_out = accepted.drop("__nb") if byte_budget_per_source is not None else accepted
             if path_exists(spark, path):
-                append_table(lakehouse, table_name, accepted)
+                append_table(lakehouse, table_name, corpus_out)
             else:
-                write_table(lakehouse, table_name, accepted)
+                write_table(lakehouse, table_name, corpus_out)
             if cap_per_source is not None:
                 merge_batch_into_state(
                     lakehouse, counts_table, [source_col], id_col,
+                    accepted, batch_id, with_hll=False,
+                )
+            if byte_budget_per_source is not None:
+                merge_batch_into_state(
+                    lakehouse, bytes_table, [source_col], "__nb",
                     accepted, batch_id, with_hll=False,
                 )
         finally:

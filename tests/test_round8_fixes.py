@@ -186,3 +186,42 @@ class TestPooledSelection:
             df, k=2, candidate_pool=pool).orderBy("rank").collect()]
         # min-id in pool is 1; farthest from [0.7,0.7] among {3,5} is 5
         assert got == [1, 5], got
+
+
+class TestCapPerGroupBytes:
+    def test_prefix_rule_and_invalid_rows(self, spark):
+        import hashlib
+
+        from ecu_sbl_aace_datalake_spark.operators import transform as tf
+
+        rows = [(1, "s0", 40), (2, "s0", 45), (3, "s0", 30),
+                (4, "s0", None), (5, "s0", -1),      # unbudgetable: rejected
+                (6, "s1", 200), (7, "s1", 10)]       # 200 > budget blocks 6
+        df = spark.createDataFrame(rows, "doc_id long, source string, nb long")
+        kept = {r.doc_id for r in tf.cap_per_group_bytes(
+            df, "source", "nb", 90, "doc_id").collect()}
+        # replicate the prefix rule locally
+        pri = lambda i: int(hashlib.md5(f"cap{i}".encode()).hexdigest()[:15], 16)
+        sizes = {1: 40, 2: 45, 3: 30}
+        expect = set()
+        cum = 0
+        for i in sorted(sizes, key=lambda i: (pri(i), i)):
+            cum += sizes[i]
+            if cum <= 90:
+                expect.add(i)
+        # s1: whichever of {6,7} has smaller priority leads the prefix;
+        # 200 always overflows — if 6 leads, the inclusive cumsum never
+        # returns under budget (prefix rule: no back-fill), else only 7
+        s1 = [i for i in sorted((6, 7), key=lambda i: (pri(i), i))]
+        cum = 0
+        for i in s1:
+            cum += {6: 200, 7: 10}[i]
+            if cum <= 90:
+                expect.add(i)
+        assert kept == expect, (kept, expect)
+
+    def test_budget_zero_admits_nothing(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform as tf
+
+        df = spark.createDataFrame([(1, "s0", 1)], "doc_id long, source string, nb long")
+        assert tf.cap_per_group_bytes(df, "source", "nb", 0, "doc_id").count() == 0

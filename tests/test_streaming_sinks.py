@@ -634,3 +634,88 @@ class TestForeachBatchCorpusIngest:
         assert set(corpus.select("lang_pred").distinct().toPandas()["lang_pred"]) <= set(
             classifier.LANG_NB_V1["langs"]
         )
+
+
+class TestForeachBatchByteBudget:
+    def test_cross_batch_byte_budget(self, spark, tmp_path):
+        """Round 8: per-source BYTE budgets across batches — admitted
+        octet_length(text) accumulates in the {table}_src_bytes state and
+        later batches admit only into the remaining budget, md5-priority
+        prefix rule (transform.cap_per_group_bytes semantics)."""
+        import glob
+        import hashlib
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "the cat and the hat went off to the market",
+            3: "the sun and the moon and all of the stars",
+            4: "the rain in spain falls mostly on the plain",
+            11: "the wind and the waves and also the tide",
+            12: "the bird and the bee and also the tree",
+        }
+        b1 = [(1, texts[1], "s0"), (2, texts[2], "s0"), (3, texts[3], "s0"),
+              (4, texts[4], "s1")]
+        b2 = [(11, texts[11], "s0"), (12, texts[12], "s1")]
+        src = str(tmp_path / "bb_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/batch{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        budget = 90
+        lh = Lakehouse("x", str(tmp_path / "bb_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "bb_ckpt"),
+            keep_langs=("en",), min_quality=0.0,
+            byte_budget_per_source=budget, near_dup=False,
+        )
+        q.awaitTermination(240)
+
+        # replicate the cross-batch prefix rule locally (ASCII: len==bytes)
+        prib = lambda i: int(hashlib.md5(f"capb{i}".encode()).hexdigest()[:15], 16)
+        expect, used = set(), {"s0": 0, "s1": 0}
+        for rows in (b1, b2):
+            for s in ("s0", "s1"):
+                ids = [i for i, _, g in rows if g == s]
+                cum = 0
+                for i in sorted(ids, key=lambda i: (prib(i), i)):
+                    cum += len(texts[i])
+                    if cum <= budget - used[s]:
+                        expect.add(i)
+            for s in ("s0", "s1"):
+                used[s] += sum(len(texts[i]) for i in expect
+                               if any(r[0] == i and r[2] == s for r in rows))
+        corpus = read_path(spark, str(tmp_path / "bb_lh") + "/Tables/corpus")
+        kept = {r.doc_id for r in corpus.collect()}
+        assert kept == expect, (kept, expect)
+        # the __nb accounting column must NOT leak into the corpus table
+        assert "__nb" not in corpus.columns
+        # bytes state equals the admitted byte totals
+        state = read_path(
+            spark, str(tmp_path / "bb_lh") + "/Tables/corpus_src_bytes"
+        )
+        got = {r["source"]: int(r["sum_dec"]) for r in state.collect()}
+        want = {s: sum(len(texts[i]) for i in expect
+                       if any(r[0] == i and r[2] == s for r in b1 + b2))
+                for s in ("s0", "s1")}
+        assert got == want, (got, want)
