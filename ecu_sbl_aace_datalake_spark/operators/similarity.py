@@ -20,6 +20,7 @@ expression path is competitive at 64 dims and avoids worker startup.
 from __future__ import annotations
 
 import decimal
+import math
 
 import numpy as np
 import pandas as pd
@@ -1552,6 +1553,69 @@ def mmr_selection(
     id_ddl = _id_ddl(df, id_col)
     return spark.createDataFrame(
         sel_out, f"rank int, id {id_ddl}, rel double"
+    )
+
+
+def centroid_quality(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """DataComp/LAION-style centroid quality score: cosine similarity of
+    every vector to the CENTROID of a trusted reference set — the
+    cheapest learned-free quality signal over an embedding column (score
+    high = looks like the curated seed corpus; threshold or weight
+    downstream). ``ref_df`` supplies the reference vectors (any frame
+    with ``vec_col`` — typically a curated slice of the same table).
+
+    Shape for 100 TB: ONE dim-bounded aggregate over the reference
+    (per-dim exact-DECIMAL sums, so the centroid is bit-identical under
+    any partitioning — the float mean would depend on summation order),
+    centroid collected to the driver (dim doubles) and embedded as a
+    literal, then a single MAP-SIDE pass scores the corpus — no join, no
+    shuffle on the big side.
+
+    Returns ``(id_col, quality)``, cosine rounded to ``round_to``; NULL
+    for zero-norm vectors. Raises when the reference is empty.
+    """
+    cells = (
+        ref_df.where(F.col(vec_col).isNotNull())
+        .select(F.posexplode(F.col(vec_col)))
+        .select(
+            F.col("pos").alias("__d"),
+            F.col("col").cast("decimal(18,12)").alias("__x"),
+        )
+    )
+    cent_rows = (
+        cells.groupBy("__d")
+        .agg(
+            (F.sum("__x").cast("double") / F.count(F.lit(1))).alias("__c")
+        )
+        .orderBy("__d")
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("centroid_quality: empty reference set")
+    cent = [r["__c"] for r in cent_rows]
+    norm_c = math.sqrt(sum(c * c for c in cent))
+    cent_lit = F.array(*[F.lit(float(c)) for c in cent])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, cent_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    quality = F.when(
+        (nv > 0) & F.lit(norm_c > 0),
+        F.round(dot / (nv * F.lit(norm_c)), round_to),
+    )
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), quality.alias("quality")
     )
 
 

@@ -12920,3 +12920,46 @@ GROUP BY source
 
 QUERIES.update({"byte_budget_mixture": q_byte_budget_mixture})
 ORACLES.update({"byte_budget_mixture": SQL_BYTE_BUDGET_MIXTURE})
+
+
+def q_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp-style centroid quality score (similarity.centroid_quality):
+    cosine of every embedding to the exact-decimal centroid of a curated
+    reference slice (vec_id % 10 == 0) — one dim-bounded reference
+    aggregate, centroid broadcast as a literal, one map-side corpus pass
+    (no join on the big side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.centroid_quality(emb, ref)
+
+
+SQL_CENTROID_QUALITY = """
+WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+-- exact-decimal per-dim sums so the centroid matches Spark bit-for-bit
+cent AS (
+  SELECT d.i,
+         CAST(SUM(CAST(r.v[d.i] AS DECIMAL(18,12))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM e r CROSS JOIN dims d
+  WHERE r.id % 10 = 0
+  GROUP BY d.i
+),
+nc AS (SELECT SQRT(SUM(c * c)) AS n FROM cent),
+scores AS (
+  SELECT e.id,
+         SUM(CAST(e.v[d.i] AS DOUBLE) * cent.c) AS dot,
+         SQRT(SUM(CAST(e.v[d.i] AS DOUBLE) * CAST(e.v[d.i] AS DOUBLE))) AS nv
+  FROM e CROSS JOIN dims d JOIN cent ON cent.i = d.i
+  GROUP BY e.id
+)
+SELECT id AS vec_id,
+       CASE WHEN nv > 0 AND (SELECT n FROM nc) > 0
+            THEN ROUND(dot / (nv * (SELECT n FROM nc)), 6) END AS quality
+FROM scores
+"""
+
+
+QUERIES.update({"centroid_quality": q_centroid_quality})
+ORACLES.update({"centroid_quality": SQL_CENTROID_QUALITY})

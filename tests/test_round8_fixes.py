@@ -225,3 +225,22 @@ class TestCapPerGroupBytes:
 
         df = spark.createDataFrame([(1, "s0", 1)], "doc_id long, source string, nb long")
         assert tf.cap_per_group_bytes(df, "source", "nb", 0, "doc_id").count() == 0
+
+
+class TestCentroidQuality:
+    def test_scores_and_edge_cases(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+                (4, [0.0, 0.0]),            # zero norm -> NULL
+                (5, None)]                  # null vector -> excluded
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        ref = spark.createDataFrame([(9, [1.0, 0.0]), (10, [1.0, 0.0])],
+                                    "vec_id long, embedding array<double>")
+        got = {r.vec_id: r.quality for r in
+               similarity.centroid_quality(df, ref).collect()}
+        assert got == {1: 1.0, 2: 0.0, 3: -1.0, 4: None}
+        with pytest.raises(ValueError, match="empty reference"):
+            similarity.centroid_quality(df, df.where("vec_id = 99"))
