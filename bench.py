@@ -213,6 +213,12 @@ BENCH_QUERIES = [
     "mahalanobis_outliers",
     "sessionize_capped",
     "keyword_screening",
+    "mmr_pooled",
+    "url_canonicalize",
+    "url_dedup",
+    "domain_stats",
+    "byte_budget_mixture",
+    "centroid_quality",
 ]
 
 
