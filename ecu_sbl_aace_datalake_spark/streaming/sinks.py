@@ -469,6 +469,7 @@ def foreach_batch_corpus_ingest(
     decontaminate_ngram: int = 8,
     decontaminate_fuzzy_threshold: float = 0.5,
     decontaminate_fuzzy_ngram: int = 3,
+    url_col: str | None = None,
 ) -> Any:
     """STREAMING training-corpus preparation — the foreachBatch composition
     of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
@@ -499,6 +500,16 @@ def foreach_batch_corpus_ingest(
        admits only up to the REMAINING budget per source, chosen by the
        same md5 priority as :func:`~..operators.transform.cap_per_group`
        so the admitted set is deterministic under replays/retries.
+    0. URL door (round 8, ``url_col``) — the CHEAPEST gate runs first:
+       batch rows are deduped at canonical-URL granularity
+       (:func:`~..operators.urls.url_dedup`, smallest id wins) and rows
+       whose canonical URL is already in the corpus are anti-joined away
+       BEFORE any content hashing/shingling — the CCNet crawl-ingest
+       shape (most re-crawls are the same URL; content dedup only sees
+       the residue). The corpus table carries ``canonical_url`` as a
+       provenance column so the door is one equi-anti-join on a string
+       key; rows that don't canonicalize (no http/https scheme) skip the
+       door and fall through to the content gates.
     6. per-source BYTE budgets across batches (round 8,
        ``byte_budget_per_source``) — the size-aware sibling of step 5:
        a second state table ``{table}_src_bytes`` accumulates ADMITTED
@@ -545,6 +556,13 @@ def foreach_batch_corpus_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if url_col is not None:
+            # in-batch URL door first — cheapest gate, biggest cut on
+            # re-crawls; appends the canonical_url provenance column the
+            # cross-batch anti-join below keys on
+            from ..operators.urls import url_dedup as _url_dedup
+
+            batch_df = _url_dedup(batch_df, url_col, tiebreak=id_col)
         if lang_model is not None:
             pred = classifier.lang_id_nb(
                 batch_df, lang_model, id_col=id_col, text_col=text_col
@@ -583,6 +601,16 @@ def foreach_batch_corpus_ingest(
             path = table_path(lakehouse, table_name)
             if path_exists(spark, path):
                 corpus = read_path(spark, path)
+                if url_col is not None and "canonical_url" in corpus.columns:
+                    # cross-batch URL door: one string-key anti-join; NULL
+                    # canonicals (uncanonicalizable rows) never match and
+                    # fall through to the content gates
+                    known = (
+                        corpus.select("canonical_url")
+                        .where(F.col("canonical_url").isNotNull())
+                        .distinct()
+                    )
+                    batch = batch.join(known, "canonical_url", "left_anti")
                 batch = dedup_against_corpus(batch, corpus, text_col)
                 if near_dup:
                     batch = neardup_dedup_against_corpus(

@@ -719,3 +719,71 @@ class TestForeachBatchByteBudget:
                        if any(r[0] == i and r[2] == s for r in b1 + b2))
                 for s in ("s0", "s1")}
         assert got == want, (got, want)
+
+
+class TestForeachBatchUrlDoor:
+    def test_url_door_across_batches(self, spark, tmp_path):
+        """Round 8: the URL door — in-batch canonical-URL dedup plus a
+        cross-batch anti-join on the corpus's canonical_url column — fires
+        BEFORE the content gates, so a re-crawl of the same page (different
+        tracking params / trailing slash) is rejected even when its text
+        changed; uncanonicalizable URLs fall through to content dedup."""
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string, url string"
+        b1 = [
+            (1, "the quick brown fox jumps over the lazy dog", "s0",
+             "https://a.com/page?utm_source=feed"),
+            (2, "the cat and the hat went off to the market", "s0",
+             "https://a.com/page"),     # same canonical as 1 -> in-batch dup
+            (3, "the sun and the moon and all of the stars", "s0",
+             "not a url"),              # uncanonicalizable: falls through
+        ]
+        b2 = [
+            (10, "the rain in spain falls mostly on the plain", "s0",
+             "https://WWW.A.com/page/"),  # same canonical -> corpus dup,
+                                          # even though the TEXT is new
+            (11, "the wind and the waves and also the tide", "s0",
+             "https://a.com/other"),
+        ]
+        src = str(tmp_path / "ud_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/batch{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "ud_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "ud_ckpt"),
+            keep_langs=("en",), min_quality=0.0,
+            near_dup=False, url_col="url",
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "ud_lh") + "/Tables/corpus")
+        kept = {r.doc_id: r.canonical_url for r in corpus.collect()}
+        # 1 wins the in-batch canonical group over 2; 3 has NULL canonical
+        # but novel text; 10 is killed by the URL door despite novel text;
+        # 11 is a new URL
+        assert set(kept) == {1, 3, 11}, kept
+        assert kept[1] == "https://a.com/page"
+        assert kept[3] is None
+        assert kept[11] == "https://a.com/other"
