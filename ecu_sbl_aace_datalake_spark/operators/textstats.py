@@ -686,6 +686,64 @@ def bigram_lm_scores(
     return df.join(scored, id_col, "left")
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3): score
+    every document with the corpus-self-trained bigram LM
+    (:func:`bigram_lm_scores`), rank by fluency (higher mean log-prob
+    first, id tiebreak), and split into ``n_buckets`` equal rank slices —
+    ``head`` (most fluent) / ``middle`` / ``tail``, the standard quality
+    partition that downstream mixtures sample from at different rates.
+
+    Bucket boundaries are RANK-based (``floor(n_buckets·(rank−1)/n)``),
+    not score-quantile-based, so the split is exact, deterministic, and
+    oracle-replicable (scores are 4dp-rounded by the LM; the id tiebreak
+    resolves equal scores identically in any engine). Docs the LM cannot
+    score (< 2 tokens) get a NULL bucket.
+
+    Scale: the LM is two count shuffles + one join; the global rank uses
+    :func:`~.transform.add_index_col_distributed` (range partition +
+    broadcast offsets) — never a single-partition sort.
+
+    Returns ``df`` + ``lm_logprob``, ``n_bigrams``, ``bucket``.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    from .transform import add_index_col_distributed
+
+    scored = bigram_lm_scores(df, text_col, id_col, add_k=add_k)
+    ok = scored.where(F.col("lm_logprob").isNotNull())
+    ranked = add_index_col_distributed(
+        ok.withColumn("__neg", -F.col("lm_logprob")),
+        col_name="__rk",
+        order_by=["__neg", id_col],
+    ).drop("__neg")
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    lab = F.array(*[F.lit(s) for s in labels])
+    bucket = F.element_at(
+        lab,
+        (
+            F.floor(
+                F.lit(int(n_buckets)) * (F.col("__rk") - 1) / F.col("__n")
+            )
+            + 1
+        ).cast("int"),
+    )
+    out_ok = ranked.crossJoin(F.broadcast(n)).select(
+        *scored.columns, bucket.alias("bucket")
+    )
+    out_null = scored.where(F.col("lm_logprob").isNull()).withColumn(
+        "bucket", F.lit(None).cast("string")
+    )
+    return out_ok.unionByName(out_null)
+
+
 def trigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -12963,3 +12963,71 @@ FROM scores
 
 QUERIES.update({"centroid_quality": q_centroid_quality})
 ORACLES.update({"centroid_quality": SQL_CENTROID_QUALITY})
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets (textstats.ccnet_buckets): rank every doc
+    by corpus-self-trained bigram-LM fluency and split into head/middle/
+    tail thirds — the quality partition downstream mixtures sample at
+    different rates. Rank-exact boundaries (floor(3·(rank−1)/n), 4dp LM
+    scores, id tiebreak), distributed rank via range partition + offsets,
+    never a single-partition sort. Output: per-bucket membership proof
+    (count + id checksum + score range)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textstats.ccnet_buckets(docs)
+    return (
+        out.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("lm_logprob").alias("min_score"),
+            F.max("lm_logprob").alias("max_score"),
+        )
+    )
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+         i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+  FROM base WHERE len(t) >= 2
+),
+flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM flat GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM base)),
+scored AS (
+  SELECT doc_id,
+         ROUND(AVG(LN((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 4) AS lm_logprob
+  FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, lm_logprob,
+         ROW_NUMBER() OVER (ORDER BY lm_logprob DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+tagged AS (
+  SELECT doc_id, lm_logprob,
+         ['head', 'middle', 'tail'][CAST(FLOOR(3 * (rk - 1) / n) AS INT) + 1]
+           AS bucket
+  FROM ranked
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       MIN(lm_logprob) AS min_score,
+       MAX(lm_logprob) AS max_score
+FROM tagged
+GROUP BY bucket
+"""
+
+
+QUERIES.update({"ccnet_buckets": q_ccnet_buckets})
+ORACLES.update({"ccnet_buckets": SQL_CCNET_BUCKETS})

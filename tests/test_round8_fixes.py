@@ -244,3 +244,34 @@ class TestCentroidQuality:
         assert got == {1: 1.0, 2: 0.0, 3: -1.0, 4: None}
         with pytest.raises(ValueError, match="empty reference"):
             similarity.centroid_quality(df, df.where("vec_id = 99"))
+
+
+class TestCcnetBuckets:
+    def test_rank_split_and_unscorable(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        # 6 scorable docs -> exact thirds; "x" (1 token) is unscorable
+        rows = [(1, "the cat sat on the mat"),
+                (2, "the cat sat on the mat"),
+                (3, "the dog sat on the mat"),
+                (4, "zz qq ww ee rr tt"),
+                (5, "the cat ran to the mat"),
+                (6, "qq zz ee ww tt rr"),
+                (7, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textstats.ccnet_buckets(df).collect()
+        buckets = {r.doc_id: r.bucket for r in out}
+        assert buckets[7] is None
+        from collections import Counter
+
+        sizes = Counter(b for i, b in buckets.items() if i != 7)
+        assert sizes == {"head": 2, "middle": 2, "tail": 2}
+        # gibberish bigrams are rarer -> lower logprob -> tail
+        assert buckets[4] == "tail" and buckets[6] == "tail"
+        scores = {r.doc_id: r.lm_logprob for r in out}
+        # identical docs share a score; the id tiebreak puts both in head
+        assert scores[1] == scores[2] and buckets[1] == buckets[2] == "head"
+        with pytest.raises(ValueError, match="labels"):
+            textstats.ccnet_buckets(df, n_buckets=4)
