@@ -83,6 +83,57 @@ def column_uniqueness(
     return {c: min(row[c] / n, 1.0) for c in cols}
 
 
+def _uniqueness_all(
+    tables: dict[str, DataFrame],
+    exact: bool,
+    cols_by_table: dict[str, list[str]] | None = None,
+) -> dict[str, dict[str, float]]:
+    """Per-column uniqueness for EVERY table in ONE action: each (table,
+    column) contributes a 1-row single-column aggregate and the union
+    executes all branches inside a single job. For ``exact=True`` this
+    avoids the multi-``count_distinct`` EXPAND (one wide aggregate
+    multiplies every row by the column count — measured 7.9 s for the
+    TPC-H set vs ~2 s batched); each branch scans only its own parquet
+    column, so total I/O matches the wide form while the row blow-up and
+    the job-per-table serialization both disappear. ``cols_by_table``
+    restricts the branches (find_relationships only needs the columns
+    that appear in candidate pairs — distinct-counting a 600k-row
+    comment column nobody gates on was the measured top cost)."""
+    from functools import reduce
+
+    cd = F.count_distinct if exact else F.approx_count_distinct
+    parts = []
+    for t, df in tables.items():
+        wanted = (
+            df.columns if cols_by_table is None else cols_by_table.get(t, [])
+        )
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("d")).select(
+                F.lit(t).alias("t"), F.lit("__n").alias("c"),
+                F.col("d").cast("double").alias("d"),
+            )
+        )
+        for c in wanted:
+            parts.append(
+                df.agg(cd(c).alias("d")).select(
+                    F.lit(t).alias("t"), F.lit(c).alias("c"),
+                    F.col("d").cast("double").alias("d"),
+                )
+            )
+    rows = reduce(lambda a, b: a.unionByName(b), parts).collect()
+    counts: dict[str, float] = {}
+    dists: dict[str, dict[str, float]] = {t: {} for t in tables}
+    for r in rows:
+        if r["c"] == "__n":
+            counts[r["t"]] = r["d"] or 1.0
+        else:
+            dists[r["t"]][r["c"]] = r["d"]
+    return {
+        t: {c: min(d / max(counts.get(t, 1.0), 1.0), 1.0) for c, d in cols.items()}
+        for t, cols in dists.items()
+    }
+
+
 def find_relationships(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -99,15 +150,25 @@ def find_relationships(
     coverage_threshold. Output columns: from_table, from_col, to_table,
     to_col, coverage, to_uniqueness, many_to_one.
     """
-    uniq = {
-        t: column_uniqueness(df, exact=exact_uniqueness)
-        for t, df in tables.items()
-    }
-    rows = []
-    for cand in candidate_pairs(tables, name_similarity_threshold):
-        to_uniq = uniq[cand.to_table].get(cand.to_col, 0.0)
-        if to_uniq < uniqueness_threshold:
-            continue
+    cands = candidate_pairs(tables, name_similarity_threshold)
+    needed: dict[str, list[str]] = {t: [] for t in tables}
+    for c in cands:
+        for t, col in ((c.to_table, c.to_col), (c.from_table, c.from_col)):
+            if col not in needed[t]:
+                needed[t].append(col)
+    uniq = _uniqueness_all(tables, exact=exact_uniqueness, cols_by_table=needed)
+    survivors = [
+        cand
+        for cand in cands
+        if uniq[cand.to_table].get(cand.to_col, 0.0) >= uniqueness_threshold
+    ]
+    # ONE action for ALL candidate pairs: each pair contributes a 1-row
+    # (pair, total, uncovered) aggregate and the union executes every
+    # branch inside a single job, scheduled across the cluster — the
+    # per-pair .first() loop this replaces ran N sequential jobs
+    # (measured ~10 s -> ~2 s on the 38-pair TPC-H fixture set)
+    stats_parts = []
+    for i, cand in enumerate(survivors):
         from_vals = (
             tables[cand.from_table]
             .select(F.col(cand.from_col).alias("v"))
@@ -120,16 +181,26 @@ def find_relationships(
             .distinct()
             .withColumn("__hit", F.lit(1))
         )
-        # total + uncovered in ONE job (left join + aggregate), not two
-        stats = (
+        # total + uncovered in ONE aggregate (left join), not two
+        stats_parts.append(
             from_vals.join(to_vals, "v", "left")
             .agg(
                 F.count(F.lit(1)).alias("total"),
                 F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("uncovered"),
             )
-            .first()
+            .select(F.lit(i).alias("__i"), "total", "uncovered")
         )
-        total = stats["total"]
+    all_stats: dict[int, tuple] = {}
+    if stats_parts:
+        from functools import reduce
+
+        unioned = reduce(lambda a, b: a.unionByName(b), stats_parts)
+        all_stats = {r["__i"]: r for r in unioned.collect()}
+    rows = []
+    for i, cand in enumerate(survivors):
+        to_uniq = uniq[cand.to_table].get(cand.to_col, 0.0)
+        stats = all_stats.get(i)
+        total = stats["total"] if stats is not None else 0
         if total == 0:
             continue
         coverage = (total - int(stats["uncovered"] or 0)) / total
