@@ -246,6 +246,8 @@ class TestGlobalPlanInvariants:
         "bootstrap_ab_diff",    # same shape: 1-row stats x 1-row CI bounds
         "vocabulary_drift",     # groups x corpus-vocab frame: both sides vocabulary-bounded, t_tot broadcast
         "mahalanobis_outliers",  # 1-row (means + closed-form inverse) stats broadcast
+        "domain_stats",         # 1-row corpus-total scalar broadcast for the share
+        "ccnet_buckets",        # 1-row scored-doc count broadcast (bucket math) + the LM's V scalar
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
