@@ -281,3 +281,67 @@ def temperature_mixture_weights(
         "n_tokens",
         F.round(F.col("__p") / denom + F.lit(1e-9), 6).alias("weight"),
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str,
+    source_col: str = "source",
+    order_col: str | None = None,
+    out_col: str = "interleave_pos",
+) -> DataFrame:
+    """Deterministic STRIDE-SCHEDULED source interleaving — the training
+    data ORDER counterpart of the mixture-sampling ops: lay the corpus
+    out so every prefix holds each source in proportion to its integer
+    weight (a weight-2 source appears twice as often as a weight-1
+    source at every depth), with no RNG anywhere. The standard stride
+    scheduler: row r (0-based, per source, ordered by ``order_col``,
+    default ``id_col``) gets virtual time ``(2r+1)·(M/w)`` with
+    ``M = lcm(weights)`` — EXACT integers, so the global order is
+    engine-independent; ties (equal virtual time across sources) break
+    on (source, id).
+
+    Scale: one window per source for the rank (one shuffle on
+    ``source_col``), then the distributed contiguous index (range
+    partition + broadcast offsets) — never a single-task global sort.
+
+    Raises on unmapped sources (an unweighted source would silently sort
+    first or last); weights must be positive ints. Returns ``df`` +
+    ``out_col`` (0-based global position).
+    """
+    import math as _math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any((not isinstance(w, int)) or w < 1 for w in weights.values()):
+        raise ValueError("weights must be positive ints")
+    m = 1
+    for w in set(weights.values()):
+        m = m * w // _math.gcd(m, w)
+    order = order_col or id_col
+    stride = F.lit(None).cast("long")
+    expr = None
+    for s, w in weights.items():
+        cond = F.col(source_col) == s
+        val = F.lit(m // w).cast("long")
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    stride = expr
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.col(order).asc(), F.col(id_col).asc()
+    )
+    tagged = df.withColumn("__stride", stride)
+    # unmapped source -> NULL stride; fail loudly instead of mis-sorting
+    bad = tagged.where(F.col("__stride").isNull()).select(source_col).first()
+    if bad is not None:
+        raise ValueError(f"no weight for source {bad[0]!r}")
+    ranked = tagged.withColumn(
+        "__v",
+        (2 * (F.row_number().over(w_rank) - 1) + 1) * F.col("__stride"),
+    ).drop("__stride")
+    from .transform import add_index_col_distributed
+
+    out = add_index_col_distributed(
+        ranked, col_name=out_col, order_by=["__v", source_col, id_col]
+    )
+    return out.withColumn(out_col, F.col(out_col) - 1).drop("__v")

@@ -13031,3 +13031,62 @@ GROUP BY bucket
 
 QUERIES.update({"ccnet_buckets": q_ccnet_buckets})
 ORACLES.update({"ccnet_buckets": SQL_CCNET_BUCKETS})
+
+
+def q_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled source interleaving (packing.interleave_sources):
+    deterministic training-data ORDER where every prefix holds each
+    source proportional to its integer weight — virtual time
+    (2r+1)·(lcm/w) in exact integers, global position via the
+    distributed range-partition index (no single-task sort, no RNG).
+    Weights derived from the source name (src<k> → k%3+1) so the oracle
+    replays them. Output proves exact positional assignment per source."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: (int(s[3:]) % 3) + 1 for s in sources}
+    out = packing.interleave_sources(docs, weights, "doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("interleave_pos") * F.col("doc_id")).cast("long").alias(
+            "pos_checksum"
+        ),
+        F.min("interleave_pos").cast("long").alias("first_pos"),
+        F.max("interleave_pos").cast("long").alias("last_pos"),
+    )
+
+
+SQL_INTERLEAVE_MIXTURE = """
+WITH w AS (
+  SELECT doc_id, source,
+         (CAST(SUBSTRING(source, 4) AS INT) % 3) + 1 AS wt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, wt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) - 1
+           AS rk
+  FROM w
+),
+v AS (
+  SELECT doc_id, source, (2 * rk + 1) * (6 // wt) AS vt FROM r
+),
+p AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY vt ASC, source ASC, doc_id ASC) - 1
+           AS pos
+  FROM v
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS pos_checksum,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos
+FROM p
+GROUP BY source
+"""
+
+
+QUERIES.update({"interleave_mixture": q_interleave_mixture})
+ORACLES.update({"interleave_mixture": SQL_INTERLEAVE_MIXTURE})

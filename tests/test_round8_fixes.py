@@ -275,3 +275,33 @@ class TestCcnetBuckets:
         assert scores[1] == scores[2] and buckets[1] == buckets[2] == "head"
         with pytest.raises(ValueError, match="labels"):
             textstats.ccnet_buckets(df, n_buckets=4)
+
+
+class TestInterleaveSources:
+    def test_stride_proportions_every_prefix(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        rows = [(i, "a" if i % 3 else "b") for i in range(1, 13)]  # 8 a, 4 b
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = packing.interleave_sources(df, {"a": 2, "b": 1}, "doc_id")
+        seq = [r.source for r in out.orderBy("interleave_pos").collect()]
+        # 2:1 stride: every prefix of length 3k holds 2k a's and k b's
+        for k in (1, 2, 3, 4):
+            pre = seq[: 3 * k]
+            assert pre.count("a") == 2 * k and pre.count("b") == k, seq
+        # positions are contiguous 0..n-1
+        pos = sorted(r.interleave_pos for r in out.collect())
+        assert pos == list(range(12))
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame([(1, "a"), (2, "c")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="no weight"):
+            packing.interleave_sources(df, {"a": 1}, "doc_id").collect()
+        with pytest.raises(ValueError, match="positive"):
+            packing.interleave_sources(df, {"a": 0, "c": 1}, "doc_id")
+        with pytest.raises(ValueError, match="non-empty"):
+            packing.interleave_sources(df, {}, "doc_id")
