@@ -575,6 +575,65 @@ def duplicate_clusters_bigstar(
     return labeled.union(singletons)
 
 
+def merge_into_clusters(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """INCREMENTAL connected-component maintenance: fold a batch of new
+    near-dup pairs into an existing ``(node, cluster)`` labeling without
+    re-clustering the corpus — the 100 TB answer to "a new crawl shard
+    arrived" (re-running CC over the full pair history per batch is the
+    thing this avoids).
+
+    Correctness leans on the contraction property: an existing labeling
+    is a CONTRACTION of the historical pair graph, so running CC over
+    (node→cluster label edges of the AFFECTED components) ∪ (new pairs)
+    yields exactly the labels a full recompute over history ∪ new pairs
+    would — components untouched by the batch pass through unchanged
+    (their labels never enter the subgraph). Affected = components
+    containing any endpoint of a new pair, found with two semi-joins.
+
+    Cost: two semi-joins on the labeling + big-star CC over the
+    (affected ∪ new) subgraph — O(Δ + touched components), never
+    O(corpus). Cluster ids remain the component-minimum node id (a merge
+    can LOWER a surviving component's id — same convention as a full
+    recompute). Returns the complete new ``(node, cluster)`` relation.
+    """
+    batch_nodes = (
+        new_pairs.select(F.col(id_col_a).alias("node"))
+        .union(new_pairs.select(F.col(id_col_b).alias("node")))
+        .distinct()
+    )
+    aff_clusters = (
+        labels.join(batch_nodes, "node", "left_semi")
+        .select("cluster")
+        .distinct()
+    )
+    aff = labels.join(aff_clusters, "cluster", "left_semi")
+    sub_edges = (
+        aff.select(F.col("node").alias(id_col_a), F.col("cluster").alias(id_col_b))
+        .where(F.col(id_col_a) != F.col(id_col_b))
+        .unionByName(new_pairs.select(id_col_a, id_col_b))
+    )
+    # re-add affected singletons (node == cluster rows carry no edge) via
+    # self-pairs so every affected node keeps a label even if the batch
+    # didn't link it
+    sub_edges = sub_edges.unionByName(
+        aff.select(F.col("node").alias(id_col_a), F.col("node").alias(id_col_b))
+    )
+    relabeled = duplicate_clusters_bigstar(
+        sub_edges, id_col_a=id_col_a, id_col_b=id_col_b, max_iter=max_iter,
+        strict=True,
+    )
+    untouched = labels.join(aff_clusters, "cluster", "left_anti")
+    return untouched.select("node", "cluster").unionByName(
+        relabeled.select("node", "cluster")
+    )
+
+
 def dedup_by_clusters(df: DataFrame, id_col: str, clusters: DataFrame) -> DataFrame:
     """Keep one representative (the min-id cluster label) per duplicate
     cluster; rows not in any cluster pass through."""

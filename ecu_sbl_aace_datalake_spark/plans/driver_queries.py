@@ -13090,3 +13090,59 @@ GROUP BY source
 
 QUERIES.update({"interleave_mixture": q_interleave_mixture})
 ORACLES.update({"interleave_mixture": SQL_INTERLEAVE_MIXTURE})
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-component maintenance
+    (dedup.merge_into_clusters): an existing corpus labeling absorbs a
+    batch of NEW near-dup pairs by re-clustering ONLY the affected
+    components (two semi-joins + big-star CC over the subgraph) — never
+    the corpus. Base chains: (d, d+1) for d%10<3; batch merges chains
+    across gaps: (d, d+5) for d%50==0. The oracle is the full recursive
+    transitive closure over base ∪ batch — exactly what a full recompute
+    would produce, proving the incremental path loses nothing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.where(d % 10 < 3).select(
+        d.alias("id_a"), (d + 1).alias("id_b")
+    )
+    labels = dedup.duplicate_clusters_bigstar(base)
+    batch = docs.where(d % 50 == 0).select(
+        d.alias("id_a"), (d + 5).alias("id_b")
+    )
+    merged = dedup.merge_into_clusters(labels, batch)
+    return merged.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("node").cast("long").alias("id_checksum"),
+    ).withColumnRenamed("cluster", "cluster_id")
+
+
+SQL_INCREMENTAL_CLUSTERS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+  WHERE doc_id % 10 < 3
+),
+batch AS (
+  SELECT doc_id AS id_a, doc_id + 5 AS id_b FROM documents
+  WHERE doc_id % 50 = 0
+),
+pairs AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS peer FROM und
+  UNION
+  SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.peer
+)
+SELECT CAST(cluster AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node) AS BIGINT) AS id_checksum
+FROM (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node)
+GROUP BY cluster
+"""
+
+
+QUERIES.update({"incremental_clusters": q_incremental_clusters})
+ORACLES.update({"incremental_clusters": SQL_INCREMENTAL_CLUSTERS})

@@ -305,3 +305,39 @@ class TestInterleaveSources:
             packing.interleave_sources(df, {"a": 0, "c": 1}, "doc_id")
         with pytest.raises(ValueError, match="non-empty"):
             packing.interleave_sources(df, {}, "doc_id")
+
+
+class TestMergeIntoClusters:
+    def test_incremental_equals_full_recompute(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (30, 30)],
+            "id_a long, id_b long",
+        )
+        labels = dedup.duplicate_clusters_bigstar(base)
+        # batch: merges {1,2,3} with {10,11} (lowers 10's cluster to 1),
+        # links a brand-new node 40 to 41, leaves {20,21} untouched
+        batch = spark.createDataFrame(
+            [(3, 10), (40, 41)], "id_a long, id_b long"
+        )
+        merged = {(r.node, r.cluster) for r in
+                  dedup.merge_into_clusters(labels, batch).collect()}
+        full = {(r.node, r.cluster) for r in dedup.duplicate_clusters_bigstar(
+            base.unionByName(batch)).collect()}
+        assert merged == full
+        got = dict(merged)
+        assert got[10] == 1 and got[11] == 1          # merged, id lowered
+        assert got[20] == 20 and got[21] == 20        # untouched passthrough
+        assert got[40] == 40 and got[41] == 40        # new component
+        assert got[30] == 30                          # affected? no: singleton
+
+    def test_empty_batch_is_identity(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        labels = dedup.duplicate_clusters_bigstar(base)
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        got = {(r.node, r.cluster) for r in
+               dedup.merge_into_clusters(labels, empty).collect()}
+        assert got == {(r.node, r.cluster) for r in labels.collect()}
