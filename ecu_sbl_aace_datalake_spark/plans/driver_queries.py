@@ -13146,3 +13146,74 @@ GROUP BY cluster
 
 QUERIES.update({"incremental_clusters": q_incremental_clusters})
 ORACLES.update({"incremental_clusters": SQL_INCREMENTAL_CLUSTERS})
+
+
+def q_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet sampling recipe end-to-end: perplexity-bucket the corpus
+    (textstats.ccnet_buckets), then keep head 100% / middle 50% /
+    tail 10% via the deterministic hash sampler
+    (transform.stratified_sample_by_hash) — reproducible quality-weighted
+    subsampling with no RNG; unscorable docs (NULL bucket) drop. Output
+    proves the exact kept set per bucket."""
+    from ..operators import transform as tf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucketed = textstats.ccnet_buckets(docs).where(F.col("bucket").isNotNull())
+    kept = tf.stratified_sample_by_hash(
+        bucketed, "bucket", {"head": 1.0, "middle": 0.5, "tail": 0.1},
+        "doc_id",
+    )
+    return kept.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+SQL_QUALITY_MIXTURE = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+         i -> {'w1': t[i], 'w2': t[i+1]})) AS g
+  FROM base WHERE len(t) >= 2
+),
+flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM flat GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM base)),
+scored AS (
+  SELECT doc_id,
+         ROUND(AVG(LN((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 4) AS lm_logprob
+  FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, lm_logprob,
+         ROW_NUMBER() OVER (ORDER BY lm_logprob DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+tagged AS (
+  SELECT doc_id,
+         ['head', 'middle', 'tail'][CAST(FLOOR(3 * (rk - 1) / n) AS INT) + 1]
+           AS bucket
+  FROM ranked
+),
+kept AS (
+  SELECT doc_id, bucket FROM tagged
+  WHERE CAST(('0x' || substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+          / 4294967295.0
+        < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5 ELSE 0.1 END
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept
+GROUP BY bucket
+"""
+
+
+QUERIES.update({"quality_mixture": q_quality_mixture})
+ORACLES.update({"quality_mixture": SQL_QUALITY_MIXTURE})

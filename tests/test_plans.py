@@ -248,6 +248,7 @@ class TestGlobalPlanInvariants:
         "mahalanobis_outliers",  # 1-row (means + closed-form inverse) stats broadcast
         "domain_stats",         # 1-row corpus-total scalar broadcast for the share
         "ccnet_buckets",        # 1-row scored-doc count broadcast (bucket math) + the LM's V scalar
+        "quality_mixture",      # composes ccnet_buckets (same bounded scalars)
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

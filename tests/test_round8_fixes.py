@@ -341,3 +341,30 @@ class TestMergeIntoClusters:
         got = {(r.node, r.cluster) for r in
                dedup.merge_into_clusters(labels, empty).collect()}
         assert got == {(r.node, r.cluster) for r in labels.collect()}
+
+
+class TestQualityMixture:
+    def test_head_kept_whole_tail_sampled(self, spark):
+        import hashlib
+
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+        from ecu_sbl_aace_datalake_spark.operators import transform as tf
+
+        rows = [(i, f"the cat sat on the mat {i % 2}") for i in range(1, 7)] + \
+               [(i, f"zz qq ww ee rr tt {i % 2}") for i in range(7, 13)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bucketed = textstats.ccnet_buckets(df).where(F.col("bucket").isNotNull())
+        kept = tf.stratified_sample_by_hash(
+            bucketed, "bucket", {"head": 1.0, "middle": 0.5, "tail": 0.0},
+            "doc_id",
+        )
+        by_bucket = {r.doc_id: r.bucket for r in bucketed.collect()}
+        kept_ids = {r.doc_id for r in kept.collect()}
+        heads = {i for i, b in by_bucket.items() if b == "head"}
+        tails = {i for i, b in by_bucket.items() if b == "tail"}
+        assert heads <= kept_ids            # fraction 1.0 keeps all
+        assert not (tails & kept_ids)       # fraction 0.0 keeps none
+        # middle kept set replays the md5 rule exactly
+        u = lambda i: int(hashlib.md5(f"sample{i}".encode()).hexdigest()[:8], 16) / 4294967295.0
+        mids = {i for i, b in by_bucket.items() if b == "middle"}
+        assert (kept_ids & mids) == {i for i in mids if u(i) < 0.5}
