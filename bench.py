@@ -219,6 +219,12 @@ BENCH_QUERIES = [
     "domain_stats",
     "byte_budget_mixture",
     "centroid_quality",
+    "ccnet_buckets",
+    "interleave_mixture",
+    "incremental_clusters",
+    "quality_mixture",
+    "epoch_plan",
+    "epoch_materialize",
 ]
 
 

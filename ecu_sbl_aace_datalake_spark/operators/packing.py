@@ -345,3 +345,109 @@ def interleave_sources(
         ranked, col_name=out_col, order_by=["__v", source_col, id_col]
     )
     return out.withColumn(out_col, F.col(out_col) - 1).drop("__v")
+
+
+def epoch_plan(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Data-recipe epoch planning (the DoReMi/LLaMA-style mixture sheet):
+    given integer mixture ``weights`` and a total token ``budget``, how
+    many FULL passes (epochs) of each source fit its share, and how many
+    tokens of a partial pass remain. All integer-exact:
+    ``target_s = budget·w_s // Σw``, ``full = target_s // T_s``,
+    ``remainder = target_s % T_s`` (sources with no tokens plan zero).
+
+    One aggregate over the corpus; the plan is sources-sized. Returns
+    ``(source, n_docs, tokens, target_tokens, full_epochs,
+    remainder_tokens)``.
+    """
+    if not weights or any((not isinstance(w, int)) or w < 1 for w in weights.values()):
+        raise ValueError("weights must be non-empty positive ints")
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    sum_w = sum(weights.values())
+    expr = None
+    for s, w in weights.items():
+        c = F.col(source_col) == s
+        expr = F.when(c, w) if expr is None else expr.when(c, w)
+    totals = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("tokens"),
+    )
+    # integer-exact division throughout: (a - a % b) / b on longs — the
+    # subtraction makes the double division exact (values < 2^53), so no
+    # float-floor boundary case can disagree with the SQL oracle's `//`
+    num = F.lit(int(budget_tokens)) * expr.cast("long")
+    target = ((num - num % F.lit(sum_w)) / F.lit(sum_w)).cast("long")
+    toks = F.col("tokens")
+    full = ((target - target % toks) / toks).cast("long")
+    return totals.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        target.alias("target_tokens"),
+        F.when(toks > 0, full).otherwise(F.lit(0)).cast("long").alias(
+            "full_epochs"
+        ),
+        F.when(toks > 0, target % toks).otherwise(F.lit(0)).cast("long").alias(
+            "remainder_tokens"
+        ),
+    )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize an :func:`epoch_plan`: every doc repeats once per full
+    epoch (``epoch`` = 1…full), and the partial pass admits docs in
+    md5-priority order while their cumulative tokens fit
+    ``remainder_tokens`` — the same replayable prefix rule as
+    ``cap_per_group_bytes``, tagged ``epoch = full_epochs + 1``.
+
+    Shape: one broadcast join of the sources-sized plan, one
+    ``explode(sequence)`` fan-out for the full epochs (map-side), one
+    window per source for the partial prefix. Returns ``df`` columns +
+    ``epoch``.
+    """
+    j = df.join(
+        F.broadcast(
+            plan.select(source_col, "full_epochs", "remainder_tokens")
+        ),
+        source_col,
+    )
+    fulls = (
+        j.where(F.col("full_epochs") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("full_epochs")))
+        )
+    )
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        j.where(F.col("remainder_tokens") > 0)
+        .withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .where(F.col("__cum") <= F.col("remainder_tokens"))
+        .withColumn("epoch", (F.col("full_epochs") + 1).cast("int"))
+        .drop("__cum")
+    )
+    keep = [*df.columns, "epoch"]
+    return fulls.select(*keep).unionByName(partial.select(*keep))

@@ -13217,3 +13217,130 @@ GROUP BY bucket
 
 QUERIES.update({"quality_mixture": q_quality_mixture})
 ORACLES.update({"quality_mixture": SQL_QUALITY_MIXTURE})
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe epoch planning (packing.epoch_plan): integer mixture
+    weights (src<k> → k%3+1) + a 1M-token budget → full epochs and
+    partial-pass remainder per source, all integer-exact — the DoReMi/
+    LLaMA mixture sheet as ONE corpus aggregate."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: (int(s[3:]) % 3) + 1 for s in sources}
+    return packing.epoch_plan(
+        docs, weights, budget_tokens=1_000_000, token_col="n_chars"
+    )
+
+
+SQL_EPOCH_PLAN = """
+WITH w AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS tokens,
+         (CAST(SUBSTRING(source, 4) AS INT) % 3) + 1 AS wt
+  FROM documents GROUP BY source
+),
+sw AS (SELECT SUM((CAST(SUBSTRING(source, 4) AS INT) % 3) + 1) AS s
+       FROM (SELECT DISTINCT source FROM documents)),
+t AS (
+  SELECT source, n_docs, tokens,
+         CAST((1000000 * wt) // (SELECT s FROM sw) AS BIGINT)
+           AS target_tokens
+  FROM w
+)
+SELECT source, n_docs, tokens, target_tokens,
+       CAST(CASE WHEN tokens > 0 THEN target_tokens // tokens ELSE 0 END
+            AS BIGINT) AS full_epochs,
+       CAST(CASE WHEN tokens > 0 THEN target_tokens % tokens ELSE 0 END
+            AS BIGINT) AS remainder_tokens
+FROM t
+"""
+
+
+def q_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epochs (packing.materialize_epochs): every doc repeats
+    once per full epoch (map-side explode over the broadcast plan) and the
+    partial pass admits docs by the md5-priority token prefix rule. The
+    epoch-weighted id checksum proves the exact materialized multiset."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: (int(s[3:]) % 3) + 1 for s in sources}
+    plan = packing.epoch_plan(
+        docs, weights, budget_tokens=1_000_000, token_col="n_chars"
+    )
+    mat = packing.materialize_epochs(
+        docs, plan, "doc_id", token_col="n_chars"
+    )
+    return mat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("tokens_out"),
+        F.sum(F.col("doc_id") * F.col("epoch")).cast("long").alias(
+            "epoch_checksum"
+        ),
+    )
+
+
+SQL_EPOCH_MATERIALIZE = """
+WITH w AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS tokens,
+         (CAST(SUBSTRING(source, 4) AS INT) % 3) + 1 AS wt
+  FROM documents GROUP BY source
+),
+sw AS (SELECT SUM((CAST(SUBSTRING(source, 4) AS INT) % 3) + 1) AS s
+       FROM (SELECT DISTINCT source FROM documents)),
+plan AS (
+  SELECT source, tokens,
+         CAST((1000000 * wt) // (SELECT s FROM sw) AS BIGINT) AS target
+  FROM w
+),
+p2 AS (
+  SELECT source,
+         CASE WHEN tokens > 0 THEN target // tokens ELSE 0 END AS fulle,
+         CASE WHEN tokens > 0 THEN target % tokens ELSE 0 END AS rem
+  FROM plan
+),
+fulls AS (
+  SELECT d.doc_id, d.source, d.n_chars, e.epoch
+  FROM documents d
+  JOIN p2 USING (source)
+  JOIN LATERAL (SELECT unnest(generate_series(1, CAST(p2.fulle AS INT)))
+                AS epoch) e ON TRUE
+  WHERE p2.fulle > 0
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, p2.fulle, p2.rem,
+         SUM(d.n_chars) OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substring(md5('epoch' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents d JOIN p2 USING (source)
+  WHERE p2.rem > 0
+),
+partial AS (
+  SELECT doc_id, source, n_chars, CAST(fulle + 1 AS INT) AS epoch
+  FROM ranked WHERE cum <= rem
+),
+mat AS (SELECT * FROM fulls UNION ALL SELECT * FROM partial)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS tokens_out,
+       CAST(SUM(doc_id * epoch) AS BIGINT) AS epoch_checksum
+FROM mat
+GROUP BY source
+"""
+
+
+QUERIES.update({
+    "epoch_plan": q_epoch_plan,
+    "epoch_materialize": q_epoch_materialize,
+})
+ORACLES.update({
+    "epoch_plan": SQL_EPOCH_PLAN,
+    "epoch_materialize": SQL_EPOCH_MATERIALIZE,
+})

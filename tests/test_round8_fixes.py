@@ -368,3 +368,53 @@ class TestQualityMixture:
         u = lambda i: int(hashlib.md5(f"sample{i}".encode()).hexdigest()[:8], 16) / 4294967295.0
         mids = {i for i, b in by_bucket.items() if b == "middle"}
         assert (kept_ids & mids) == {i for i in mids if u(i) < 0.5}
+
+
+class TestEpochPlanning:
+    def test_plan_integer_exact_and_materialize(self, spark):
+        import hashlib
+
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        rows = [(1, "a", 100), (2, "a", 200), (3, "b", 50), (4, "b", 50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        # Σw = 3; a target = 1000*2//3 = 666 -> 2 full epochs of 300 + 66 rem
+        #          b target = 1000*1//3 = 333 -> 3 full epochs of 100 + 33 rem
+        plan = {r.source: r for r in packing.epoch_plan(
+            df, {"a": 2, "b": 1}, 1000).collect()}
+        assert (plan["a"].target_tokens, plan["a"].full_epochs,
+                plan["a"].remainder_tokens) == (666, 2, 66)
+        assert (plan["b"].target_tokens, plan["b"].full_epochs,
+                plan["b"].remainder_tokens) == (333, 3, 33)
+        mat = packing.materialize_epochs(
+            df, packing.epoch_plan(df, {"a": 2, "b": 1}, 1000), "doc_id"
+        ).collect()
+        by_src = {}
+        for r in mat:
+            by_src.setdefault(r.source, []).append((r.doc_id, r.epoch))
+        # a: both docs twice (epochs 1,2); rem=66 < min(100,200): no partial
+        assert sorted(by_src["a"]) == [(1, 1), (1, 2), (2, 1), (2, 2)]
+        # b: both docs 3x; rem=33 < 50: no partial row
+        assert sorted(by_src["b"]) == [(3, e) for e in (1, 2, 3)] + [(4, e) for e in (1, 2, 3)]
+        # partial pass fires when rem fits a doc: budget 1050 -> a rem 700%300=100
+        plan2 = packing.epoch_plan(df, {"a": 2, "b": 1}, 1050)
+        mat2 = packing.materialize_epochs(df, plan2, "doc_id")
+        a3 = [(r.doc_id, r.epoch) for r in mat2.where("source='a' and epoch=3").collect()]
+        pri = lambda i: int(hashlib.md5(f"epoch{i}".encode()).hexdigest()[:15], 16)
+        # rem=100: prefix rule over md5 order — doc 1 (100 tok) fits only if
+        # it precedes doc 2 (200 tok, never fits alone under 100)
+        expect = [(1, 3)] if pri(1) < pri(2) or (pri(1) == pri(2)) else []
+        if pri(2) < pri(1):
+            expect = []  # doc 2 first: inclusive cumsum 200 > 100 blocks all
+        assert a3 == expect, (a3, expect)
+
+    def test_plan_validation(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame([(1, "a", 10)], "doc_id long, source string, n_tokens long")
+        with pytest.raises(ValueError, match="weights"):
+            packing.epoch_plan(df, {}, 100)
+        with pytest.raises(ValueError, match="budget"):
+            packing.epoch_plan(df, {"a": 1}, -1)
