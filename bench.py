@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "quality_mixture",
     "epoch_plan",
     "epoch_materialize",
+    "crawl_snapshot_diff",
 ]
 
 

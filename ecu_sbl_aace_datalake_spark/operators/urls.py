@@ -40,6 +40,7 @@ __all__ = [
     "url_host",
     "url_dedup",
     "domain_stats",
+    "crawl_snapshot_diff",
     "TRACKING_PARAM_RE",
     "TWO_LEVEL_TLDS",
 ]
@@ -198,3 +199,43 @@ def domain_stats(
             "share"
         ),
     )
+
+
+def crawl_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot diff at canonical-URL granularity — the re-crawl
+    audit: which pages are ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` between two snapshots. Each side is first deduped to
+    one row per canonical URL (content compared via trimmed md5, the
+    corpus exact-door convention); uncanonicalizable rows are excluded
+    (they have no stable page identity to diff on).
+
+    One full outer join on the canonical string — the 100 TB shape is a
+    single hash shuffle per side. Returns
+    ``(canonical_url, status, old_hash, new_hash)``.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        c = df.select(
+            canonical_url(url_col).alias("canonical_url"),
+            F.md5(F.trim(F.col(text_col))).alias(f"{tag}_hash"),
+        ).where(F.col("canonical_url").isNotNull())
+        # one content hash per canonical URL: smallest hash wins so the
+        # diff is deterministic when a snapshot carries dup URLs
+        return c.groupBy("canonical_url").agg(
+            F.min(f"{tag}_hash").alias(f"{tag}_hash")
+        )
+
+    o = side(old, "old")
+    n = side(new, "new")
+    j = o.join(n, "canonical_url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("canonical_url", status.alias("status"), "old_hash", "new_hash")

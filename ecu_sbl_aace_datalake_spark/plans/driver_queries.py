@@ -13344,3 +13344,64 @@ ORACLES.update({
     "epoch_plan": SQL_EPOCH_PLAN,
     "epoch_materialize": SQL_EPOCH_MATERIALIZE,
 })
+
+
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (urls.crawl_snapshot_diff): old snapshot = docs
+    with doc_id % 4 != 0, new = doc_id % 4 != 1 with every %3==0 doc's
+    text perturbed — added/removed/changed/unchanged at canonical-URL
+    granularity, one full outer join on the canonical string. Synthetic
+    URLs keyed on doc_id as in url_canonicalize."""
+    from ..operators import urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = docs.withColumn("url", _synth_url_col())
+    old = tagged.where(F.col("doc_id") % 4 != 0)
+    new = tagged.where(F.col("doc_id") % 4 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    out = urls.crawl_snapshot_diff(old, new)
+    return out.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+    )
+
+
+SQL_CRAWL_SNAPSHOT_DIFF = (
+    "WITH synth AS (" + _SQL_URL_SYNTH + "), canon0 AS (" + _SQL_URL_CANON
+    + """),
+canon AS (
+  SELECT c.doc_id, c.canonical_url, d.text
+  FROM canon0 c JOIN documents d USING (doc_id)
+  WHERE c.canonical_url IS NOT NULL
+),
+old AS (
+  SELECT canonical_url, MIN(md5(trim(text))) AS old_hash
+  FROM canon WHERE doc_id % 4 <> 0 GROUP BY canonical_url
+),
+new AS (
+  SELECT canonical_url,
+         MIN(md5(trim(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                           ELSE text END))) AS new_hash
+  FROM canon WHERE doc_id % 4 <> 1 GROUP BY canonical_url
+),
+j AS (
+  SELECT COALESCE(old.canonical_url, new.canonical_url) AS canonical_url,
+         old_hash, new_hash
+  FROM old FULL OUTER JOIN new USING (canonical_url)
+)
+SELECT CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash = new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM j
+GROUP BY 1
+"""
+)
+
+
+QUERIES.update({"crawl_snapshot_diff": q_crawl_snapshot_diff})
+ORACLES.update({"crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF})

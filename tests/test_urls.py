@@ -84,3 +84,28 @@ class TestUrlDedupDomainStats:
         got = sorted(tuple(r) for r in urls.domain_stats(df, "url").collect())
         # 2 a.com rows collapse to 1 canonical; garbage row excluded
         assert got == [("a.com", 2, 1, 0.666667), ("b.co.uk", 1, 1, 0.333333)]
+
+
+class TestCrawlSnapshotDiff:
+    def test_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "https://a.com/x", "same"),
+             (2, "https://a.com/y", "old text"),
+             (3, "https://a.com/z", "gone"),
+             (4, "bad url", "ignored")],
+            "doc_id long, url string, text string",
+        )
+        new = spark.createDataFrame(
+            [(11, "https://a.com/x/", "same"),        # slash variant: unchanged
+             (12, "https://a.com/y?utm_source=s", "new text"),  # changed
+             (13, "https://a.com/w", "fresh")],        # added
+            "doc_id long, url string, text string",
+        )
+        got = {r.canonical_url: r.status
+               for r in urls.crawl_snapshot_diff(old, new).collect()}
+        assert got == {
+            "https://a.com/x": "unchanged",
+            "https://a.com/y": "changed",
+            "https://a.com/z": "removed",
+            "https://a.com/w": "added",
+        }
