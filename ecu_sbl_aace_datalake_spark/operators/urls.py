@@ -41,6 +41,9 @@ __all__ = [
     "url_dedup",
     "domain_stats",
     "crawl_snapshot_diff",
+    "persist_url_index",
+    "urls_against_index",
+    "append_url_index",
     "TRACKING_PARAM_RE",
     "TWO_LEVEL_TLDS",
 ]
@@ -239,3 +242,78 @@ def crawl_snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("canonical_url", status.alias("status"), "old_hash", "new_hash")
+
+
+def persist_url_index(
+    corpus_df: DataFrame,
+    url_col: str = "url",
+    index_table: str = "url_index",
+    n_buckets: int = 32,
+    reuse_if_exists: bool = False,
+) -> dict:
+    """Materialize the corpus's canonical-URL set as a BUCKETED catalog
+    table, so the streaming URL door stops re-reading the whole corpus
+    per batch (the production form of the inline anti-join — same
+    pattern as the persisted near-dup/BM25/IVF indexes): per-batch cost
+    becomes |batch| canonicalization + a bucket-local anti-join; the
+    corpus contributes only the matched buckets' rows. Appends are
+    bucket-stable (:func:`append_url_index`), so the index never
+    rebuilds as the corpus grows.
+
+    Pass a raw ``url_col`` (canonicalized here) or a frame already
+    carrying ``canonical_url``. Returns the index params dict the probe
+    and append functions take.
+    """
+    spark = corpus_df.sparkSession
+    from ..sources.io import write_bucketed_table
+
+    params = {"index_table": index_table, "n_buckets": n_buckets}
+    if reuse_if_exists and spark.catalog.tableExists(index_table):
+        return params
+    if "canonical_url" in corpus_df.columns:
+        canon = corpus_df.select("canonical_url")
+    else:
+        canon = corpus_df.select(canonical_url(url_col).alias("canonical_url"))
+    canon = canon.where(F.col("canonical_url").isNotNull()).distinct()
+    write_bucketed_table(
+        spark, index_table, canon, "canonical_url", n_buckets,
+        sort_cols="canonical_url",
+    )
+    return params
+
+
+def urls_against_index(
+    new_df: DataFrame,
+    index: dict,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Filter a batch against a :func:`persist_url_index`: returns the
+    rows whose canonical URL is NOT already indexed (plus rows that do
+    not canonicalize — no stable identity, they fall through to content
+    dedup), with ``out_col`` appended. The anti-join clusters on the
+    index's bucket layout — no corpus-side exchange."""
+    spark = new_df.sparkSession
+    tagged = new_df.withColumn(out_col, canonical_url(url_col))
+    known = spark.table(index["index_table"])
+    good = tagged.where(F.col(out_col).isNotNull()).join(
+        known, tagged[out_col] == known["canonical_url"], "left_anti"
+    )
+    return good.unionByName(tagged.where(F.col(out_col).isNull()))
+
+
+def append_url_index(accepted_df: DataFrame, index: dict) -> None:
+    """Append an ACCEPTED batch's canonical URLs to the index,
+    bucket-stably (one file per touched bucket). ``accepted_df`` must
+    carry ``canonical_url`` (as :func:`urls_against_index` leaves it);
+    NULLs are skipped."""
+    nb = index["n_buckets"]
+    (
+        accepted_df.select("canonical_url")
+        .where(F.col("canonical_url").isNotNull())
+        .distinct()
+        .repartition(nb, F.col("canonical_url"))
+        .write.format("parquet").mode("append")
+        .bucketBy(nb, "canonical_url").sortBy("canonical_url")
+        .saveAsTable(index["index_table"])
+    )

@@ -470,6 +470,7 @@ def foreach_batch_corpus_ingest(
     decontaminate_fuzzy_threshold: float = 0.5,
     decontaminate_fuzzy_ngram: int = 3,
     url_col: str | None = None,
+    url_index: dict | None = None,
 ) -> Any:
     """STREAMING training-corpus preparation — the foreachBatch composition
     of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
@@ -509,7 +510,11 @@ def foreach_batch_corpus_ingest(
        the residue). The corpus table carries ``canonical_url`` as a
        provenance column so the door is one equi-anti-join on a string
        key; rows that don't canonicalize (no http/https scheme) skip the
-       door and fall through to the content gates.
+       door and fall through to the content gates. At 100 TB pass
+       ``url_index`` (a :func:`~..operators.urls.persist_url_index`
+       params dict): the anti-join then probes the BUCKETED canonical-URL
+       table bucket-locally instead of re-reading the corpus per batch,
+       and accepted canonicals append bucket-stably after the write.
     6. per-source BYTE budgets across batches (round 8,
        ``byte_budget_per_source``) — the size-aware sibling of step 5:
        a second state table ``{table}_src_bytes`` accumulates ADMITTED
@@ -561,8 +566,15 @@ def foreach_batch_corpus_ingest(
             # re-crawls; appends the canonical_url provenance column the
             # cross-batch anti-join below keys on
             from ..operators.urls import url_dedup as _url_dedup
+            from ..operators.urls import urls_against_index as _urls_probe
 
             batch_df = _url_dedup(batch_df, url_col, tiebreak=id_col)
+            if url_index is not None:
+                # bucket-local cross-batch door: probe the persisted
+                # canonical-URL index instead of scanning the corpus below
+                batch_df = _urls_probe(
+                    batch_df.drop("canonical_url"), url_index, url_col
+                )
         if lang_model is not None:
             pred = classifier.lang_id_nb(
                 batch_df, lang_model, id_col=id_col, text_col=text_col
@@ -601,10 +613,16 @@ def foreach_batch_corpus_ingest(
             path = table_path(lakehouse, table_name)
             if path_exists(spark, path):
                 corpus = read_path(spark, path)
-                if url_col is not None and "canonical_url" in corpus.columns:
-                    # cross-batch URL door: one string-key anti-join; NULL
-                    # canonicals (uncanonicalizable rows) never match and
-                    # fall through to the content gates
+                if (
+                    url_col is not None
+                    and url_index is None
+                    and "canonical_url" in corpus.columns
+                ):
+                    # cross-batch URL door (inline form): one string-key
+                    # anti-join over the corpus column; NULL canonicals
+                    # (uncanonicalizable rows) never match and fall through
+                    # to the content gates. The indexed form already ran
+                    # before the gates.
                     known = (
                         corpus.select("canonical_url")
                         .where(F.col("canonical_url").isNotNull())
@@ -697,6 +715,10 @@ def foreach_batch_corpus_ingest(
                     lakehouse, bytes_table, [source_col], "__nb",
                     accepted, batch_id, with_hll=False,
                 )
+            if url_index is not None:
+                from ..operators.urls import append_url_index as _url_append
+
+                _url_append(accepted, url_index)
         finally:
             scope.unpersist()
 

@@ -787,3 +787,59 @@ class TestForeachBatchUrlDoor:
         assert kept[1] == "https://a.com/page"
         assert kept[3] is None
         assert kept[11] == "https://a.com/other"
+
+
+class TestForeachBatchUrlDoorIndexed:
+    def test_indexed_url_door(self, spark, tmp_path):
+        """url_index= probes the bucketed canonical-URL table instead of
+        scanning the corpus, and accepted canonicals append bucket-stably
+        so later batches see them."""
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.operators import urls
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string, url string"
+        b1 = [(1, "the quick brown fox jumps over the lazy dog", "s0",
+               "https://a.com/page")]
+        b2 = [(10, "the rain in spain falls mostly on the plain", "s0",
+               "https://WWW.A.com/page/"),     # known via batch-1 append
+              (11, "the wind and the waves and also the tide", "s0",
+               "https://a.com/other")]
+        src = str(tmp_path / "ui_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(f"{src}/batch{i}.parquet",
+                     (1_700_000_000 + i, 1_700_000_000 + i))
+        empty = spark.createDataFrame([], "url string")
+        idx = urls.persist_url_index(empty, "url", index_table="t_ui_idx",
+                                     n_buckets=8)
+        try:
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            lh = Lakehouse("x", str(tmp_path / "ui_lh"))
+            q = foreach_batch_corpus_ingest(
+                stream, lh, "corpus", "doc_id",
+                checkpoint_dir=str(tmp_path / "ui_ckpt"),
+                keep_langs=("en",), min_quality=0.0,
+                near_dup=False, url_col="url", url_index=idx,
+            )
+            q.awaitTermination(240)
+            corpus = read_path(spark, str(tmp_path / "ui_lh") + "/Tables/corpus")
+            kept = {r.doc_id for r in corpus.collect()}
+            assert kept == {1, 11}, kept
+            # the index holds both accepted canonicals
+            known = {r.canonical_url for r in spark.table("t_ui_idx").collect()}
+            assert known == {"https://a.com/page", "https://a.com/other"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ui_idx")

@@ -4,6 +4,7 @@ the CCNet crawl-curation stage."""
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from ecu_sbl_aace_datalake_spark.operators import urls
 
@@ -109,3 +110,44 @@ class TestCrawlSnapshotDiff:
             "https://a.com/z": "removed",
             "https://a.com/w": "added",
         }
+
+
+class TestPersistedUrlIndex:
+    def test_probe_append_and_bucket_local_plan(self, spark, tmp_path):
+        from ecu_sbl_aace_datalake_spark.plans.inspect import PlanAudit
+
+        corpus = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "https://a.com/y")],
+            "doc_id long, url string",
+        )
+        idx = urls.persist_url_index(corpus, "url", index_table="t_url_idx", n_buckets=8)
+        try:
+            batch = spark.createDataFrame(
+                [(10, "https://WWW.a.com/x/"),   # known (variant) -> dropped
+                 (11, "https://a.com/z"),        # new -> kept
+                 (12, "bad url")],               # NULL canonical -> kept
+                "doc_id long, url string",
+            )
+            got = urls.urls_against_index(batch, idx, "url")
+            assert {r.doc_id for r in got.collect()} == {11, 12}
+            # the index side must read bucket-locally: no Exchange feeds
+            # the index scan (batch side may shuffle to align buckets)
+            plan = PlanAudit.of(
+                batch.withColumn("canonical_url", urls.canonical_url("url"))
+                .where("canonical_url is not null")
+                .join(spark.table("t_url_idx"), "canonical_url", "left_anti")
+            ).plan
+            import re
+
+            scan_part = plan[plan.index("t_url_idx"):]
+            assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or "bucket" in scan_part.lower()
+            # append: new canonical becomes known for the next probe
+            urls.append_url_index(
+                got.where(F.col("canonical_url").isNotNull()), idx
+            )
+            again = urls.urls_against_index(
+                spark.createDataFrame([(20, "https://a.com/z?utm_source=x")],
+                                      "doc_id long, url string"), idx, "url")
+            assert again.count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_url_idx")
