@@ -374,6 +374,14 @@ def epoch_plan(
     for s, w in weights.items():
         c = F.col(source_col) == s
         expr = F.when(c, w) if expr is None else expr.when(c, w)
+    # a source missing from weights must fail loudly — a NULL weight would
+    # silently plan NULL targets for that source
+    expr = expr.otherwise(
+        F.raise_error(
+            F.concat(F.lit("epoch_plan: no weight for source "),
+                     F.col(source_col))
+        ).cast("int")
+    )
     totals = df.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col(token_col).cast("long")).alias("tokens"),

@@ -418,3 +418,9 @@ class TestEpochPlanning:
             packing.epoch_plan(df, {}, 100)
         with pytest.raises(ValueError, match="budget"):
             packing.epoch_plan(df, {"a": 1}, -1)
+        # unmapped source fails loudly at evaluation, never NULL-plans
+        df2 = spark.createDataFrame(
+            [(1, "a", 10), (2, "zz", 10)], "doc_id long, source string, n_tokens long"
+        )
+        with pytest.raises(Exception, match="no weight for source"):
+            packing.epoch_plan(df2, {"a": 1}, 100).collect()
