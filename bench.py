@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "epoch_plan",
     "epoch_materialize",
     "crawl_snapshot_diff",
+    "image_dhash",
+    "image_neardup",
 ]
 
 

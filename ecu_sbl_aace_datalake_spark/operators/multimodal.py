@@ -2192,3 +2192,158 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema=full_schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate fingerprint for image corpora (resize-, recompress-
+    and small-edit-invariant; Hamming distance ≈ visual difference).
+    Real pixel decode (:func:`_decode_pixels_rgb`: PPM/BMP/PNG/GIF/
+    baseline-JPEG), Rec.601 grayscale, AREA-MEAN downsample to
+    ``hash_size × (hash_size+1)`` (block boundary i→⌊i·dim/blocks⌋;
+    identity when the image is already that size), then bit
+    ``y·hash_size+x`` = 1 iff ``gray[y,x] > gray[y,x+1]``. The 64-bit
+    result is returned as a SIGNED long (bit 63 is the sign bit — the
+    bit PATTERN is the hash; band/XOR consumers mask accordingly).
+
+    Python is unavoidable here (binary decode) — Arrow-batched
+    mapInPandas like the rest of the multimodal family; everything
+    downstream (banding, Hamming verify) is pure JVM expressions.
+
+    Returns ``df`` minus payload + ``(decoded boolean, dhash long)``.
+    """
+    import numpy as np
+
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    hs = int(hash_size)
+    full_schema = (
+        f"{out_schema}, decoded boolean, dhash bigint"
+        if out_schema
+        else "decoded boolean, dhash bigint"
+    )
+
+    def dhash(b: bytes):
+        arr = _decode_pixels_rgb(b)
+        if arr is None:
+            return False, None
+        gray = (
+            0.299 * arr[:, :, 0].astype("float64")
+            + 0.587 * arr[:, :, 1].astype("float64")
+            + 0.114 * arr[:, :, 2].astype("float64")
+        )
+        h, w = gray.shape
+        rows, cols = hs, hs + 1
+        if h < 1 or w < 2:
+            return False, None
+        rb = [int(i * h // rows) for i in range(rows + 1)]
+        cb = [int(i * w // cols) for i in range(cols + 1)]
+        if any(rb[i] == rb[i + 1] for i in range(rows)) or any(
+            cb[i] == cb[i + 1] for i in range(cols)
+        ):
+            return False, None  # image smaller than the grid
+        small = np.empty((rows, cols))
+        for y in range(rows):
+            for x in range(cols):
+                small[y, x] = gray[rb[y]:rb[y + 1], cb[x]:cb[x + 1]].mean()
+        val = 0
+        for y in range(rows):
+            for x in range(hs):
+                if small[y, x] > small[y, x + 1]:
+                    val |= 1 << (y * hs + x)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return True, val
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = (
+                pdf[passthrough].copy()
+                if passthrough
+                else pd.DataFrame(index=pdf.index)
+            )
+            res = pdf[payload_col].map(lambda b: dhash(b or b""))
+            out["decoded"] = res.map(lambda t: t[0])
+            out["dhash"] = res.map(lambda t: t[1]).astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=full_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs via banded dHash — the image-modality
+    sibling of MinHash-LSH text dedup: two images are near-dups when
+    their 64-bit dHashes differ in ≤ ``max_hamming`` bits.
+
+    Banding gives EXACT recall by pigeonhole: with ``bands`` disjoint
+    16-bit slices and ``max_hamming < bands``, at least one band is
+    untouched by the flips, so every qualifying pair shares ≥ 1 exact
+    band value — candidates come from ``bands`` equi-joins (never an
+    all-pairs scan), then one ``bit_count(xor)`` verify. Enforced:
+    ``bands > max_hamming`` or this raises.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, exactly the
+    brute-force pair set (recall 1 by construction — the SQL oracle is
+    the all-pairs comparison).
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming (pigeonhole recall guarantee)"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    hashes = (
+        image_dhash(df.select(id_col, payload_col), payload_col)
+        .where(F.col("decoded"))
+        .select(id_col, "dhash")
+    )
+    parts = []
+    for b in range(bands):
+        parts.append(
+            hashes.select(
+                id_col,
+                "dhash",
+                F.lit(b).alias("__b"),
+                (
+                    F.shiftrightunsigned(F.col("dhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("__bv"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("__ha"), "__b", "__bv"
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("__hb"), "__b", "__bv"
+    )
+    cands = (
+        a.join(b_, ["__b", "__bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(__ha ^ __hb)")
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -13405,3 +13405,108 @@ GROUP BY 1
 
 QUERIES.update({"crawl_snapshot_diff": q_crawl_snapshot_diff})
 ORACLES.update({"crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF})
+
+
+# --------------------------------------------------------------------------
+# Round 8 — image perceptual dedup (dHash). Fixture: 9×8 gray PPM images
+# (exactly the dHash grid, so the area resize is identity) whose pixel
+# values follow a closed-form formula of (c_custkey, x, y) — the engine
+# decodes REAL PPM bytes; the oracle computes the same grid analytically.
+# --------------------------------------------------------------------------
+
+def _dhash_payload_expr() -> str:
+    terms = []
+    for y in range(8):
+        for x in range(9):
+            vexpr = (
+                f"(((31*{x} + 7*{y} + CAST(c_custkey % 4 AS INT)*13) % 199)"
+                f" + (CASE WHEN c_custkey % 5 = 0 AND {x} = 0 AND {y} = 0"
+                f" THEN 97 ELSE 0 END)) % 199"
+            )
+            terms.append(f"repeat(lpad(hex({vexpr}), 2, '0'), 3)")
+    px = " || ".join(terms)
+    return (
+        "unhex(hex(encode('P6' || chr(10) || '9 8' || chr(10) || '255'"
+        " || chr(10), 'utf-8')) || " + px + ")"
+    )
+
+
+_SQL_DHASH_CELLS = """
+  SELECT k, x, y,
+         (((31*x + 7*y + CAST(k % 4 AS INT)*13) % 199)
+          + (CASE WHEN k % 5 = 0 AND x = 0 AND y = 0 THEN 97 ELSE 0 END))
+           % 199 AS v
+  FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100)
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)
+"""
+
+_SQL_DHASH_HASH = """
+bits AS (
+  SELECT a.k, a.y, a.x, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON b.k = a.k AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+hash AS (
+  SELECT k, CAST(SUM(CASE WHEN bit = 1 THEN
+           CASE WHEN y*8 + x = 63 THEN (-9223372036854775808)::HUGEINT
+                ELSE ((1::BIGINT << (y*8 + x)))::HUGEINT END
+           ELSE 0::HUGEINT END) AS BIGINT) AS dhash
+  FROM bits GROUP BY k
+)
+"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL decoded PPM pixels
+    (multimodal.image_dhash): Rec.601 grayscale, area-mean grid (identity
+    at 9×8), 64 adjacent-pixel comparison bits packed into a signed
+    long. The oracle computes the identical bit grid analytically from
+    the pixel formula — decode correctness is what's under test."""
+    from ..operators.multimodal import image_dhash
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", F.expr(_dhash_payload_expr()).alias("payload")
+    )
+    return image_dhash(cust, "payload")
+
+
+SQL_IMAGE_DHASH = (
+    "WITH cells AS (" + _SQL_DHASH_CELLS + "),\n" + _SQL_DHASH_HASH
+    + "SELECT k AS c_custkey, TRUE AS decoded, dhash FROM hash"
+)
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dHash image near-dup pairs (multimodal.image_neardup_pairs,
+    Hamming ≤ 3, 4×16-bit bands): pigeonhole makes recall EXACT — the
+    oracle is the brute-force all-pairs Hamming comparison over the same
+    analytically-derived hashes. Perturbed fixtures (one pixel bumped on
+    every 5th key) sit 0-1 bits from their pattern group."""
+    from ..operators.multimodal import image_neardup_pairs
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", F.expr(_dhash_payload_expr()).alias("payload")
+    )
+    return image_neardup_pairs(cust, "c_custkey", "payload", max_hamming=3)
+
+
+SQL_IMAGE_NEARDUP = (
+    "WITH cells AS (" + _SQL_DHASH_CELLS + "),\n" + _SQL_DHASH_HASH
+    + """
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM hash a JOIN hash b ON a.k < b.k
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+)
+
+
+QUERIES.update({
+    "image_dhash": q_image_dhash,
+    "image_neardup": q_image_neardup,
+})
+ORACLES.update({
+    "image_dhash": SQL_IMAGE_DHASH,
+    "image_neardup": SQL_IMAGE_NEARDUP,
+})

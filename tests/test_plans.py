@@ -274,6 +274,8 @@ class TestGlobalPlanInvariants:
         "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
         "jaro_winkler_matches",  # JW per-char matching windows (Arrow pandas_udf over blocked candidates)
         "sessionize_capped",   # max-duration cut is sequential per key (Arrow applyInPandas, bounded per-user history)
+        "image_dhash",         # real PPM pixel decode (mapInPandas, declared)
+        "image_neardup",       # same decode feeding the banded Hamming join
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):

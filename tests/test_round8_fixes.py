@@ -424,3 +424,58 @@ class TestEpochPlanning:
         )
         with pytest.raises(Exception, match="no weight for source"):
             packing.epoch_plan(df2, {"a": 1}, 100).collect()
+
+
+class TestImageDhash:
+    @staticmethod
+    def _ppm(vals):
+        # vals: 8 rows x 9 cols of gray values -> P6 bytes
+        hdr = b"P6\n9 8\n255\n"
+        body = bytes(v for row in vals for v in row for _ in range(3))
+        return hdr + body
+
+    def test_dhash_bits_and_neardup(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            image_dhash,
+            image_neardup_pairs,
+        )
+
+        base = [[(31 * x + 7 * y) % 199 for x in range(9)] for y in range(8)]
+        flip = [row[:] for row in base]
+        flip[0][0] = (flip[0][0] + 97) % 199   # flips at most bit 0
+        far = [[(151 * x * x + 91 * y) % 251 for x in range(9)] for y in range(8)]
+        rows = [(1, self._ppm(base)), (2, self._ppm(base)),
+                (3, self._ppm(flip)), (4, self._ppm(far)),
+                (5, b"not an image")]
+        df = spark.createDataFrame(rows, "img_id long, payload binary")
+        got = {r.img_id: (r.decoded, r.dhash) for r in image_dhash(df, "payload").collect()}
+        assert got[5] == (False, None)
+        assert got[1] == got[2] and got[1][0] is True
+        # expected hash computed from the same comparisons
+        expect = 0
+        for y in range(8):
+            for x in range(8):
+                if base[y][x] > base[y][x + 1]:
+                    expect |= 1 << (y * 8 + x)
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert got[1][1] == expect
+        # near-dup: identical pair hamming 0; flipped pair <= 1
+        pairs = {(r.id_a, r.id_b): r.hamming for r in image_neardup_pairs(
+            df, "img_id", "payload", max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs.get((1, 3), 99) <= 1
+        assert (1, 4) not in pairs or pairs[(1, 4)] <= 3  # far may or may not qualify
+
+    def test_band_guarantee_validation(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
+        df = spark.createDataFrame([(1, b"")], "img_id long, payload binary")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_neardup_pairs(df, "img_id", "payload", max_hamming=4, bands=4)
+        with pytest.raises(ValueError, match="divide"):
+            image_neardup_pairs(df, "img_id", "payload", max_hamming=3, bands=5)
