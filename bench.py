@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "crawl_snapshot_diff",
     "image_dhash",
     "image_neardup",
+    "audio_fingerprint",
+    "audio_neardup",
 ]
 
 

@@ -2141,3 +2141,67 @@ def jaro_winkler_pairs(
         )
         .distinct()
     )
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic banded-Hamming near-dup join over any 64-bit fingerprint
+    column (SimHash, image dHash, audio envelope hash): two items are
+    near-dups when their hashes differ in ≤ ``max_hamming`` bits.
+
+    EXACT recall by pigeonhole: with ``bands`` disjoint ``64/bands``-bit
+    slices and ``max_hamming < bands`` (enforced), at least one band
+    survives the flips untouched, so every qualifying pair shares ≥ 1
+    exact band value — candidates come from ``bands`` equi-joins (never
+    an all-pairs scan), verified with ONE ``bit_count(xor)``. All pure
+    JVM expressions. Returns ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b`` — exactly the brute-force pair set.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming (pigeonhole recall guarantee)"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    base = hashes.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+    ).where(F.col(hash_col).isNotNull())
+    parts = []
+    for b in range(bands):
+        parts.append(
+            base.select(
+                "__id",
+                "__h",
+                F.lit(b).alias("__b"),
+                F.shiftrightunsigned(F.col("__h"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("__bv"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), "__b", "__bv"
+    )
+    b_ = banded.select(
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"), "__b", "__bv"
+    )
+    cands = (
+        a.join(b_, ["__b", "__bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(__ha ^ __hb)").cast("int"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

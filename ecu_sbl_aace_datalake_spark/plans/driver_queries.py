@@ -13510,3 +13510,112 @@ ORACLES.update({
     "image_dhash": SQL_IMAGE_DHASH,
     "image_neardup": SQL_IMAGE_NEARDUP,
 })
+
+
+# --------------------------------------------------------------------------
+# Round 8 — audio envelope fingerprints. Fixture: 16-bit PCM mono WAVs of
+# 260 samples (65 windows × 4) whose per-window amplitude follows a
+# closed-form formula of (c_custkey, window); the engine decodes REAL WAV
+# bytes, the oracle computes the same envelope analytically.
+# --------------------------------------------------------------------------
+
+def _awav_a(b: str, k: str = "c_custkey") -> str:
+    return (
+        f"(((53*({b}) + CAST({k} % 4 AS INT)*29) % 997)"
+        f" + (CASE WHEN {k} % 5 = 0 AND ({b}) = 0 THEN 501 ELSE 0 END)) % 997"
+    )
+
+
+def _awav_payload_expr() -> str:
+    terms = []
+    for b in range(65):
+        s = f"(({_awav_a(str(b))}) * 16)"
+        terms.append(
+            f"repeat(format_string('%02x%02x', {s} % 256, {s} div 256), 4)"
+        )
+    body = " || ".join(terms)
+    return (
+        "unhex('52494646' || "
+        + _le32("36 + 520")
+        + " || '57415645' || '666d7420' || '10000000' || '0100' || '0100'"
+        " || '401f0000' || '803e0000' || '0200' || '1000'"
+        " || '64617461' || "
+        + _le32("520")
+        + " || " + body + ")"
+    )
+
+
+_SQL_AWAV_HASH = f"""
+env AS (
+  SELECT k, b,
+         (((53*b + CAST(k % 4 AS INT)*29) % 997)
+          + (CASE WHEN k % 5 = 0 AND b = 0 THEN 501 ELSE 0 END)) % 997 AS a
+  FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey < 100)
+  CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS b)
+),
+hash AS (
+  SELECT e.k, CAST(SUM(CASE WHEN e.a > f.a THEN
+           CASE WHEN e.b = 63 THEN (-9223372036854775808)::HUGEINT
+                ELSE ((1::BIGINT << e.b))::HUGEINT END
+           ELSE 0::HUGEINT END) AS BIGINT) AS ahash
+  FROM env e JOIN env f ON f.k = e.k AND f.b = e.b + 1
+  WHERE e.b < 64
+  GROUP BY e.k
+)
+"""
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio envelope fingerprint over REAL decoded PCM samples
+    (multimodal.audio_envelope_hash): 65 equal-window mean-|amplitude|
+    values, 64 adjacent-comparison bits in a signed long. The oracle
+    derives the identical envelope analytically from the sample formula
+    — the WAV decode path is what's under test."""
+    from ..operators.multimodal import audio_envelope_hash
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", F.expr(_awav_payload_expr()).alias("payload")
+    )
+    return audio_envelope_hash(cust, "payload")
+
+
+SQL_AUDIO_FINGERPRINT = (
+    "WITH " + _SQL_AWAV_HASH
+    + "SELECT k AS c_custkey, TRUE AS decoded, ahash FROM hash"
+)
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming audio near-dup pairs: envelope hashes through the
+    GENERIC dedup.hamming_neardup_pairs (the same pigeonhole-exact
+    machinery as image near-dup) — oracle is brute-force all-pairs over
+    the analytic hashes."""
+    from ..operators.dedup import hamming_neardup_pairs
+    from ..operators.multimodal import audio_envelope_hash
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", F.expr(_awav_payload_expr()).alias("payload")
+    )
+    hashes = audio_envelope_hash(cust, "payload").where(F.col("decoded"))
+    return hamming_neardup_pairs(hashes, "c_custkey", "ahash", max_hamming=3)
+
+
+SQL_AUDIO_NEARDUP = (
+    "WITH " + _SQL_AWAV_HASH
+    + """
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hash a JOIN hash b ON a.k < b.k
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+)
+
+
+QUERIES.update({
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_neardup": q_audio_neardup,
+})
+ORACLES.update({
+    "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
+    "audio_neardup": SQL_AUDIO_NEARDUP,
+})

@@ -276,6 +276,8 @@ class TestGlobalPlanInvariants:
         "sessionize_capped",   # max-duration cut is sequential per key (Arrow applyInPandas, bounded per-user history)
         "image_dhash",         # real PPM pixel decode (mapInPandas, declared)
         "image_neardup",       # same decode feeding the banded Hamming join
+        "audio_fingerprint",   # real WAV sample decode (mapInPandas, declared)
+        "audio_neardup",       # same decode feeding the banded Hamming join
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):

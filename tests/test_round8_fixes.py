@@ -479,3 +479,56 @@ class TestImageDhash:
             image_neardup_pairs(df, "img_id", "payload", max_hamming=4, bands=4)
         with pytest.raises(ValueError, match="divide"):
             image_neardup_pairs(df, "img_id", "payload", max_hamming=3, bands=5)
+
+
+class TestAudioEnvelopeHash:
+    @staticmethod
+    def _wav(window_amps, per_window=4):
+        import struct
+        data = b"".join(
+            struct.pack("<h", a) for a in window_amps for _ in range(per_window)
+        )
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        return hdr + data
+
+    def test_hash_and_generic_pairs(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import (
+            hamming_neardup_pairs,
+        )
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            audio_envelope_hash,
+        )
+
+        base = [((53 * b) % 997) * 16 for b in range(65)]
+        flip = base[:]
+        flip[0] = ((53 * 0 + 501) % 997) * 16    # flips at most bit 0
+        rows = [(1, self._wav(base)), (2, self._wav(base)),
+                (3, self._wav(flip)), (4, b"not audio")]
+        df = spark.createDataFrame(rows, "clip_id long, payload binary")
+        h = audio_envelope_hash(df, "payload")
+        got = {r.clip_id: (r.decoded, r.ahash) for r in h.collect()}
+        assert got[4] == (False, None)
+        assert got[1] == got[2] and got[1][0] is True
+        expect = 0
+        for i in range(64):
+            if base[i] > base[i + 1]:
+                expect |= 1 << i
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert got[1][1] == expect
+        pairs = {(r.id_a, r.id_b): r.hamming for r in hamming_neardup_pairs(
+            h.where("decoded"), "clip_id", "ahash", max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0 and pairs.get((1, 3), 99) <= 1
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            audio_envelope_hash,
+        )
+
+        df = spark.createDataFrame([(1, b"")], "clip_id long, payload binary")
+        with pytest.raises(ValueError, match="n_windows"):
+            audio_envelope_hash(df, "payload", n_windows=66)
