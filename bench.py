@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "image_neardup",
     "audio_fingerprint",
     "audio_neardup",
+    "simhash_neardup",
 ]
 
 

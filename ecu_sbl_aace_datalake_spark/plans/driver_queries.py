@@ -13619,3 +13619,53 @@ ORACLES.update({
     "audio_fingerprint": SQL_AUDIO_FINGERPRINT,
     "audio_neardup": SQL_AUDIO_NEARDUP,
 })
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs via SimHash + the GENERIC banded-Hamming join
+    (dedup.hamming_neardup_pairs — the same pigeonhole-exact machinery as
+    image dHash and audio envelope near-dup): 60-bit md5 SimHash, pairs
+    at Hamming ≤ 3. Oracle rebuilds the signatures and brute-forces all
+    pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "text", bits=60, algo="md5").select(
+        "doc_id", "simhash"
+    )
+    return dedup.hamming_neardup_pairs(sigs, "doc_id", "simhash", max_hamming=3)
+
+
+SQL_SIMHASH_NEARDUP = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(range(60)) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sigs0 s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES.update({"simhash_neardup": q_simhash_neardup})
+ORACLES.update({"simhash_neardup": SQL_SIMHASH_NEARDUP})
