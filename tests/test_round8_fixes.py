@@ -532,3 +532,20 @@ class TestAudioEnvelopeHash:
         df = spark.createDataFrame([(1, b"")], "clip_id long, payload binary")
         with pytest.raises(ValueError, match="n_windows"):
             audio_envelope_hash(df, "payload", n_windows=66)
+
+
+class TestHammingJoinPlan:
+    def test_equi_join_only(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.dedup import (
+            hamming_neardup_pairs,
+        )
+        from ecu_sbl_aace_datalake_spark.plans.inspect import PlanAudit
+
+        import pyspark.sql.functions as F
+
+        h = spark.range(1000).withColumn("hash", F.xxhash64("id"))
+        a = PlanAudit.of(hamming_neardup_pairs(h, "id", "hash"))
+        # the whole point: banded candidates are equi-joins, never a
+        # cartesian hash-vs-hash comparison; verify stays JVM-side
+        assert a.cartesian_products == 0
+        assert a.python_udf_nodes == 0
