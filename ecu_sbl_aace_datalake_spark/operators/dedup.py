@@ -581,6 +581,7 @@ def merge_into_clusters(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 20,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """INCREMENTAL connected-component maintenance: fold a batch of new
     near-dup pairs into an existing ``(node, cluster)`` labeling without
@@ -602,6 +603,9 @@ def merge_into_clusters(
     can LOWER a surviving component's id — same convention as a full
     recompute). Returns the complete new ``(node, cluster)`` relation.
     """
+    # labels is consumed four times (two semi-joins, the anti-join, and
+    # the subgraph edges) — pin it unless the caller already did
+    labels = persist_in(scope, labels) if scope is not None else labels
     batch_nodes = (
         new_pairs.select(F.col(id_col_a).alias("node"))
         .union(new_pairs.select(F.col(id_col_b).alias("node")))

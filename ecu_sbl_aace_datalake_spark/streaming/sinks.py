@@ -531,7 +531,10 @@ def foreach_batch_corpus_ingest(
     skips already-merged batch ids. Same non-atomicity caveat as the
     indexed dedup sink: a crash between the corpus append and the counts
     merge under-counts that batch (caps may overshoot by at most one
-    batch's admissions) — Delta/Iceberg would make the two writes one
+    batch's admissions), and a crash before the URL-index append leaves
+    that batch's canonicals unindexed (a later CHANGED-text re-crawl of
+    those URLs would pass the URL door; the content doors still reject
+    unchanged text) — Delta/Iceberg would make the writes one
     transaction. The appended corpus carries ``lang_pred`` and
     ``quality_score`` as provenance columns. Returns the StreamingQuery
     handle.
