@@ -13669,3 +13669,191 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 QUERIES.update({"simhash_neardup": q_simhash_neardup})
 ORACLES.update({"simhash_neardup": SQL_SIMHASH_NEARDUP})
+
+
+def _synth_license_footer():
+    # deterministic planted license/opt-out footers so every branch of
+    # the detection ladder is exercised on the real documents table
+    d = F.col("doc_id")
+    return (
+        F.when(d % 10 == 0, F.lit(" SPDX-License-Identifier: Apache-2.0"))
+        .when(d % 10 == 1, F.lit(
+            ' Licensed under the Apache License, Version 2.0 (the "License").'
+        ))
+        .when(d % 10 == 2, F.lit(" Released under the MIT License."))
+        .when(d % 10 == 3, F.lit(
+            " This program is free software: GNU General Public License,"
+            " version 3."
+        ))
+        .when(d % 10 == 4, F.lit(
+            " distributed under the GNU Lesser General Public License."
+        ))
+        .when(d % 10 == 5, F.lit(
+            " Creative Commons Attribution-NonCommercial 4.0."
+        ))
+        .when(d % 10 == 6, F.lit(
+            ' cc by-sa licensed. <meta name="robots" content="noindex">'
+        ))
+        .when(d % 10 == 7, F.lit(
+            " Copyright 2024 MegaCorp. All rights reserved. noai"
+        ))
+        .when(d % 10 == 8, F.lit(
+            " This is free and unencumbered software released into the"
+            " public domain."
+        ))
+        .otherwise(F.lit(""))
+    )
+
+
+_SQL_LICENSE_SYNTH = """
+  SELECT doc_id, source, COALESCE(text, '') ||
+    CASE doc_id % 10
+      WHEN 0 THEN ' SPDX-License-Identifier: Apache-2.0'
+      WHEN 1 THEN ' Licensed under the Apache License, Version 2.0 (the "License").'
+      WHEN 2 THEN ' Released under the MIT License.'
+      WHEN 3 THEN ' This program is free software: GNU General Public License, version 3.'
+      WHEN 4 THEN ' distributed under the GNU Lesser General Public License.'
+      WHEN 5 THEN ' Creative Commons Attribution-NonCommercial 4.0.'
+      WHEN 6 THEN ' cc by-sa licensed. <meta name="robots" content="noindex">'
+      WHEN 7 THEN ' Copyright 2024 MegaCorp. All rights reserved. noai'
+      WHEN 8 THEN ' This is free and unencumbered software released into the public domain.'
+      ELSE ''
+    END AS text
+  FROM documents
+"""
+
+# DuckDB replica of compliance.license_id_col / opt_out_col — the SAME
+# frozen regexes in the SAME precedence (RE2-compatible subset)
+_SQL_LICENSE_TAG = """
+  SELECT doc_id, source,
+    CASE
+      WHEN spdx = 'mit' THEN 'MIT'
+      WHEN spdx = 'apache-2.0' THEN 'Apache-2.0'
+      WHEN spdx = 'bsd-3-clause' THEN 'BSD-3-Clause'
+      WHEN spdx = 'cc-by-4.0' THEN 'CC-BY-4.0'
+      WHEN spdx = 'mpl-2.0' THEN 'MPL-2.0'
+      WHEN spdx = 'lgpl-2.1' THEN 'LGPL-2.1'
+      WHEN spdx = 'gpl-2.0' THEN 'GPL-2.0'
+      WHEN spdx = 'gpl-3.0' THEN 'GPL-3.0'
+      WHEN spdx = 'agpl-3.0' THEN 'AGPL-3.0'
+      WHEN spdx = 'cc-by-sa-4.0' THEN 'CC-BY-SA-4.0'
+      WHEN spdx = 'cc-by-nc-4.0' THEN 'CC-BY-NC-4.0'
+      WHEN spdx = 'cc0-1.0' THEN 'CC0-1.0'
+      WHEN spdx = 'unlicense' THEN 'Unlicense'
+      WHEN spdx = 'proprietary' THEN 'Proprietary'
+      WHEN regexp_matches(low, 'gnu affero general public license|\\bagpl[- ]?v?3') THEN 'AGPL-3.0'
+      WHEN regexp_matches(low, 'gnu lesser general public license|\\blgpl\\b') THEN 'LGPL-2.1'
+      WHEN regexp_matches(low, 'gnu general public license[,;]? (as published.{0,40})?version 3|\\bgpl[- ]?v?3') THEN 'GPL-3.0'
+      WHEN regexp_matches(low, 'gnu general public license[,;]? (as published.{0,40})?version 2|\\bgpl[- ]?v?2') THEN 'GPL-2.0'
+      WHEN regexp_matches(low, 'apache license[,;]? version 2\\.0|apache[- ]2\\.0') THEN 'Apache-2.0'
+      WHEN regexp_matches(low, 'mozilla public license|\\bmpl[- ]?2\\.0') THEN 'MPL-2.0'
+      WHEN regexp_matches(low, 'bsd 3[- ]clause|bsd-3-clause|redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
+      WHEN regexp_matches(low, 'mit license|permission is hereby granted, free of charge') THEN 'MIT'
+      WHEN regexp_matches(low, 'this is free and unencumbered software') THEN 'Unlicense'
+      WHEN regexp_matches(low, 'cc0|public domain dedication') THEN 'CC0-1.0'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|cc[- ]by[- ]nc') THEN 'CC-BY-NC-4.0'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|cc[- ]by[- ]sa') THEN 'CC-BY-SA-4.0'
+      WHEN regexp_matches(low, 'creative commons attribution|cc[- ]by\\b') THEN 'CC-BY-4.0'
+      WHEN regexp_matches(low, 'all rights reserved') THEN 'Proprietary'
+      ELSE NULL
+    END AS license_id,
+    (regexp_matches(low, '\\bnoai\\b|\\bnoimageai\\b|\\bnotrain\\b')
+     OR regexp_matches(low, '\\bnoindex\\b')
+     OR regexp_matches(low, 'tdm-reservation\\s*[:=]\\s*1|tdmrep')) AS opted_out
+  FROM (
+    SELECT doc_id, source, lower(text) AS low,
+           regexp_extract(lower(text),
+             'spdx-license-identifier:\\s*([a-z0-9.+-]+)', 1) AS spdx
+    FROM synth
+  )
+"""
+
+_SQL_LICENSE_FAMILY = """
+  SELECT doc_id, source, license_id, opted_out,
+    CASE
+      WHEN license_id IS NULL THEN 'unknown'
+      WHEN license_id IN ('MIT','Apache-2.0','BSD-3-Clause','CC-BY-4.0')
+        THEN 'permissive'
+      WHEN license_id IN ('MPL-2.0','LGPL-2.1') THEN 'weak-copyleft'
+      WHEN license_id IN ('GPL-2.0','GPL-3.0','AGPL-3.0','CC-BY-SA-4.0')
+        THEN 'copyleft'
+      WHEN license_id = 'CC-BY-NC-4.0' THEN 'noncommercial'
+      WHEN license_id IN ('CC0-1.0','Unlicense') THEN 'public-domain'
+      WHEN license_id = 'Proprietary' THEN 'proprietary'
+      ELSE 'unknown'
+    END AS license_family
+  FROM tagged
+"""
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License / usage-rights tagging (compliance.tag_licenses): an
+    SPDX-identifier override plus a frozen most-specific-first regexp
+    ladder, and TDM/AI opt-out flags — all pure Column expressions, one
+    map-side pass, zero shuffles (The Stack's license-filter stage)."""
+    from ..operators import compliance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         _synth_license_footer())
+    )
+    return compliance.tag_licenses(planted).select(
+        "doc_id", "license_id", "license_family", "opted_out"
+    )
+
+
+SQL_LICENSE_DETECT = (
+    "WITH synth AS (" + _SQL_LICENSE_SYNTH + "), tagged AS ("
+    + _SQL_LICENSE_TAG + "), fam AS (" + _SQL_LICENSE_FAMILY + """)
+SELECT doc_id, license_id, license_family, opted_out FROM fam
+"""
+)
+
+
+def q_compliance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compliance rollup (compliance.compliance_report):
+    rights-family document shares + opt-out rate in ONE aggregate on the
+    source key (map-side partial combine) — the go/no-go table a curator
+    reads before admitting a source into the training mix."""
+    from ..operators import compliance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         _synth_license_footer())
+    )
+    return compliance.compliance_report(planted, group_col="source")
+
+
+SQL_COMPLIANCE_REPORT = (
+    "WITH synth AS (" + _SQL_LICENSE_SYNTH + "), tagged AS ("
+    + _SQL_LICENSE_TAG + "), fam AS (" + _SQL_LICENSE_FAMILY + """)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN license_family <> 'unknown' THEN 1 ELSE 0 END)
+         AS n_licensed,
+       ROUND(SUM(CAST(license_family IN ('permissive','public-domain') AS INT))
+             / COUNT(*), 6) AS frac_permissive,
+       ROUND(SUM(CAST(license_family IN ('copyleft','weak-copyleft') AS INT))
+             / COUNT(*), 6) AS frac_copyleft,
+       ROUND(SUM(CAST(license_family = 'noncommercial' AS INT))
+             / COUNT(*), 6) AS frac_noncommercial,
+       ROUND(SUM(CAST(license_family = 'proprietary' AS INT))
+             / COUNT(*), 6) AS frac_proprietary,
+       ROUND(SUM(CAST(opted_out AS INT)) / COUNT(*), 6) AS frac_opted_out
+FROM fam
+GROUP BY source
+ORDER BY source
+"""
+)
+
+
+QUERIES.update({
+    "license_detect": q_license_detect,
+    "compliance_report": q_compliance_report,
+})
+ORACLES.update({
+    "license_detect": SQL_LICENSE_DETECT,
+    "compliance_report": SQL_COMPLIANCE_REPORT,
+})

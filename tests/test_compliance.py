@@ -1,0 +1,119 @@
+"""Unit tests for operators/compliance.py — license tagging ladder
+precedence, SPDX override, opt-out flags, and the per-source report."""
+
+from __future__ import annotations
+
+from ecu_sbl_aace_datalake_spark.operators import compliance
+
+
+def _tag_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = compliance.tag_licenses(df).collect()[0]
+    return r.license_id, r.license_family, r.opted_out
+
+
+class TestLicenseLadder:
+    def test_spdx_wins_over_body_text(self, spark):
+        # body says GPL, SPDX header says MIT — SPDX wins
+        lic, fam, _ = _tag_one(
+            spark,
+            "SPDX-License-Identifier: MIT\nGNU General Public License, "
+            "version 3 applies to bundled bits",
+        )
+        assert (lic, fam) == ("MIT", "permissive")
+
+    def test_unknown_spdx_falls_through_to_ladder(self, spark):
+        lic, fam, _ = _tag_one(
+            spark, "SPDX-License-Identifier: WTFPL\nmit license text here"
+        )
+        assert (lic, fam) == ("MIT", "permissive")
+
+    def test_lgpl_not_swallowed_by_gpl3(self, spark):
+        lic, fam, _ = _tag_one(spark, "Shipped under LGPL-3.0 terms.")
+        assert (lic, fam) == ("LGPL-2.1", "weak-copyleft")
+
+    def test_agpl_before_gpl(self, spark):
+        lic, fam, _ = _tag_one(
+            spark, "GNU Affero General Public License version 3"
+        )
+        assert (lic, fam) == ("AGPL-3.0", "copyleft")
+
+    def test_gpl_versions_distinguished(self, spark):
+        assert _tag_one(
+            spark,
+            "under the terms of the GNU General Public License, as "
+            "published by the Free Software Foundation, version 2",
+        )[0] == "GPL-2.0"
+        assert _tag_one(spark, "licensed gpl-3.0")[0] == "GPL-3.0"
+
+    def test_cc_precedence_nc_sa_by(self, spark):
+        assert _tag_one(
+            spark, "Creative Commons Attribution-NonCommercial 4.0"
+        )[0] == "CC-BY-NC-4.0"
+        assert _tag_one(
+            spark, "Creative Commons Attribution-ShareAlike 4.0"
+        )[0] == "CC-BY-SA-4.0"
+        assert _tag_one(
+            spark, "Creative Commons Attribution 4.0 International"
+        )[0] == "CC-BY-4.0"
+
+    def test_proprietary_catch_all_is_last(self, spark):
+        # a permissive notice that ALSO says "all rights reserved"
+        # (the MIT preamble does) must tag as MIT, not Proprietary
+        lic, _, _ = _tag_one(
+            spark,
+            "Copyright (c) 2024. All rights reserved.\n"
+            "Permission is hereby granted, free of charge, to any person",
+        )
+        assert lic == "MIT"
+        assert _tag_one(spark, "(c) 2024 MegaCorp. All Rights Reserved.")[
+            0
+        ] == "Proprietary"
+
+    def test_no_match_is_null_unknown(self, spark):
+        lic, fam, out = _tag_one(spark, "just an ordinary paragraph")
+        assert lic is None and fam == "unknown" and out is False
+
+    def test_null_text(self, spark):
+        lic, fam, out = _tag_one(spark, None)
+        assert lic is None and fam == "unknown" and out is None
+
+
+class TestOptOut:
+    def test_opt_out_tokens(self, spark):
+        for t in (
+            '<meta name="robots" content="noai, noimageai">',
+            "X-Robots-Tag: noindex",
+            "tdm-reservation: 1",
+            "see TDMRep policy",
+            "do notrain on this",
+        ):
+            assert _tag_one(spark, t)[2] is True, t
+
+    def test_substring_does_not_trigger(self, spark):
+        # 'noai'/'noindex' must be whole tokens
+        assert _tag_one(spark, "paranoia and renoindexing")[2] is False
+
+
+class TestComplianceReport:
+    def test_counts_and_rates(self, spark):
+        rows = [
+            (1, "s1", "mit license"),
+            (2, "s1", "gpl-3.0 terms"),
+            (3, "s1", "plain text"),
+            (4, "s1", "noai. all rights reserved"),
+            (5, "s2", "cc by-nc content"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r.source: r.asDict()
+            for r in compliance.compliance_report(df).collect()
+        }
+        s1 = got["s1"]
+        assert s1["n_docs"] == 4 and s1["n_licensed"] == 3
+        assert s1["frac_permissive"] == 0.25
+        assert s1["frac_copyleft"] == 0.25
+        assert s1["frac_proprietary"] == 0.25
+        assert s1["frac_opted_out"] == 0.25
+        s2 = got["s2"]
+        assert s2["frac_noncommercial"] == 1.0 and s2["frac_opted_out"] == 0.0
