@@ -1860,3 +1860,92 @@ def keyword_hits(
         total.cast("long").alias("n_hits"),
         (total > 0).alias("flagged"),
     )
+
+
+def template_col(text_col) -> Column:
+    """Slot-normalized template of a text column — the shape that
+    survives when the variable parts of machine-generated spam are
+    masked out: URLs → ``<url>``, emails → ``<email>``, long hex runs →
+    ``<hex>``, digit runs → ``0``, whitespace runs collapsed. Two pages
+    with different prize codes but the same boilerplate normalize to the
+    SAME template string.
+
+    Pure regexp expressions (whole-stage codegen, map-side). Character
+    classes are written explicitly (``[ \\t\\n\\r]`` instead of ``\\s``)
+    because Java's ``\\s`` includes vertical tab while RE2's does not —
+    the explicit class keeps the SQL oracle byte-identical.
+
+    Normalization order matters and is part of the contract: URLs before
+    emails (a URL can embed ``@``), both before hex/digit masking (so
+    hosts aren't mangled first), whitespace collapse last.
+    """
+    t = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    t = F.regexp_replace(t, r"https?://[^ \t\n\r]+", "<url>")
+    t = F.regexp_replace(t, r"[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+    t = F.regexp_replace(t, r"\b[0-9a-f]{8,}\b", "<hex>")
+    t = F.regexp_replace(t, r"[0-9]+", "0")
+    t = F.regexp_replace(t, r"[ \t\n\r]+", " ")
+    return F.trim(t)
+
+
+def template_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document template fingerprint: ``template_hash`` (md5 of the
+    slot-normalized template) + ``raw_hash`` (md5 of the raw text) +
+    the template length. Map-side only — zero shuffles; feed it to
+    :func:`template_clusters` for the corpus-level rollup."""
+    tpl = template_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(tpl).alias("template_hash"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("raw_hash"),
+        F.length(tpl).alias("template_len"),
+    )
+
+
+def template_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    min_template_len: int = 20,
+) -> DataFrame:
+    """Templated-spam clusters — documents that are DIFFERENT byte-wise
+    but identical after slot masking (SEO farms, listing pages, receipt
+    spam; the C4/RefinedWeb failure mode exact dedup can't see). One
+    hash-shuffle on ``template_hash``; at 100 TB this is the same plan
+    as exact dedup, on a 32-hex key.
+
+    A cluster is flagged ``is_spam`` when it has ≥ ``min_docs`` members,
+    MORE than one distinct raw text (pure exact-dup clusters belong to
+    exact dedup, not here), and a template of at least
+    ``min_template_len`` chars (trivial templates like ``0`` would glue
+    unrelated short docs together).
+
+    Returns one row per template: ``(template_hash, n_docs,
+    n_distinct_raw, slot_variability, template_len, min_id, is_spam)``
+    with ``slot_variability = n_distinct_raw / n_docs`` rounded to 6dp.
+    """
+    fp = template_fingerprint(df, id_col=id_col, text_col=text_col)
+    agg = fp.groupBy("template_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_distinct_raw"),
+        F.first("template_len").alias("template_len"),
+        F.min(id_col).alias("min_id"),
+    )
+    return agg.select(
+        "template_hash",
+        "n_docs",
+        "n_distinct_raw",
+        F.round(F.col("n_distinct_raw") / F.col("n_docs"), 6).alias(
+            "slot_variability"
+        ),
+        "template_len",
+        "min_id",
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_distinct_raw") > 1)
+            & (F.col("template_len") >= min_template_len)
+        ).alias("is_spam"),
+    )

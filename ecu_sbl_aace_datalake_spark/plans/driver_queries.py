@@ -13857,3 +13857,77 @@ ORACLES.update({
     "license_detect": SQL_LICENSE_DETECT,
     "compliance_report": SQL_COMPLIANCE_REPORT,
 })
+
+
+def q_template_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-spam clusters (textstats.template_clusters): documents
+    byte-distinct but identical after slot masking (urls/emails/hex/digit
+    runs). One hash-shuffle on the 32-hex template key — the exact-dedup
+    plan shape, so it scales wherever exact dedup does. Plants a
+    33-member spam campaign with per-doc slots over the real corpus."""
+    d = F.col("doc_id")
+    spam_text = F.concat(
+        F.lit("WINNER! Claim your prize of $"),
+        ((d * 7) % 999).cast("string"),
+        F.lit(" now at https://promo"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/claim?id="),
+        d.cast("string"),
+        F.lit(" mail agent"),
+        d.cast("string"),
+        F.lit("@spam.example.com within 24 hours. Code: "),
+        F.substring(F.md5(d.cast("string")), 1, 12),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text", F.when(d % 37 == 0, spam_text).otherwise(F.col("text"))
+    )
+    return textstats.template_clusters(
+        planted, min_docs=5, min_template_len=20
+    )
+
+
+SQL_TEMPLATE_SPAM = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN
+      'WINNER! Claim your prize of $' || CAST((doc_id * 7) % 999 AS VARCHAR)
+      || ' now at https://promo' || CAST(doc_id % 5 AS VARCHAR)
+      || '.example.com/claim?id=' || CAST(doc_id AS VARCHAR)
+      || ' mail agent' || CAST(doc_id AS VARCHAR)
+      || '@spam.example.com within 24 hours. Code: '
+      || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+    ELSE text END AS text
+  FROM documents
+),
+tpl AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(text),
+        'https?://[^ \t\n\r]+', '<url>', 'g'),
+        '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        '\\b[0-9a-f]{8,}\\b', '<hex>', 'g'),
+        '[0-9]+', '0', 'g'),
+        '[ \t\n\r]+', ' ', 'g')) AS template,
+    md5(COALESCE(text, '')) AS raw_hash
+  FROM planted
+),
+agg AS (
+  SELECT md5(template) AS template_hash,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT raw_hash) AS n_distinct_raw,
+         MIN(length(template)) AS template_len,
+         MIN(doc_id) AS min_id
+  FROM tpl GROUP BY md5(template)
+)
+SELECT template_hash, n_docs, n_distinct_raw,
+       ROUND(n_distinct_raw / n_docs, 6) AS slot_variability,
+       template_len, min_id,
+       (n_docs >= 5 AND n_distinct_raw > 1 AND template_len >= 20)
+         AS is_spam
+FROM agg
+"""
+
+
+QUERIES.update({"template_spam": q_template_spam})
+ORACLES.update({"template_spam": SQL_TEMPLATE_SPAM})

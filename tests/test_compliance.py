@@ -117,3 +117,52 @@ class TestComplianceReport:
         assert s1["frac_opted_out"] == 0.25
         s2 = got["s2"]
         assert s2["frac_noncommercial"] == 1.0 and s2["frac_opted_out"] == 0.0
+
+
+class TestTemplateSpam:
+    def test_slot_masking_and_clustering(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        spam = [
+            (i, f"WIN ${i*7} now at https://p{i%2}.ex.com/c?id={i} "
+                f"mail bot{i}@ex.com code {'%012x' % (i * 99991)}")
+            for i in range(1, 7)
+        ]
+        rows = spam + [
+            (100, "an ordinary paragraph about geese"),
+            (101, "an ordinary paragraph about geese"),  # exact dup pair
+            (102, "something else entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = textstats.template_clusters(df, min_docs=3).collect()
+        by_spam = {r.is_spam: r for r in got if r.n_docs > 1}
+        spam_c = by_spam[True]
+        assert spam_c.n_docs == 6 and spam_c.n_distinct_raw == 6
+        assert spam_c.slot_variability == 1.0 and spam_c.min_id == 1
+        # the exact-dup pair is NOT template spam (1 distinct raw)
+        dup_c = by_spam[False]
+        assert dup_c.n_docs == 2 and dup_c.n_distinct_raw == 1
+
+    def test_template_normalization_contract(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, "Visit https://a.b/x?u=1 or mail A.b-c%d@host.org "
+                 "ref deadbeef1234 on 2024-05-06\t\tnow")],
+            "doc_id long, text string",
+        )
+        tpl = df.select(
+            textstats.template_col("text").alias("t")
+        ).collect()[0].t
+        assert tpl == "visit <url> or mail <email> ref <hex> on 0-0-0 now"
+
+    def test_short_template_not_flagged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        # many docs collapsing to a tiny template must not flag
+        df = spark.createDataFrame(
+            [(i, str(i)) for i in range(10)], "doc_id long, text string"
+        )
+        got = textstats.template_clusters(df, min_docs=3).collect()
+        assert len(got) == 1 and not got[0].is_spam
