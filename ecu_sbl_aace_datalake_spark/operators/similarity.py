@@ -1677,3 +1677,107 @@ def centroid_similarity(
     return pairs.select(
         "group_a", "group_b", F.round(cos, round_to).alias("cosine")
     )
+
+
+def binary_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bvec",
+) -> DataFrame:
+    """1-bit sign quantization: pack ``x[i] > 0`` bits into 32-bit words
+    (``array<bigint>``, word values in ``[0, 2³²)``, first dimension at
+    the word's MSB). 32× smaller than float32 — the modern
+    binary-quantization ANN layout (Lucene/Milvus BQ): at 100 TB the
+    candidate scan streams 8 bytes per 64-dim vector instead of 256 and
+    distance is two XOR+popcounts. Pure array expressions (sequence +
+    slice + aggregate), no UDF; ANSI-safe (words bounded < 2³²).
+
+    The zero-sign convention (``0`` and negatives both map to bit 0) is
+    part of the contract and replicated by the SQL oracle.
+    """
+    v = _as_double(F.col(vec_col))
+    n_words = ((F.size(v) + F.lit(31)) / F.lit(32)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.slice(v, w * 32 + 1, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def hamming_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed bit-word arrays: XOR +
+    popcount per word, summed. Pure expressions (F.bit_count)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str = "query_id",
+    rerank_factor: int = 8,
+) -> DataFrame:
+    """Two-stage binary-quantization ANN: sign-bit Hamming distance
+    selects ``k·rerank_factor`` candidates per query (XOR+popcount over
+    the packed words — 32× less bandwidth than the float scan), exact
+    float cosine reranks them to the final top-k. Output scores are
+    EXACT cosines of the candidate set, so results equal brute force
+    whenever the true top-k survive the Hamming stage (for sign-split
+    data a factor of 8 on 64-dim vectors is comfortable; raise it for
+    centered data where signs carry less signal).
+
+    Same two-stage shape as :func:`quantized_topk`; the semi-join back
+    to float vectors reads only ``|Q|·k·rerank_factor`` rows.
+    """
+    from pyspark.sql.window import Window
+
+    bcorp = binary_quantize(corpus, vec_col).select(
+        F.col(id_col), F.col("bvec").alias("__cb")
+    )
+    bquer = binary_quantize(queries, vec_col).select(
+        F.col(query_id_col), F.col("bvec").alias("__qb")
+    )
+    cand_w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__ham"), F.asc(id_col)
+    )
+    cands = (
+        bcorp.crossJoin(F.broadcast(bquer))
+        .where(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
+        .withColumn("__ham", hamming_bits(F.col("__cb"), F.col("__qb")))
+        .withColumn("__rn", F.row_number().over(cand_w))
+        .where(F.col("__rn") <= k * rerank_factor)
+        .select(query_id_col, id_col, "__ham")
+    )
+    c_vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    q_vecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    a, b = _as_double(F.col("__cv")), _as_double(F.col("__qv"))
+    exact = (
+        cands.join(c_vecs, id_col)
+        .join(F.broadcast(q_vecs), query_id_col)
+        .where((l2_norm_sq(a) > 0) & (l2_norm_sq(b) > 0))
+        .withColumn(
+            "score",
+            F.round(
+                dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank", "__ham")
+        .withColumnRenamed("__ham", "hamming")
+    )

@@ -13931,3 +13931,57 @@ FROM agg
 
 QUERIES.update({"template_spam": q_template_spam})
 ORACLES.update({"template_spam": SQL_TEMPLATE_SPAM})
+
+
+def q_embedding_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (similarity.binary_topk): sign bits packed
+    into 32-bit words (32× less candidate-scan bandwidth than floats),
+    XOR+popcount Hamming selects k·8 candidates, exact float cosine
+    reranks — the Lucene/Milvus BQ design. Oracle recomputes Hamming as
+    the sign-disagreement count and replays both stages."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.binary_topk(emb, queries, k=10, rerank_factor=8)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+SQL_EMBEDDING_TOPK_BINARY = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+ham AS (
+  SELECT q.query_id, c.vec_id, c.cv, q.qv,
+         CAST(len(list_filter(range(1, len(c.cv) + 1),
+                              i -> (c.cv[i] > 0) <> (q.qv[i] > 0))) AS INT)
+           AS hamming
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, vec_id) AS rn
+  FROM ham
+),
+scored AS (
+  SELECT query_id, vec_id, hamming,
+         ROUND(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS score
+  FROM cand
+  WHERE rn <= 80
+    AND list_dot_product(cv, cv) > 0 AND list_dot_product(qv, qv) > 0
+)
+SELECT query_id, vec_id, score, rank, hamming FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+QUERIES.update({"embedding_topk_binary": q_embedding_topk_binary})
+ORACLES.update({"embedding_topk_binary": SQL_EMBEDDING_TOPK_BINARY})

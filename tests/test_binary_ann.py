@@ -1,0 +1,88 @@
+"""Unit tests for 1-bit binary-quantization ANN (similarity.binary_quantize /
+hamming_bits / binary_topk): packing goldens, exactness at full rerank
+factor, recall at the default factor."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ecu_sbl_aace_datalake_spark.operators import similarity
+
+
+class TestBinaryQuantize:
+    def test_packing_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0] * 3 + [0.0] * 29 + [-1.0, 2.0]),  # 34 dims, 2 words
+             (2, [0.0] * 34)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r.bvec for r in similarity.binary_quantize(df).collect()}
+        # word 0: first 3 dims positive at the MSB end of a 32-bit word
+        assert got[1][0] == 0b111 << 29
+        # word 1 (2 leftover dims): [-1 -> 0, 2 -> 1] = 0b01
+        assert got[1][1] == 1
+        # zero vector packs to all-zero words (zero-sign convention)
+        assert got[2] == [0, 0]
+
+    def test_hamming_bits(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0b1010, 0b1], [0b0110, 0b1], 2),
+             (2, [0, 0], [0, 0], 0)],
+            "i long, a array<long>, b array<long>, want int",
+        )
+        rows = df.select(
+            similarity.hamming_bits(F.col("a"), F.col("b")).alias("h"), "want"
+        ).collect()
+        for r in rows:
+            assert r.h == r.want
+
+
+class TestBinaryTopk:
+    def test_full_factor_equals_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id, r.score)
+            for r in similarity.cosine_topk(emb, q, k=10).collect()
+        }
+        full = {
+            (r.query_id, r.vec_id, r.score)
+            for r in similarity.binary_topk(
+                emb, q, k=10, rerank_factor=500
+            ).collect()
+        }
+        assert full == exact
+
+    def test_default_factor_recall(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in similarity.cosine_topk(emb, q, k=10).collect()
+        }
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.binary_topk(emb, q, k=10).collect()
+        }
+        assert len(got & exact) / len(exact) >= 0.6
+
+    def test_rerank_scores_are_exact_cosines(self, spark):
+        # planted: candidate with identical signs but different magnitude
+        # must be reranked by the EXACT cosine, not the hamming order
+        rows = [
+            (0, [1.0, 1.0, 1.0, 1.0]),
+            (1, [1.0, 1.0, 1.0, 1.0]),       # cosine 1.0, hamming 0
+            (2, [3.0, 0.1, 0.1, 0.1]),       # same signs, lower cosine
+            (3, [-1.0, -1.0, -1.0, -1.0]),   # opposite
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = similarity.binary_topk(df, q, k=2, rerank_factor=2).collect()
+        assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+        assert got[0].score == 1.0
