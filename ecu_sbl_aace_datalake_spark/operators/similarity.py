@@ -1781,3 +1781,161 @@ def binary_topk(
         .select(query_id_col, id_col, "score", "rank", "__ham")
         .withColumnRenamed("__ham", "hamming")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_floor: float = 0.3,
+    sim_ceiling: float = 0.9,
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-``k`` corpus vectors whose exact cosine falls in
+    ``[sim_floor, sim_ceiling)`` — similar enough to be informative,
+    below the near-dup band where a "negative" would actually be a
+    positive. The standard dense-retriever training step (ANCE/DPR).
+
+    Plan: broadcast the anchors, one map-side corpus scan with the band
+    filter pushed into the scan (rows outside the band never reach the
+    window), per-anchor top-k window. At 100 TB swap the full scan for
+    an IVF-pruned pool: pass ``ivf_topk(...)`` survivors as ``corpus``
+    — the operator only assumes (id, vec) columns.
+
+    Returns ``(anchor_id, vec_id, score, rank)``; anchors with no
+    in-band corpus rows yield no rows (a curator signal, not an error).
+    """
+    from pyspark.sql.window import Window
+
+    a_vecs = anchors.select(
+        F.col(anchor_id_col).alias("__aid"), F.col(vec_col).alias("__av")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    va, vc = _as_double(F.col("__av")), _as_double(F.col("__cv"))
+    cos = dot(vc, va) / (F.sqrt(l2_norm_sq(vc)) * F.sqrt(l2_norm_sq(va)))
+    scored = (
+        c.crossJoin(F.broadcast(a_vecs))
+        .where(~F.col(id_col).eqNullSafe(F.col("__aid")))
+        .where((l2_norm_sq(vc) > 0) & (l2_norm_sq(va) > 0))
+        .withColumn("score", F.round(cos, 6))
+        .where(
+            (F.col("score") >= sim_floor) & (F.col("score") < sim_ceiling)
+        )
+    )
+    w = Window.partitionBy("__aid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__aid").alias(anchor_id_col),
+            F.col(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def margin_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.05,
+    mutual: bool = True,
+    scope: "CacheScope | None" = None,
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix bitext-mining criterion): score every candidate pair
+    by its cosine RATIO to the average of both endpoints' k-NN
+    neighborhoods, ``margin(x,y) = cos(x,y) / ((avgk(x) + avgk(y))/2)``,
+    keep each x's argmax-margin y above ``threshold``, and (default)
+    require the match to be MUTUAL (y's argmax is x). The margin
+    normalizes away hubness — a y that is everyone's neighbor has a high
+    denominator and stops winning.
+
+    Plan: ONE pair-scan (x ⋈ broadcast(y)) produces the scored relation;
+    both directions' k-NN averages are windows over it; the scan is
+    persisted (into ``scope`` when given) because four consumers read
+    it. At 100 TB replace the exact pair-scan with ANN candidates per
+    side (ivf_topk both directions, union) — the margin/mutual logic
+    downstream is identical.
+
+    Returns ``(x_id, y_id, cosine, margin)`` — one row per mined pair.
+    """
+    from pyspark.sql.window import Window
+
+    from ..caching import CacheScope, persist_in  # noqa: F401 (annotation)
+
+    xv = x.select(F.col(id_col).alias("__xid"), F.col(vec_col).alias("__xv"))
+    yv = y.select(F.col(id_col).alias("__yid"), F.col(vec_col).alias("__yv"))
+    a, b = _as_double(F.col("__xv")), _as_double(F.col("__yv"))
+    cos = dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+    pairs = (
+        xv.crossJoin(F.broadcast(yv))
+        .where((l2_norm_sq(a) > 0) & (l2_norm_sq(b) > 0))
+        .select("__xid", "__yid", F.round(cos, 6).alias("cosine"))
+    )
+    pairs = persist_in(scope, pairs)
+
+    wx = Window.partitionBy("__xid").orderBy(F.desc("cosine"), F.asc("__yid"))
+    wy = Window.partitionBy("__yid").orderBy(F.desc("cosine"), F.asc("__xid"))
+    topx = pairs.withColumn("__rn", F.row_number().over(wx)).where(
+        F.col("__rn") <= k
+    )
+    topy = pairs.withColumn("__rn", F.row_number().over(wy)).where(
+        F.col("__rn") <= k
+    )
+    # k-NN neighborhood sums as EXACT decimals (sums of 6dp-rounded
+    # cosines), averaged only inside the final margin expression: a
+    # rounded 4-value average of 6dp multiples lands exactly on a
+    # 7th-decimal 5 a quarter of the time, where engines' half-up vs
+    # binary rounding disagree — one end-rounding sidesteps the boundary
+    dec = F.col("cosine").cast("decimal(10,6)")
+    avgx = topx.groupBy("__xid").agg(
+        F.sum(dec).alias("__sx"), F.count(F.lit(1)).alias("__kx")
+    )
+    avgy = topy.groupBy("__yid").agg(
+        F.sum(dec).alias("__sy"), F.count(F.lit(1)).alias("__ky")
+    )
+
+    denom = (
+        F.col("__sx").cast("double") / F.col("__kx")
+        + F.col("__sy").cast("double") / F.col("__ky")
+    ) / 2
+    margined = (
+        pairs.join(F.broadcast(avgx), "__xid")
+        .join(F.broadcast(avgy), "__yid")
+        .withColumn("margin", F.round(F.col("cosine") / denom, 6))
+    )
+    mx = Window.partitionBy("__xid").orderBy(F.desc("margin"), F.asc("__yid"))
+    fwd = (
+        margined.withColumn("__rm", F.row_number().over(mx))
+        .where((F.col("__rm") == 1) & (F.col("margin") >= threshold))
+        .select("__xid", "__yid", "cosine", "margin")
+    )
+    if mutual:
+        my = Window.partitionBy("__yid").orderBy(
+            F.desc("margin"), F.asc("__xid")
+        )
+        bwd = (
+            margined.withColumn("__rm", F.row_number().over(my))
+            .where(F.col("__rm") == 1)
+            .select(
+                F.col("__xid").alias("__bxid"), F.col("__yid").alias("__byid")
+            )
+        )
+        fwd = fwd.join(
+            bwd,
+            (F.col("__xid") == F.col("__bxid"))
+            & (F.col("__yid") == F.col("__byid")),
+        ).drop("__bxid", "__byid")
+    return fwd.select(
+        F.col("__xid").alias("x_id"),
+        F.col("__yid").alias("y_id"),
+        "cosine",
+        "margin",
+    )

@@ -13985,3 +13985,122 @@ SELECT query_id, vec_id, score, rank, hamming FROM (
 
 QUERIES.update({"embedding_topk_binary": q_embedding_topk_binary})
 ORACLES.update({"embedding_topk_binary": SQL_EMBEDDING_TOPK_BINARY})
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per anchor the
+    top-5 corpus vectors with exact cosine in [0.3, 0.9) — informative
+    negatives below the near-dup band (ANCE/DPR training step). Broadcast
+    anchors, band filter pushed into the map-side scan, one window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    return similarity.hard_negatives(
+        emb, anchors, k=5, sim_floor=0.3, sim_ceiling=0.9
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+banded AS (
+  SELECT a.anchor_id, c.vec_id,
+         ROUND(list_dot_product(c.cv, a.av)
+               / (sqrt(list_dot_product(c.cv, c.cv))
+                  * sqrt(list_dot_product(a.av, a.av))), 6) AS score
+  FROM c CROSS JOIN a
+  WHERE c.vec_id <> a.anchor_id
+    AND list_dot_product(c.cv, c.cv) > 0
+    AND list_dot_product(a.av, a.av) > 0
+)
+SELECT anchor_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM banded WHERE score >= 0.3 AND score < 0.9
+) WHERE rank <= 5
+"""
+
+
+def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext-style pair mining (similarity.margin_pairs,
+    Artetxe & Schwenk 2019 / CCMatrix): even-id vectors as side X, odd
+    as side Y; cosine normalized by both endpoints' 4-NN averages, each
+    x's argmax-margin y kept when >= 1.02 AND mutual. One persisted
+    pair-scan feeds all four consumers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.where(F.col("vec_id") % 2 == 0)
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    return similarity.margin_pairs(x, y, k=4, threshold=1.02, mutual=True)
+
+
+SQL_MARGIN_PAIRS = """
+WITH x AS (
+  SELECT vec_id AS xid, CAST(embedding AS DOUBLE[]) AS xv
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+y AS (
+  SELECT vec_id AS yid, CAST(embedding AS DOUBLE[]) AS yv
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+pairs AS (
+  SELECT xid, yid,
+         ROUND(list_dot_product(xv, yv)
+               / (sqrt(list_dot_product(xv, xv))
+                  * sqrt(list_dot_product(yv, yv))), 6) AS cosine
+  FROM x CROSS JOIN y
+  WHERE list_dot_product(xv, xv) > 0 AND list_dot_product(yv, yv) > 0
+),
+ax AS (
+  SELECT xid, SUM(CAST(cosine AS DECIMAL(10,6))) AS sx, COUNT(*) AS kx
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY cosine DESC, yid) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY xid
+),
+ay AS (
+  SELECT yid, SUM(CAST(cosine AS DECIMAL(10,6))) AS sy, COUNT(*) AS ky
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY yid
+                                 ORDER BY cosine DESC, xid) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY yid
+),
+margined AS (
+  SELECT p.xid, p.yid, p.cosine,
+         ROUND(p.cosine / ((CAST(ax.sx AS DOUBLE) / ax.kx
+                            + CAST(ay.sy AS DOUBLE) / ay.ky) / 2), 6)
+           AS margin
+  FROM pairs p JOIN ax ON ax.xid = p.xid JOIN ay ON ay.yid = p.yid
+),
+fwd AS (
+  SELECT xid, yid, cosine, margin FROM (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY margin DESC, yid) AS rm
+    FROM margined
+  ) WHERE rm = 1 AND margin >= 1.02
+),
+bwd AS (
+  SELECT xid, yid FROM (
+    SELECT *, row_number() OVER (PARTITION BY yid
+                                 ORDER BY margin DESC, xid) AS rm
+    FROM margined
+  ) WHERE rm = 1
+)
+SELECT f.xid AS x_id, f.yid AS y_id, f.cosine, f.margin
+FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
+"""
+
+
+QUERIES.update({
+    "hard_negatives": q_hard_negatives,
+    "margin_pairs": q_margin_pairs,
+})
+ORACLES.update({
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "margin_pairs": SQL_MARGIN_PAIRS,
+})
