@@ -317,3 +317,72 @@ def append_url_index(accepted_df: DataFrame, index: dict) -> None:
         .bucketBy(nb, "canonical_url").sortBy("canonical_url")
         .saveAsTable(index["index_table"])
     )
+
+
+def domain_quality_report(
+    df: DataFrame,
+    url_col: str = "url",
+    score_col: str = "clf_score",
+    min_avg: float = 0.5,
+) -> DataFrame:
+    """Per-registrable-domain quality rollup — the RefinedWeb/DCLM
+    curation move of judging QUALITY AT DOMAIN granularity (a domain
+    whose average classifier score is low is a content farm; its
+    individually-lucky pages go too). Input must already carry a
+    per-doc ``score_col`` (e.g. ``classifier.classifier_scores``).
+
+    ONE aggregate on the eTLD+1 key; scores are summed as exact
+    DECIMAL(18,6) so the mean is a single deterministic end-division
+    (no engine-dependent intermediate rounding). Rows whose URL does
+    not canonicalize are excluded — they have no domain to gate.
+
+    Returns ``(domain, n_docs, avg_score, keep_domain)``.
+    """
+    canon = canonical_url(url_col)
+    host = F.regexp_extract(canon, r"^https?://([^:/?]*)", 1)
+    base = df.where(canon.isNotNull()).select(
+        registrable_domain(host).alias("domain"),
+        F.col(score_col).cast("decimal(18,6)").alias("__s"),
+    )
+    agg = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__s").alias("__sum")
+    )
+    avg = F.col("__sum").cast("double") / F.col("n_docs")
+    return agg.select(
+        "domain",
+        "n_docs",
+        F.round(avg, 6).alias("avg_score"),
+        (avg >= F.lit(min_avg)).alias("keep_domain"),
+    )
+
+
+def drop_low_quality_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    score_col: str = "clf_score",
+    min_avg: float = 0.5,
+) -> DataFrame:
+    """Doc-level application of :func:`domain_quality_report`: drop every
+    row whose registrable domain averages below ``min_avg``; rows with
+    no canonicalizable URL are KEPT (no domain evidence against them).
+    The bad-domain list is a broadcast anti-join — domain cardinality is
+    tiny next to the corpus, so the gate is map-side at 100 TB."""
+    bad = (
+        domain_quality_report(df, url_col, score_col, min_avg)
+        .where(~F.col("keep_domain"))
+        .select("domain")
+    )
+    canon = canonical_url(url_col)
+    host = F.regexp_extract(canon, r"^https?://([^:/?]*)", 1)
+    tagged = df.withColumn(
+        "__dom",
+        F.when(canon.isNotNull(), registrable_domain(host)),
+    )
+    return (
+        tagged.join(
+            F.broadcast(bad),
+            tagged["__dom"] == bad["domain"],
+            "left_anti",
+        )
+        .drop("__dom")
+    )

@@ -166,3 +166,28 @@ class TestTemplateSpam:
         )
         got = textstats.template_clusters(df, min_docs=3).collect()
         assert len(got) == 1 and not got[0].is_spam
+
+
+class TestReadability:
+    def test_known_sentence(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        # "the cat sat on the mat." -> 6 words, 1 sentence, 6 syllables
+        df = spark.createDataFrame(
+            [(1, "The cat sat on the mat."), (2, ""), (3, None),
+             (4, "Incomprehensibility notwithstanding, heterogeneous "
+                 "phenomenological methodologies persist!")],
+            "doc_id long, text string",
+        )
+        from ecu_sbl_aace_datalake_spark.operators.textstats import (
+            readability_scores,
+        )
+        got = {r.doc_id: r for r in readability_scores(df).collect()}
+        r1 = got[1]
+        assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 1, 6)
+        # flesch = 206.835 - 1.015*6 - 84.6*1 = 116.145
+        assert r1.flesch == 116.145
+        assert got[2].n_words == 0 and got[2].flesch is None
+        assert got[3].flesch is None
+        # polysyllabic monster scores much lower / higher grade
+        assert got[4].flesch < 10 and got[4].fk_grade > 15

@@ -151,3 +151,51 @@ class TestPersistedUrlIndex:
             assert again.count() == 0
         finally:
             spark.sql("DROP TABLE IF EXISTS t_url_idx")
+
+
+class TestDomainQualityGate:
+    def _df(self, spark):
+        rows = [
+            (1, "https://good.com/a", 0.9),
+            (2, "https://good.com/b", 0.8),
+            (3, "https://farm.net/x", 0.1),
+            (4, "https://farm.net/y", 0.2),
+            (5, "not a url", 0.05),          # no domain -> not gated
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, clf_score double"
+        )
+
+    def test_report(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import urls
+
+        got = {
+            r.domain: r
+            for r in urls.domain_quality_report(self._df(spark)).collect()
+        }
+        assert set(got) == {"good.com", "farm.net"}
+        assert got["good.com"].keep_domain and got["good.com"].avg_score == 0.85
+        assert not got["farm.net"].keep_domain
+
+    def test_drop_keeps_unurled_rows(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import urls
+
+        kept = {
+            r.doc_id
+            for r in urls.drop_low_quality_domains(self._df(spark)).collect()
+        }
+        assert kept == {1, 2, 5}
+
+    def test_decimal_mean_boundary(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import urls
+
+        # four 6dp scores whose mean lands exactly on a 7th-decimal 5 —
+        # the decimal-sum/end-division contract keeps this deterministic
+        rows = [(i, "https://b.org/p", s) for i, s in enumerate(
+            [0.1, 0.2, 0.3, 0.4293462]
+        )]
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, clf_score double"
+        )
+        r = urls.domain_quality_report(df).collect()[0]
+        assert r.n_docs == 4 and abs(r.avg_score - 0.257337) < 1e-9
