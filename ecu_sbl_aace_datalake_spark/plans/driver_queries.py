@@ -14204,3 +14204,57 @@ FROM per
 
 QUERIES.update({"domain_quality_gate": q_domain_quality_gate})
 ORACLES.update({"domain_quality_gate": SQL_DOMAIN_QUALITY_GATE})
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graph.link_prediction_scores) on the 5%-slice
+    supplier co-occurrence graph: common-neighbors count + Adamic-Adar
+    (inverse-log witness weighting) for non-adjacent pairs sharing >= 2
+    witnesses. Wedge join keyed on the witness; per-witness AA
+    contributions summed as exact decimals for partitioning-independent
+    output."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("x"), li.alias("y")
+    edges = (
+        a.join(b, F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return graph.link_prediction_scores(edges, min_common=2)
+
+
+SQL_LINK_PREDICTION = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey AND x.l_orderkey % 20 = 0
+),
+adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+wit AS (SELECT adj.w, deg.deg, adj.n FROM adj JOIN deg USING (w)),
+wedges AS (
+  SELECT l.w, l.deg, l.n AS u, r.n AS v
+  FROM wit l JOIN adj r USING (w) WHERE l.n < r.n
+),
+scored AS (
+  SELECT u, v, COUNT(*) AS common_neighbors,
+         SUM(CAST(ROUND(1.0 / LN(deg), 9) AS DECIMAL(18,9))) AS aa
+  FROM wedges GROUP BY u, v
+)
+SELECT u, v, common_neighbors,
+       ROUND(CAST(aa AS DOUBLE), 6) AS adamic_adar
+FROM scored s
+WHERE common_neighbors >= 2
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = s.u AND e.b = s.v)
+"""
+
+
+QUERIES.update({"link_prediction": q_link_prediction})
+ORACLES.update({"link_prediction": SQL_LINK_PREDICTION})

@@ -249,3 +249,58 @@ class TestSsspBellmanFord:
         )
         with _pytest.raises(ValueError):
             validate_nonnegative_weights(edges)
+
+
+class TestLinkPrediction:
+    def test_square_graph(self, spark):
+        # square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2
+        # witnesses of degree 2 -> CN=2, AA = 2/ln(2)
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        got = {(r.u, r.v): r for r in
+               graph.link_prediction_scores(edges).collect()}
+        assert set(got) == {(1, 3), (2, 4)}
+        want = round(2 * round(1 / math.log(2), 9), 6)
+        for r in got.values():
+            assert r.common_neighbors == 2
+            assert abs(r.adamic_adar - want) < 1e-9
+
+    def test_existing_edges_excluded_and_hub_discounted(self, spark):
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        # hub 0 adjacent to everyone; 1-2 also direct neighbors
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+        )
+        got = {(r.u, r.v): r for r in
+               graph.link_prediction_scores(edges).collect()}
+        # (1,2) is an existing edge -> excluded; (1,3),(2,3) share hub 0
+        assert set(got) == {(1, 3), (2, 3)}
+        aa_hub = round(round(1 / math.log(3), 9), 6)
+        assert abs(got[(1, 3)].adamic_adar - aa_hub) < 1e-9
+
+    def test_witness_degree_cap(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3), (9, 1), (9, 3)], "src long, dst long"
+        )
+        capped = {(r.u, r.v): r for r in graph.link_prediction_scores(
+            edges, max_witness_degree=2
+        ).collect()}
+        # hub 0 (deg 3) is dropped as a WITNESS: (1,3) keeps only
+        # witness 9, and (0,9) appears via witnesses 1 and 3 — the cap
+        # removes hub-mediated evidence, not hub-endpoint pairs
+        assert set(capped) == {(1, 3), (0, 9)}
+        assert capped[(1, 3)].common_neighbors == 1
+        assert capped[(0, 9)].common_neighbors == 2
+        uncapped = {(r.u, r.v): r.common_neighbors for r in
+                    graph.link_prediction_scores(edges).collect()}
+        assert uncapped[(1, 3)] == 2  # hub witness counted without cap
