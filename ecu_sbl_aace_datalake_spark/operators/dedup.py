@@ -2209,3 +2209,46 @@ def hamming_neardup_pairs(
         .where(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: keep only the FIRST
+    occurrence of each line inside a single document (nav menus, footer
+    blocks, and pagination chrome repeat within a scraped page long
+    before they repeat across the corpus). Complements
+    :func:`paragraph_dedup` (corpus-wide keep-first) and
+    :func:`~.textstats.remove_boilerplate_lines` (corpus-frequency
+    filter): this one needs no second document to act.
+
+    Lines compare by a normalized key (lowercase, whitespace-runs
+    collapsed, trimmed) but the ORIGINAL first-occurrence text is what
+    survives. Blank lines are preserved as structure, never deduped.
+
+    ZERO shuffles — the whole operator is higher-order array expressions
+    (split → keyed first-occurrence filter → rejoin), so it is map-side
+    at any scale. The first-occurrence test is ``array_position`` inside
+    a filter lambda: O(L²) in the LINE count per document — fine for
+    real pages (hundreds of lines); a pathological million-line doc
+    belongs in the explode+window formulation instead (documented
+    tradeoff, same contract).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    key = lambda l: F.trim(  # noqa: E731
+        F.regexp_replace(F.lower(l), r"[ \t\r]+", " ")
+    )
+    keys = F.transform(lines, key)
+    kept = F.filter(
+        lines,
+        lambda l, i: (key(l) == "")
+        | (F.array_position(keys, F.get(keys, i)) == i + 1),
+    )
+    out = F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, "\n")
+    )
+    return df.withColumn(out_col, out)

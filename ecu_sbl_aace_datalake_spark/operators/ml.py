@@ -1218,3 +1218,67 @@ def mahalanobis_outliers(
         .orderBy(F.col("d2").desc(), F.col(id_col).asc())
         .limit(int(top))
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+    ref_date=None,
+) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary, the
+    classic CRM scoring): one aggregate per customer, then ``ntile``
+    scores 1..n_bins per dimension where HIGHER is better (most recent,
+    most frequent, highest spend all score n_bins), combined into a
+    3-digit segment code.
+
+    Determinism contract: monetary sums as exact DECIMAL(18,2); every
+    ntile ordering carries the customer id as the tie-break, so scores
+    are partitioning-independent and SQL-replicable. ``ref_date``
+    defaults to the dataset's max date (one 1-row broadcast).
+
+    Scale: the customer aggregate is the only data-sized shuffle. The
+    ntile windows are global over the POST-AGGREGATION relation (one row
+    per customer) — dimension-sized by construction; for customer
+    dimensions beyond window reach, swap ntile for approx_percentile
+    cutpoints (same scores up to quantile error, documented tradeoff).
+    """
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(customer_col).agg(
+        F.max(date_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).alias("monetary"),
+    )
+    if ref_date is None:
+        ref = df.agg(F.max(date_col).alias("__ref"))
+        per = per.crossJoin(F.broadcast(ref))
+    else:
+        per = per.withColumn("__ref", F.lit(ref_date).cast("timestamp"))
+    per = per.withColumn(
+        "recency_days", F.datediff(F.col("__ref"), F.col("__last"))
+    )
+    cust = F.col(customer_col)
+    w_r = Window.orderBy(F.desc("recency_days"), cust.asc())
+    w_f = Window.orderBy(F.asc("frequency"), cust.asc())
+    w_m = Window.orderBy(F.asc("monetary"), cust.asc())
+    return (
+        per.withColumn("r_score", F.ntile(n_bins).over(w_r))
+        .withColumn("f_score", F.ntile(n_bins).over(w_f))
+        .withColumn("m_score", F.ntile(n_bins).over(w_m))
+        .select(
+            cust,
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("segment"),
+        )
+    )

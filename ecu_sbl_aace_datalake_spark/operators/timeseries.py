@@ -1018,3 +1018,40 @@ def sessionize_capped(
         )
     )
     return base.mapInPandas(split, out_schema)
+
+
+def period_over_period(
+    df: DataFrame,
+    period_col: str,
+    value_col: str,
+    group_cols: tuple = (),
+    lag_periods: int = 1,
+    out_prefix: str = "prev_",
+) -> DataFrame:
+    """Period-over-period reporting (MoM/QoQ/YoY): per group, each
+    period's value next to the value ``lag_periods`` periods earlier and
+    the relative growth ``(v - prev) / prev`` (NULL when there is no
+    prior period or it is zero — a growth rate off a zero base is
+    undefined, not infinite).
+
+    One window per group ordered by the period column — feed it
+    POST-aggregation relations (period × group rollups), where the
+    partition is a handful of rows per group; growth division runs in
+    double off the (exact, if the caller summed decimals) inputs and
+    rounds to 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(period_col)
+    prev = F.lag(value_col, lag_periods).over(w)
+    out = df.withColumn(out_prefix + value_col, prev)
+    prev_c = F.col(out_prefix + value_col)
+    growth = F.when(
+        prev_c.isNotNull() & (prev_c.cast("double") != 0.0),
+        F.round(
+            (F.col(value_col).cast("double") - prev_c.cast("double"))
+            / prev_c.cast("double"),
+            6,
+        ),
+    )
+    return out.withColumn("growth", growth)

@@ -14258,3 +14258,160 @@ WHERE common_neighbors >= 2
 
 QUERIES.update({"link_prediction": q_link_prediction})
 ORACLES.update({"link_prediction": SQL_LINK_PREDICTION})
+
+
+def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal
+    (dedup.dedup_lines_within_doc): first occurrence of each
+    normalized line survives, blank lines keep structure — nav/footer
+    chrome that repeats INSIDE one page. Pure higher-order array
+    expressions: zero shuffles, map-side at any scale. Plants duplicated
+    nav chrome around every 4th document."""
+    d = F.col("doc_id")
+    nav = F.lit("Home | About | Contact")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 4 == 0,
+            F.concat(nav, F.lit("\n"), F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("\n"), nav, F.lit("\nCopyright 2024 Example Corp")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.dedup_lines_within_doc(planted).select(
+        "doc_id", "text_deduped"
+    )
+
+
+SQL_LINE_DEDUP_WITHIN_DOC = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN
+      'Home | About | Contact' || chr(10) || COALESCE(text, '') || chr(10)
+      || 'Home | About | Contact' || chr(10) || 'Copyright 2024 Example Corp'
+    ELSE text END AS text
+  FROM documents
+),
+arr AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+         list_transform(string_split(text, chr(10)),
+           l -> trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g'))) AS keys
+  FROM planted
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    array_to_string(
+      list_filter(lines, (l, i) ->
+        trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g')) = ''
+        OR list_position(keys, keys[i]) = i),
+      chr(10))
+  END AS text_deduped
+FROM arr
+"""
+
+
+QUERIES.update({"line_dedup_within_doc": q_line_dedup_within_doc})
+ORACLES.update({"line_dedup_within_doc": SQL_LINE_DEDUP_WITHIN_DOC})
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (ml.rfm_segments): one customer aggregate
+    (decimal monetary sums), ntile scores with customer-id tie-breaks
+    over the post-aggregation relation, 3-digit segment code. The CRM
+    scoring classic as a deterministic distributed plan."""
+    orders = _t(spark, sf_dir, "orders")
+    return ml.rfm_segments(orders)
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_d,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(last_d AS DATE), CAST(ref_d AS DATE))
+           AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN ref
+)
+SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+       frequency, monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS segment
+FROM (
+  SELECT *,
+    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT)
+      AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS INT)
+      AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS INT)
+      AS m_score
+  FROM base
+)
+"""
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation
+    (timeseries.period_over_period over a year × nation rollup):
+    decimal revenue sums feed one lag window per nation; growth NULL on
+    the first year and zero bases."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("year"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    return timeseries.period_over_period(
+        rev, "year", "revenue", group_cols=("nation",)
+    )
+
+
+SQL_YOY_GROWTH = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INT) AS year,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate)
+),
+lagged AS (
+  SELECT nation, year, revenue,
+         lag(revenue) OVER (PARTITION BY nation ORDER BY year)
+           AS prev_revenue
+  FROM rev
+)
+SELECT nation, year, revenue, prev_revenue,
+  CASE WHEN prev_revenue IS NOT NULL
+        AND CAST(prev_revenue AS DOUBLE) <> 0.0 THEN
+    ROUND((CAST(revenue AS DOUBLE) - CAST(prev_revenue AS DOUBLE))
+          / CAST(prev_revenue AS DOUBLE), 6)
+  END AS growth
+FROM lagged
+"""
+
+
+QUERIES.update({
+    "rfm_segments": q_rfm_segments,
+    "yoy_growth": q_yoy_growth,
+})
+ORACLES.update({
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "yoy_growth": SQL_YOY_GROWTH,
+})

@@ -191,3 +191,23 @@ class TestReadability:
         assert got[3].flesch is None
         # polysyllabic monster scores much lower / higher grade
         assert got[4].flesch < 10 and got[4].fk_grade > 15
+
+
+class TestLineDedupWithinDoc:
+    def test_first_kept_blanks_preserved(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        rows = [
+            (1, "Home | About\nreal content\nHome | About\nmore\nhome   | about"),
+            (2, "a\n\nb\n\na"),
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.text_deduped
+               for r in dedup.dedup_lines_within_doc(df).collect()}
+        # normalized key: casing/whitespace variants collapse to first form
+        assert got[1] == "Home | About\nreal content\nmore"
+        # blank lines survive as structure
+        assert got[2] == "a\n\nb\n"
+        assert got[3] is None and got[4] == ""

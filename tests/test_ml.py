@@ -1170,3 +1170,46 @@ class TestReviewRegressions:
         )
         out = {r["rank"]: r["id"] for r in similarity.kcenter_selection(df, k=2).collect()}
         assert out == {0: "a", 1: "c"}
+
+
+class TestRFM:
+    def test_scores_and_segment(self, spark):
+        from datetime import datetime
+
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = []
+        # customer i: i orders, last order day i, amount 100*i
+        for cust in range(1, 6):
+            for j in range(cust):
+                rows.append(
+                    (cust, datetime(2024, 1, cust), 100.0 * cust)
+                )
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+        )
+        got = {r.o_custkey: r for r in ml.rfm_segments(df).collect()}
+        # customer 5: most recent, most frequent, biggest spend -> 555
+        assert got[5].segment == 555
+        assert got[1].segment == 111
+        assert got[3].recency_days == 2  # ref = Jan 5
+        assert float(got[3].monetary) == 900.0  # 3 orders x 300
+
+
+class TestPeriodOverPeriod:
+    def test_growth_and_null_bases(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [("a", 2020, 100.0), ("a", 2021, 150.0), ("a", 2022, 0.0),
+             ("a", 2023, 50.0), ("b", 2020, 10.0)],
+            "g string, year int, v double",
+        )
+        got = {(r.g, r.year): r for r in timeseries.period_over_period(
+            df, "year", "v", group_cols=("g",)
+        ).collect()}
+        assert got[("a", 2020)].growth is None          # no prior
+        assert got[("a", 2021)].growth == 0.5
+        assert got[("a", 2022)].growth == -1.0
+        assert got[("a", 2023)].growth is None          # zero base
+        assert got[("b", 2020)].growth is None
