@@ -1939,3 +1939,44 @@ def margin_pairs(
         "cosine",
         "margin",
     )
+
+
+def append_ivf_index(
+    new_rows: DataFrame,
+    lakehouse,
+    table_name: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    fmt: str | None = None,
+):
+    """Append a batch to a :func:`persist_ivf_index` table WITHOUT a
+    rebuild: assign the new vectors to the same FROZEN centroids and
+    append partition-wise — new files land inside their cluster's
+    existing directory, so :func:`ivf_topk_from_index` probes stay
+    partition-pruned over old + new rows alike (the ingest-once
+    query-many lifecycle of the near-dup/URL/BM25 index family).
+
+    Frozen centroids are the honesty constraint: if the appended
+    distribution drifts, vectors assign to increasingly-wrong clusters
+    and probe recall decays. Monitor the batch's mean distance to its
+    assigned centroid against the build-time baseline and re-train +
+    rebuild when it rises materially; the append itself never degrades
+    correctness of probe-all (it remains exact).
+
+    Same one-file-per-touched-cluster repartition as the initial
+    persist — an unrepartitioned append would add
+    (input partitions × touched clusters) small files.
+    """
+    from ..sources.catalog import table_path
+    from ..sources.io import DEFAULT_FORMAT
+
+    assigned = new_rows.withColumn(
+        cluster_col, _nearest_centroid(_as_double(F.col(vec_col)), centroids)
+    ).repartition(F.col(cluster_col))
+    (
+        assigned.write.format(fmt or DEFAULT_FORMAT)
+        .mode("append")
+        .partitionBy(cluster_col)
+        .save(table_path(lakehouse, table_name))
+    )

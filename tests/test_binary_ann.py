@@ -86,3 +86,44 @@ class TestBinaryTopk:
         got = similarity.binary_topk(df, q, k=2, rerank_factor=2).collect()
         assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
         assert got[0].score == 1.0
+
+
+class TestIvfAppend:
+    def test_append_equals_rebuild_and_stays_pruned(self, spark, sf_dir):
+        import glob
+        import tempfile
+
+        from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = similarity.kmeans_fit(emb, k=4, max_iter=3)
+        first = emb.where(F.col("vec_id") % 2 == 0)
+        second = emb.where(F.col("vec_id") % 2 == 1)
+
+        lh = Lakehouse("ivf_app", tempfile.mkdtemp())
+        similarity.persist_ivf_index(first, lh, "emb_ivf", centroids)
+        similarity.append_ivf_index(second, lh, "emb_ivf", centroids)
+
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        from_index = similarity.ivf_topk_from_index(
+            spark, lh, "emb_ivf", queries, centroids, k=5, n_probe=2
+        )
+        inline = similarity.ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+        assert sorted(map(tuple, from_index.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        # probes stay partition-pruned after the append
+        plan = from_index._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cluster" in plan
+        # appended files joined the existing cluster dirs (no new layout)
+        dirs = glob.glob(f"{lh.tables_path}/emb_ivf/ivf_cluster=*")
+        assert len(dirs) == 4
+        # every touched cluster dir has at most 2 data files (one per write)
+        for d in dirs:
+            files = [
+                f for f in glob.glob(f"{d}/part-*") if not f.endswith(".crc")
+            ]
+            assert 1 <= len(files) <= 2, files
