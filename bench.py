@@ -231,6 +231,18 @@ BENCH_QUERIES = [
     "audio_fingerprint",
     "audio_neardup",
     "simhash_neardup",
+    "license_detect",
+    "compliance_report",
+    "template_spam",
+    "embedding_topk_binary",
+    "hard_negatives",
+    "margin_pairs",
+    "readability_scores",
+    "domain_quality_gate",
+    "link_prediction",
+    "line_dedup_within_doc",
+    "rfm_segments",
+    "yoy_growth",
 ]
 
 
