@@ -37,3 +37,43 @@ def redact_pii(text: str) -> str:
     for pattern, replacement in PII_PATTERNS:
         text = re.sub(pattern, replacement, text)
     return text
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """Per-document PII hit counts (one ``regexp_count`` per pattern
+    type): ``n_emails``, ``n_phones``, ``n_ips``. Map-side expressions —
+    feed :func:`pii_prevalence_report` for the corpus rollup."""
+    c = F.col(col) if isinstance(col, str) else col
+    names = ["n_emails", "n_phones", "n_ips"]
+    return [
+        F.regexp_count(c, F.lit(p)).cast("long").alias(n)
+        for (p, _), n in zip(PII_PATTERNS, names)
+    ]
+
+
+def pii_prevalence_report(df, group_col: str = "source", text_col: str = "text"):
+    """Per-group PII prevalence — the risk table a curator reads BEFORE
+    deciding whether a source needs redaction at all: document counts,
+    per-type hit totals, and the fraction of documents carrying any PII.
+    ONE aggregate on the group key (map-side partial combine); the same
+    conservative patterns as :func:`redact_pii_col`, so "0 hits here"
+    and "nothing redacted there" can never disagree."""
+    counted = df.select(
+        F.col(group_col), *pii_counts(text_col)
+    )
+    any_pii = (
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+    ).cast("int")
+    return (
+        counted.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum("n_ips").alias("total_ips"),
+            F.round(F.sum(any_pii) / F.count(F.lit(1)), 6).alias(
+                "frac_docs_with_pii"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -1055,3 +1055,87 @@ def period_over_period(
         ),
     )
     return out.withColumn("growth", growth)
+
+
+def positional_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    lookback: str = "7 days",
+    model: str = "u",
+    conv_id_col: str = "event_id",
+) -> DataFrame:
+    """Positional multi-touch attribution: every conversion's credit is
+    split across ALL touches in its lookback window — U-shaped
+    (``model='u'``: 40% first touch, 40% last, 20% shared by the
+    middles; degenerates to 100%/50-50 for 1-2 touches) or ``linear``
+    (equal split). Complements first/last-touch
+    (:func:`attribution_touchpoints`) with the fractional-credit models.
+
+    Plan shape: each touch is FORWARD as-of joined to its next
+    conversion of the same user within ``lookback``
+    (:func:`~.joins.asof_join` — one shuffle + one window, never a
+    conversions × touches range join); positions come from one window
+    per conversion; credits are rounded to 9dp and summed as exact
+    decimals so channel totals are partitioning-independent.
+
+    Returns ``(touch_type, conversions_touched, total_credit)`` — one
+    row per touch channel.
+    """
+    from pyspark.sql.window import Window
+
+    from .joins import asof_join
+
+    conv = events.where(F.col(type_col) == conv_type).select(
+        F.col(user_col), F.col(ts_col),
+        F.col(conv_id_col).alias("__conv_id"),
+    )
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col), F.col(ts_col), F.col(type_col).alias("touch_type")
+    )
+    attached = asof_join(
+        touches,
+        conv,
+        on=user_col,
+        left_ts=ts_col,
+        right_ts=ts_col,
+        right_cols=["__conv_id"],
+        suffix="",
+        direction="forward",
+        tolerance=lookback,
+        right_tie_break="__conv_id",
+    ).where(F.col("__conv_id").isNotNull())
+
+    w = Window.partitionBy("__conv_id").orderBy(
+        F.col(ts_col).asc(), F.col("touch_type").asc()
+    )
+    wn = Window.partitionBy("__conv_id")
+    pos = (
+        attached.withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    n, p = F.col("__n"), F.col("__pos")
+    if model == "linear":
+        credit = F.lit(1.0) / n
+    elif model == "u":
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when((n == 2), F.lit(0.5))
+            .when(p == 1, F.lit(0.4))
+            .when(p == n, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+    else:
+        raise ValueError(f"unknown attribution model: {model!r}")
+    dec = F.round(credit, 9).cast("decimal(18,9)")
+    return (
+        pos.groupBy("touch_type")
+        .agg(
+            F.countDistinct("__conv_id").alias("conversions_touched"),
+            F.round(F.sum(dec).cast("double"), 6).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )

@@ -14415,3 +14415,117 @@ ORACLES.update({
     "rfm_segments": SQL_RFM_SEGMENTS,
     "yoy_growth": SQL_YOY_GROWTH,
 })
+
+
+def q_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII prevalence report (redact.pii_prevalence_report):
+    per-type hit totals + fraction of docs carrying any PII, ONE
+    aggregate on the source key; same conservative patterns as the
+    redaction pass so audit and scrub can never disagree. PII planted on
+    every 3rd doc so both clean and dirty rows exist per source."""
+    from ..functions.redact import pii_prevalence_report
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (d % 255).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_prevalence_report(docs)
+
+
+SQL_PII_PREVALENCE = r"""
+WITH dirty AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 3 = 0 THEN
+      COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+    ELSE text END AS text
+  FROM documents
+),
+counted AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+    CAST(len(regexp_extract_all(text,
+      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
+    CAST(len(regexp_extract_all(text,
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+  FROM dirty
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_emails) AS total_emails,
+       SUM(n_phones) AS total_phones,
+       SUM(n_ips) AS total_ips,
+       ROUND(SUM(CASE WHEN n_emails + n_phones + n_ips > 0
+                      THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS frac_docs_with_pii
+FROM counted
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES.update({"pii_prevalence": q_pii_prevalence})
+ORACLES.update({"pii_prevalence": SQL_PII_PREVALENCE})
+
+
+def q_positional_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution
+    (timeseries.positional_attribution): each touch forward-as-of joins
+    to its NEXT purchase within 7 days (single-assignment credit — one
+    shuffle + one window, never a conversions × touches range join),
+    positions from one per-conversion window, 40/20/40 credits summed as
+    exact 9dp decimals."""
+    evdf = _t(spark, sf_dir, "events")
+    return timeseries.positional_attribution(evdf)
+
+
+SQL_POSITIONAL_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, ts, event_type AS touch_type,
+         row_number() OVER (PARTITION BY user_id, ts, event_type
+                            ORDER BY event_type) AS seq
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (SELECT user_id, ts, event_id AS conv_id FROM events
+      WHERE event_type = 'purchase'),
+matched AS (
+  SELECT user_id, ts, touch_type, conv_id FROM (
+    SELECT t.user_id, t.ts, t.touch_type, t.seq, c.conv_id,
+      row_number() OVER (PARTITION BY t.user_id, t.ts, t.touch_type, t.seq
+                         ORDER BY c.ts ASC, c.conv_id DESC) AS rn
+    FROM t JOIN c ON c.user_id = t.user_id
+     AND c.ts >= t.ts AND c.ts <= t.ts + INTERVAL 7 DAY
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT touch_type, conv_id,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts, touch_type) AS p,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM matched
+)
+SELECT touch_type,
+       COUNT(DISTINCT conv_id) AS conversions_touched,
+       ROUND(CAST(SUM(CAST(ROUND(
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN p = 1 THEN 0.4
+              WHEN p = n THEN 0.4
+              ELSE 0.2 / (n - 2) END, 9) AS DECIMAL(18,9)))
+         AS DOUBLE), 6) AS total_credit
+FROM pos
+GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+QUERIES.update({"positional_attribution": q_positional_attribution})
+ORACLES.update({"positional_attribution": SQL_POSITIONAL_ATTRIBUTION})

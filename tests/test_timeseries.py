@@ -291,3 +291,62 @@ class TestMergeIntervals:
         )
         got = [(r.s, r.e, r.n_merged) for r in merge_intervals(df, "k", "s", "e").collect()]
         assert got == [(0, 150, 3)]
+
+
+class TestPositionalAttribution:
+    def _events(self, spark):
+        from datetime import datetime as dt
+
+        rows = [
+            # user 1: click, view, click -> purchase (n=3: 0.4/0.2/0.4)
+            (1, 1, "click", dt(2024, 1, 1)),
+            (2, 1, "view", dt(2024, 1, 2)),
+            (3, 1, "click", dt(2024, 1, 3)),
+            (4, 1, "purchase", dt(2024, 1, 4)),
+            # user 2: single view -> purchase (n=1: 1.0)
+            (5, 2, "view", dt(2024, 1, 1)),
+            (6, 2, "purchase", dt(2024, 1, 2)),
+            # user 3: touch outside the 7-day lookback -> unattributed
+            (7, 3, "click", dt(2024, 1, 1)),
+            (8, 3, "purchase", dt(2024, 1, 20)),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+
+    def test_u_shaped(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        got = {r.touch_type: r for r in timeseries.positional_attribution(
+            self._events(spark)
+        ).collect()}
+        # clicks: first (0.4) + last (0.4) of user 1 = 0.8
+        assert got["click"].total_credit == 0.8
+        assert got["click"].conversions_touched == 1
+        # views: middle of user1 (0.2) + solo of user2 (1.0)
+        assert got["view"].total_credit == 1.2
+        assert got["view"].conversions_touched == 2
+
+    def test_linear(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        got = {r.touch_type: r.total_credit
+               for r in timeseries.positional_attribution(
+                   self._events(spark), model="linear"
+               ).collect()}
+        assert abs(got["click"] - 2 / 3) < 1e-6
+        assert abs(got["view"] - (1 / 3 + 1.0)) < 1e-6
+
+    def test_two_touch_split(self, spark):
+        from datetime import datetime as dt
+
+        from ecu_sbl_aace_datalake_spark.operators import timeseries
+
+        df = spark.createDataFrame(
+            [(1, 1, "click", dt(2024, 1, 1)), (2, 1, "view", dt(2024, 1, 2)),
+             (3, 1, "purchase", dt(2024, 1, 3))],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        )
+        got = {r.touch_type: r.total_credit
+               for r in timeseries.positional_attribution(df).collect()}
+        assert got == {"click": 0.5, "view": 0.5}
