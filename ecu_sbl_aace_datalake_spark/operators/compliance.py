@@ -43,6 +43,7 @@ __all__ = [
     "OPT_OUT_PATTERNS",
     "SPDX_RE",
     "license_id_col",
+    "license_family_col",
     "opt_out_col",
     "tag_licenses",
     "compliance_report",
@@ -126,6 +127,13 @@ def _family_col(lic: F.Column) -> F.Column:
     # an SPDX id outside the frozen set (can't happen via license_id_col,
     # but the column form is reusable on user-supplied ids)
     return expr.otherwise(F.lit("unknown"))
+
+
+def license_family_col(text_col) -> F.Column:
+    """Rights family for a text column in one expression:
+    ``license_id_col`` composed with the family mapping ('unknown' for
+    undetected). The gate form used by pipeline/streaming doors."""
+    return _family_col(license_id_col(text_col))
 
 
 def opt_out_col(text_col) -> F.Column:

@@ -59,6 +59,9 @@ def prepare_corpus(
     bpe_merges: Sequence[tuple[str, str]] | None = None,
     cap_per_source: int | None = None,
     lang_model: dict | None = None,
+    drop_opted_out: bool = False,
+    license_families: Sequence[str] | None = None,
+    line_dedup: bool = False,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
@@ -120,9 +123,40 @@ def prepare_corpus(
       ``classifier.LANG_NB_V1``) routes the language gate through
       :func:`~.classifier.lang_id_nb` instead of the marker-token
       heuristic; same ``lang_pred`` column either way.
+    - ``drop_opted_out`` / ``license_families`` — compliance gates
+      (:mod:`~.compliance`): drop TDM/AI opt-out docs, and/or keep only
+      docs whose detected rights family is in the given set (include
+      ``'unknown'`` to keep undetected docs). Run FIRST — cheapest
+      gates, and an opted-out doc must not even be hashed.
+    - ``line_dedup`` — within-document repeated-line scrub
+      (:func:`~.dedup.dedup_lines_within_doc`) before any scoring or
+      hashing, so every downstream stage sees the cleaned text.
     """
     from . import bpe as bpe_mod
     from . import classifier as clf
+
+    # compliance gates run FIRST (cheapest: per-doc regexps, no shuffle,
+    # and an opted-out/wrong-license doc must not even be hashed)
+    if drop_opted_out:
+        from . import compliance as comp
+
+        df = df.where(
+            ~F.coalesce(comp.opt_out_col(text_col), F.lit(False))
+        )
+    if license_families is not None:
+        from . import compliance as comp
+
+        df = df.where(
+            comp.license_family_col(text_col).isin(*license_families)
+        )
+    # within-doc line scrub BEFORE any scoring/dedup: all downstream
+    # stats and hashes see the cleaned text (map-side, zero shuffles)
+    if line_dedup:
+        df = (
+            dedup.dedup_lines_within_doc(df, id_col, text_col, out_col="__ld")
+            .drop(text_col)
+            .withColumnRenamed("__ld", text_col)
+        )
     if lang_model is not None:
         tagged = df.join(
             clf.lang_id_nb(df, lang_model, id_col=id_col, text_col=text_col),

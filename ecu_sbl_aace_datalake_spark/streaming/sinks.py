@@ -471,6 +471,8 @@ def foreach_batch_corpus_ingest(
     decontaminate_fuzzy_ngram: int = 3,
     url_col: str | None = None,
     url_index: dict | None = None,
+    drop_opted_out: bool = False,
+    license_families: tuple | None = None,
 ) -> Any:
     """STREAMING training-corpus preparation — the foreachBatch composition
     of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
@@ -525,6 +527,12 @@ def foreach_batch_corpus_ingest(
        :func:`~..operators.transform.cap_per_group_bytes`, so admission
        is replayable and never depends on arrival order. Composes with
        step 5 (count cap applies first).
+    0.5. compliance door (round 8, ``drop_opted_out`` /
+       ``license_families``) — stateless per-doc regexps from
+       :mod:`~..operators.compliance` run right after the URL door:
+       TDM/AI opt-out rejection and/or a rights-family allowlist
+       (include ``'unknown'`` to keep undetected docs), before any
+       content hashing.
 
     Idempotency: replayed batches re-filter against the corpus hash door
     (survivors are already in the corpus → rejected) and the counts state
@@ -577,6 +585,22 @@ def foreach_batch_corpus_ingest(
                 # canonical-URL index instead of scanning the corpus below
                 batch_df = _urls_probe(
                     batch_df.drop("canonical_url"), url_index, url_col
+                )
+        if drop_opted_out or license_families is not None:
+            # compliance door (round 8): stateless per-doc regexps —
+            # cheaper than any hashing gate, and an opted-out or
+            # wrong-license doc must never reach the corpus
+            from ..operators import compliance as comp
+
+            if drop_opted_out:
+                batch_df = batch_df.where(
+                    ~F.coalesce(comp.opt_out_col(text_col), F.lit(False))
+                )
+            if license_families is not None:
+                batch_df = batch_df.where(
+                    comp.license_family_col(text_col).isin(
+                        *list(license_families)
+                    )
                 )
         if lang_model is not None:
             pred = classifier.lang_id_nb(

@@ -211,3 +211,33 @@ class TestLineDedupWithinDoc:
         # blank lines survive as structure
         assert got[2] == "a\n\nb\n"
         assert got[3] is None and got[4] == ""
+
+
+class TestPipelineComplianceStages:
+    def test_compliance_and_line_dedup_in_prepare_corpus(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today", "s0"),
+            (2, "the cat sat on the mat and watched the rain fall "
+                "gnu general public license version 3", "s0"),  # copyleft
+            (3, "the sun rose over the hills and the valley below "
+                "noai", "s0"),                                   # opted out
+            (4, "Nav | Menu\nthe ship sailed out across the open sea "
+                "at dawn\nNav | Menu", "s0"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = pipeline.prepare_corpus(
+            df,
+            keep_langs=("en",),
+            min_quality=0.0,
+            drop_opted_out=True,
+            license_families=("permissive", "unknown"),
+            line_dedup=True,
+        )
+        got = {r.doc_id: r.text for r in out.collect()}
+        assert set(got) == {1, 4}
+        # doc 4's trailing nav chrome was scrubbed before hashing
+        assert got[4] == (
+            "Nav | Menu\nthe ship sailed out across the open sea at dawn"
+        )

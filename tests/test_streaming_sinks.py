@@ -843,3 +843,51 @@ class TestForeachBatchUrlDoorIndexed:
             assert known == {"https://a.com/page", "https://a.com/other"}
         finally:
             spark.sql("DROP TABLE IF EXISTS t_ui_idx")
+
+
+class TestComplianceDoor:
+    def test_opt_out_and_license_gates_at_ingest(self, spark, tmp_path):
+        """Round 8: the compliance door fires before content gates — an
+        opted-out doc and a copyleft doc are rejected at ingest, a
+        permissive doc and an unlicensed doc pass (with 'unknown'
+        allowed)."""
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog "
+                "released under the mit license", "s0"),
+            (2, "the cat and the hat went off to the market "
+                "gnu general public license version 3 applies", "s0"),
+            (3, "the sun and the moon and all of the stars "
+                "with a noai directive inside", "s0"),
+            (4, "the rain in spain falls mostly on the plain", "s0"),
+        ]
+        src = str(tmp_path / "cd_src")
+        os.makedirs(src)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src + "/b0", mode="overwrite"
+        )
+        part = glob.glob(f"{src}/b0/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch0.parquet")
+        shutil.rmtree(f"{src}/b0")
+        stream = spark.readStream.schema(schema).parquet(src)
+        lh = Lakehouse("x", str(tmp_path / "cd_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "cd_ckpt"),
+            keep_langs=("en",), min_quality=0.0, near_dup=False,
+            drop_opted_out=True,
+            license_families=("permissive", "public-domain", "unknown"),
+        )
+        q.awaitTermination(240)
+        corpus = read_path(spark, str(tmp_path / "cd_lh") + "/Tables/corpus")
+        kept = {r.doc_id for r in corpus.collect()}
+        # 2 (copyleft) and 3 (opted out) rejected at the door
+        assert kept == {1, 4}, kept
