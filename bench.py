@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "line_dedup_within_doc",
     "rfm_segments",
     "yoy_growth",
+    "pii_prevalence",
+    "positional_attribution",
 ]
 
 
