@@ -249,6 +249,10 @@ class TestGlobalPlanInvariants:
         "domain_stats",         # 1-row corpus-total scalar broadcast for the share
         "ccnet_buckets",        # 1-row scored-doc count broadcast (bucket math) + the LM's V scalar
         "quality_mixture",      # composes ccnet_buckets (same bounded scalars)
+        "embedding_topk_binary",  # tiny packed-query-set broadcast vs bit-word scan (BQ candidate stage)
+        "hard_negatives",       # tiny anchor-set broadcast vs banded corpus scan
+        "margin_pairs",         # broadcast smaller side of the mined pair-scan (exact at fixture scale; ANN pools at 100 TB)
+        "rfm_segments",         # 1-row max-date ref scalar broadcast
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
