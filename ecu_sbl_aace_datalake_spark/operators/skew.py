@@ -674,3 +674,151 @@ def cooccurrence_similarity(
             .drop("__rk")
         )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — the mergeable distinct-count
+# summary that, unlike HLL, also supports INTERSECTION estimates
+# (Beyer et al., SIGMOD'07). Hashing is md5-derived (no RNG), so sketches,
+# merges, and estimates are bit-deterministic and SQL-replicable.
+# ---------------------------------------------------------------------------
+
+KMV_HASH_BITS = 48
+
+
+def _kmv_hash(col: Column) -> Column:
+    """Uniform [0, 1) hash of a value: first 12 md5 hex chars / 2^48."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(2 ** KMV_HASH_BITS))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct hash values of
+    ``value_col`` (one row per retained hash — a bounded k-row relation
+    per group). Build is one distinct + one bounded per-group window;
+    merge two sketches by unioning rows and re-taking the k smallest
+    (:func:`kmv_merge`) — the classic mergeable-summary contract.
+
+    NULL values are excluded (COUNT DISTINCT semantics).
+
+    Scale shape: a direct per-group top-k window would move EVERY
+    distinct hash of a group through one task. Instead the k smallest
+    are taken in two stages — per (group, 32-bucket salt) first (fully
+    parallel), then over the surviving ≤ 32·k rows per group — the
+    standard parallel top-k contraction; the result set is identical
+    (the k global minima always survive their bucket's top-k).
+    """
+    from pyspark.sql.window import Window
+
+    n_buckets = 32
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, _kmv_hash(F.col(value_col)).alias("kmv_hash"))
+        .distinct()
+        .withColumn(
+            "__b", F.pmod(F.xxhash64(F.col("kmv_hash")), F.lit(n_buckets))
+        )
+    )
+    w1 = Window.partitionBy(*group_cols, "__b").orderBy("kmv_hash")
+    pruned = (
+        hashed.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__b")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .select(*group_cols, "kmv_hash")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge two KMV sketches: union the retained hashes per group and
+    keep the k smallest distinct — exactly the sketch of the unioned
+    inputs (KMV's merge is lossless w.r.t. rebuild)."""
+    from pyspark.sql.window import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*group_cols, "kmv_hash")
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group: ``(k-1)/h_k`` where ``h_k`` is
+    the k-th smallest retained hash; EXACT (the retained count) when the
+    group holds fewer than k distinct values. Deterministic — both the
+    sketch and the estimator are pure hash arithmetic, so a SQL oracle
+    reproduces the estimate bit-for-bit (unlike RNG-seeded sketches)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("kmv_hash").alias("__hk")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("__hk")
+    )
+    return agg.select(
+        *group_cols, F.round(est, 4).alias("distinct_estimate")
+    )
+
+
+def kmv_intersection_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 64,
+    label_a: str = "a",
+    label_b: str = "b",
+) -> DataFrame:
+    """Intersection-size estimate between two UNGROUPED sketches (each a
+    1-group relation of ``kmv_hash`` rows): take the k smallest hashes of
+    the union; the fraction ρ of those present in BOTH sketches estimates
+    the Jaccard, and ``|A∩B| ≈ ρ · D(A∪B)`` with ``D`` the union's KMV
+    estimate — the Beyer et al. estimator. This is the operation HLL
+    cannot do (inclusion-exclusion on HLL compounds errors; KMV
+    intersects natively).
+
+    Returns one row: ``(k_used, jaccard_estimate, union_estimate,
+    intersection_estimate)``. Deterministic and SQL-replicable.
+    """
+    from pyspark.sql.window import Window
+
+    ta = a.select(F.col("kmv_hash")).distinct().withColumn("__ina", F.lit(1))
+    tb = b.select(F.col("kmv_hash")).distinct().withColumn("__inb", F.lit(1))
+    u = (
+        ta.join(tb, "kmv_hash", "full_outer")
+        .select(
+            "kmv_hash",
+            F.coalesce(F.col("__ina"), F.lit(0)).alias("__ina"),
+            F.coalesce(F.col("__inb"), F.lit(0)).alias("__inb"),
+        )
+    )
+    w = Window.orderBy("kmv_hash")
+    topu = u.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    agg = topu.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("kmv_hash").alias("__hk"),
+        F.sum((F.col("__ina") * F.col("__inb"))).alias("__both"),
+    )
+    d_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+    jac = F.col("__both").cast("double") / F.col("k_used")
+    return agg.select(
+        "k_used",
+        F.round(jac, 6).alias("jaccard_estimate"),
+        F.round(d_union, 4).alias("union_estimate"),
+        F.round(jac * d_union, 4).alias("intersection_estimate"),
+    )

@@ -14529,3 +14529,145 @@ GROUP BY touch_type ORDER BY touch_type
 
 QUERIES.update({"positional_attribution": q_positional_attribution})
 ORACLES.update({"positional_attribution": SQL_POSITIONAL_ATTRIBUTION})
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (skew.kmv_sketch + kmv_distinct_estimate,
+    Beyer et al. SIGMOD'07): k=64 smallest md5-uniform hashes of
+    customers per order priority; estimate (k-1)/h_k, exact below k.
+    Deterministic hash arithmetic — the ESTIMATE itself is
+    oracle-replicable, with exact counts side-by-side."""
+    orders = _t(spark, sf_dir, "orders")
+    sk = skew.kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=64)
+    est = skew.kmv_distinct_estimate(sk, ["o_orderpriority"], k=64)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").orderBy("o_orderpriority")
+
+
+SQL_KMV_DISTINCT = """
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority,
+    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+      / CAST(281474976710656 AS DOUBLE) AS kmv_hash
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+sk AS (
+  SELECT o_orderpriority, kmv_hash FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY kmv_hash) AS rn
+    FROM hashed
+  ) WHERE rn <= 64
+),
+est AS (
+  SELECT o_orderpriority, COUNT(*) AS n, MAX(kmv_hash) AS hk
+  FROM sk GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority,
+       ROUND(CASE WHEN e.n < 64 THEN CAST(e.n AS DOUBLE)
+                  ELSE 63.0 / e.hk END, 4) AS distinct_estimate,
+       x.exact_distinct
+FROM est e JOIN (
+  SELECT o_orderpriority,
+         COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+) x USING (o_orderpriority)
+ORDER BY e.o_orderpriority
+"""
+
+
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV intersection estimate (skew.kmv_intersection_estimate) — the
+    set operation HLL cannot do: customers of URGENT vs HIGH priority
+    orders; ρ·D(A∪B) over the union's k smallest hashes, with the exact
+    intersection side-by-side. Fully deterministic (md5 hashing, no
+    RNG), so the estimator replays exactly in SQL."""
+    orders = _t(spark, sf_dir, "orders")
+    a = skew.kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        [], "o_custkey", k=128,
+    )
+    b = skew.kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "2-HIGH"),
+        [], "o_custkey", k=128,
+    )
+    est = skew.kmv_intersection_estimate(a, b, k=128)
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct()
+        .intersect(
+            _t(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "2-HIGH")
+            .select("o_custkey").distinct()
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
+SQL_KMV_INTERSECTION = """
+WITH ha AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+      / CAST(281474976710656 AS DOUBLE) AS kmv_hash
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+      / CAST(281474976710656 AS DOUBLE) AS kmv_hash
+  FROM orders WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL
+),
+sa AS (SELECT kmv_hash FROM (
+  SELECT kmv_hash, row_number() OVER (ORDER BY kmv_hash) rn FROM ha
+) WHERE rn <= 128),
+sb AS (SELECT kmv_hash FROM (
+  SELECT kmv_hash, row_number() OVER (ORDER BY kmv_hash) rn FROM hb
+) WHERE rn <= 128),
+u AS (
+  SELECT COALESCE(sa.kmv_hash, sb.kmv_hash) AS kmv_hash,
+         CASE WHEN sa.kmv_hash IS NULL THEN 0 ELSE 1 END AS ina,
+         CASE WHEN sb.kmv_hash IS NULL THEN 0 ELSE 1 END AS inb
+  FROM sa FULL OUTER JOIN sb ON sa.kmv_hash = sb.kmv_hash
+),
+topu AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY kmv_hash) AS rn FROM u
+  ) WHERE rn <= 128
+),
+agg AS (
+  SELECT COUNT(*) AS k_used, MAX(kmv_hash) AS hk,
+         SUM(ina * inb) AS both
+  FROM topu
+),
+exact AS (
+  SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL
+  )
+)
+SELECT CAST(a.k_used AS BIGINT) AS k_used,
+  ROUND(CAST(a.both AS DOUBLE) / a.k_used, 6) AS jaccard_estimate,
+  ROUND(CASE WHEN a.k_used < 128 THEN CAST(a.k_used AS DOUBLE)
+             ELSE 127.0 / a.hk END, 4) AS union_estimate,
+  ROUND((CAST(a.both AS DOUBLE) / a.k_used)
+        * CASE WHEN a.k_used < 128 THEN CAST(a.k_used AS DOUBLE)
+               ELSE 127.0 / a.hk END, 4) AS intersection_estimate,
+  e.exact_intersection
+FROM agg a CROSS JOIN exact e
+"""
+
+
+QUERIES.update({
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_intersection": q_kmv_intersection,
+})
+ORACLES.update({
+    "kmv_distinct": SQL_KMV_DISTINCT,
+    "kmv_intersection": SQL_KMV_INTERSECTION,
+})

@@ -469,3 +469,53 @@ class TestAssociationRules:
         assert got[("a", "b")] == (3, 0.75, 0.75, 1.0)
         # conf b->a = 3/3 = 1.0, lift = 1/(4/4) = 1.0
         assert got[("b", "a")] == (3, 0.75, 1.0, 1.0)
+
+
+class TestKMVSketch:
+    def test_exact_below_k_and_estimate_above(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        rows = [("g1", f"v{i}") for i in range(10)] + [
+            ("g2", f"w{i % 3}") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = skew.kmv_sketch(df, ["g"], "v", k=64)
+        est = {r.g: r.distinct_estimate
+               for r in skew.kmv_distinct_estimate(sk, ["g"], k=64).collect()}
+        # both groups are below k -> exact
+        assert est == {"g1": 10.0, "g2": 3.0}
+
+    def test_estimate_accuracy_and_merge_equals_rebuild(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        rows = [("g", f"item{i}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = skew.kmv_sketch(df, ["g"], "v", k=256)
+        est = skew.kmv_distinct_estimate(sk, ["g"], k=256).collect()[0]
+        assert abs(est.distinct_estimate - 5000) / 5000 < 0.15
+        # merge of two halves == sketch of the whole
+        h1 = skew.kmv_sketch(df.where(F.length("v") % 2 == 0), ["g"], "v", k=256)
+        h2 = skew.kmv_sketch(df.where(F.length("v") % 2 == 1), ["g"], "v", k=256)
+        merged = skew.kmv_merge(h1, h2, ["g"], k=256)
+        assert sorted(r.kmv_hash for r in merged.collect()) == sorted(
+            r.kmv_hash for r in sk.collect()
+        )
+
+    def test_intersection_estimator(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import skew
+
+        a_rows = [("a", f"x{i}") for i in range(2000)]
+        b_rows = [("b", f"x{i}") for i in range(1000, 3000)]  # 1000 shared
+        a = skew.kmv_sketch(
+            spark.createDataFrame(a_rows, "g string, v string"), ["g"], "v",
+            k=256,
+        )
+        b = skew.kmv_sketch(
+            spark.createDataFrame(b_rows, "g string, v string"), ["g"], "v",
+            k=256,
+        )
+        got = skew.kmv_intersection_estimate(a, b, k=256).collect()[0]
+        # truth: |A u B| = 3000, |A n B| = 1000, J = 1/3
+        assert abs(got.union_estimate - 3000) / 3000 < 0.2
+        assert abs(got.jaccard_estimate - 1 / 3) < 0.12
+        assert abs(got.intersection_estimate - 1000) / 1000 < 0.35
