@@ -1282,3 +1282,95 @@ def rfm_segments(
             ).alias("segment"),
         )
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking-evaluation metrics — recall@k, MRR@k, NDCG@k
+    (binary relevance) — for grading any retrieval surface in this
+    engine (cosine/IVF/PQ/BQ top-k, BM25, hybrid RRF) against a ground
+    truth relation.
+
+    ``results``: (query, item, rank) — ranks 1-based, as every topk
+    operator here emits. ``truth``: (query, item) relevant pairs.
+
+    Per query: ``recall = |relevant ∩ top-k| / n_rel``;
+    ``mrr = 1/first relevant rank`` (0 when none retrieved);
+    ``ndcg = Σ 1/log2(rank+1) over relevant retrieved / IDCG(min(n_rel,
+    k))``. Queries with no truth rows emit NULL metrics (undefined, not
+    zero). One join + two aggregates, all on the query key; metrics
+    round to 6dp. Feed :func:`ranking_summary` for macro averages.
+    """
+    n_rel = truth.groupBy(query_col).agg(F.count(F.lit(1)).alias("__nrel"))
+    topk = results.where(F.col(rank_col) <= k)
+    hits = topk.join(truth, [query_col, item_col]).groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__hits"),
+        F.min(rank_col).alias("__first"),
+        F.sum(
+            F.lit(1.0) / F.log2(F.col(rank_col).cast("double") + 1.0)
+        ).alias("__dcg"),
+    )
+    base = (
+        results.select(query_col).distinct()
+        .join(n_rel, query_col, "left")
+        .join(hits, query_col, "left")
+    )
+    m = F.least(F.coalesce(F.col("__nrel"), F.lit(0)), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
+    )
+    defined = F.coalesce(F.col("__nrel"), F.lit(0)) > 0
+    return base.select(
+        query_col,
+        F.coalesce(F.col("__nrel"), F.lit(0)).alias("n_relevant"),
+        F.coalesce(F.col("__hits"), F.lit(0)).alias("n_hits"),
+        F.when(
+            defined,
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__nrel"), 6
+            ),
+        ).alias("recall_at_k"),
+        F.when(
+            defined,
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ),
+        ).alias("mrr_at_k"),
+        F.when(
+            defined,
+            F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg, 6),
+        ).alias("ndcg_at_k"),
+    )
+
+
+def ranking_summary(per_query: DataFrame) -> DataFrame:
+    """Macro averages over :func:`ranking_metrics` output (defined
+    queries only): per-query metrics are rounded values, summed as exact
+    9dp decimals with a single end-division — partitioning-independent
+    and SQL-replicable."""
+    defined = per_query.where(F.col("recall_at_k").isNotNull())
+
+    def dmean(c):
+        return F.round(
+            F.sum(F.round(F.col(c), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"mean_{c}")
+
+    return defined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        dmean("recall_at_k"),
+        dmean("mrr_at_k"),
+        dmean("ndcg_at_k"),
+    )

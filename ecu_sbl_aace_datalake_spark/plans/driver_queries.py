@@ -14671,3 +14671,87 @@ ORACLES.update({
     "kmv_distinct": SQL_KMV_DISTINCT,
     "kmv_intersection": SQL_KMV_INTERSECTION,
 })
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (ml.ranking_metrics): recall@10 / MRR@10 /
+    NDCG@10 of exact cosine top-k against same-label ground truth — the
+    harness that grades every ANN/lexical surface in the engine. One
+    join + two aggregates on the query key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from pyspark.sql.window import Window
+
+    res = similarity.cosine_topk(emb, queries, k=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    res = res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "query_id", F.col("vec_id").alias("item_id"), "rank"
+    )
+    qlab = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    truth = qlab.join(
+        emb.select(F.col("vec_id").alias("item_id"), "label"),
+        F.col("__ql") == F.col("label"),
+    ).where(F.col("query_id") != F.col("item_id")).select(
+        "query_id", "item_id"
+    )
+    return ml.ranking_metrics(res, truth, k=10).orderBy("query_id")
+
+
+SQL_RETRIEVAL_EVAL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+res AS (
+  SELECT query_id, vec_id AS item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM s QUALIFY rank <= 10
+),
+truth AS (
+  SELECT q.query_id, c.vec_id AS item_id
+  FROM q JOIN c ON c.label = q.ql AND c.vec_id <> q.query_id
+),
+nrel AS (SELECT query_id, COUNT(*) AS nrel FROM truth GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first_rank,
+         SUM(1.0 / log2(CAST(r.rank AS DOUBLE) + 1.0)) AS dcg
+  FROM res r JOIN truth t ON t.query_id = r.query_id
+                         AND t.item_id = r.item_id
+  GROUP BY r.query_id
+)
+SELECT b.query_id,
+  COALESCE(n.nrel, 0) AS n_relevant,
+  COALESCE(h.hits, 0) AS n_hits,
+  CASE WHEN COALESCE(n.nrel, 0) > 0 THEN
+    ROUND(COALESCE(h.hits, 0) / n.nrel, 6) END AS recall_at_k,
+  CASE WHEN COALESCE(n.nrel, 0) > 0 THEN
+    ROUND(COALESCE(1.0 / first_rank, 0.0), 6) END AS mrr_at_k,
+  CASE WHEN COALESCE(n.nrel, 0) > 0 THEN
+    ROUND(COALESCE(h.dcg, 0.0)
+          / list_sum(list_transform(range(1, least(n.nrel, 10) + 1),
+                                    i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))),
+          6) END AS ndcg_at_k
+FROM (SELECT DISTINCT query_id FROM res) b
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
+QUERIES.update({"retrieval_eval": q_retrieval_eval})
+ORACLES.update({"retrieval_eval": SQL_RETRIEVAL_EVAL})

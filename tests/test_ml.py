@@ -1213,3 +1213,41 @@ class TestPeriodOverPeriod:
         assert got[("a", 2022)].growth == -1.0
         assert got[("a", 2023)].growth is None          # zero base
         assert got[("b", 2020)].growth is None
+
+
+class TestRankingMetrics:
+    def test_hand_computed(self, spark):
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        results = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+             (2, 20, 1), (2, 21, 2),
+             (3, 30, 1)],
+            "query_id long, item_id long, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, 11), (1, 12), (1, 99),   # q1: hits at rank 2,3 of 3 rel
+             (2, 77)],                    # q2: no hit
+            "query_id long, item_id long",
+        )
+        got = {r.query_id: r for r in ml.ranking_metrics(
+            results, truth, k=3
+        ).collect()}
+        q1 = got[1]
+        assert q1.n_relevant == 3 and q1.n_hits == 2
+        assert q1.recall_at_k == round(2 / 3, 6)
+        assert q1.mrr_at_k == 0.5
+        dcg = 1 / math.log2(3) + 1 / math.log2(4)
+        idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+        assert abs(q1.ndcg_at_k - dcg / idcg) < 1e-6
+        assert got[2].recall_at_k == 0.0 and got[2].mrr_at_k == 0.0
+        # q3 has no truth rows -> undefined, not zero
+        assert got[3].recall_at_k is None
+
+        summ = ml.ranking_summary(
+            ml.ranking_metrics(results, truth, k=3)
+        ).collect()[0]
+        assert summ.n_queries == 2
+        assert summ.mean_recall_at_k == round((round(2/3, 6) + 0.0) / 2, 6)
