@@ -303,3 +303,102 @@ def bitmap_intersection_counts(
         .cast("long")
         .alias("n_intersect"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable MOMENTS state: exact decimal power sums -> mean / variance /
+# skewness / kurtosis. Power sums are commutative monoids, so
+# merge(state(A), state(B)) == state(A ∪ B) bit-exactly — the same
+# contract as agg_state, extended to 4th-order shape statistics.
+# --------------------------------------------------------------------------
+
+MOMENT_COLS = ("m_cnt", "s1", "s2", "s3", "s4")
+
+
+def moments_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-key mergeable moments state: count + exact power sums of the
+    SCALED INTEGER ``iv = round(v·10^scale)`` — Σiv, Σiv², Σiv³, Σiv⁴ as
+    DECIMAL(38,0). Integer powers keep every sum exact in both engines
+    (floats would make merge==recompute approximate; fractional-decimal
+    powers overflow precision typing).
+
+    Range contract (documented, not silent): per group,
+    ``Σ(|v|·10^scale)⁴ < 10³⁸`` — at the default scale 2 that allows
+    e.g. a billion rows of |v| ≤ 300 or a million rows of |v| ≤ 10⁵
+    (TPC-H prices at any fixture sf fit with 100× headroom). Beyond it
+    the decimal sum overflows loudly under ANSI rather than returning a
+    wrong number.
+    """
+    iv = (
+        F.round(F.col(value_col).cast("double") * F.lit(float(10 ** scale)))
+        .cast("decimal(19,0)")
+    )
+    i2 = (iv * iv).cast("decimal(38,0)")
+    return df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("m_cnt"),
+        F.sum(iv.cast("decimal(38,0)")).alias("s1"),
+        F.sum(i2).alias("s2"),
+        F.sum((i2 * iv).cast("decimal(38,0)")).alias("s3"),
+        F.sum((i2 * i2).cast("decimal(38,0)")).alias("s4"),
+    )
+
+
+def merge_moments_states(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge two moments states (full outer on keys, component-wise sums
+    with zero identities) — equals :func:`moments_state` over the unioned
+    inputs exactly."""
+    kl = list(keys)
+    an = a.select(*kl, *[F.col(c).alias(f"__a_{c}") for c in MOMENT_COLS])
+    bn = b.select(*kl, *[F.col(c).alias(f"__b_{c}") for c in MOMENT_COLS])
+    j = an.join(bn, kl, "full_outer")
+    out = [
+        (F.coalesce(F.col(f"__a_{c}"), F.lit(0))
+         + F.coalesce(F.col(f"__b_{c}"), F.lit(0))).alias(c)
+        for c in MOMENT_COLS
+    ]
+    return j.select(*kl, *out)
+
+
+def finalize_moments(
+    state: DataFrame, keys: Sequence[str], scale: int = 2
+) -> DataFrame:
+    """Shape statistics from the scaled-integer power sums (population
+    conventions, engine-neutral — Spark's and DuckDB's skewness/kurtosis
+    builtins disagree on sample corrections, so both sides compute from
+    the SAME exact sums): with ``u = 10^scale``, mean = s1/(n·u);
+    var = s2/(n·u²) − mean²; skew = (s3/(n·u³) − 3·mean·var − mean³)
+    / var^1.5; excess kurt = (s4/(n·u⁴) − 4·mean·s3/(n·u³) +
+    6·mean²·s2/(n·u²) − 3·mean⁴)/var² − 3. Groups with var ≤ 0 or n < 2
+    emit NULL shape stats. Exact sums convert to double ONCE, then 6dp.
+    """
+    u = float(10 ** scale)
+    n = F.col("m_cnt").cast("double")
+    s1 = F.col("s1").cast("double") / u
+    s2 = F.col("s2").cast("double") / (u * u)
+    s3 = F.col("s3").cast("double") / (u * u * u)
+    s4 = F.col("s4").cast("double") / (u * u * u * u)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    ok = (F.col("m_cnt") >= 2) & (var > 0)
+    skew = (s3 / n - 3 * mean * var - mean * mean * mean) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * F.pow(mean, 4)
+    ) / (var * var) - 3
+    return state.select(
+        *keys,
+        F.col("m_cnt").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.when(ok, F.round(var, 6)).alias("variance"),
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("kurtosis_excess"),
+    )

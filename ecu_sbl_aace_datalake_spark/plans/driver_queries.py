@@ -14755,3 +14755,56 @@ ORDER BY b.query_id
 
 QUERIES.update({"retrieval_eval": q_retrieval_eval})
 ORACLES.update({"retrieval_eval": SQL_RETRIEVAL_EVAL})
+
+
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch (aggstate.moments_state +
+    finalize_moments): exact scaled-integer power sums -> mean /
+    variance / skewness / excess kurtosis per return flag — population
+    conventions computed from the SAME exact sums in both engines
+    (their skewness/kurtosis builtins disagree on sample corrections).
+    One aggregate; states merge across batches bit-exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    st = aggstate.moments_state(li, ["l_returnflag"], "l_extendedprice")
+    return aggstate.finalize_moments(st, ["l_returnflag"]).orderBy(
+        "l_returnflag"
+    )
+
+
+SQL_MOMENTS = """
+WITH iv AS (
+  SELECT l_returnflag,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS HUGEINT) AS i
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+st AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(i) AS s1, SUM(i*i) AS s2, SUM(i*i*i) AS s3, SUM(i*i*i*i) AS s4
+  FROM iv GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  ROUND(mean, 6) AS mean,
+  CASE WHEN n >= 2 AND var > 0 THEN ROUND(var, 6) END AS variance,
+  CASE WHEN n >= 2 AND var > 0 THEN
+    ROUND((s3d / n - 3 * mean * var - mean * mean * mean)
+          / POW(var, 1.5), 6) END AS skewness,
+  CASE WHEN n >= 2 AND var > 0 THEN
+    ROUND((s4d / n - 4 * mean * s3d / n
+           + 6 * mean * mean * s2d / n - 3 * POW(mean, 4))
+          / (var * var) - 3, 6) END AS kurtosis_excess
+FROM (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / 100.0 / n AS mean,
+         CAST(s2 AS DOUBLE) / 10000.0 AS s2d,
+         CAST(s3 AS DOUBLE) / 1000000.0 AS s3d,
+         CAST(s4 AS DOUBLE) / 100000000.0 AS s4d,
+         CAST(s2 AS DOUBLE) / 10000.0 / n
+           - POW(CAST(s1 AS DOUBLE) / 100.0 / n, 2) AS var
+  FROM st
+)
+ORDER BY l_returnflag
+"""
+
+
+QUERIES.update({"moments_sketch": q_moments})
+ORACLES.update({"moments_sketch": SQL_MOMENTS})

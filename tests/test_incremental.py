@@ -310,3 +310,58 @@ class TestHistogramState:
             state_histogram(st, ["k"]), ["k"], [0.5], 0.0, 100.0, 50
         ).first()
         assert abs(est.est - 50.0) <= 2.0 + 1e-9
+
+
+class TestMomentsState:
+    def test_finalize_matches_numpy(self, spark):
+        import numpy as np
+
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        vals = [1.25, 2.5, 2.5, 3.75, 10.0, -4.0, 0.5]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+        st = aggstate.moments_state(df, ["g"], "v")
+        got = aggstate.finalize_moments(st, ["g"]).collect()[0]
+        a = np.array(vals)
+        mean, var = a.mean(), a.var()
+        skew = ((a - mean) ** 3).mean() / var ** 1.5
+        kurt = ((a - mean) ** 4).mean() / var ** 2 - 3
+        assert got.n == len(vals)
+        assert abs(got.mean - round(mean, 6)) < 1e-9
+        assert abs(got.variance - var) < 1e-5
+        assert abs(got.skewness - skew) < 1e-5
+        assert abs(got.kurtosis_excess - kurt) < 1e-5
+
+    def test_merge_equals_recompute_exactly(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        rows = [("g1", float(i) * 1.01) for i in range(200)] + [
+            ("g2", float(i % 7) - 3.0) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        h1 = df.where(F.col("v") >= 50)
+        h2 = df.where(F.col("v") < 50)
+        merged = aggstate.merge_moments_states(
+            aggstate.moments_state(h1, ["g"], "v"),
+            aggstate.moments_state(h2, ["g"], "v"),
+            ["g"],
+        )
+        full = aggstate.moments_state(df, ["g"], "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_degenerate_groups_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import aggstate
+
+        df = spark.createDataFrame(
+            [("one", 5.0), ("const", 2.0), ("const", 2.0)],
+            "g string, v double",
+        )
+        got = {r.g: r for r in aggstate.finalize_moments(
+            aggstate.moments_state(df, ["g"], "v"), ["g"]
+        ).collect()}
+        assert got["one"].variance is None and got["one"].skewness is None
+        assert got["const"].variance is None  # var == 0
