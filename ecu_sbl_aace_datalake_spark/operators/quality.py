@@ -356,3 +356,48 @@ def mad_outliers(
         .withColumn("group_mad", F.round(F.col("__mad") + F.lit(1e-9), 6))
         .drop("__med", "__mad", "__adev")
     )
+
+
+def drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    columns: list[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Multi-column drift report: total PSI per numeric column between a
+    reference snapshot and a current batch, with the rule-of-thumb
+    verdict ('stable' < 0.1 ≤ 'drifting' < 0.25 ≤ 'shifted') — the
+    one-page table a pipeline gate reads before admitting new data,
+    built by unioning :func:`psi_drift`'s per-bin relation per column.
+
+    Per-bin PSI terms are rounded to 9dp and summed as exact decimals so
+    the total is partitioning-independent. Each column costs the two
+    input scans; columns are independent plan branches (Spark runs them
+    as one job per action — pass few, wide columns lists belong in a
+    profiling sweep).
+
+    Returns ``(column, psi_total, verdict)``, one row per column.
+    """
+    parts = []
+    for c in columns:
+        per_bin = psi_drift(reference, current, c, bins=bins, eps=eps)
+        parts.append(
+            per_bin.agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("psi"), 9).cast("decimal(18,9)")
+                    ).cast("double"),
+                    6,
+                ).alias("psi_total")
+            ).select(F.lit(c).alias("column"), "psi_total")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    verdict = (
+        F.when(F.col("psi_total") < 0.1, F.lit("stable"))
+        .when(F.col("psi_total") < 0.25, F.lit("drifting"))
+        .otherwise(F.lit("shifted"))
+    )
+    return out.select("column", "psi_total", verdict.alias("verdict"))

@@ -1180,3 +1180,93 @@ def shuffle_corpus(
     return out.drop("__pri").withColumn(
         pos_col, (F.col(pos_col) - F.lit(1)).cast("long")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+    scale: int = 2,
+) -> DataFrame:
+    """Neyman-optimal sample allocation: split a total sample budget
+    across strata proportional to ``N_h · σ_h`` (stratum size × stratum
+    std-dev) — variance-minimizing for estimating the mean of
+    ``value_col`` (Neyman 1934, the survey-sampling classic). The
+    data-profiling half of stratified sampling: high-variance strata
+    earn more budget than proportional allocation would give them.
+
+    σ_h comes from exact scaled-integer power sums (the
+    :func:`~.aggstate.moments_state` determinism contract) so the
+    allocation is partitioning-independent and SQL-replicable.
+    Allocations are integer: floor at the proportional stage, the
+    remainder distributed by largest fractional part (stratum name
+    tie-break) so ``Σ n_h == total_n`` exactly; single-value strata get
+    σ 0 and draw budget only via the remainder path. Each ``n_h`` is
+    also capped at ``N_h`` (can't sample more rows than exist; the
+    freed budget is NOT redistributed — documented simplification).
+
+    ONE aggregate on the strata key + one tiny window over the strata
+    relation. Feed the result to :func:`cap_per_group` (cap = n_h per
+    stratum) to materialize the deterministic draw.
+
+    Returns ``(strata, n_rows, stddev, allocation)``.
+    """
+    from pyspark.sql.window import Window
+
+    u = float(10 ** scale)
+    iv = (
+        F.round(F.col(value_col).cast("double") * F.lit(u))
+        .cast("decimal(19,0)")
+    )
+    st = df.where(F.col(value_col).isNotNull()).groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(iv.cast("decimal(38,0)")).alias("__s1"),
+        F.sum((iv * iv).cast("decimal(38,0)")).alias("__s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("__s1").cast("double") / u / n
+    var = F.greatest(
+        F.col("__s2").cast("double") / (u * u) / n - mean * mean, F.lit(0.0)
+    )
+    st = st.withColumn("__sd", F.sqrt(var))
+    tot = st.agg(
+        F.sum(F.col("n_rows").cast("double") * F.col("__sd")).alias("__t"),
+        F.sum("n_rows").alias("__ntot"),
+    )
+    # all-constant strata (Σ N_h·σ_h == 0) fall back to PROPORTIONAL
+    # allocation — Neyman's degenerate case
+    raw = st.crossJoin(F.broadcast(tot)).withColumn(
+        "__raw",
+        F.when(
+            F.col("__t") > 0,
+            F.lit(float(total_n)) * n * F.col("__sd") / F.col("__t"),
+        ).otherwise(
+            F.lit(float(total_n)) * n / F.col("__ntot").cast("double")
+        ),
+    )
+    floored = raw.withColumn("__floor", F.floor("__raw").cast("long"))
+    short = floored.agg(
+        (F.lit(total_n) - F.sum("__floor")).alias("__short")
+    )
+    w = Window.orderBy(
+        (F.col("__raw") - F.col("__floor")).desc(), F.col(strata_col).asc()
+    )
+    out = (
+        floored.crossJoin(F.broadcast(short))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "allocation",
+            F.least(
+                F.col("__floor")
+                + F.when(F.col("__rk") <= F.col("__short"), 1).otherwise(0),
+                F.col("n_rows"),
+            ),
+        )
+    )
+    return out.select(
+        strata_col,
+        "n_rows",
+        F.round(F.col("__sd"), 6).alias("stddev"),
+        "allocation",
+    )

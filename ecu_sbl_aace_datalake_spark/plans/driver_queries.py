@@ -14808,3 +14808,133 @@ ORDER BY l_returnflag
 
 QUERIES.update({"moments_sketch": q_moments})
 ORACLES.update({"moments_sketch": SQL_MOMENTS})
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation (transform.neyman_allocation):
+    a 1000-row budget split across order priorities proportional to
+    N_h·σ_h of the order value (exact scaled-integer power sums; floor +
+    largest-fractional-remainder so allocations sum exactly). The
+    profiling half of variance-minimizing stratified sampling."""
+    orders = _t(spark, sf_dir, "orders")
+    return transform.neyman_allocation(
+        orders, "o_orderpriority", "o_totalprice", total_n=1000
+    ).orderBy("o_orderpriority")
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH st AS (
+  SELECT o_orderpriority AS s, COUNT(*) AS n_rows,
+         SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS HUGEINT))
+           AS s1,
+         SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS HUGEINT)
+             * CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS HUGEINT))
+           AS s2
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority
+),
+sd AS (
+  SELECT s, n_rows,
+    sqrt(greatest(
+      CAST(s2 AS DOUBLE) / 10000.0 / n_rows
+      - POW(CAST(s1 AS DOUBLE) / 100.0 / n_rows, 2), 0.0)) AS sdv
+  FROM st
+),
+tot AS (SELECT SUM(n_rows * sdv) AS t, SUM(n_rows) AS ntot FROM sd),
+raw AS (
+  SELECT s, n_rows, sdv,
+    CASE WHEN tot.t > 0 THEN 1000.0 * n_rows * sdv / tot.t
+         ELSE 1000.0 * n_rows / tot.ntot END AS rawv
+  FROM sd CROSS JOIN tot
+),
+fl AS (
+  SELECT *, CAST(floor(rawv) AS BIGINT) AS flr FROM raw
+),
+short AS (SELECT 1000 - SUM(flr) AS sh FROM fl)
+SELECT s AS o_orderpriority, n_rows,
+       ROUND(sdv, 6) AS stddev,
+       least(flr + CASE WHEN rk <= short.sh THEN 1 ELSE 0 END, n_rows)
+         AS allocation
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rawv - flr DESC, s) AS rk FROM fl
+) f CROSS JOIN short
+ORDER BY s
+"""
+
+
+QUERIES.update({"neyman_allocation": q_neyman_allocation})
+ORACLES.update({"neyman_allocation": SQL_NEYMAN_ALLOCATION})
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift gate (quality.drift_report): total PSI +
+    verdict per numeric column between the first- and second-half
+    shipping periods — per-bin PSI terms decimal-summed so the total is
+    partitioning-independent."""
+    from ..operators import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "1996-07-01"
+    ref = li.where(F.col("l_shipdate") < cut)
+    cur = li.where(F.col("l_shipdate") >= cut)
+    return quality.drift_report(
+        ref, cur, ["l_quantity", "l_extendedprice", "l_discount"], bins=10
+    )
+
+
+def _psi_total_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS "column", ROUND(CAST(SUM(CAST(psi AS DECIMAL(18,9)))
+                                         AS DOUBLE), 6) AS psi_total
+  FROM (
+    WITH ref AS (
+      SELECT CAST({col} AS DOUBLE) AS v FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-07-01'
+    ),
+    cur AS (
+      SELECT CAST({col} AS DOUBLE) AS v FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+    ),
+    stats AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+    rb AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(FLOOR((v - mn) / ((mx - mn) / 10.0)) AS INT))) AS bin,
+             COUNT(*) AS n_ref
+      FROM ref CROSS JOIN stats GROUP BY 1
+    ),
+    cb AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(FLOOR((v - mn) / ((mx - mn) / 10.0)) AS INT))) AS bin,
+             COUNT(*) AS n_cur
+      FROM cur CROSS JOIN stats GROUP BY 1
+    ),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+    j AS (
+      SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+    ),
+    t AS (
+      SELECT n_ref / CAST(SUM(n_ref) OVER () AS DOUBLE) + 0.000001 AS p,
+             n_cur / CAST(SUM(n_cur) OVER () AS DOUBLE) + 0.000001 AS q
+      FROM j
+    )
+    SELECT ROUND((p - q) * LN(p / q), 6) AS psi FROM t
+  )
+"""
+
+
+SQL_DRIFT_REPORT = (
+    "SELECT \"column\", psi_total, CASE WHEN psi_total < 0.1 THEN 'stable' "
+    "WHEN psi_total < 0.25 THEN 'drifting' ELSE 'shifted' END AS verdict "
+    "FROM ("
+    + " UNION ALL ".join(
+        _psi_total_sql(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    )
+    + ")"
+)
+
+
+QUERIES.update({"drift_report": q_drift_report})
+ORACLES.update({"drift_report": SQL_DRIFT_REPORT})

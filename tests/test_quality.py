@@ -328,3 +328,24 @@ class TestNgramDiversity:
         df = spark.createDataFrame([(1, "too few words")], "doc_id long, text string")
         [r] = ngram_diversity(df).collect()
         assert r.n_ngrams == 0 and r.ngram_diversity is None
+
+
+class TestDriftReport:
+    def test_verdicts(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import quality
+
+        import pyspark.sql.functions as F
+        ref = spark.range(0, 2000).select(
+            (F.col("id") % 100).cast("double").alias("same"),
+            (F.col("id") % 100).cast("double").alias("shifted"),
+        )
+        cur = spark.range(0, 2000).select(
+            (F.col("id") % 100).cast("double").alias("same"),
+            ((F.col("id") % 100) + 80.0).alias("shifted"),
+        )
+        got = {r["column"]: r for r in quality.drift_report(
+            ref, cur, ["same", "shifted"]
+        ).collect()}
+        assert got["same"].verdict == "stable" and got["same"].psi_total < 0.01
+        assert got["shifted"].verdict == "shifted"
+        assert got["shifted"].psi_total > 0.25

@@ -680,3 +680,55 @@ class TestKeySkewReport:
         df = spark.createDataFrame(rows, "k long")
         rep = skew.key_skew_report(df, "k", buckets=8).collect()
         assert max(r.share for r in rep) > 0.8  # the hot key's bucket
+
+
+class TestNeymanAllocation:
+    def test_variance_weighted_budget(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        # stratum 'wide' has 4x the stddev of 'narrow' at equal size:
+        # Neyman gives it ~4x the budget
+        rows = [("wide", float(v)) for v in (0, 40, 0, 40) * 25] + [
+            ("narrow", float(v)) for v in (0, 10, 0, 10) * 25
+        ]
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = {r.s: r for r in transform.neyman_allocation(
+            df, "s", "v", total_n=50
+        ).collect()}
+        assert got["wide"].allocation + got["narrow"].allocation == 50
+        assert got["wide"].allocation == 40 and got["narrow"].allocation == 10
+        assert abs(got["wide"].stddev - 20.0) < 1e-6
+
+    def test_remainder_and_cap(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        # 3 equal strata, budget 10 -> 3/3/4 with the remainder going to
+        # the largest fractional part (all equal -> name tie-break 'a')
+        rows = [(s, float(i % 5)) for s in ("a", "b", "c") for i in range(20)]
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = {r.s: r.allocation for r in transform.neyman_allocation(
+            df, "s", "v", total_n=10
+        ).collect()}
+        assert sum(got.values()) == 10
+        assert got["a"] == 4 and got["b"] == 3 and got["c"] == 3
+
+    def test_constant_strata_fall_back_proportional(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        rows = [("big", 1.0)] * 30 + [("small", 2.0)] * 10
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = {r.s: r.allocation for r in transform.neyman_allocation(
+            df, "s", "v", total_n=8
+        ).collect()}
+        assert got == {"big": 6, "small": 2}
+
+    def test_allocation_capped_at_stratum_size(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        rows = [("tiny", float(i)) for i in range(3)] + [
+            ("rest", 5.0)] * 100
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = {r.s: r.allocation for r in transform.neyman_allocation(
+            df, "s", "v", total_n=50
+        ).collect()}
+        assert got["tiny"] <= 3
