@@ -1374,3 +1374,126 @@ def ranking_summary(per_query: DataFrame) -> DataFrame:
         dmean("mrr_at_k"),
         dmean("ndcg_at_k"),
     )
+
+
+def conformal_intervals(
+    calibration: DataFrame,
+    test: DataFrame,
+    pred_col: str = "prediction",
+    truth_col: str = "y",
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018):
+    the ``ceil((n+1)(1−α))``-th smallest absolute calibration residual
+    becomes the half-width ``q̂``, and ``[ŷ − q̂, ŷ + q̂]`` covers the
+    truth with probability ≥ 1−α for ANY underlying model — the
+    distribution-free uncertainty wrapper for every scoring operator
+    here (:func:`linreg_score`, the quality classifier, …).
+
+    Exact order statistic, not an approximate quantile: residuals are
+    rounded to ``round_to`` then ranked (value, then arbitrary-but-
+    deterministic among equals — equal values give the same q̂). When
+    ``ceil((n+1)(1−α)) > n`` (calibration too small for the requested
+    coverage) q̂ is NULL and the intervals are NULL — the honest
+    "cannot certify" answer, not a clamped max.
+
+    Scale: the rank runs over the CALIBRATION set only (split-conformal
+    keeps it a held-out slice — thousands of rows, not the corpus); the
+    test side gets one 1-row broadcast. Returns ``test`` + ``lo`` /
+    ``hi`` (+ ``covered`` when the test side carries ``truth_col``).
+    """
+    from pyspark.sql.window import Window
+
+    res = calibration.select(
+        F.round(
+            F.abs(
+                F.col(truth_col).cast("double")
+                - F.col(pred_col).cast("double")
+            ),
+            round_to,
+        ).alias("__r")
+    ).where(F.col("__r").isNotNull())
+    w = Window.orderBy("__r")
+    ranked = res.withColumn("__rn", F.row_number().over(w))
+    n_k = res.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.ceil(
+            (F.count(F.lit(1)) + 1) * F.lit(float(1.0 - alpha))
+        ).cast("long").alias("__k"),
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(n_k))
+        .where(F.col("__rn") == F.col("__k"))
+        .select(F.col("__r").alias("__qhat"))
+    )
+    # too-small calibration: no row matches __k > n -> empty qhat; keep
+    # NULL intervals via a left join against a literal single row
+    one = test.sparkSession.range(1).select(F.lit(1).alias("__one"))
+    qrow = one.join(
+        F.broadcast(qhat.withColumn("__one", F.lit(1))), "__one", "left"
+    ).select("__qhat")
+    out = test.crossJoin(F.broadcast(qrow))
+    p = F.col(pred_col).cast("double")
+    out = out.withColumn(
+        "lo", F.round(p - F.col("__qhat"), round_to)
+    ).withColumn("hi", F.round(p + F.col("__qhat"), round_to))
+    if truth_col in test.columns:
+        t = F.col(truth_col).cast("double")
+        out = out.withColumn(
+            "covered", (t >= F.col("lo")) & (t <= F.col("hi"))
+        )
+    return out.drop("__qhat")
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_col: str = "p_value",
+    q: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction over a battery of
+    hypothesis tests: rank p-values ascending, find the LARGEST rank k
+    with ``p_(k) ≤ (k/m)·q``, reject hypotheses 1..k — controls the
+    expected false-discovery rate at ``q`` under independence, the
+    standard fix for "we ran 40 A/B metrics and 3 hit 0.05".
+
+    Runs over the post-aggregation tests relation (one row per test —
+    bounded by the metric battery, never data-sized): one rank window,
+    one max over the passing ranks. NULL p-values are excluded.
+
+    Returns ``(test, p, rank, bh_threshold, rejected)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.where(F.col(p_col).isNotNull()).select(
+        F.col(test_col), F.col(p_col).cast("double").alias("__p")
+    )
+    w = Window.orderBy(F.asc("__p"), F.asc(test_col))
+    ranked = (
+        base.withColumn("rank", F.row_number().over(w))
+        .withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "bh_threshold",
+            F.round(
+                F.col("rank").cast("double") / F.col("__m") * F.lit(float(q)),
+                round_to,
+            ),
+        )
+    )
+    kmax = ranked.where(F.col("__p") <= F.col("bh_threshold")).agg(
+        F.max("rank").alias("__kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            test_col,
+            F.round(F.col("__p"), round_to).alias("p"),
+            F.col("rank").cast("long").alias("rank"),
+            "bh_threshold",
+            F.coalesce(
+                F.col("rank") <= F.col("__kmax"), F.lit(False)
+            ).alias("rejected"),
+        )
+    )

@@ -14938,3 +14938,149 @@ SQL_DRIFT_REPORT = (
 
 QUERIES.update({"drift_report": q_drift_report})
 ORACLES.update({"drift_report": SQL_DRIFT_REPORT})
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (ml.conformal_intervals):
+    the exact ceil((n+1)(1-alpha))-th calibration residual becomes the
+    half-width of distribution-free 90% intervals around a fixed linear
+    price model — coverage holds regardless of model quality. One
+    calibration rank + one 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.lit(900.0) + F.lit(95.0) * F.col("l_quantity").cast("double"))
+    scored = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("y"),
+        pred.alias("prediction"),
+    )
+    cal = scored.where(F.col("l_orderkey") % 2 == 0)
+    test = scored.where(F.col("l_orderkey") % 499 == 1)
+    return ml.conformal_intervals(cal, test, alpha=0.1)
+
+
+SQL_CONFORMAL_INTERVALS = """
+WITH scored AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         900.0 + 95.0 * CAST(l_quantity AS DOUBLE) AS prediction
+  FROM lineitem
+),
+cal AS (
+  SELECT ROUND(ABS(y - prediction), 6) AS r FROM scored
+  WHERE l_orderkey % 2 = 0 AND y IS NOT NULL AND prediction IS NOT NULL
+),
+nk AS (
+  SELECT COUNT(*) AS n, CAST(ceil((COUNT(*) + 1) * 0.9) AS BIGINT) AS k
+  FROM cal
+),
+qhat AS (
+  SELECT r AS q FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+  ) CROSS JOIN nk WHERE rn = k
+),
+qrow AS (SELECT (SELECT q FROM qhat) AS q)
+SELECT s.l_orderkey, s.l_linenumber, s.y, s.prediction,
+       ROUND(s.prediction - q.q, 6) AS lo,
+       ROUND(s.prediction + q.q, 6) AS hi,
+       (s.y >= ROUND(s.prediction - q.q, 6)
+        AND s.y <= ROUND(s.prediction + q.q, 6)) AS covered
+FROM scored s CROSS JOIN qrow q
+WHERE s.l_orderkey % 499 = 1
+"""
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over a battery of per-nation KS drift
+    tests (ml.bh_fdr over quality.ks_drift): order values first vs
+    second era per nation, asymptotic KS p = min(1,
+    2·exp(-2·D²·n_a·n_b/(n_a+n_b))), step-up rejection at q=0.05 — the
+    multiple-comparisons fix for metric batteries."""
+    from ..operators.quality import ks_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    tagged = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .withColumn("__is_ref", F.col("o_orderdate") < "1998-01-01")
+    )
+    ks = ks_drift(tagged, "o_totalprice", "__is_ref", ["n_name"])
+    eff = (
+        F.col("n_a").cast("double") * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    tests = ks.select(
+        F.col("n_name"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("ks_stat")
+                                   * F.col("ks_stat") * eff),
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    return ml.bh_fdr(tests, "n_name", q=0.05)
+
+
+SQL_BH_FDR = """
+WITH per_value AS (
+  SELECT n.n_name, o.o_totalprice AS v,
+         SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END) AS nb
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY n.n_name, o.o_totalprice
+),
+cdf AS (
+  SELECT n_name,
+         SUM(na) OVER w / CAST(SUM(na) OVER g AS DOUBLE) AS fa,
+         SUM(nb) OVER w / CAST(SUM(nb) OVER g AS DOUBLE) AS fb,
+         SUM(na) OVER g AS ta, SUM(nb) OVER g AS tb
+  FROM per_value
+  WINDOW w AS (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         g AS (PARTITION BY n_name)
+),
+ks AS (
+  SELECT n_name, ROUND(MAX(ABS(fa - fb)), 6) AS d,
+         MAX(ta) AS n_a, MAX(tb) AS n_b
+  FROM cdf GROUP BY n_name
+),
+tests AS (
+  SELECT n_name,
+         ROUND(LEAST(1.0, 2.0 * EXP(-2.0 * d * d
+               * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))), 9) AS p
+  FROM ks WHERE d IS NOT NULL
+),
+ranked AS (
+  SELECT n_name, p,
+         row_number() OVER (ORDER BY p, n_name) AS rank,
+         COUNT(*) OVER () AS m
+  FROM tests
+),
+thr AS (
+  SELECT *, ROUND(CAST(rank AS DOUBLE) / m * 0.05, 6) AS bh_threshold
+  FROM ranked
+),
+kmax AS (SELECT MAX(rank) AS km FROM thr WHERE p <= bh_threshold)
+SELECT t.n_name, ROUND(t.p, 6) AS p, t.rank, t.bh_threshold,
+       COALESCE(t.rank <= k.km, FALSE) AS rejected
+FROM thr t CROSS JOIN kmax k
+"""
+
+
+QUERIES.update({
+    "conformal_intervals": q_conformal_intervals,
+    "bh_fdr": q_bh_fdr,
+})
+ORACLES.update({
+    "conformal_intervals": SQL_CONFORMAL_INTERVALS,
+    "bh_fdr": SQL_BH_FDR,
+})

@@ -1251,3 +1251,63 @@ class TestRankingMetrics:
         ).collect()[0]
         assert summ.n_queries == 2
         assert summ.mean_recall_at_k == round((round(2/3, 6) + 0.0) / 2, 6)
+
+
+class TestConformalIntervals:
+    def test_coverage_and_qhat(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # calibration residuals 1..100 -> alpha=0.1: k = ceil(101*0.9) = 91
+        cal = spark.createDataFrame(
+            [(float(i), 0.0) for i in range(1, 101)], "y double, prediction double"
+        )
+        test = spark.createDataFrame(
+            [(50.0, 0.0), (95.0, 0.0)], "y double, prediction double"
+        )
+        got = ml.conformal_intervals(cal, test, alpha=0.1).collect()
+        by_y = {r.y: r for r in got}
+        assert by_y[50.0].lo == -91.0 and by_y[50.0].hi == 91.0
+        assert by_y[50.0].covered is True
+        assert by_y[95.0].covered is False
+
+    def test_too_small_calibration_yields_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        cal = spark.createDataFrame(
+            [(1.0, 0.0), (2.0, 0.0)], "y double, prediction double"
+        )
+        test = spark.createDataFrame([(0.0, 0.0)], "y double, prediction double")
+        got = ml.conformal_intervals(cal, test, alpha=0.05).collect()[0]
+        assert got.lo is None and got.hi is None and got.covered is None
+
+
+class TestBHFDR:
+    def test_step_up(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # m=5, q=0.05: thresholds .01 .02 .03 .04 .05
+        rows = [("t1", 0.001), ("t2", 0.019), ("t3", 0.031),
+                ("t4", 0.2), ("t5", 0.9)]
+        df = spark.createDataFrame(rows, "test string, p_value double")
+        got = {r.test: r for r in ml.bh_fdr(df, "test").collect()}
+        # p_(3)=0.031 > 0.03 but p_(2)=0.019 <= 0.02 -> k=2
+        assert got["t1"].rejected and got["t2"].rejected
+        assert not got["t3"].rejected and not got["t5"].rejected
+
+    def test_step_up_rescues_interior_miss(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # p_(2) misses its threshold but p_(3) passes -> ALL of 1..3 reject
+        rows = [("a", 0.005), ("b", 0.025), ("c", 0.029), ("d", 0.9)]
+        df = spark.createDataFrame(rows, "test string, p_value double")
+        got = {r.test: r.rejected for r in ml.bh_fdr(df, "test", q=0.04).collect()}
+        assert got == {"a": True, "b": True, "c": True, "d": False}
+
+    def test_nothing_passes(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 0.5), ("b", 0.9)], "test string, p_value double"
+        )
+        got = ml.bh_fdr(df, "test").collect()
+        assert all(not r.rejected for r in got)
