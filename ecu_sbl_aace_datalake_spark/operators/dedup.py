@@ -2252,3 +2252,95 @@ def dedup_lines_within_doc(
         F.array_join(kept, "\n")
     )
     return df.withColumn(out_col, out)
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: cut every ``n``-token window
+    that also occurs in the benchmark set and keep the rest of the
+    document — the span-level refinement of :func:`decontaminate`
+    (which drops whole documents) for the common case where one quoted
+    eval question should not cost an otherwise-good document
+    (FineWeb-style span scrubbing). Unlike
+    :func:`remove_duplicate_spans`' keep-first rule, EVERY corpus
+    occurrence is cut — benchmark text must survive nowhere.
+
+    Same machinery as the duplicate-span pass: stride-1 windows hash
+    with nested xxhash64 over normalized-token hashes (no strings
+    shuffled), the benchmark's window-hash set broadcasts (eval sets are
+    small), covered token positions die via a positional anti-join,
+    documents reassemble in order. Corpus-side cost is linear in token
+    count; zero corpus×corpus anything.
+
+    Returns ``id_col``, ``n_tokens_kept``, ``out_col`` ('' when nothing
+    survives).
+    """
+    toks = _normalized_tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _spans_of(thb):
+        n_sp = F.size(thb) - F.lit(n - 1)
+        return F.when(
+            n_sp > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sp),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(thb, i + k) for k in range(n)]
+                    ).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+
+    span_arr = F.element_at(F.transform(F.array(th), _spans_of), 1)
+    bench_hashes = (
+        benchmark_df.select(F.explode(span_arr).alias("__sp"))
+        .select(F.col("__sp.h").alias("__h"))
+        .distinct()
+    )
+    spans = df.select(F.col(id_col), F.explode(span_arr).alias("__sp")).select(
+        id_col, F.col("__sp.pos").alias("__pos"), F.col("__sp.h").alias("__h")
+    )
+    removed = (
+        spans.join(F.broadcast(bench_hashes), "__h", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__kill"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__p0", "__w")
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__w")
+    kept = tokens.join(
+        removed,
+        (tokens[id_col] == removed[id_col]) & (tokens.__pos == removed.__kill),
+        "left_anti",
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+        ).alias(out_col),
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .withColumn(
+            "n_tokens_kept", F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+        )
+        .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+    )

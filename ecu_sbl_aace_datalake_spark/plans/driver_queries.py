@@ -15084,3 +15084,154 @@ ORACLES.update({
     "conformal_intervals": SQL_CONFORMAL_INTERVALS,
     "bh_fdr": SQL_BH_FDR,
 })
+
+
+def q_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level decontamination
+    (dedup.remove_contaminated_spans): every corpus occurrence of a
+    benchmark 8-token window is cut and the document reassembled —
+    FineWeb-style scrubbing that saves the doc while killing the leak
+    (contrast decontaminate, which drops whole docs). Benchmark =
+    every-101st document, so self-hits scrub those docs to ''."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    return dedup.remove_contaminated_spans(docs, bench, "doc_id", n=8)
+
+
+SQL_SPAN_DECONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, sp.pos AS pos, sp.s AS s FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+      i -> {'pos': i,
+            's': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+              || t[i+7]})) AS sp
+    FROM tok)
+),
+bench AS (
+  SELECT DISTINCT s FROM spans WHERE doc_id % 101 = 0
+),
+kills AS (
+  SELECT DISTINCT sp.doc_id, unnest(range(sp.pos, sp.pos + 8)) AS kp
+  FROM spans sp JOIN bench b ON b.s = sp.s
+),
+flat AS (
+  SELECT doc_id, f.pos AS pos, f.w AS w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      i -> {'pos': i, 'w': t[i]})) AS f
+    FROM tok)
+),
+kept AS (
+  SELECT fl.doc_id, fl.pos, fl.w
+  FROM flat fl LEFT JOIN kills k ON k.doc_id = fl.doc_id AND k.kp = fl.pos
+  WHERE k.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens_kept,
+         string_agg(w, ' ' ORDER BY pos) AS s
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(a.s, '') AS cleaned_text
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES.update({"span_decontamination": q_span_decontamination})
+ORACLES.update({"span_decontamination": SQL_SPAN_DECONTAMINATION})
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (ml.cuped_summary, Deng et al. WSDM'13):
+    per-user post-period event value adjusted by the pre-period value
+    covariate, pooled theta from ONE aggregate of exact scaled-integer
+    cross sums; per-arm adjusted means/variances in closed form from the
+    same sums — no second pass."""
+    evdf = _t(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-03-01"))
+    per_user = evdf.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)),
+            3,
+        ).alias("y"),
+        F.round(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)),
+            3,
+        ).alias("x"),
+    )
+    arms = per_user.withColumn(
+        "arm", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    return ml.cuped_summary(arms, "y", "x", "arm").orderBy("arm")
+
+
+SQL_CUPED = """
+WITH per_user AS (
+  SELECT user_id,
+    ROUND(SUM(CASE WHEN ts >= TIMESTAMP '2024-03-01'
+                   THEN value ELSE 0.0 END), 3) AS y,
+    ROUND(SUM(CASE WHEN ts < TIMESTAMP '2024-03-01'
+                   THEN value ELSE 0.0 END), 3) AS x
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+         CAST(round(y * 1000.0) AS HUGEINT) AS iy,
+         CAST(round(x * 1000.0) AS HUGEINT) AS ix
+  FROM per_user WHERE y IS NOT NULL AND x IS NOT NULL
+),
+per AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(ix) AS sx, SUM(iy) AS sy, SUM(ix*iy) AS sxy,
+         SUM(ix*ix) AS sxx, SUM(iy*iy) AS syy
+  FROM arms GROUP BY arm
+),
+tot AS (
+  SELECT SUM(n) AS tn, SUM(sx) AS tx, SUM(sy) AS ty,
+         SUM(sxy) AS txy, SUM(sxx) AS txx
+  FROM per
+),
+gth AS (
+  SELECT CASE WHEN varx > 0 THEN cov / varx ELSE 0.0 END AS theta, xbar
+  FROM (
+    SELECT CAST(tx AS DOUBLE) / 1000.0 / tn AS xbar,
+           CAST(txy AS DOUBLE) / 1000000.0 / tn
+             - (CAST(tx AS DOUBLE) / 1000.0 / tn)
+               * (CAST(ty AS DOUBLE) / 1000.0 / tn) AS cov,
+           CAST(txx AS DOUBLE) / 1000000.0 / tn
+             - POW(CAST(tx AS DOUBLE) / 1000.0 / tn, 2) AS varx
+    FROM tot
+  )
+)
+SELECT arm, n,
+  ROUND(my, 6) AS mean_raw,
+  ROUND(my - theta * (mx - xbar), 6) AS mean_adj,
+  ROUND(vy, 6) AS var_raw,
+  ROUND(vy - 2 * theta * cxy + theta * theta * vx, 6) AS var_adj,
+  CASE WHEN vy > 0 THEN
+    ROUND((vy - 2 * theta * cxy + theta * theta * vx) / vy, 6)
+  END AS var_reduction
+FROM (
+  SELECT arm, n,
+    CAST(sx AS DOUBLE) / 1000.0 / n AS mx,
+    CAST(sy AS DOUBLE) / 1000.0 / n AS my,
+    CAST(syy AS DOUBLE) / 1000000.0 / n
+      - POW(CAST(sy AS DOUBLE) / 1000.0 / n, 2) AS vy,
+    CAST(sxx AS DOUBLE) / 1000000.0 / n
+      - POW(CAST(sx AS DOUBLE) / 1000.0 / n, 2) AS vx,
+    CAST(sxy AS DOUBLE) / 1000000.0 / n
+      - (CAST(sx AS DOUBLE) / 1000.0 / n)
+        * (CAST(sy AS DOUBLE) / 1000.0 / n) AS cxy
+  FROM per
+) CROSS JOIN gth
+ORDER BY arm
+"""
+
+
+QUERIES.update({"cuped_adjustment": q_cuped})
+ORACLES.update({"cuped_adjustment": SQL_CUPED})

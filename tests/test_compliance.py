@@ -241,3 +241,47 @@ class TestPipelineComplianceStages:
         assert got[4] == (
             "Nav | Menu\nthe ship sailed out across the open sea at dawn"
         )
+
+
+class TestSurgicalSpanDecon:
+    def test_leaked_span_cut_rest_kept(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [(1, "what is the capital of france and why does it matter")],
+            "q long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words here what is the capital of france and why "
+                    "does it matter closing thoughts remain intact"),
+                (2, "completely unrelated prose about rivers and mountains "
+                    "flowing gently to the sea"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dedup.remove_contaminated_spans(
+            docs, bench, "doc_id", n=8
+        ).collect()}
+        # the leaked 11-token span dies; surrounding prose survives
+        assert "capital" not in got[1].cleaned_text
+        assert got[1].cleaned_text.startswith("intro words here")
+        assert got[1].cleaned_text.endswith("closing thoughts remain intact")
+        # untouched doc passes through whole
+        assert got[2].cleaned_text == docs.collect()[1].text
+        assert got[2].n_tokens_kept == 12
+
+    def test_every_occurrence_cut_not_keep_first(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "q long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in (1, 2)],
+            "doc_id long, text string",
+        )
+        got = dedup.remove_contaminated_spans(docs, bench, "doc_id", n=8).collect()
+        # both copies die — benchmark text survives NOWHERE
+        assert all(r.cleaned_text == "" and r.n_tokens_kept == 0 for r in got)

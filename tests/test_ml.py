@@ -1311,3 +1311,37 @@ class TestBHFDR:
         )
         got = ml.bh_fdr(df, "test").collect()
         assert all(not r.rejected for r in got)
+
+
+class TestCUPED:
+    def test_variance_drops_effect_preserved(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        # y = x + noise-ish + treatment lift: covariate explains most
+        # variance; CUPED must cut var sharply and keep the arm delta
+        rows = []
+        for i in range(400):
+            x = float(i % 100)
+            lift = 5.0 if i % 2 == 0 else 0.0
+            y = x + lift + float((i * 7) % 3)  # deterministic jitter
+            rows.append(("A" if i % 2 == 0 else "B", y, x))
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        got = {r.arm: r for r in ml.cuped_summary(df, "y", "x", "arm").collect()}
+        raw_delta = got["A"].mean_raw - got["B"].mean_raw
+        adj_delta = got["A"].mean_adj - got["B"].mean_adj
+        # arms have a 1.0 covariate imbalance (even vs odd x): the raw
+        # delta understates the planted 5.0 lift; CUPED recovers it
+        assert abs(raw_delta - 4.0) < 0.2
+        assert abs(adj_delta - 5.0) < 0.2
+        assert got["A"].var_reduction < 0.05      # x explains ~all variance
+        assert got["B"].var_adj < got["B"].var_raw
+
+    def test_useless_covariate_is_neutral(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("A", float(i % 10), 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        got = ml.cuped_summary(df, "y", "x", "arm").collect()[0]
+        # constant covariate: theta 0 -> adjusted == raw
+        assert got.mean_adj == got.mean_raw
+        assert got.var_adj == got.var_raw
