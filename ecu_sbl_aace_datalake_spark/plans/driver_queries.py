@@ -15235,3 +15235,146 @@ ORDER BY arm
 
 QUERIES.update({"cuped_adjustment": q_cuped})
 ORACLES.update({"cuped_adjustment": SQL_CUPED})
+
+
+def q_corpus_prepare_compliant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline WITH the round-8 compliance + line-scrub
+    doors wired (pipeline.prepare_corpus(drop_opted_out=,
+    license_families=, line_dedup=)): plants opt-out markers (every
+    10th+3 doc), GPL notices (every 10th+6), and duplicated nav chrome
+    (every 4th) over the real corpus — fails if ANY door is unwired.
+    Same per-source report as corpus_prepare."""
+    from ..operators import pipeline
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    footered = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 10 == 3, F.lit(" noai"))
+            .when(d % 10 == 6, F.lit(" gnu general public license version 3"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    nav = F.lit("Nav | Menu")
+    planted = footered.withColumn(
+        "text",
+        F.when(
+            d % 4 == 0,
+            F.concat(nav, F.lit("\n"), F.col("text"), F.lit("\n"), nav),
+        ).otherwise(F.col("text")),
+    )
+    scope = _rotating_scope("corpus_prepare_compliant")
+    packed = pipeline.prepare_corpus(
+        planted,
+        pack_budget=512,
+        neardup_bands=32,
+        drop_opted_out=True,
+        license_families=("permissive", "public-domain", "unknown"),
+        line_dedup=True,
+        scope=scope,
+    )
+    return pipeline.corpus_report(packed, pack_budget=512)
+
+
+_SQL_COMPLIANT_PREFIX = r"""
+synth AS (
+  SELECT doc_id, source,
+    (COALESCE(text, '') ||
+     CASE WHEN doc_id % 10 = 3 THEN ' noai'
+          WHEN doc_id % 10 = 6
+            THEN ' gnu general public license version 3'
+          ELSE '' END) AS t1
+  FROM main.documents
+),
+planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 4 = 0
+         THEN 'Nav | Menu' || chr(10) || t1 || chr(10) || 'Nav | Menu'
+         ELSE t1 END AS text
+  FROM synth
+),
+kept0 AS (
+  SELECT p.doc_id, p.source, p.text,
+    regexp_matches(lower(p.text),
+      '\bnoai\b|\bnoimageai\b|\bnotrain\b') OR
+    regexp_matches(lower(p.text), '\bnoindex\b') OR
+    regexp_matches(lower(p.text), 'tdm-reservation\s*[:=]\s*1|tdmrep')
+      AS opted_out
+  FROM planted p
+),
+licfam AS (
+  SELECT doc_id, source, text, opted_out,
+    CASE
+      WHEN spdx = 'mit' THEN 'permissive'
+      WHEN spdx = 'apache-2.0' THEN 'permissive'
+      WHEN spdx = 'bsd-3-clause' THEN 'permissive'
+      WHEN spdx = 'cc-by-4.0' THEN 'permissive'
+      WHEN spdx = 'mpl-2.0' THEN 'weak-copyleft'
+      WHEN spdx = 'lgpl-2.1' THEN 'weak-copyleft'
+      WHEN spdx = 'gpl-2.0' THEN 'copyleft'
+      WHEN spdx = 'gpl-3.0' THEN 'copyleft'
+      WHEN spdx = 'agpl-3.0' THEN 'copyleft'
+      WHEN spdx = 'cc-by-sa-4.0' THEN 'copyleft'
+      WHEN spdx = 'cc-by-nc-4.0' THEN 'noncommercial'
+      WHEN spdx = 'cc0-1.0' THEN 'public-domain'
+      WHEN spdx = 'unlicense' THEN 'public-domain'
+      WHEN spdx = 'proprietary' THEN 'proprietary'
+      WHEN regexp_matches(low, 'gnu affero general public license|\bagpl[- ]?v?3') THEN 'copyleft'
+      WHEN regexp_matches(low, 'gnu lesser general public license|\blgpl\b') THEN 'weak-copyleft'
+      WHEN regexp_matches(low, 'gnu general public license[,;]? (as published.{0,40})?version 3|\bgpl[- ]?v?3') THEN 'copyleft'
+      WHEN regexp_matches(low, 'gnu general public license[,;]? (as published.{0,40})?version 2|\bgpl[- ]?v?2') THEN 'copyleft'
+      WHEN regexp_matches(low, 'apache license[,;]? version 2\.0|apache[- ]2\.0') THEN 'permissive'
+      WHEN regexp_matches(low, 'mozilla public license|\bmpl[- ]?2\.0') THEN 'weak-copyleft'
+      WHEN regexp_matches(low, 'bsd 3[- ]clause|bsd-3-clause|redistribution and use in source and binary forms') THEN 'permissive'
+      WHEN regexp_matches(low, 'mit license|permission is hereby granted, free of charge') THEN 'permissive'
+      WHEN regexp_matches(low, 'this is free and unencumbered software') THEN 'public-domain'
+      WHEN regexp_matches(low, 'cc0|public domain dedication') THEN 'public-domain'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|cc[- ]by[- ]nc') THEN 'noncommercial'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|cc[- ]by[- ]sa') THEN 'copyleft'
+      WHEN regexp_matches(low, 'creative commons attribution|cc[- ]by\b') THEN 'permissive'
+      WHEN regexp_matches(low, 'all rights reserved') THEN 'proprietary'
+      ELSE 'unknown'
+    END AS license_family
+  FROM (
+    SELECT *, lower(text) AS low,
+           regexp_extract(lower(text),
+             'spdx-license-identifier:\s*([a-z0-9.+-]+)', 1) AS spdx
+    FROM kept0
+  )
+),
+complied AS (
+  SELECT doc_id, source, text FROM licfam
+  WHERE NOT opted_out
+    AND license_family IN ('permissive', 'public-domain', 'unknown')
+),
+scrub AS (
+  SELECT doc_id, source, text,
+         string_split(text, chr(10)) AS lines,
+         list_transform(string_split(text, chr(10)),
+           l -> trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g'))) AS keys
+  FROM complied
+),
+documents AS (
+  SELECT doc_id, source,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      array_to_string(
+        list_filter(lines, (l, i) ->
+          trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g')) = ''
+          OR list_position(keys, keys[i]) = i),
+        chr(10))
+    END AS text
+  FROM scrub
+),
+"""
+
+
+QUERIES.update({"corpus_prepare_compliant": q_corpus_prepare_compliant})
+
+
+SQL_CORPUS_PREPARE_COMPLIANT = (
+    "WITH RECURSIVE " + _SQL_COMPLIANT_PREFIX.strip().rstrip(",") + ",\n"
+    + SQL_CORPUS_PREPARE.split("WITH RECURSIVE", 1)[1].lstrip()
+)
+ORACLES.update({"corpus_prepare_compliant": SQL_CORPUS_PREPARE_COMPLIANT})
