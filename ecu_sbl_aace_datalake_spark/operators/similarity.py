@@ -1980,3 +1980,111 @@ def append_ivf_index(
         .partitionBy(cluster_col)
         .save(table_path(lakehouse, table_name))
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots: per group, the
+    cosine similarity of the old and new CENTROIDS plus both snapshots'
+    mean-to-centroid spread — the ML-ops monitor that catches a
+    re-embedded or distribution-shifted corpus before an ANN index built
+    on snapshot A serves snapshot B (centroid_cos near 1 and stable
+    spread ⇒ the index geometry still holds).
+
+    Same plan as :func:`centroid_similarity`: posexplode to (group, dim)
+    cells (dim-bounded shuffle), exact decimal per-dimension means, then
+    a dim-keyed join of the two centroid relations; spreads reuse the
+    cells relation with a broadcast join back to the centroids. Groups
+    present in only one snapshot emit NULL centroid_cos.
+
+    Returns ``(group, n_a, n_b, centroid_cos, spread_a, spread_b)`` —
+    spread = mean squared distance to the group centroid, 6dp.
+    """
+    def cells_of(df, tag):
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(
+                F.col(group_col).alias("__g"),
+                F.posexplode(_as_double(F.col(vec_col))),
+            )
+            .select(
+                "__g",
+                F.col("pos").alias("__d"),
+                F.col("col").cast("decimal(18,12)").alias(f"__x{tag}"),
+            )
+        )
+
+    def centroid_of(cells, tag):
+        return cells.groupBy("__g", "__d").agg(
+            (
+                F.sum(f"__x{tag}").cast("double") / F.count(F.lit(1))
+            ).alias(f"__c{tag}"),
+            (F.count(F.lit(1))).alias(f"__n{tag}"),
+        )
+
+    ca = centroid_of(cells_of(a, "a"), "a")
+    cb = centroid_of(cells_of(b, "b"), "b")
+    j = ca.join(cb, ["__g", "__d"], "full_outer")
+    agg = j.groupBy("__g").agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum(
+            F.round(F.col("__ca") * F.col("__cb"), 12).cast("decimal(38,12)")
+        ).alias("__dot"),
+        F.sum(
+            F.round(F.col("__ca") * F.col("__ca"), 12).cast("decimal(38,12)")
+        ).alias("__qa"),
+        F.sum(
+            F.round(F.col("__cb") * F.col("__cb"), 12).cast("decimal(38,12)")
+        ).alias("__qb"),
+    )
+    cos = F.when(
+        (F.col("__qa") > 0) & (F.col("__qb") > 0),
+        F.col("__dot").cast("double")
+        / (
+            F.sqrt(F.col("__qa").cast("double"))
+            * F.sqrt(F.col("__qb").cast("double"))
+        ),
+    )
+
+    def spread_of(df, cent, ctag):
+        cells = cells_of(df, "v")
+        per_vec = cells.join(
+            F.broadcast(
+                cent.select("__g", "__d", f"__c{ctag}", f"__n{ctag}")
+            ),
+            ["__g", "__d"],
+        ).groupBy("__g").agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("__xv").cast("double") - F.col(f"__c{ctag}"))
+                        * (F.col("__xv").cast("double") - F.col(f"__c{ctag}")),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.max(F.col(f"__n{ctag}"))
+            ).alias(f"spread_{ctag}")
+        )
+        return per_vec
+
+    sa = spread_of(a, ca, "a")
+    sb = spread_of(b, cb, "b")
+    out = (
+        agg.join(sa, "__g", "left")
+        .join(sb, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_a",
+            "n_b",
+            F.round(cos, round_to).alias("centroid_cos"),
+            F.round(F.col("spread_a"), round_to).alias("spread_a"),
+            F.round(F.col("spread_b"), round_to).alias("spread_b"),
+        )
+    )
+    return out

@@ -15378,3 +15378,101 @@ SQL_CORPUS_PREPARE_COMPLIANT = (
     + SQL_CORPUS_PREPARE.split("WITH RECURSIVE", 1)[1].lstrip()
 )
 ORACLES.update({"corpus_prepare_compliant": SQL_CORPUS_PREPARE_COMPLIANT})
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (similarity.embedding_drift):
+    per-label centroid cosine + mean-to-centroid spread between the
+    even-id and odd-id snapshot halves, with label 9's odd half NEGATED
+    as the planted re-embedding — its centroid_cos must go hard
+    negative while intact labels stay near 1. Dim-bounded (group, dim)
+    shuffles; exact decimal centroid sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.when(
+            F.col("label") == 9,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    return similarity.embedding_drift(a, b, "label").orderBy("label")
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH av AS (
+  SELECT label AS g, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+),
+bv AS (
+  SELECT label AS g,
+    CASE WHEN label = 9
+         THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+         ELSE CAST(embedding AS DOUBLE[]) END AS v
+  FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+),
+ac AS (
+  SELECT g, u.d AS d,
+         CAST(SUM(CAST(u.x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM (SELECT g, unnest(list_transform(range(1, len(v) + 1),
+                 i -> {'d': i, 'x': v[i]})) AS u FROM av)
+  GROUP BY g, u.d
+),
+bc AS (
+  SELECT g, u.d AS d,
+         CAST(SUM(CAST(u.x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM (SELECT g, unnest(list_transform(range(1, len(v) + 1),
+                 i -> {'d': i, 'x': v[i]})) AS u FROM bv)
+  GROUP BY g, u.d
+),
+agg AS (
+  SELECT COALESCE(ac.g, bc.g) AS g,
+         MAX(ac.n) AS n_a, MAX(bc.n) AS n_b,
+         SUM(CAST(ROUND(ac.c * bc.c, 12) AS DECIMAL(38,12))) AS dt,
+         SUM(CAST(ROUND(ac.c * ac.c, 12) AS DECIMAL(38,12))) AS qa,
+         SUM(CAST(ROUND(bc.c * bc.c, 12) AS DECIMAL(38,12))) AS qb
+  FROM ac FULL OUTER JOIN bc ON ac.g = bc.g AND ac.d = bc.d
+  GROUP BY COALESCE(ac.g, bc.g)
+),
+sa AS (
+  SELECT cells.g,
+         CAST(SUM(CAST(ROUND((CAST(cells.x AS DOUBLE) - ac.c)
+                             * (CAST(cells.x AS DOUBLE) - ac.c), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / MAX(ac.n)
+           AS spread_a
+  FROM (SELECT g, u.d AS d, u.x AS x
+        FROM (SELECT g, unnest(list_transform(range(1, len(v) + 1),
+                      i -> {'d': i, 'x': v[i]})) AS u FROM av)) cells
+  JOIN ac ON ac.g = cells.g AND ac.d = cells.d
+  GROUP BY cells.g
+),
+sb AS (
+  SELECT cells.g,
+         CAST(SUM(CAST(ROUND((CAST(cells.x AS DOUBLE) - bc.c)
+                             * (CAST(cells.x AS DOUBLE) - bc.c), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) / MAX(bc.n)
+           AS spread_b
+  FROM (SELECT g, u.d AS d, u.x AS x
+        FROM (SELECT g, unnest(list_transform(range(1, len(v) + 1),
+                      i -> {'d': i, 'x': v[i]})) AS u FROM bv)) cells
+  JOIN bc ON bc.g = cells.g AND bc.d = cells.d
+  GROUP BY cells.g
+)
+SELECT a.g AS label, a.n_a, a.n_b,
+  CASE WHEN a.qa > 0 AND a.qb > 0 THEN
+    ROUND(CAST(a.dt AS DOUBLE)
+          / (sqrt(CAST(a.qa AS DOUBLE)) * sqrt(CAST(a.qb AS DOUBLE))), 6)
+  END AS centroid_cos,
+  ROUND(sa.spread_a, 6) AS spread_a,
+  ROUND(sb.spread_b, 6) AS spread_b
+FROM agg a
+LEFT JOIN sa ON sa.g = a.g
+LEFT JOIN sb ON sb.g = a.g
+ORDER BY a.g
+"""
+
+
+QUERIES.update({"embedding_drift": q_embedding_drift})
+ORACLES.update({"embedding_drift": SQL_EMBEDDING_DRIFT})

@@ -127,3 +127,20 @@ class TestIvfAppend:
                 f for f in glob.glob(f"{d}/part-*") if not f.endswith(".crc")
             ]
             assert 1 <= len(files) <= 2, files
+
+
+class TestEmbeddingDrift:
+    def test_planted_flip_and_missing_group(self, spark):
+        a = spark.createDataFrame(
+            [("g1", [1.0, 0.0]), ("g1", [1.0, 0.2]),
+             ("g2", [0.0, 1.0]), ("g3", [1.0, 1.0])],
+            "g string, embedding array<double>",
+        )
+        b = spark.createDataFrame(
+            [("g1", [1.0, 0.1]), ("g2", [0.0, -1.0])],
+            "g string, embedding array<double>",
+        )
+        got = {r.g: r for r in similarity.embedding_drift(a, b, "g").collect()}
+        assert got["g1"].centroid_cos == 1.0 and got["g1"].spread_a == 0.01
+        assert got["g2"].centroid_cos == -1.0
+        assert got["g3"].n_b is None and got["g3"].centroid_cos is None
