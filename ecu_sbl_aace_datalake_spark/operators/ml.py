@@ -1580,3 +1580,72 @@ def cuped_summary(
         F.round(var_adj, 6).alias("var_adj"),
         F.when(vy > 0, F.round(var_adj / vy, 6)).alias("var_reduction"),
     )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    score_col: str,
+    treated_col: str,
+    outcome_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Uplift evaluation table (Radcliffe's Qini): rank the population
+    by a targeting score (best first), split into ``n_bins`` equal
+    bins, and report per-bin + cumulative treatment/control response —
+    ``qini(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k)`` (incremental responders
+    vs a scaled control) and the cumulative uplift
+    ``R_t/N_t − R_c/N_c``. A good uplift model front-loads qini; a
+    useless one walks the diagonal.
+
+    Determinism: bins via ntile over (score desc, id asc) on the
+    POST-scoring population relation (one row per unit — same posture
+    as :func:`rfm_segments`: swap in approx-quantile cutpoints beyond
+    window reach); counts are exact integers, ratios computed once at
+    the end, 6dp.
+
+    Returns per bin: ``(bin, n_treated, n_control, resp_treated,
+    resp_control, cum_uplift, qini)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("__s"),
+        F.col(treated_col).cast("int").alias("__t"),
+        F.col(outcome_col).cast("int").alias("__y"),
+    ).where(F.col("__t").isNotNull() & F.col("__y").isNotNull())
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    binned = base.withColumn("bin", F.ntile(n_bins).over(w))
+    per = binned.groupBy("bin").agg(
+        F.sum("__t").alias("n_treated"),
+        F.sum(1 - F.col("__t")).alias("n_control"),
+        F.sum(F.col("__t") * F.col("__y")).alias("resp_treated"),
+        F.sum((1 - F.col("__t")) * F.col("__y")).alias("resp_control"),
+    )
+    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.withColumn("__Nt", F.sum("n_treated").over(cw))
+        .withColumn("__Nc", F.sum("n_control").over(cw))
+        .withColumn("__Rt", F.sum("resp_treated").over(cw))
+        .withColumn("__Rc", F.sum("resp_control").over(cw))
+    )
+    nt = F.col("__Nt").cast("double")
+    nc = F.col("__Nc").cast("double")
+    uplift = F.when(
+        (F.col("__Nt") > 0) & (F.col("__Nc") > 0),
+        F.round(F.col("__Rt") / nt - F.col("__Rc") / nc, 6),
+    )
+    qini = F.when(
+        F.col("__Nc") > 0,
+        F.round(F.col("__Rt") - F.col("__Rc") * nt / nc, 6),
+    )
+    return cum.select(
+        "bin",
+        "n_treated",
+        "n_control",
+        "resp_treated",
+        "resp_control",
+        uplift.alias("cum_uplift"),
+        qini.alias("qini"),
+    ).orderBy("bin")

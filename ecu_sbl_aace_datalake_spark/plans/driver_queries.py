@@ -15476,3 +15476,66 @@ ORDER BY a.g
 
 QUERIES.update({"embedding_drift": q_embedding_drift})
 ORACLES.update({"embedding_drift": SQL_EMBEDDING_DRIFT})
+
+
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift table (ml.uplift_deciles): users ranked by pre-period
+    activity (the targeting score), treated = even user id, outcome =
+    any purchase; per-decile + cumulative incremental responders vs the
+    scaled control. Exact integer count arithmetic; ntile over the
+    post-aggregation user relation."""
+    evdf = _t(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-03-01"))
+    users = evdf.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("score"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut)
+            ).cast("int")
+        ).alias("outcome"),
+    ).withColumn("treated", F.col("user_id") % 2 == 0)
+    return ml.uplift_deciles(
+        users, "score", "treated", "outcome", "user_id", n_bins=10
+    )
+
+
+SQL_UPLIFT_DECILES = """
+WITH users AS (
+  SELECT user_id,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-03-01' THEN 1 ELSE 0 END) AS score,
+    MAX(CASE WHEN event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-03-01' THEN 1 ELSE 0 END) AS y,
+    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+  FROM events GROUP BY user_id
+),
+binned AS (
+  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS bin
+  FROM users
+),
+per AS (
+  SELECT bin,
+         SUM(t) AS n_treated, SUM(1 - t) AS n_control,
+         SUM(t * y) AS resp_treated, SUM((1 - t) * y) AS resp_control
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT *,
+    SUM(n_treated) OVER w AS nt, SUM(n_control) OVER w AS nc,
+    SUM(resp_treated) OVER w AS rt, SUM(resp_control) OVER w AS rc
+  FROM per
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT bin, n_treated, n_control, resp_treated, resp_control,
+  CASE WHEN nt > 0 AND nc > 0 THEN
+    ROUND(CAST(rt AS DOUBLE) / nt - CAST(rc AS DOUBLE) / nc, 6)
+  END AS cum_uplift,
+  CASE WHEN nc > 0 THEN
+    ROUND(rt - rc * CAST(nt AS DOUBLE) / nc, 6)
+  END AS qini
+FROM cum ORDER BY bin
+"""
+
+
+QUERIES.update({"uplift_deciles": q_uplift_deciles})
+ORACLES.update({"uplift_deciles": SQL_UPLIFT_DECILES})
