@@ -245,6 +245,19 @@ BENCH_QUERIES = [
     "yoy_growth",
     "pii_prevalence",
     "positional_attribution",
+    "kmv_distinct",
+    "kmv_intersection",
+    "retrieval_eval",
+    "moments_sketch",
+    "neyman_allocation",
+    "drift_report",
+    "span_decontamination",
+    "cuped_adjustment",
+    "conformal_intervals",
+    "bh_fdr",
+    "embedding_drift",
+    "uplift_deciles",
+    "corpus_prepare_compliant",
 ]
 
 
