@@ -253,6 +253,13 @@ class TestGlobalPlanInvariants:
         "hard_negatives",       # tiny anchor-set broadcast vs banded corpus scan
         "margin_pairs",         # broadcast smaller side of the mined pair-scan (exact at fixture scale; ANN pools at 100 TB)
         "rfm_segments",         # 1-row max-date ref scalar broadcast
+        "kmv_intersection",     # 1-row sketch-estimate x 1-row exact-count scalar cross join
+        "retrieval_eval",       # tiny query-vector broadcast vs corpus scan (cosine_topk inside)
+        "neyman_allocation",    # 1-row totals + 1-row remainder scalar broadcasts
+        "drift_report",         # per-column 1-row (min,max) bin-edge scalars (psi_drift x3)
+        "conformal_intervals",  # 1-row (n,k) + 1-row q-hat scalar broadcasts
+        "bh_fdr",               # 1-row max-passing-rank scalar broadcast
+        "cuped_adjustment",     # 1-row pooled-theta scalar broadcast
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
