@@ -63,10 +63,10 @@ LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("BSD-3-Clause", r"bsd 3[- ]clause|bsd-3-clause|redistribution and use in source and binary forms"),
     ("MIT", r"mit license|permission is hereby granted, free of charge"),
     ("Unlicense", r"this is free and unencumbered software"),
-    ("CC0-1.0", r"cc0|public domain dedication"),
-    ("CC-BY-NC-4.0", r"creative commons attribution[- ]noncommercial|cc[- ]by[- ]nc"),
-    ("CC-BY-SA-4.0", r"creative commons attribution[- ]sharealike|cc[- ]by[- ]sa"),
-    ("CC-BY-4.0", r"creative commons attribution|cc[- ]by\b"),
+    ("CC0-1.0", r"\bcc0\b|public domain dedication"),
+    ("CC-BY-NC-4.0", r"creative commons attribution[- ]noncommercial|\bcc[- ]by[- ]nc"),
+    ("CC-BY-SA-4.0", r"creative commons attribution[- ]sharealike|\bcc[- ]by[- ]sa"),
+    ("CC-BY-4.0", r"creative commons attribution|\bcc[- ]by\b"),
     ("Proprietary", r"all rights reserved"),
 )
 

@@ -13750,10 +13750,10 @@ _SQL_LICENSE_TAG = """
       WHEN regexp_matches(low, 'bsd 3[- ]clause|bsd-3-clause|redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
       WHEN regexp_matches(low, 'mit license|permission is hereby granted, free of charge') THEN 'MIT'
       WHEN regexp_matches(low, 'this is free and unencumbered software') THEN 'Unlicense'
-      WHEN regexp_matches(low, 'cc0|public domain dedication') THEN 'CC0-1.0'
-      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|cc[- ]by[- ]nc') THEN 'CC-BY-NC-4.0'
-      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|cc[- ]by[- ]sa') THEN 'CC-BY-SA-4.0'
-      WHEN regexp_matches(low, 'creative commons attribution|cc[- ]by\\b') THEN 'CC-BY-4.0'
+      WHEN regexp_matches(low, '\\bcc0\\b|public domain dedication') THEN 'CC0-1.0'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|\\bcc[- ]by[- ]nc') THEN 'CC-BY-NC-4.0'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|\\bcc[- ]by[- ]sa') THEN 'CC-BY-SA-4.0'
+      WHEN regexp_matches(low, 'creative commons attribution|\\bcc[- ]by\\b') THEN 'CC-BY-4.0'
       WHEN regexp_matches(low, 'all rights reserved') THEN 'Proprietary'
       ELSE NULL
     END AS license_id,
@@ -15330,10 +15330,10 @@ licfam AS (
       WHEN regexp_matches(low, 'bsd 3[- ]clause|bsd-3-clause|redistribution and use in source and binary forms') THEN 'permissive'
       WHEN regexp_matches(low, 'mit license|permission is hereby granted, free of charge') THEN 'permissive'
       WHEN regexp_matches(low, 'this is free and unencumbered software') THEN 'public-domain'
-      WHEN regexp_matches(low, 'cc0|public domain dedication') THEN 'public-domain'
-      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|cc[- ]by[- ]nc') THEN 'noncommercial'
-      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|cc[- ]by[- ]sa') THEN 'copyleft'
-      WHEN regexp_matches(low, 'creative commons attribution|cc[- ]by\b') THEN 'permissive'
+      WHEN regexp_matches(low, '\bcc0\b|public domain dedication') THEN 'public-domain'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]noncommercial|\bcc[- ]by[- ]nc') THEN 'noncommercial'
+      WHEN regexp_matches(low, 'creative commons attribution[- ]sharealike|\bcc[- ]by[- ]sa') THEN 'copyleft'
+      WHEN regexp_matches(low, 'creative commons attribution|\bcc[- ]by\b') THEN 'permissive'
       WHEN regexp_matches(low, 'all rights reserved') THEN 'proprietary'
       ELSE 'unknown'
     END AS license_family

@@ -285,3 +285,12 @@ class TestSurgicalSpanDecon:
         got = dedup.remove_contaminated_spans(docs, bench, "doc_id", n=8).collect()
         # both copies die — benchmark text survives NOWHERE
         assert all(r.cleaned_text == "" and r.n_tokens_kept == 0 for r in got)
+
+
+class TestCCWordBoundaries:
+    def test_substrings_do_not_trigger_cc_patterns(self, spark):
+        # 'acc0unt' must not read as CC0; 'bcc by noon' not as CC-BY
+        assert _tag_one(spark, "the acc0unt ledger")[0] is None
+        assert _tag_one(spark, "sent via bcc by noon")[0] is None
+        assert _tag_one(spark, "licensed cc0 dedication")[0] == "CC0-1.0"
+        assert _tag_one(spark, "shared cc by 4.0")[0] == "CC-BY-4.0"
