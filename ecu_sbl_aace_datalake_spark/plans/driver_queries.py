@@ -13904,11 +13904,11 @@ tpl AS (
   SELECT doc_id,
     trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(lower(text),
-        'https?://[^ \t\n\r]+', '<url>', 'g'),
+        'https?://[^ \\t\\n\\r]+', '<url>', 'g'),
         '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
         '\\b[0-9a-f]{8,}\\b', '<hex>', 'g'),
         '[0-9]+', '0', 'g'),
-        '[ \t\n\r]+', ' ', 'g')) AS template,
+        '[ \\t\\n\\r]+', ' ', 'g')) AS template,
     md5(COALESCE(text, '')) AS raw_hash
   FROM planted
 ),
@@ -14294,14 +14294,14 @@ WITH planted AS (
 arr AS (
   SELECT doc_id, text, string_split(text, chr(10)) AS lines,
          list_transform(string_split(text, chr(10)),
-           l -> trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g'))) AS keys
+           l -> trim(regexp_replace(lower(l), '[ \\t\\r]+', ' ', 'g'))) AS keys
   FROM planted
 )
 SELECT doc_id,
   CASE WHEN text IS NULL THEN NULL ELSE
     array_to_string(
       list_filter(lines, (l, i) ->
-        trim(regexp_replace(lower(l), '[ \t\r]+', ' ', 'g')) = ''
+        trim(regexp_replace(lower(l), '[ \\t\\r]+', ' ', 'g')) = ''
         OR list_position(keys, keys[i]) = i),
       chr(10))
   END AS text_deduped

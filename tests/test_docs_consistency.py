@@ -45,3 +45,16 @@ def test_readme_counts_current():
     assert m, "README query-count line missing"
     assert int(m.group(1)) == len(QUERIES), "README query count stale"
     assert int(m.group(2)) == len(ORACLES), "README oracle count stale"
+
+
+def test_no_control_chars_in_oracles():
+    # a \b typed into a non-raw Python oracle string becomes a literal
+    # backspace and silently breaks the regex on the DuckDB side only
+    from ecu_sbl_aace_datalake_spark.plans.driver_queries import ORACLES
+
+    bad = {
+        name: [hex(ord(c)) for c in sql if ord(c) < 32 and c not in "\n\t"]
+        for name, sql in ORACLES.items()
+        if sql and any(ord(c) < 32 and c not in "\n\t" for c in sql)
+    }
+    assert not bad, f"control characters in oracle SQL: {bad}"
