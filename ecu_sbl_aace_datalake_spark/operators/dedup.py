@@ -2344,3 +2344,43 @@ def remove_contaminated_spans(
         )
         .withColumn(out_col, F.coalesce(out_col, F.lit("")))
     )
+
+
+def dedup_by_clusters_prefer(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    prefer_col: str,
+    keep_highest: bool = True,
+) -> DataFrame:
+    """Quality-aware duplicate-cluster survivor selection: keep the
+    member with the BEST ``prefer_col`` per cluster (ties → smallest
+    id) instead of :func:`dedup_by_clusters`' min-id convention — the
+    RefinedWeb/FineWeb practice of keeping the longest / highest-quality
+    copy of a near-dup group, not an arbitrary one. Rows not in any
+    cluster pass through.
+
+    One window over the cluster key (rank-limited map-side by the
+    WindowGroupLimit pushdown); ``clusters`` is the (node, cluster)
+    labeling any of the CC operators emit.
+    """
+    from pyspark.sql.window import Window
+
+    labeled = df.join(
+        clusters.select(
+            F.col("node").alias(id_col), F.col("cluster").alias("__cl")
+        ),
+        id_col,
+        "left",
+    )
+    order = (
+        F.col(prefer_col).desc() if keep_highest else F.col(prefer_col).asc()
+    )
+    w = Window.partitionBy("__cl").orderBy(order, F.col(id_col).asc())
+    ranked = labeled.withColumn(
+        "__rn",
+        F.when(F.col("__cl").isNull(), F.lit(1)).otherwise(
+            F.row_number().over(w)
+        ),
+    )
+    return ranked.where(F.col("__rn") == 1).drop("__cl", "__rn")

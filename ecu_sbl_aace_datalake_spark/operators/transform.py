@@ -1270,3 +1270,49 @@ def neyman_allocation(
         F.round(F.col("__sd"), 6).alias("stddev"),
         "allocation",
     )
+
+
+def augment_token_dropout(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    rate: float = 0.15,
+    salt: str = "aug",
+    out_col: str = "augmented",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: drop each whitespace
+    token whose md5(salt ‖ id ‖ position ‖ token) bucket falls below
+    ``rate`` — the contrastive-view generator (SimCSE-style word
+    dropout) with this repo's reproducibility contract instead of an
+    RNG: the same (salt, id) always yields the same view, two salts
+    yield two views of one document, and retries/repartitions change
+    nothing.
+
+    Pure higher-order array expressions (split → keyed filter → rejoin)
+    — zero shuffles, map-side at any scale. Position is part of the key
+    so repeated tokens drop independently.
+
+    Returns ``df`` + ``out_col`` + ``n_dropped``.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    idc = F.col(id_col).cast("string")
+
+    def bucket(w, i):
+        h = F.md5(
+            F.concat(
+                F.lit(salt), F.lit("|"), idc, F.lit("|"),
+                i.cast("string"), F.lit("|"), w,
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+            float(2 ** 32)
+        )
+
+    kept = F.filter(toks, lambda w, i: bucket(w, i) >= F.lit(float(rate)))
+    out = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(kept, " "))
+    n_dropped = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(toks) - F.size(kept))
+    return df.withColumn(out_col, out).withColumn("n_dropped", n_dropped)

@@ -15539,3 +15539,97 @@ FROM cum ORDER BY bin
 
 QUERIES.update({"uplift_deciles": q_uplift_deciles})
 ORACLES.update({"uplift_deciles": SQL_UPLIFT_DECILES})
+
+
+def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection
+    (dedup.dedup_by_clusters_prefer): LONGEST member of each verified
+    near-dup cluster survives (n_chars, ties to smaller id) — the
+    RefinedWeb convention, vs the min-id rule of
+    minhash_dedup_transitive. One window on the cluster key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    sh = dedup.minhash_signatures(
+        dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+    ).select("doc_id", "shingles", "minhash")
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
+    clusters = dedup.duplicate_clusters_bigstar(pairs)
+    return dedup.dedup_by_clusters_prefer(
+        docs, "doc_id", clusters, "n_chars"
+    ).select("doc_id", "n_chars")
+
+
+SQL_QUALITY_DEDUP_SURVIVORS = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node""",
+    """, cl AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT d.doc_id, d.n_chars, cl.cluster,
+         CASE WHEN cl.cluster IS NULL THEN 1 ELSE
+           row_number() OVER (PARTITION BY cl.cluster
+                              ORDER BY d.n_chars DESC, d.doc_id)
+         END AS rn
+  FROM main.documents d LEFT JOIN cl ON cl.node = d.doc_id
+)
+SELECT doc_id, n_chars FROM ranked WHERE rn = 1""",
+)
+assert ", cl AS" in SQL_QUALITY_DEDUP_SURVIVORS  # replace() must not rot
+
+QUERIES.update({"quality_dedup_survivors": q_quality_dedup_survivors})
+ORACLES.update({"quality_dedup_survivors": SQL_QUALITY_DEDUP_SURVIVORS})
+
+
+def q_contrastive_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation views (transform.augment_token_dropout):
+    two salted 15% token-dropout views per document (SimCSE-style
+    contrastive positives) — md5 keyed on (salt, id, position, token),
+    so views are replayable and partition-invariant; zero shuffles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = transform.augment_token_dropout(
+        docs, "doc_id", rate=0.15, salt="viewA", out_col="view_a"
+    ).select("doc_id", "view_a", F.col("n_dropped").alias("dropped_a"))
+    v2 = transform.augment_token_dropout(
+        docs, "doc_id", rate=0.15, salt="viewB", out_col="view_b"
+    ).select("doc_id", "view_b", F.col("n_dropped").alias("dropped_b"))
+    return v1.join(v2, "doc_id")
+
+
+SQL_CONTRASTIVE_VIEWS = r"""
+WITH base AS (
+  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks
+  FROM documents
+),
+views AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      array_to_string(list_filter(toks, (w, i) ->
+        CAST(('0x' || substr(md5('viewA|' || CAST(doc_id AS VARCHAR) || '|'
+          || CAST(i - 1 AS VARCHAR) || '|' || w), 1, 8)) AS BIGINT)
+          / 4294967296.0 >= 0.15), ' ')
+    END AS view_a,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(len(toks) - len(list_filter(toks, (w, i) ->
+        CAST(('0x' || substr(md5('viewA|' || CAST(doc_id AS VARCHAR) || '|'
+          || CAST(i - 1 AS VARCHAR) || '|' || w), 1, 8)) AS BIGINT)
+          / 4294967296.0 >= 0.15)) AS INT)
+    END AS dropped_a,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      array_to_string(list_filter(toks, (w, i) ->
+        CAST(('0x' || substr(md5('viewB|' || CAST(doc_id AS VARCHAR) || '|'
+          || CAST(i - 1 AS VARCHAR) || '|' || w), 1, 8)) AS BIGINT)
+          / 4294967296.0 >= 0.15), ' ')
+    END AS view_b,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(len(toks) - len(list_filter(toks, (w, i) ->
+        CAST(('0x' || substr(md5('viewB|' || CAST(doc_id AS VARCHAR) || '|'
+          || CAST(i - 1 AS VARCHAR) || '|' || w), 1, 8)) AS BIGINT)
+          / 4294967296.0 >= 0.15)) AS INT)
+    END AS dropped_b
+  FROM base
+)
+SELECT doc_id, view_a, dropped_a, view_b, dropped_b FROM views
+"""
+
+
+QUERIES.update({"contrastive_views": q_contrastive_views})
+ORACLES.update({"contrastive_views": SQL_CONTRASTIVE_VIEWS})

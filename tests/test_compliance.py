@@ -294,3 +294,26 @@ class TestCCWordBoundaries:
         assert _tag_one(spark, "sent via bcc by noon")[0] is None
         assert _tag_one(spark, "licensed cc0 dedication")[0] == "CC0-1.0"
         assert _tag_one(spark, "shared cc by 4.0")[0] == "CC-BY-4.0"
+
+
+class TestPreferSurvivor:
+    def test_best_quality_survives(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (3, 99.0), (4, 5.0)],
+            "doc_id long, quality double",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "node long, cluster long"
+        )
+        got = {r.doc_id for r in dedup.dedup_by_clusters_prefer(
+            docs, "doc_id", clusters, "quality"
+        ).collect()}
+        # 2 wins the cluster (highest quality, tie vs 3 -> smaller id);
+        # 4 is unclustered and passes through
+        assert got == {2, 4}
+        low = {r.doc_id for r in dedup.dedup_by_clusters_prefer(
+            docs, "doc_id", clusters, "quality", keep_highest=False
+        ).collect()}
+        assert low == {1, 4}

@@ -732,3 +732,31 @@ class TestNeymanAllocation:
             df, "s", "v", total_n=50
         ).collect()}
         assert got["tiny"] <= 3
+
+
+class TestTokenDropout:
+    def test_deterministic_and_salted(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 8)],
+            "doc_id long, text string",
+        )
+        a1 = transform.augment_token_dropout(df, "doc_id", salt="a").collect()[0]
+        a2 = transform.augment_token_dropout(df, "doc_id", salt="a").collect()[0]
+        b = transform.augment_token_dropout(df, "doc_id", salt="b").collect()[0]
+        assert a1.augmented == a2.augmented          # replayable
+        assert a1.augmented != b.augmented           # salted views differ
+        assert 0 < a1.n_dropped < 72                 # some but not all
+
+    def test_rate_zero_identity_and_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in transform.augment_token_dropout(
+            df, "doc_id", rate=0.0
+        ).collect()}
+        assert got[1].augmented == "alpha beta gamma" and got[1].n_dropped == 0
+        assert got[2].augmented is None and got[2].n_dropped is None
