@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "embedding_drift",
     "uplift_deciles",
     "corpus_prepare_compliant",
+    "quality_dedup_survivors",
+    "contrastive_views",
 ]
 
 
