@@ -15548,9 +15548,13 @@ def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb convention, vs the min-id rule of
     minhash_dedup_transitive. One window on the cluster key."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    sh = dedup.minhash_signatures(
-        dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
-    ).select("doc_id", "shingles", "minhash")
+    # rotating scope: signatures feed BOTH the band join and the verify
+    scope = _rotating_scope("quality_dedup_survivors")
+    sh = scope.persist(
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+        ).select("doc_id", "shingles", "minhash")
+    )
     cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
     pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
     clusters = dedup.duplicate_clusters_bigstar(pairs)
