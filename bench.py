@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "corpus_prepare_compliant",
     "quality_dedup_survivors",
     "contrastive_views",
+    "cross_source_dups",
+    "corpus_card",
 ]
 
 

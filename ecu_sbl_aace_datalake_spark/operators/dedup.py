@@ -2384,3 +2384,81 @@ def dedup_by_clusters_prefer(
         ),
     )
     return ranked.where(F.col("__rn") == 1).drop("__cl", "__rn")
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — WHO copies from WHOM: verified
+    near-dup pairs labeled with both endpoints' sources, counted per
+    unordered source pair and normalized by the smaller source's doc
+    count (a bounded 0..1-ish contamination rate; a high
+    ``(mirrorA, mirrorB)`` cell is a mirrored-site signal, a high
+    diagonal is internal boilerplate). The curation diagnostic that
+    decides which source to DROP rather than dedup doc-by-doc.
+
+    ``pairs`` is any verified pair relation (``id_a``/``id_b`` — MinHash,
+    SimHash, embedding, fingerprint). Two broadcast-joinable lookups of
+    the (id, source) map + one aggregate on the source pair; source
+    cardinality bounds the output.
+
+    Returns ``(source_a, source_b, n_pairs, n_docs_a, n_docs_b,
+    dup_rate)`` with ``source_a <= source_b``.
+    """
+    src = df.select(F.col(id_col), F.col(source_col).alias("__s"))
+    sizes = src.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"), F.col("__s").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"), F.col("__s").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    counts = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    out = (
+        counts.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("source_a"), F.col("__n").alias("n_docs_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("source_b"), F.col("__n").alias("n_docs_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(
+                F.col("n_pairs")
+                / F.least(F.col("n_docs_a"), F.col("n_docs_b")),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+    return out

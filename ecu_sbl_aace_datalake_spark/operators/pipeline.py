@@ -308,3 +308,64 @@ def corpus_report(
             F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
         )
     )
+
+
+def corpus_card(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus data card — the header block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): sizes, token volume,
+    exact-duplicate rate (normalized-content md5), PII document rate
+    (the redaction patterns), and empty-doc share. Every number is an
+    EXACT single-pass aggregate (one count-distinct for the dup rate) —
+    the cheap always-on summary next to the deep corpus_report.
+
+    Returns one row: ``(n_docs, n_sources, total_tokens,
+    mean_doc_tokens, exact_dup_rate, pii_doc_rate, empty_rate)``.
+    """
+    from ..functions.redact import pii_counts
+
+    norm = F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+",
+            " ",
+        )
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    counted = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        norm.alias("__norm"),
+        toks.alias("__nt"),
+        *pii_counts(text_col),
+    )
+    n = F.count(F.lit(1))
+    return counted.agg(
+        n.alias("n_docs"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.round(F.sum("__nt") / n, 4).alias("mean_doc_tokens"),
+        F.round(
+            (n - F.countDistinct("__norm")) / n, 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(
+                (
+                    (F.col("n_emails") + F.col("n_phones") + F.col("n_ips"))
+                    > 0
+                ).cast("int")
+            )
+            / n,
+            6,
+        ).alias("pii_doc_rate"),
+        F.round(F.sum((F.col("__nt") == 0).cast("int")) / n, 6).alias(
+            "empty_rate"
+        ),
+    )

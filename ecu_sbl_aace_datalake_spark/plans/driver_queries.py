@@ -15637,3 +15637,114 @@ SELECT doc_id, view_a, dropped_a, view_b, dropped_b FROM views
 
 QUERIES.update({"contrastive_views": q_contrastive_views})
 ORACLES.update({"contrastive_views": SQL_CONTRASTIVE_VIEWS})
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.cross_source_dup_matrix):
+    verified MinHash near-dup pairs labeled with both endpoints'
+    sources, counted per unordered source pair and normalized by the
+    smaller side — the who-copies-from-whom curation diagnostic. Pair
+    relation reuses the pinned signature recipe."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    scope = _rotating_scope("cross_source_dups")
+    sh = scope.persist(
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+        ).select("doc_id", "shingles", "minhash")
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return dedup.cross_source_dup_matrix(docs, pairs)
+
+
+SQL_CROSS_SOURCE_DUPS = r"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+labeled AS (
+  SELECT LEAST(sa.source, sb.source) AS source_a,
+         GREATEST(sa.source, sb.source) AS source_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+counts AS (
+  SELECT source_a, source_b, COUNT(*) AS n_pairs
+  FROM labeled GROUP BY source_a, source_b
+)
+SELECT c.source_a, c.source_b, c.n_pairs,
+       za.n AS n_docs_a, zb.n AS n_docs_b,
+       ROUND(CAST(c.n_pairs AS DOUBLE) / LEAST(za.n, zb.n), 6) AS dup_rate
+FROM counts c
+JOIN sizes za ON za.source = c.source_a
+JOIN sizes zb ON zb.source = c.source_b
+"""
+
+
+QUERIES.update({"cross_source_dups": q_cross_source_dups})
+ORACLES.update({"cross_source_dups": SQL_CROSS_SOURCE_DUPS})
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (pipeline.corpus_card): sizes, token
+    volume, exact-dup rate, PII doc rate, empty share — exact single-pass
+    aggregates, the datasheet header next to the deep corpus_report."""
+    from ..operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return pipeline.corpus_card(docs)
+
+
+SQL_CORPUS_CARD = r"""
+WITH c AS (
+  SELECT doc_id, source,
+    md5(regexp_replace(lower(trim(COALESCE(text, ''))), '\s+', ' ', 'g'))
+      AS norm,
+    len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                    t -> t <> '')) AS nt,
+    len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+    len(regexp_extract_all(text,
+      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS np,
+    len(regexp_extract_all(text,
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(SUM(nt) / COUNT(*), 4) AS mean_doc_tokens,
+       ROUND((COUNT(*) - COUNT(DISTINCT norm)) / COUNT(*), 6)
+         AS exact_dup_rate,
+       ROUND(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS pii_doc_rate,
+       ROUND(SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS empty_rate
+FROM c
+"""
+
+
+QUERIES.update({"corpus_card": q_corpus_card})
+ORACLES.update({"corpus_card": SQL_CORPUS_CARD})

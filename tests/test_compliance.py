@@ -317,3 +317,44 @@ class TestPreferSurvivor:
             docs, "doc_id", clusters, "quality", keep_highest=False
         ).collect()}
         assert low == {1, 4}
+
+
+class TestCrossSourceDupMatrix:
+    def test_matrix_counts_and_rate(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "s1"), (2, "s1"), (3, "s2"), (4, "s2"), (5, "s3")],
+            "doc_id long, source string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 3), (2, 4), (1, 2)], "id_a long, id_b long"
+        )
+        got = {(r.source_a, r.source_b): r
+               for r in dedup.cross_source_dup_matrix(docs, pairs).collect()}
+        assert got[("s1", "s2")].n_pairs == 2
+        assert got[("s1", "s2")].dup_rate == 1.0   # 2 pairs / min(2,2)
+        assert got[("s1", "s1")].n_pairs == 1      # internal boilerplate
+        assert ("s3", "s3") not in got
+
+
+class TestCorpusCard:
+    def test_card_numbers(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "s1"),
+                (2, "Alpha  beta GAMMA", "s1"),   # exact dup after norm
+                (3, "mail me a@b.com now", "s2"),
+                (4, "", "s2"),
+                (5, None, "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        r = pipeline.corpus_card(docs).collect()[0]
+        assert r.n_docs == 5 and r.n_sources == 2
+        assert r.total_tokens == 3 + 3 + 4
+        assert r.exact_dup_rate == round(2 / 5, 6)  # dup pair + ''/None collapse
+        assert r.pii_doc_rate == 0.2
+        assert r.empty_rate == 0.4
