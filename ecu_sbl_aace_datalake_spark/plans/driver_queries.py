@@ -14039,20 +14039,30 @@ def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MARGIN_PAIRS = """
 WITH x AS (
-  SELECT vec_id AS xid, CAST(embedding AS DOUBLE[]) AS xv
-  FROM embeddings WHERE vec_id % 2 = 0
+  SELECT vec_id AS xid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           e -> e / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))))
+           AS xv
+  FROM embeddings
+  WHERE vec_id % 2 = 0
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 y AS (
-  SELECT vec_id AS yid, CAST(embedding AS DOUBLE[]) AS yv
-  FROM embeddings WHERE vec_id % 2 = 1
+  SELECT vec_id AS yid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           e -> e / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))))
+           AS yv
+  FROM embeddings
+  WHERE vec_id % 2 = 1
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 pairs AS (
-  SELECT xid, yid,
-         ROUND(list_dot_product(xv, yv)
-               / (sqrt(list_dot_product(xv, xv))
-                  * sqrt(list_dot_product(yv, yv))), 6) AS cosine
+  SELECT xid, yid, ROUND(list_dot_product(xv, yv), 6) AS cosine
   FROM x CROSS JOIN y
-  WHERE list_dot_product(xv, xv) > 0 AND list_dot_product(yv, yv) > 0
 ),
 ax AS (
   SELECT xid, SUM(CAST(cosine AS DECIMAL(10,6))) AS sx, COUNT(*) AS kx
