@@ -757,20 +757,25 @@ def simhash_signatures(
     toks = _normalized_tokens(text_col)
     df = df.withColumn("__hashes", F.transform(toks, token_hash))
     # one aggregate per bit (shift amounts must be Python ints); the 64
-    # aggregates fuse into a single projection under whole-stage codegen
-    def _bit_vote(b: int):
+    # aggregates fuse into a single projection under whole-stage codegen.
+    # The ±1 vote sum reduces to set-bit counting: vote = 2·set − T, so
+    # bit b is 1 iff 2·Σ((h>>b)&1) > T — one unbranched op per token per
+    # bit instead of a when/otherwise (higher-order folds run
+    # interpreted, so halving per-element ops halves the build).
+    def _bit_count(b: int):
         # closure (not a default arg): F.aggregate derives lambda-variable
         # count from the function arity, so the merge fn must take exactly 2
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
 
+    n_tok = F.size(F.col("__hashes"))
     sig = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(F.col("__hashes"), F.lit(0), _bit_vote(b))
+        set_cnt = F.aggregate(F.col("__hashes"), F.lit(0), _bit_count(b))
         bit_value = (1 << b) if b < 63 else -(1 << 63)  # signed-long wrap for the top bit
         sig = sig.bitwiseOR(
-            F.when(vote > 0, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(set_cnt * 2 > n_tok, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return df.withColumn(out_col, sig).drop("__hashes")
 
