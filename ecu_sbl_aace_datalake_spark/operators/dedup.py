@@ -2365,30 +2365,32 @@ def dedup_by_clusters_prefer(
     copy of a near-dup group, not an arbitrary one. Rows not in any
     cluster pass through.
 
-    One window over the cluster key (rank-limited map-side by the
-    WindowGroupLimit pushdown); ``clusters`` is the (node, cluster)
-    labeling any of the CC operators emit.
+    Split plan, mirroring :func:`dedup_by_clusters`' anti-join shape:
+    clustered rows (a small minority of any corpus) take an inner join
+    plus one window over the cluster key (rank-limited map-side by the
+    WindowGroupLimit pushdown); unclustered rows pass through via a
+    broadcast-able left_anti join and never enter the window — a
+    single-partition ``__cl IS NULL`` window over the pass-through mass
+    would be a one-task straggler at 100 TB. ``clusters`` is the
+    (node, cluster) labeling any of the CC operators emit.
     """
     from pyspark.sql.window import Window
 
-    labeled = df.join(
-        clusters.select(
-            F.col("node").alias(id_col), F.col("cluster").alias("__cl")
-        ),
-        id_col,
-        "left",
+    members = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster").alias("__cl")
     )
     order = (
         F.col(prefer_col).desc() if keep_highest else F.col(prefer_col).asc()
     )
     w = Window.partitionBy("__cl").orderBy(order, F.col(id_col).asc())
-    ranked = labeled.withColumn(
-        "__rn",
-        F.when(F.col("__cl").isNull(), F.lit(1)).otherwise(
-            F.row_number().over(w)
-        ),
+    survivors = (
+        df.join(members, id_col, "inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__cl", "__rn")
     )
-    return ranked.where(F.col("__rn") == 1).drop("__cl", "__rn")
+    passthrough = df.join(members.select(id_col), id_col, "left_anti")
+    return survivors.unionByName(passthrough)
 
 
 def cross_source_dup_matrix(

@@ -1304,8 +1304,13 @@ def ranking_metrics(
     ``mrr = 1/first relevant rank`` (0 when none retrieved);
     ``ndcg = Σ 1/log2(rank+1) over relevant retrieved / IDCG(min(n_rel,
     k))``. Queries with no truth rows emit NULL metrics (undefined, not
-    zero). One join + two aggregates, all on the query key; metrics
-    round to 6dp. Feed :func:`ranking_summary` for macro averages.
+    zero); queries present in ``truth`` but with ZERO retrieved rows
+    (e.g. an ANN index returned nothing) still emit a row with
+    recall/MRR/NDCG = 0 — the base query set is the UNION of both
+    sides' query ids, so a silent retrieval failure deflates the macro
+    average instead of vanishing from it. One join + two aggregates,
+    all on the query key; metrics round to 6dp. Feed
+    :func:`ranking_summary` for macro averages.
     """
     n_rel = truth.groupBy(query_col).agg(F.count(F.lit(1)).alias("__nrel"))
     topk = results.where(F.col(rank_col) <= k)
@@ -1317,7 +1322,9 @@ def ranking_metrics(
         ).alias("__dcg"),
     )
     base = (
-        results.select(query_col).distinct()
+        results.select(query_col)
+        .union(truth.select(query_col))
+        .distinct()
         .join(n_rel, query_col, "left")
         .join(hits, query_col, "left")
     )
@@ -1475,14 +1482,15 @@ def bh_fdr(
         base.withColumn("rank", F.row_number().over(w))
         .withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy()))
         .withColumn(
-            "bh_threshold",
-            F.round(
-                F.col("rank").cast("double") / F.col("__m") * F.lit(float(q)),
-                round_to,
-            ),
+            "__thr",
+            F.col("rank").cast("double") / F.col("__m") * F.lit(float(q)),
         )
+        .withColumn("bh_threshold", F.round(F.col("__thr"), round_to))
     )
-    kmax = ranked.where(F.col("__p") <= F.col("bh_threshold")).agg(
+    # Rejection compares against the EXACT (k/m)·q line — rounding
+    # bh_threshold first can flip a p-value within ~5e-7 of the
+    # boundary; the rounded value is display-only.
+    kmax = ranked.where(F.col("__p") <= F.col("__thr")).agg(
         F.max("rank").alias("__kmax")
     )
     return (

@@ -335,6 +335,11 @@ def domain_quality_report(
     DECIMAL(18,6) so the mean is a single deterministic end-division
     (no engine-dependent intermediate rounding). Rows whose URL does
     not canonicalize are excluded — they have no domain to gate.
+    ``avg_score`` is the mean over SCORED documents (NULL scores count
+    toward ``n_docs`` but not the denominator — dividing the
+    NULL-skipping sum by the full row count would deflate domains with
+    unscored docs); a domain with zero scored docs gets a NULL
+    ``avg_score``/``keep_domain`` and is never dropped on no evidence.
 
     Returns ``(domain, n_docs, avg_score, keep_domain)``.
     """
@@ -345,9 +350,11 @@ def domain_quality_report(
         F.col(score_col).cast("decimal(18,6)").alias("__s"),
     )
     agg = base.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("__s").alias("__sum")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("__s").alias("__nsc"),
+        F.sum("__s").alias("__sum"),
     )
-    avg = F.col("__sum").cast("double") / F.col("n_docs")
+    avg = F.col("__sum").cast("double") / F.col("__nsc")
     return agg.select(
         "domain",
         "n_docs",

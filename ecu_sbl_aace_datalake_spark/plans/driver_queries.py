@@ -14200,13 +14200,14 @@ doc_dom AS (
 ),
 per AS (
   SELECT d.domain, COUNT(*) AS n_docs,
+         COUNT(s.clf_score) AS nsc,
          SUM(CAST(s.clf_score AS DECIMAL(18,6))) AS sdec
   FROM doc_dom d JOIN scores s USING (doc_id)
   GROUP BY d.domain
 )
 SELECT domain, n_docs,
-       ROUND(CAST(sdec AS DOUBLE) / n_docs, 6) AS avg_score,
-       (CAST(sdec AS DOUBLE) / n_docs >= 0.5) AS keep_domain
+       ROUND(CAST(sdec AS DOUBLE) / nsc, 6) AS avg_score,
+       (CAST(sdec AS DOUBLE) / nsc >= 0.5) AS keep_domain
 FROM per
 """
 )
@@ -14756,7 +14757,7 @@ SELECT b.query_id,
           / list_sum(list_transform(range(1, least(n.nrel, 10) + 1),
                                     i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))),
           6) END AS ndcg_at_k
-FROM (SELECT DISTINCT query_id FROM res) b
+FROM (SELECT query_id FROM res UNION SELECT query_id FROM truth) b
 LEFT JOIN nrel n USING (query_id)
 LEFT JOIN hits h USING (query_id)
 ORDER BY b.query_id
@@ -15079,7 +15080,8 @@ thr AS (
   SELECT *, ROUND(CAST(rank AS DOUBLE) / m * 0.05, 6) AS bh_threshold
   FROM ranked
 ),
-kmax AS (SELECT MAX(rank) AS km FROM thr WHERE p <= bh_threshold)
+kmax AS (SELECT MAX(rank) AS km FROM thr
+         WHERE p <= CAST(rank AS DOUBLE) / m * 0.05)
 SELECT t.n_name, ROUND(t.p, 6) AS p, t.rank, t.bh_threshold,
        COALESCE(t.rank <= k.km, FALSE) AS rejected
 FROM thr t CROSS JOIN kmax k
