@@ -1792,6 +1792,7 @@ def hard_negatives(
     sim_floor: float = 0.3,
     sim_ceiling: float = 0.9,
     anchor_id_col: str = "anchor_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the
     top-``k`` corpus vectors whose exact cosine falls in
@@ -1801,9 +1802,12 @@ def hard_negatives(
 
     Plan: broadcast the anchors, one map-side corpus scan with the band
     filter pushed into the scan (rows outside the band never reach the
-    window), per-anchor top-k window. At 100 TB swap the full scan for
-    an IVF-pruned pool: pass ``ivf_topk(...)`` survivors as ``corpus``
-    — the operator only assumes (id, vec) columns.
+    window), per-anchor top-k window. At 100 TB prune in ONE call by
+    passing ``candidates``: an ``(anchor_id, vec_id)`` relation of ANN
+    survivors (e.g. :func:`ivf_topk` with the anchors as queries) —
+    scoring then runs over two key-joins onto the candidate list
+    instead of the anchors × corpus scan. (Passing pre-pruned rows as
+    ``corpus`` still works; it prunes globally, not per-anchor.)
 
     Returns ``(anchor_id, vec_id, score, rank)``; anchors with no
     in-band corpus rows yield no rows (a curator signal, not an error).
@@ -1816,8 +1820,15 @@ def hard_negatives(
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     va, vc = _as_double(F.col("__av")), _as_double(F.col("__cv"))
     cos = dot(vc, va) / (F.sqrt(l2_norm_sq(vc)) * F.sqrt(l2_norm_sq(va)))
+    if candidates is None:
+        paired = c.crossJoin(F.broadcast(a_vecs))
+    else:
+        cand = candidates.select(
+            F.col(anchor_id_col).alias("__aid"), F.col(id_col)
+        ).distinct()
+        paired = cand.join(c, id_col).join(a_vecs, "__aid")
     scored = (
-        c.crossJoin(F.broadcast(a_vecs))
+        paired
         .where(~F.col(id_col).eqNullSafe(F.col("__aid")))
         .where((l2_norm_sq(vc) > 0) & (l2_norm_sq(va) > 0))
         .withColumn("score", F.round(cos, 6))
@@ -1847,6 +1858,7 @@ def margin_pairs(
     threshold: float = 1.05,
     mutual: bool = True,
     scope: "CacheScope | None" = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix bitext-mining criterion): score every candidate pair
@@ -1857,12 +1869,19 @@ def margin_pairs(
     normalizes away hubness — a y that is everyone's neighbor has a high
     denominator and stops winning.
 
-    Plan: ONE pair-scan (x ⋈ broadcast(y)) produces the scored relation;
-    both directions' k-NN averages are windows over it; the scan is
-    persisted (into ``scope`` when given) because four consumers read
-    it. At 100 TB replace the exact pair-scan with ANN candidates per
-    side (ivf_topk both directions, union) — the margin/mutual logic
-    downstream is identical.
+    Plan: ONE pair-scan produces the scored relation; both directions'
+    k-NN averages are windows over it; the scan is persisted (into
+    ``scope`` when given) because four consumers read it. The default
+    exact scan (x ⋈ broadcast(y)) is O(n·m) — fine for a pinned probe
+    set, a scale-killer corpus-vs-corpus. For 100 TB pass
+    ``candidates``: a ``(x_id, y_id)`` relation of ANN survivors (e.g.
+    :func:`ivf_topk` both directions, unioned — exactly what
+    :func:`margin_pairs_pooled` composes); the scored relation is then
+    two key-joins onto the candidate list (shuffle-on-key, linear in
+    candidate count) and the margin/mutual logic downstream is
+    IDENTICAL, with each endpoint's k-NN neighborhood taken within the
+    pool — the CCMatrix formulation (margin over the union of forward
+    and backward k-NN candidates).
 
     Returns ``(x_id, y_id, cosine, margin)`` — one row per mined pair.
     """
@@ -1898,9 +1917,19 @@ def margin_pairs(
     xv = _unit(x.select(F.col(id_col).alias("__xid"), vec_col), "__xid", "__xv")
     yv = _unit(y.select(F.col(id_col).alias("__yid"), vec_col), "__yid", "__yv")
     cos = dot(F.col("__xv"), F.col("__yv"))
-    pairs = xv.crossJoin(F.broadcast(yv)).select(
-        "__xid", "__yid", F.round(cos, 6).alias("cosine")
-    )
+    if candidates is None:
+        pairs = xv.crossJoin(F.broadcast(yv)).select(
+            "__xid", "__yid", F.round(cos, 6).alias("cosine")
+        )
+    else:
+        cand = candidates.select(
+            F.col("x_id").alias("__xid"), F.col("y_id").alias("__yid")
+        ).distinct()
+        pairs = (
+            cand.join(xv, "__xid")
+            .join(yv, "__yid")
+            .select("__xid", "__yid", F.round(cos, 6).alias("cosine"))
+        )
     pairs = persist_in(scope, pairs)
 
     wx = Window.partitionBy("__xid").orderBy(F.desc("cosine"), F.asc("__yid"))
@@ -1960,6 +1989,71 @@ def margin_pairs(
         F.col("__yid").alias("y_id"),
         "cosine",
         "margin",
+    )
+
+
+def margin_pairs_pooled(
+    x: DataFrame,
+    y: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.05,
+    mutual: bool = True,
+    top_m: int = 16,
+    n_probe: int = 4,
+    scope: "CacheScope | None" = None,
+) -> DataFrame:
+    """The 100 TB :func:`margin_pairs`: IVF candidate generation per
+    side replaces the exact n·m pair-scan. Each x probes side y for its
+    ``top_m`` approximate neighbors (:func:`ivf_topk`), each y probes
+    side x likewise, the two directed candidate sets union into one
+    ``(x_id, y_id)`` pool, and the identical margin/mutual logic runs
+    over the pool — the Artetxe & Schwenk (2019) formulation verbatim
+    (margins there are also computed over forward ∪ backward k-NN
+    candidates, not all pairs). Cost: two IVF probes (each
+    ≈ |side|·(n_probe/n_clusters) pair-scans) + shuffle-on-key joins
+    linear in candidate count — per-pair work is FLAT in corpus size,
+    vs the exact path's O(n·m).
+
+    ``centroids`` is the shared coarse quantizer (e.g.
+    :func:`kmeans_fit` over a union sample, or a
+    :func:`persist_ivf_index` table's frozen centroids); ``top_m``
+    should comfortably exceed ``k`` so each pool member has a full k-NN
+    neighborhood for the margin denominator.
+    """
+    fwd_cand = ivf_topk(
+        y,
+        x.select(F.col(id_col).alias("__qid"), vec_col),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=top_m,
+        n_probe=n_probe,
+        query_id_col="__qid",
+    ).select(F.col("__qid").alias("x_id"), F.col(id_col).alias("y_id"))
+    bwd_cand = ivf_topk(
+        x,
+        y.select(F.col(id_col).alias("__qid"), vec_col),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=top_m,
+        n_probe=n_probe,
+        query_id_col="__qid",
+    ).select(F.col(id_col).alias("x_id"), F.col("__qid").alias("y_id"))
+    pool = fwd_cand.unionByName(bwd_cand)
+    return margin_pairs(
+        x,
+        y,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        threshold=threshold,
+        mutual=mutual,
+        scope=scope,
+        candidates=pool,
     )
 
 

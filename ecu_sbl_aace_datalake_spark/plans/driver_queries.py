@@ -4585,6 +4585,80 @@ LEFT JOIN (SELECT * FROM f WHERE rk = 1) f ON l.event_id = f.event_id
 """
 
 
+def q_asof_nearest_subsecond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join at SUB-SECOND precision (oracle guard for the
+    ADVICE-r7 unix_micros fix, VERDICT r8 item #6): every event gets a
+    planted deterministic microsecond offset (event_id·137 mod 1e6 —
+    exact integer µs via timestampadd, no float rounding, no timezone
+    arithmetic), so backward/forward distances differ below one second
+    and a whole-second truncation anywhere in the distance math would
+    flip picks. Same two directional one-window passes + map-side pick
+    as asof_nearest."""
+    from ..operators.joins import asof_join_nearest
+
+    evdf = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND,"
+            " CAST(event_id * 137 % 1000000 AS BIGINT),"
+            " date_trunc('second', ts))"
+        ),
+    )
+    left = evdf.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    errors = evdf.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join_nearest(
+        left, errors, on="user_id", right_cols=["err_value"], suffix="",
+        right_tie_break="err_id",
+    )
+    return out.select(
+        "event_id", "user_id", "err_value",
+        F.col("__nearest_ts").alias("matched_ts"),
+    )
+
+
+SQL_ASOF_NEAREST_SUBSECOND = """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  date_trunc('second', ts)
+                    + to_microseconds(CAST(event_id * 137 % 1000000
+                                           AS BIGINT)) AS ts
+           FROM events),
+l AS (SELECT event_id, user_id, ts FROM e WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, event_id AS err_id, value AS err_value
+      FROM e WHERE event_type = 'error'),
+b AS (
+  SELECT l.event_id, r.err_value, r.ts AS rts,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.err_id DESC) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+),
+f AS (
+  SELECT l.event_id, r.err_value, r.ts AS rts,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts ASC, r.err_id DESC) AS rk
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT l.event_id, l.user_id,
+       CASE WHEN b.rts IS NULL AND f.rts IS NOT NULL THEN f.err_value
+            WHEN f.rts IS NOT NULL
+                 AND epoch_us(f.rts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b.rts) THEN f.err_value
+            ELSE b.err_value END AS err_value,
+       CASE WHEN b.rts IS NULL AND f.rts IS NOT NULL THEN f.rts
+            WHEN f.rts IS NOT NULL
+                 AND epoch_us(f.rts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b.rts) THEN f.rts
+            ELSE b.rts END AS matched_ts
+FROM l
+LEFT JOIN (SELECT * FROM b WHERE rk = 1) b ON l.event_id = b.event_id
+LEFT JOIN (SELECT * FROM f WHERE rk = 1) f ON l.event_id = f.event_id
+"""
+
+
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per event type (timeseries.twap): each
     observation weighted by its µs interval to the next observation of
@@ -9863,6 +9937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_prepare_full": q_corpus_prepare_full,
     "asof_join_forward": q_asof_join_forward,
     "asof_join_nearest": q_asof_join_nearest,
+    "asof_nearest_subsecond": q_asof_nearest_subsecond,
     "twap": q_twap,
     "ohlc_bars": q_ohlc_bars,
     "vocabulary_drift": q_vocabulary_drift,
@@ -10104,6 +10179,7 @@ ORACLES: dict[str, str] = {
     "corpus_prepare_full": SQL_CORPUS_PREPARE_FULL,
     "asof_join_forward": SQL_ASOF_JOIN_FORWARD,
     "asof_join_nearest": SQL_ASOF_JOIN_NEAREST,
+    "asof_nearest_subsecond": SQL_ASOF_NEAREST_SUBSECOND,
     "twap": SQL_TWAP,
     "ohlc_bars": SQL_OHLC_BARS,
     "vocabulary_drift": SQL_VOCABULARY_DRIFT,
@@ -14106,13 +14182,178 @@ FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
 """
 
 
+def q_margin_pairs_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB margin_pairs (similarity.margin_pairs_pooled, VERDICT
+    r8 item #1): IVF candidate pools per side — each even-id x probes
+    the odd-id y side for its top-8 approximate neighbors under fixed
+    centroids (vec_id 0..7 embeddings, the proven
+    embedding_topk_ivf_fixed quantizer), each y probes x likewise, the
+    union is the candidate pool — then the IDENTICAL 4-NN margin +
+    mutual-argmax logic runs over the pool instead of the exact n·m
+    cross join. Per-pair cost flat in corpus size; the oracle replays
+    assignment, probe, both directed top-8 cuts, the union, and the
+    margin ladder relationally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda v: v.cast("double")).alias("e"))
+        .collect()
+    )
+    centroids = [list(r["e"]) for r in cent_rows]
+    x = emb.where(F.col("vec_id") % 2 == 0)
+    y = emb.where(F.col("vec_id") % 2 == 1)
+    return similarity.margin_pairs_pooled(
+        x, y, centroids, k=4, threshold=1.02, mutual=True,
+        top_m=8, n_probe=3,
+    )
+
+
+SQL_MARGIN_PAIRS_POOLED = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, cv AS ce FROM c WHERE vec_id < 8),
+dists AS (
+  SELECT c.vec_id, cent.cid,
+         list_sum(list_transform(range(1, 1 + len(c.cv)),
+             i -> (c.cv[i] - cent.ce[i]) * (c.cv[i] - cent.ce[i]))) AS d
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists)
+  WHERE rn <= 3
+),
+fwd_s AS (
+  SELECT p.vec_id AS xid, a.vec_id AS yid,
+         list_dot_product(cy.cv, cx.cv)
+           / (sqrt(list_dot_product(cy.cv, cy.cv))
+              * sqrt(list_dot_product(cx.cv, cx.cv))) AS score
+  FROM probe p
+  JOIN assigned a USING (cluster)
+  JOIN c cx ON cx.vec_id = p.vec_id
+  JOIN c cy ON cy.vec_id = a.vec_id
+  WHERE p.vec_id % 2 = 0 AND a.vec_id % 2 = 1
+    AND a.vec_id <> p.vec_id
+),
+fwd_cand AS (
+  SELECT xid, yid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY xid ORDER BY score DESC, yid ASC) AS rn
+    FROM fwd_s)
+  WHERE rn <= 8
+),
+bwd_s AS (
+  SELECT a.vec_id AS xid, p.vec_id AS yid,
+         list_dot_product(cx.cv, cy.cv)
+           / (sqrt(list_dot_product(cx.cv, cx.cv))
+              * sqrt(list_dot_product(cy.cv, cy.cv))) AS score
+  FROM probe p
+  JOIN assigned a USING (cluster)
+  JOIN c cy ON cy.vec_id = p.vec_id
+  JOIN c cx ON cx.vec_id = a.vec_id
+  WHERE p.vec_id % 2 = 1 AND a.vec_id % 2 = 0
+    AND a.vec_id <> p.vec_id
+),
+bwd_cand AS (
+  SELECT xid, yid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY yid ORDER BY score DESC, xid ASC) AS rn
+    FROM bwd_s)
+  WHERE rn <= 8
+),
+pool AS (
+  SELECT DISTINCT xid, yid FROM (
+    SELECT xid, yid FROM fwd_cand
+    UNION ALL SELECT xid, yid FROM bwd_cand)
+),
+x AS (
+  SELECT vec_id AS xid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           e -> e / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))))
+           AS xv
+  FROM embeddings
+  WHERE vec_id % 2 = 0
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+y AS (
+  SELECT vec_id AS yid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           e -> e / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))))
+           AS yv
+  FROM embeddings
+  WHERE vec_id % 2 = 1
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+pairs AS (
+  SELECT p.xid, p.yid, ROUND(list_dot_product(xv, yv), 6) AS cosine
+  FROM pool p JOIN x ON x.xid = p.xid JOIN y ON y.yid = p.yid
+),
+ax AS (
+  SELECT xid, SUM(CAST(cosine AS DECIMAL(10,6))) AS sx, COUNT(*) AS kx
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY cosine DESC, yid) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY xid
+),
+ay AS (
+  SELECT yid, SUM(CAST(cosine AS DECIMAL(10,6))) AS sy, COUNT(*) AS ky
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY yid
+                                 ORDER BY cosine DESC, xid) AS rn
+    FROM pairs
+  ) WHERE rn <= 4 GROUP BY yid
+),
+margined AS (
+  SELECT p.xid, p.yid, p.cosine,
+         ROUND(p.cosine / ((CAST(ax.sx AS DOUBLE) / ax.kx
+                            + CAST(ay.sy AS DOUBLE) / ay.ky) / 2), 6)
+           AS margin
+  FROM pairs p JOIN ax ON ax.xid = p.xid JOIN ay ON ay.yid = p.yid
+),
+fwd AS (
+  SELECT xid, yid, cosine, margin FROM (
+    SELECT *, row_number() OVER (PARTITION BY xid
+                                 ORDER BY margin DESC, yid) AS rm
+    FROM margined
+  ) WHERE rm = 1 AND margin >= 1.02
+),
+bwd AS (
+  SELECT xid, yid FROM (
+    SELECT *, row_number() OVER (PARTITION BY yid
+                                 ORDER BY margin DESC, xid) AS rm
+    FROM margined
+  ) WHERE rm = 1
+)
+SELECT f.xid AS x_id, f.yid AS y_id, f.cosine, f.margin
+FROM fwd f JOIN bwd b ON b.xid = f.xid AND b.yid = f.yid
+"""
+
+
 QUERIES.update({
     "hard_negatives": q_hard_negatives,
     "margin_pairs": q_margin_pairs,
+    "margin_pairs_pooled": q_margin_pairs_pooled,
 })
 ORACLES.update({
     "hard_negatives": SQL_HARD_NEGATIVES,
     "margin_pairs": SQL_MARGIN_PAIRS,
+    "margin_pairs_pooled": SQL_MARGIN_PAIRS_POOLED,
 })
 
 
