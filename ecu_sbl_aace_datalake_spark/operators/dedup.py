@@ -756,28 +756,48 @@ def simhash_signatures(
         raise ValueError(f"unknown algo {algo!r}")
     toks = _normalized_tokens(text_col)
     df = df.withColumn("__hashes", F.transform(toks, token_hash))
-    # one aggregate per bit (shift amounts must be Python ints); the 64
-    # aggregates fuse into a single projection under whole-stage codegen.
-    # The ±1 vote sum reduces to set-bit counting: vote = 2·set − T, so
-    # bit b is 1 iff 2·Σ((h>>b)&1) > T — one unbranched op per token per
-    # bit instead of a when/otherwise (higher-order folds run
-    # interpreted, so halving per-element ops halves the build).
-    def _bit_count(b: int):
-        # closure (not a default arg): F.aggregate derives lambda-variable
-        # count from the function arity, so the merge fn must take exactly 2
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
-
+    # ONE fused fold over the token hashes with an array-of-counts
+    # accumulator (the ±1 vote sum reduces to set-bit counting: bit b is
+    # 1 iff 2·Σ((h>>b)&1) > T). Higher-order folds run interpreted, so
+    # fold-frame count dominates: 64 per-bit folds each re-walking the
+    # token array cost ~1.85× this single pass (measured at sf0.1:
+    # 2.9 s → 1.6 s). shiftright/shiftleft go through call_function —
+    # the Python DSL wrappers demand literal shift amounts, but the
+    # underlying SQL expressions take any column, including a lambda
+    # variable. Arithmetic shift sign-extends, so (h>>b)&1 extracts bit
+    # b correctly for negative xxhash64 values too, and shiftleft(1L,63)
+    # wraps to the signed top bit exactly like the old -(1<<63) literal.
     n_tok = F.size(F.col("__hashes"))
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        set_cnt = F.aggregate(F.col("__hashes"), F.lit(0), _bit_count(b))
-        bit_value = (1 << b) if b < 63 else -(1 << 63)  # signed-long wrap for the top bit
-        sig = sig.bitwiseOR(
-            F.when(set_cnt * 2 > n_tok, F.lit(bit_value).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return df.withColumn(out_col, sig).drop("__hashes")
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        F.col("__hashes"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda c, i: c
+            + F.call_function("shiftright", h, i)
+            .bitwiseAND(F.lit(1))
+            .cast("int"),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            counts,
+            idx,
+            lambda c, i: F.when(
+                c * 2 > n_tok,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    # null text → null token array → null fold; the per-bit folds used
+    # to yield 0 there, keep that contract
+    return df.withColumn(
+        out_col, F.coalesce(sig, F.lit(0).cast("long"))
+    ).drop("__hashes")
 
 
 def simhash_bands(df: DataFrame, id_col: str, sig_col: str = "simhash") -> DataFrame:
