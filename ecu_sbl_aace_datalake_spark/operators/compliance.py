@@ -40,10 +40,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "LICENSE_PATTERNS",
     "LICENSE_FAMILY",
+    "LICENSE_CORPUS",
     "OPT_OUT_PATTERNS",
     "SPDX_RE",
     "license_id_col",
     "license_family_col",
+    "license_similarity",
     "opt_out_col",
     "tag_licenses",
     "compliance_report",
@@ -186,4 +188,159 @@ def compliance_report(
             frac(F.col("opted_out")).alias("frac_opted_out"),
         )
         .orderBy(group_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-scored SPDX matching (round 9): the regexp ladder above is a
+# frozen notice-header approximation; real detectors (ScanCode) score
+# full-text similarity against the SPDX license corpus. This is the
+# engine's version of that: word-shingle CONTAINMENT of each canonical
+# license body inside the document — robust to reflowed lines, changed
+# punctuation, and light paraphrase that break the trigger phrases.
+
+# canonical license bodies (public texts), frozen; matching is over
+# normalized word shingles so formatting never matters
+LICENSE_CORPUS: dict[str, str] = {
+    "MIT": (
+        "Permission is hereby granted, free of charge, to any person "
+        "obtaining a copy of this software and associated documentation "
+        "files (the Software), to deal in the Software without "
+        "restriction, including without limitation the rights to use, "
+        "copy, modify, merge, publish, distribute, sublicense, and/or "
+        "sell copies of the Software, and to permit persons to whom the "
+        "Software is furnished to do so, subject to the following "
+        "conditions: The above copyright notice and this permission "
+        "notice shall be included in all copies or substantial portions "
+        "of the Software. The Software is provided as is, without "
+        "warranty of any kind, express or implied, including but not "
+        "limited to the warranties of merchantability, fitness for a "
+        "particular purpose and noninfringement. In no event shall the "
+        "authors or copyright holders be liable for any claim, damages "
+        "or other liability, whether in an action of contract, tort or "
+        "otherwise, arising from, out of or in connection with the "
+        "Software or the use or other dealings in the Software."
+    ),
+    "Apache-2.0": (
+        "Licensed under the Apache License, Version 2.0 (the License); "
+        "you may not use this file except in compliance with the "
+        "License. You may obtain a copy of the License at "
+        "http://www.apache.org/licenses/LICENSE-2.0 Unless required by "
+        "applicable law or agreed to in writing, software distributed "
+        "under the License is distributed on an AS IS BASIS, WITHOUT "
+        "WARRANTIES OR CONDITIONS OF ANY KIND, either express or "
+        "implied. See the License for the specific language governing "
+        "permissions and limitations under the License."
+    ),
+    "BSD-3-Clause": (
+        "Redistribution and use in source and binary forms, with or "
+        "without modification, are permitted provided that the following "
+        "conditions are met: Redistributions of source code must retain "
+        "the above copyright notice, this list of conditions and the "
+        "following disclaimer. Redistributions in binary form must "
+        "reproduce the above copyright notice, this list of conditions "
+        "and the following disclaimer in the documentation and/or other "
+        "materials provided with the distribution. Neither the name of "
+        "the copyright holder nor the names of its contributors may be "
+        "used to endorse or promote products derived from this software "
+        "without specific prior written permission."
+    ),
+    "GPL-3.0": (
+        "This program is free software: you can redistribute it and/or "
+        "modify it under the terms of the GNU General Public License as "
+        "published by the Free Software Foundation, either version 3 of "
+        "the License, or (at your option) any later version. This "
+        "program is distributed in the hope that it will be useful, but "
+        "WITHOUT ANY WARRANTY; without even the implied warranty of "
+        "MERCHANTABILITY or FITNESS FOR A PARTICULAR PURPOSE. See the "
+        "GNU General Public License for more details."
+    ),
+    "MPL-2.0": (
+        "This Source Code Form is subject to the terms of the Mozilla "
+        "Public License, v. 2.0. If a copy of the MPL was not "
+        "distributed with this file, You can obtain one at "
+        "http://mozilla.org/MPL/2.0/."
+    ),
+    "Unlicense": (
+        "This is free and unencumbered software released into the "
+        "public domain. Anyone is free to copy, modify, publish, use, "
+        "compile, sell, or distribute this software, either in source "
+        "code form or as a compiled binary, for any purpose, commercial "
+        "or non-commercial, and by any means. In jurisdictions that "
+        "recognize copyright laws, the author or authors of this "
+        "software dedicate any and all copyright interest in the "
+        "software to the public domain."
+    ),
+}
+
+
+def _license_shingles(text: str, n: int) -> list[str]:
+    """Driver-side replica of the engine's shingling (lowercase,
+    alnum-run tokens, space-joined word n-grams, distinct) — the license
+    corpus is a handful of constant strings, so its shingle sets are
+    computed once here and inlined as literal arrays."""
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    seen: dict[str, None] = {}
+    for i in range(max(len(toks) - n + 1, 0)):
+        seen[" ".join(toks[i:i + n])] = None
+    return list(seen)
+
+
+def license_similarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    corpus: dict[str, str] | None = None,
+) -> DataFrame:
+    """ScanCode-style similarity-scored license detection: score each
+    document against every canonical license body by shingle
+    CONTAINMENT — ``|doc_shingles ∩ license_shingles| /
+    |license_shingles|`` — and tag the argmax license when its
+    containment clears ``threshold``. Word shingles survive reflowed
+    lines, re-punctuation, and light paraphrase that defeat the
+    :data:`LICENSE_PATTERNS` trigger phrases; containment (not Jaccard)
+    because the license is a tiny fraction of a long document.
+
+    Plan shape: the license corpus is constant and tiny, so each
+    license's shingle set inlines as a LITERAL array and every score is
+    one ``array_intersect`` column expression — fully map-side, zero
+    shuffles, zero joins, linear at 100 TB. Ties break by corpus order
+    (most-common-first, same spirit as the ladder).
+
+    Returns ``(id_col, sim_license, sim_score)``: ``sim_license`` NULL
+    below threshold, ``sim_score`` the best containment either way
+    (rounded 6dp for display; threshold/argmax compare unrounded).
+    """
+    from .dedup import shingles
+
+    lic_corpus = corpus if corpus is not None else LICENSE_CORPUS
+    sh = shingles(df, text_col, n=shingle_n, out_col="__sh").select(
+        F.col(id_col), F.col("__sh")
+    )
+    scores: list[tuple[str, F.Column]] = []
+    for lid, text in lic_corpus.items():
+        lsh = _license_shingles(text, shingle_n)
+        if not lsh:
+            continue
+        lit = F.array(*[F.lit(s) for s in lsh])
+        matched = F.coalesce(
+            F.size(F.array_intersect(F.col("__sh"), lit)), F.lit(0)
+        )
+        # len(lsh) is a Python constant: the division is exact-identical
+        # in any engine; round only at output
+        scores.append((lid, matched / F.lit(float(len(lsh)))))
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    pick = F.when(best < F.lit(float(threshold)), F.lit(None).cast("string"))
+    for lid, s in scores:
+        pick = pick.when(s == best, F.lit(lid))
+    return sh.select(
+        F.col(id_col),
+        pick.otherwise(F.lit(None).cast("string")).alias("sim_license"),
+        F.round(best, 6).alias("sim_score"),
     )

@@ -13925,13 +13925,131 @@ ORDER BY source
 )
 
 
+# a reflowed + lightly-paraphrased MIT notice: the ladder's trigger
+# phrases ("mit license" / "permission is hereby granted, free of
+# charge") are broken, the liability sentence is dropped, lines are
+# rewrapped — but ~70% of the canonical body's 5-gram shingles survive.
+# ONE constant feeds both the Spark plant and the oracle literal.
+_MIT_PARAPHRASE = (
+    "Permission is granted, without any charge, to each person\n"
+    "obtaining a copy of this software and associated documentation\n"
+    "files (the Software), to deal in the Software without restriction,\n"
+    "including without limitation the rights to use, copy, modify,\n"
+    "merge, publish, distribute, sublicense, and/or sell copies of the\n"
+    "Software, and to permit persons to whom the Software is furnished\n"
+    "to do so, subject to the following conditions: The above copyright\n"
+    "notice and this permission notice shall be included in all copies\n"
+    "or substantial portions of the Software. The Software is provided\n"
+    "as is, without warranty of any kind, express or implied, including\n"
+    "but not limited to the warranties of merchantability, fitness for\n"
+    "a particular purpose and noninfringement."
+)
+
+
+def q_license_similarity_reflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-scored SPDX detection vs the regexp ladder
+    (compliance.license_similarity, VERDICT r8 item #7): every 7th doc
+    gets a REFLOWED, lightly-paraphrased MIT notice whose trigger
+    phrases are broken — the frozen ladder returns NULL for it, the
+    shingle-containment matcher (5-gram containment of each canonical
+    license body, map-side literal array_intersect, zero shuffles)
+    still tags MIT. Output pairs both detectors per doc so the oracle
+    verifies the catch itself."""
+    from ..operators import compliance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\n"),
+                F.lit(_MIT_PARAPHRASE),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    sim = compliance.license_similarity(
+        planted, "doc_id", "text", shingle_n=5, threshold=0.5
+    )
+    ladder = planted.select(
+        "doc_id", compliance.license_id_col("text").alias("ladder_id")
+    )
+    return ladder.join(sim, "doc_id").select(
+        "doc_id", "ladder_id", "sim_license", "sim_score"
+    )
+
+
+def _license_similarity_oracle_sql() -> str:
+    """Oracle builder: embeds each canonical license's shingle set
+    (computed by the SAME driver-side helper the engine inlines as
+    literal arrays) as DuckDB list literals, replays the 5-gram doc
+    shingling, the per-license containment, the corpus-order argmax,
+    and the regexp ladder over the identically-planted text."""
+    from ..operators import compliance
+
+    para_sql = _MIT_PARAPHRASE.replace("'", "''").replace("\n", "' || chr(10) || '")
+    lids, score_cols, case_rows = [], [], []
+    for i, (lid, text) in enumerate(compliance.LICENSE_CORPUS.items()):
+        sh = compliance._license_shingles(text, 5)
+        lit = "[" + ", ".join("'" + s + "'" for s in sh) + "]"
+        score_cols.append(
+            f"COALESCE(len(list_intersect(sh, {lit})), 0) * 1.0"
+            f" / {len(sh)} AS s{i}"
+        )
+        case_rows.append(f"WHEN s{i} = best THEN '{lid}'")
+        lids.append(lid)
+    greatest = "greatest(" + ", ".join(f"s{i}" for i in range(len(lids))) + ")"
+    return (
+        """
+WITH synth AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS source,
+    CASE WHEN doc_id % 7 = 2
+         THEN COALESCE(text, '') || chr(10) || '""" + para_sql + """'
+         ELSE text END AS text
+  FROM main.documents
+),
+tagged AS (""" + _SQL_LICENSE_TAG + """),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM synth
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4])) AS sh
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, """ + ",\n         ".join(score_cols) + """
+  FROM g
+),
+best AS (
+  SELECT *, """ + greatest + """ AS best FROM scored
+)
+SELECT tg.doc_id, tg.license_id AS ladder_id,
+       CASE WHEN b.best < 0.5 THEN NULL
+            """ + "\n            ".join(case_rows) + """
+       END AS sim_license,
+       ROUND(b.best, 6) AS sim_score
+FROM tagged tg JOIN best b ON b.doc_id = tg.doc_id
+"""
+    )
+
+
+SQL_LICENSE_SIMILARITY_REFLOW = _license_similarity_oracle_sql()
+
+
 QUERIES.update({
     "license_detect": q_license_detect,
     "compliance_report": q_compliance_report,
+    "license_similarity_reflow": q_license_similarity_reflow,
 })
 ORACLES.update({
     "license_detect": SQL_LICENSE_DETECT,
     "compliance_report": SQL_COMPLIANCE_REPORT,
+    "license_similarity_reflow": SQL_LICENSE_SIMILARITY_REFLOW,
 })
 
 

@@ -140,3 +140,46 @@ class TestHardNegativesCandidates:
         assert "BroadcastNestedLoopJoin" not in physical
         got = {(r.anchor_id, r.vec_id) for r in out.collect()}
         assert got == {(100, 1), (100, 2), (101, 3)}, got
+
+
+class TestLicenseSimilarity:
+    def test_reflowed_mit_caught_ladder_misses(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import compliance
+        from ecu_sbl_aace_datalake_spark.plans.driver_queries import (
+            _MIT_PARAPHRASE as reflowed,
+        )
+
+        df = spark.createDataFrame(
+            [(1, reflowed), (2, "just a plain document about birds")],
+            "doc_id long, text string",
+        )
+        # ladder misses the paraphrase
+        tagged = compliance.tag_licenses(df).collect()
+        lad = {r.doc_id: r.license_id for r in tagged}
+        assert lad[1] is None and lad[2] is None
+        # similarity matcher catches it
+        sim = {r.doc_id: r for r in
+               compliance.license_similarity(df).collect()}
+        assert sim[1].sim_license == "MIT" and sim[1].sim_score >= 0.5
+        assert sim[2].sim_license is None
+
+    def test_verbatim_bodies_match_their_license(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import compliance
+
+        rows = [(i, t) for i, (_, t) in
+                enumerate(compliance.LICENSE_CORPUS.items())]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.sim_license for r in
+               compliance.license_similarity(df).collect()}
+        for i, lid in enumerate(compliance.LICENSE_CORPUS):
+            assert got[i] == lid, (lid, got)
+
+    def test_zero_shuffle_plan(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import compliance
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        plan = (
+            compliance.license_similarity(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
