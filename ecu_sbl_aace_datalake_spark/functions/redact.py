@@ -77,3 +77,111 @@ def pii_prevalence_report(df, group_col: str = "source", text_col: str = "text")
         )
         .orderBy(group_col)
     )
+
+
+PII_TYPE_NAMES = ["email", "phone", "ip"]
+
+
+def pii_values(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Distinct PII VALUES per document, typed: ``(id_col, pii_type,
+    pii_value)``. Extraction runs over the PROGRESSIVELY-REDACTED text
+    (type i extracts after types 0..i-1 are replaced), mirroring the
+    :func:`redact_pii_col` chain exactly — so phone-shaped digit runs
+    inside an email can never double-count, and the value inventory is
+    precisely what redaction would have removed.
+
+    Map-side until the explode; per-doc value sets are
+    ``array_distinct``-ed so downstream ``COUNT(*)`` per value IS the
+    document frequency."""
+    cur = F.col(text_col)
+    branches = []
+    for (pat, repl), name in zip(PII_PATTERNS, PII_TYPE_NAMES):
+        branches.append(
+            F.struct(
+                F.lit(name).alias("pii_type"),
+                F.array_distinct(
+                    F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+                ).alias("vals"),
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*branches)).alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.pii_type").alias("pii_type"),
+            F.explode("__s.vals").alias("pii_value"),
+        )
+    )
+
+
+def pii_k_anonymity(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """k-anonymity-style PII audit (VERDICT r8 item #8): a PII value
+    appearing in fewer than ``k`` documents is a RARE identifier —
+    near-unique, hence re-identifying — and a document carrying a rare
+    value of one type alongside ANY other PII type is a LINKAGE risk
+    (the classic quasi-identifier join attack: rare email + phone in
+    one document links both records). Redaction policy reads this
+    table: types whose values are mostly shared boilerplate
+    (support@ addresses, office numbers) can keep placeholders coarse;
+    types dominated by rare values need aggressive scrubbing or doc
+    drops.
+
+    Per ``pii_type``: distinct value count, rare-value count/fraction
+    (document frequency < ``k``), documents carrying the type,
+    documents carrying a rare value, and documents where a rare value
+    of this type CO-OCCURS with at least one other PII type.
+
+    Scale: one shuffle on (type, value) for document frequencies
+    (map-side partial combine), one on the doc id for the co-occurrence
+    flags; output is 3 rows. Same patterns as :func:`redact_pii_col` —
+    audit and scrub can never disagree.
+    """
+    vals = pii_values(df, id_col, text_col)
+    freq = vals.groupBy("pii_type", "pii_value").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    tagged = vals.join(freq, ["pii_type", "pii_value"]).select(
+        id_col, "pii_type", (F.col("__df") < k).alias("__rare")
+    )
+    doc_type = tagged.groupBy(id_col, "pii_type").agg(
+        F.max(F.col("__rare").cast("int")).alias("__has_rare")
+    )
+    n_types = doc_type.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ntypes")
+    )
+    per_doc = doc_type.join(n_types, id_col)
+    doc_roll = per_doc.groupBy("pii_type").agg(
+        F.count(F.lit(1)).alias("n_docs_with_type"),
+        F.sum("__has_rare").alias("n_docs_with_rare"),
+        F.sum(
+            ((F.col("__has_rare") == 1) & (F.col("__ntypes") >= 2)).cast(
+                "int"
+            )
+        ).alias("n_docs_colinked"),
+    )
+    val_roll = freq.groupBy("pii_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((F.col("__df") < k).cast("int")).alias("n_rare_values"),
+    )
+    return (
+        val_roll.join(doc_roll, "pii_type")
+        .select(
+            "pii_type",
+            "n_values",
+            "n_rare_values",
+            F.round(F.col("n_rare_values") / F.col("n_values"), 6).alias(
+                "frac_rare_values"
+            ),
+            "n_docs_with_type",
+            "n_docs_with_rare",
+            "n_docs_colinked",
+        )
+        .orderBy("pii_type")
+    )

@@ -459,3 +459,78 @@ def materialize_epochs(
     )
     keep = [*df.columns, "epoch"]
     return fulls.select(*keep).unionByName(partial.select(*keep))
+
+
+# per-document and per-sequence token overhead of the inference/training
+# serialization format — frozen nominal costs (role sentinels for chat
+# turns, FIM region sentinels, EOS separators). Real tokenizers differ by
+# a token or two; what matters for packing correctness is that the
+# overhead is charged AT ALL (a budget-512 packer that ignores an 8-token
+# chat wrapper overflows every sequence by n_docs*8 tokens at train time).
+TEMPLATE_OVERHEADS: dict[str, tuple[int, int]] = {
+    # template -> (per_doc_overhead, per_seq_overhead)
+    "plain": (1, 0),   # EOS separator per doc
+    "chat": (8, 2),    # role header/footer sentinels per turn; BOS+system
+    "fim": (3, 1),     # fim_prefix/middle/suffix sentinels; BOS
+}
+
+
+def format_aware_pack(
+    df: DataFrame,
+    budget: int,
+    template: str = "chat",
+    shard_cols: Sequence[str] = ("source",),
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    out_col: str = "pack_id",
+    per_doc_overhead: int | None = None,
+    per_seq_overhead: int | None = None,
+    oversize: str = "singleton",
+    algo: str = "greedy",
+) -> DataFrame:
+    """Packing at INFERENCE-FORMAT granularity (VERDICT r8 item #8):
+    documents are packed under the budget that survives serialization
+    into a chat template / FIM triple / plain-EOS stream — each
+    document is charged its format's per-document sentinel overhead and
+    each sequence reserves the per-sequence overhead, so the packed
+    sequences fit the training context EXACTLY instead of overflowing
+    by the wrapper tokens.
+
+    Format units are ATOMIC — a chat turn or FIM triple cannot be split
+    across sequences — so this always packs whole documents
+    (:func:`greedy_pack` order-preserving, or :func:`ffd_pack` when
+    ``algo="ffd"`` for density), never :func:`chunk_pack`'s
+    concat-and-cut. ``oversize="drop"`` removes documents whose
+    wrapped cost exceeds the usable capacity (``"singleton"`` keeps
+    them in packs of their own, the greedy/ffd convention).
+
+    Adds ``n_tokens_fmt`` (the wrapped per-doc cost) next to
+    ``out_col``. Same scale shape as the underlying packer: one
+    applyInPandas per shard.
+    """
+    if template not in TEMPLATE_OVERHEADS:
+        raise ValueError(
+            f"unknown template {template!r}; known: {sorted(TEMPLATE_OVERHEADS)}"
+        )
+    d_over, s_over = TEMPLATE_OVERHEADS[template]
+    if per_doc_overhead is not None:
+        d_over = int(per_doc_overhead)
+    if per_seq_overhead is not None:
+        s_over = int(per_seq_overhead)
+    capacity = int(budget) - s_over
+    if capacity <= d_over:
+        raise ValueError(
+            f"budget {budget} leaves no room after overheads ({d_over}, {s_over})"
+        )
+    wrapped = df.withColumn(
+        "n_tokens_fmt", (F.col(token_col) + F.lit(d_over)).cast("int")
+    )
+    if oversize == "drop":
+        wrapped = wrapped.where(F.col("n_tokens_fmt") <= capacity)
+    elif oversize != "singleton":
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+    packer = {"greedy": greedy_pack, "ffd": ffd_pack}[algo]
+    return packer(
+        wrapped, capacity, shard_cols=shard_cols, order_col=order_col,
+        token_col="n_tokens_fmt", out_col=out_col,
+    )

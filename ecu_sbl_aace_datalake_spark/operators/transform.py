@@ -560,6 +560,58 @@ def cap_per_group_bytes(
     )
 
 
+def cap_per_group_bytes_map(
+    df: DataFrame,
+    group_col: str,
+    bytes_col: str,
+    budgets: dict[str, int],
+    id_col: str,
+    default_budget: int | None = None,
+    salt: str = "cap",
+) -> DataFrame:
+    """:func:`cap_per_group_bytes` with a PER-GROUP budget table — the
+    data-recipe form ("200 GB of en, 50 GB of de, everything else
+    uncapped") used for per-language corpus budgets. ``budgets`` maps
+    group value → byte budget; groups absent from the map get
+    ``default_budget`` (``None`` = unlimited — admission still rejects
+    NULL/negative byte rows, the budgeting contract).
+
+    Identical admission rule (md5-priority prefix cumsum, replayable
+    from (salt, id, budget) alone) with the budget resolved per row
+    from a literal CASE — the budget table is constant and tiny, so the
+    plan stays ONE window over the group key, zero extra joins.
+    """
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = F.col(bytes_col).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.lit(
+        None if default_budget is None else int(default_budget)
+    ).cast("long")
+    for g, lim in budgets.items():
+        if lim < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0")
+        budget_expr = F.when(
+            F.col(group_col) == g, F.lit(int(lim)).cast("long")
+        ).otherwise(budget_expr)
+    return (
+        df.where(b.isNotNull() & (b >= 0))
+        .withColumn("__cum", F.sum(b).over(w))
+        .withColumn("__lim", budget_expr)
+        .where(F.col("__lim").isNull() | (F.col("__cum") <= F.col("__lim")))
+        .drop("__cum", "__lim")
+    )
+
+
 def schema_diff(old: DataFrame, new: DataFrame) -> dict[str, list]:
     """Schema drift report between two table versions: added / removed /
     type-changed columns (by name; order changes are not drift). The

@@ -1610,6 +1610,61 @@ FROM documents d LEFT JOIN p USING (doc_id)
 SQL_LANG_ID_TRAINED = _lang_nb_oracle_sql()
 
 
+_LANG_BUDGETS = {"en": 30000, "de": 10000, "es": 15000}
+
+
+def q_lang_budget_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BYTE budget enforcement composed with the TRAINED
+    lang-id gate (pipeline.cap_per_language over classifier.LANG_NB_V1,
+    VERDICT r8 item #8): en capped at 30 kB, de 10 kB, es 15 kB, fr/zh
+    uncapped — admission by the md5-priority prefix-cumsum rule, so the
+    kept set replays from (salt, id, budgets) alone. Rolled up per
+    language; the oracle replays the NB prediction, the priority order,
+    the per-language running byte sum, and the literal budget CASE."""
+    from ..operators import classifier, pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = pipeline.cap_per_language(
+        docs, _LANG_BUDGETS, lang_model=classifier.LANG_NB_V1
+    )
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("bytes_kept"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def _lang_budget_oracle_sql() -> str:
+    lim_case = "CASE lang_pred " + " ".join(
+        f"WHEN '{g}' THEN {v}" for g, v in _LANG_BUDGETS.items()
+    ) + " ELSE NULL END"
+    return f"""
+WITH pred AS ({_lang_nb_oracle_sql()}),
+adm AS (
+  SELECT d.doc_id, p.lang_pred, strlen(d.text) AS b,
+         ('0x' || substring(md5('langcap' || CAST(d.doc_id AS VARCHAR)),
+                            1, 15))::BIGINT AS pri
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.text IS NOT NULL
+),
+cum AS (
+  SELECT *, SUM(b) OVER (PARTITION BY lang_pred ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+         {lim_case} AS lim
+  FROM adm
+),
+kept AS (SELECT * FROM cum WHERE lim IS NULL OR cumb <= lim)
+SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS bytes_kept
+FROM kept GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+SQL_LANG_BUDGET_ENFORCE = _lang_budget_oracle_sql()
+
+
 SQL_TEXT_EMBEDDING_TOPK = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
@@ -5561,6 +5616,67 @@ SELECT source, pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        ROUND(SUM(n_tokens) / 256, 4) AS fill_ratio
+FROM walk GROUP BY source, pack_id
+"""
+
+
+def q_chat_template_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template-aware packing (packing.format_aware_pack, VERDICT
+    r8 item #8): every document is charged the chat format's 8 sentinel
+    tokens and each sequence reserves 2 (BOS + system stub), so packs
+    fit a 512 context AFTER serialization - the overflow a naive packer
+    silently ships. Whole-document first-fit (turns are atomic);
+    per-(source, pack) rollup reports the SERIALIZED size. Oracle walks
+    the identical running reset over wrapped costs via a recursive
+    CTE."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.format_aware_pack(counted, budget=512, template="chat")
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_fmt").alias("sum_tokens_fmt"),
+            (F.sum("n_tokens_fmt") + F.lit(2)).alias("seq_tokens"),
+            F.round(
+                (F.sum("n_tokens_fmt") + F.lit(2)) / F.lit(512), 4
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+SQL_CHAT_TEMPLATE_PACKING = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS INT) + 8 AS n_fmt
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_fmt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_fmt,
+         CAST(0 AS BIGINT) AS pack_id, n_fmt AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_fmt,
+         CASE WHEN w.used > 0 AND w.used + o.n_fmt > 510
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_fmt > 510
+              THEN o.n_fmt ELSE w.used + o.n_fmt END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_fmt) AS BIGINT) AS sum_tokens_fmt,
+       CAST(SUM(n_fmt) + 2 AS BIGINT) AS seq_tokens,
+       ROUND((SUM(n_fmt) + 2) / 512, 4) AS fill_ratio
 FROM walk GROUP BY source, pack_id
 """
 
@@ -9876,6 +9992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "lang_id": q_lang_id,
     "lang_id_trained": q_lang_id_trained,
+    "lang_budget_enforce": q_lang_budget_enforce,
     "doc_chunking": q_doc_chunking,
     "bpe_token_count": q_bpe_token_count,
     "ntile_binning": q_ntile_binning,
@@ -9957,6 +10074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "add_index_quantile": q_add_index_quantile,
     "sequence_packing": q_sequence_packing,
     "greedy_packing": q_greedy_packing,
+    "chat_template_packing": q_chat_template_packing,
     "min_cost_supplier": q_min_cost_supplier,
     "product_profit": q_product_profit,
     "important_part_value": q_important_part_value,
@@ -10160,6 +10278,7 @@ ORACLES: dict[str, str] = {
     "salted_distinct_count": SQL_SALTED_DISTINCT_COUNT,
     "lang_id": SQL_LANG_ID,
     "lang_id_trained": SQL_LANG_ID_TRAINED,
+    "lang_budget_enforce": SQL_LANG_BUDGET_ENFORCE,
     "text_embedding_topk": SQL_TEXT_EMBEDDING_TOPK,
     "embedding_topk_quantized": SQL_EMBEDDING_TOPK_QUANTIZED,
     "embedding_topk_ivf": SQL_EMBEDDING_TOPK_IVF,
@@ -10196,6 +10315,7 @@ ORACLES: dict[str, str] = {
     "sessionize_capped": SQL_SESSIONIZE_CAPPED,
     "keyword_screening": SQL_KEYWORD_SCREENING,
     "greedy_packing": SQL_GREEDY_PACKING,
+    "chat_template_packing": SQL_CHAT_TEMPLATE_PACKING,
     "ffd_packing": SQL_FFD_PACKING,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_funnel": SQL_EVENT_FUNNEL,
@@ -14787,6 +14907,125 @@ ORACLES.update({
 })
 
 
+def q_pii_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity-style PII audit (redact.pii_k_anonymity, VERDICT r8
+    item #8): plants unique per-doc emails (every 3rd), a shared email
+    (every 5th), a small IP pool (every 4th), and an 11-phone pool
+    (every 7th), then reports per type: distinct/rare value counts
+    (document frequency < 5), docs carrying the type, docs carrying a
+    RARE value, and docs where a rare value CO-OCCURS with another PII
+    type — the quasi-identifier linkage-risk table redaction policy
+    reads. Same patterns as the scrub pass; extraction runs over the
+    progressively-redacted text exactly like redact_pii_col."""
+    from ..functions.redact import pii_k_anonymity
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" reach user"), d.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" or info@example.com")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit(" from 10.0.0."), (d % 20).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" call 202-555-"),
+                         F.lpad((d % 11).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_k_anonymity(docs, k=5)
+
+
+SQL_PII_K_ANONYMITY = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    COALESCE(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' or info@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' from 10.0.0.' || CAST(doc_id % 20 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 202-555-' || lpad(CAST(doc_id % 11 AS VARCHAR), 4, '0')
+            ELSE '' END
+    AS text
+  FROM main.documents
+),
+ex1 AS (
+  SELECT doc_id,
+    regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS e_raw,
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM dirty
+),
+ex2 AS (
+  SELECT doc_id, e_raw,
+    regexp_extract_all(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b') AS p_raw,
+    regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                   '[PHONE]', 'g') AS t2
+  FROM ex1
+),
+ex3 AS (
+  SELECT doc_id, e_raw, p_raw,
+    regexp_extract_all(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b') AS i_raw
+  FROM ex2
+),
+vals AS (
+  SELECT doc_id, 'email' AS pii_type,
+         unnest(list_distinct(e_raw)) AS pii_value FROM ex3
+  UNION ALL
+  SELECT doc_id, 'phone', unnest(list_distinct(p_raw)) FROM ex3
+  UNION ALL
+  SELECT doc_id, 'ip', unnest(list_distinct(i_raw)) FROM ex3
+),
+freq AS (
+  SELECT pii_type, pii_value, COUNT(*) AS dfreq
+  FROM vals GROUP BY 1, 2
+),
+tagged AS (
+  SELECT v.doc_id, v.pii_type, (f.dfreq < 5) AS rare
+  FROM vals v JOIN freq f USING (pii_type, pii_value)
+),
+doc_type AS (
+  SELECT doc_id, pii_type, MAX(CAST(rare AS INT)) AS has_rare
+  FROM tagged GROUP BY 1, 2
+),
+ntypes AS (SELECT doc_id, COUNT(*) AS nt FROM doc_type GROUP BY 1),
+doc_roll AS (
+  SELECT pii_type,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with_type,
+         CAST(SUM(has_rare) AS BIGINT) AS n_docs_with_rare,
+         CAST(SUM(CASE WHEN has_rare = 1 AND nt >= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_colinked
+  FROM doc_type JOIN ntypes USING (doc_id) GROUP BY 1
+),
+val_roll AS (
+  SELECT pii_type,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(CAST(dfreq < 5 AS INT)) AS BIGINT) AS n_rare_values
+  FROM freq GROUP BY 1
+)
+SELECT v.pii_type, v.n_values, v.n_rare_values,
+       ROUND(v.n_rare_values * 1.0 / v.n_values, 6) AS frac_rare_values,
+       d.n_docs_with_type, d.n_docs_with_rare, d.n_docs_colinked
+FROM val_roll v JOIN doc_roll d USING (pii_type)
+ORDER BY pii_type
+"""
+
+
 def q_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII prevalence report (redact.pii_prevalence_report):
     per-type hit totals + fraction of docs carrying any PII, ONE
@@ -14843,8 +15082,14 @@ GROUP BY source ORDER BY source
 """
 
 
-QUERIES.update({"pii_prevalence": q_pii_prevalence})
-ORACLES.update({"pii_prevalence": SQL_PII_PREVALENCE})
+QUERIES.update({
+    "pii_prevalence": q_pii_prevalence,
+    "pii_k_anonymity": q_pii_k_anonymity,
+})
+ORACLES.update({
+    "pii_prevalence": SQL_PII_PREVALENCE,
+    "pii_k_anonymity": SQL_PII_K_ANONYMITY,
+})
 
 
 def q_positional_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

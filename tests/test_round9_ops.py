@@ -183,3 +183,145 @@ class TestLicenseSimilarity:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan, plan
+
+
+class TestCapPerLanguage:
+    def test_per_group_budget_map(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        rows = [(i, "en" if i < 10 else "de", 100) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, b long")
+        kept = transform.cap_per_group_bytes_map(
+            df, "g", "b", {"en": 300, "de": 1000}, "doc_id"
+        ).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r.g, []).append(r.doc_id)
+        # en: 300 bytes / 100 each -> exactly 3 admitted; de: all 10 fit
+        assert len(by_g["en"]) == 3 and len(by_g["de"]) == 10
+        # prefix replay: same salt/ids -> same kept set
+        again = transform.cap_per_group_bytes_map(
+            df, "g", "b", {"en": 300, "de": 1000}, "doc_id"
+        ).collect()
+        assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+    def test_default_none_is_unlimited_and_nulls_rejected(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        df = spark.createDataFrame(
+            [(1, "x", 50), (2, "x", None), (3, "y", 10)],
+            "doc_id long, g string, b long",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in transform.cap_per_group_bytes_map(
+                df, "g", "b", {"y": 0}, "doc_id", default_budget=None
+            ).collect()
+        )
+        # x unlimited (but NULL bytes rejected); y budget 0 drops row 3
+        assert kept == [1], kept
+
+    def test_language_composition(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        df = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " * 3)
+             for i in range(12)],
+            "doc_id long, text string",
+        )
+        kept = pipeline.cap_per_language(
+            df, {"en": 300}, default_budget=None
+        )
+        rows = kept.collect()
+        assert "lang_pred" in kept.columns
+        got_bytes = sum(len(r.text.encode()) for r in rows
+                        if r.lang_pred == "en")
+        assert got_bytes <= 300
+
+
+class TestPiiKAnonymity:
+    def test_rare_and_colinked(self, spark):
+        from ecu_sbl_aace_datalake_spark.functions import redact
+
+        rows = [
+            (1, "mail a@x.com and b@x.com"),        # shared-a + rare-b
+            (2, "mail a@x.com call 202-555-0001"),  # shared-a + phone
+            (3, "mail a@x.com"),
+            (4, "mail a@x.com"),
+            (5, "mail a@x.com"),                    # a@x.com df=5 -> safe
+            (6, "mail c@x.com call 202-555-0001"),  # rare email + phone
+            (7, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = {r.pii_type: r
+               for r in redact.pii_k_anonymity(df, k=5).collect()}
+        em = rep["email"]
+        assert em.n_values == 3           # a, b, c
+        assert em.n_rare_values == 2      # b (df 1), c (df 1)
+        assert em.n_docs_with_type == 6
+        assert em.n_docs_with_rare == 2   # docs 1, 6
+        assert em.n_docs_colinked == 1    # doc 6 (rare email + phone)
+        ph = rep["phone"]
+        assert ph.n_values == 1 and ph.n_rare_values == 1
+        assert ph.n_docs_colinked == 2    # docs 2 and 6 carry email too
+
+    def test_extraction_mirrors_redaction_chain(self, spark):
+        from ecu_sbl_aace_datalake_spark.functions import redact
+
+        # the digits inside the email must NOT also count as a phone:
+        # extraction runs over progressively-redacted text
+        df = spark.createDataFrame(
+            [(1, "x 123-456-7890@example.com y")], "doc_id long, text string"
+        )
+        vals = redact.pii_values(df).collect()
+        types = sorted(v.pii_type for v in vals)
+        assert types == ["email"], vals
+
+
+class TestFormatAwarePack:
+    def _counted(self, spark):
+        rows = [(i, "s", 100) for i in range(10)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens int"
+        )
+
+    def test_chat_overhead_charged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = self._counted(spark)
+        # plain capacity 512: five 100-token docs per pack; chat charges
+        # 100+8 per doc against 510 -> only four per pack
+        packed = packing.format_aware_pack(df, budget=512, template="chat")
+        sizes = {}
+        for r in packed.collect():
+            sizes[r.pack_id] = sizes.get(r.pack_id, 0) + 1
+        assert max(sizes.values()) == 4, sizes
+        assert all(r.n_tokens_fmt == 108 for r in packed.collect())
+
+    def test_oversize_drop_vs_singleton(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, "s", 600), (2, "s", 10)],
+            "doc_id long, source string, n_tokens int",
+        )
+        kept = packing.format_aware_pack(
+            df, budget=512, template="fim", oversize="drop"
+        ).collect()
+        assert [r.doc_id for r in kept] == [2]
+        both = packing.format_aware_pack(
+            df, budget=512, template="fim", oversize="singleton"
+        ).collect()
+        assert len(both) == 2
+        assert len({r.pack_id for r in both}) == 2  # oversized isolated
+
+    def test_bad_args_raise(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = self._counted(spark)
+        with pytest.raises(ValueError):
+            packing.format_aware_pack(df, budget=512, template="nope")
+        with pytest.raises(ValueError):
+            packing.format_aware_pack(df, budget=9, template="chat")
