@@ -262,6 +262,11 @@ BENCH_QUERIES = [
     "contrastive_views",
     "cross_source_dups",
     "corpus_card",
+    "margin_pairs_pooled",
+    "license_similarity_reflow",
+    "lang_budget_enforce",
+    "pii_k_anonymity",
+    "chat_template_packing",
 ]
 
 
