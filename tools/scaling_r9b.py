@@ -126,8 +126,13 @@ def main():
             t0 = time.perf_counter()
             n = fn(src).count()
             w = time.perf_counter() - t0
-            walls.append((name, w, max(w - prev, 0.0), n))
+            delta = max(w - prev, 0.0)
+            walls.append((name, w, delta, n))
             prev = w
+            # print incrementally: an OOM at a later mult must not lose
+            # the earlier measurements
+            print(f"RAW mult={mult} stage={name} wall={w:.2f}"
+                  f" delta={delta:.2f} rows={n}", flush=True)
         all_rows.append((mult, walls))
 
     print("\n| stage | " + " | ".join(
