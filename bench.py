@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "lang_budget_enforce",
     "pii_k_anonymity",
     "chat_template_packing",
+    "tokenizer_fertility",
+    "truncation_report",
 ]
 
 

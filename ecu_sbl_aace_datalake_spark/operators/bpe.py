@@ -440,3 +440,55 @@ def bpe_encode_ids(
     ).select(
         id_col, F.col("pos").cast("int"), F.col("token_id").cast("int")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    byte_level: bool = True,
+) -> DataFrame:
+    """Tokenizer FERTILITY audit per group (usually language): subword
+    tokens per word and UTF-8 bytes per token under a fixed merge table
+    — the multilingual-fairness diagnostic (a tokenizer trained on
+    English segments other languages into more, shorter tokens, so the
+    same context window holds less of their text and per-token pricing
+    taxes them; Petrov et al. 2023). Read this table before fixing a
+    per-language TOKEN budget: a fertility-2 language needs twice the
+    tokens for the same words, and a byte budget built from
+    :func:`~.pipeline.cap_per_language` should divide by THIS table's
+    bytes_per_token, not a global average.
+
+    One :func:`bpe_token_counts` pass (distinct-vocab encode, corpus
+    work JVM-side) + one aggregate on the group key.
+
+    Returns ``(group, n_docs, n_words, n_tokens, n_bytes, fertility,
+    bytes_per_token)`` — fertility = tokens/words, rounded 6dp.
+    """
+    counts = bpe_token_counts(
+        df, merges, id_col=id_col, text_col=text_col, byte_level=byte_level
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        F.coalesce(F.octet_length(text_col), F.lit(0)).alias("__b"),
+    )
+    return (
+        base.join(counts, id_col)
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("__b").alias("n_bytes"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("__b") / F.sum("n_tokens"), 6).alias(
+                "bytes_per_token"
+            ),
+        )
+        .orderBy(group_col)
+    )

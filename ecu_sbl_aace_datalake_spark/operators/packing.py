@@ -534,3 +534,61 @@ def format_aware_pack(
         wrapped, capacity, shard_cols=shard_cols, order_col=order_col,
         token_col="n_tokens_fmt", out_col=out_col,
     )
+
+
+def truncation_report(
+    df: DataFrame,
+    budgets: Sequence[int],
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Context-budget selection table (round 9): for each candidate
+    budget, how much data the two standard policies destroy —
+    ``truncate`` loses every token past the budget
+    (Σ max(t−B, 0)), ``drop`` loses every over-budget document whole
+    (Σ t · [t>B]). The table a training run reads to pick its sequence
+    length: the budget where truncate-loss flattens is where the corpus'
+    long tail actually ends, and a big truncate/drop gap flags a
+    head-heavy length distribution where truncation quietly deletes
+    document endings.
+
+    Pure map-side explode over the literal budget list + ONE aggregate
+    on the budget key — linear at any scale, no shuffle beyond the
+    |budgets|-row rollup.
+
+    Returns ``(budget, n_docs, n_over, frac_over, tokens_total,
+    tokens_lost_truncate, tokens_lost_drop, frac_lost_truncate)``.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    t = F.col(token_col).cast("long")
+    b = F.col("budget")
+    exploded = df.select(
+        t.alias("__t"),
+        F.explode(
+            F.array(*[F.lit(int(x)).cast("long") for x in budgets])
+        ).alias("budget"),
+    )
+    over = F.col("__t") > b
+    return (
+        exploded.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(over.cast("long")).alias("n_over"),
+            F.round(F.sum(over.cast("long")) / F.count(F.lit(1)), 6).alias(
+                "frac_over"
+            ),
+            F.sum("__t").alias("tokens_total"),
+            F.sum(
+                F.greatest(F.col("__t") - b, F.lit(0).cast("long"))
+            ).alias("tokens_lost_truncate"),
+            F.sum(F.when(over, F.col("__t")).otherwise(F.lit(0))).alias(
+                "tokens_lost_drop"
+            ),
+            F.round(
+                F.sum(F.greatest(F.col("__t") - b, F.lit(0).cast("long")))
+                / F.sum("__t"),
+                6,
+            ).alias("frac_lost_truncate"),
+        )
+        .orderBy("budget")
+    )

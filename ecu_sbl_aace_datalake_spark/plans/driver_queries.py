@@ -16364,3 +16364,93 @@ FROM c
 
 QUERIES.update({"corpus_card": q_corpus_card})
 ORACLES.update({"corpus_card": SQL_CORPUS_CARD})
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language (bpe.tokenizer_fertility,
+    round 9): subword tokens per word and bytes per token under the
+    fixed byte-level merge table — the multilingual-fairness table a
+    per-language TOKEN budget divides by (Petrov et al. 2023). One
+    distinct-vocab BPE encode + one aggregate on the lang key; oracle
+    reuses the recursive-CTE BPE encoder seeded from byte-mapped
+    chars."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.tokenizer_fertility(
+        docs, bpe.MERGES_DOCS_BYTES_V1, group_col="lang", byte_level=True
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH RECURSIVE
+{_SQL_BPE_WORD_TOK_CTES},
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM words JOIN word_tok USING (w)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang, COALESCE(strlen(d.text), 0) AS b,
+         COALESCE(p.n_words, 0) AS nw, COALESCE(p.n_tokens, 0) AS nt
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(b) AS BIGINT) AS n_bytes,
+       ROUND(SUM(nt) * 1.0 / SUM(nw), 6) AS fertility,
+       ROUND(SUM(b) * 1.0 / SUM(nt), 6) AS bytes_per_token
+FROM base GROUP BY lang ORDER BY lang
+"""
+
+
+def q_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget selection table (packing.truncation_report, round
+    9): per candidate budget, documents over budget and tokens lost
+    under truncate-vs-drop policies — the sequence-length decision a
+    training run makes once and lives with. Map-side explode over the
+    literal budget list + one |budgets|-row aggregate."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = packing.with_token_count(docs)
+    return packing.truncation_report(counted, [128, 256, 512, 1024])
+
+
+SQL_TRUNCATION_REPORT = r"""
+WITH counted AS (
+  SELECT CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS BIGINT) AS t
+  FROM documents
+),
+e AS (
+  SELECT t, CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS budget
+  FROM counted
+)
+SELECT budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(t > budget AS INT)) AS BIGINT) AS n_over,
+       ROUND(SUM(CAST(t > budget AS INT)) * 1.0 / COUNT(*), 6) AS frac_over,
+       CAST(SUM(t) AS BIGINT) AS tokens_total,
+       CAST(SUM(GREATEST(t - budget, 0)) AS BIGINT) AS tokens_lost_truncate,
+       CAST(SUM(CASE WHEN t > budget THEN t ELSE 0 END) AS BIGINT)
+         AS tokens_lost_drop,
+       ROUND(SUM(GREATEST(t - budget, 0)) * 1.0 / SUM(t), 6)
+         AS frac_lost_truncate
+FROM e GROUP BY budget ORDER BY budget
+"""
+
+
+QUERIES.update({
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "truncation_report": q_truncation_report,
+})
+ORACLES.update({
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "truncation_report": SQL_TRUNCATION_REPORT,
+})

@@ -325,3 +325,53 @@ class TestFormatAwarePack:
             packing.format_aware_pack(df, budget=512, template="nope")
         with pytest.raises(ValueError):
             packing.format_aware_pack(df, budget=9, template="chat")
+
+
+class TestTokenizerFertility:
+    def test_group_rollup(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import bpe
+
+        df = spark.createDataFrame(
+            [(1, "en", "aa bb"), (2, "en", "aa"), (3, "zz", None)],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.lang: r for r in bpe.tokenizer_fertility(
+            df, bpe.MERGES_DOCS_BYTES_V1, byte_level=True
+        ).collect()}
+        en = got["en"]
+        assert en.n_docs == 2 and en.n_words == 3
+        assert en.n_tokens >= en.n_words  # subwords never fewer than words
+        assert abs(en.fertility - en.n_tokens / en.n_words) < 1e-9
+        # null-text group: zero words/tokens, NULL ratios (0/0)
+        zz = got["zz"]
+        assert zz.n_words == 0 and zz.n_tokens == 0
+        assert zz.fertility is None and zz.bytes_per_token is None
+
+
+class TestTruncationReport:
+    def test_losses(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 100), (3, 300)], "doc_id long, n_tokens int"
+        )
+        got = {r.budget: r for r in packing.truncation_report(
+            df, [64, 256]
+        ).collect()}
+        b64 = got[64]
+        assert b64.n_over == 2 and b64.tokens_total == 410
+        assert b64.tokens_lost_truncate == (100 - 64) + (300 - 64)
+        assert b64.tokens_lost_drop == 400
+        b256 = got[256]
+        assert b256.n_over == 1
+        assert b256.tokens_lost_truncate == 44
+        assert b256.tokens_lost_drop == 300
+
+    def test_empty_budgets_raise(self, spark):
+        import pytest
+
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens int")
+        with pytest.raises(ValueError):
+            packing.truncation_report(df, [])
