@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "chat_template_packing",
     "tokenizer_fertility",
     "truncation_report",
+    "dup_weighted_sample",
 ]
 
 

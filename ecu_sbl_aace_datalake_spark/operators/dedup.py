@@ -2489,3 +2489,52 @@ def cross_source_dup_matrix(
         )
     )
     return out
+
+
+def dup_weighted_sample(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 100,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """De-weight instead of delete (round 9; Muennighoff et al. 2023 —
+    repeated data has sharply decaying value, but hard-deleting near-dup
+    copies also deletes their small distributional signal): keep every
+    member of every near-dup cluster in the pool, but draw the training
+    subset with probability ∝ 1/cluster_size — each piece of CONTENT
+    (not each copy) gets equal expected representation, so a 50-copy
+    boilerplate page no longer gets 50× the sampling mass of a unique
+    document.
+
+    Selection is :func:`~.textstats.gumbel_topk_resample` over
+    ``weight = −ln(dup_count)`` (log-space: exp(weight) = 1/size) —
+    deterministic hash-derived Gumbel noise, reproducible at any
+    partitioning, executed as one TakeOrderedAndProject top-k.
+    ``clusters`` is any (node, cluster) labeling; unclustered rows count
+    as size 1.
+
+    Scale: one cluster-size aggregate (cluster-cardinality bounded) +
+    two key joins + the top-k — no window over the corpus. Adds
+    ``dup_count`` and ``resample_score``.
+    """
+    from .textstats import gumbel_topk_resample
+
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    members = clusters.select(F.col("node").alias(id_col), "cluster")
+    labeled = (
+        df.join(members, id_col, "left")
+        .join(sizes, "cluster", "left")
+        .withColumn(
+            "dup_count", F.coalesce(F.col("__sz"), F.lit(1)).cast("long")
+        )
+        .drop("cluster", "__sz")
+        .withColumn("__w", -F.log(F.col("dup_count").cast("double")))
+    )
+    return gumbel_topk_resample(
+        labeled, "__w", id_col=id_col, k=k,
+        temperature=temperature, seed=seed,
+    ).drop("__w")

@@ -16454,3 +16454,56 @@ ORACLES.update({
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "truncation_report": SQL_TRUNCATION_REPORT,
 })
+
+
+def q_dup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-DE-WEIGHTED sampling (dedup.dup_weighted_sample, round
+    9): near-dup clusters are kept, not deleted, and the k=100 training
+    draw samples each doc with probability ∝ 1/cluster_size — content,
+    not copies, gets equal expected mass (Muennighoff 2023's
+    dedup-or-de-weight). Deterministic Gumbel-top-k over
+    −ln(dup_count); oracle = the recursive-CC closure + size join + the
+    hash-Gumbel formula."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scope = _rotating_scope("dup_weighted_sample")
+    sh = scope.persist(
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+        ).select("doc_id", "shingles", "minhash")
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
+    clusters = dedup.duplicate_clusters_bigstar(pairs)
+    return dedup.dup_weighted_sample(
+        docs, clusters, k=100, seed=42
+    ).select("doc_id", "dup_count", "resample_score")
+
+
+SQL_DUP_WEIGHTED_SAMPLE = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node""",
+    """, cl AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+sz AS (SELECT cluster, COUNT(*) AS szc FROM cl GROUP BY cluster),
+lab AS (
+  SELECT d.doc_id, COALESCE(sz.szc, 1) AS dup_count
+  FROM main.documents d
+  LEFT JOIN cl ON cl.node = d.doc_id
+  LEFT JOIN sz ON sz.cluster = cl.cluster
+),
+scored AS (
+  SELECT doc_id, dup_count,
+         ROUND(-LN(CAST(dup_count AS DOUBLE)) / 1.0
+               + (-LN(-LN(
+                   ((CAST(('0x' || substr(md5('42' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 9007199254740992) + 0.5) / 9007199254740992.0
+                 ))), 6) AS resample_score
+  FROM lab
+)
+SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count, resample_score
+FROM scored ORDER BY resample_score DESC, doc_id ASC LIMIT 100""",
+)
+assert ", cl AS" in SQL_DUP_WEIGHTED_SAMPLE  # replace() must not rot
+
+
+QUERIES.update({"dup_weighted_sample": q_dup_weighted_sample})
+ORACLES.update({"dup_weighted_sample": SQL_DUP_WEIGHTED_SAMPLE})

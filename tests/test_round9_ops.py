@@ -375,3 +375,42 @@ class TestTruncationReport:
         df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens int")
         with pytest.raises(ValueError):
             packing.truncation_report(df, [])
+
+
+class TestDupWeightedSample:
+    def test_content_equal_mass(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        # cluster {1,2,3} (size 3), cluster {4,5} (size 2), 6 unclustered
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "node long, cluster long"
+        )
+        out = dedup.dup_weighted_sample(df, clusters, k=6).collect()
+        counts = {r.doc_id: r.dup_count for r in out}
+        assert counts[1] == counts[2] == counts[3] == 3
+        assert counts[4] == counts[5] == 2
+        assert counts[6] == 1
+        # ranking is deterministic and honors the de-weighting on
+        # average: the unclustered doc outranks the triple-cluster docs
+        # unless its Gumbel draw is unlucky; with k=6 all rows return,
+        # scores strictly ordered
+        scores = [r.resample_score for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_determinism(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(50)], "doc_id long, text string"
+        )
+        clusters = spark.createDataFrame(
+            [(i, 0) for i in range(25)], "node long, cluster long"
+        )
+        a = [r.doc_id for r in
+             dedup.dup_weighted_sample(df, clusters, k=10).collect()]
+        b = [r.doc_id for r in
+             dedup.dup_weighted_sample(df, clusters, k=10).collect()]
+        assert a == b and len(a) == 10
