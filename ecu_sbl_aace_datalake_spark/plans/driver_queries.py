@@ -16367,10 +16367,13 @@ ORACLES.update({"corpus_card": SQL_CORPUS_CARD})
 
 
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility audit per language (bpe.tokenizer_fertility,
-    round 9): subword tokens per word and bytes per token under the
+    """Tokenizer fertility audit per LANGUAGE (bpe.tokenizer_fertility,
+    round 9): subword tokens per word AND bytes per token under the
     fixed byte-level merge table — the multilingual-fairness table a
-    per-language TOKEN budget divides by (Petrov et al. 2023). One
+    per-language TOKEN budget divides by (Petrov et al. 2023).
+    Complements bpe_fertility (per-SOURCE tokens/word): the group
+    dimension here is the language gate's own key, and bytes_per_token
+    is the conversion factor cap_per_language's byte budgets need. One
     distinct-vocab BPE encode + one aggregate on the lang key; oracle
     reuses the recursive-CTE BPE encoder seeded from byte-mapped
     chars."""

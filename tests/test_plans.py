@@ -280,6 +280,7 @@ class TestGlobalPlanInvariants:
         "embedding_topk_pq_fixed",  # PQ encode is BLAS-vectorized numpy (declared)
         "bpe_packing",         # same encode feeding chunk_pack
         "bpe_fertility",       # same vocabulary-bounded encode, per-source agg
+        "tokenizer_fertility", # same encode, per-LANGUAGE agg + bytes/token
         "bpe_encode_sample",   # same vocabulary-bounded encode, full tokens
         "bpe_encode_ids",      # same encode + literal-map id lookup (JVM map, Python encode)
         "unicode_normalize",   # unicodedata NFC — no Spark builtin exists (declared)
