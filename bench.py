@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "truncation_report",
     "dup_weighted_sample",
+    "classifier_calibration",
+    "gate_agreement_kappa",
 ]
 
 

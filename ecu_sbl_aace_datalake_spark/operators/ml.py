@@ -1657,3 +1657,125 @@ def uplift_deciles(
         uplift.alias("cum_uplift"),
         qini.alias("qini"),
     ).orderBy("bin")
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier (round 9): bin
+    predictions into ``n_bins`` equal-width score bins and compare each
+    bin's mean predicted score (confidence) with its observed positive
+    rate (accuracy) — the per-bin |gap| is what Expected Calibration
+    Error averages. A quality classifier that gates documents at a
+    fixed threshold is only as good as its calibration NEAR that
+    threshold; an over-confident bin right of the cut silently admits
+    junk at a higher rate than the score claims.
+
+    Scores are summed as exact DECIMAL(18,6) with one end-division per
+    bin (house determinism contract); NULL scores/labels are excluded.
+    One aggregate on the bin key — bin cardinality bounded by
+    ``n_bins``.
+
+    Returns ``(bin, bin_lo, n, mean_score, frac_pos, abs_gap)``.
+    """
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        b.alias("bin"),
+        F.col(score_col).cast("decimal(18,6)").alias("__s"),
+        lab.alias("__l"),
+    )
+    agg = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__s").alias("__sum"),
+        F.sum("__l").alias("__pos"),
+    )
+    conf = F.col("__sum").cast("double") / F.col("n")
+    acc = F.col("__pos").cast("double") / F.col("n")
+    gap = F.abs(
+        (F.col("__sum") - F.col("__pos")).cast("double")
+    ) / F.col("n")
+    return agg.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("bin_lo"),
+        "n",
+        F.round(conf, round_to).alias("mean_score"),
+        F.round(acc, round_to).alias("frac_pos"),
+        F.round(gap, round_to).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> float:
+    """Scalar ECE = Σ_b (n_b/N)·|conf_b − acc_b| over
+    :func:`calibration_report`'s bins — a driver-side convenience for
+    gating model promotion (report queries should use the per-bin
+    relation)."""
+    rows = calibration_report(df, score_col, label_col, n_bins).collect()
+    n_total = sum(r.n for r in rows)
+    if n_total == 0:
+        return float("nan")
+    return sum(r.n * r.abs_gap for r in rows) / n_total
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's κ agreement between two categorical raters (round 9):
+    observed agreement corrected for chance,
+    ``κ = (p_o − p_e)/(1 − p_e)`` with ``p_e = Σ_c p_A(c)·p_B(c)``. The
+    gate-audit statistic: run it between the heuristic quality gate and
+    the trained classifier gate — κ ≈ 1 means the model only re-learned
+    the heuristic (no point deploying it), κ near 0 means the two gates
+    disagree beyond chance and the composed pipeline is genuinely
+    stricter. Rows where either rater is NULL are excluded.
+
+    Two bounded aggregates (per-category margins) + one total — all
+    category-cardinality sized. Returns ONE row
+    ``(n, p_observed, p_expected, kappa)``; κ NULL when p_e = 1
+    (both raters constant — agreement is all chance).
+    """
+    a, bcol = F.col(rater_a).cast("string"), F.col(rater_b).cast("string")
+    base = df.where(a.isNotNull() & bcol.isNotNull()).select(
+        a.alias("__a"), bcol.alias("__b")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long")).alias("__agree"),
+    )
+    ma = base.groupBy(F.col("__a").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    mb = base.groupBy(F.col("__b").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    pe_sum = (
+        ma.join(mb, "__c")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__pe_num"))
+    )
+    po = F.col("__agree").cast("double") / F.col("n")
+    pe = F.col("__pe_num").cast("double") / (F.col("n") * F.col("n"))
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return (
+        tot.crossJoin(F.broadcast(pe_sum))
+        .select(
+            "n",
+            F.round(po, round_to).alias("p_observed"),
+            F.round(pe, round_to).alias("p_expected"),
+            F.round(kappa, round_to).alias("kappa"),
+        )
+    )

@@ -16510,3 +16510,111 @@ assert ", cl AS" in SQL_DUP_WEIGHTED_SAMPLE  # replace() must not rot
 
 QUERIES.update({"dup_weighted_sample": q_dup_weighted_sample})
 ORACLES.update({"dup_weighted_sample": SQL_DUP_WEIGHTED_SAMPLE})
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the trained quality classifier
+    (ml.calibration_report, round 9): ten equal-width score bins, each
+    bin's mean predicted score vs its observed positive rate against
+    the heuristic gate it was distilled from — the per-bin |gap| is the
+    ECE integrand, and an over-confident bin right of the 0.5 cut means
+    the classifier gate admits junk at a higher rate than its score
+    claims. Decimal score sums, one end-division per bin."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = classifier.classifier_scores(
+        docs, classifier.WEIGHTS_QUALITY_V1
+    )
+    lab = textstats.with_quality_score(docs, "text").select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("__label")
+    )
+    return ml.calibration_report(
+        scores.join(lab, "doc_id"), "clf_score", "__label", n_bins=10
+    )
+
+
+SQL_CLASSIFIER_CALIBRATION = (
+    "WITH scores AS (" + SQL_QUALITY_CLASSIFIER_SCORES + """),
+q AS (""" + SQL_TEXT_QUALITY + """),
+j AS (
+  SELECT s.doc_id, s.clf_score AS sc,
+         CAST(q.quality_score >= 0.5 AS INT) AS lab
+  FROM scores s JOIN q ON q.doc_id = s.doc_id
+  WHERE s.clf_score IS NOT NULL AND q.quality_score IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9) AS bin,
+         CAST(sc AS DECIMAL(18,6)) AS sd, lab
+  FROM j
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n, SUM(sd) AS ss, SUM(lab) AS pos
+  FROM binned GROUP BY bin
+)
+SELECT bin,
+       ROUND(bin / 10.0, 6) AS bin_lo,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+       ROUND(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+       ROUND(ABS(CAST(ss - pos AS DOUBLE)) / n, 6) AS abs_gap
+FROM agg ORDER BY bin
+"""
+)
+
+
+def q_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the heuristic quality gate and the trained
+    classifier gate (ml.cohens_kappa, round 9): chance-corrected
+    agreement — κ ≈ 1 means the trained model only re-learned the
+    heuristic (no point running both), κ near 0 means the gates
+    disagree beyond chance. Two category-bounded margin aggregates +
+    one total; 1-row output."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    heur = textstats.with_quality_score(docs, "text").select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("gate_h")
+    )
+    clf = classifier.classifier_scores(
+        docs, classifier.WEIGHTS_QUALITY_V1
+    ).select("doc_id", (F.col("clf_score") >= 0.5).alias("gate_c"))
+    return ml.cohens_kappa(heur.join(clf, "doc_id"), "gate_h", "gate_c")
+
+
+SQL_GATE_AGREEMENT_KAPPA = (
+    "WITH scores AS (" + SQL_QUALITY_CLASSIFIER_SCORES + """),
+q AS (""" + SQL_TEXT_QUALITY + """),
+j AS (
+  SELECT CAST(q.quality_score >= 0.5 AS VARCHAR) AS a,
+         CAST(s.clf_score >= 0.5 AS VARCHAR) AS b
+  FROM scores s JOIN q ON q.doc_id = s.doc_id
+  WHERE s.clf_score IS NOT NULL AND q.quality_score IS NOT NULL
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM j
+),
+ma AS (SELECT a AS c, COUNT(*) AS ca FROM j GROUP BY a),
+mb AS (SELECT b AS c, COUNT(*) AS cb FROM j GROUP BY b),
+pe AS (SELECT SUM(ca * cb) AS pen FROM ma JOIN mb USING (c))
+SELECT CAST(t.n AS BIGINT) AS n,
+       ROUND(t.agree * 1.0 / t.n, 6) AS p_observed,
+       ROUND(p.pen * 1.0 / (t.n * t.n), 6) AS p_expected,
+       CASE WHEN p.pen * 1.0 / (t.n * t.n) < 1.0 THEN
+         ROUND((t.agree * 1.0 / t.n - p.pen * 1.0 / (t.n * t.n))
+               / (1.0 - p.pen * 1.0 / (t.n * t.n)), 6) END AS kappa
+FROM tot t CROSS JOIN pe p
+"""
+)
+
+
+QUERIES.update({
+    "classifier_calibration": q_classifier_calibration,
+    "gate_agreement_kappa": q_gate_agreement_kappa,
+})
+ORACLES.update({
+    "classifier_calibration": SQL_CLASSIFIER_CALIBRATION,
+    "gate_agreement_kappa": SQL_GATE_AGREEMENT_KAPPA,
+})

@@ -243,6 +243,7 @@ class TestGlobalPlanInvariants:
         "quantile_normalize",   # 1-row global-size scalar broadcast (lazy n_glob)
         "neardup_eval",         # three 1-row count aggregates cross-joined into the report row
         "bootstrap_ci",         # 1-row stats x 1-row CI-bounds scalar cross join
+        "gate_agreement_kappa", # 1-row total x 1-row chance-agreement scalar cross join
         "bootstrap_ab_diff",    # same shape: 1-row stats x 1-row CI bounds
         "vocabulary_drift",     # groups x corpus-vocab frame: both sides vocabulary-bounded, t_tot broadcast
         "mahalanobis_outliers",  # 1-row (means + closed-form inverse) stats broadcast

@@ -414,3 +414,59 @@ class TestDupWeightedSample:
         b = [r.doc_id for r in
              dedup.dup_weighted_sample(df, clusters, k=10).collect()]
         assert a == b and len(a) == 10
+
+
+class TestCalibrationAndKappa:
+    def test_calibration_bins(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [(i, 0.05, 0) for i in range(8)] + [(100 + i, 0.95, 1)
+                                                   for i in range(8)]
+        rows += [(200, 0.95, 0), (201, 0.05, 1), (202, None, 1),
+                 (203, 0.5, None)]
+        df = spark.createDataFrame(rows, "id long, s double, y int")
+        rep = {r.bin: r for r in
+               ml.calibration_report(df, "s", "y", n_bins=10).collect()}
+        assert set(rep) == {0, 9}
+        lo = rep[0]
+        assert lo.n == 9 and abs(lo.mean_score - 0.05) < 1e-9
+        assert abs(lo.frac_pos - 1 / 9) < 1e-6
+        hi = rep[9]
+        assert hi.n == 9 and abs(hi.frac_pos - 8 / 9) < 1e-6
+        # perfectly calibrated data -> near-zero gap
+        assert abs(hi.abs_gap - abs(hi.mean_score - hi.frac_pos)) < 1e-6
+        ece = ml.expected_calibration_error(df, "s", "y", n_bins=10)
+        assert 0.0 <= ece <= 1.0
+
+    def test_score_one_lands_in_top_bin(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame([(1, 1.0, 1)], "id long, s double, y int")
+        rep = ml.calibration_report(df, "s", "y", n_bins=10).collect()
+        assert rep[0].bin == 9  # least(floor(10.0), 9)
+
+    def test_kappa_perfect_and_chance(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        perfect = spark.createDataFrame(
+            [(True, True)] * 5 + [(False, False)] * 5, "a boolean, b boolean"
+        )
+        r = ml.cohens_kappa(perfect, "a", "b").collect()[0]
+        assert r.kappa == 1.0 and r.p_observed == 1.0
+
+        # statistical independence: agreement = chance -> kappa ~ 0
+        chance = spark.createDataFrame(
+            [(True, True), (True, False), (False, True), (False, False)],
+            "a boolean, b boolean",
+        )
+        r2 = ml.cohens_kappa(chance, "a", "b").collect()[0]
+        assert abs(r2.kappa) < 1e-9 and r2.p_expected == 0.5
+
+    def test_kappa_constant_raters_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        const = spark.createDataFrame(
+            [(True, True)] * 4, "a boolean, b boolean"
+        )
+        r = ml.cohens_kappa(const, "a", "b").collect()[0]
+        assert r.kappa is None and r.p_expected == 1.0
