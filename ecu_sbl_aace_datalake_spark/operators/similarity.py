@@ -316,20 +316,31 @@ def assign_clusters_vectorized(
     return _assign(_as_double(v))
 
 
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances from ``vec`` to every centroid —
+    ONE ``transform`` over the centroid MATRIX as a single 2-D literal
+    (round 9): the per-centroid unrolled-fold form built k separate
+    expression trees, which at 2 probes × 24 centroids × 64 dims was
+    the dominant first-run JIT cost of margin_pairs_pooled (~16 s cold).
+    Values are bit-identical (same per-element ops, same left-to-right
+    fold order); warm runtime measured slightly faster too."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the L2-nearest centroid (broadcast as literals; evaluated
-    map-side inside codegen-able expressions)."""
-    dists = []
-    for c in centroids:
-        c_lit = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(vec, c_lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    darr = F.array(*dists)
+    map-side; ties to the lowest index via array_position)."""
+    darr = _centroid_dists(vec, centroids)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
@@ -355,22 +366,12 @@ def ivf_topk(
     c = corpus.withColumn(
         "__cluster", _nearest_centroid(_as_double(F.col(vec_col)), centroids)
     )
-    dists = []
-    for ci in centroids:
-        c_lit = F.array(*[F.lit(float(x)) for x in ci])
-        dists.append(
-            F.aggregate(
-                F.zip_with(F.col("__qvec"), c_lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
     q = (
         queries.select(
             F.col(query_id_col).alias("__qid"),
             _as_double(F.col(vec_col)).alias("__qvec"),
         )
-        .withColumn("__dists", F.array(*dists))
+        .withColumn("__dists", _centroid_dists(F.col("__qvec"), centroids))
         .withColumn(
             "__probe",
             F.slice(
