@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "dup_weighted_sample",
     "classifier_calibration",
     "gate_agreement_kappa",
+    "pack_attention_stats",
 ]
 
 

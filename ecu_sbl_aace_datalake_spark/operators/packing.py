@@ -592,3 +592,49 @@ def truncation_report(
         )
         .orderBy("budget")
     )
+
+
+def pack_attention_stats(
+    packed: DataFrame,
+    shard_cols: Sequence[str] = ("source",),
+    token_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Cross-document attention contamination per pack (round 9): when
+    packed sequences train WITHOUT document-boundary attention masking,
+    every token attends causally across the concatenation seams — the
+    contaminated fraction of attention pairs is
+    ``1 − Σ_i t_i(t_i+1)/2 ÷ T(T+1)/2`` for a pack of docs sized t_i,
+    T = Σ t_i. This table is how you decide whether implementing
+    doc-masked attention (or intra-pack sorting by provenance) is worth
+    it for a given corpus mix: many small docs per pack → high
+    contamination; near-budget single docs → negligible.
+
+    All counts are integer-exact (t·(t+1) is always even; products stay
+    far below 2^53 because t is bounded by the pack budget). ONE
+    aggregate on the (shard, pack) key.
+
+    Returns ``(shard…, pack_id, n_docs, seq_tokens, total_causal_pairs,
+    cross_doc_pairs, frac_cross)``.
+    """
+    t = F.col(token_col).cast("long")
+    within = (t * (t + F.lit(1)) / F.lit(2)).cast("long")
+    per = packed.groupBy(*list(shard_cols), pack_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t).alias("seq_tokens"),
+        F.sum(within).alias("__within"),
+    )
+    big_t = F.col("seq_tokens")
+    total = (big_t * (big_t + F.lit(1)) / F.lit(2)).cast("long")
+    return per.select(
+        *list(shard_cols),
+        pack_col,
+        "n_docs",
+        "seq_tokens",
+        total.alias("total_causal_pairs"),
+        (total - F.col("__within")).alias("cross_doc_pairs"),
+        F.when(
+            total > 0,
+            F.round((total - F.col("__within")) / total, 6),
+        ).otherwise(F.lit(0.0)).alias("frac_cross"),
+    )

@@ -16618,3 +16618,69 @@ ORACLES.update({
     "classifier_calibration": SQL_CLASSIFIER_CALIBRATION,
     "gate_agreement_kappa": SQL_GATE_AGREEMENT_KAPPA,
 })
+
+
+def q_pack_attention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention contamination of greedy-packed sequences
+    (packing.pack_attention_stats, round 9): per (source, pack), the
+    fraction of causal attention pairs that cross document seams when
+    packs train WITHOUT boundary masking — the measured basis for the
+    doc-masked-attention decision. Integer-exact pair counts; one
+    aggregate over the packed output; oracle = the greedy recursive-CTE
+    walk + the same closed-form pair arithmetic."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.greedy_pack(counted, budget=256)
+    return packing.pack_attention_stats(packed)
+
+
+SQL_PACK_ATTENTION_STATS = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS INT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN o.n_tokens ELSE w.used + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+),
+per AS (
+  SELECT source, pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         CAST(SUM(CAST(n_tokens AS BIGINT) * (n_tokens + 1) / 2)
+              AS BIGINT) AS within_pairs
+  FROM walk GROUP BY source, pack_id
+)
+SELECT source, pack_id, n_docs, seq_tokens,
+       CAST(seq_tokens * (seq_tokens + 1) / 2 AS BIGINT)
+         AS total_causal_pairs,
+       CAST(seq_tokens * (seq_tokens + 1) / 2 - within_pairs AS BIGINT)
+         AS cross_doc_pairs,
+       CASE WHEN seq_tokens > 0 THEN
+         ROUND((seq_tokens * (seq_tokens + 1) / 2.0 - within_pairs)
+               / (seq_tokens * (seq_tokens + 1) / 2.0), 6)
+       ELSE 0.0 END AS frac_cross
+FROM per
+"""
+
+
+QUERIES.update({"pack_attention_stats": q_pack_attention_stats})
+ORACLES.update({"pack_attention_stats": SQL_PACK_ATTENTION_STATS})

@@ -470,3 +470,35 @@ class TestCalibrationAndKappa:
         )
         r = ml.cohens_kappa(const, "a", "b").collect()[0]
         assert r.kappa is None and r.p_expected == 1.0
+
+
+class TestPackAttentionStats:
+    def test_closed_form(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        packed = spark.createDataFrame(
+            [(1, "s", 10, 0), (2, "s", 20, 0), (3, "s", 30, 1)],
+            "doc_id long, source string, n_tokens int, pack_id long",
+        )
+        got = {r.pack_id: r for r in
+               packing.pack_attention_stats(packed).collect()}
+        p0 = got[0]
+        assert p0.seq_tokens == 30
+        assert p0.total_causal_pairs == 30 * 31 // 2
+        within = 10 * 11 // 2 + 20 * 21 // 2
+        assert p0.cross_doc_pairs == 30 * 31 // 2 - within
+        # frac_cross is 6dp-rounded
+        assert abs(p0.frac_cross
+                   - p0.cross_doc_pairs / p0.total_causal_pairs) < 5e-7
+        # single-doc pack: zero contamination
+        p1 = got[1]
+        assert p1.cross_doc_pairs == 0 and p1.frac_cross == 0.0
+
+    def test_zero_token_pack(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        packed = spark.createDataFrame(
+            [(1, "s", 0, 0)], "doc_id long, source string, n_tokens int, pack_id long"
+        )
+        r = packing.pack_attention_stats(packed).collect()[0]
+        assert r.frac_cross == 0.0 and r.total_causal_pairs == 0
