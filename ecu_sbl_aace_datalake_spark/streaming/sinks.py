@@ -473,6 +473,7 @@ def foreach_batch_corpus_ingest(
     url_index: dict | None = None,
     drop_opted_out: bool = False,
     license_families: tuple | None = None,
+    log_doors: bool = False,
 ) -> Any:
     """STREAMING training-corpus preparation — the foreachBatch composition
     of ``pipeline.prepare_corpus``'s gate/dedup/cap stages, so a corpus is
@@ -546,6 +547,14 @@ def foreach_batch_corpus_ingest(
     transaction. The appended corpus carries ``lang_pred`` and
     ``quality_score`` as provenance columns. Returns the StreamingQuery
     handle.
+
+    ``log_doors=True`` (round 9) appends a per-batch OBSERVABILITY row
+    per door to ``{table}_ingest_log`` (batch_id, stage, n_rows) — the
+    "which door rejected my data" table an ingest operator reads when a
+    source's admission rate drops. Each snapshot is a count() that
+    re-executes the door chain up to that stage, so the flag is for
+    canaries and debugging, not the steady-state hot path (batches are
+    microbatch-sized, so the cost is bounded but real).
     """
     from ..operators import classifier, textstats
     from ..operators.dedup import (
@@ -567,11 +576,30 @@ def foreach_batch_corpus_ingest(
 
     counts_table = f"{table_name}_src_counts"
     bytes_table = f"{table_name}_src_bytes"
+    log_table = f"{table_name}_ingest_log"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        door_counts: list[tuple[int, str, int]] = []
+
+        def _snap(stage: str, df: DataFrame) -> None:
+            if log_doors:
+                door_counts.append((int(batch_id), stage, int(df.count())))
+
+        def _flush_log() -> None:
+            if not (log_doors and door_counts):
+                return
+            log_df = spark.createDataFrame(
+                door_counts, "batch_id long, stage string, n_rows long"
+            )
+            if table_exists(spark, lakehouse, log_table):
+                append_table(lakehouse, log_table, log_df)
+            else:
+                write_table(lakehouse, log_table, log_df)
+
+        _snap("arrived", batch_df)
         if url_col is not None:
             # in-batch URL door first — cheapest gate, biggest cut on
             # re-crawls; appends the canonical_url provenance column the
@@ -586,6 +614,7 @@ def foreach_batch_corpus_ingest(
                 batch_df = _urls_probe(
                     batch_df.drop("canonical_url"), url_index, url_col
                 )
+            _snap("url_door", batch_df)
         if drop_opted_out or license_families is not None:
             # compliance door (round 8): stateless per-doc regexps —
             # cheaper than any hashing gate, and an opted-out or
@@ -602,6 +631,7 @@ def foreach_batch_corpus_ingest(
                         *list(license_families)
                     )
                 )
+            _snap("compliance_door", batch_df)
         if lang_model is not None:
             pred = classifier.lang_id_nb(
                 batch_df, lang_model, id_col=id_col, text_col=text_col
@@ -613,6 +643,7 @@ def foreach_batch_corpus_ingest(
             F.col("lang_pred").isin(*list(keep_langs))
             & (F.col("quality_score") >= float(min_quality))
         )
+        _snap("lang_quality_gate", gated)
         scope = CacheScope()
         if benchmark_df is not None:
             # both decontamination doors per batch: exact n-gram first
@@ -628,6 +659,7 @@ def foreach_batch_corpus_ingest(
                 threshold=decontaminate_fuzzy_threshold,
                 scope=scope,
             )
+            _snap("decontamination_door", gated)
         # in-batch exact door on the SAME trimmed-content hash the corpus
         # door uses (dedup_against_corpus normalize=True) — raw-text
         # equality would let trim-equal rows through within one batch
@@ -636,6 +668,7 @@ def foreach_batch_corpus_ingest(
             ["__h"],
             tiebreak=[id_col],
         ).drop("__h")
+        _snap("in_batch_exact", batch)
         try:
             path = table_path(lakehouse, table_name)
             if path_exists(spark, path):
@@ -662,6 +695,7 @@ def foreach_batch_corpus_ingest(
                         batch, corpus, id_col, text_col,
                         threshold=threshold, scope=scope,
                     )
+                _snap("corpus_doors", batch)
             if cap_per_source is not None:
                 from pyspark.sql import Window
 
@@ -725,7 +759,9 @@ def foreach_batch_corpus_ingest(
                     .drop("__cumb", "__usedb")
                 )
             accepted = batch.localCheckpoint()
+            _snap("admitted", accepted)
             if accepted.isEmpty():
+                _flush_log()
                 return
             corpus_out = accepted.drop("__nb") if byte_budget_per_source is not None else accepted
             if path_exists(spark, path):
@@ -746,6 +782,7 @@ def foreach_batch_corpus_ingest(
                 from ..operators.urls import append_url_index as _url_append
 
                 _url_append(accepted, url_index)
+            _flush_log()
         finally:
             scope.unpersist()
 

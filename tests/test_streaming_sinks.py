@@ -891,3 +891,109 @@ class TestComplianceDoor:
         kept = {r.doc_id for r in corpus.collect()}
         # 2 (copyleft) and 3 (opted out) rejected at the door
         assert kept == {1, 4}, kept
+
+
+class TestIngestDoorLog:
+    def test_log_doors_accounting(self, spark, tmp_path):
+        """Round 9: log_doors=True appends per-batch per-door row counts
+        to {table}_ingest_log — arrived/gates/dedup/admitted must be
+        monotone non-increasing within a batch and the admitted count
+        must equal the corpus delta."""
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        b1 = [
+            (1, "the quick brown fox jumps over the lazy dog", "s0"),
+            (2, "the quick brown fox jumps over the lazy dog", "s0"),  # dup
+            (3, "uno dos tres cuatro cinco seis siete ocho", "s0"),  # lang
+            (4, "the rain in spain falls mostly on the plain noai", "s0"),
+        ]
+        b2 = [
+            (10, "the quick brown fox jumps over the lazy dog", "s0"),  # corpus dup
+            (11, "the wind and the waves and also the tide", "s0"),
+        ]
+        src = str(tmp_path / "dl_src")
+        os.makedirs(src)
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                src + f"/b{i}", mode="overwrite"
+            )
+            part = glob.glob(f"{src}/b{i}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/batch{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/batch{i}.parquet",
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        lh = Lakehouse("x", str(tmp_path / "dl_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "dl_ckpt"),
+            keep_langs=("en",), min_quality=0.0,
+            near_dup=False, drop_opted_out=True, log_doors=True,
+        )
+        q.awaitTermination(240)
+        log = read_path(
+            spark, str(tmp_path / "dl_lh") + "/Tables/corpus_ingest_log"
+        )
+        rows = {(r.batch_id, r.stage): r.n_rows for r in log.collect()}
+        # batch 0: 4 arrive; opt-out drops doc 4; lang gate drops doc 3;
+        # in-batch exact drops doc 2 -> 1 admitted (no corpus doors yet)
+        assert rows[(0, "arrived")] == 4
+        assert rows[(0, "compliance_door")] == 3
+        assert rows[(0, "lang_quality_gate")] == 2
+        assert rows[(0, "in_batch_exact")] == 1
+        assert rows[(0, "admitted")] == 1
+        # batch 1: 2 arrive; corpus door drops the cross-batch dup
+        assert rows[(1, "arrived")] == 2
+        assert rows[(1, "corpus_doors")] == 1
+        assert rows[(1, "admitted")] == 1
+        # monotone non-increasing along each batch's door chain
+        order = ["arrived", "compliance_door", "lang_quality_gate",
+                 "in_batch_exact", "corpus_doors", "admitted"]
+        for b in (0, 1):
+            seq = [rows[(b, s)] for s in order if (b, s) in rows]
+            assert seq == sorted(seq, reverse=True), (b, seq)
+
+    def test_log_off_writes_no_table(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from ecu_sbl_aace_datalake_spark.sources.io import path_exists
+        from ecu_sbl_aace_datalake_spark.streaming.sinks import (
+            foreach_batch_corpus_ingest,
+        )
+
+        schema = "doc_id long, text string, source string"
+        src = str(tmp_path / "nl_src")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog", "s0")],
+            schema,
+        ).coalesce(1).write.parquet(src + "/b0", mode="overwrite")
+        part = glob.glob(f"{src}/b0/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch0.parquet")
+        shutil.rmtree(f"{src}/b0")
+        stream = spark.readStream.schema(schema).parquet(src)
+        lh = Lakehouse("x", str(tmp_path / "nl_lh"))
+        q = foreach_batch_corpus_ingest(
+            stream, lh, "corpus", "doc_id",
+            checkpoint_dir=str(tmp_path / "nl_ckpt"),
+            keep_langs=("en",), min_quality=0.0, near_dup=False,
+        )
+        q.awaitTermination(240)
+        assert not path_exists(
+            spark, str(tmp_path / "nl_lh") + "/Tables/corpus_ingest_log"
+        )
