@@ -333,6 +333,11 @@ def license_similarity(
         # len(lsh) is a Python constant: the division is exact-identical
         # in any engine; round only at output
         scores.append((lid, matched / F.lit(float(len(lsh)))))
+    if not scores:
+        raise ValueError(
+            "license corpus yielded no shingle sets — every text has "
+            f"fewer than shingle_n={shingle_n} words"
+        )
     best = scores[0][1]
     for _, s in scores[1:]:
         best = F.greatest(best, s)

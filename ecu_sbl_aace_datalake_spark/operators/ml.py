@@ -1675,17 +1675,24 @@ def calibration_report(
     threshold; an over-confident bin right of the cut silently admits
     junk at a higher rate than the score claims.
 
-    Scores are summed as exact DECIMAL(18,6) with one end-division per
-    bin (house determinism contract); NULL scores/labels are excluded.
-    One aggregate on the bin key — bin cardinality bounded by
-    ``n_bins``.
+    Scores are expected in ``[0, 1]``; out-of-range scores clamp into
+    the edge bins symmetrically (score 1.0 and above → bin
+    ``n_bins−1``, below 0 → bin 0) so no negative bin ids or phantom
+    rows appear. Scores are summed as exact DECIMAL(18,6) with one
+    end-division per bin (house determinism contract); NULL
+    scores/labels are excluded. One aggregate on the bin key — bin
+    cardinality bounded by ``n_bins``.
 
     Returns ``(bin, bin_lo, n, mean_score, frac_pos, abs_gap)``.
     """
     s = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("int")
-    b = F.least(
-        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.least(
+            F.floor(s * F.lit(float(n_bins))).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     base = df.where(s.isNotNull() & lab.isNotNull()).select(
         b.alias("bin"),
@@ -1763,12 +1770,21 @@ def cohens_kappa(
     mb = base.groupBy(F.col("__b").alias("__c")).agg(
         F.count(F.lit(1)).alias("__cb")
     )
+    # margins multiply as DOUBLE: long __ca*__cb (and n*n) wraps/errors
+    # past n ~ 3.04e9 (n^2 > 2^63) — the 100 TB contract forbids that,
+    # and the 6dp-rounded probability doesn't need integer exactness
     pe_sum = (
         ma.join(mb, "__c")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__pe_num"))
+        .agg(
+            F.sum(
+                F.col("__ca").cast("double") * F.col("__cb").cast("double")
+            ).alias("__pe_num")
+        )
     )
     po = F.col("__agree").cast("double") / F.col("n")
-    pe = F.col("__pe_num").cast("double") / (F.col("n") * F.col("n"))
+    pe = F.col("__pe_num") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
     kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
     return (
         tot.crossJoin(F.broadcast(pe_sum))

@@ -16544,7 +16544,7 @@ j AS (
   WHERE s.clf_score IS NOT NULL AND q.quality_score IS NOT NULL
 ),
 binned AS (
-  SELECT LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9) AS bin,
+  SELECT GREATEST(LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9), 0) AS bin,
          CAST(sc AS DECIMAL(18,6)) AS sd, lab
   FROM j
 ),

@@ -1,0 +1,97 @@
+"""Round-10 regression tests for the ADVICE-r9 findings:
+cohens_kappa 64-bit margin-product overflow, license_similarity bare
+IndexError on an empty shingle corpus, calibration_report negative-bin
+phantom rows."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+
+class TestKappaMarginOverflow:
+    def test_margins_multiply_as_double(self, spark):
+        # Long __ca*__cb wraps (non-ANSI) or errors (ANSI) past
+        # n ~ 3.04e9; the fixed plan must multiply doubles. Assert at
+        # the plan level — constructing 3e9 rows in a unit test is not
+        # viable.
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")],
+            "a string, b string",
+        )
+        out = ml.cohens_kappa(df, "a", "b")
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "cast(__ca" in plan and "as double" in plan, plan
+        # no bigint product of the margins survives anywhere
+        assert "(__ca * __cb)" not in plan.replace("#", ""), plan
+
+    def test_kappa_value_unchanged(self, spark):
+        # known 2x2 table: n=10, agree=7, margins a:{x:6,y:4},
+        # b:{x:5,y:5} -> p_o=0.7, p_e=(30+20)/100=0.5, kappa=0.4
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("x", "x")] * 4 + [("x", "y")] * 2 + [("y", "y")] * 3 + [
+            ("y", "x")
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = ml.cohens_kappa(df, "a", "b").collect()[0]
+        assert r.n == 10
+        assert r.p_observed == pytest.approx(0.7)
+        assert r.p_expected == pytest.approx(0.5)
+        assert r.kappa == pytest.approx(0.4)
+
+
+class TestLicenseSimilarityEmptyCorpus:
+    def test_empty_corpus_raises_value_error(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import compliance
+
+        df = spark.createDataFrame(
+            [(1, "some document text here")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="no shingle sets"):
+            compliance.license_similarity(df, corpus={})
+
+    def test_all_short_corpus_raises_value_error(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import compliance
+
+        df = spark.createDataFrame(
+            [(1, "some document text here")], "doc_id long, text string"
+        )
+        # every entry has fewer than shingle_n words -> skipped by the
+        # 'if not lsh: continue' guard -> used to die with IndexError
+        with pytest.raises(ValueError, match="no shingle sets"):
+            compliance.license_similarity(
+                df, corpus={"mit": "too short", "x": "also short"}
+            )
+
+
+class TestCalibrationBottomClamp:
+    def test_out_of_range_scores_clamp_into_edge_bins(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [(-0.3, 0), (-0.01, 1), (0.05, 0), (1.0, 1), (1.7, 1)],
+            "s double, l int",
+        )
+        rows = ml.calibration_report(df, "s", "l", n_bins=10).collect()
+        bins = sorted(r.bin for r in rows)
+        # no negative bins, no bin > 9; the three <0.1 scores (two
+        # clamped) land in bin 0, the two >=1.0 (one clamped) in bin 9
+        assert bins == [0, 9], rows
+        by = {r.bin: r for r in rows}
+        assert by[0].n == 3 and by[9].n == 2, rows
+
+    def test_in_range_unchanged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [(0.12, 0), (0.18, 1), (0.95, 1)], "s double, l int"
+        )
+        rows = {r.bin: r for r in ml.calibration_report(
+            df, "s", "l", n_bins=10
+        ).collect()}
+        assert set(rows) == {1, 9}
+        assert rows[1].n == 2 and rows[1].frac_pos == pytest.approx(0.5)
+        assert rows[9].mean_score == pytest.approx(0.95)
