@@ -1860,6 +1860,7 @@ def margin_pairs(
     mutual: bool = True,
     scope: "CacheScope | None" = None,
     candidates: DataFrame | None = None,
+    max_exact_pairs: int | None = 25_000_000,
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix bitext-mining criterion): score every candidate pair
@@ -1883,6 +1884,15 @@ def margin_pairs(
     IDENTICAL, with each endpoint's k-NN neighborhood taken within the
     pool — the CCMatrix formulation (margin over the union of forward
     and backward k-NN candidates).
+
+    The exact path is GUARDED: when ``candidates`` is omitted, a cheap
+    column-pruned count-probe of both sides runs first, and if
+    ``|x|·|y| > max_exact_pairs`` (default 25 M) the call raises
+    instead of launching an un-runnable cross join — a 100 TB caller
+    who forgets ``candidates=`` gets an actionable error naming
+    :func:`margin_pairs_pooled`, not a dead cluster. Pass
+    ``max_exact_pairs=None`` to opt out (e.g. a deliberately exact
+    offline audit).
 
     Returns ``(x_id, y_id, cosine, margin)`` — one row per mined pair.
     """
@@ -1919,6 +1929,19 @@ def margin_pairs(
     yv = _unit(y.select(F.col(id_col).alias("__yid"), vec_col), "__yid", "__yv")
     cos = dot(F.col("__xv"), F.col("__yv"))
     if candidates is None:
+        if max_exact_pairs is not None:
+            # size probe BEFORE any pair is formed: two column-pruned
+            # count scans, the topk_auto dispatch pattern
+            nx = x.select(F.col(id_col)).count()
+            ny = y.select(F.col(id_col)).count()
+            if nx * ny > max_exact_pairs:
+                raise ValueError(
+                    f"margin_pairs exact path would scan {nx}x{ny} = "
+                    f"{nx * ny} pairs (> max_exact_pairs="
+                    f"{max_exact_pairs}); pass candidates= (an ANN "
+                    "survivor relation) or use margin_pairs_pooled, or "
+                    "set max_exact_pairs=None to force the exact scan"
+                )
         pairs = xv.crossJoin(F.broadcast(yv)).select(
             "__xid", "__yid", F.round(cos, 6).alias("cosine")
         )

@@ -67,6 +67,55 @@ class TestLicenseSimilarityEmptyCorpus:
             )
 
 
+class TestMarginPairsSizeGuard:
+    def _vdf(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_big_exact_path_raises_before_the_cross_join(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        x = self._vdf(spark, [(i, [1.0, float(i)]) for i in range(4)])
+        y = self._vdf(spark, [(10 + i, [1.0, 0.5]) for i in range(4)])
+        with pytest.raises(ValueError, match="margin_pairs_pooled"):
+            similarity.margin_pairs(x, y, max_exact_pairs=15)
+
+    def test_candidates_path_skips_the_probe(self, spark):
+        # with candidates= supplied the guard must not count either
+        # side: a threshold of 0 would trip on ANY non-empty input if
+        # the probe ran
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        x = self._vdf(spark, [(0, [1.0, 0.0]), (1, [0.9, 0.4])])
+        y = self._vdf(spark, [(10, [1.0, 0.05])])
+        cand = spark.createDataFrame(
+            [(0, 10), (1, 10)], "x_id long, y_id long"
+        )
+        got = similarity.margin_pairs(
+            x, y, k=1, threshold=0.0, candidates=cand, max_exact_pairs=0
+        ).collect()
+        assert {(r.x_id, r.y_id) for r in got} == {(0, 10)}
+
+    def test_opt_out_forces_exact(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        x = self._vdf(spark, [(0, [1.0, 0.0]), (1, [0.9, 0.4])])
+        y = self._vdf(spark, [(10, [1.0, 0.05])])
+        got = similarity.margin_pairs(
+            x, y, k=1, threshold=0.0, max_exact_pairs=None
+        ).collect()
+        assert {(r.x_id, r.y_id) for r in got} == {(0, 10)}
+
+    def test_under_threshold_unchanged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        x = self._vdf(spark, [(0, [1.0, 0.0]), (1, [0.9, 0.4])])
+        y = self._vdf(spark, [(10, [1.0, 0.05])])
+        got = similarity.margin_pairs(x, y, k=1, threshold=0.0).collect()
+        assert {(r.x_id, r.y_id) for r in got} == {(0, 10)}
+
+
 class TestCalibrationBottomClamp:
     def test_out_of_range_scores_clamp_into_edge_bins(self, spark):
         from ecu_sbl_aace_datalake_spark.operators import ml
