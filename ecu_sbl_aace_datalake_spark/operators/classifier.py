@@ -85,6 +85,24 @@ def _bucket(col, dim: int):
     )
 
 
+def _bucket_xx(col, dim: int):
+    """xxhash64 bucket — ~3x cheaper than the md5 path (no hex
+    round-trip, native 64-bit mix; the LANG_NB_V2 lever, VERDICT r9
+    item #2). For a power-of-two ``dim`` the bucket is the hash's low
+    bits (bitwise AND — identical on the signed long and the unsigned
+    value, so the DuckDB replica takes ``h % dim`` on UHUGEINT); other
+    dims use pmod. Oracle parity: Spark's xxhash64 is bit-exact
+    reference XXH64 with seed 42 over the UTF-8 bytes (verified against
+    a pure-Python reference in tests/test_classifier.py), and
+    driver_queries._sql_xxh64 replays it in DuckDB SQL for short
+    inputs."""
+    d = int(dim)
+    h = F.xxhash64(col)
+    if d & (d - 1) == 0:
+        return h.bitwiseAND(F.lit(d - 1))
+    return F.pmod(h, F.lit(d))
+
+
 def doc_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -254,9 +272,10 @@ LANG_NGRAM_N = 3
 LANG_HASH_DIM = 128
 
 
-def _char_ngram_buckets(text_col: str, n: int, dim: int):
+def _char_ngram_buckets(text_col: str, n: int, dim: int, algo: str = "md5"):
     """Array of hashed char-n-gram buckets for one row — JVM expressions
-    only (substr windows + the portable md5 bucket). Spark's sequence()
+    only (substr windows + the portable md5 bucket, or the ~3x-cheaper
+    xxhash64 bucket with ``algo="xx"``). Spark's sequence()
     DESCENDS when stop < start, so short texts are guarded to an empty
     array (the oracle's range() is empty there by construction)."""
     t = F.col(text_col)
@@ -267,7 +286,8 @@ def _char_ngram_buckets(text_col: str, n: int, dim: int):
             lambda i: t.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(grams, lambda g: _bucket(g, dim).cast("int"))
+    bucket = _bucket_xx if algo == "xx" else _bucket
+    return F.transform(grams, lambda g: bucket(g, dim).cast("int"))
 
 
 def train_lang_nb(
@@ -276,6 +296,7 @@ def train_lang_nb(
     text_col: str = "text",
     dim: int = LANG_HASH_DIM,
     n: int = LANG_NGRAM_N,
+    algo: str = "md5",
 ) -> dict:
     """Train a multinomial Naive Bayes language identifier over hashed
     char-n-gram counts — the classic fastText-free langid baseline.
@@ -302,7 +323,7 @@ def train_lang_nb(
     """
     grams = df.select(
         F.col(lang_col).alias("__lang"),
-        F.explode(_char_ngram_buckets(text_col, n, dim)).alias("__b"),
+        F.explode(_char_ngram_buckets(text_col, n, dim, algo)).alias("__b"),
     )
     counts = (
         grams.groupBy("__lang", "__b")
@@ -337,6 +358,7 @@ def train_lang_nb(
         "n": n,
         "dim": dim,
         "ell": 20,
+        "algo": algo,
         "prior": prior,
         "w": w,
     }
@@ -358,39 +380,47 @@ def lang_id_nb(
     the first lang in the model's sorted order; empty texts fall back to
     the max-prior lang.
 
-    Pure column expressions at corpus scale: one n-gram explode, one
-    (doc, bucket) count aggregate, then per-lang literal-array lookups
-    summed as exact decimals (count x 6dp literal = exact 6dp term), so
-    the argmax never depends on float summation order and a SQL oracle
-    replays it bit-for-bit.
+    Pure column expressions at corpus scale: one n-gram explode, then
+    ONE per-doc aggregate summing each language's literal-array weight
+    lookup directly over the gram stream as exact LONG micro-units —
+    the 6dp weight literals convert exactly to integers x 1e-6, so
+    every sum is exact integer arithmetic (round 10: replaces the
+    two-aggregate decimal(32,6) plan — one shuffle instead of two, and
+    long sums instead of decimal, which together were the scoring
+    bottleneck once V2 cut the hashing cost). The argmax never depends
+    on float summation order; a SQL oracle replays it bit-for-bit in
+    BIGINT (the oracle may keep the per-bucket pre-count — ``sum_grams
+    w[b]`` == ``sum_buckets cnt·w[b]`` exactly). Overflow bound: the
+    decision value is ``T·prior_micro + ell·S_micro`` with
+    ``|S_micro| <= T·max|w|·1e6`` — safe in int64 for documents up to
+    ~10^9 grams (a 1 GB single document), far past any real corpus row.
     """
     langs, dim, n = model["langs"], int(model["dim"]), int(model["n"])
     ell = int(model.get("ell", 20))
-    cnt = (
-        df.select(
-            F.col(id_col),
-            F.explode(_char_ngram_buckets(text_col, n, dim)).alias("__b"),
-        )
-        .groupBy(id_col, "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    algo = model.get("algo", "md5")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_char_ngram_buckets(text_col, n, dim, algo)).alias("__b"),
     )
-    score_aggs = [F.sum("__c").cast("decimal(20,0)").alias("__t")]
+    score_aggs = [F.count(F.lit(1)).alias("__t")]
     for li, lang in enumerate(langs):
         w_lit = F.array(
-            *[F.lit(str(v)).cast("decimal(12,6)") for v in model["w"][li]]
+            *[
+                F.lit(int(round(v * 1_000_000))).cast("long")
+                for v in model["w"][li]
+            ]
         )
-        term = (
-            F.col("__c").cast("decimal(20,0)")
-            * F.element_at(w_lit, F.col("__b") + 1)
-        ).cast("decimal(32,6)")
-        score_aggs.append(F.sum(term).cast("decimal(32,6)").alias(f"__s_{li}"))
-    scored = cnt.groupBy(id_col).agg(*score_aggs)
+        score_aggs.append(
+            F.sum(F.element_at(w_lit, F.col("__b") + 1)).alias(f"__s_{li}")
+        )
+    scored = grams.groupBy(id_col).agg(*score_aggs)
     decisions = []
     for li, lang in enumerate(langs):
+        prior_micro = int(round(model["prior"][li] * 1_000_000))
         val = (
-            F.col("__t") * F.lit(str(model["prior"][li])).cast("decimal(12,6)")
-            + F.lit(ell).cast("decimal(20,0)") * F.col(f"__s_{li}")
-        ).cast("decimal(38,6)")
+            F.col("__t") * F.lit(prior_micro).cast("long")
+            + F.lit(ell).cast("long") * F.col(f"__s_{li}")
+        )
         decisions.append(
             F.struct((-val).alias("ns"), F.lit(lang).alias("lang"))
         )
@@ -422,6 +452,7 @@ LANG_NB_V1: dict = {
     "n": 3,
     "dim": 128,
     "ell": 20,
+    "algo": "md5",
     "prior": [-1.951287, -0.815633, -2.029758, -2.092937, -1.827234],
     "w": [
         [-7.091326, -4.961112, -6.868183, -5.726085, -4.293029, -7.966795, 
@@ -534,5 +565,136 @@ LANG_NB_V1: dict = {
          -4.655483, -6.87583, -6.729227, -4.960457, -4.976082, -7.517684, 
          -3.73577, -4.390923, -6.354533, -4.178362, -4.871509, -4.027255, 
          -4.960457, -6.488064,],
+    ],
+}
+
+#: FIXED language-ID model V2 (VERDICT r9 item #2): identical training
+#: recipe to LANG_NB_V1 — ``train_lang_nb(sf0.01 documents where
+#: md5-bucket(doc_id) % 4 != 0, algo="xx")`` — but the trigram bucket is
+#: xxhash64 & 127 instead of the md5 hex round-trip, cutting the
+#: per-gram hashing cost ~3x (one native 64-bit mix vs a full MD5 +
+#: hex-substring + base conversion). Priors and split are unchanged;
+#: the weight table differs because the bucket permutation differs.
+#: Provenance re-derived in tests/test_classifier.py; the DuckDB oracle
+#: replays the bucket via a bit-exact XXH64(seed=42) SQL replica over
+#: the gram's UTF-8 bytes (driver_queries._sql_xxh64_bucket).
+LANG_NB_V2: dict = {
+    "langs": ['de', 'en', 'es', 'fr', 'zh'],
+    "n": 3,
+    "dim": 128,
+    "ell": 20,
+    "algo": "xx",
+    "prior": [-1.951287, -0.815633, -2.029758, -2.092937, -1.827234],
+    "w": [
+        [-4.258113, -4.693431, -7.273648, -4.724202, -5.032938, -3.875789,
+         -6.53171, -6.280396, -7.379008, -4.95126, -4.981113, -7.273648,
+         -6.743019, -4.042843, -5.401845, -4.440434, -5.965315, -4.552352,
+         -4.17807, -4.293029, -7.379008, -6.685861, -7.966795, -6.244028,
+         -9.576233, -4.388847, -4.470287, -4.912794, -5.032938, -8.189938,
+         -9.576233, -4.884885, -4.303233, -4.981113, -5.011885, -3.76809,
+         -5.169513, -4.377736, -5.121885, -6.440738, -5.245499, -3.923744,
+         -3.879139, -9.576233, -4.133815, -4.788741, -4.875752, -4.248357,
+         -4.912794, -5.076423, -5.219524, -4.233898, -4.822643, -5.076423,
+         -4.981113, -6.743019, -4.894101, -5.356725, -4.981113, -6.685861,
+         -6.53171, -7.379008, -4.971063, -4.701035, -9.576233, -6.48519,
+         -3.906352, -6.743019, -6.244028, -4.95126, -5.313553, -4.866703,
+         -4.912794, -4.446334, -3.191038, -6.53171, -6.110497, -4.848845,
+         -4.822643, -6.868183, -4.05878, -4.440434, -4.875752, -6.398179,
+         -4.263027, -7.178337, -4.912794, -5.133581, -7.784473, -9.576233,
+         -4.788741, -4.53928, -4.031055, -5.76957, -4.606419, -5.076423,
+         -9.576233, -4.912794, -4.931842, -4.400083, -4.200954, -4.350486,
+         -4.494828, -7.379008, -4.243514, -4.277915, -4.648979, -5.887353,
+         -7.273648, -5.838563, -3.66273, -5.076423, -3.934326, -5.076423,
+         -4.572286, -5.145416, -4.71642, -5.032938, -4.71642, -4.323959,
+         -4.196335, -5.133581, -6.937175, -4.519987, -5.194206, -6.244028,
+         -3.996503, -5.912671,],
+        [-4.323667, -4.699232, -7.1521, -4.854935, -5.128228, -3.722481,
+         -6.619883, -5.910987, -8.054967, -4.948887, -5.062574, -7.467181,
+         -7.207669, -3.962847, -5.435141, -4.440452, -5.88782, -4.734739,
+         -4.182378, -4.415628, -7.430813, -6.978828, -7.584964, -6.472558,
+         -10.763017, -4.38629, -4.420896, -4.931135, -5.114043, -7.818578,
+         -10.763017, -5.042706, -4.245346, -4.931135, -4.846815, -3.797937,
+         -5.096591, -4.389698, -5.042706, -6.619883, -5.059235, -3.929986,
+         -4.001445, -10.763017, -4.183766, -4.791756, -4.905084, -4.290671,
+         -4.849514, -5.023225, -5.128228, -4.201987, -4.882484, -5.000966,
+         -5.023225, -6.871197, -4.817597, -5.086264, -5.082845, -6.792726,
+         -6.209141, -7.395722, -4.97612, -4.830772, -10.763017, -6.668673,
+         -3.883662, -6.934376, -6.274381, -5.004116, -5.114043, -4.876913,
+         -4.907946, -4.322071, -3.233611, -6.514522, -6.30867, -4.899386,
+         -4.817597, -6.573363, -3.994524, -4.417381, -4.820218, -6.792726,
+         -4.317298, -6.737666, -4.910815, -5.065924, -7.430813, -10.763017,
+         -4.931135, -4.344653, -3.945187, -5.857743, -4.817597, -5.100057,
+         -10.763017, -4.796871, -4.957882, -4.412132, -4.290671, -4.382895,
+         -4.475159, -7.26651, -4.299988, -4.096061, -4.694592, -6.053487,
+         -6.978828, -5.739137, -3.694845, -5.03617, -3.995674, -5.157215,
+         -4.454919, -4.991576, -4.713284, -4.919473, -4.874139, -4.333298,
+         -4.178226, -5.17203, -6.514522, -4.729931, -5.055907, -6.320366,
+         -3.975172, -5.80719,],
+        [-4.146154, -4.654097, -7.103665, -4.861183, -4.983401, -3.716454,
+         -6.453077, -6.005052, -7.285986, -4.888091, -4.915742, -7.023622,
+         -7.023622, -3.9791, -5.54552, -4.429516, -6.154584, -4.705769,
+         -4.231985, -4.357463, -7.642661, -7.023622, -8.202277, -6.292734,
+         -9.588571, -4.464607, -4.482626, -4.925132, -5.099935, -7.642661,
+         -9.588571, -5.045277, -4.231985, -4.934611, -4.861183, -3.722103,
+         -5.122663, -4.412422, -5.111234, -6.592839, -5.111234, -3.925611,
+         -4.020227, -9.588571, -4.280304, -4.721037, -4.713374, -4.305368,
+         -4.934611, -5.077712, -4.983401, -4.128986, -4.713374, -5.055972,
+         -5.088762, -7.285986, -4.870072, -5.088762, -5.034694, -7.023622,
+         -6.221275, -7.642661, -5.122663, -4.861183, -9.588571, -6.497529,
+         -3.990149, -6.815983, -6.369695, -4.870072, -5.169731, -5.034694,
+         -5.003604, -4.295266, -3.285952, -6.453077, -6.369695, -4.888091,
+         -4.94418, -6.497529, -3.96817, -4.255853, -4.792781, -6.330475,
+         -4.246237, -6.815983, -4.776387, -5.088762, -7.391347, -9.588571,
+         -4.973451, -4.470577, -3.96817, -5.75993, -4.870072, -4.870072,
+         -9.588571, -4.760258, -4.879041, -4.564691, -4.280304, -4.251033,
+         -4.500975, -7.023622, -4.217933, -4.112108, -4.646929, -6.187374,
+         -7.023622, -5.75993, -3.716454, -5.099935, -3.894839, -5.01386,
+         -4.632744, -5.066783, -4.776387, -5.122663, -4.752289, -4.341547,
+         -4.241464, -5.122663, -6.880521, -4.736541, -5.231862, -6.410517,
+         -4.016417, -6.221275,],
+        [-4.284453, -4.781967, -7.498316, -4.628998, -5.077948, -3.809436,
+         -6.358882, -5.966839, -7.498316, -5.045158, -5.055969, -7.092851,
+         -6.687386, -3.825185, -5.329262, -4.502584, -6.14377, -4.567122,
+         -4.202479, -4.412971, -7.179862, -7.179862, -7.96832, -6.112022,
+         -9.577757, -4.436094, -4.508853, -4.868227, -5.077948, -7.631847,
+         -9.577757, -5.089121, -4.315067, -5.12341, -5.003046, -3.700022,
+         -5.233952, -4.357402, -5.045158, -7.380533, -4.914318, -3.847658,
+         -3.950136, -9.577757, -4.225899, -4.904929, -4.710223, -4.259637,
+         -5.013409, -5.066898, -5.111849, -4.101294, -4.859259, -5.013409,
+         -5.135106, -7.275172, -4.807073, -5.260269, -5.023881, -6.442263,
+         -6.051397, -7.380533, -5.343651, -4.665103, -9.577757, -6.486715,
+         -3.964629, -6.486715, -6.358882, -4.982638, -4.952785, -4.868227,
+         -4.962637, -4.245039, -3.278808, -6.399704, -6.14377, -4.85037,
+         -5.100421, -6.805169, -4.040423, -4.368271, -4.841559, -6.486715,
+         -4.245039, -6.633318, -4.85037, -4.824167, -7.275172, -9.577757,
+         -5.003046, -4.424466, -4.03258, -5.864185, -4.679918, -5.183308,
+         -9.577757, -4.895626, -4.694955, -4.37926, -4.202479, -4.240219,
+         -4.540805, -7.275172, -4.23065, -4.166111, -4.741476, -6.112022,
+         -6.633318, -5.483413, -3.666961, -5.034463, -3.983046, -5.315078,
+         -4.62193, -5.013409, -4.694955, -5.158917, -4.614913, -4.508853,
+         -4.161657, -5.343651, -6.805169, -4.798634, -5.077948, -6.210462,
+         -4.09296, -6.358882,],
+        [-4.319011, -4.796388, -7.04768, -4.738865, -5.058095, -3.772897,
+         -6.729227, -5.888443, -7.517684, -4.968239, -5.008085, -6.987056,
+         -7.04768, -3.880098, -5.18554, -4.364948, -6.23675, -4.644119,
+         -4.21815, -4.352209, -7.181212, -6.987056, -7.874359, -6.323761,
+         -9.820269, -4.48755, -4.526964, -4.952735, -4.952735, -7.740827,
+         -9.820269, -4.952735, -4.255749, -5.016248, -4.945072, -3.749531,
+         -5.110739, -4.426641, -4.991955, -6.87583, -4.999987, -3.79199,
+         -3.985458, -9.820269, -4.153842, -4.616262, -4.900288, -4.377851,
+         -4.991955, -4.968239, -5.138138, -4.160787, -4.850456, -4.92992,
+         -4.999987, -7.04768, -4.878627, -5.128921, -4.945072, -7.112219,
+         -6.082599, -7.740827, -5.18554, -4.829836, -9.820269, -6.642215,
+         -3.970944, -6.775747, -6.419072, -4.952735, -5.049584, -5.041145,
+         -5.049584, -4.229282, -3.263491, -6.775747, -6.156707, -4.823057,
+         -4.952735, -6.601393, -4.027255, -4.373532, -4.708281, -6.684775,
+         -4.199868, -6.987056, -4.900288, -4.900288, -6.987056, -9.820269,
+         -4.893015, -4.48755, -4.006138, -5.693135, -4.836662, -5.024478,
+         -9.820269, -4.829836, -4.816323, -4.542154, -4.302816, -4.294816,
+         -4.512001, -7.25532, -4.286879, -4.048828, -4.732673, -6.13139,
+         -6.642215, -5.928449, -3.713246, -5.119789, -3.953801, -5.041145,
+         -4.440372, -5.18554, -4.720403, -5.15683, -4.745095, -4.390923,
+         -4.29084, -5.15683, -7.04768, -4.672774, -5.255921, -6.323761,
+         -4.021176, -5.970121,],
     ],
 }

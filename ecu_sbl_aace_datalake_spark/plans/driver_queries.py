@@ -1550,36 +1550,147 @@ FROM scored
 def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED language ID (VERDICT r05 item #4; classifier.lang_id_nb):
     hashed char-trigram multinomial Naive Bayes with FIXED 6dp-literal
-    log-probs (classifier.LANG_NB_V1, trained on the md5-deterministic
+    log-probs (classifier.LANG_NB_V2, trained on the md5-deterministic
     75% split — provenance re-derived in tests), length-normalized so
     per-document evidence is comparable (decision value T*prior + 20*S,
-    division-free exact decimals). The marker-token heuristic (lang_id)
-    stays as the zero-dependency fallback. Oracle replays the identical
-    n-gram windows, md5 buckets, literal lookups and decimal argmax."""
+    division-free exact decimals). V2 (VERDICT r9 item #2) buckets each
+    trigram with xxhash64 & 127 instead of the md5 hex round-trip —
+    ~3x cheaper per gram; the oracle replays the bucket with a
+    bit-exact XXH64(seed=42) replica over the gram's UTF-8 bytes
+    (:func:`_sql_xxh64_bucket`, UHUGEINT mod-2^64 arithmetic). The
+    marker-token heuristic (lang_id) stays as the zero-dependency
+    fallback."""
     from ..operators import classifier
 
     docs = _t(spark, sf_dir, "documents")
-    pred = classifier.lang_id_nb(docs, classifier.LANG_NB_V1)
+    pred = classifier.lang_id_nb(docs, classifier.LANG_NB_V2)
     return docs.select("doc_id", "lang").join(pred, "doc_id")
 
 
-def _lang_nb_oracle_sql() -> str:
-    from ..operators.classifier import LANG_NB_V1 as M
+# XXH64 (seed 42 — Spark's xxhash64) replicated in DuckDB SQL for
+# SHORT inputs (< 32 bytes: no stripe accumulators; a char trigram is
+# <= 12 UTF-8 bytes). All 64-bit wrapping arithmetic runs on UHUGEINT
+# mod 2^64; verified bit-exact against F.xxhash64 on every fixture
+# trigram (tests/test_classifier.py::TestXxhashOracleParity).
+_XX_M = "18446744073709551616::UHUGEINT"
+_XX_P1 = "11400714785074694791::UHUGEINT"
+_XX_P2 = "14029467366897019727::UHUGEINT"
+_XX_P3 = "1609587929392839161::UHUGEINT"
+_XX_P4 = "9650029242287828579::UHUGEINT"
+_XX_P5 = "2870177450012600261::UHUGEINT"
+_XX_INIT = "2870177450012600303"  # 42 + PRIME64_5
 
-    n, dim, ell = M["n"], M["dim"], M["ell"]
-    langs, prior, w = M["langs"], M["prior"], M["w"]
+
+def _xx_mul(a: str, b: str) -> str:
+    return f"(({a} * {b}) % {_XX_M})"
+
+
+def _xx_add(a: str, b: str) -> str:
+    return f"(({a} + {b}) % {_XX_M})"
+
+
+def _xx_rotl(x: str, r: int) -> str:
+    return f"(((({x}) << {r}) % {_XX_M}) | (({x}) >> {64 - r}))"
+
+
+def _sql_xxh64_bucket(dim: int, gram: str = "gram", ids: str = "doc_id") -> str:
+    """SQL fragment ``SELECT {ids}, b FROM g`` where ``b`` =
+    XXH64(utf8_bytes({gram}), seed=42) % dim — bit-exact with Spark's
+    ``xxhash64({gram}) & (dim-1)`` for power-of-two ``dim`` (the low
+    bits of the signed long equal the unsigned residue). Inputs must be
+    < 32 bytes (the gram is a char n-gram); the byte list is derived
+    from codepoints (UTF-8 encode in SQL), then folded through the
+    XXH64 small-input path (8-byte rounds, 4-byte word, tail bytes,
+    avalanche) as a struct list_reduce."""
+    bytes_expr = f"""flatten(list_transform(
+      list_transform(range(1, length({gram}) + 1),
+                     i -> unicode(substring({gram}, i, 1))),
+      cp -> CASE
+        WHEN cp < 128 THEN [CAST(cp AS UHUGEINT)]
+        WHEN cp < 2048 THEN [CAST(192 + cp // 64 AS UHUGEINT),
+                             CAST(128 + cp % 64 AS UHUGEINT)]
+        WHEN cp < 65536 THEN [CAST(224 + cp // 4096 AS UHUGEINT),
+                              CAST(128 + (cp // 64) % 64 AS UHUGEINT),
+                              CAST(128 + cp % 64 AS UHUGEINT)]
+        ELSE [CAST(240 + cp // 262144 AS UHUGEINT),
+              CAST(128 + (cp // 4096) % 64 AS UHUGEINT),
+              CAST(128 + (cp // 64) % 64 AS UHUGEINT),
+              CAST(128 + cp % 64 AS UHUGEINT)] END))"""
+    le8 = " + ".join(
+        f"bs[8*j + {t + 1}] * {1 << (8 * t)}::UHUGEINT" for t in range(8)
+    )
+    le4 = " + ".join(
+        f"bs[8*(len(bs)//8) + 4*j + {t + 1}] * {1 << (8 * t)}::UHUGEINT"
+        for t in range(4)
+    )
+    h8 = _xx_add(
+        _xx_mul(
+            _xx_rotl(
+                f"xor(a.v, {_xx_mul(_xx_rotl(_xx_mul('x.v', _XX_P2), 31), _XX_P1)})",
+                27,
+            ),
+            _XX_P1,
+        ),
+        _XX_P4,
+    )
+    h4 = _xx_add(
+        _xx_mul(_xx_rotl(f"xor(a.v, {_xx_mul('x.v', _XX_P1)})", 23), _XX_P2),
+        _XX_P3,
+    )
+    h1 = _xx_mul(_xx_rotl(f"xor(a.v, {_xx_mul('x.v', _XX_P5)})", 11), _XX_P1)
+    steps = f"""(
+      [{{'v': ({_XX_INIT}::UHUGEINT + CAST(len(bs) AS UHUGEINT)), 'k': 0}}]
+      || list_transform(range(0, len(bs) // 8),
+                        j -> {{'v': {le8}, 'k': 1}})
+      || list_transform(range(0, (len(bs) % 8) // 4),
+                        j -> {{'v': {le4}, 'k': 2}})
+      || list_transform(range((len(bs)//8)*8 + ((len(bs)%8)//4)*4, len(bs)),
+                        i -> {{'v': bs[i + 1], 'k': 3}})
+    )"""
+    fold = f"""list_reduce({steps},
+      (a, x) -> {{'v': CASE x.k WHEN 1 THEN {h8} WHEN 2 THEN {h4}
+                       ELSE {h1} END, 'k': 0}}).v"""
+    return f"""
+    SELECT {ids}, CAST(xor(h4, h4 >> 32) % {dim} AS INT) AS b FROM (
+      SELECT {ids}, {_xx_mul("xor(h2, h2 >> 29)", _XX_P3)} AS h4 FROM (
+        SELECT {ids}, {_xx_mul("xor(h0, h0 >> 33)", _XX_P2)} AS h2 FROM (
+          SELECT {ids}, {fold} AS h0 FROM (
+            SELECT {ids}, {bytes_expr} AS bs FROM g
+          )
+        )
+      )
+    )"""
+
+
+def _lang_nb_oracle_sql(model: dict | None = None) -> str:
+    if model is None:
+        from ..operators.classifier import LANG_NB_V2 as model
+
+    n, dim, ell = model["n"], model["dim"], model["ell"]
+    langs, prior, w = model["langs"], model["prior"], model["w"]
     fallback = max(range(len(langs)), key=lambda i: (prior[i], -i))
+    # exact LONG micro-unit arithmetic, mirroring lang_id_nb (round 10):
+    # 6dp weight literals are integers x 1e-6 exactly, so the BIGINT
+    # replay is bit-identical to the engine's long sums
     s_cols = []
     for li in range(len(langs)):
-        wl = ", ".join(f"{v:.6f}" for v in w[li])
+        wl = ", ".join(str(int(round(v * 1_000_000))) for v in w[li])
         s_cols.append(
-            f"CAST(SUM(cnt * ([{wl}])[b + 1]) AS DECIMAL(19,6)) AS s_{li}"
+            f"CAST(SUM(cnt * ([{wl}])[b + 1]) AS BIGINT) AS s_{li}"
         )
     structs = ", ".join(
-        "{'ns': -(t * CAST(%.6f AS DECIMAL(12,6)) + CAST(%d AS DECIMAL(2,0)) * s_%d), 'l': '%s'}"
-        % (prior[li], ell, li, langs[li])
+        "{'ns': -(t * (%d) + %d * s_%d), 'l': '%s'}"
+        % (int(round(prior[li] * 1_000_000)), ell, li, langs[li])
         for li in range(len(langs))
     )
+    if model.get("algo", "md5") == "xx":
+        bucket_rel = f"({_sql_xxh64_bucket(dim)})"
+    else:
+        bucket_rel = f"""(
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % {dim} AS INT) AS b
+  FROM g
+)"""
     return f"""
 WITH g AS MATERIALIZED (
   SELECT doc_id,
@@ -1588,13 +1699,11 @@ WITH g AS MATERIALIZED (
   FROM documents
 ),
 c AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(gram), 1, 15))::BIGINT % {dim} AS INT) AS b,
-         CAST(COUNT(*) AS DECIMAL(20,0)) AS cnt
-  FROM g GROUP BY 1, 2
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {bucket_rel} GROUP BY 1, 2
 ),
 s AS (
-  SELECT doc_id, CAST(SUM(cnt) AS DECIMAL(8,0)) AS t,
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t,
          {', '.join(s_cols)}
   FROM c GROUP BY doc_id
 ),
@@ -1615,17 +1724,19 @@ _LANG_BUDGETS = {"en": 30000, "de": 10000, "es": 15000}
 
 def q_lang_budget_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language BYTE budget enforcement composed with the TRAINED
-    lang-id gate (pipeline.cap_per_language over classifier.LANG_NB_V1,
-    VERDICT r8 item #8): en capped at 30 kB, de 10 kB, es 15 kB, fr/zh
+    lang-id gate (pipeline.cap_per_language over classifier.LANG_NB_V2,
+    VERDICT r8 item #8; V2's xxhash64 bucket per VERDICT r9 item #2):
+    en capped at 30 kB, de 10 kB, es 15 kB, fr/zh
     uncapped — admission by the md5-priority prefix-cumsum rule, so the
     kept set replays from (salt, id, budgets) alone. Rolled up per
-    language; the oracle replays the NB prediction, the priority order,
-    the per-language running byte sum, and the literal budget CASE."""
+    language; the oracle replays the NB prediction (xxh64 buckets via
+    _sql_xxh64_bucket), the priority order, the per-language running
+    byte sum, and the literal budget CASE."""
     from ..operators import classifier, pipeline
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     kept = pipeline.cap_per_language(
-        docs, _LANG_BUDGETS, lang_model=classifier.LANG_NB_V1
+        docs, _LANG_BUDGETS, lang_model=classifier.LANG_NB_V2
     )
     return (
         kept.groupBy("lang_pred")
