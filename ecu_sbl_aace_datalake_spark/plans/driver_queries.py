@@ -16795,3 +16795,64 @@ FROM per
 
 QUERIES.update({"pack_attention_stats": q_pack_attention_stats})
 ORACLES.update({"pack_attention_stats": SQL_PACK_ATTENTION_STATS})
+
+
+def q_pack_boundary_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-mask offsets for greedy-packed sequences
+    (packing.pack_boundaries, round 10, VERDICT r9 item #6): one row
+    per packed document carrying its half-open token span
+    [start_offset, end_offset) inside the pack — the flash-attention
+    varlen cu_seqlens / position-id reset table a trainer needs to mask
+    the cross-document attention pack_attention_stats quantifies.
+    Oracle = the greedy recursive-CTE walk carrying doc_id + the same
+    exclusive-cumsum window over (source, pack) replayed relationally."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    counted = packing.with_token_count(docs)
+    packed = packing.greedy_pack(counted, budget=256)
+    return packing.pack_boundaries(packed)
+
+
+SQL_PACK_BOUNDARY_OFFSETS = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS INT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+walk AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + o.n_tokens > 256
+              THEN o.n_tokens ELSE w.used + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, pack_id, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source, pack_id ORDER BY doc_id)
+            - 1 AS BIGINT) AS doc_pos,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source, pack_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source, pack_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + n_tokens AS BIGINT) AS end_offset
+FROM walk
+"""
+
+
+QUERIES.update({"pack_boundary_offsets": q_pack_boundary_offsets})
+ORACLES.update({"pack_boundary_offsets": SQL_PACK_BOUNDARY_OFFSETS})

@@ -320,3 +320,90 @@ class TestTokenMixture:
         out = packing.sample_token_mixture(docs, {"a": 1.0}, total_tokens=20)
         total = sum(r.n_tokens for r in out.collect())
         assert total <= 20 and total == 14  # two 7-token docs fit, third doesn't
+
+
+class TestPackBoundaries:
+    """pack_boundaries (round 10): the cu_seqlens / attention-mask table."""
+
+    def _check_contiguous(self, rows, base=0):
+        # rows: list of Row with source, pack_id, doc_pos, start/end_offset
+        from collections import defaultdict
+
+        by_pack = defaultdict(list)
+        for r in rows:
+            by_pack[(r.source, r.pack_id)].append(r)
+        for key, docs in by_pack.items():
+            docs.sort(key=lambda r: r.doc_pos)
+            assert docs[0].start_offset == base, (key, docs[0])
+            assert [d.doc_pos for d in docs] == list(range(len(docs))), key
+            for a, b in zip(docs, docs[1:]):
+                assert b.start_offset == a.end_offset, (key, a, b)
+        return by_pack
+
+    def test_greedy_offsets_contiguous_and_sum_to_seq(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        bounds = packing.pack_boundaries(packed)
+        rows = bounds.collect()
+        assert len(rows) == counted.count()
+        by_pack = self._check_contiguous(rows)
+        # last end_offset == pack seq length from pack_summary
+        summary = {
+            (r.source, r.pack_id): r.sum_tokens
+            for r in packing.pack_summary(packed, BUDGET).collect()
+        }
+        for key, docs in by_pack.items():
+            assert max(d.end_offset for d in docs) == summary[key], key
+
+    def test_span_width_is_token_count(self, counted):
+        packed = packing.greedy_pack(counted, BUDGET)
+        joined = packing.pack_boundaries(packed).join(
+            counted.select("doc_id", "n_tokens"), "doc_id"
+        )
+        bad = joined.where(
+            F.col("end_offset") - F.col("start_offset") != F.col("n_tokens")
+        )
+        assert bad.count() == 0
+
+    def test_composes_with_chat_template(self, counted):
+        # chat template: 8 sentinel tokens per doc, 2 reserved per
+        # sequence -> offsets index the SERIALIZED stream (base 2, spans
+        # of n_tokens_fmt)
+        packed = packing.format_aware_pack(counted, budget=512, template="chat")
+        bounds = packing.pack_boundaries(
+            packed, token_col="n_tokens_fmt", base_offset=2
+        )
+        rows = bounds.collect()
+        by_pack = self._check_contiguous(rows, base=2)
+        # serialized end never exceeds the budget for multi-doc packs
+        from collections import defaultdict
+
+        sizes = defaultdict(int)
+        for r in rows:
+            sizes[(r.source, r.pack_id)] = max(
+                sizes[(r.source, r.pack_id)], r.end_offset
+            )
+        ndocs = {k: len(v) for k, v in by_pack.items()}
+        for key, end in sizes.items():
+            if ndocs[key] > 1:
+                assert end <= 512, (key, end)
+
+    def test_cross_doc_pairs_matches_boundary_mask_arithmetic(self, counted):
+        # pack_attention_stats' cross_doc_pairs must equal the pair count
+        # a block-diagonal mask built from pack_boundaries removes
+        packed = packing.greedy_pack(counted, BUDGET)
+        stats = {
+            (r.source, r.pack_id): (r.cross_doc_pairs, r.total_causal_pairs)
+            for r in packing.pack_attention_stats(packed).collect()
+        }
+        from collections import defaultdict
+
+        spans = defaultdict(list)
+        for r in packing.pack_boundaries(packed).collect():
+            spans[(r.source, r.pack_id)].append(
+                r.end_offset - r.start_offset
+            )
+        for key, widths in spans.items():
+            T = sum(widths)
+            total = T * (T + 1) // 2
+            within = sum(t * (t + 1) // 2 for t in widths)
+            assert stats[key] == (total - within, total), key
