@@ -1091,6 +1091,84 @@ def neardup_pairs_against_index(
     )
 
 
+def incremental_minhash_losers(
+    df: DataFrame,
+    id_col: str,
+    index: dict,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Near-dup LOSER ids of a new batch for an INCREMENTAL corpus build
+    (round 10, VERDICT r9 item #7): a batch doc loses when it
+    verified-pairs with (a) ANY doc in the :func:`persist_neardup_index`
+    corpus — the bucket-local probe — or (b) a smaller-id doc in the
+    batch ITSELF — a batch-sized banded self-join. Both dirty sets
+    derive from the SAME pre-filter batch relation, which is what makes
+    the composition equal to :func:`minhash_dedup` over corpus ∪ batch
+    restricted to the batch (given batch ids sort after corpus ids, the
+    incremental-ingest convention): a batch doc pairing only with an
+    already-dropped batch doc is still dropped, exactly as the
+    full-corpus single-hop rule would.
+
+    ONE signature build (persisted, shared by the probe banding, the
+    self banding, and both verify join-backs); the corpus contributes
+    only matched band buckets — per-batch cost tracks the batch, not
+    the corpus.
+
+    Returns distinct loser ids (one ``id_col`` column) for a single
+    anti-join by the caller (the :func:`~.pipeline.prepare_corpus`
+    ``neardup_index=`` stage).
+    """
+    spark = df.sparkSession
+    n, num_hashes = index["n"], index["num_hashes"]
+    bands, seed = index["bands"], index["seed"]
+    sh = persist_in(
+        scope,
+        minhash_signatures(
+            shingle_hashes(ensure_parallelism(df), text_col, n=n),
+            num_hashes=num_hashes,
+            seed=seed,
+        ).select(id_col, "shingles", "minhash"),
+    )
+    new_bands = _flat_band_key(
+        _band_table(
+            sh.where(F.col("minhash").isNotNull()),
+            id_col, "minhash", bands, num_hashes,
+        ),
+        id_col,
+        "new_id",
+    )
+    cands = (
+        new_bands.join(spark.table(index["band_table"]), "band_key")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = sh.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("__sh_n")
+    )
+    b = spark.table(index["shingle_table"]).select(
+        "corpus_id", F.col("shingles").alias("__sh_c")
+    )
+    idx_losers = (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .where(
+            F.size(F.array_intersect("__sh_n", "__sh_c"))
+            / F.size(F.array_union("__sh_n", "__sh_c"))
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+    )
+    self_pairs = lsh_candidate_pairs(
+        sh, id_col, bands=bands, num_hashes=num_hashes, barrier=False
+    )
+    self_losers = jaccard_verify(
+        self_pairs, sh, id_col, threshold=threshold
+    ).select(F.col("id_b").alias(id_col))
+    return idx_losers.unionByName(self_losers).distinct()
+
+
 def append_neardup_index(
     accepted_df: DataFrame,
     id_col: str,

@@ -16856,3 +16856,109 @@ FROM walk
 
 QUERIES.update({"pack_boundary_offsets": q_pack_boundary_offsets})
 ORACLES.update({"pack_boundary_offsets": SQL_PACK_BOUNDARY_OFFSETS})
+
+
+def q_corpus_prepare_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus pipeline through a persisted near-dup index
+    (pipeline.prepare_corpus(neardup_index=), round 10, VERDICT r9 item
+    #7): the corpus (doc_id % 7 != 0, after the same lang/quality gates
+    the pipeline applies) is banded/shingled ONCE into a bucketed
+    persist_neardup_index; preparing the batch (doc_id % 7 == 0) then
+    probes that index bucket-locally + runs a batch-sized self-join
+    (dedup.incremental_minhash_losers) instead of the full banded
+    self-join over corpus ∪ batch — per-run cost tracks the batch. A
+    batch doc loses on near-dup with ANY accepted corpus doc (the
+    corpus is already admitted) or a smaller-id batch doc. Oracle
+    replays gates → batch exact dedup → both loser rules brute-force →
+    greedy pack walk → per-source report."""
+    from ..operators import pipeline, textstats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    # the index carries the corpus in the SAME text state the pipeline's
+    # near-dup stage sees: after the per-doc lang/quality gates
+    gated = textstats.with_quality_score(
+        textstats.with_lang_id(corpus, "text"), "text"
+    ).where(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    ).select("doc_id", "text", "source")
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    tag = f"{tag}_{gated.count()}"
+    idx = dedup.persist_neardup_index(
+        gated, "doc_id", bands=32,
+        band_table=f"q_cpi_bands_{tag}",
+        shingle_table=f"q_cpi_shingles_{tag}",
+        reuse_if_exists=True,
+    )
+    scope = _rotating_scope("corpus_prepare_indexed")
+    packed = pipeline.prepare_corpus(
+        batch, pack_budget=512, neardup_bands=32,
+        neardup_index=idx, scope=scope,
+    )
+    return pipeline.corpus_report(packed, pack_budget=512)
+
+
+SQL_CORPUS_PREPARE_INDEXED = SQL_CORPUS_PREPARE.replace(
+    """exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM kept)
+  WHERE rn = 1
+),""",
+    """exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM kept WHERE doc_id % 7 = 0)
+  WHERE rn = 1
+),
+corpus_sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t3) - 2, 0) + 1),
+            i -> t3[i] || ' ' || t3[i+1] || ' ' || t3[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t3
+        FROM kept WHERE doc_id % 7 <> 0)
+),
+cex AS (SELECT doc_id, unnest(shingles) AS s FROM corpus_sh),""",
+).replace(
+    """losers AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = p.id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = p.id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+),""",
+    """losers AS (
+  SELECT DISTINCT id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = p.id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = p.id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+  UNION
+  SELECT DISTINCT id_b FROM (
+    SELECT c.doc_id AS id_a, n2.doc_id AS id_b, COUNT(*) AS i
+    FROM cex c JOIN ex n2 ON c.s = n2.s
+    GROUP BY 1, 2
+  ) p2
+  JOIN (SELECT doc_id, len(shingles) AS n FROM corpus_sh) ca
+    ON ca.doc_id = p2.id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb2 ON nb2.doc_id = p2.id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + nb2.n - i) >= 0.7
+),""",
+)
+assert "corpus_sh AS" in SQL_CORPUS_PREPARE_INDEXED  # replace() must not rot
+assert "cex c JOIN ex n2" in SQL_CORPUS_PREPARE_INDEXED
+
+
+QUERIES.update({"corpus_prepare_indexed": q_corpus_prepare_indexed})
+ORACLES.update({"corpus_prepare_indexed": SQL_CORPUS_PREPARE_INDEXED})

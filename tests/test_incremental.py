@@ -365,3 +365,110 @@ class TestMomentsState:
         ).collect()}
         assert got["one"].variance is None and got["one"].skewness is None
         assert got["const"].variance is None  # var == 0
+
+
+class TestPrepareCorpusIndexed:
+    """prepare_corpus(neardup_index=) — the incremental build equals the
+    direct pipeline over corpus ∪ batch when batch ids sort after corpus
+    ids (round 10)."""
+
+    def _split(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        return docs, docs.where(F.col("doc_id") <= mid), docs.where(
+            F.col("doc_id") > mid
+        )
+
+    def test_indexed_equals_direct_on_ordered_split(
+        self, spark, sf_dir, tmp_path
+    ):
+        from ecu_sbl_aace_datalake_spark.operators import (
+            dedup,
+            pipeline,
+            textstats,
+        )
+
+        docs, corpus, batch = self._split(spark, sf_dir)
+        gated = (
+            textstats.with_quality_score(
+                textstats.with_lang_id(corpus, "text"), "text"
+            )
+            .where(
+                (F.col("lang_pred") == "en")
+                & (F.col("quality_score") >= 0.5)
+            )
+            .select("doc_id", "text", "source")
+        )
+        idx = dedup.persist_neardup_index(
+            gated, "doc_id", bands=32,
+            band_table="t_cpi_bands", shingle_table="t_cpi_shingles",
+        )
+        try:
+            direct = pipeline.prepare_corpus(
+                docs, pack_budget=512, neardup_bands=32
+            )
+            indexed = pipeline.prepare_corpus(
+                batch, pack_budget=512, neardup_bands=32, neardup_index=idx
+            )
+            batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+            direct_batch = {
+                r.doc_id
+                for r in direct.select("doc_id").collect()
+                if r.doc_id in batch_ids
+            }
+            indexed_ids = {
+                r.doc_id for r in indexed.select("doc_id").collect()
+            }
+            assert indexed_ids == direct_batch
+            assert len(indexed_ids) > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_cpi_bands")
+            spark.sql("DROP TABLE IF EXISTS t_cpi_shingles")
+
+    def test_planted_corpus_dup_is_dropped(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight with friends "
+        ) * 3
+        corpus = spark.createDataFrame(
+            [(1, base, "a"), (2, "completely different text about "
+              "numerical linear algebra and matrix decompositions "
+              "for scientific computing workloads " * 3, "a")],
+            "doc_id long, text string, source string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, base + "extra tail words here", "a"),     # near-dups 1
+                (11, "unique fresh content about deep sea "
+                     "creatures and bioluminescent displays in the "
+                     "midnight zone of the ocean floor " * 3, "a"),
+                (12, "unique fresh content about deep sea "
+                     "creatures and bioluminescent displays in the "
+                     "midnight zone of the ocean floor " * 3
+                     + "slightly longer", "a"),                # near-dups 11
+            ],
+            "doc_id long, text string, source string",
+        )
+        idx = dedup.persist_neardup_index(
+            corpus, "doc_id", bands=32,
+            band_table="t_cpi2_bands", shingle_table="t_cpi2_shingles",
+        )
+        try:
+            losers = {
+                r.doc_id
+                for r in dedup.incremental_minhash_losers(
+                    batch, "doc_id", idx, threshold=0.5
+                ).collect()
+            }
+            # 10 loses to corpus doc 1 (probe); 12 loses to batch doc 11
+            # (self-join); 11 survives
+            assert losers == {10, 12}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_cpi2_bands")
+            spark.sql("DROP TABLE IF EXISTS t_cpi2_shingles")
