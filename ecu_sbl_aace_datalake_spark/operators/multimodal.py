@@ -1640,8 +1640,12 @@ def _mp4_video_sample_info(payload: bytes) -> dict | None:
     - ``stco``/``co64`` → chunk byte offsets
     - ``stsc``  → sample→chunk run-length mapping
     - ``mdhd``/``stts`` → media timescale + sample delta → fps
+    - ``stss``  → sync-sample (keyframe) numbers, 1-based (round 10);
+      ``keyframes`` is None when the box is absent — per ISO 14496-12
+      §8.6.2 every sample is then a sync sample
 
-    Returns ``{codec, width, height, n_frames, fps, samples: [(off, len)]}``
+    Returns ``{codec, width, height, n_frames, fps, keyframes,
+    samples: [(off, len)]}``
     or None when the payload isn't MP4/MOV or has no video track. This is
     exactly the walk a demuxer performs; with it, intra-frame codecs
     (MJPEG-in-MOV) decode with the repo's own JPEG decoder and the
@@ -1719,6 +1723,20 @@ def _mp4_video_sample_info(payload: bytes) -> dict | None:
             if delta and ts:
                 fps = round(ts / delta, 6)
         out["fps"] = fps
+        # sync-sample (keyframe) table: absent box => every sample sync
+        stss = find(*stbl, b"stss")
+        if stss is not None and stss[1] - stss[0] >= 8:
+            s = stss[0]
+            nk = int.from_bytes(p[s + 4 : s + 8], "big")
+            if stss[1] - s >= 8 + 4 * nk:
+                out["keyframes"] = [
+                    int.from_bytes(p[s + 8 + 4 * k : s + 12 + 4 * k], "big")
+                    for k in range(nk)
+                ]
+            else:
+                out["keyframes"] = None
+        else:
+            out["keyframes"] = None
         # sample sizes
         stsz = find(*stbl, b"stsz")
         if stsz is None or stsz[1] - stsz[0] < 12:
@@ -1811,13 +1829,20 @@ def decode_mp4_frame(payload: bytes, frame_index: int):
 
 
 def build_mjpeg_mov(
-    frames: list[bytes], fps: int = 25, width: int = 8, height: int = 8
+    frames: list[bytes],
+    fps: int = 25,
+    width: int = 8,
+    height: int = 8,
+    keyframe_every: int | None = None,
 ) -> bytes:
     """Minimal-but-valid MJPEG QuickTime/MP4 around pre-encoded JPEG
     frames (the MOV analogue of :func:`build_mjpeg_avi`): ftyp + mdat
     (all frames, one chunk) + moov with a full sample table (stsd 'jpeg',
     stts, stsc, stsz, stco). moov-at-end so the single stco offset is
-    just len(ftyp) + 8."""
+    just len(ftyp) + 8. ``keyframe_every=k`` writes an ``stss`` box
+    marking samples 1, 1+k, 1+2k, … as sync samples (round 10 — the
+    keyframe-index fixture knob); None writes no stss (all sync, the
+    MJPEG truth)."""
 
     def be32(x: int) -> bytes:
         return int(x).to_bytes(4, "big")
@@ -1848,6 +1873,13 @@ def build_mjpeg_mov(
         + be32(0) + be16(1) + bytes(32)                    # frame count, name
         + be16(24) + be16(0xFFFF)                          # depth, color table
     )
+    stss = b""
+    if keyframe_every is not None:
+        sync = list(range(1, n + 1, int(keyframe_every)))
+        stss = box(
+            b"stss",
+            be32(0) + be32(len(sync)) + b"".join(be32(s) for s in sync),
+        )
     stbl = box(
         b"stbl",
         box(b"stsd", be32(0) + be32(1) + entry)
@@ -1857,7 +1889,8 @@ def build_mjpeg_mov(
             b"stsz",
             be32(0) + be32(0) + be32(n) + b"".join(be32(len(f)) for f in frames),
         )
-        + box(b"stco", be32(0) + be32(1) + be32(chunk_off)),
+        + box(b"stco", be32(0) + be32(1) + be32(chunk_off))
+        + stss,
     )
     minf = box(
         b"minf",
@@ -2404,6 +2437,86 @@ def audio_envelope_hash(
             res = pdf[payload_col].map(lambda b: ahash(b or b""))
             out["decoded"] = res.map(lambda t: t[0])
             out["ahash"] = res.map(lambda t: t[1]).astype("Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema=full_schema)
+
+
+VIDEO_KEYFRAME_PLAN_SCHEMA = (
+    "parsed boolean, codec string, n_frames int, n_keyframes int, "
+    "frame_index int, keyframe_index int, decode_ahead int"
+)
+
+
+def video_keyframe_plan(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 1
+) -> DataFrame:
+    """Keyframe-aware frame-sampling plan for MP4/MOV (round 10, VERDICT
+    r9 item #9): one row per sampled frame index with the SYNC SAMPLE a
+    decoder must seek to — ``keyframe_index`` = the greatest stss entry
+    ≤ the target frame (0-based), ``decode_ahead`` = the frames decoded
+    and discarded between them. This is the real cost model of sampling
+    an inter-frame-coded video: a plan that ignores keyframes
+    under-counts decode work by the GOP length. Pure sample-table box
+    walk (stss via :func:`_mp4_video_sample_info`) — no codec involved;
+    a missing stss box means every sample is sync (ISO 14496-12
+    §8.6.2), so ``decode_ahead`` is 0 and ``n_keyframes = n_frames``.
+
+    Non-MP4 / unparseable payloads yield one honest ``parsed=false``
+    row. Batched Arrow transfer; payloads never leave the executor;
+    per-(payload, grid-point) rows fan out BEFORE any decode, so frame
+    extraction parallelizes at frame granularity downstream.
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    )
+    full_schema = (
+        f"{out_schema}, {VIDEO_KEYFRAME_PLAN_SCHEMA}"
+        if out_schema
+        else VIDEO_KEYFRAME_PLAN_SCHEMA
+    )
+    cols = [
+        "parsed", "codec", "n_frames", "n_keyframes",
+        "frame_index", "keyframe_index", "decode_ahead",
+    ]
+
+    def rows_for(b: bytes):
+        info = _mp4_video_sample_info(b or b"")
+        if info is None:
+            return [(False, None, None, None, None, None, None)]
+        n = info["n_frames"]
+        kf = info.get("keyframes")
+        if kf:
+            sync0 = sorted(s - 1 for s in kf if 1 <= s <= n)
+        else:
+            sync0 = list(range(n))  # no stss: every sample is sync
+        if not sync0 or sync0[0] != 0:
+            sync0 = [0] + sync0  # decoder convention: sample 1 is a seek point
+        nk = len(sync0)
+        out = []
+        import bisect
+
+        for fi in range(0, n, every_n):
+            j = bisect.bisect_right(sync0, fi) - 1
+            k = sync0[j]
+            out.append(
+                (True, info.get("codec"), n, nk, fi, k, fi - k)
+            )
+        return out or [(True, info.get("codec"), n, nk, None, None, None)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for _, row in pdf.iterrows():
+                for r in rows_for(row[payload_col]):
+                    recs.append(tuple(row[c] for c in passthrough) + r)
+            out = pd.DataFrame(recs, columns=passthrough + cols)
+            for c in ("n_frames", "n_keyframes", "frame_index",
+                      "keyframe_index", "decode_ahead"):
+                out[c] = out[c].astype("Int32")
             yield out
 
     return df.mapInPandas(batches, schema=full_schema)

@@ -16962,3 +16962,81 @@ assert "cex c JOIN ex n2" in SQL_CORPUS_PREPARE_INDEXED
 
 QUERIES.update({"corpus_prepare_indexed": q_corpus_prepare_indexed})
 ORACLES.update({"corpus_prepare_indexed": SQL_CORPUS_PREPARE_INDEXED})
+
+
+def _mov_keyframe_payload_expr() -> str:
+    """MJPEG-in-MOV fixtures with PLANTED stss keyframe tables keyed on
+    c_custkey: 6+(k%3)*3 solid-gray frames, sync samples every 1+k%4
+    frames; k%5==0 rows are garbage bytes (the honest parsed=false
+    row)."""
+    from ..operators.multimodal import build_mjpeg_mov, encode_jpeg_solid_gray
+
+    frame = encode_jpeg_solid_gray(128)
+    cases = []
+    for nmod in range(3):
+        for kmod in range(4):
+            mov = build_mjpeg_mov(
+                [frame] * (6 + nmod * 3), fps=25, keyframe_every=1 + kmod
+            )
+            cases.append(
+                f"WHEN c_custkey % 3 = {nmod} AND c_custkey % 4 = {kmod} "
+                f"THEN unhex('{mov.hex()}')"
+            )
+    return (
+        "CASE WHEN c_custkey % 5 = 0 THEN encode('not a video', 'utf-8') "
+        + " ".join(cases)
+        + " END"
+    )
+
+
+def q_video_keyframe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-aware sampling plan (multimodal.video_keyframe_plan,
+    round 10, VERDICT r9 item #9): the stss sync-sample box walk gives
+    each sampled frame its seek keyframe + decode_ahead cost — the real
+    cost model for sampling inter-frame video. Fixtures plant stss
+    tables (sync every 1+k%4 samples over 6+(k%3)*3 frames); the oracle
+    is pure arithmetic on the planted parameters (snap = fi − fi % kf,
+    n_keyframes = ceil(n/kf))."""
+    from ..operators.multimodal import video_keyframe_plan
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400).select(
+        "c_custkey", F.expr(_MOV_KEYFRAME_PAYLOAD_EXPR).alias("payload")
+    )
+    return video_keyframe_plan(cust, "payload", every_n=2).select(
+        "c_custkey", "parsed", "codec", "n_frames", "n_keyframes",
+        "frame_index", "keyframe_index", "decode_ahead",
+    )
+
+
+_MOV_KEYFRAME_PAYLOAD_EXPR = _mov_keyframe_payload_expr()
+
+
+SQL_VIDEO_KEYFRAME_PLAN = """
+WITH params AS (
+  SELECT c_custkey,
+         c_custkey % 5 = 0 AS bad,
+         CAST(6 + (c_custkey % 3) * 3 AS INT) AS n,
+         CAST(1 + c_custkey % 4 AS INT) AS kf
+  FROM customer WHERE c_custkey < 400
+),
+expanded AS (
+  SELECT c_custkey, bad, n, kf,
+         unnest(CASE WHEN bad THEN [CAST(NULL AS INT)]
+                     ELSE CAST(range(0, n, 2) AS INT[]) END) AS fi
+  FROM params
+)
+SELECT c_custkey,
+       NOT bad AS parsed,
+       CASE WHEN NOT bad THEN 'jpeg' END AS codec,
+       CASE WHEN NOT bad THEN n END AS n_frames,
+       CASE WHEN NOT bad THEN CAST(CEIL(n * 1.0 / kf) AS INT) END
+         AS n_keyframes,
+       fi AS frame_index,
+       CASE WHEN NOT bad THEN fi - fi % kf END AS keyframe_index,
+       CASE WHEN NOT bad THEN fi % kf END AS decode_ahead
+FROM expanded
+"""
+
+
+QUERIES.update({"video_keyframe_plan": q_video_keyframe_plan})
+ORACLES.update({"video_keyframe_plan": SQL_VIDEO_KEYFRAME_PLAN})

@@ -2763,3 +2763,90 @@ class TestCorpusOverlap:
         assert got[11][0] == 3 and got[11][1] == 1
         assert got[12] == (2, 0, 0.0)
         assert 13 not in got  # no n-grams -> no row
+
+
+class TestKeyframeIndex:
+    """stss sync-sample parsing + video_keyframe_plan (round 10)."""
+
+    def _mov(self, n=9, kf=3):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_mov, encode_jpeg_solid_gray,
+        )
+
+        return build_mjpeg_mov(
+            [encode_jpeg_solid_gray(100)] * n, fps=25, keyframe_every=kf
+        )
+
+    def test_stss_round_trip(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _mp4_video_sample_info,
+        )
+
+        info = _mp4_video_sample_info(self._mov(n=9, kf=3))
+        assert info is not None and info["n_frames"] == 9
+        assert info["keyframes"] == [1, 4, 7]
+
+    def test_no_stss_means_all_sync(self):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            _mp4_video_sample_info, build_mjpeg_mov, encode_jpeg_solid_gray,
+        )
+
+        info = _mp4_video_sample_info(
+            build_mjpeg_mov([encode_jpeg_solid_gray(50)] * 4, fps=25)
+        )
+        assert info is not None and info["keyframes"] is None
+
+    def test_plan_snaps_to_keyframes(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            video_keyframe_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._mov(n=9, kf=3)))],
+            "media_id long, payload binary",
+        )
+        rows = sorted(
+            video_keyframe_plan(df, every_n=2).collect(),
+            key=lambda r: r.frame_index,
+        )
+        got = [(r.frame_index, r.keyframe_index, r.decode_ahead) for r in rows]
+        # sync samples at 0,3,6 (0-based); grid 0,2,4,6,8
+        assert got == [(0, 0, 0), (2, 0, 2), (4, 3, 1), (6, 6, 0), (8, 6, 2)]
+        assert all(r.n_keyframes == 3 and r.n_frames == 9 for r in rows)
+
+    def test_plan_without_stss_has_zero_decode_ahead(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_mov, encode_jpeg_solid_gray, video_keyframe_plan,
+        )
+
+        mov = build_mjpeg_mov([encode_jpeg_solid_gray(50)] * 5, fps=25)
+        df = spark.createDataFrame(
+            [(1, bytearray(mov))], "media_id long, payload binary"
+        )
+        rows = video_keyframe_plan(df, every_n=2).collect()
+        assert all(r.decode_ahead == 0 for r in rows)
+        assert all(r.n_keyframes == 5 for r in rows)
+
+    def test_garbage_payload_honest_row(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            video_keyframe_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a video"))], "media_id long, payload binary"
+        )
+        rows = video_keyframe_plan(df).collect()
+        assert len(rows) == 1 and rows[0].parsed is False
+
+    def test_frame_stats_unaffected_by_stss(self, spark):
+        # the stss box must not disturb the existing frame decode walk
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            video_frame_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._mov(n=4, kf=2)))],
+            "media_id long, payload binary",
+        )
+        rows = video_frame_stats(df, every_n=1).collect()
+        assert len(rows) == 4 and all(r.decoded for r in rows)
