@@ -457,3 +457,74 @@ def cap_per_language(
         default_budget=default_budget,
         salt=salt,
     ).drop("__sz")
+
+
+#: Canonical door order of foreach_batch_corpus_ingest's observability
+#: snapshots ({table}_ingest_log rows) — the lag() baseline for per-door
+#: rejection attribution.
+INGEST_STAGE_ORDER: tuple[str, ...] = (
+    "arrived",
+    "url_door",
+    "compliance_door",
+    "lang_quality_gate",
+    "decontamination_door",
+    "in_batch_exact",
+    "corpus_doors",
+    "admitted",
+)
+
+
+def ingest_log_report(
+    log_df: DataFrame,
+    stage_order: Sequence[str] = INGEST_STAGE_ORDER,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-door rollup of a ``{table}_ingest_log`` observability table
+    (round 10, VERDICT r9 item #10 — the oracled READER for the door
+    log the round-9 streaming ingest writes): each log row is a
+    post-door snapshot ``(batch_id, stage, n_rows)``; this report
+    answers "which door rejected my data" across batches — per door,
+    the rows that arrived at it, the rows it passed, the rows it
+    rejected, and the rejection rate.
+
+    Rows-in per (batch, door) is the PREVIOUS door's snapshot (lag over
+    the canonical ``stage_order``; a batch's first logged stage rejects
+    nothing by definition). Doors a run never logged (disabled flags)
+    simply don't appear. One window over the (batch) key + one
+    door-cardinality aggregate — log tables are
+    batches × doors, trivially bounded.
+
+    Returns ``(stage, n_batches, rows_in, rows_out, n_rejected,
+    reject_rate)`` in door order.
+    """
+    from pyspark.sql.window import Window
+
+    rank = F.lit(len(stage_order))
+    for i, s in reversed(list(enumerate(stage_order))):
+        rank = F.when(F.col("stage") == s, F.lit(i)).otherwise(rank)
+    w = Window.partitionBy("batch_id").orderBy("__rank")
+    staged = log_df.select(
+        "batch_id", "stage", rank.alias("__rank"),
+        F.col("n_rows").cast("long").alias("__out"),
+    ).withColumn(
+        "__in", F.coalesce(F.lag("__out").over(w), F.col("__out"))
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.min("__rank").alias("__r"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("__in").alias("rows_in"),
+            F.sum("__out").alias("rows_out"),
+            (F.sum("__in") - F.sum("__out")).alias("n_rejected"),
+            F.round(
+                F.when(
+                    F.sum("__in") > 0,
+                    (F.sum("__in") - F.sum("__out")) / F.sum("__in"),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("reject_rate"),
+        )
+        .orderBy("__r")
+        .drop("__r")
+    )

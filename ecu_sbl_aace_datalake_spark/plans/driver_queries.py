@@ -17040,3 +17040,86 @@ FROM expanded
 
 QUERIES.update({"video_keyframe_plan": q_video_keyframe_plan})
 ORACLES.update({"video_keyframe_plan": SQL_VIDEO_KEYFRAME_PLAN})
+
+
+def q_ingest_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-door ingest-log rollup (pipeline.ingest_log_report, round 10,
+    VERDICT r9 item #10 — the oracled READER for the round-9 streaming
+    door log): a deterministic 3-batch log is synthesized from the
+    fixtures by replaying three ingest doors relationally (arrived →
+    lang/quality gate → in-batch exact dedup, batch = doc_id % 3), then
+    rolled up per door: rows in / out / rejected / rejection rate via a
+    lag over the canonical door order. The reader is the surface an
+    ingest operator queries when a source's admission rate drops."""
+    from ..operators import pipeline, textstats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (F.col("doc_id") % 3).cast("long").alias("batch_id")
+    scored = textstats.with_quality_score(
+        textstats.with_lang_id(docs, "text"), "text"
+    )
+    gated = scored.where(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    log = (
+        docs.groupBy(b)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("batch_id", F.lit("arrived").alias("stage"), "n_rows")
+        .unionByName(
+            gated.groupBy(b)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "batch_id",
+                F.lit("lang_quality_gate").alias("stage"),
+                "n_rows",
+            )
+        )
+        .unionByName(
+            gated.groupBy(b)
+            .agg(F.countDistinct(norm).alias("n_rows"))
+            .select(
+                "batch_id", F.lit("in_batch_exact").alias("stage"), "n_rows"
+            )
+        )
+    )
+    return pipeline.ingest_log_report(log)
+
+
+SQL_INGEST_DOOR_ROLLUP = SQL_CORPUS_PREPARE.split("kept AS (")[0] + r"""base AS (
+  SELECT doc_id % 3 AS batch_id, doc_id, text, lang_pred, quality_score
+  FROM quality
+),
+log AS (
+  SELECT batch_id, 'arrived' AS stage, 0 AS r, COUNT(*) AS n
+  FROM base GROUP BY batch_id
+  UNION ALL
+  SELECT batch_id, 'lang_quality_gate', 1, COUNT(*)
+  FROM base WHERE lang_pred = 'en' AND quality_score >= 0.5
+  GROUP BY batch_id
+  UNION ALL
+  SELECT batch_id, 'in_batch_exact', 2,
+         COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+  FROM base WHERE lang_pred = 'en' AND quality_score >= 0.5
+  GROUP BY batch_id
+),
+staged AS (
+  SELECT stage, r, n,
+         COALESCE(LAG(n) OVER (PARTITION BY batch_id ORDER BY r), n) AS rin
+  FROM log
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(rin) AS BIGINT) AS rows_in,
+       CAST(SUM(n) AS BIGINT) AS rows_out,
+       CAST(SUM(rin) - SUM(n) AS BIGINT) AS n_rejected,
+       ROUND(CASE WHEN SUM(rin) > 0
+                  THEN (SUM(rin) - SUM(n)) * 1.0 / SUM(rin)
+                  ELSE 0.0 END, 6) AS reject_rate
+FROM staged GROUP BY stage, r ORDER BY r
+"""
+assert "base AS (" in SQL_INGEST_DOOR_ROLLUP  # split() must not rot
+
+
+QUERIES.update({"ingest_door_rollup": q_ingest_door_rollup})
+ORACLES.update({"ingest_door_rollup": SQL_INGEST_DOOR_ROLLUP})

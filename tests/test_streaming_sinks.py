@@ -966,6 +966,27 @@ class TestIngestDoorLog:
             seq = [rows[(b, s)] for s in order if (b, s) in rows]
             assert seq == sorted(seq, reverse=True), (b, seq)
 
+        # round 10: the rollup READER consumes the real writer's table
+        from ecu_sbl_aace_datalake_spark.operators.pipeline import (
+            ingest_log_report,
+        )
+
+        rep = {r.stage: r for r in ingest_log_report(log).collect()}
+        # compliance door saw both batches (4 + 2), rejected the noai doc
+        assert rep["compliance_door"].rows_in == 6
+        assert rep["compliance_door"].n_rejected == 1
+        # lang gate: batch-0 in=3 rejects 1; batch-1 in=2 rejects 0
+        assert rep["lang_quality_gate"].rows_in == 5
+        assert rep["lang_quality_gate"].n_rejected == 1
+        assert rep["lang_quality_gate"].reject_rate == 0.2
+        # corpus door (batch 1 only): 1 of 1 rejected after in-batch exact
+        assert rep["corpus_doors"].n_batches == 1
+        assert rep["corpus_doors"].n_rejected == 1
+        # 'arrived' and 'admitted' reject nothing by definition
+        assert rep["arrived"].n_rejected == 0
+        assert rep["admitted"].n_rejected == 0
+        assert rep["arrived"].rows_in == 6 and rep["admitted"].rows_out == 2
+
     def test_log_off_writes_no_table(self, spark, tmp_path):
         import glob
         import os
