@@ -1795,3 +1795,105 @@ def cohens_kappa(
             F.round(kappa, round_to).alias("kappa"),
         )
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gate-threshold tuning table (round 10, VERDICT r9 item #10): for
+    every candidate threshold ``t = b/n_bins``, the admission outcome
+    of gating at ``score >= t`` — documents admitted, admitted
+    fraction, precision (observed positive rate among admitted, i.e.
+    1 − junk-admission rate), recall of positives, and F1. This is the
+    decision table :func:`calibration_report` feeds: calibration tells
+    you whether the scores MEAN what they say; the sweep tells you
+    where to CUT for a target junk rate or coverage.
+
+    Same clamped equal-width binning as :func:`calibration_report`
+    (scores expected in [0,1]; out-of-range clamp to edge bins), so a
+    document admitted at threshold ``b/n_bins`` is exactly one whose
+    bin ≥ b. One ``n_bins``-row aggregate + a cumulative window DOWN
+    the bins (top-bin-first running sums) + a 1-row total broadcast —
+    nothing scales with the corpus beyond the first aggregate.
+
+    Returns ``(threshold, n_admitted, frac_admitted, precision,
+    recall, f1)`` — one row per candidate threshold, 0/n_bins …
+    (n_bins−1)/n_bins; precision/f1 NULL when nothing is admitted,
+    recall NULL when there are no positives.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    b = F.greatest(
+        F.least(
+            F.floor(s * F.lit(float(n_bins))).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    )
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        b.alias("__b"), lab.alias("__l")
+    )
+    per_bin = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__l").alias("__pos")
+    )
+    # densify: bins with no docs must still yield a threshold row
+    spark = df.sparkSession
+    bins = spark.range(int(n_bins)).select(F.col("id").cast("int").alias("__b"))
+    per_bin = bins.join(per_bin, "__b", "left").select(
+        "__b",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+        F.coalesce(F.col("__pos"), F.lit(0)).alias("__pos"),
+    )
+    w = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__tn"), F.sum("__l").alias("__tpos")
+    )
+    cum = per_bin.select(
+        "__b",
+        F.sum("__n").over(w).alias("__adm"),
+        F.sum("__pos").over(w).alias("__adm_pos"),
+    )
+    adm = F.col("__adm").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("__b") / F.lit(float(n_bins)), round_to).alias(
+                "threshold"
+            ),
+            F.col("__adm").alias("n_admitted"),
+            F.round(
+                F.when(F.col("__tn") > 0, adm / F.col("__tn")).otherwise(0.0),
+                round_to,
+            ).alias("frac_admitted"),
+            F.round(
+                F.when(F.col("__adm") > 0, F.col("__adm_pos") / adm),
+                round_to,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("__tpos") > 0, F.col("__adm_pos") / F.col("__tpos")
+                ),
+                round_to,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("__adm") > 0)
+                    & (F.col("__tpos") > 0)
+                    & (F.col("__adm_pos") > 0),
+                    2.0
+                    * F.col("__adm_pos")
+                    / (F.col("__adm") + F.col("__tpos")),
+                ),
+                round_to,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

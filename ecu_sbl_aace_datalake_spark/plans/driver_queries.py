@@ -17123,3 +17123,73 @@ assert "base AS (" in SQL_INGEST_DOOR_ROLLUP  # split() must not rot
 
 QUERIES.update({"ingest_door_rollup": q_ingest_door_rollup})
 ORACLES.update({"ingest_door_rollup": SQL_INGEST_DOOR_ROLLUP})
+
+
+def q_gate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-driven gate-threshold tuner (ml.threshold_sweep,
+    round 10, VERDICT r9 item #10): for each candidate cut t = b/10,
+    the admission outcome of gating the trained quality classifier at
+    score >= t against the heuristic gate it distills — admitted count
+    and fraction, precision (1 − junk-admission rate), recall, F1. The
+    companion decision table to classifier_calibration: calibration
+    says whether scores mean what they claim, the sweep says where to
+    cut. One 10-row aggregate + a top-down cumulative window."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = classifier.classifier_scores(
+        docs, classifier.WEIGHTS_QUALITY_V1
+    )
+    lab = textstats.with_quality_score(docs, "text").select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("__label")
+    )
+    return ml.threshold_sweep(
+        scores.join(lab, "doc_id"), "clf_score", "__label", n_bins=10
+    )
+
+
+SQL_GATE_THRESHOLD_SWEEP = (
+    "WITH scores AS (" + SQL_QUALITY_CLASSIFIER_SCORES + """),
+q AS (""" + SQL_TEXT_QUALITY + """),
+j AS (
+  SELECT s.clf_score AS sc, CAST(q.quality_score >= 0.5 AS INT) AS lab
+  FROM scores s JOIN q ON q.doc_id = s.doc_id
+  WHERE s.clf_score IS NOT NULL AND q.quality_score IS NOT NULL
+),
+per_bin AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR(sc * 10.0) AS INT), 9), 0) AS b,
+         COUNT(*) AS n, SUM(lab) AS pos
+  FROM j GROUP BY 1
+),
+dense AS (
+  SELECT CAST(gb AS INT) AS b,
+         COALESCE(n, 0) AS n, COALESCE(pos, 0) AS pos
+  FROM (SELECT unnest(range(0, 10)) AS gb)
+  LEFT JOIN per_bin ON per_bin.b = gb
+),
+cum AS (
+  SELECT b,
+         SUM(n) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adm,
+         SUM(pos) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adm_pos
+  FROM dense
+),
+tot AS (SELECT COUNT(*) AS tn, SUM(lab) AS tpos FROM j)
+SELECT ROUND(b / 10.0, 6) AS threshold,
+       CAST(adm AS BIGINT) AS n_admitted,
+       ROUND(CASE WHEN tn > 0 THEN adm * 1.0 / tn ELSE 0.0 END, 6)
+         AS frac_admitted,
+       ROUND(CASE WHEN adm > 0 THEN adm_pos * 1.0 / adm END, 6)
+         AS precision,
+       ROUND(CASE WHEN tpos > 0 THEN adm_pos * 1.0 / tpos END, 6)
+         AS recall,
+       ROUND(CASE WHEN adm > 0 AND tpos > 0 AND adm_pos > 0
+                  THEN 2.0 * adm_pos / (adm + tpos) END, 6) AS f1
+FROM cum CROSS JOIN tot ORDER BY threshold
+"""
+)
+
+
+QUERIES.update({"gate_threshold_sweep": q_gate_threshold_sweep})
+ORACLES.update({"gate_threshold_sweep": SQL_GATE_THRESHOLD_SWEEP})

@@ -72,34 +72,41 @@ def downstream(exact):
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # run variants in SEPARATE processes (DIAG_VARIANT=A|B|C|ALL):
+    # shared-session ordering contaminates timings (JIT warm-up, page
+    # cache, leaked persist-and-forget storage)
+    variants = os.environ.get("DIAG_VARIANT", "ALL").upper()
     spark = get_spark("diag_r10")
     src = planted_docs(spark, sf_dir, MULT)
 
-    t0 = time.perf_counter()
-    full = pipeline.prepare_corpus(
-        src, pack_budget=512, neardup_bands=32,
-        drop_opted_out=True, license_families=FAMS, line_dedup=True,
-    )
-    pipeline.corpus_report(full, pack_budget=512).count()
-    print(f"A library lazy      : {time.perf_counter() - t0:.2f} s",
-          flush=True)
+    if variants in ("A", "ALL"):
+        t0 = time.perf_counter()
+        full = pipeline.prepare_corpus(
+            src, pack_budget=512, neardup_bands=32,
+            drop_opted_out=True, license_families=FAMS, line_dedup=True,
+        )
+        pipeline.corpus_report(full, pack_budget=512).count()
+        print(f"A library lazy      : {time.perf_counter() - t0:.2f} s",
+              flush=True)
 
-    t0 = time.perf_counter()
-    exact_b = upstream(src).persist()
-    downstream(exact_b).count()
-    print(f"B inline lazy       : {time.perf_counter() - t0:.2f} s",
-          flush=True)
-    exact_b.unpersist()
+    if variants in ("B", "ALL"):
+        t0 = time.perf_counter()
+        exact_b = upstream(src).persist()
+        downstream(exact_b).count()
+        print(f"B inline lazy       : {time.perf_counter() - t0:.2f} s",
+              flush=True)
+        exact_b.unpersist()
 
-    t0 = time.perf_counter()
-    exact_c = upstream(src).persist()
-    n = exact_c.count()
-    t1 = time.perf_counter()
-    downstream(exact_c).count()
-    print(f"C inline eager      : {time.perf_counter() - t0:.2f} s"
-          f" (boundary {t1 - t0:.2f} s + rest"
-          f" {time.perf_counter() - t1:.2f} s, {n} rows)", flush=True)
-    exact_c.unpersist()
+    if variants in ("C", "ALL"):
+        t0 = time.perf_counter()
+        exact_c = upstream(src).persist()
+        n = exact_c.count()
+        t1 = time.perf_counter()
+        downstream(exact_c).count()
+        print(f"C inline eager      : {time.perf_counter() - t0:.2f} s"
+              f" (boundary {t1 - t0:.2f} s + rest"
+              f" {time.perf_counter() - t1:.2f} s, {n} rows)", flush=True)
+        exact_c.unpersist()
 
 
 if __name__ == "__main__":
