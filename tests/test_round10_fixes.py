@@ -144,3 +144,55 @@ class TestCalibrationBottomClamp:
         assert set(rows) == {1, 9}
         assert rows[1].n == 2 and rows[1].frac_pos == pytest.approx(0.5)
         assert rows[9].mean_score == pytest.approx(0.95)
+
+
+class TestThresholdSweep:
+    """ml.threshold_sweep (round 10): the gate-cut decision table."""
+
+    def _df(self, spark):
+        rows = [
+            (0.05, 0), (0.15, 0), (0.25, 1), (0.35, 0), (0.45, 1),
+            (0.55, 1), (0.65, 0), (0.75, 1), (0.85, 1), (0.95, 1),
+        ]
+        return spark.createDataFrame(rows, "s double, l int")
+
+    def test_known_sweep_values(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        out = {r.threshold: r for r in ml.threshold_sweep(
+            self._df(spark), "s", "l", n_bins=10
+        ).collect()}
+        assert len(out) == 10
+        # t=0.0 admits everything: precision = 6/10, recall 1
+        assert out[0.0].n_admitted == 10
+        assert out[0.0].precision == pytest.approx(0.6)
+        assert out[0.0].recall == pytest.approx(1.0)
+        # t=0.5 admits 5 docs (0.55..0.95), 4 positives
+        assert out[0.5].n_admitted == 5
+        assert out[0.5].precision == pytest.approx(0.8)
+        assert out[0.5].recall == pytest.approx(4 / 6, abs=1e-6)
+        assert out[0.5].f1 == pytest.approx(2 * 4 / (5 + 6), abs=1e-6)
+        # monotone: admitted count non-increasing in threshold
+        adm = [out[k].n_admitted for k in sorted(out)]
+        assert adm == sorted(adm, reverse=True)
+
+    def test_empty_bins_still_emit_thresholds(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame([(0.95, 1), (0.92, 0)], "s double, l int")
+        rows = ml.threshold_sweep(df, "s", "l", n_bins=10).collect()
+        assert len(rows) == 10
+        by = {r.threshold: r for r in rows}
+        # every threshold up to 0.9 admits both docs
+        assert all(by[t].n_admitted == 2 for t in by if t <= 0.9)
+
+    def test_no_admits_gives_null_precision(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame([(0.05, 1)], "s double, l int")
+        by = {r.threshold: r for r in ml.threshold_sweep(
+            df, "s", "l", n_bins=10
+        ).collect()}
+        assert by[0.9].n_admitted == 0
+        assert by[0.9].precision is None
+        assert by[0.0].n_admitted == 1
