@@ -273,6 +273,11 @@ BENCH_QUERIES = [
     "classifier_calibration",
     "gate_agreement_kappa",
     "pack_attention_stats",
+    "pack_boundary_offsets",
+    "corpus_prepare_indexed",
+    "video_keyframe_plan",
+    "ingest_door_rollup",
+    "gate_threshold_sweep",
 ]
 
 

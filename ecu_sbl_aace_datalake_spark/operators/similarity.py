@@ -2046,27 +2046,85 @@ def margin_pairs_pooled(
     :func:`persist_ivf_index` table's frozen centroids); ``top_m``
     should comfortably exceed ``k`` so each pool member has a full k-NN
     neighborhood for the margin denominator.
+
+    Cold-start shape (round 10, VERDICT r9 item #8): each side's
+    centroid ASSIGNMENT (the ``_centroid_dists`` literal-matrix fold —
+    the dominant first-run JIT cost) is computed ONCE per side and
+    persisted; both directed probes reuse the same assigned relations
+    (x is query in one direction and corpus in the other, so the naive
+    two-``ivf_topk`` composition JIT-compiled and evaluated every
+    assignment twice). Probe join / scoring / ranking replicate
+    :func:`ivf_topk` exactly (same argmin tie-break via the
+    (distance, index) sort, same unrounded-score window) — results are
+    bit-identical to the previous composition and the oracle replay.
     """
-    fwd_cand = ivf_topk(
-        y,
-        x.select(F.col(id_col).alias("__qid"), vec_col),
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=top_m,
-        n_probe=n_probe,
-        query_id_col="__qid",
-    ).select(F.col("__qid").alias("x_id"), F.col(id_col).alias("y_id"))
-    bwd_cand = ivf_topk(
-        x,
-        y.select(F.col(id_col).alias("__qid"), vec_col),
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=top_m,
-        n_probe=n_probe,
-        query_id_col="__qid",
-    ).select(F.col(id_col).alias("x_id"), F.col("__qid").alias("y_id"))
+    from ..caching import persist_in
+
+    nc = len(centroids)
+
+    def _assign(side):
+        v = _as_double(F.col(vec_col))
+        d = _centroid_dists(v, centroids)
+        probe = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        d,
+                        F.sequence(F.lit(0), F.lit(nc - 1)),
+                        lambda dd, i: F.struct(dd.alias("d"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1,
+            n_probe,
+        )
+        return side.select(
+            F.col(id_col).alias("__id"),
+            v.alias("__vec"),
+            probe.alias("__cl"),
+        )
+
+    xa = persist_in(scope, _assign(x))
+    ya = persist_in(scope, _assign(y))
+
+    def _directed(corpus_a, queries_a):
+        # corpus bucket = nearest centroid = first probe entry (the
+        # (d, i) sort ties to the lowest index, matching
+        # _nearest_centroid's array_position argmin)
+        c = corpus_a.select(
+            F.col("__id").alias("__cid"),
+            F.col("__vec").alias("__cvec"),
+            F.element_at("__cl", 1).alias("__cluster"),
+        )
+        q = queries_a.select(
+            F.col("__id").alias("__qid"),
+            F.col("__vec").alias("__qvec"),
+            F.explode("__cl").alias("__cluster"),
+        )
+        joined = c.join(F.broadcast(q), "__cluster").where(
+            ~F.col("__qid").eqNullSafe(F.col("__cid"))
+        )
+        a, b = F.col("__cvec"), F.col("__qvec")
+        scored = joined.withColumn(
+            "__score",
+            dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b))),
+        )
+        w = Window.partitionBy("__qid").orderBy(
+            F.col("__score").desc(), F.col("__cid").asc()
+        )
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= top_m)
+            .select("__qid", "__cid")
+        )
+
+    fwd_cand = _directed(ya, xa).select(
+        F.col("__qid").alias("x_id"), F.col("__cid").alias("y_id")
+    )
+    bwd_cand = _directed(xa, ya).select(
+        F.col("__cid").alias("x_id"), F.col("__qid").alias("y_id")
+    )
     pool = fwd_cand.unionByName(bwd_cand)
     return margin_pairs(
         x,
