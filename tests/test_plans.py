@@ -261,6 +261,7 @@ class TestGlobalPlanInvariants:
         "conformal_intervals",  # 1-row (n,k) + 1-row q-hat scalar broadcasts
         "bh_fdr",               # 1-row max-passing-rank scalar broadcast
         "cuped_adjustment",     # 1-row pooled-theta scalar broadcast
+        "gate_threshold_sweep",  # 1-row (total, positives) scalar broadcast
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
@@ -291,6 +292,7 @@ class TestGlobalPlanInvariants:
         "image_neardup",       # same decode feeding the banded Hamming join
         "audio_fingerprint",   # real WAV sample decode (mapInPandas, declared)
         "audio_neardup",       # same decode feeding the banded Hamming join
+        "video_keyframe_plan",  # real stss sample-table box walk (mapInPandas)
     }
 
     def test_no_unexpected_cartesian_or_python(self, spark, sf_dir):
