@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "video_keyframe_plan",
     "ingest_door_rollup",
     "gate_threshold_sweep",
+    "mann_whitney",
+    "dim_truncation_recall",
 ]
 
 

@@ -1897,3 +1897,85 @@ def threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups
+    (round 10): the nonparametric A/B location test that completes the
+    KS / chi² / z-test battery — rank-based, so heavy-tailed metrics
+    (revenue, latency) don't need trimming before comparison.
+
+    Rank arithmetic is INTEGER-EXACT: the pooled midranks are computed
+    per DISTINCT VALUE (2·midrank = 2·cum_count_before + tie_count + 1,
+    always an integer), so the rank sum never depends on row order or
+    float summation; only the final z divides as double. Tie-corrected
+    variance ``σ² = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n·(n−1)))``. One
+    value-level aggregate (cardinality = distinct values) + one ordered
+    window over it + a 1-row reduce — nothing scales with row count
+    past the first aggregate.
+
+    Returns ONE row ``(n_a, n_b, u_a, u_b, z)``: ``u_a`` counts pairs
+    where a's value beats b's (ties half), ``z`` is the tie-corrected
+    normal approximation (NULL when either group is empty or all values
+    tie). Two-sided p comes from |z| against the caller's normal table
+    — no erf builtin exists in either engine, so the statistic is the
+    contract.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col).cast("string")
+    val = F.col(value_col).cast("double")
+    base = df.where(
+        val.isNotNull() & g.isin(str(group_a), str(group_b))
+    ).select(
+        val.alias("__v"),
+        (g == str(group_a)).cast("long").alias("__ia"),
+    )
+    per_val = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__t"), F.sum("__ia").alias("__ta")
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_val.withColumn(
+        "__cum", F.sum("__t").over(w)
+    ).select(
+        "__v", "__t", "__ta",
+        # 2*midrank of every row tied at this value (integer-exact)
+        (2 * (F.col("__cum") - F.col("__t")) + F.col("__t") + 1).alias("__r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__ta") * F.col("__r2")).alias("__r2a"),
+        F.sum("__ta").alias("__na"),
+        F.sum(F.col("__t") - F.col("__ta")).alias("__nb"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    n = na + nb
+    # U_a = R_a − n_a(n_a+1)/2, with R_a = __r2a/2 (exact halves)
+    ua = F.col("__r2a").cast("double") / 2 - na * (na + 1) / 2
+    ub = na * nb - ua
+    var = (
+        na * nb / 12.0
+        * ((n + 1) - F.col("__ties").cast("double") / (n * (n - 1)))
+    )
+    z = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0) & (var > 0),
+        (ua - na * nb / 2) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(ua, round_to).alias("u_a"),
+        F.round(ub, round_to).alias("u_b"),
+        F.round(z, round_to).alias("z"),
+    )

@@ -2286,3 +2286,67 @@ def embedding_drift(
         )
     )
     return out
+
+
+def dim_truncation_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation (round 10): for
+    each candidate prefix length ``d``, the recall@k of exact cosine
+    top-k computed on the FIRST ``d`` dimensions against the full-width
+    ground truth — the table that decides how far an MRL-trained (or
+    merely truncation-tolerant) embedding column can be cut before the
+    ANN index built on it stops returning the right neighbors. Storage
+    and scan cost scale linearly with ``d``; this measures what that
+    buys back.
+
+    Ground truth and every truncated run share :func:`cosine_topk`'s
+    deterministic tie-break (score desc, id asc), so the table replays
+    relationally. ``recall_at_k = |topk_d ∩ topk_full| / (|queries|·k)``
+    — identical to mean per-query recall when every query has ≥ k
+    corpus candidates. Cost: one corpus scan per dim over a BROADCAST
+    pinned query set (dims are a handful; at 100 TB the evaluation runs
+    on a query/corpus SAMPLE by construction — it estimates a ratio,
+    not a per-document property).
+
+    Returns ``(dim, n_queries, recall_at_k)`` ordered by dim.
+    """
+    truth = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    out = None
+    for d in sorted(int(d) for d in dims):
+        c_d = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+        q_d = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+        top_d = cosine_topk(
+            c_d, q_d, id_col=id_col, vec_col=vec_col, k=k,
+            query_id_col=query_id_col,
+        ).select(query_id_col, id_col)
+        hits = top_d.join(truth, [query_id_col, id_col])
+        row = (
+            truth.agg(
+                F.countDistinct(query_id_col).alias("n_queries")
+            )
+            .crossJoin(
+                F.broadcast(hits.agg(F.count(F.lit(1)).alias("__hits")))
+            )
+            .select(
+                F.lit(d).alias("dim"),
+                "n_queries",
+                F.round(
+                    F.col("__hits")
+                    / (F.col("n_queries") * F.lit(float(k))),
+                    round_to,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")

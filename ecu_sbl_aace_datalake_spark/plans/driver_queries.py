@@ -17193,3 +17193,125 @@ FROM cum CROSS JOIN tot ORDER BY threshold
 
 QUERIES.update({"gate_threshold_sweep": q_gate_threshold_sweep})
 ORACLES.update({"gate_threshold_sweep": SQL_GATE_THRESHOLD_SWEEP})
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (ml.mann_whitney_u, round 10):
+    urgent vs low-priority order values — the nonparametric A/B
+    location test (rank-based, heavy-tail-safe) completing the
+    KS/chi²/z battery. Integer-exact pooled midranks per distinct
+    value; tie-corrected normal z. Oracle replays the identical
+    2·midrank arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    return ml.mann_whitney_u(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS ia
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+),
+per_val AS (
+  SELECT v, COUNT(*) AS t, SUM(ia) AS ta FROM base GROUP BY v
+),
+ranked AS (
+  SELECT t, ta,
+         2 * (SUM(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS r2
+  FROM per_val
+),
+agg AS (
+  SELECT SUM(ta * r2) AS r2a, SUM(ta) AS na, SUM(t - ta) AS nb,
+         SUM(t * t * t - t) AS ties
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       ROUND(r2a / 2.0 - na * (na + 1) / 2.0, 6) AS u_a,
+       ROUND(na * nb - (r2a / 2.0 - na * (na + 1) / 2.0), 6) AS u_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 AND
+                  na * nb / 12.0 * ((na + nb + 1)
+                    - ties * 1.0 / ((na + nb) * (na + nb - 1))) > 0
+             THEN ((r2a / 2.0 - na * (na + 1) / 2.0) - na * nb / 2.0)
+                  / SQRT(na * nb / 12.0 * ((na + nb + 1)
+                    - ties * 1.0 / ((na + nb) * (na + nb - 1))))
+             END, 6) AS z
+FROM agg
+"""
+
+
+QUERIES.update({"mann_whitney": q_mann_whitney})
+ORACLES.update({"mann_whitney": SQL_MANN_WHITNEY})
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation recall
+    (similarity.dim_truncation_eval, round 10): recall@10 of exact
+    cosine top-k on the first 4/16/64 dims vs the full 64-dim ground
+    truth, 16 pinned queries — the decision table for cutting an
+    embedding column's width (storage/scan cost is linear in d; this
+    measures what it buys back). Shared deterministic tie-break with
+    cosine_topk; oracle replays truncation (list slices), scoring, both
+    top-k cuts, and the hit ratio."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.dim_truncation_eval(
+        emb, queries, dims=[4, 16, 64], k=10
+    )
+
+
+SQL_DIM_TRUNCATION_RECALL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 16
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv))
+                  * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.vec_id) AS rn
+    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rn <= 10
+),
+dims AS (SELECT unnest([4, 16, 64]) AS d),
+topd AS (
+  SELECT d, query_id, vec_id FROM (
+    SELECT dims.d, q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY dims.d, q.query_id ORDER BY
+             list_dot_product(c.cv[1:dims.d], q.qv[1:dims.d])
+               / (sqrt(list_dot_product(c.cv[1:dims.d], c.cv[1:dims.d]))
+                  * sqrt(list_dot_product(q.qv[1:dims.d], q.qv[1:dims.d])))
+               DESC,
+             c.vec_id) AS rn
+    FROM c CROSS JOIN q CROSS JOIN dims WHERE c.vec_id <> q.query_id
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT d, COUNT(*) AS h
+  FROM topd JOIN truth USING (query_id, vec_id) GROUP BY d
+),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM truth)
+SELECT CAST(g.gd AS INT) AS dim,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       ROUND(COALESCE(h.h, 0) / (nq.n * 10.0), 6) AS recall_at_k
+FROM (SELECT unnest([4, 16, 64]) AS gd) g
+LEFT JOIN hits h ON h.d = g.gd
+CROSS JOIN nq
+ORDER BY dim
+"""
+
+
+QUERIES.update({"dim_truncation_recall": q_dim_truncation_recall})
+ORACLES.update({"dim_truncation_recall": SQL_DIM_TRUNCATION_RECALL})

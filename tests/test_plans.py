@@ -262,6 +262,7 @@ class TestGlobalPlanInvariants:
         "bh_fdr",               # 1-row max-passing-rank scalar broadcast
         "cuped_adjustment",     # 1-row pooled-theta scalar broadcast
         "gate_threshold_sweep",  # 1-row (total, positives) scalar broadcast
+        "dim_truncation_recall",  # pinned query-set broadcasts (cosine_topk per dim) + 1-row hit-count scalars
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

@@ -196,3 +196,89 @@ class TestThresholdSweep:
         assert by[0.9].n_admitted == 0
         assert by[0.9].precision is None
         assert by[0.0].n_admitted == 1
+
+
+class TestMannWhitney:
+    def test_no_ties_known_values(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+            "g string, v double",
+        )
+        r = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert (r.n_a, r.n_b) == (3, 3)
+        assert r.u_a == 0.0 and r.u_b == 9.0
+        # sigma^2 = 3*3/12 * 7 = 5.25; z = -4.5/sqrt(5.25)
+        assert r.z == pytest.approx(-4.5 / 5.25 ** 0.5, abs=1e-6)
+
+    def test_ties_half_counted_and_corrected(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+            "g string, v double",
+        )
+        r = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        # direct count: one a-vs-b tie at 2 -> U_a = 2 * 0.5 = 1
+        assert r.u_a == 1.0 and r.u_b == 5.0
+        # ties term: t=3 at value 2 -> 24; var = 0.5*(6 - 24/20) = 2.4
+        assert r.z == pytest.approx((1 - 3) / 2.4 ** 0.5, abs=1e-6)
+
+    def test_all_tied_z_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+        )
+        r = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r.z is None
+        assert r.u_a == 1.0  # two half-ties
+
+    def test_other_groups_excluded(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", 99.0), (None, 3.0)],
+            "g string, v double",
+        )
+        r = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert (r.n_a, r.n_b) == (1, 1)
+
+
+class TestDimTruncationEval:
+    def test_full_width_recall_is_one_and_monotonic_fixture(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = {r.dim: r for r in similarity.dim_truncation_eval(
+            emb, q, dims=[64, 8], k=5
+        ).collect()}
+        assert rows[64].recall_at_k == 1.0  # truncation at full width
+        assert 0.0 <= rows[8].recall_at_k <= 1.0
+        assert rows[8].n_queries == 4
+
+    def test_planted_prefix_signal(self, spark):
+        # neighbors determined entirely by the first 2 dims: truncating
+        # to 2 must already achieve recall 1
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        rows = [
+            (0, [1.0, 0.0, 0.3, -0.2]),
+            (1, [0.99, 0.01, -0.1, 0.4]),   # 0's neighbor in 2 dims
+            (2, [0.0, 1.0, 0.2, 0.1]),
+            (3, [0.01, 0.99, -0.3, 0.2]),   # 2's neighbor
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.where(F.col("vec_id").isin(0, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = {r.dim: r.recall_at_k for r in similarity.dim_truncation_eval(
+            emb, q, dims=[2, 4], k=1
+        ).collect()}
+        assert out[4] == 1.0 and out[2] == 1.0
