@@ -2,10 +2,9 @@
 
 ``entry(spark)`` runs the flagship TPC-H-Q1-shape aggregation at sf0.001.
 ``queries()`` / ``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 (+ north-star extensions) with DuckDB oracles; the single
-rows-only query (k-means-trained IVF top-k — the training loop is not
-ANSI-SQL-expressible) is covered by golden unit tests in tests/ and by
-its fully-oracled fixed-centroid twin.
+SURVEY.md §2 (+ north-star extensions); EVERY registered query carries a
+DuckDB oracle (zero rows-only since round 5 — even the trained paths are
+oracled via deterministic training or fixed-parameter twins).
 """
 
 from __future__ import annotations
