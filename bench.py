@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "gate_threshold_sweep",
     "mann_whitney",
     "dim_truncation_recall",
+    "c4_line_filters",
 ]
 
 

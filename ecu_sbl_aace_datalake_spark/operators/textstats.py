@@ -2003,3 +2003,63 @@ def readability_scores(
             "fk_grade"
         ),
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines_kept: int = 3,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning…" §2.2) as one pure-expression pass (round
+    10) — the canonical web-corpus line-level scrub that precedes every
+    quality/dedup stage:
+
+    - keep only lines ending in a terminal punctuation mark
+      (``. ! ? "``, optionally followed by a closing quote),
+    - keep only lines with ≥ ``min_words_per_line`` words,
+    - drop lines containing the word "javascript" (case-insensitive),
+    - drop the whole PAGE when it contains ``{`` or the phrase
+      "lorem ipsum" (case-insensitive),
+    - drop the page when fewer than ``min_lines_kept`` lines survive
+      (the paper's ≥-3-sentences floor; after the terminal-punctuation
+      filter, kept lines are the sentence proxy — documented
+      divergence: C4 counts sentences, we count surviving lines).
+
+    Everything is split / filter / regexp Column expressions in
+    whole-stage codegen — zero shuffles, linear at 100 TB; compose
+    BEFORE :func:`~.pipeline.prepare_corpus`'s gates (an opted-out or
+    junk page should not even be line-scanned is the one exception —
+    compliance doors still run first in the pipeline).
+
+    Returns surviving pages:
+    ``(id_col, out_col, n_lines_in, n_lines_kept)``.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    word_count = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(ln), r"\s+"), lambda t: t != "")
+    )
+    keep = lambda ln: (  # noqa: E731
+        ln.rlike(r'[.!?"][\)"\']*\s*$')
+        & (word_count(ln) >= F.lit(int(min_words_per_line)))
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, keep)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(lines).alias("n_lines_in"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias(out_col),
+    )
+    page_ok = (
+        ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & (F.col("n_lines_kept") >= F.lit(int(min_lines_kept)))
+    )
+    return base.where(page_ok).select(
+        id_col, out_col, "n_lines_in", "n_lines_kept"
+    )

@@ -17315,3 +17315,94 @@ ORDER BY dim
 
 QUERIES.update({"dim_truncation_recall": q_dim_truncation_recall})
 ORACLES.update({"dim_truncation_recall": SQL_DIM_TRUNCATION_RECALL})
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (textstats.c4_line_filters, round 10; Raffel
+    et al. 2020 §2.2): terminal-punctuation line filter, ≥5-words-per-
+    line, javascript-line drop, lorem-ipsum / curly-brace page drop,
+    ≥3-surviving-lines page floor. Pages are planted multi-line from
+    the fixture text: a punctuation-less nav header (always dropped), a
+    fixture-text sentence (kept iff long enough), two fixed kept
+    sentences, a too-short line, a javascript line on every 5th page,
+    a lorem-ipsum page-killer on every 7th, a brace on every 11th.
+    Oracle replays the line split, word counts, regexes, and page
+    floors."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    l2 = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" tail appended."))
+    l3 = F.when(
+        d % 11 == 0,
+        F.lit("The quick brown fox jumps over the lazy { dog."),
+    ).otherwise(F.lit("The quick brown fox jumps over the lazy dog."))
+    parts = [
+        F.lit("Navigation menu home about contact"),
+        l2,
+        l3,
+        F.lit("Too short."),
+        F.lit("Another closing sentence with plenty of words here."),
+    ]
+    page = F.concat_ws("\n", *parts)
+    page = F.when(
+        d % 5 == 0,
+        F.concat(
+            page,
+            F.lit("\nPlease enable javascript for the best experience today."),
+        ),
+    ).otherwise(page)
+    page = F.when(
+        d % 7 == 0,
+        F.concat(
+            page,
+            F.lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."),
+        ),
+    ).otherwise(page)
+    planted = docs.select("doc_id", page.alias("text"))
+    return textstats.c4_line_filters(planted)
+
+
+SQL_C4_LINE_FILTERS = r"""
+WITH planted AS (
+  SELECT doc_id,
+         'Navigation menu home about contact' || chr(10)
+         || COALESCE(text, '') || ' tail appended.' || chr(10)
+         || CASE WHEN doc_id % 11 = 0
+                 THEN 'The quick brown fox jumps over the lazy { dog.'
+                 ELSE 'The quick brown fox jumps over the lazy dog.' END
+         || chr(10) || 'Too short.' || chr(10)
+         || 'Another closing sentence with plenty of words here.'
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              || 'Please enable javascript for the best experience today.'
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+              || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+              ELSE '' END AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM planted
+),
+kept AS (
+  SELECT doc_id, text,
+         len(lines) AS n_lines_in,
+         list_filter(lines, ln ->
+           regexp_matches(ln, '[.!?"][)"'']*\s*$')
+           AND len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(ln), 'javascript')) AS kl
+  FROM split
+)
+SELECT doc_id,
+       array_to_string(kl, chr(10)) AS text_clean,
+       CAST(n_lines_in AS INT) AS n_lines_in,
+       CAST(len(kl) AS INT) AS n_lines_kept
+FROM kept
+WHERE NOT contains(text, '{')
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND len(kl) >= 3
+"""
+
+
+QUERIES.update({"c4_line_filters": q_c4_line_filters})
+ORACLES.update({"c4_line_filters": SQL_C4_LINE_FILTERS})

@@ -282,3 +282,45 @@ class TestDimTruncationEval:
             emb, q, dims=[2, 4], k=1
         ).collect()}
         assert out[4] == 1.0 and out[2] == 1.0
+
+
+class TestC4LineFilters:
+    def _run(self, spark, rows, **kw):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in textstats.c4_line_filters(df, **kw).collect()}
+
+    def test_each_rule(self, spark):
+        good = ("One decent sentence with enough words here.\n"
+                "Another decent sentence with enough words too.\n"
+                "A third fine sentence that also qualifies nicely.")
+        rows = [
+            (1, good),
+            (2, good + "\nno terminal punctuation on this line"),
+            (3, good + "\nToo short."),
+            (4, good + "\nPlease enable JavaScript to continue browsing now."),
+            (5, good + "\ncurly brace here { kills the page."),
+            (6, good + "\nthis page is Lorem Ipsum filler content text."),
+            (7, "Only one qualifying sentence lives right here.\nnope"),
+        ]
+        out = self._run(spark, rows)
+        # 1: all three lines kept
+        assert out[1].n_lines_kept == 3 and out[1].text_clean == good
+        # 2-4: extra junk line dropped, page survives with 3 kept
+        for i in (2, 3, 4):
+            assert out[i].n_lines_kept == 3 and out[i].text_clean == good, i
+        # 5 (brace) and 6 (lorem ipsum) pages dropped entirely
+        assert 5 not in out and 6 not in out
+        # 7: only 1 kept line < 3 floor -> page dropped
+        assert 7 not in out
+
+    def test_terminal_punct_variants(self, spark):
+        rows = [(1, 'He said "stop here."\nShe asked are we done yet?\n'
+                    'Quoted ending works "fine!"')]
+        out = self._run(spark, rows, min_words_per_line=3, min_lines_kept=3)
+        assert out[1].n_lines_kept == 3
+
+    def test_null_text_dropped(self, spark):
+        out = self._run(spark, [(1, None)])
+        assert out == {}
