@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "mann_whitney",
     "dim_truncation_recall",
     "c4_line_filters",
+    "kruskal_wallis",
 ]
 
 

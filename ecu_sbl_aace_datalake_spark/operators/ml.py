@@ -1921,10 +1921,13 @@ def mann_whitney_u(
     window over it + a 1-row reduce — nothing scales with row count
     past the first aggregate.
 
-    Returns ONE row ``(n_a, n_b, u_a, u_b, z)``: ``u_a`` counts pairs
-    where a's value beats b's (ties half), ``z`` is the tie-corrected
-    normal approximation (NULL when either group is empty or all values
-    tie). Two-sided p comes from |z| against the caller's normal table
+    Returns ONE row ``(n_a, n_b, u_a, u_b, z, cliffs_delta)``: ``u_a``
+    counts pairs where a's value beats b's (ties half), ``z`` is the
+    tie-corrected normal approximation (NULL when either group is empty
+    or all values tie), and ``cliffs_delta = (u_a − u_b)/(n_a·n_b)`` is
+    the ordinal effect size in [−1, 1] — the magnitude companion to the
+    significance statistic (|δ| ≳ 0.33 is conventionally "medium").
+    Two-sided p comes from |z| against the caller's normal table
     — no erf builtin exists in either engine, so the statistic is the
     contract.
     """
@@ -1972,10 +1975,94 @@ def mann_whitney_u(
         (F.col("__na") > 0) & (F.col("__nb") > 0) & (var > 0),
         (ua - na * nb / 2) / F.sqrt(var),
     )
+    delta = F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+                   (ua - ub) / (na * nb))
     return agg.select(
         F.col("__na").alias("n_a"),
         F.col("__nb").alias("n_b"),
         F.round(ua, round_to).alias("u_a"),
         F.round(ub, round_to).alias("u_b"),
         F.round(z, round_to).alias("z"),
+        F.round(delta, round_to).alias("cliffs_delta"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups (round 10): the k-sample
+    extension of :func:`mann_whitney_u` — one rank-based location test
+    over every group at once instead of k² pairwise comparisons.
+    ``H = 12/(n(n+1))·Σ_g R_g²/n_g − 3(n+1)``, tie-corrected
+    ``H_c = H / (1 − Σ(t³−t)/(n³−n))``; compare against χ²(k−1).
+
+    Same INTEGER-EXACT pooled-midrank machinery as Mann–Whitney
+    (2·midrank per distinct value), so rank sums are independent of row
+    order; the H arithmetic runs in double AFTER the exact integer rank
+    sums (margins multiply as double — the kappa overflow lesson). Two
+    bounded aggregates (per (value, group), then per group) + one
+    ordered window over distinct values + two 1-row scalar broadcasts.
+
+    Returns one row PER GROUP ``(group, n, mean_rank)`` with the shared
+    scalars ``(h, h_corrected, df)`` repeated — the per-group mean
+    ranks are the post-hoc reading that says WHICH groups differ.
+    ``h_corrected`` is NULL when all values tie.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col).cast("string")
+    val = F.col(value_col).cast("double")
+    base = df.where(val.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), val.alias("__v")
+    )
+    pv = base.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__tg"))
+    tot_v = pv.groupBy("__v").agg(F.sum("__tg").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r2v = tot_v.withColumn("__cum", F.sum("__t").over(w)).select(
+        "__v",
+        (2 * (F.col("__cum") - F.col("__t")) + F.col("__t") + 1).alias("__r2"),
+    )
+    per_g = (
+        pv.join(r2v, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__tg") * F.col("__r2")).alias("__r2g"),
+            F.sum("__tg").alias("__ng"),
+        )
+    )
+    glob = tot_v.agg(
+        F.sum("__t").alias("__n"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+        F.count(F.lit(1)).alias("__k_vals"),
+    )
+    rg = F.col("__r2g").cast("double") / 2
+    sum_term = per_g.agg(
+        F.sum(rg * rg / F.col("__ng").cast("double")).alias("__s"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    n = F.col("__n").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("__s") - 3.0 * (n + 1)
+    tie_den = 1.0 - F.col("__ties").cast("double") / (n * n * n - n)
+    hc = F.when(tie_den > 0, h / tie_den)
+    return (
+        per_g.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(sum_term))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__ng").alias("n"),
+            F.round(rg / F.col("__ng").cast("double"), round_to).alias(
+                "mean_rank"
+            ),
+            F.round(h, round_to).alias("h"),
+            F.round(hc, round_to).alias("h_corrected"),
+            (F.col("__k") - 1).cast("int").alias("df"),
+        )
+        .orderBy(group_col)
     )

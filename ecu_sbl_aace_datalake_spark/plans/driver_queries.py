@@ -17241,7 +17241,11 @@ SELECT CAST(na AS BIGINT) AS n_a,
              THEN ((r2a / 2.0 - na * (na + 1) / 2.0) - na * nb / 2.0)
                   / SQRT(na * nb / 12.0 * ((na + nb + 1)
                     - ties * 1.0 / ((na + nb) * (na + nb - 1))))
-             END, 6) AS z
+             END, 6) AS z,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+             ((r2a / 2.0 - na * (na + 1) / 2.0)
+              - (na * nb - (r2a / 2.0 - na * (na + 1) / 2.0)))
+             / (na * nb) END, 6) AS cliffs_delta
 FROM agg
 """
 
@@ -17406,3 +17410,57 @@ WHERE NOT contains(text, '{')
 
 QUERIES.update({"c4_line_filters": q_c4_line_filters})
 ORACLES.update({"c4_line_filters": SQL_C4_LINE_FILTERS})
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five order priorities
+    (ml.kruskal_wallis, round 10): the k-sample rank test — one
+    chi-square-referenced statistic instead of 10 pairwise
+    Mann–Whitneys; per-priority mean ranks are the post-hoc reading.
+    Integer-exact midranks, tie-corrected H; oracle replays the
+    2·midrank arithmetic, both rank aggregates, and the correction."""
+    orders = _t(spark, sf_dir, "orders")
+    return ml.kruskal_wallis(orders, "o_orderpriority", "o_totalprice")
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+pv AS (SELECT v, g, COUNT(*) AS tg FROM base GROUP BY v, g),
+tot_v AS (SELECT v, SUM(tg) AS t FROM pv GROUP BY v),
+r2v AS (
+  SELECT v, 2 * (SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS r2
+  FROM tot_v
+),
+per_g AS (
+  SELECT g, SUM(pv.tg * r2v.r2) AS r2g, SUM(pv.tg) AS ng
+  FROM pv JOIN r2v USING (v) GROUP BY g
+),
+g_tot AS (
+  SELECT SUM(t) AS n, SUM(t * t * t - t) AS ties FROM tot_v
+),
+sum_term AS (
+  SELECT SUM((r2g / 2.0) * (r2g / 2.0) / ng) AS s, COUNT(*) AS k
+  FROM per_g
+)
+SELECT per_g.g AS o_orderpriority,
+       CAST(ng AS BIGINT) AS n,
+       ROUND((r2g / 2.0) / ng, 6) AS mean_rank,
+       ROUND(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0), 6) AS h,
+       ROUND(CASE WHEN 1.0 - ties * 1.0 / (n * n * n * 1.0 - n) > 0
+             THEN (12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0))
+                  / (1.0 - ties * 1.0 / (n * n * n * 1.0 - n)) END, 6)
+         AS h_corrected,
+       CAST(k - 1 AS INT) AS df
+FROM per_g CROSS JOIN g_tot CROSS JOIN sum_term
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update({"kruskal_wallis": q_kruskal_wallis})
+ORACLES.update({"kruskal_wallis": SQL_KRUSKAL_WALLIS})

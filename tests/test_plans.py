@@ -263,6 +263,7 @@ class TestGlobalPlanInvariants:
         "cuped_adjustment",     # 1-row pooled-theta scalar broadcast
         "gate_threshold_sweep",  # 1-row (total, positives) scalar broadcast
         "dim_truncation_recall",  # pinned query-set broadcasts (cosine_topk per dim) + 1-row hit-count scalars
+        "kruskal_wallis",       # two 1-row scalar broadcasts (global n/ties + rank-sum term)
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

@@ -324,3 +324,52 @@ class TestC4LineFilters:
     def test_null_text_dropped(self, spark):
         out = self._run(spark, [(1, None)])
         assert out == {}
+
+
+class TestKruskalWallis:
+    def test_textbook_three_groups(self, spark):
+        # classic no-tie example: a=[1,2], b=[3,4], c=[5,6]
+        # ranks 1..6; R=[3, 7, 11]; H = 12/(6*7)*(9/2+49/2+121/2) - 21
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+                ("c", 5.0), ("c", 6.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r.g: r for r in ml.kruskal_wallis(df, "g", "v").collect()}
+        h = 12.0 / 42 * (4.5 + 24.5 + 60.5) - 21
+        assert out["a"].h == pytest.approx(h, abs=1e-6)
+        assert out["a"].h_corrected == pytest.approx(h, abs=1e-6)  # no ties
+        assert out["a"].mean_rank == 1.5 and out["c"].mean_rank == 5.5
+        assert out["b"].df == 2
+
+    def test_tie_correction_applied(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ml.kruskal_wallis(df, "g", "v").collect()[0]
+        # ties at 2 (t=3... no: t=2) -> sum(t^3-t)=6; n=4
+        # midranks: 1, 2.5, 2.5, 4; R_a=3.5, R_b=6.5
+        h = 12.0 / 20 * (3.5 ** 2 / 2 + 6.5 ** 2 / 2) - 15
+        assert r.h == pytest.approx(h, abs=1e-6)
+        assert r.h_corrected == pytest.approx(h / (1 - 6 / 60), abs=1e-6)
+
+    def test_all_tied_corrected_null(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("b", 5.0)], "g string, v double"
+        )
+        r = ml.kruskal_wallis(df, "g", "v").collect()[0]
+        assert r.h_corrected is None
+
+    def test_two_groups_matches_mwu_z_squared(self, spark):
+        # for k=2 without ties, H == z^2 of the Mann-Whitney test
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("a", 1.0), ("a", 4.0), ("a", 2.0),
+                ("b", 6.0), ("b", 3.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        h = ml.kruskal_wallis(df, "g", "v").collect()[0].h
+        z = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0].z
+        assert h == pytest.approx(z * z, abs=1e-5)
