@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "dim_truncation_recall",
     "c4_line_filters",
     "kruskal_wallis",
+    "cluster_split_leakfree",
 ]
 
 

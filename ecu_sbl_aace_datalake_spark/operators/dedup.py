@@ -2616,3 +2616,48 @@ def dup_weighted_sample(
         labeled, "__w", id_col=id_col, k=k,
         temperature=temperature, seed=seed,
     ).drop("__w")
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment over a near-dup clustering
+    (round 10): the split unit is the CLUSTER, not the document — every
+    member of a near-dup cluster lands in the same split, so a test
+    document can never have a training-set near-duplicate (the
+    Lee/Carlini dedup-then-split hygiene; a random row-level split over
+    an undeduplicated corpus leaks by construction). Unclustered
+    documents split by their own id.
+
+    ``clusters`` is any ``(node, cluster)`` labeling (e.g.
+    :func:`duplicate_clusters_bigstar` over verified pairs). One LEFT
+    join (clusters are the small side — only docs with a near-dup
+    appear) + the deterministic md5-bucket rule of
+    :func:`~.transform.hash_split` on ``coalesce(cluster, id)``;
+    assignment is a pure function of (salt, unit, weights) and replays
+    relationally.
+
+    Returns ``df`` + ``out_col``.
+    """
+    from .transform import hash_split
+
+    lab = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster").alias("__cl")
+    )
+    unit = F.coalesce(F.col("__cl"), F.col(id_col)).cast("string")
+    return (
+        hash_split(
+            df.join(lab, id_col, "left").withColumn("__unit", unit),
+            id_col,
+            weights,
+            salt=salt,
+            by_col="__unit",
+            out_col=out_col,
+        )
+        .drop("__cl", "__unit")
+    )

@@ -17464,3 +17464,56 @@ ORDER BY o_orderpriority
 
 QUERIES.update({"kruskal_wallis": q_kruskal_wallis})
 ORACLES.update({"kruskal_wallis": SQL_KRUSKAL_WALLIS})
+
+
+def q_cluster_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split over REAL near-dup clusters
+    (dedup.cluster_aware_split, round 10): the split unit is the
+    MinHash cluster, so no test document can have a train near-dup —
+    the dedup-then-split hygiene. 80/10/10 by the deterministic
+    md5-bucket rule on coalesce(cluster, doc_id); oracle = the
+    recursive-CC closure + the identical bucket arithmetic."""
+    docs = dedup.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    scope = _rotating_scope("cluster_split_leakfree")
+    sh = scope.persist(
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(docs, "text", n=3), num_hashes=64
+        ).select("doc_id", "shingles", "minhash")
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    pairs = dedup.jaccard_verify(cand, sh, "doc_id", threshold=0.5)
+    clusters = dedup.duplicate_clusters_bigstar(pairs)
+    return dedup.cluster_aware_split(
+        docs.select("doc_id"), "doc_id", clusters,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
+SQL_CLUSTER_SPLIT_LEAKFREE = SQL_DEDUP_CLUSTERS.replace(
+    """SELECT node, CAST(MIN(peer) AS BIGINT) AS cluster
+FROM reach GROUP BY node""",
+    """, cl AS (SELECT node, MIN(peer) AS cluster FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR) AS ustr
+  FROM main.documents d LEFT JOIN cl ON cl.node = d.doc_id
+),
+bucketed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('split' || ustr), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM lab
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed""",
+)
+assert ", cl AS" in SQL_CLUSTER_SPLIT_LEAKFREE  # replace() must not rot
+
+
+QUERIES.update({"cluster_split_leakfree": q_cluster_split_leakfree})
+ORACLES.update({"cluster_split_leakfree": SQL_CLUSTER_SPLIT_LEAKFREE})

@@ -373,3 +373,41 @@ class TestKruskalWallis:
         h = ml.kruskal_wallis(df, "g", "v").collect()[0].h
         z = ml.mann_whitney_u(df, "g", "v", "a", "b").collect()[0].z
         assert h == pytest.approx(z * z, abs=1e-5)
+
+
+class TestClusterAwareSplit:
+    def test_no_cluster_straddles_splits(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        # clusters: {0..4}->0, {10..12}->10, rest unclustered
+        clusters = spark.createDataFrame(
+            [(i, 0) for i in range(5)] + [(i, 10) for i in (10, 11, 12)],
+            "node long, cluster long",
+        )
+        out = dedup.cluster_aware_split(
+            docs, "doc_id", clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+        splits = {r.doc_id: r.split for r in out}
+        assert len(splits) == 200
+        assert len({splits[i] for i in range(5)}) == 1
+        assert len({splits[i] for i in (10, 11, 12)}) == 1
+        # all three splits populated on 200 units
+        assert {"train", "val", "test"} <= set(splits.values())
+
+    def test_matches_plain_hash_split_for_unclustered(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+        from ecu_sbl_aace_datalake_spark.operators.transform import hash_split
+
+        docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        empty = spark.createDataFrame([], "node long, cluster long")
+        a = {r.doc_id: r.split for r in dedup.cluster_aware_split(
+            docs, "doc_id", empty, {"train": 0.9, "test": 0.1}
+        ).collect()}
+        b = {r.doc_id: r.split for r in hash_split(
+            docs.withColumn("__unit", F.col("doc_id").cast("string")),
+            "doc_id", {"train": 0.9, "test": 0.1}, by_col="__unit",
+        ).collect()}
+        assert a == b
