@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "c4_line_filters",
     "kruskal_wallis",
     "cluster_split_leakfree",
+    "padding_waste",
 ]
 
 

@@ -691,3 +691,60 @@ def pack_boundaries(
         .cast("long")
         .alias("end_offset"),
     )
+
+
+def padding_waste_report(
+    df: DataFrame,
+    boundaries: Sequence[int],
+    token_col: str = "n_tokens",
+    round_to: int = 6,
+) -> DataFrame:
+    """Padding-waste table for LENGTH-BUCKETED batching (round 10): when
+    sequences batch by length bucket instead of packing, every sequence
+    pads to its bucket's upper boundary — this table quantifies exactly
+    what that costs per bucket, the measured argument for the packing
+    family (:func:`greedy_pack` wastes ~(1−fill_ratio); bucketing
+    wastes ``pad_frac`` — compare them on YOUR length distribution,
+    not folklore).
+
+    ``boundaries`` are ascending bucket upper bounds; a document of
+    ``t`` tokens lands in the first bucket with ``t <= bound``
+    (documents past the last bound land in an overflow bucket padded to
+    the max document length — the dynamic-shapes fallback every
+    bucketed loader implements). One map-side bucket assignment + one
+    |buckets|-row aggregate; the overflow pad target needs that
+    bucket's max, a second grouped aggregate over the same shuffle key.
+
+    Returns per bucket: ``(bucket_bound, n_docs, sum_tokens,
+    sum_padded, pad_tokens, pad_frac)`` — ``pad_frac`` is the fraction
+    of compute spent on padding in that bucket.
+    """
+    bounds = sorted(int(b) for b in boundaries)
+    if not bounds:
+        raise ValueError("boundaries must be non-empty")
+    t = F.col(token_col).cast("long")
+    bound = F.lit(None).cast("long")
+    for b in reversed(bounds):
+        bound = F.when(t <= F.lit(b), F.lit(b)).otherwise(bound)
+    base = df.where(t.isNotNull()).select(
+        t.alias("__t"), bound.alias("__b")
+    )
+    agg = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("sum_tokens"),
+        F.max("__t").alias("__maxt"),
+    )
+    pad_target = F.coalesce(F.col("__b"), F.col("__maxt"))
+    padded = F.col("n_docs") * pad_target
+    return agg.select(
+        pad_target.alias("bucket_bound"),
+        "n_docs",
+        "sum_tokens",
+        padded.alias("sum_padded"),
+        (padded - F.col("sum_tokens")).alias("pad_tokens"),
+        F.round(
+            F.when(padded > 0, (padded - F.col("sum_tokens")) / padded)
+            .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("pad_frac"),
+    ).orderBy("bucket_bound")

@@ -17517,3 +17517,51 @@ assert ", cl AS" in SQL_CLUSTER_SPLIT_LEAKFREE  # replace() must not rot
 
 QUERIES.update({"cluster_split_leakfree": q_cluster_split_leakfree})
 ORACLES.update({"cluster_split_leakfree": SQL_CLUSTER_SPLIT_LEAKFREE})
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste table for length-bucketed batching
+    (packing.padding_waste_report, round 10): per bucket (64/128/256/
+    512 + overflow-to-max), documents, real tokens, padded tokens, and
+    the fraction of compute burned on padding — the measured
+    bucketing-vs-packing comparison on the fixture length
+    distribution. One bucket assignment + one |buckets|-row aggregate;
+    oracle replays the CASE bucketing and the overflow pad target."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = packing.with_token_count(docs)
+    return packing.padding_waste_report(counted, [64, 128, 256, 512])
+
+
+SQL_PADDING_WASTE = r"""
+WITH counted AS (
+  SELECT CAST(COALESCE(array_length(list_filter(
+             regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0)
+           AS BIGINT) AS t
+  FROM documents
+),
+bucketed AS (
+  SELECT t,
+         CASE WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+              WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512 END AS b
+  FROM counted
+),
+agg AS (
+  SELECT b, COUNT(*) AS n_docs, SUM(t) AS sum_tokens, MAX(t) AS maxt
+  FROM bucketed GROUP BY b
+)
+SELECT CAST(COALESCE(b, maxt) AS BIGINT) AS bucket_bound,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       CAST(n_docs * COALESCE(b, maxt) AS BIGINT) AS sum_padded,
+       CAST(n_docs * COALESCE(b, maxt) - sum_tokens AS BIGINT) AS pad_tokens,
+       ROUND(CASE WHEN n_docs * COALESCE(b, maxt) > 0
+             THEN (n_docs * COALESCE(b, maxt) - sum_tokens) * 1.0
+                  / (n_docs * COALESCE(b, maxt)) ELSE 0.0 END, 6) AS pad_frac
+FROM agg ORDER BY bucket_bound
+"""
+
+
+QUERIES.update({"padding_waste": q_padding_waste})
+ORACLES.update({"padding_waste": SQL_PADDING_WASTE})

@@ -407,3 +407,42 @@ class TestPackBoundaries:
             total = T * (T + 1) // 2
             within = sum(t * (t + 1) // 2 for t in widths)
             assert stats[key] == (total - within, total), key
+
+
+class TestPaddingWaste:
+    def test_known_buckets_and_overflow(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 60), (3, 100), (4, 700), (5, 900)],
+            "doc_id long, n_tokens int",
+        )
+        rows = {r.bucket_bound: r for r in packing.padding_waste_report(
+            df, [64, 128]
+        ).collect()}
+        # bucket 64: docs 10, 60 -> padded 128, real 70
+        assert rows[64].n_docs == 2 and rows[64].sum_padded == 128
+        assert rows[64].pad_tokens == 58
+        # bucket 128: doc 100 -> padded 128
+        assert rows[128].pad_tokens == 28
+        # overflow: docs 700, 900 pad to max 900
+        assert rows[900].n_docs == 2 and rows[900].sum_padded == 1800
+        assert rows[900].pad_tokens == 200
+
+    def test_empty_boundaries_raise(self, spark):
+        df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens int")
+        with pytest.raises(ValueError):
+            packing.padding_waste_report(df, [])
+
+    def test_pad_frac_vs_pack_fill(self, counted):
+        # packing's waste (1 - avg fill) should beat bucketed padding
+        # waste on the fixture -- the table's whole argument
+        packed = packing.greedy_pack(counted, BUDGET)
+        fills = packing.pack_summary(packed, BUDGET).agg(
+            F.avg("fill_ratio")
+        ).collect()[0][0]
+        waste_pack = 1 - fills
+        rep = packing.padding_waste_report(counted, [BUDGET // 2, BUDGET])
+        tot = rep.agg(
+            F.sum("pad_tokens").alias("p"), F.sum("sum_padded").alias("s")
+        ).collect()[0]
+        waste_bucket = tot.p / tot.s
+        assert waste_pack < waste_bucket
