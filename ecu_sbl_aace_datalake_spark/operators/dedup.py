@@ -1104,17 +1104,26 @@ def incremental_minhash_losers(
     verified-pairs with (a) ANY doc in the :func:`persist_neardup_index`
     corpus — the bucket-local probe — or (b) a smaller-id doc in the
     batch ITSELF — a batch-sized banded self-join. Both dirty sets
-    derive from the SAME pre-filter batch relation, which is what makes
-    the composition equal to :func:`minhash_dedup` over corpus ∪ batch
-    restricted to the batch (given batch ids sort after corpus ids, the
-    incremental-ingest convention): a batch doc pairing only with an
-    already-dropped batch doc is still dropped, exactly as the
-    full-corpus single-hop rule would.
+    derive from the SAME pre-filter batch relation, so a batch doc
+    pairing only with an already-dropped batch doc is still dropped,
+    exactly as the full-corpus single-hop rule would drop it.
 
     ONE signature build (persisted, shared by the probe banding, the
     self banding, and both verify join-backs); the corpus contributes
     only matched band buckets — per-batch cost tracks the batch, not
     the corpus.
+
+    The CONTRACT is **corpus-always-wins, regardless of id order**: a
+    batch doc that near-dups ANY indexed corpus doc loses, even when
+    its id sorts BEFORE the corpus doc's (a full :func:`minhash_dedup`
+    rebuild's smaller-id-wins rule would instead keep that batch doc
+    and drop the corpus one). The corpus side of the index is already
+    admitted and immutable here, so re-litigating it is wrong by design
+    — that is what an incremental ingest means. Only within the batch
+    itself does the usual smaller-id-wins rule apply. When batch ids
+    all sort after corpus ids (the incremental-ingest id convention),
+    the two rules coincide and the composition equals
+    :func:`minhash_dedup` over corpus ∪ batch restricted to the batch.
 
     Returns distinct loser ids (one ``id_col`` column) for a single
     anti-join by the caller (the :func:`~.pipeline.prepare_corpus`

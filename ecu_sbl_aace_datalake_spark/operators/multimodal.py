@@ -2488,6 +2488,11 @@ def video_keyframe_plan(
         if info is None:
             return [(False, None, None, None, None, None, None)]
         n = info["n_frames"]
+        if n <= 0:
+            # empty track: no frames means no keyframes — do NOT
+            # prepend the sample-1 seek point (ADVICE r10: sync0=[0]
+            # here would report n_keyframes=1 with n_frames=0)
+            return [(True, info.get("codec"), 0, 0, None, None, None)]
         kf = info.get("keyframes")
         if kf:
             sync0 = sorted(s - 1 for s in kf if 1 <= s <= n)

@@ -490,9 +490,14 @@ def ingest_log_report(
     Rows-in per (batch, door) is the PREVIOUS door's snapshot (lag over
     the canonical ``stage_order``; a batch's first logged stage rejects
     nothing by definition). Doors a run never logged (disabled flags)
-    simply don't appear. One window over the (batch) key + one
-    door-cardinality aggregate — log tables are
-    batches × doors, trivially bounded.
+    simply don't appear. Log rows whose ``stage`` is NOT in
+    ``stage_order`` (typos, custom doors) are EXCLUDED from the report
+    — previously they all tied at the same end rank, making the
+    lag()-based rows_in nondeterministic among them (ADVICE r10); pass
+    an extended ``stage_order`` to include custom doors. The lag window
+    additionally tie-breaks on ``stage`` for determinism. One window
+    over the (batch) key + one door-cardinality aggregate — log tables
+    are batches × doors, trivially bounded.
 
     Returns ``(stage, n_batches, rows_in, rows_out, n_rejected,
     reject_rate)`` in door order.
@@ -502,8 +507,10 @@ def ingest_log_report(
     rank = F.lit(len(stage_order))
     for i, s in reversed(list(enumerate(stage_order))):
         rank = F.when(F.col("stage") == s, F.lit(i)).otherwise(rank)
-    w = Window.partitionBy("batch_id").orderBy("__rank")
-    staged = log_df.select(
+    w = Window.partitionBy("batch_id").orderBy("__rank", "stage")
+    staged = log_df.where(
+        F.col("stage").isin(list(stage_order))
+    ).select(
         "batch_id", "stage", rank.alias("__rank"),
         F.col("n_rows").cast("long").alias("__out"),
     ).withColumn(

@@ -1892,7 +1892,13 @@ def margin_pairs(
     who forgets ``candidates=`` gets an actionable error naming
     :func:`margin_pairs_pooled`, not a dead cluster. Pass
     ``max_exact_pairs=None`` to opt out (e.g. a deliberately exact
-    offline audit).
+    offline audit). NOTE the probe is two eager ``count()`` ACTIONS
+    that re-execute each side's upstream lineage before the real job —
+    cheap for a table scan, roughly a doubled input pass for an
+    expensive unpersisted upstream pipeline (ADVICE r10). Callers with
+    heavy lineage should ``persist()`` x/y first (the counts then read
+    the cache), pass ``candidates=``, or set ``max_exact_pairs=None``.
+    An empty x short-circuits the y count entirely.
 
     Returns ``(x_id, y_id, cosine, margin)`` — one row per mined pair.
     """
@@ -1931,9 +1937,10 @@ def margin_pairs(
     if candidates is None:
         if max_exact_pairs is not None:
             # size probe BEFORE any pair is formed: two column-pruned
-            # count scans, the topk_auto dispatch pattern
+            # count scans, the topk_auto dispatch pattern (empty x
+            # skips the y count — the result is empty regardless)
             nx = x.select(F.col(id_col)).count()
-            ny = y.select(F.col(id_col)).count()
+            ny = y.select(F.col(id_col)).count() if nx else 0
             if nx * ny > max_exact_pairs:
                 raise ValueError(
                     f"margin_pairs exact path would scan {nx}x{ny} = "

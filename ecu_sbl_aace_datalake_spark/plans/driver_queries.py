@@ -1602,6 +1602,13 @@ def _sql_xxh64_bucket(dim: int, gram: str = "gram", ids: str = "doc_id") -> str:
     from codepoints (UTF-8 encode in SQL), then folded through the
     XXH64 small-input path (8-byte rounds, 4-byte word, tail bytes,
     avalanche) as a struct list_reduce."""
+    if dim <= 0 or dim & (dim - 1):
+        # the unsigned '% dim' below equals Spark's pmod on the SIGNED
+        # long only for power-of-two dim (bitwise AND); for other dims
+        # hashes with the sign bit set diverge (ADVICE r10)
+        raise ValueError(
+            f"_sql_xxh64_bucket requires a power-of-two dim, got {dim}"
+        )
     bytes_expr = f"""flatten(list_transform(
       list_transform(range(1, length({gram}) + 1),
                      i -> unicode(substring({gram}, i, 1))),

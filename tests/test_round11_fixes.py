@@ -1,0 +1,155 @@
+"""Round-11 regression tests for the ADVICE-r10 findings:
+incremental_minhash_losers corpus-wins docstring contract,
+ingest_log_report unknown-stage filtering, video_keyframe_plan empty
+track, _sql_xxh64_bucket power-of-two guard, margin_pairs probe
+short-circuit."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+
+class TestIngestLogReportUnknownStages:
+    def test_unknown_stage_excluded(self, spark):
+        # a typo'd/unlisted stage must not appear in the report nor
+        # perturb the lag()-based rows_in of the known stages
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        rows = [
+            (0, "arrived", 100),
+            (0, "exact_dedup", 80),
+            (0, "typo_door", 75),  # NOT in stage_order
+            (0, "admitted", 70),
+            (1, "arrived", 50),
+            (1, "exact_dedup", 45),
+            (1, "admitted", 40),
+        ]
+        log = spark.createDataFrame(
+            rows, "batch_id long, stage string, n_rows long"
+        )
+        order = ("arrived", "exact_dedup", "admitted")
+        out = pipeline.ingest_log_report(log, stage_order=order).collect()
+        stages = [r.stage for r in out]
+        assert stages == list(order)
+        by = {r.stage: r for r in out}
+        # admitted's rows_in is the previous KNOWN stage (exact_dedup):
+        # 80 + 45, not polluted by the typo row's 75
+        assert by["admitted"].rows_in == 125
+        assert by["admitted"].rows_out == 110
+        assert by["exact_dedup"].rows_in == 150
+        assert by["exact_dedup"].n_rejected == 25
+
+    def test_all_unknown_is_empty(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        log = spark.createDataFrame(
+            [(0, "x", 10)], "batch_id long, stage string, n_rows long"
+        )
+        assert pipeline.ingest_log_report(
+            log, stage_order=("a", "b")
+        ).count() == 0
+
+
+class TestVideoKeyframePlanEmptyTrack:
+    def test_zero_frames_reports_zero_keyframes(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_mov, video_keyframe_plan,
+        )
+
+        mov = build_mjpeg_mov([], fps=25)
+        df = spark.createDataFrame([(1, mov)], "vid long, payload binary")
+        rows = video_keyframe_plan(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.parsed is True
+        assert r.n_frames == 0
+        assert r.n_keyframes == 0  # was 1 before the ADVICE-r10 fix
+        assert r.frame_index is None and r.keyframe_index is None
+
+    def test_nonempty_track_unchanged(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators.multimodal import (
+            build_mjpeg_mov, encode_jpeg_solid_gray, video_keyframe_plan,
+        )
+
+        frames = [encode_jpeg_solid_gray(100 + i, size=8) for i in range(5)]
+        mov = build_mjpeg_mov(frames, fps=25, keyframe_every=2)
+        df = spark.createDataFrame([(1, mov)], "vid long, payload binary")
+        rows = video_keyframe_plan(df).collect()
+        assert len(rows) == 5
+        assert all(r.n_keyframes == 3 for r in rows)  # samples 1,3,5
+
+
+class TestXxhashBucketPowerOfTwoGuard:
+    @pytest.mark.parametrize("bad", [0, -8, 3, 100, 127])
+    def test_non_power_of_two_raises(self, bad):
+        from ecu_sbl_aace_datalake_spark.plans.driver_queries import (
+            _sql_xxh64_bucket,
+        )
+
+        with pytest.raises(ValueError, match="power-of-two"):
+            _sql_xxh64_bucket(bad)
+
+    def test_power_of_two_ok(self):
+        from ecu_sbl_aace_datalake_spark.plans.driver_queries import (
+            _sql_xxh64_bucket,
+        )
+
+        for dim in (1, 2, 64, 128, 4096):
+            assert "SELECT" in _sql_xxh64_bucket(dim).upper()
+
+
+class TestMarginPairsProbeShortCircuit:
+    def test_empty_x_skips_y_count_and_returns_empty(self, spark):
+        # an empty x must not raise the guard even when y is huge
+        # relative to the cap, and must return an empty result
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        x = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        y = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.margin_pairs(x, y, k=2, max_exact_pairs=5)
+        assert out.count() == 0
+
+
+class TestIncrementalCorpusWinsContract:
+    def test_batch_doc_with_smaller_id_still_loses_to_corpus(self, spark):
+        # the documented contract: corpus-always-wins regardless of id
+        # order — a batch doc whose id sorts BEFORE its corpus near-dup
+        # is dropped (a full rebuild would have kept it)
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        text = (
+            "the quick brown fox jumps over the lazy dog again and "
+            "again while the cat watches from the warm windowsill"
+        )
+        corpus = spark.createDataFrame(
+            [(100, text), (101, "completely unrelated corpus filler "
+                                "about spark shuffles and parquet files")],
+            "doc_id long, text string",
+        )
+        idx = dedup.persist_neardup_index(
+            corpus, "doc_id",
+            band_table="t_r11_nd_bands", shingle_table="t_r11_nd_shingles",
+        )
+        try:
+            batch = spark.createDataFrame(
+                [(5, text + " tail"),  # id 5 < corpus id 100: near-dup
+                 (6, "fresh new batch document about structured streaming"
+                     " watermarks and stateful aggregation semantics")],
+                "doc_id long, text string",
+            )
+            losers = [
+                r.doc_id
+                for r in dedup.incremental_minhash_losers(
+                    batch, "doc_id", idx, threshold=0.5
+                ).collect()
+            ]
+            assert losers == [5]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_r11_nd_bands")
+            spark.sql("DROP TABLE IF EXISTS t_r11_nd_shingles")
