@@ -284,6 +284,13 @@ BENCH_QUERIES = [
     "kruskal_wallis",
     "cluster_split_leakfree",
     "padding_waste",
+    # round 11: persisted dup-cluster labeling, composed — first twin pays
+    # the one-time index build (reuse_if_exists), the rest probe it
+    "dup_cluster_sizes_clustered",
+    "quality_dedup_survivors_clustered",
+    "dup_weighted_sample_clustered",
+    "cluster_split_leakfree_clustered",
+    "cross_source_dups_clustered",
 ]
 
 
