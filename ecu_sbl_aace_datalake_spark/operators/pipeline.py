@@ -42,6 +42,7 @@ def prepare_corpus(
     pack_budget: int = 512,
     neardup_threshold: float = 0.7,
     neardup_bands: int = 16,
+    neardup_plan: dict | None = None,
     gopher_gates: bool = False,
     paragraph_level_dedup: bool = False,
     decontaminate_against: DataFrame | None = None,
@@ -139,6 +140,11 @@ def prepare_corpus(
       instead of the full banded self-join — per-run cost proportional
       to the new batch, not the corpus. Equal to the direct pipeline
       over corpus ∪ batch when batch ids sort after corpus ids.
+    - ``neardup_plan`` — a :func:`~.dedup.lsh_plan` dict retargeting
+      the minhash banding (bands × rows, num_hashes) to a recall goal
+      at ``neardup_threshold``; the dominant pipeline stage's cost is
+      linear in num_hashes, and the exact verify keeps any plan
+      correct.
     """
     from . import bpe as bpe_mod
     from . import classifier as clf
@@ -222,10 +228,14 @@ def prepare_corpus(
         )
         pruned = exact.join(losers, id_col, "left_anti")
     else:
-        # near-dup prune (banded LSH, smaller id survives verified pairs)
+        # near-dup prune (banded LSH, smaller id survives verified pairs);
+        # neardup_plan (a dedup.lsh_plan dict) retargets the banding to a
+        # recall goal — the minhash stage dominates pipeline wall and its
+        # cost is linear in num_hashes
         pruned = dedup.minhash_dedup(
             exact, id_col, text_col,
             threshold=neardup_threshold, bands=neardup_bands,
+            plan=neardup_plan,
         )
     if remove_dup_spans:
         cleaned = dedup.remove_duplicate_spans(

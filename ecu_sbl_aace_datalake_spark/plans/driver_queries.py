@@ -17698,3 +17698,84 @@ ORACLES.update({
     "cluster_split_leakfree_clustered": SQL_CLUSTER_SPLIT_LEAKFREE,
     "cross_source_dups_clustered": SQL_CROSS_SOURCE_DUPS,
 })
+
+
+def q_lsh_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-plan decision table (dedup.lsh_plan, round 11, VERDICT
+    r10 item #3): every (bands, rows) factorization of num_hashes in
+    {16, 32, 64, 128}, its candidate-recall at s = 0.5
+    (1 − (1 − s^rows)^bands) and its false-positive rate at s = 0.25;
+    feasible = recall ≥ 0.95; chosen = the planner's pick (smallest
+    num_hashes, then lowest fp, then fewest rows) replayed RELATIONALLY
+    with one window. Pure expressions over an exploded literal grid —
+    no data scan; the table is what lsh_plan's driver-side arithmetic
+    walks."""
+    grid = (
+        spark.sql(
+            "SELECT explode(array(16, 32, 64, 128)) AS num_hashes"
+        )
+        .select(
+            "num_hashes",
+            F.explode(F.expr("sequence(1, num_hashes)")).alias("n_rows"),
+        )
+        .where(F.col("num_hashes") % F.col("n_rows") == 0)
+        .withColumn(
+            "n_bands", (F.col("num_hashes") / F.col("n_rows")).cast("long")
+        )
+    )
+    recall = 1 - F.pow(
+        1 - F.pow(F.lit(0.5), F.col("n_rows")), F.col("n_bands")
+    )
+    fp = 1 - F.pow(
+        1 - F.pow(F.lit(0.25), F.col("n_rows")), F.col("n_bands")
+    )
+    scored = grid.select(
+        F.col("num_hashes").cast("long").alias("num_hashes"),
+        "n_bands",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(recall, 6).alias("recall_at_t"),
+        F.round(fp, 6).alias("fp_at_low"),
+        (recall >= 0.95).alias("feasible"),
+    )
+    from pyspark.sql.window import Window
+
+    return scored.withColumn(
+        "chosen",
+        F.when(
+            F.col("feasible"),
+            F.row_number().over(
+                Window.partitionBy("feasible").orderBy(
+                    "num_hashes", "fp_at_low", "n_rows"
+                )
+            ) == 1,
+        ).otherwise(F.lit(False)),
+    )
+
+
+SQL_LSH_PLAN_CURVE = """
+WITH nh AS (SELECT unnest([16, 32, 64, 128]) AS num_hashes),
+grid AS (
+  SELECT num_hashes, r AS n_rows, num_hashes // r AS n_bands
+  FROM nh, LATERAL (SELECT unnest(range(1, num_hashes + 1)) AS r)
+  WHERE num_hashes % r = 0
+),
+scored AS (
+  SELECT CAST(num_hashes AS BIGINT) AS num_hashes,
+         CAST(n_bands AS BIGINT) AS n_bands,
+         CAST(n_rows AS BIGINT) AS n_rows,
+         ROUND(1 - POWER(1 - POWER(0.5, n_rows), n_bands), 6) AS recall_at_t,
+         ROUND(1 - POWER(1 - POWER(0.25, n_rows), n_bands), 6) AS fp_at_low,
+         (1 - POWER(1 - POWER(0.5, n_rows), n_bands)) >= 0.95 AS feasible
+  FROM grid
+)
+SELECT num_hashes, n_bands, n_rows, recall_at_t, fp_at_low, feasible,
+       CASE WHEN feasible THEN
+         row_number() OVER (PARTITION BY feasible
+                            ORDER BY num_hashes, fp_at_low, n_rows) = 1
+       ELSE FALSE END AS chosen
+FROM scored
+"""
+
+
+QUERIES.update({"lsh_plan_curve": q_lsh_plan_curve})
+ORACLES.update({"lsh_plan_curve": SQL_LSH_PLAN_CURVE})

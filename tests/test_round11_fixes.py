@@ -153,3 +153,68 @@ class TestIncrementalCorpusWinsContract:
         finally:
             spark.sql("DROP TABLE IF EXISTS t_r11_nd_bands")
             spark.sql("DROP TABLE IF EXISTS t_r11_nd_shingles")
+
+
+class TestLshPlan:
+    def test_curve_arithmetic_known_point(self):
+        # 16 bands x 2 rows at s=0.5: 1 - (1 - 0.25)^16 = 1 - 0.75^16
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        p = dedup.lsh_plan(0.5, target_recall=0.95, max_hashes=64)
+        rec = 1 - (1 - 0.5 ** p["rows"]) ** p["bands"]
+        assert abs(p["recall_at_threshold"] - round(rec, 6)) < 1e-9
+        assert p["recall_at_threshold"] >= 0.95
+        assert p["bands"] * p["rows"] == p["num_hashes"]
+
+    def test_smaller_than_fixed_default_at_half(self):
+        # at threshold 0.5 / recall 0.95 the planner must beat the fixed
+        # 64-hash default (the whole point of the knob)
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        p = dedup.lsh_plan(0.5, target_recall=0.95)
+        assert p["num_hashes"] < 64
+
+    def test_higher_recall_never_cheaper(self):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        lo = dedup.lsh_plan(0.7, target_recall=0.90)
+        hi = dedup.lsh_plan(0.7, target_recall=0.999)
+        assert hi["num_hashes"] >= lo["num_hashes"]
+        assert hi["recall_at_threshold"] >= 0.999
+
+    def test_unreachable_raises(self):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        with pytest.raises(ValueError, match="no .* plan"):
+            dedup.lsh_plan(0.05, target_recall=0.999999, max_hashes=8)
+
+    @pytest.mark.parametrize("bad_t", [0.0, 1.0, -0.5])
+    def test_bad_threshold_raises(self, bad_t):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.lsh_plan(bad_t)
+
+    def test_plan_param_flows_into_minhash_dedup(self, spark):
+        # same duplicates removed with the planned banding as with the
+        # fixed default (exact verify makes both correct); the plan's
+        # banding shows up in the signature length
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning without fail"
+        )
+        rows = [(1, base), (2, base + " indeed"), (3, "totally different "
+                "text about catalyst optimizer rules and shuffle plans")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        p = dedup.lsh_plan(0.5, target_recall=0.98)
+        out_plan = dedup.minhash_dedup(
+            df, "doc_id", "text", threshold=0.5, plan=p
+        )
+        out_fixed = dedup.minhash_dedup(
+            df, "doc_id", "text", threshold=0.5, bands=32
+        )
+        assert sorted(r.doc_id for r in out_plan.collect()) == sorted(
+            r.doc_id for r in out_fixed.collect()
+        ) == [1, 3]
