@@ -280,6 +280,8 @@ def lsh_plan(
     target_recall: float = 0.95,
     max_hashes: int = 256,
     fp_similarity: float | None = None,
+    min_rows: int = 2,
+    max_fp: float | None = None,
 ) -> dict:
     """Choose the MinHash-LSH banding (round 11, VERDICT r10 item #3):
     the smallest signature (``num_hashes = bands × rows``) whose
@@ -296,6 +298,18 @@ def lsh_plan(
     distributed. Raises when ``target_recall`` is unreachable within
     ``max_hashes`` (pathological threshold/recall combinations deserve
     a loud error, not a silently under-recalling plan).
+
+    ``min_rows`` (default 2) floors the band width: a 1-row band
+    buckets documents on a RAW single minhash value, whose collision
+    probability is the similarity itself — 1 − (1 − s)^b candidates at
+    every s, mega-buckets and near-quadratic verify volume at corpus
+    scale. Any single-row plan that looks cheapest by signature size
+    pays it all back (and more) in the candidate join, so the planner
+    refuses it unless explicitly allowed. ``max_fp`` optionally makes
+    the low-similarity candidate rate a hard constraint instead of a
+    tie-break (expensive to satisfy for low thresholds — the S-curve's
+    width shrinks only as rows grows, which multiplies bands for the
+    same recall).
 
     Returns ``{"bands", "rows", "num_hashes", "recall_at_threshold",
     "fp_at_low", "low_similarity"}`` — pass directly as the ``plan=``
@@ -316,7 +330,7 @@ def lsh_plan(
 
     for num_hashes in range(2, max_hashes + 1):
         best = None
-        for rows in range(1, num_hashes + 1):
+        for rows in range(min_rows, num_hashes + 1):
             if num_hashes % rows:
                 continue
             bands = num_hashes // rows
@@ -324,6 +338,8 @@ def lsh_plan(
             if rec < target_recall:
                 continue
             fp = curve(s_lo, bands, rows)
+            if max_fp is not None and fp > max_fp:
+                continue
             if best is None or fp < best[0]:
                 best = (fp, bands, rows, rec)
         if best is not None:

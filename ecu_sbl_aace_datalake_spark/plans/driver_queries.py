@@ -17705,7 +17705,9 @@ def q_lsh_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10 item #3): every (bands, rows) factorization of num_hashes in
     {16, 32, 64, 128}, its candidate-recall at s = 0.5
     (1 − (1 − s^rows)^bands) and its false-positive rate at s = 0.25;
-    feasible = recall ≥ 0.95; chosen = the planner's pick (smallest
+    feasible = recall ≥ 0.95 AND rows ≥ 2 (the planner's min_rows floor:
+    1-row bands bucket on raw minhash values — candidate volume
+    1 − (1 − s)^b at every s); chosen = the planner's pick (smallest
     num_hashes, then lowest fp, then fewest rows) replayed RELATIONALLY
     with one window. Pure expressions over an exploded literal grid —
     no data scan; the table is what lsh_plan's driver-side arithmetic
@@ -17735,7 +17737,7 @@ def q_lsh_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.round(recall, 6).alias("recall_at_t"),
         F.round(fp, 6).alias("fp_at_low"),
-        (recall >= 0.95).alias("feasible"),
+        ((recall >= 0.95) & (F.col("n_rows") >= 2)).alias("feasible"),
     )
     from pyspark.sql.window import Window
 
@@ -17765,7 +17767,8 @@ scored AS (
          CAST(n_rows AS BIGINT) AS n_rows,
          ROUND(1 - POWER(1 - POWER(0.5, n_rows), n_bands), 6) AS recall_at_t,
          ROUND(1 - POWER(1 - POWER(0.25, n_rows), n_bands), 6) AS fp_at_low,
-         (1 - POWER(1 - POWER(0.5, n_rows), n_bands)) >= 0.95 AS feasible
+         (1 - POWER(1 - POWER(0.5, n_rows), n_bands)) >= 0.95
+           AND n_rows >= 2 AS feasible
   FROM grid
 )
 SELECT num_hashes, n_bands, n_rows, recall_at_t, fp_at_low, feasible,

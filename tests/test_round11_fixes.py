@@ -218,3 +218,64 @@ class TestLshPlan:
         assert sorted(r.doc_id for r in out_plan.collect()) == sorted(
             r.doc_id for r in out_fixed.collect()
         ) == [1, 3]
+
+    def test_min_rows_floor_refuses_single_row_bands(self):
+        # the default plan must never pick rows=1 (mega-bucket footgun:
+        # candidate volume 1-(1-s)^b at every s)
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        for t in (0.3, 0.5, 0.7, 0.9):
+            p = dedup.lsh_plan(t, target_recall=0.98)
+            assert p["rows"] >= 2, p
+        # explicit opt-in still works
+        p1 = dedup.lsh_plan(0.5, target_recall=0.98, min_rows=1)
+        assert p1["rows"] == 1 and p1["num_hashes"] < 10
+
+    def test_max_fp_hard_constraint(self):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        p = dedup.lsh_plan(0.8, target_recall=0.95, max_fp=0.05)
+        assert p["fp_at_low"] <= 0.05
+        assert p["recall_at_threshold"] >= 0.95
+        with pytest.raises(ValueError, match="no .* plan"):
+            dedup.lsh_plan(0.5, target_recall=0.98, max_fp=0.01,
+                           max_hashes=64)
+
+
+class TestIvfArrowEquivalence:
+    def test_arrow_bit_identical_to_expr(self, spark, sf_dir):
+        # assign="arrow" replays the fold family's per-dim IEEE order;
+        # results (ids, order, 6dp scores) must be IDENTICAL
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.kmeans_fit_exact(
+            emb, k=8, max_iter=2, train_sample=256
+        )
+        q = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = similarity.ivf_topk(emb, q, cents, k=10, n_probe=3)
+        b = similarity.ivf_topk(
+            emb, q, cents, k=10, n_probe=3, assign="arrow"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_arrow_handles_null_vectors(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import similarity
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(100, [1.0, 0.05])], "query_id long, embedding array<double>"
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        out = similarity.ivf_topk(
+            corpus, q, cents, k=2, n_probe=1, assign="arrow"
+        ).collect()
+        assert [r.vec_id for r in out] == [1, 2]
