@@ -56,6 +56,7 @@ def prepare_corpus(
     lm_quality_quantile: float | None = None,
     classifier_weights: Sequence[float] | None = None,
     classifier_floor: float = 0.5,
+    quality_cut: str | None = None,
     classifier_dim: int = 256,
     bpe_merges: Sequence[tuple[str, str]] | None = None,
     cap_per_source: int | None = None,
@@ -64,6 +65,8 @@ def prepare_corpus(
     license_families: Sequence[str] | None = None,
     line_dedup: bool = False,
     neardup_index: dict | None = None,
+    url_col: str | None = None,
+    url_index: dict | None = None,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Run the full preparation pipeline; returns the packed corpus with
@@ -145,12 +148,38 @@ def prepare_corpus(
       at ``neardup_threshold``; the dominant pipeline stage's cost is
       linear in num_hashes, and the exact verify keeps any plan
       correct.
+    - ``quality_cut="f1"`` (round 11, VERDICT r10 item #8) — the trained
+      classifier's floor is not hard-coded: an :func:`~.ml.threshold_sweep`
+      decision table over the lang-kept population (trained score vs the
+      heuristic-gate label it distills) picks the argmax-F1 cut, which
+      replaces ``classifier_floor``. Requires ``classifier_weights``;
+      pass the chosen cut to :func:`corpus_card` via ``clf_cut=`` to
+      surface it on the data card.
+    - ``url_col`` (round 11, VERDICT r10 item #9) — canonical-URL dedup
+      door FIRST, before every other gate (same order as the streaming
+      ingest's ``url_door``): one min_by shuffle on the canonical
+      string (:func:`~.urls.url_dedup`, smallest ``id_col`` wins),
+      appending ``canonical_url`` provenance. The cheapest gate takes
+      the biggest cut on re-crawls — a re-fetched URL must not even be
+      language-scored. ``url_index`` additionally probes a
+      :func:`~.urls.persist_url_index` bucketed corpus index
+      (cross-batch door, bucket-local).
     """
     from . import bpe as bpe_mod
     from . import classifier as clf
 
-    # compliance gates run FIRST (cheapest: per-doc regexps, no shuffle,
-    # and an opted-out/wrong-license doc must not even be hashed)
+    # URL door runs before EVERYTHING (streaming-parity order: arrived →
+    # url_door → compliance_door → lang_quality_gate → …): cheapest
+    # gate, biggest cut on re-crawls
+    if url_col is not None:
+        from .urls import url_dedup as _url_dedup
+        from .urls import urls_against_index as _urls_probe
+
+        df = _url_dedup(df, url_col, tiebreak=id_col)
+        if url_index is not None:
+            df = _urls_probe(df.drop("canonical_url"), url_index, url_col)
+    # compliance gates run next (cheapest stateless: per-doc regexps, no
+    # shuffle, and an opted-out/wrong-license doc must not even be hashed)
     if drop_opted_out:
         from . import compliance as comp
 
@@ -185,6 +214,42 @@ def prepare_corpus(
     )
     if gopher_gates:
         kept = textstats.gopher_quality_filter(kept, text_col)
+    if quality_cut is not None:
+        # round 11, VERDICT r10 item #8 — close the calibration loop the
+        # threshold_sweep operator opened: pick the trained-gate cut
+        # from the decision table instead of a hard-coded floor. The
+        # sweep runs over the lang-kept population (the floor's own
+        # domain) with the heuristic gate as the distillation label —
+        # exactly the gate_threshold_sweep pairing. One 10-row sweep
+        # collect (bin-cardinality bounded), then the chosen cut flows
+        # into the standard classifier gate below; surface it via
+        # corpus_card(clf_cut=...).
+        if quality_cut != "f1":
+            raise ValueError(
+                f"quality_cut must be 'f1' or None, got {quality_cut!r}"
+            )
+        if classifier_weights is None:
+            raise ValueError("quality_cut requires classifier_weights")
+        from . import ml as ml_mod
+
+        pop = scored.where(F.col("lang_pred").isin(*keep_langs))
+        sc = clf.classifier_scores(
+            pop, classifier_weights, id_col, text_col, dim=classifier_dim
+        )
+        lab = pop.select(
+            id_col, (F.col("quality_score") >= min_quality).alias("__label")
+        )
+        best = (
+            ml_mod.threshold_sweep(
+                sc.join(lab, id_col), "clf_score", "__label", n_bins=10
+            )
+            .where(F.col("f1").isNotNull())
+            .orderBy(F.col("f1").desc(), F.col("threshold").asc())
+            .limit(1)
+            .collect()
+        )
+        if best:
+            classifier_floor = float(best[0]["threshold"])
     if classifier_weights is not None:
         scored_clf = clf.classifier_scores(
             kept, classifier_weights, id_col, text_col, dim=classifier_dim
@@ -330,23 +395,42 @@ def corpus_report(
     shard_cols: Sequence[str] = ("source",),
 ) -> DataFrame:
     """Per-shard roll-up of the prepared corpus: documents and tokens kept,
-    packs produced, mean fill ratio — the dashboard row per input shard."""
+    packs produced, mean fill ratio — the dashboard row per input shard.
+
+    ``avg_fill`` is the EXACT ratio-of-sums ``total_tokens /
+    (pack_budget · n_packs)`` rounded half-up at 4dp via integer
+    arithmetic (``floor((2·10⁴·total + budget·n) / (2·budget·n))`` —
+    the stratified_split ppm pattern): every pack shares the one budget
+    denominator, so this equals the mean fill up to the old per-pack
+    4dp pre-rounding, and unlike ``round(avg(round(...)))`` it can
+    never land on a double half-boundary where Spark's
+    shortest-decimal HALF_UP and an oracle engine's binary rounding
+    disagree (round 11 — a URL-door survivor set hit exactly that)."""
     shard_cols = list(shard_cols)
     per_pack = packing.pack_summary(packed, pack_budget, shard_cols)
+    total = F.sum("sum_tokens").cast("double")
+    n = F.count("*").cast("double")
+    avg_fill = (
+        F.floor(
+            (F.lit(20000.0) * total + F.lit(float(pack_budget)) * n)
+            / (F.lit(2.0 * pack_budget) * n)
+        )
+        / F.lit(10000.0)
+    )
     return (
         per_pack.groupBy(*shard_cols)
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.count("*").alias("n_packs"),
             F.sum("sum_tokens").alias("sum_tokens"),
-            F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+            avg_fill.alias("avg_fill"),
         )
     )
 
 
 def corpus_card(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    source_col: str = "source",
+    source_col: str = "source", clf_cut: float | None = None,
 ) -> DataFrame:
     """One-row corpus data card — the header block of a dataset card
     (Gebru et al., "Datasheets for Datasets"): sizes, token volume,
@@ -381,7 +465,7 @@ def corpus_card(
         *pii_counts(text_col),
     )
     n = F.count(F.lit(1))
-    return counted.agg(
+    card = counted.agg(
         n.alias("n_docs"),
         F.countDistinct(source_col).alias("n_sources"),
         F.sum("__nt").cast("long").alias("total_tokens"),
@@ -403,6 +487,12 @@ def corpus_card(
             "empty_rate"
         ),
     )
+    if clf_cut is not None:
+        # surface the tuned trained-gate cut (prepare_corpus
+        # quality_cut="f1") on the data card — provenance of WHICH
+        # threshold admitted this corpus
+        card = card.withColumn("clf_cut", F.lit(float(clf_cut)))
+    return card
 
 
 def cap_per_language(

@@ -4431,7 +4431,8 @@ SELECT source,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_packs,
        CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
-       ROUND(AVG(fill_ratio), 4) AS avg_fill
+       FLOOR((20000.0 * SUM(sum_tokens) + 512 * COUNT(*))
+             / (1024.0 * COUNT(*))) / 10000.0 AS avg_fill
 FROM per_pack
 GROUP BY source
 """
@@ -4649,7 +4650,8 @@ SELECT source,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_packs,
        CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
-       ROUND(AVG(fill_ratio), 4) AS avg_fill
+       FLOOR((20000.0 * SUM(sum_tokens) + 512 * COUNT(*))
+             / (1024.0 * COUNT(*))) / 10000.0 AS avg_fill
 FROM per_pack
 GROUP BY source
 """
@@ -17782,3 +17784,102 @@ FROM scored
 
 QUERIES.update({"lsh_plan_curve": q_lsh_plan_curve})
 ORACLES.update({"lsh_plan_curve": SQL_LSH_PLAN_CURVE})
+
+
+def q_corpus_prepare_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pipeline with the batch URL door FIRST (round 11, VERDICT
+    r10 item #9 — pipeline.prepare_corpus(url_col=), streaming-parity
+    door order): a deterministic re-crawl URL is derived per doc
+    (doc_id mod 40 × mod 7 — ~280 canonical identities over the
+    fixture, so the door cuts roughly half the corpus before any
+    language scoring), canonical-URL dedup keeps the smallest doc_id
+    per identity, and the surviving docs run the standard lang →
+    quality → exact dedup → near-dup → pack pipeline. Oracle prepends
+    the identical keep-first-per-URL window to the proven
+    corpus_prepare replay."""
+    from ..operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source",
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".com/a/"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    scope = _rotating_scope("corpus_prepare_url")
+    packed = pipeline.prepare_corpus(
+        docs, pack_budget=512, neardup_bands=32, url_col="url",
+        scope=scope,
+    )
+    return pipeline.corpus_report(packed, pack_budget=512)
+
+
+SQL_CORPUS_PREPARE_URL = SQL_CORPUS_PREPARE.replace(
+    """WITH RECURSIVE toks AS (
+  SELECT doc_id, text, source,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> t <> '')) AS tk
+  FROM documents
+),""",
+    """WITH RECURSIVE url_kept AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY 'https://ex' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.com/a/' || CAST(doc_id % 7 AS VARCHAR)
+      ORDER BY doc_id) AS urn
+    FROM documents)
+  WHERE urn = 1
+),
+toks AS (
+  SELECT doc_id, text, source,
+         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> t <> '')) AS tk
+  FROM url_kept
+),""",
+)
+assert "url_kept AS" in SQL_CORPUS_PREPARE_URL  # replace() must not rot
+
+
+QUERIES.update({"corpus_prepare_url": q_corpus_prepare_url})
+ORACLES.update({"corpus_prepare_url": SQL_CORPUS_PREPARE_URL})
+
+
+def q_quality_cut_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax-F1 trained-gate cut (round 11, VERDICT r10 item #8 —
+    the decision prepare_corpus(quality_cut="f1") makes): the
+    gate_threshold_sweep decision table reduced to its best row, F1
+    descending with ties to the LOWEST threshold (admit more when
+    equal). One 10-row sweep + a deterministic order/limit — this is
+    the cut the pipeline replaces classifier_floor with, surfaced on
+    corpus_card as clf_cut."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = classifier.classifier_scores(
+        docs, classifier.WEIGHTS_QUALITY_V1
+    )
+    lab = textstats.with_quality_score(docs, "text").select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("__label")
+    )
+    sweep = ml.threshold_sweep(
+        scores.join(lab, "doc_id"), "clf_score", "__label", n_bins=10
+    )
+    return (
+        sweep.where(F.col("f1").isNotNull())
+        .orderBy(F.col("f1").desc(), F.col("threshold").asc())
+        .limit(1)
+    )
+
+
+SQL_QUALITY_CUT_F1 = (
+    "SELECT * FROM (" + SQL_GATE_THRESHOLD_SWEEP + """
+) WHERE f1 IS NOT NULL
+ORDER BY f1 DESC, threshold ASC LIMIT 1
+"""
+)
+
+
+QUERIES.update({"quality_cut_f1": q_quality_cut_f1})
+ORACLES.update({"quality_cut_f1": SQL_QUALITY_CUT_F1})

@@ -279,3 +279,101 @@ class TestIvfArrowEquivalence:
             corpus, q, cents, k=2, n_probe=1, assign="arrow"
         ).collect()
         assert [r.vec_id for r in out] == [1, 2]
+
+
+class TestQualityCutF1:
+    def test_tuned_equals_manual_at_chosen_cut(self, spark, sf_dir):
+        # prepare_corpus(quality_cut="f1") must admit EXACTLY the set a
+        # manual classifier_floor run admits at the sweep's argmax-F1 cut
+        from ecu_sbl_aace_datalake_spark.operators import (
+            classifier, pipeline,
+        )
+        from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        chosen = QUERIES["quality_cut_f1"](spark, sf_dir).collect()[0][
+            "threshold"
+        ]
+        tuned = pipeline.prepare_corpus(
+            docs, pack_budget=512, neardup_bands=32,
+            classifier_weights=classifier.WEIGHTS_QUALITY_V1,
+            quality_cut="f1",
+        )
+        manual = pipeline.prepare_corpus(
+            docs, pack_budget=512, neardup_bands=32,
+            classifier_weights=classifier.WEIGHTS_QUALITY_V1,
+            classifier_floor=float(chosen),
+        )
+        assert sorted(r.doc_id for r in tuned.select("doc_id").collect()) \
+            == sorted(r.doc_id for r in manual.select("doc_id").collect())
+
+    def test_quality_cut_requires_weights(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        with pytest.raises(ValueError, match="classifier_weights"):
+            pipeline.prepare_corpus(docs, quality_cut="f1")
+        with pytest.raises(ValueError, match="quality_cut"):
+            pipeline.prepare_corpus(docs, quality_cut="nope")
+
+    def test_corpus_card_surfaces_cut(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        card = pipeline.corpus_card(docs, clf_cut=0.3).collect()[0]
+        assert card.clf_cut == pytest.approx(0.3)
+        plain = pipeline.corpus_card(docs)
+        assert "clf_cut" not in plain.columns
+
+
+class TestUrlDoorOrdering:
+    def test_url_door_runs_before_lang_gate(self, spark):
+        # doc 1 (non-en) and doc 2 (en) share a canonical URL. URL door
+        # FIRST keeps doc 1 (smaller id, kills doc 2), then the lang
+        # gate kills doc 1 -> NEITHER survives. A lang-first pipeline
+        # would keep doc 2 — this asserts the streaming-parity order.
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        en = ("the quick brown fox jumps over the lazy dog and the cat "
+              "watches it happen every day in the garden for hours " * 3)
+        es = ("el perro y el gato que corren por la casa con los "
+              "amigos en un dia de sol por la tarde " * 3)
+        ctrl = ("this is a completely different english control document "
+                "about spark plans and parquet readers that survives " * 3)
+        rows = [
+            (1, es, "s1", "https://same.com/page"),
+            (2, en, "s1", "https://same.com/page"),
+            (3, ctrl, "s1", "https://other.com/x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, url string"
+        )
+        out = pipeline.prepare_corpus(
+            df, pack_budget=512, neardup_bands=32, url_col="url"
+        )
+        assert [r.doc_id for r in out.select("doc_id").collect()] == [3]
+
+    def test_url_door_provenance_column(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        en = ("the quick brown fox jumps over the lazy dog while the "
+              "farmer and the miller argue about the harvest " * 3)
+        other = ("structured streaming reads a source incrementally and "
+                 "commits offsets after each micro batch completes " * 3)
+        df = spark.createDataFrame(
+            [(1, en, "s1", "https://a.com/x"),
+             (2, other, "s1", "https://b.com/y")],
+            "doc_id long, text string, source string, url string",
+        )
+        out = pipeline.prepare_corpus(
+            df, pack_budget=512, neardup_bands=32, url_col="url"
+        )
+        assert "canonical_url" in out.columns
+        assert out.count() == 2
