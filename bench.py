@@ -291,6 +291,12 @@ BENCH_QUERIES = [
     "dup_weighted_sample_clustered",
     "cluster_split_leakfree_clustered",
     "cross_source_dups_clustered",
+    "lsh_plan_curve",
+    "corpus_prepare_url",
+    "quality_cut_f1",
+    "dunns_posthoc",
+    "ingest_log_ts",
+    "dedup_health",
 ]
 
 

@@ -2066,3 +2066,120 @@ def kruskal_wallis(
         )
         .orderBy(group_col)
     )
+
+
+def dunns_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after :func:`kruskal_wallis`
+    (round 11, VERDICT r10 item #10b): WHICH groups differ, once the
+    omnibus H says some do. For every unordered group pair,
+    ``z = (R̄_a − R̄_b) / sqrt(σ² (1/n_a + 1/n_b))`` with the pooled
+    tie-corrected variance ``σ² = (N(N+1) − Σ(t³−t)/(N−1)) / 12`` over
+    the SAME integer-exact pooled midranks the omnibus test uses, and
+    the k(k−1)/2 p-values are jointly controlled by composing
+    :func:`bh_fdr` (Benjamini–Hochberg step-up at ``q``) — the standard
+    Dunn (1964) + BH post-hoc battery.
+
+    Two-sided p from |z| via the Zelen–Severo / Abramowitz–Stegun
+    26.2.17 polynomial (|ε| < 7.5e-8; both engines evaluate the
+    identical exp-based formula — same precedent as the KS battery's
+    exp p-values; neither engine has erf).
+
+    Scale: the same two bounded aggregates + one distinct-value window
+    as :func:`kruskal_wallis`, then a k×k self-join of the k-row
+    per-group relation and bh_fdr's rank window — nothing after the
+    first aggregate scales with row count.
+
+    Returns one row per pair ``(group_a, group_b, n_a, n_b,
+    mean_rank_a, mean_rank_b, z, p, rank, bh_threshold, rejected)``,
+    ordered by p then pair.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col).cast("string")
+    val = F.col(value_col).cast("double")
+    base = df.where(val.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), val.alias("__v")
+    )
+    pv = base.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__tg"))
+    tot_v = pv.groupBy("__v").agg(F.sum("__tg").alias("__t"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r2v = tot_v.withColumn("__cum", F.sum("__t").over(w)).select(
+        "__v", "__t",
+        (2 * (F.col("__cum") - F.col("__t")) + F.col("__t") + 1).alias(
+            "__r2"
+        ),
+    )
+    per_g = (
+        pv.join(r2v.select("__v", "__r2"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__tg") * F.col("__r2")).alias("__r2g"),
+            F.sum("__tg").alias("__ng"),
+        )
+    )
+    glob = tot_v.agg(
+        F.sum("__t").alias("__n"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    a, b = per_g.alias("a"), per_g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.__g") < F.col("b.__g"))
+        .crossJoin(F.broadcast(glob))
+    )
+    n = F.col("__n").cast("double")
+    sigma2 = (
+        n * (n + 1)
+        - F.col("__ties").cast("double") / (n - 1)
+    ) / 12.0
+    na, nb = F.col("a.__ng").cast("double"), F.col("b.__ng").cast("double")
+    mra = F.col("a.__r2g").cast("double") / (2 * na)
+    mrb = F.col("b.__r2g").cast("double") / (2 * nb)
+    zden = F.sqrt(sigma2 * (1.0 / na + 1.0 / nb))
+    z = F.when(zden > 0, (mra - mrb) / zden)
+    zabs = F.abs(z)
+    # A&S 26.2.17 upper tail: 1 − Φ(z) = φ(z)·(b1 t + … + b5 t⁵)
+    t = 1.0 / (1.0 + 0.2316419 * zabs)
+    poly = t * (
+        0.319381530
+        + t * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    pdf = F.exp(-zabs * zabs / 2.0) / F.lit(2.5066282746310002)
+    p = F.least(2.0 * pdf * poly, F.lit(1.0))
+    scored = pairs.select(
+        F.col("a.__g").alias("group_a"),
+        F.col("b.__g").alias("group_b"),
+        F.col("a.__ng").cast("long").alias("n_a"),
+        F.col("b.__ng").cast("long").alias("n_b"),
+        F.round(mra, round_to).alias("mean_rank_a"),
+        F.round(mrb, round_to).alias("mean_rank_b"),
+        F.round(z, round_to).alias("z"),
+        p.alias("p_value"),
+        F.concat_ws("|", F.col("a.__g"), F.col("b.__g")).alias("__test"),
+    )
+    flags = bh_fdr(
+        scored.select("__test", "p_value"), "__test",
+        p_col="p_value", q=q, round_to=round_to,
+    )
+    return (
+        scored.drop("p_value")
+        .join(flags, scored["__test"] == flags["__test"])
+        .select(
+            "group_a", "group_b", "n_a", "n_b",
+            "mean_rank_a", "mean_rank_b", "z",
+            "p", "rank", "bh_threshold", "rejected",
+        )
+        .orderBy("rank")
+    )

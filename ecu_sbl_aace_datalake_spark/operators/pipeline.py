@@ -635,3 +635,160 @@ def ingest_log_report(
         .orderBy("__r")
         .drop("__r")
     )
+
+
+#: integer half-up ppm of rej/inn (both LONG columns by name) — exact
+#: 64-bit arithmetic, no double boundary anywhere (the corpus_report
+#: avg_fill lesson, in DIV form so 100 TB-scale counts never leave longs)
+def _ppm_expr(rej: str, inn: str) -> F.Column:
+    return F.expr(
+        f"CASE WHEN {inn} > 0 THEN (2000000 * {rej} + {inn}) DIV (2 * {inn}) "
+        f"ELSE 0 END"
+    )
+
+
+def ingest_log_timeseries(
+    log_df: DataFrame,
+    stage_order: Sequence[str] = INGEST_STAGE_ORDER,
+    ma_window: int = 3,
+) -> DataFrame:
+    """Per-(batch, door) TIME SERIES over a ``{table}_ingest_log``
+    observability table (round 11, VERDICT r10 item #10a — the trend
+    companion to :func:`ingest_log_report`'s all-time rollup): each
+    door's per-batch rows in/out and rejection rate, the cumulative
+    admitted count, a trailing-``ma_window`` moving rejection rate
+    (ratio of summed counts — integer-weighted, never an average of
+    rounded rates), and the batch-over-batch rejection-rate delta.
+    A dedup door whose reject_rate trends up while its ma smooths the
+    noise is the "crawl started re-collecting a template" signal.
+
+    All rates are integer half-up ppm (``(2·10⁶·rej + in) DIV (2·in)``)
+    — exact at any scale, replayable relationally. Unknown stages are
+    excluded (same contract as the rollup). One per-batch lag window +
+    per-stage ordered windows over the bounded batches × doors log.
+
+    Returns ``(batch_id, stage, rows_in, rows_out, n_rejected,
+    reject_rate, cum_rows_out, ma_reject, delta_reject)`` in (batch,
+    door-order); ``delta_reject`` is NULL on each door's first batch.
+    """
+    from pyspark.sql.window import Window
+
+    rank = F.lit(len(stage_order))
+    for i, s in reversed(list(enumerate(stage_order))):
+        rank = F.when(F.col("stage") == s, F.lit(i)).otherwise(rank)
+    wb = Window.partitionBy("batch_id").orderBy("__rank", "stage")
+    staged = (
+        log_df.where(F.col("stage").isin(list(stage_order)))
+        .select(
+            "batch_id", "stage", rank.alias("__rank"),
+            F.col("n_rows").cast("long").alias("__out"),
+        )
+        .withColumn(
+            "__in", F.coalesce(F.lag("__out").over(wb), F.col("__out"))
+        )
+        .withColumn("__rej", F.col("__in") - F.col("__out"))
+        .withColumn("__ppm", _ppm_expr("__rej", "__in"))
+    )
+    ws = Window.partitionBy("stage").orderBy("batch_id")
+    wma = ws.rowsBetween(-(ma_window - 1), Window.currentRow)
+    wcum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        staged.withColumn("__ma_in", F.sum("__in").over(wma))
+        .withColumn("__ma_rej", F.sum("__rej").over(wma))
+        .withColumn("__ma_ppm", _ppm_expr("__ma_rej", "__ma_in"))
+        .withColumn("__cum_out", F.sum("__out").over(wcum))
+        .withColumn("__prev_ppm", F.lag("__ppm").over(ws))
+    )
+    return out.select(
+        "batch_id",
+        "stage",
+        F.col("__in").alias("rows_in"),
+        F.col("__out").alias("rows_out"),
+        F.col("__rej").alias("n_rejected"),
+        (F.col("__ppm") / F.lit(1000000.0)).alias("reject_rate"),
+        F.col("__cum_out").alias("cum_rows_out"),
+        (F.col("__ma_ppm") / F.lit(1000000.0)).alias("ma_reject"),
+        (
+            (F.col("__ppm") - F.col("__prev_ppm")) / F.lit(1000000.0)
+        ).alias("delta_reject"),
+        "__rank",
+    ).orderBy("batch_id", "__rank").drop("__rank")
+
+
+def dedup_health_report(
+    log_df: DataFrame,
+    clusters: DataFrame,
+    batch_map: DataFrame,
+    id_col: str = "doc_id",
+    batch_col: str = "batch_id",
+    dedup_stages: Sequence[str] = ("in_batch_exact", "corpus_doors"),
+    stage_order: Sequence[str] = INGEST_STAGE_ORDER,
+) -> DataFrame:
+    """Dedup-health dashboard per ingest batch (round 11, VERDICT r10
+    item #10a): the dedup doors' per-batch rejection trend JOINED to
+    the near-dup cluster structure of each batch's documents — the two
+    signals that together diagnose "the crawl is re-collecting": a
+    rising dedup-door rejection rate AND a growing share of the
+    batch's docs living in (large) duplicate clusters.
+
+    ``clusters`` is any ``(node, cluster)`` labeling — at steady state
+    the :func:`~.dedup.persist_dup_clusters` table, its sixth consumer.
+    ``batch_map`` maps ``id_col`` → ``batch_col``. Door side: the
+    :func:`ingest_log_timeseries` rows for ``dedup_stages`` summed per
+    batch; cluster side: one membership join + a cluster-size lookup,
+    both labeling-bounded. Rates are exact integer ppm throughout.
+
+    Returns ``(batch_id, dedup_rows_in, dedup_rows_out,
+    dedup_reject_rate, n_docs, n_clustered, clustered_share,
+    max_cluster_size)`` ordered by batch; ``max_cluster_size`` is 1
+    for a batch with no clustered docs.
+    """
+    ts = ingest_log_timeseries(log_df, stage_order)
+    doors = (
+        ts.where(F.col("stage").isin(list(dedup_stages)))
+        .groupBy(F.col("batch_id").alias(batch_col))
+        .agg(
+            F.sum("rows_in").alias("dedup_rows_in"),
+            F.sum("rows_out").alias("dedup_rows_out"),
+        )
+        .withColumn(
+            "dedup_reject_rate",
+            _ppm_expr(
+                "(dedup_rows_in - dedup_rows_out)", "dedup_rows_in"
+            ) / F.lit(1000000.0),
+        )
+    )
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    mem = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster").alias("__cl")
+    )
+    cstats = (
+        batch_map.select(id_col, batch_col)
+        .join(mem, id_col, "left")
+        .join(sizes, F.col("__cl") == F.col("cluster"), "left")
+        .groupBy(batch_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__cl").isNotNull().cast("long")).alias(
+                "n_clustered"
+            ),
+            F.max(F.coalesce(F.col("__sz"), F.lit(1))).alias(
+                "max_cluster_size"
+            ),
+        )
+        .withColumn(
+            "clustered_share",
+            _ppm_expr("n_clustered", "n_docs") / F.lit(1000000.0),
+        )
+    )
+    return (
+        doors.join(cstats, batch_col, "left")
+        .select(
+            batch_col, "dedup_rows_in", "dedup_rows_out",
+            "dedup_reject_rate", "n_docs", "n_clustered",
+            "clustered_share", "max_cluster_size",
+        )
+        .orderBy(batch_col)
+    )

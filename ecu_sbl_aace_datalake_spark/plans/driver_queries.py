@@ -17883,3 +17883,285 @@ ORDER BY f1 DESC, threshold ASC LIMIT 1
 
 QUERIES.update({"quality_cut_f1": q_quality_cut_f1})
 ORACLES.update({"quality_cut_f1": SQL_QUALITY_CUT_F1})
+
+
+def q_dunns_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise battery after Kruskal–Wallis
+    (ml.dunns_test, round 11, VERDICT r10 item #10b): all 10 priority
+    pairs over order values — tie-corrected pairwise z from the SAME
+    pooled integer-exact midranks as the omnibus H, two-sided p via the
+    A&S 26.2.17 exp polynomial (the KS battery's p-value precedent),
+    jointly BH-FDR-controlled at q=0.05 by composing ml.bh_fdr. Oracle
+    replays midranks, the pairwise variance, the polynomial, and the
+    exact step-up line."""
+    orders = _t(spark, sf_dir, "orders")
+    return ml.dunns_test(orders, "o_orderpriority", "o_totalprice", q=0.05)
+
+
+SQL_DUNNS_POSTHOC = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+pv AS (SELECT v, g, COUNT(*) AS tg FROM base GROUP BY v, g),
+tot_v AS (SELECT v, SUM(tg) AS t FROM pv GROUP BY v),
+r2v AS (
+  SELECT v, 2 * (SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+           + t + 1 AS r2
+  FROM tot_v
+),
+per_g AS (
+  SELECT g, SUM(pv.tg * r2v.r2) AS r2g, SUM(pv.tg) AS ng
+  FROM pv JOIN r2v USING (v) GROUP BY g
+),
+g_tot AS (
+  SELECT SUM(t) AS n, SUM(t * t * t - t) AS ties FROM tot_v
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.ng AS na, b.ng AS nb,
+         a.r2g / (2.0 * a.ng) AS mra, b.r2g / (2.0 * b.ng) AS mrb,
+         (n * (n + 1.0) - ties * 1.0 / (n - 1.0)) / 12.0 AS sigma2,
+         n
+  FROM per_g a JOIN per_g b ON a.g < b.g CROSS JOIN g_tot
+),
+zed AS (
+  SELECT ga, gb, na, nb, mra, mrb,
+         CASE WHEN SQRT(sigma2 * (1.0 / na + 1.0 / nb)) > 0
+              THEN (mra - mrb) / SQRT(sigma2 * (1.0 / na + 1.0 / nb))
+         END AS z
+  FROM pairs
+),
+pval AS (
+  SELECT *, LEAST(
+    2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002)
+        * ((1.0 / (1.0 + 0.2316419 * ABS(z)))
+           * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+           * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+           * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+           * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ABS(z)))
+              * 1.330274429))))),
+    1.0) AS p_value
+  FROM zed
+),
+ranked AS (
+  SELECT *, ga || '|' || gb AS test,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC, ga || '|' || gb ASC)
+           AS rnk,
+         COUNT(*) OVER () AS m
+  FROM pval
+),
+kmax AS (
+  SELECT MAX(rnk) AS km FROM ranked
+  WHERE p_value <= rnk * 1.0 / m * 0.05
+)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(mra, 6) AS mean_rank_a, ROUND(mrb, 6) AS mean_rank_b,
+       ROUND(z, 6) AS z,
+       ROUND(p_value, 6) AS p,
+       CAST(rnk AS BIGINT) AS rank,
+       ROUND(rnk * 1.0 / m * 0.05, 6) AS bh_threshold,
+       COALESCE(rnk <= km, FALSE) AS rejected
+FROM ranked CROSS JOIN kmax
+ORDER BY rank
+"""
+
+
+QUERIES.update({"dunns_posthoc": q_dunns_posthoc})
+ORACLES.update({"dunns_posthoc": SQL_DUNNS_POSTHOC})
+
+
+def _ingest_log_3batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 3-batch door log q_ingest_door_rollup
+    synthesizes (arrived → lang_quality_gate → in_batch_exact,
+    batch = doc_id % 3) — shared by the rollup, the round-11 time
+    series, and the dedup-health join."""
+    from ..operators import textstats as ts_mod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (F.col("doc_id") % 3).cast("long").alias("batch_id")
+    scored = ts_mod.with_quality_score(
+        ts_mod.with_lang_id(docs, "text"), "text"
+    )
+    gated = scored.where(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.groupBy(b)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("batch_id", F.lit("arrived").alias("stage"), "n_rows")
+        .unionByName(
+            gated.groupBy(b)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "batch_id",
+                F.lit("lang_quality_gate").alias("stage"),
+                "n_rows",
+            )
+        )
+        .unionByName(
+            gated.groupBy(b)
+            .agg(F.countDistinct(norm).alias("n_rows"))
+            .select(
+                "batch_id", F.lit("in_batch_exact").alias("stage"), "n_rows"
+            )
+        )
+    )
+
+
+def q_ingest_log_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(batch, door) ingest TIME SERIES
+    (pipeline.ingest_log_timeseries, round 11, VERDICT r10 item #10a):
+    the rollup's 3-batch synthesized log expanded to the trend view —
+    per batch and door, rows in/out/rejected, exact-ppm rejection rate,
+    cumulative admitted, trailing-3 ratio-of-sums moving rejection
+    rate, and the batch-over-batch rate delta. All rates are integer
+    half-up ppm (DIV arithmetic — no double boundary at any scale);
+    oracle replays the lag, both trailing windows, and the ppm line."""
+    from ..operators import pipeline
+
+    return pipeline.ingest_log_timeseries(_ingest_log_3batch(spark, sf_dir))
+
+
+SQL_INGEST_LOG_TS = SQL_INGEST_DOOR_ROLLUP.split("staged AS (")[0] + r"""staged AS (
+  SELECT batch_id, stage, r, n,
+         COALESCE(LAG(n) OVER (PARTITION BY batch_id ORDER BY r), n) AS rin
+  FROM log
+),
+ext AS (
+  SELECT *, rin - n AS rej,
+         CASE WHEN rin > 0 THEN (2000000 * (rin - n) + rin) // (2 * rin)
+              ELSE 0 END AS ppm
+  FROM staged
+),
+win AS (
+  SELECT *,
+         SUM(rin) OVER wma AS ma_in,
+         SUM(rej) OVER wma AS ma_rej,
+         SUM(n) OVER wcum AS cum_out,
+         LAG(ppm) OVER ws AS prev_ppm
+  FROM ext
+  WINDOW ws AS (PARTITION BY stage ORDER BY batch_id),
+         wma AS (PARTITION BY stage ORDER BY batch_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         wcum AS (PARTITION BY stage ORDER BY batch_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT batch_id, stage,
+       CAST(rin AS BIGINT) AS rows_in,
+       CAST(n AS BIGINT) AS rows_out,
+       CAST(rej AS BIGINT) AS n_rejected,
+       ppm / 1000000.0 AS reject_rate,
+       CAST(cum_out AS BIGINT) AS cum_rows_out,
+       (CASE WHEN ma_in > 0 THEN (2000000 * ma_rej + ma_in) // (2 * ma_in)
+             ELSE 0 END) / 1000000.0 AS ma_reject,
+       (ppm - prev_ppm) / 1000000.0 AS delta_reject
+FROM win ORDER BY batch_id, r
+"""
+assert "ext AS (" in SQL_INGEST_LOG_TS  # split() must not rot
+
+
+QUERIES.update({"ingest_log_ts": q_ingest_log_ts})
+ORACLES.update({"ingest_log_ts": SQL_INGEST_LOG_TS})
+
+
+def q_dedup_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-health dashboard (pipeline.dedup_health_report, round 11,
+    VERDICT r10 item #10a): per ingest batch, the exact-dedup door's
+    rejection rate joined to the near-dup cluster structure of that
+    batch's documents — clustered share and largest touched cluster —
+    over the SHARED persisted dup-cluster labeling (its sixth
+    consumer). A batch that both rejects heavily at the dedup door and
+    lives in large clusters is the re-collected-template signal.
+    Oracle = the synthesized log's lag + ppm arithmetic composed with
+    the brute-force recursive-CC closure."""
+    from ..operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    log = _ingest_log_3batch(spark, sf_dir)
+    idx = _dup_cluster_index(spark, sf_dir)
+    clusters = dedup.load_dup_clusters(spark, idx)
+    batch_map = docs.select(
+        "doc_id", (F.col("doc_id") % 3).cast("long").alias("batch_id")
+    )
+    return pipeline.dedup_health_report(
+        log, clusters, batch_map, dedup_stages=("in_batch_exact",)
+    )
+
+
+SQL_DEDUP_HEALTH = SQL_INGEST_DOOR_ROLLUP.split("staged AS (")[0] + r"""staged AS (
+  SELECT batch_id, stage, r, n,
+         COALESCE(LAG(n) OVER (PARTITION BY batch_id ORDER BY r), n) AS rin
+  FROM log
+),
+doors AS (
+  SELECT batch_id, SUM(rin) AS din, SUM(n) AS dout
+  FROM staged WHERE stage = 'in_batch_exact' GROUP BY batch_id
+),
+ctok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ctoks
+  FROM documents
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ctoks) - 2, 0) + 1),
+            i -> ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2])) AS shingles
+  FROM ctok
+),
+cex AS (SELECT doc_id, unnest(shingles) AS s FROM csh),
+cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM cex a JOIN cex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT id_a, id_b FROM cinter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM csh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM csh) nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+cund AS (
+  SELECT id_a AS a, id_b AS b FROM cpairs
+  UNION SELECT id_b, id_a FROM cpairs
+),
+creach AS (
+  SELECT a AS node, a AS peer FROM cund
+  UNION
+  SELECT r.node, u.b FROM creach r JOIN cund u ON u.a = r.peer
+),
+cl AS (SELECT node, MIN(peer) AS cluster FROM creach GROUP BY node),
+sizes AS (SELECT cluster, COUNT(*) AS sz FROM cl GROUP BY cluster),
+bm AS (SELECT doc_id, doc_id % 3 AS batch_id FROM main.documents),
+cstat AS (
+  SELECT bm.batch_id,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN cl.node IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered,
+         MAX(COALESCE(sizes.sz, 1)) AS max_cluster_size
+  FROM bm LEFT JOIN cl ON cl.node = bm.doc_id
+  LEFT JOIN sizes ON sizes.cluster = cl.cluster
+  GROUP BY bm.batch_id
+)
+SELECT d.batch_id,
+       CAST(din AS BIGINT) AS dedup_rows_in,
+       CAST(dout AS BIGINT) AS dedup_rows_out,
+       (CASE WHEN din > 0 THEN (2000000 * (din - dout) + din) // (2 * din)
+             ELSE 0 END) / 1000000.0 AS dedup_reject_rate,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_clustered AS BIGINT) AS n_clustered,
+       (CASE WHEN n_docs > 0
+             THEN (2000000 * n_clustered + n_docs) // (2 * n_docs)
+             ELSE 0 END) / 1000000.0 AS clustered_share,
+       CAST(max_cluster_size AS BIGINT) AS max_cluster_size
+FROM doors d LEFT JOIN cstat ON cstat.batch_id = d.batch_id
+ORDER BY d.batch_id
+"""
+assert "creach AS (" in SQL_DEDUP_HEALTH  # split() must not rot
+
+
+QUERIES.update({"ingest_log_ts": q_ingest_log_ts,
+                "dedup_health": q_dedup_health})
+ORACLES.update({"ingest_log_ts": SQL_INGEST_LOG_TS,
+                "dedup_health": SQL_DEDUP_HEALTH})

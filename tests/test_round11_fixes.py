@@ -377,3 +377,99 @@ class TestUrlDoorOrdering:
         )
         assert "canonical_url" in out.columns
         assert out.count() == 2
+
+
+class TestDunnsTest:
+    def test_known_no_ties_example(self, spark):
+        # A={1,2,3} B={4,5,6} C={7,8,9}: N=9, mean ranks 2/5/8,
+        # sigma2 = N(N+1)/12 = 7.5, z(A,B) = -3/sqrt(7.5*(2/3)) = -1.341641
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("A", v) for v in (1.0, 2.0, 3.0)] + \
+               [("B", v) for v in (4.0, 5.0, 6.0)] + \
+               [("C", v) for v in (7.0, 8.0, 9.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r.group_a, r.group_b): r
+               for r in ml.dunns_test(df, "g", "v").collect()}
+        ab = out[("A", "B")]
+        assert ab.mean_rank_a == pytest.approx(2.0)
+        assert ab.mean_rank_b == pytest.approx(5.0)
+        assert ab.z == pytest.approx(-3 / math.sqrt(5.0), abs=1e-6)
+        # two-sided p from the exact normal tail
+        p_exact = math.erfc(abs(ab.z) / math.sqrt(2.0))
+        assert ab.p == pytest.approx(p_exact, abs=1e-6)
+        ac = out[("A", "C")]
+        assert ac.z == pytest.approx(-6 / math.sqrt(5.0), abs=1e-6)
+        # extreme pair is the most significant
+        assert ac.rank == 1
+
+    def test_as_polynomial_accuracy(self, spark):
+        # p within 2e-7 of math.erfc across a z sweep (A&S 26.2.17 bound)
+        import math
+
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = []
+        # construct groups whose mean-rank gaps sweep a range of z
+        for gi in range(6):
+            for v in range(10):
+                rows.append((f"g{gi}", float(gi * 10 + v)))
+        df = spark.createDataFrame(rows, "g string, v double")
+        for r in ml.dunns_test(df, "g", "v").collect():
+            p_exact = math.erfc(abs(r.z) / math.sqrt(2.0))
+            assert r.p == pytest.approx(min(p_exact, 1.0), abs=2e-6)
+
+    def test_bh_rejections_monotone(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import ml
+
+        rows = [("A", v) for v in range(10)] + \
+               [("B", v + 100) for v in range(10)] + \
+               [("C", v + 0.5) for v in range(10)]
+        df = spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "g string, v double"
+        )
+        out = ml.dunns_test(df, "g", "v").collect()
+        # rejected set is a prefix of the rank ordering (step-up property)
+        rejected_ranks = [r.rank for r in out if r.rejected]
+        if rejected_ranks:
+            assert rejected_ranks == list(range(1, max(rejected_ranks) + 1))
+        # far-separated groups must reject; A vs C overlap must not be
+        # the most significant
+        by_pair = {(r.group_a, r.group_b): r for r in out}
+        assert by_pair[("A", "B")].rejected
+
+
+class TestDedupHealthReport:
+    def test_joined_door_and_cluster_signals(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import pipeline
+
+        log = spark.createDataFrame(
+            [(0, "arrived", 10), (0, "in_batch_exact", 8),
+             (1, "arrived", 10), (1, "in_batch_exact", 5)],
+            "batch_id long, stage string, n_rows long",
+        )
+        clusters = spark.createDataFrame(
+            # cluster 1 = {1,2,3}; cluster 20 = {20,21}
+            [(1, 1), (2, 1), (3, 1), (20, 20), (21, 20)],
+            "node long, cluster long",
+        )
+        batch_map = spark.createDataFrame(
+            [(i, i % 2) for i in range(1, 25)],
+            "doc_id long, batch_id long",
+        )
+        out = {r.batch_id: r for r in pipeline.dedup_health_report(
+            log, clusters, batch_map, dedup_stages=("in_batch_exact",),
+            stage_order=("arrived", "in_batch_exact"),
+        ).collect()}
+        # door side: batch 0 rejects 2/10, batch 1 rejects 5/10
+        assert out[0].dedup_reject_rate == pytest.approx(0.2)
+        assert out[1].dedup_reject_rate == pytest.approx(0.5)
+        # cluster side: batch 1 (odd ids) holds 1,3,21 clustered of 12
+        assert out[1].n_docs == 12 and out[1].n_clustered == 3
+        assert out[1].clustered_share == pytest.approx(0.25)
+        assert out[1].max_cluster_size == 3
+        # batch 0 (even ids) holds 2,20 clustered; max touched size 3
+        assert out[0].n_clustered == 2
+        assert out[0].max_cluster_size == 3

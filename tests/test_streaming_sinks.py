@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from ecu_sbl_aace_datalake_spark.sources.catalog import Lakehouse
@@ -986,6 +988,24 @@ class TestIngestDoorLog:
         assert rep["arrived"].n_rejected == 0
         assert rep["admitted"].n_rejected == 0
         assert rep["arrived"].rows_in == 6 and rep["admitted"].rows_out == 2
+
+        # round 11: the TIME-SERIES reader over the same real table
+        from ecu_sbl_aace_datalake_spark.operators.pipeline import (
+            ingest_log_timeseries,
+        )
+
+        ts = {(r.batch_id, r.stage): r
+              for r in ingest_log_timeseries(log).collect()}
+        lg0 = ts[(0, "lang_quality_gate")]
+        lg1 = ts[(1, "lang_quality_gate")]
+        assert lg0.rows_in == 3 and lg0.rows_out == 2
+        assert lg0.reject_rate == pytest.approx(0.333333)
+        assert lg0.delta_reject is None  # first batch of the door
+        assert lg1.reject_rate == 0.0
+        # trailing ratio-of-sums ma at batch 1: (1+0)/(3+2) = 0.2
+        assert lg1.ma_reject == pytest.approx(0.2)
+        assert lg1.delta_reject == pytest.approx(-0.333333)
+        assert lg1.cum_rows_out == 4  # 2 + 2 admitted through the gate
 
     def test_log_off_writes_no_table(self, spark, tmp_path):
         import glob
