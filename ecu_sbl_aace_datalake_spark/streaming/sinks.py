@@ -583,10 +583,23 @@ def foreach_batch_corpus_ingest(
             return
         spark = batch_df.sparkSession
         door_counts: list[tuple[int, str, int]] = []
+        pinned: list[DataFrame] = []
 
         def _snap(stage: str, df: DataFrame) -> None:
+            # pin each snapped relation before counting, release the
+            # previous pin after (round 11 — NEXT r9 follow-up): every
+            # door builds on the last door's relation, so an unpinned
+            # count() chain re-executes doors 1..k at door k — O(d²)
+            # door work per batch. Pinning makes each count incremental
+            # from the previous door's cache (O(d) total) and downstream
+            # doors read the cache too; the admitted localCheckpoint at
+            # the end is unaffected. No-op when log_doors is off.
             if log_doors:
+                df.persist()
                 door_counts.append((int(batch_id), stage, int(df.count())))
+                while pinned:
+                    pinned.pop().unpersist()
+                pinned.append(df)
 
         def _flush_log() -> None:
             if not (log_doors and door_counts):
@@ -784,6 +797,8 @@ def foreach_batch_corpus_ingest(
                 _url_append(accepted, url_index)
             _flush_log()
         finally:
+            while pinned:
+                pinned.pop().unpersist()
             scope.unpersist()
 
     return (
