@@ -264,6 +264,8 @@ class TestGlobalPlanInvariants:
         "gate_threshold_sweep",  # 1-row (total, positives) scalar broadcast
         "dim_truncation_recall",  # pinned query-set broadcasts (cosine_topk per dim) + 1-row hit-count scalars
         "kruskal_wallis",       # two 1-row scalar broadcasts (global n/ties + rank-sum term)
+        "quality_cut_f1",       # composes gate_threshold_sweep's 1-row (total, positives) scalar broadcast
+        "dunns_posthoc",        # k-row per-group self-join on g_a < g_b (group-cardinality-bounded) + 1-row glob/kmax scalar broadcasts
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {
