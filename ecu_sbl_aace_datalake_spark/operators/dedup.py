@@ -952,6 +952,7 @@ def neardup_pairs_against_corpus(
     bands: int = 16,
     threshold: float = 0.7,
     scope: CacheScope | None = None,
+    plan: dict | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs between a NEW batch and an existing corpus:
     ``(new_id, corpus_id, jaccard)`` for every new row whose n-shingle
@@ -967,7 +968,11 @@ def neardup_pairs_against_corpus(
     shingle-hash sets. At 100 TB persist the corpus band table and
     shingle-hash table bucketed by band_hash: each batch becomes a
     bucket-pruned hash join instead of a corpus re-scan/re-hash.
+    ``plan=`` (a :func:`lsh_plan` dict) overrides ``num_hashes``/``bands``.
     """
+    if plan is not None:
+        num_hashes, bands = plan["num_hashes"], plan["bands"]
+
     def prep(df: DataFrame) -> DataFrame:
         return persist_in(
             scope,
@@ -1015,6 +1020,7 @@ def neardup_dedup_against_corpus(
     bands: int = 16,
     threshold: float = 0.7,
     scope: CacheScope | None = None,
+    plan: dict | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` surviving incremental near-dup dedup: drop every
     new row with a verified corpus near-duplicate (see
@@ -1023,7 +1029,7 @@ def neardup_dedup_against_corpus(
     tables can be released after each batch materializes."""
     victims = neardup_pairs_against_corpus(
         new_df, corpus_df, id_col, text_col, n, num_hashes, bands, threshold,
-        scope=scope,
+        scope=scope, plan=plan,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_df.join(victims, id_col, "left_anti")
 

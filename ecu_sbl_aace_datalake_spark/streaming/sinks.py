@@ -465,6 +465,7 @@ def foreach_batch_corpus_ingest(
     byte_budget_per_source: int | None = None,
     near_dup: bool = True,
     threshold: float = 0.7,
+    neardup_plan: dict | None = None,
     benchmark_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
     decontaminate_fuzzy_threshold: float = 0.5,
@@ -704,9 +705,12 @@ def foreach_batch_corpus_ingest(
                     batch = batch.join(known, "canonical_url", "left_anti")
                 batch = dedup_against_corpus(batch, corpus, text_col)
                 if near_dup:
+                    # neardup_plan: a dedup.lsh_plan dict retargeting the
+                    # probe banding (batch-pipeline parity)
                     batch = neardup_dedup_against_corpus(
                         batch, corpus, id_col, text_col,
                         threshold=threshold, scope=scope,
+                        plan=neardup_plan,
                     )
                 _snap("corpus_doors", batch)
             if cap_per_source is not None:

@@ -473,3 +473,29 @@ class TestDedupHealthReport:
         # batch 0 (even ids) holds 2,20 clustered; max touched size 3
         assert out[0].n_clustered == 2
         assert out[0].max_cluster_size == 3
+
+
+class TestNeardupPlanParity:
+    def test_plan_flows_into_corpus_probe(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog near the "
+                "river bank every single morning without any fail at all")
+        corpus = spark.createDataFrame(
+            [(100, base)], "doc_id long, text string"
+        )
+        batch = spark.createDataFrame(
+            [(1, base + " truly"), (2, "unrelated text about adaptive "
+              "query execution and broadcast joins in spark runtime")],
+            "doc_id long, text string",
+        )
+        p = dedup.lsh_plan(0.5, target_recall=0.98)
+        out_plan = dedup.neardup_dedup_against_corpus(
+            batch, corpus, "doc_id", threshold=0.5, plan=p
+        )
+        out_fixed = dedup.neardup_dedup_against_corpus(
+            batch, corpus, "doc_id", threshold=0.5, bands=32
+        )
+        assert sorted(r.doc_id for r in out_plan.collect()) == sorted(
+            r.doc_id for r in out_fixed.collect()
+        ) == [2]
