@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "dunns_posthoc",
     "ingest_log_ts",
     "dedup_health",
+    "curriculum_schedule",
 ]
 
 

@@ -748,3 +748,65 @@ def padding_waste_report(
             round_to,
         ).alias("pad_frac"),
     ).orderBy("bucket_bound")
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    difficulty_col: str,
+    n_phases: int = 4,
+    pacing: str = "linear",
+    id_col: str = "doc_id",
+    out_col: str = "phase",
+) -> DataFrame:
+    """Competence-based curriculum assignment (round 11; Platanios et
+    al. NAACL 2019, "Competence-based Curriculum Learning for NMT"):
+    order training data easiest-first by admitting, at phase ``p`` of
+    ``n_phases``, only the easiest ``c(p)`` fraction of the corpus —
+    ``c(p) = ((p+1)/n)`` for linear pacing, ``sqrt((p+1)/n)`` for the
+    paper's root pacing (front-loads easy data less aggressively).
+    Each document's emitted ``out_col`` is the FIRST phase that admits
+    it: the smallest ``p`` with ``rank ≤ floor(c(p) · N)`` over the
+    exact difficulty rank (ascending ``difficulty_col``, ties to the
+    smaller ``id_col`` — deterministic at any partitioning).
+
+    The assignment is closed-form from the rank — one global rank
+    window (the corpus-ordering shuffle a curriculum inherently needs;
+    at 100 TB use the same range-partition + broadcast-offsets recipe
+    as :func:`~.transform.shuffle_corpus` if a total sort is too hot)
+    plus a 1-row count broadcast; phase thresholds are exact integer
+    ``floor`` arithmetic replayable in SQL. Downstream, feed phase
+    ``p``'s training mix with ``WHERE phase <= p``.
+
+    Returns ``df`` + ``(difficulty_rank, out_col)``.
+    """
+    from pyspark.sql.window import Window
+
+    if pacing not in ("linear", "sqrt"):
+        raise ValueError(f"pacing must be 'linear' or 'sqrt', got {pacing!r}")
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be >= 1, got {n_phases}")
+    w = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    ranked = df.withColumn("difficulty_rank", F.row_number().over(w))
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # first admitting phase: smallest p with rank <= floor(c(p)*N).
+    # Exact comparisons (integer rank makes floor exact): linear ->
+    # rank*n_phases <= (p+1)*N in longs; sqrt -> rank²·n_phases <=
+    # (p+1)·N² in DECIMAL(38,0) (N² overflows int64 past ~3e9 rows)
+    r = F.col("difficulty_rank").cast("long")
+    nn = F.col("__n").cast("long")
+    rd = F.col("difficulty_rank").cast("decimal(38,0)")
+    nd = F.col("__n").cast("decimal(38,0)")
+    phase = F.lit(n_phases - 1).cast("int")
+    for p in reversed(range(n_phases - 1)):
+        if pacing == "linear":
+            admitted = r * n_phases <= (p + 1) * nn
+        else:
+            admitted = rd * rd * F.lit(n_phases).cast(
+                "decimal(38,0)"
+            ) <= F.lit(p + 1).cast("decimal(38,0)") * nd * nd
+        phase = F.when(admitted, F.lit(p)).otherwise(phase)
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(out_col, phase)
+        .drop("__n")
+    )

@@ -18165,3 +18165,44 @@ QUERIES.update({"ingest_log_ts": q_ingest_log_ts,
                 "dedup_health": q_dedup_health})
 ORACLES.update({"ingest_log_ts": SQL_INGEST_LOG_TS,
                 "dedup_health": SQL_DEDUP_HEALTH})
+
+
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum assignment (packing.curriculum_schedule,
+    round 11; Platanios et al. 2019): documents ranked easiest-first by
+    length, each assigned the first phase whose competence fraction
+    c(p) = sqrt((p+1)/4) admits its exact rank — root pacing over 4
+    phases. Closed-form integer/decimal threshold arithmetic from one
+    global rank window + a 1-row count broadcast; oracle replays the
+    rank and the squared-threshold comparisons exactly."""
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing.curriculum_schedule(
+        docs, "n_chars", n_phases=4, pacing="sqrt"
+    ).select(
+        "doc_id",
+        F.col("difficulty_rank").cast("long").alias("difficulty_rank"),
+        F.col("phase").cast("int").alias("phase"),
+    )
+
+
+SQL_CURRICULUM_SCHEDULE = """
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rnk
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS nn FROM documents)
+SELECT doc_id,
+       CAST(rnk AS BIGINT) AS difficulty_rank,
+       CAST(CASE WHEN rnk * rnk * 4 <= 1 * nn * nn THEN 0
+                 WHEN rnk * rnk * 4 <= 2 * nn * nn THEN 1
+                 WHEN rnk * rnk * 4 <= 3 * nn * nn THEN 2
+                 ELSE 3 END AS INT) AS phase
+FROM ranked CROSS JOIN n
+"""
+
+
+QUERIES.update({"curriculum_schedule": q_curriculum_schedule})
+ORACLES.update({"curriculum_schedule": SQL_CURRICULUM_SCHEDULE})

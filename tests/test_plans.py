@@ -266,6 +266,7 @@ class TestGlobalPlanInvariants:
         "kruskal_wallis",       # two 1-row scalar broadcasts (global n/ties + rank-sum term)
         "quality_cut_f1",       # composes gate_threshold_sweep's 1-row (total, positives) scalar broadcast
         "dunns_posthoc",        # k-row per-group self-join on g_a < g_b (group-cardinality-bounded) + 1-row glob/kmax scalar broadcasts
+        "curriculum_schedule",  # 1-row corpus-count scalar broadcast (phase thresholds)
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

@@ -499,3 +499,51 @@ class TestNeardupPlanParity:
         assert sorted(r.doc_id for r in out_plan.collect()) == sorted(
             r.doc_id for r in out_fixed.collect()
         ) == [2]
+
+
+class TestCurriculumSchedule:
+    def test_linear_pacing_exact_quartiles(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 9)], "doc_id long, d double"
+        )
+        out = {r.doc_id: r.phase for r in packing.curriculum_schedule(
+            df, "d", n_phases=4, pacing="linear"
+        ).collect()}
+        # N=8, linear: phase p admits rank <= 2(p+1)
+        assert [out[i] for i in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+    def test_sqrt_pacing_front_loads(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "doc_id long, d double"
+        )
+        lin = {r.doc_id: r.phase for r in packing.curriculum_schedule(
+            df, "d", n_phases=4, pacing="linear"
+        ).collect()}
+        sq = {r.doc_id: r.phase for r in packing.curriculum_schedule(
+            df, "d", n_phases=4, pacing="sqrt"
+        ).collect()}
+        # sqrt competence >= linear competence at every phase, so every
+        # doc's first admitting phase can only be earlier
+        assert all(sq[i] <= lin[i] for i in lin)
+        # N=100 sqrt thresholds: floor(100*sqrt(p/4)) = 50, 70, 86, 100
+        assert sq[50] == 0 and sq[51] == 1
+        assert sq[70] == 1 and sq[71] == 2
+        assert sq[86] == 2 and sq[87] == 3
+
+    def test_ties_break_by_id_and_errors(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(2, 1.0), (1, 1.0)], "doc_id long, d double"
+        )
+        out = {r.doc_id: r.difficulty_rank
+               for r in packing.curriculum_schedule(df, "d").collect()}
+        assert out == {1: 1, 2: 2}
+        with pytest.raises(ValueError, match="pacing"):
+            packing.curriculum_schedule(df, "d", pacing="exp")
+        with pytest.raises(ValueError, match="n_phases"):
+            packing.curriculum_schedule(df, "d", n_phases=0)
