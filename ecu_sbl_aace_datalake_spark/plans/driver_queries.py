@@ -17060,39 +17060,10 @@ def q_ingest_door_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up per door: rows in / out / rejected / rejection rate via a
     lag over the canonical door order. The reader is the surface an
     ingest operator queries when a source's admission rate drops."""
-    from ..operators import pipeline, textstats
+    from ..operators import pipeline
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    b = (F.col("doc_id") % 3).cast("long").alias("batch_id")
-    scored = textstats.with_quality_score(
-        textstats.with_lang_id(docs, "text"), "text"
-    )
-    gated = scored.where(
-        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
-    )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    log = (
-        docs.groupBy(b)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select("batch_id", F.lit("arrived").alias("stage"), "n_rows")
-        .unionByName(
-            gated.groupBy(b)
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .select(
-                "batch_id",
-                F.lit("lang_quality_gate").alias("stage"),
-                "n_rows",
-            )
-        )
-        .unionByName(
-            gated.groupBy(b)
-            .agg(F.countDistinct(norm).alias("n_rows"))
-            .select(
-                "batch_id", F.lit("in_batch_exact").alias("stage"), "n_rows"
-            )
-        )
-    )
-    return pipeline.ingest_log_report(log)
+    # log synthesis shared with the round-11 time-series/health queries
+    return pipeline.ingest_log_report(_ingest_log_3batch(spark, sf_dir))
 
 
 SQL_INGEST_DOOR_ROLLUP = SQL_CORPUS_PREPARE.split("kept AS (")[0] + r"""base AS (
