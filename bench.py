@@ -340,6 +340,15 @@ def main() -> None:
         "calib_cpu": lambda: spark.range(1_000_000_000)
         .select(_F.sum(_F.xxhash64("id")).alias("h"))
         .count(),
+        # round 11: calib_cpu's .count() lets Catalyst PRUNE the hash sum
+        # (the aggregate output is 1 row regardless), so it measures only
+        # a bare range-iteration loop — which is why it under-predicted
+        # real-query load in rounds 9-10. calib_cpu2 collects the sum, so
+        # the 1e9 xxhash64 evaluations actually run; prefer it for box
+        # comparisons, keep calib_cpu for cross-round continuity.
+        "calib_cpu2": lambda: spark.range(1_000_000_000)
+        .select(_F.sum(_F.xxhash64("id")).alias("h"))
+        .collect(),
         "calib_scan": lambda: _lineitem.select(
             _F.sum("l_extendedprice").alias("s"), _F.count("*").alias("n")
         ).count(),
@@ -394,6 +403,7 @@ def main() -> None:
         "n_runs": n_runs,
         "n_queries": len(timings),
         "calib_cpu": calib["calib_cpu"],
+        "calib_cpu2": calib["calib_cpu2"],
         "calib_scan": calib["calib_scan"],
         "queries": timings,
         "per_query": per_query,
