@@ -1368,3 +1368,97 @@ def augment_token_dropout(
         F.col(text_col).isNull(), F.lit(None).cast("int")
     ).otherwise(F.size(toks) - F.size(kept))
     return df.withColumn(out_col, out).withColumn("n_dropped", n_dropped)
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    group_col: str,
+    cap_col: str,
+    total_budget: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Max-min fair (water-filling) budget allocation across groups
+    (round 11): given each group's CAP (e.g. available tokens per
+    source) and one total budget, find the water level ``L`` with
+    ``Σ min(cap_i, L) = total_budget`` and give every group
+    ``min(cap_i, L)`` — the standard fair-division rule for "share the
+    token budget, but never give a source more than it has" (the same
+    allocation rule as max-min fairness in link scheduling; the
+    mixture-design complement of :func:`neyman_allocation`, which
+    optimizes variance instead of fairness).
+
+    Plan: one ascending sort window over the GROUPS (group-cardinality
+    rows, never data), prefix sums, the candidate level
+    ``L_i = (T − prefix_i)/(k − i)`` per sorted position, and a 1-row
+    broadcast of the unique valid level (``c_(i) ≤ L_i ≤ c_(i+1)``).
+    When ``Σ caps ≤ T`` every group is capped and the level is NULL.
+    All comparisons run on exact integer prefix sums; the level is one
+    integer quotient in double (a 7th-decimal exact-half can never be
+    a dyadic double, so 6dp rounding is engine-safe).
+
+    Expects ONE ROW PER GROUP (pre-aggregate fact tables first).
+    Returns ``(group_col, cap, allocation, capped, water_level)``
+    ordered by group.
+    """
+    from pyspark.sql.window import Window
+
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    caps = df.select(
+        F.col(group_col), F.col(cap_col).cast("long").alias("__cap")
+    )
+    w = Window.orderBy(F.col("__cap").asc(), F.col(group_col).asc())
+    ranked = (
+        caps.withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            "__prefix",
+            F.sum("__cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("__prefix", F.coalesce("__prefix", F.lit(0)))
+    )
+    k = caps.agg(
+        F.count(F.lit(1)).alias("__k"), F.sum("__cap").alias("__sum")
+    )
+    T = F.lit(int(total_budget)).cast("long")
+    with_k = ranked.crossJoin(F.broadcast(k))
+    # candidate level at sorted position i (1-based): the remaining
+    # budget spread over this and all LARGER groups; valid when it sits
+    # in [c_i, next cap) — i.e. group i itself is NOT capped but all
+    # earlier (smaller) groups are
+    rem = (F.col("__k") - F.col("__i") + 1).cast("double")
+    level_i = (T - F.col("__prefix")).cast("double") / rem
+    # rows BELOW the true boundary are filtered by level_i < c_i (their
+    # group is really capped, so spreading the remainder lands at or
+    # above c_i); rows ABOVE it under-subtract and yield levels BELOW
+    # the true one — so the true level is the MAX of passing candidates
+    # (caps [1,5,10], T=8: candidates 3.5 and 2.0 → L=3.5)
+    cand = with_k.where(
+        (F.col("__sum") > T)
+        & (level_i < F.col("__cap").cast("double"))
+    ).agg(F.max(level_i).alias("__level"))
+    out = (
+        with_k.crossJoin(F.broadcast(cand))
+        .select(
+            F.col(group_col),
+            F.col("__cap").alias("cap"),
+            F.when(
+                F.col("__sum") <= T, F.col("__cap").cast("double")
+            ).otherwise(
+                F.least(F.col("__cap").cast("double"), F.col("__level"))
+            ).alias("__alloc"),
+            F.col("__level"),
+            F.col("__sum"),
+        )
+    )
+    return out.select(
+        group_col,
+        "cap",
+        F.round("__alloc", round_to).alias("allocation"),
+        (
+            (F.col("__sum") <= T)
+            | (F.col("cap").cast("double") <= F.col("__level"))
+        ).alias("capped"),
+        F.round("__level", round_to).alias("water_level"),
+    ).orderBy(group_col)

@@ -18180,3 +18180,64 @@ FROM ranked CROSS JOIN n
 
 QUERIES.update({"curriculum_schedule": q_curriculum_schedule})
 ORACLES.update({"curriculum_schedule": SQL_CURRICULUM_SCHEDULE})
+
+
+def q_waterfill_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair token-budget allocation across sources
+    (transform.waterfill_allocation, round 11): each source's cap is
+    its total whitespace-token count; a 30k-token budget is shared at
+    the water level L with Σ min(cap, L) = budget — sources below L
+    keep everything (capped), the rest get exactly L. One
+    source-cardinality sort window + a 1-row level broadcast; oracle
+    replays the prefix sums, the max-of-valid-candidates level, and
+    min(cap, L) exactly."""
+    from ..operators import transform
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    caps = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("cap_tokens")
+    )
+    return transform.waterfill_allocation(
+        caps, "source", "cap_tokens", total_budget=30000
+    )
+
+
+SQL_WATERFILL_TOKENS = r"""
+WITH caps AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                        x -> x <> ''))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, cap,
+         ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS i,
+         COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM caps
+),
+tot AS (SELECT COUNT(*) AS k, SUM(cap) AS s FROM caps),
+cand AS (
+  SELECT MAX((30000 - prefix) * 1.0 / (k - i + 1)) AS level
+  FROM ranked CROSS JOIN tot
+  WHERE s > 30000
+    AND (30000 - prefix) * 1.0 / (k - i + 1) < cap * 1.0
+)
+SELECT r.source, r.cap,
+       ROUND(CASE WHEN t.s <= 30000 THEN cap * 1.0
+                  ELSE LEAST(cap * 1.0, c.level) END, 6) AS allocation,
+       (t.s <= 30000 OR cap * 1.0 <= c.level) AS capped,
+       ROUND(c.level, 6) AS water_level
+FROM ranked r CROSS JOIN tot t CROSS JOIN cand c
+ORDER BY r.source
+"""
+
+
+QUERIES.update({"waterfill_tokens": q_waterfill_tokens})
+ORACLES.update({"waterfill_tokens": SQL_WATERFILL_TOKENS})

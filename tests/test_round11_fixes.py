@@ -568,3 +568,70 @@ class TestCurriculumSchedule:
             packing.curriculum_schedule(df, "d", pacing="exp")
         with pytest.raises(ValueError, match="n_phases"):
             packing.curriculum_schedule(df, "d", n_phases=0)
+
+
+class TestWaterfillAllocation:
+    def test_hand_example(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        caps = spark.createDataFrame(
+            [("a", 1), ("b", 5), ("c", 10)], "src string, cap long"
+        )
+        out = {r.src: r for r in transform.waterfill_allocation(
+            caps, "src", "cap", total_budget=8
+        ).collect()}
+        # L = 3.5: a keeps 1 (capped), b and c get 3.5
+        assert out["a"].allocation == 1.0 and out["a"].capped
+        assert out["b"].allocation == 3.5 and not out["b"].capped
+        assert out["c"].allocation == 3.5 and not out["c"].capped
+        assert out["a"].water_level == 3.5
+        total = sum(r.allocation for r in out.values())
+        assert total == pytest.approx(8.0)
+
+    def test_budget_exceeds_supply(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        caps = spark.createDataFrame(
+            [("a", 3), ("b", 4)], "src string, cap long"
+        )
+        out = {r.src: r for r in transform.waterfill_allocation(
+            caps, "src", "cap", total_budget=100
+        ).collect()}
+        assert out["a"].allocation == 3.0 and out["a"].capped
+        assert out["b"].allocation == 4.0 and out["b"].capped
+        assert out["a"].water_level is None
+
+    def test_budget_below_smallest_cap(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        caps = spark.createDataFrame(
+            [("a", 50), ("b", 70)], "src string, cap long"
+        )
+        out = {r.src: r for r in transform.waterfill_allocation(
+            caps, "src", "cap", total_budget=10
+        ).collect()}
+        assert out["a"].allocation == 5.0 and out["b"].allocation == 5.0
+        assert not out["a"].capped and not out["b"].capped
+
+    def test_conservation_property(self, spark):
+        # sum of allocations == min(budget, sum of caps) on a bigger mix
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        rows = [(f"s{i}", (i * 37) % 90 + 1) for i in range(17)]
+        caps = spark.createDataFrame(rows, "src string, cap long")
+        supply = sum(c for _, c in rows)
+        for budget in (0, 57, supply // 2, supply, supply + 10):
+            got = sum(
+                r.allocation
+                for r in transform.waterfill_allocation(
+                    caps, "src", "cap", total_budget=budget
+                ).collect()
+            )
+            assert got == pytest.approx(min(budget, supply), abs=1e-4), budget
+
+    def test_negative_budget_raises(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import transform
+
+        caps = spark.createDataFrame([("a", 1)], "src string, cap long")
+        with pytest.raises(ValueError, match="total_budget"):
+            transform.waterfill_allocation(caps, "src", "cap", -1)
