@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "ingest_log_ts",
     "dedup_health",
     "curriculum_schedule",
+    "waterfill_tokens",
+    "neardup_pair_stats",
 ]
 
 

@@ -2921,3 +2921,67 @@ def cluster_aware_split(
         )
         .drop("__cl", "__unit")
     )
+
+
+def neardup_pair_stats(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pair-level near-dup DIAGNOSTICS (round 11): for each candidate or
+    verified pair, the exact Jaccard PLUS both directed containments
+    ``|A∩B|/|A|`` and ``|A∩B|/|B|`` and the shingle-set sizes — the
+    numbers that tell you WHICH side to keep and WHY a pair matched.
+    A pair with low Jaccard but containment_a ≈ 1 is a SUBSET
+    relationship (doc A is a fragment of B — quote, excerpt, truncated
+    re-crawl): the right action is usually "drop the fragment", which
+    the symmetric Jaccard threshold alone cannot see.
+    ``keep_hint``: ``'b'``/``'a'`` when one side near-contains the other
+    (containment ≥ 0.9 — keep the superset), else ``'either'``.
+
+    Same two shingle join-backs as :func:`jaccard_verify` (pair volume,
+    never corpus volume); all ratios from exact integer set sizes.
+
+    Returns ``(id_a, id_b, size_a, size_b, jaccard, containment_a,
+    containment_b, keep_hint)``.
+    """
+    a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sh_a")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
+    sa = F.size("__sh_a").cast("long")
+    sb = F.size("__sh_b").cast("long")
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            sa.alias("size_a"), sb.alias("size_b"),
+            inter.alias("__i"),
+        )
+    )
+    i = F.col("__i").cast("double")
+    ca = F.when(F.col("size_a") > 0, i / F.col("size_a"))
+    cb = F.when(F.col("size_b") > 0, i / F.col("size_b"))
+    return joined.select(
+        "id_a", "id_b", "size_a", "size_b",
+        F.round(
+            F.when(
+                (F.col("size_a") + F.col("size_b") - F.col("__i")) > 0,
+                i / (F.col("size_a") + F.col("size_b") - F.col("__i")),
+            ),
+            round_to,
+        ).alias("jaccard"),
+        F.round(ca, round_to).alias("containment_a"),
+        F.round(cb, round_to).alias("containment_b"),
+        F.when((ca >= 0.9) & (cb < 0.9), F.lit("b"))
+        .when((cb >= 0.9) & (ca < 0.9), F.lit("a"))
+        .otherwise(F.lit("either"))
+        .alias("keep_hint"),
+    )

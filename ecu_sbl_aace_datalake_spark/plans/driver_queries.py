@@ -18241,3 +18241,83 @@ ORDER BY r.source
 
 QUERIES.update({"waterfill_tokens": q_waterfill_tokens})
 ORACLES.update({"waterfill_tokens": SQL_WATERFILL_TOKENS})
+
+
+def q_neardup_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level near-dup diagnostics (dedup.neardup_pair_stats, round
+    11): planted FRAGMENT docs (first 400 chars of every 11th document,
+    id + 100000) pair with their originals at high containment — the
+    subset relationship a symmetric Jaccard threshold can't see; the
+    stats emit both directed containments, exact sizes, and the
+    keep-the-superset hint. Banded candidates at 32x2 (structural
+    recall at the 0.5 gate), exact verify; oracle is brute-force
+    all-pairs shingle intersection with the identical ratio and hint
+    arithmetic."""
+    docs = dedup.ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    frags = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 400).alias("text"),
+    )
+    both = docs.unionByName(frags)
+    scope = _rotating_scope("neardup_pair_stats")
+    sh = scope.persist(
+        dedup.minhash_signatures(
+            dedup.shingle_hashes(both, "text", n=3), num_hashes=64
+        ).select("doc_id", "shingles", "minhash")
+    )
+    cand = dedup.lsh_candidate_pairs(sh, "doc_id", bands=32, barrier=False)
+    return dedup.neardup_pair_stats(cand, sh, "doc_id").where(
+        F.col("jaccard") >= 0.5
+    )
+
+
+SQL_NEARDUP_PAIR_STATS = r"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, 400) FROM documents
+  WHERE doc_id % 11 = 0
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM both_docs
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tok
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT id_a, id_b,
+         CAST(na.n AS BIGINT) AS size_a, CAST(nb.n AS BIGINT) AS size_b, i
+  FROM inter
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) nb ON nb.doc_id = id_b
+),
+scored AS (
+  SELECT id_a, id_b, size_a, size_b,
+         ROUND(i * 1.0 / (size_a + size_b - i), 6) AS jaccard,
+         CASE WHEN size_a > 0 THEN i * 1.0 / size_a END AS ca,
+         CASE WHEN size_b > 0 THEN i * 1.0 / size_b END AS cb
+  FROM sized
+)
+SELECT id_a, id_b, size_a, size_b, jaccard,
+       ROUND(ca, 6) AS containment_a, ROUND(cb, 6) AS containment_b,
+       CASE WHEN ca >= 0.9 AND cb < 0.9 THEN 'b'
+            WHEN cb >= 0.9 AND ca < 0.9 THEN 'a'
+            ELSE 'either' END AS keep_hint
+FROM scored WHERE jaccard >= 0.5
+"""
+
+
+QUERIES.update({"neardup_pair_stats": q_neardup_pair_stats})
+ORACLES.update({"neardup_pair_stats": SQL_NEARDUP_PAIR_STATS})

@@ -267,6 +267,7 @@ class TestGlobalPlanInvariants:
         "quality_cut_f1",       # composes gate_threshold_sweep's 1-row (total, positives) scalar broadcast
         "dunns_posthoc",        # k-row per-group self-join on g_a < g_b (group-cardinality-bounded) + 1-row glob/kmax scalar broadcasts
         "curriculum_schedule",  # 1-row corpus-count scalar broadcast (phase thresholds)
+        "waterfill_tokens",     # 1-row (k, supply) + 1-row water-level scalar broadcasts
     }
     # deliberately-Python operators (Arrow-vectorized, asserted elsewhere)
     PYTHON_OK = {

@@ -635,3 +635,40 @@ class TestWaterfillAllocation:
         caps = spark.createDataFrame([("a", 1)], "src string, cap long")
         with pytest.raises(ValueError, match="total_budget"):
             transform.waterfill_allocation(caps, "src", "cap", -1)
+
+
+class TestNeardupPairStats:
+    def test_subset_pair_direction(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        full = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+        frag = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, full), (2, frag)], "doc_id long, text string"
+        )
+        sh = dedup.shingle_hashes(df, "text", n=3)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = dedup.neardup_pair_stats(pairs, sh, "doc_id").collect()[0]
+        # frag's 6 trigrams all inside full's 18
+        assert r.size_a == 18 and r.size_b == 6
+        assert r.containment_b == 1.0
+        assert r.containment_a == pytest.approx(6 / 18, abs=1e-6)
+        assert r.jaccard == pytest.approx(6 / 18, abs=1e-6)
+        assert r.keep_hint == "a"  # keep the superset (doc 1)
+
+    def test_symmetric_pair_is_either(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import dedup
+
+        t = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+        df = spark.createDataFrame(
+            [(1, t), (2, t + " phi")], "doc_id long, text string"
+        )
+        sh = dedup.shingle_hashes(df, "text", n=3)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = dedup.neardup_pair_stats(pairs, sh, "doc_id").collect()[0]
+        # 18 shared trigrams of 18 / 19: both containments >= 0.9
+        assert r.containment_a == 1.0
+        assert r.containment_b == pytest.approx(18 / 19, abs=1e-6)
+        assert r.keep_hint == "either"
