@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "curriculum_schedule",
     "waterfill_tokens",
     "neardup_pair_stats",
+    "code_structure",
 ]
 
 

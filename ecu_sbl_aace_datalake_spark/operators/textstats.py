@@ -2063,3 +2063,71 @@ def c4_line_filters(
     return base.where(page_ok).select(
         id_col, out_col, "n_lines_in", "n_lines_kept"
     )
+
+
+def code_structure_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    score_threshold: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Code/structure detection for source routing (round 11 — the
+    StarCoder/pretraining-mix question "is this document code?",
+    answered by STRUCTURE, not a model): per document —
+
+    - ``n_lines``, ``fence_blocks`` (paired \\`\\`\\` markers),
+    - ``indent_ratio`` (lines starting with 4+ spaces or a tab),
+    - ``semicolon_ratio`` (lines ending in ``;``, ``{`` or ``}``),
+    - ``symbol_density`` (``{}[]();=<>`` chars per char),
+    - ``camel_tokens`` (lowerCamelCase identifiers),
+    - ``n_urls``,
+
+    combined into ``code_score = 0.4·min(1, fences) + 0.25·indent_ratio
+    + 0.2·semicolon_ratio + 0.15·min(1, 10·symbol_density)`` and an
+    ``is_code`` flag at ``score_threshold``. Pure JVM expressions (one
+    line split + regexp counts — whole-stage codegen, no UDF, no
+    shuffle); the weights are a frozen heuristic, not a trained model —
+    route ``is_code`` docs to a code-aware pipeline rather than
+    trusting the score as a probability.
+
+    Returns ``df`` + the seven feature columns + ``code_score`` +
+    ``is_code``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    nz = F.greatest(n_lines, F.lit(1)).cast("double")
+    fence_blocks = (F.regexp_count(t, F.lit("```")) / 2).cast("int")
+    indented = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^(    |\t)"))
+    )
+    semi_eol = F.size(
+        # explicit [ \t\r] class: Spark's \s includes \x0B, RE2's does
+        # not (the house byte-parity rule)
+        F.filter(lines, lambda ln: ln.rlike(r"[;{}][ \t\r]*$") & (F.trim(ln) != ""))
+    )
+    symbols = F.length(t) - F.length(
+        F.regexp_replace(t, r"[{}\[\]();=<>]", "")
+    )
+    camel = F.regexp_count(t, F.lit(r"\b[a-z]+[A-Z][A-Za-z0-9]*"))
+    urls = F.regexp_count(t, F.lit(r"https?://"))
+    dens = symbols.cast("double") / F.greatest(F.length(t), F.lit(1)).cast(
+        "double"
+    )
+    score = (
+        0.4 * F.least(F.lit(1.0), fence_blocks.cast("double"))
+        + 0.25 * (indented.cast("double") / nz)
+        + 0.2 * (semi_eol.cast("double") / nz)
+        + 0.15 * F.least(F.lit(1.0), 10.0 * dens)
+    )
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("fence_blocks", fence_blocks)
+        .withColumn("indent_ratio", F.round(indented / nz, round_to))
+        .withColumn("semicolon_ratio", F.round(semi_eol / nz, round_to))
+        .withColumn("symbol_density", F.round(dens, round_to))
+        .withColumn("camel_tokens", camel.cast("long"))
+        .withColumn("n_urls", urls.cast("long"))
+        .withColumn("code_score", F.round(score, round_to))
+        .withColumn("is_code", score >= F.lit(float(score_threshold)))
+    )

@@ -18321,3 +18321,83 @@ FROM scored WHERE jaccard >= 0.5
 
 QUERIES.update({"neardup_pair_stats": q_neardup_pair_stats})
 ORACLES.update({"neardup_pair_stats": SQL_NEARDUP_PAIR_STATS})
+
+
+#: deterministic code-ish preamble planted on every 5th doc (shared
+#: VERBATIM by the Spark query and the DuckDB oracle)
+CODE_PLANT_EXPR = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'```' || chr(10) || 'def handler(reqVal):' || chr(10) || "
+    "'    x = compute(reqVal);' || chr(10) || "
+    "'    return {x};' || chr(10) || '```' || chr(10) || text "
+    "ELSE text END"
+)
+
+
+def q_code_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code/structure detection (textstats.code_structure_stats, round
+    11): every 5th document gets a deterministic fenced code preamble
+    (def/indent/semicolons/braces); the detector's pure-expression
+    features (fences, indent ratio, semicolon-EOL ratio, symbol
+    density, camelCase count, urls) and the frozen-weight score must
+    flag exactly the planted docs on this fixture. Zero shuffles; the
+    oracle replays every regexp count and the weighted score."""
+    from ..operators import textstats as ts_mod
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(CODE_PLANT_EXPR).alias("text")
+    )
+    return ts_mod.code_structure_stats(docs, "text").select(
+        "doc_id", "n_lines", "fence_blocks", "indent_ratio",
+        "semicolon_ratio", "symbol_density", "camel_tokens", "n_urls",
+        "code_score", "is_code",
+    )
+
+
+SQL_CODE_STRUCTURE = rf"""
+WITH d AS (SELECT doc_id, {CODE_PLANT_EXPR} AS text FROM documents),
+feats AS (
+  SELECT doc_id,
+         string_split(COALESCE(text, ''), chr(10)) AS lines,
+         COALESCE(text, '') AS t
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INT) AS n_lines,
+         GREATEST(len(lines), 1) * 1.0 AS nz,
+         CAST(len(regexp_extract_all(t, '```')) // 2 AS INT) AS fence_blocks,
+         len(list_filter(lines, ln -> regexp_matches(ln, '^(    |\t)')))
+           AS indented,
+         len(list_filter(lines,
+             ln -> regexp_matches(ln, '[;{{}}][ \t\r]*$') AND trim(ln) <> ''))
+           AS semi_eol,
+         LENGTH(t) - LENGTH(regexp_replace(t, '[{{}}\[\]();=<>]', '', 'g'))
+           AS symbols,
+         CAST(len(regexp_extract_all(t, '\b[a-z]+[A-Z][A-Za-z0-9]*'))
+           AS BIGINT) AS camel_tokens,
+         CAST(len(regexp_extract_all(t, 'https?://')) AS BIGINT) AS n_urls,
+         GREATEST(LENGTH(t), 1) * 1.0 AS lz
+  FROM feats
+),
+scored AS (
+  SELECT *,
+         0.4 * LEAST(1.0, fence_blocks * 1.0)
+         + 0.25 * (indented / nz)
+         + 0.2 * (semi_eol / nz)
+         + 0.15 * LEAST(1.0, 10.0 * (symbols / lz)) AS score
+  FROM c
+)
+SELECT doc_id, n_lines, fence_blocks,
+       ROUND(indented / nz, 6) AS indent_ratio,
+       ROUND(semi_eol / nz, 6) AS semicolon_ratio,
+       ROUND(symbols / lz, 6) AS symbol_density,
+       camel_tokens, n_urls,
+       ROUND(score, 6) AS code_score,
+       score >= 0.3 AS is_code
+FROM scored
+"""
+
+
+QUERIES.update({"code_structure": q_code_structure})
+ORACLES.update({"code_structure": SQL_CODE_STRUCTURE})

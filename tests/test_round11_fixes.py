@@ -672,3 +672,37 @@ class TestNeardupPairStats:
         assert r.containment_a == 1.0
         assert r.containment_b == pytest.approx(18 / 19, abs=1e-6)
         assert r.keep_hint == "either"
+
+
+class TestCodeStructureStats:
+    def test_code_doc_flagged_prose_not(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        code = ("```\ndef add(aVal, bVal):\n    total = aVal + bVal;\n"
+                "    return total;\n```")
+        prose = ("The quick brown fox jumps over the lazy dog while the "
+                 "miller watches from https://example.com in the morning.")
+        df = spark.createDataFrame(
+            [(1, code), (2, prose)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in textstats.code_structure_stats(
+            df
+        ).collect()}
+        c, p = out[1], out[2]
+        assert c.is_code and not p.is_code
+        assert c.fence_blocks == 1 and p.fence_blocks == 0
+        assert c.indent_ratio == pytest.approx(2 / 5)
+        assert c.semicolon_ratio == pytest.approx(2 / 5)
+        assert c.camel_tokens == 4  # aVal, bVal (x2 uses each)
+        assert p.n_urls == 1
+        assert p.code_score < 0.3 < c.code_score
+
+    def test_empty_and_null_text(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        rows = textstats.code_structure_stats(df).collect()
+        for r in rows:
+            assert r.code_score == 0.0 and not r.is_code
