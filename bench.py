@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "waterfill_tokens",
     "neardup_pair_stats",
     "code_structure",
+    "lang_id_margin",
 ]
 
 

@@ -698,3 +698,93 @@ LANG_NB_V2: dict = {
          -4.021176, -5.970121,],
     ],
 }
+
+
+def lang_id_nb_margin(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    und_below: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`lang_id_nb` with a DECISION MARGIN and a reject option
+    (round 11): besides the argmax language, emit how decisively it won
+    — ``margin_per_gram = (best − second_best) / (T · 10⁶)`` over the
+    same exact LONG micro-unit decision values (the margin is an exact
+    integer difference; only the final length normalization divides).
+    A low margin means the gram evidence barely separates two languages
+    — exactly the docs a production gate routes to ``'und'`` (the
+    fastText-style confidence-reject) instead of trusting a coin-flip
+    argmax; ``und_below=`` applies that rule in-plan.
+
+    Same one-explode/one-aggregate shape as :func:`lang_id_nb` (the
+    sorted decision array is read twice — positions 1 and 2 — in the
+    same projection). Empty texts fall back to the max-prior language
+    with a NULL margin (no evidence ≠ confident evidence).
+
+    Returns ``(id_col, lang_pred, margin_per_gram)``.
+    """
+    langs, dim, n = model["langs"], int(model["dim"]), int(model["n"])
+    ell = int(model.get("ell", 20))
+    algo = model.get("algo", "md5")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_char_ngram_buckets(text_col, n, dim, algo)).alias("__b"),
+    )
+    score_aggs = [F.count(F.lit(1)).alias("__t")]
+    for li in range(len(langs)):
+        w_lit = F.array(
+            *[
+                F.lit(int(round(v * 1_000_000))).cast("long")
+                for v in model["w"][li]
+            ]
+        )
+        score_aggs.append(
+            F.sum(F.element_at(w_lit, F.col("__b") + 1)).alias(f"__s_{li}")
+        )
+    scored = grams.groupBy(id_col).agg(*score_aggs)
+    decisions = []
+    for li, lang in enumerate(langs):
+        prior_micro = int(round(model["prior"][li] * 1_000_000))
+        val = (
+            F.col("__t") * F.lit(prior_micro).cast("long")
+            + F.lit(ell).cast("long") * F.col(f"__s_{li}")
+        )
+        decisions.append(
+            F.struct((-val).alias("ns"), F.lit(lang).alias("lang"))
+        )
+    srt = F.array_sort(F.array(*decisions))
+    margin = (
+        (F.element_at(srt, 2)["ns"] - F.element_at(srt, 1)["ns"])
+        .cast("double")
+        / (F.col("__t").cast("double") * 1_000_000.0)
+    )
+    scored = scored.select(
+        id_col,
+        F.element_at(srt, 1)["lang"].alias("__pred"),
+        F.round(margin, round_to).alias("margin_per_gram"),
+    )
+    prior_best = max(
+        range(len(langs)), key=lambda i: (model["prior"][i], -i)
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__pred"), F.lit(langs[prior_best])).alias(
+                "lang_pred"
+            ),
+            "margin_per_gram",
+        )
+    )
+    if und_below is not None:
+        out = out.withColumn(
+            "lang_pred",
+            F.when(
+                F.col("margin_per_gram") < F.lit(float(und_below)),
+                F.lit("und"),
+            ).otherwise(F.col("lang_pred")),
+        )
+    return out

@@ -18401,3 +18401,80 @@ FROM scored
 
 QUERIES.update({"code_structure": q_code_structure})
 ORACLES.update({"code_structure": SQL_CODE_STRUCTURE})
+
+
+def _lang_nb_margin_oracle_sql(model: dict | None = None) -> str:
+    """The :func:`_lang_nb_oracle_sql` replica extended with the
+    round-11 decision margin: second-best minus best of the same BIGINT
+    micro-unit decision values, length-normalized only at the end."""
+    if model is None:
+        from ..operators.classifier import LANG_NB_V2 as model
+
+    n, dim, ell = model["n"], model["dim"], model["ell"]
+    langs, prior, w = model["langs"], model["prior"], model["w"]
+    fallback = max(range(len(langs)), key=lambda i: (prior[i], -i))
+    s_cols = []
+    for li in range(len(langs)):
+        wl = ", ".join(str(int(round(v * 1_000_000))) for v in w[li])
+        s_cols.append(
+            f"CAST(SUM(cnt * ([{wl}])[b + 1]) AS BIGINT) AS s_{li}"
+        )
+    structs = ", ".join(
+        "{'ns': -(t * (%d) + %d * s_%d), 'l': '%s'}"
+        % (int(round(prior[li] * 1_000_000)), ell, li, langs[li])
+        for li in range(len(langs))
+    )
+    bucket_rel = f"({_sql_xxh64_bucket(dim)})"
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(text) - {n} + 2, 1)),
+                               i -> substring(text, i, {n}))) AS gram
+  FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {bucket_rel} GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t,
+         {', '.join(s_cols)}
+  FROM c GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         list_sort([{structs}])[1].l AS pred,
+         ROUND((list_sort([{structs}])[2].ns
+                - list_sort([{structs}])[1].ns) * 1.0
+               / (t * 1000000.0), 6) AS mpg
+  FROM s
+)
+SELECT d.doc_id,
+       CASE WHEN p.mpg < 0.02 THEN 'und'
+            ELSE COALESCE(p.pred, '{langs[fallback]}') END AS lang_pred,
+       p.mpg AS margin_per_gram
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained lang-ID with a decision margin and confidence reject
+    (classifier.lang_id_nb_margin over LANG_NB_V2, round 11): the
+    second-best-vs-best gap of the exact LONG micro-unit NB decision
+    values, per gram — low-margin docs route to 'und' (cut 0.02)
+    instead of a coin-flip argmax. Oracle extends the bit-exact XXH64
+    NB replica with the same integer margin and the identical
+    length normalization."""
+    from ..operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier.lang_id_nb_margin(
+        docs, classifier.LANG_NB_V2, und_below=0.02
+    )
+
+
+SQL_LANG_ID_MARGIN = _lang_nb_margin_oracle_sql()
+
+
+QUERIES.update({"lang_id_margin": q_lang_id_margin})
+ORACLES.update({"lang_id_margin": SQL_LANG_ID_MARGIN})

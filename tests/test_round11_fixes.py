@@ -706,3 +706,44 @@ class TestCodeStructureStats:
         rows = textstats.code_structure_stats(df).collect()
         for r in rows:
             assert r.code_score == 0.0 and not r.is_code
+
+
+class TestLangIdMargin:
+    def test_margin_and_reject(self, spark, sf_dir):
+        from ecu_sbl_aace_datalake_spark.operators import classifier
+        from ecu_sbl_aace_datalake_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        base = {r.doc_id: r for r in classifier.lang_id_nb_margin(
+            docs, classifier.LANG_NB_V2
+        ).collect()}
+        plain = {r.doc_id: r.lang_pred for r in classifier.lang_id_nb(
+            docs, classifier.LANG_NB_V2
+        ).collect()}
+        # without a reject cut the argmax must equal lang_id_nb exactly
+        assert {k: v.lang_pred for k, v in base.items()} == plain
+        assert all(
+            v.margin_per_gram is None or v.margin_per_gram >= 0
+            for v in base.values()
+        )
+        # an absurd cut routes every margin-bearing doc to 'und'
+        gated = {r.doc_id: r.lang_pred for r in classifier.lang_id_nb_margin(
+            docs, classifier.LANG_NB_V2, und_below=1e9
+        ).collect()}
+        for k, v in base.items():
+            if v.margin_per_gram is not None:
+                assert gated[k] == "und"
+
+    def test_empty_text_null_margin(self, spark):
+        from ecu_sbl_aace_datalake_spark.operators import classifier
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "the quick brown fox and the lazy dog again")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in classifier.lang_id_nb_margin(
+            df, classifier.LANG_NB_V2, und_below=0.0001
+        ).collect()}
+        assert out[1].margin_per_gram is None
+        assert out[1].lang_pred != "und"  # no evidence != low confidence
+        assert out[2].margin_per_gram is not None
