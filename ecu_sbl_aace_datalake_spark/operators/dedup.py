@@ -483,13 +483,28 @@ def duplicate_clusters(
     singleton clusters by definition).
     """
     edges = (
-        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
-        .union(pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")))
+        # both directions via ONE explode pass (round 11, guide §2.4): the
+        # earlier two-branch union evaluated the upstream pair pipeline
+        # (e.g. the full MinHash-LSH verify) once per branch inside the
+        # checkpoint job; explode reads it exactly once
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         # materialize ONCE: every propagation round joins edges, and an
         # un-checkpointed plan re-derives the entire upstream pair pipeline
-        # (e.g. the full MinHash-LSH verify) per round — measured 5.4 s →
-        # 2.5 s on minhash_dedup_transitive at sf0.1
+        # per round — measured 5.4 s → 2.5 s on minhash_dedup_transitive
+        # at sf0.1
         .localCheckpoint()
     )
     labels = (
@@ -585,17 +600,21 @@ def duplicate_clusters_bigstar(
     ``duplicate_clusters``: cluster = min node id of the component, nodes
     not in any pair absent.
     """
-    nodes = (
-        pairs.select(F.col(id_col_a).alias("node"))
-        .union(pairs.select(F.col(id_col_b).alias("node")))
-        .distinct()
-    )
-    edges = (
+    # Materialize the NARROW pair projection once (round 11, guide §1.2/§2.4):
+    # `nodes` and `edges` both consume `pairs`, and when the caller hands an
+    # unpersisted relation (the common shape: jaccard_verify over an LSH
+    # band join) each consumer re-ran the entire verify pipeline. One
+    # localCheckpoint of the distinct (u, v) base makes both derivations
+    # checkpoint-local scans.
+    base = (
         pairs.select(F.col(id_col_a).alias("u"), F.col(id_col_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = base.select(F.col("u").alias("node")).union(
+        base.select(F.col("v").alias("node"))
+    ).distinct()
+    edges = base.where(F.col("u") != F.col("v"))
 
     def _signature(e: DataFrame) -> tuple:
         # one aggregate action; order-insensitive edge-set fingerprint
@@ -617,17 +636,22 @@ def duplicate_clusters_bigstar(
         mins = und.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # No intermediate .distinct() on large/directed (round 11, guide
+        # §2.4 — remove shuffles outright): small-star's per-node min is
+        # multiplicity-blind and the round's FINAL distinct restores set
+        # semantics, so each round's edge SET (and therefore the
+        # convergence signature and the final labels) is bit-identical
+        # while two full-relation shuffles per round disappear.
         large = (
             und.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star ----------------------------------------------
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         smins = directed.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             directed.join(smins, "u")
