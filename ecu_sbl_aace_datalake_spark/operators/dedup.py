@@ -2561,24 +2561,33 @@ def hamming_neardup_pairs(
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    base = hashes.select(
-        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
-    ).where(F.col(hash_col).isNotNull())
-    parts = []
-    for b in range(bands):
-        parts.append(
-            base.select(
-                "__id",
-                "__h",
+    # Materialize the NARROW (id, hash) base once (round 11, guide §2.4):
+    # the banded relation feeds BOTH sides of the self-join, and the old
+    # ``bands``-branch union re-evaluated the upstream fingerprint lineage
+    # (SimHash vote fold, image/audio decode) once per branch per side.
+    # One localCheckpoint of 16-byte rows + one explode pass replaces up
+    # to 2×bands evaluations of the expensive lineage.
+    base = (
+        hashes.select(
+            F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+        )
+        .where(F.col(hash_col).isNotNull())
+        .localCheckpoint()
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("__b"),
                 F.shiftrightunsigned(F.col("__h"), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("__bv"),
             )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "__id", "__h", F.explode(band_structs).alias("__band")
+    ).select("__id", "__h", F.col("__band.__b").alias("__b"), F.col("__band.__bv").alias("__bv"))
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("__h").alias("__ha"), "__b", "__bv"
     )

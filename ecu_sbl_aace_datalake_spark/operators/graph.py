@@ -733,6 +733,11 @@ def link_prediction_scores(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # materialize the narrow canonical edge set once (round 11, guide
+        # §2.4): it feeds both adj branches AND the final anti-join, so an
+        # unpersisted caller lineage (e.g. the lineitem co-occurrence
+        # self-join) was evaluated three times
+        .localCheckpoint()
     )
     adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionByName(
         e.select(F.col("b").alias("w"), F.col("a").alias("n"))

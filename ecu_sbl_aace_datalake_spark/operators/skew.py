@@ -213,9 +213,15 @@ def frequent_pairs(
     leak a cached DataFrame per call (the result plan outlives the
     function, so there is no safe unpersist point).
     """
-    pairs_base = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    pairs_base = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        # materialize the narrow distinct base once (round 11, guide §2.4):
+        # it feeds the frequent-item aggregate, its size probe (an eager
+        # action), and BOTH sides of the pair self-join — unpersisted, the
+        # full input scan + distinct re-ran per consumer
+        .localCheckpoint()
+    )
     freq_items = (
         pairs_base.groupBy("__i")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -557,15 +563,17 @@ def association_rules(
     shuffles. Output: ``(antecedent, consequent, pair_count, support,
     confidence, lift)`` rounded to 6dp.
     """
-    pairs = frequent_pairs(df, basket_col, item_col, min_support=min_support)
     clean = df.where(F.col(item_col).isNotNull() & F.col(basket_col).isNotNull())
+    # one checkpointed distinct (basket, item) base (round 11, guide §2.4)
+    # serves the pair mining, both item-count broadcasts, and the basket
+    # count — previously each consumer re-scanned and re-distincted df
+    base = clean.select(basket_col, item_col).distinct().localCheckpoint()
+    pairs = frequent_pairs(base, basket_col, item_col, min_support=min_support)
     item_counts = (
-        clean.select(item_col, basket_col)
-        .distinct()
-        .groupBy(F.col(item_col).alias("__item"))
+        base.groupBy(F.col(item_col).alias("__item"))
         .agg(F.count(F.lit(1)).alias("__n_item"))
     )
-    n_baskets = clean.select(basket_col).distinct().count()
+    n_baskets = base.select(basket_col).distinct().count()
     both = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),
@@ -625,9 +633,18 @@ def cooccurrence_similarity(
     Returns ``(item_a, item_b, pair_count, cosine)`` with item_a < item_b
     string order, cosine rounded 6dp.
     """
-    pairs_base = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).cast("string").alias("__i")
-    ).distinct()
+    pairs_base = (
+        df.select(
+            F.col(basket_col).alias("__b"),
+            F.col(item_col).cast("string").alias("__i"),
+        )
+        .distinct()
+        # same narrow-base checkpoint as frequent_pairs (round 11, guide
+        # §2.4): four consumers (item counts + both self-join sides via
+        # the prune, and item_counts again for na/nb) re-ran the input
+        # scan + distinct otherwise
+        .localCheckpoint()
+    )
     item_counts = (
         pairs_base.groupBy("__i")
         .agg(F.count(F.lit(1)).alias("__n"))
