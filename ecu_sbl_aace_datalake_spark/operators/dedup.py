@@ -723,8 +723,12 @@ def merge_into_clusters(
     recompute). Returns the complete new ``(node, cluster)`` relation.
     """
     # labels is consumed four times (two semi-joins, the anti-join, and
-    # the subgraph edges) — pin it unless the caller already did
-    labels = persist_in(scope, labels) if scope is not None else labels
+    # the subgraph edges); scope-less callers get a localCheckpoint
+    # (round 11, guide §2.4) so an expensive labeling lineage (e.g. a
+    # fresh big-star run) is materialized once, not four times
+    labels = (
+        persist_in(scope, labels) if scope is not None else labels.localCheckpoint()
+    )
     batch_nodes = (
         new_pairs.select(F.col(id_col_a).alias("node"))
         .union(new_pairs.select(F.col(id_col_b).alias("node")))
