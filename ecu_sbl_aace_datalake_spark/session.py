@@ -60,6 +60,13 @@ def get_spark(
         # Session timezone pinned for deterministic timestamp semantics
         # against the DuckDB oracle.
         "spark.sql.session.timeZone": "UTC",
+        # Prefer shuffled-hash join when its size conditions are met and
+        # let AQE rewrite sort-merge joins to shuffled-hash when every
+        # post-shuffle partition is small (guide §3.1/§9): skips the sort
+        # on moderate build sides; sizes are runtime-probed by AQE, so the
+        # setting is scale-neutral (big build sides still get sort-merge).
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event data)
         # are unreadable by Spark otherwise; read as long and convert with
         # ns_to_timestamp (sources.io) — floor-div to micros, matching
