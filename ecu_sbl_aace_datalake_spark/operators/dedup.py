@@ -691,7 +691,7 @@ def duplicate_clusters_bigstar(
     singletons = nodes.join(labeled, "node", "left_anti").select(
         "node", F.col("node").alias("cluster")
     )
-    return labeled.union(singletons)
+    return labeled.union(singletons).localCheckpoint()
 
 
 def merge_into_clusters(
