@@ -660,9 +660,22 @@ def duplicate_clusters_bigstar(
             .union(smins.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        new_sig = _signature(small)
+        # Fold the convergence signature into the checkpoint job itself
+        # (round 11, guide §1.5/§2.4): observation metrics fire on the
+        # eager localCheckpoint action, so each round runs ONE job, not a
+        # checkpoint + a separate signature aggregate. Same (count,
+        # hash-sum) fingerprint over the identical per-round edge set.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        small = small.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).localCheckpoint()
+        got = obs.get
+        new_sig = (got["n"], got["h"])
         edges = small
         if new_sig == sig:
             converged = True
