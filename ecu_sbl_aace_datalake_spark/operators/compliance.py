@@ -103,6 +103,17 @@ OPT_OUT_PATTERNS: tuple[tuple[str, str], ...] = (
 
 _SPDX_CANON = {i.lower(): i for i in LICENSE_FAMILY}
 
+# every LICENSE_PATTERNS branch and the SPDX line imply >= 1 of these
+# literal substrings (see license_id_col's prefilter); keep in sync when
+# adding patterns — tests/test_r11_opt.py asserts the implication over
+# the frozen pattern set
+_LADDER_KEYWORDS = (
+    "spdx", "gpl", "public license", "apache", "mpl", "bsd",
+    "redistribution", "mit license", "permission is hereby",
+    "unencumbered", "cc0", "public domain", "creative commons",
+    "cc-by", "cc by", "rights reserved",
+)
+
 
 def license_id_col(text_col) -> F.Column:
     """License id for a text column: the SPDX identifier line when
@@ -119,7 +130,23 @@ def license_id_col(text_col) -> F.Column:
     expr = F.when(spdx_id.isNotNull(), spdx_id)
     for lic, pat in LICENSE_PATTERNS:
         expr = expr.when(low.rlike(pat), F.lit(lic))
-    return expr.otherwise(ladder)
+    # Keyword prefilter (round 11, guide §1.2 per-task work): every ladder
+    # branch and the SPDX extraction REQUIRE one of these literal
+    # substrings (agpl/lgpl contain 'gpl'; the gnu/mozilla long forms
+    # contain 'public license'; '\bcc[- ]by' is exactly 'cc-by' or
+    # 'cc by'), so a document containing none of them cannot match any
+    # pattern and must return NULL — the common no-license case pays
+    # ~16 instr substring probes instead of ~20 backtracking regexes
+    # (license door measured 3.8 s -> sub-second at sf0.1). NULL text
+    # short-circuits to the otherwise branch, which yields NULL exactly
+    # as before.
+    maybe = None
+    for kw in _LADDER_KEYWORDS:
+        c = F.instr(low, kw) > 0
+        maybe = c if maybe is None else (maybe | c)
+    return F.when(maybe, expr.otherwise(ladder)).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 def _family_col(lic: F.Column) -> F.Column:
@@ -134,8 +161,19 @@ def _family_col(lic: F.Column) -> F.Column:
 def license_family_col(text_col) -> F.Column:
     """Rights family for a text column in one expression:
     ``license_id_col`` composed with the family mapping ('unknown' for
-    undetected). The gate form used by pipeline/streaming doors."""
-    return _family_col(license_id_col(text_col))
+    undetected). The gate form used by pipeline/streaming doors.
+
+    The license id is LET-BOUND through a single-element-array
+    ``transform`` lambda (round 11 — the shingle_hashes recipe): the
+    family CASE chain references its input ~15 times, Spark's codegen
+    excludes conditional-branch subexpressions from common-subexpression
+    elimination, and a plain composition therefore re-evaluated the whole
+    regex ladder once per family comparison (the compliance door measured
+    3.8 s at sf0.1 for what is a ~0.3 s ladder). A lambda variable cannot
+    be inlined, so the ladder now runs exactly once per row — values are
+    bit-identical."""
+    lid = license_id_col(text_col)
+    return F.element_at(F.transform(F.array(lid), _family_col), 1)
 
 
 def opt_out_col(text_col) -> F.Column:
@@ -153,7 +191,15 @@ def tag_licenses(df: DataFrame, text_col: str = "text") -> DataFrame:
     lic = license_id_col(text_col)
     return (
         df.withColumn("license_id", lic)
-        .withColumn("license_family", _family_col(F.col("license_id")))
+        # let-bind the id reference (see license_family_col): the family
+        # CASE references it ~15x and CollapseProject would inline the
+        # full ladder into every comparison
+        .withColumn(
+            "license_family",
+            F.element_at(
+                F.transform(F.array(F.col("license_id")), _family_col), 1
+            ),
+        )
         .withColumn("opted_out", opt_out_col(text_col))
     )
 
