@@ -447,6 +447,18 @@ def minhash_dedup_transitive(
     return df.join(losers, id_col, "left_anti")
 
 
+def _pin(df: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage. ``reliable=False``
+    (default) uses ``localCheckpoint`` — executor-local blocks, cheapest,
+    but NOT fault-tolerant: losing an executor mid-job on a real cluster
+    fails the job with no replay path (guide §5). ``reliable=True`` uses
+    ``checkpoint()`` to the SparkContext checkpoint dir (caller must have
+    called ``sc.setCheckpointDir``), surviving executor loss — the right
+    posture for multi-hour 100 TB CC runs; costs a write+read of the
+    pinned relation per round."""
+    return df.checkpoint() if reliable else df.localCheckpoint()
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_col_a: str = "id_a",
@@ -454,6 +466,7 @@ def duplicate_clusters(
     max_iter: int = 30,
     strict: bool = True,
     stats: dict | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Transitive near-dup clusters from a pair relation: connected
     components via iterative min-label propagation.
@@ -475,8 +488,19 @@ def duplicate_clusters(
 
     Scale notes: each round is two hash joins on node id +
     ``localCheckpoint`` to truncate lineage (iterative plans otherwise grow
-    exponentially and overwhelm the optimizer). Convergence check is one
-    count per round — acceptable because rounds are few.
+    exponentially and overwhelm the optimizer). The convergence check is
+    FOLDED into the checkpoint job via ``Observation`` metrics (round 12,
+    the big-star recipe from round 11): labels only ever decrease, so the
+    label relation changed iff its (count, xxhash64 sum) fingerprint
+    changed — one job per round instead of checkpoint + a separate
+    old-vs-new join/count action.
+
+    ``reliable_checkpoint=True`` pins every per-round relation with
+    fault-tolerant ``checkpoint()`` (requires ``sc.setCheckpointDir``)
+    instead of executor-local ``localCheckpoint`` — see :func:`_pin`;
+    use it for multi-hour 100 TB runs where executor loss mid-loop must
+    not fail the job. Construction is EAGER either way (each round runs
+    its job when built).
 
     Returns ``(node, cluster)`` where cluster = min node id of the
     component. Nodes not in any pair are absent (they're their own
@@ -505,14 +529,36 @@ def duplicate_clusters(
         # un-checkpointed plan re-derives the entire upstream pair pipeline
         # per round — measured 5.4 s → 2.5 s on minhash_dedup_transitive
         # at sf0.1
-        .localCheckpoint()
     )
+    edges = _pin(edges, reliable_checkpoint)
+    # Convergence fingerprint folded into each round's checkpoint job
+    # (round 12 — the duplicate_clusters_bigstar observe() recipe, guide
+    # §1.5/§2.4): per node the label is monotonically non-increasing
+    # (least of old and propagated), so the label relation changed iff the
+    # (row count, Σ xxhash64(node, cluster)) fingerprint changed. The
+    # Observation fires on the eager localCheckpoint action, replacing the
+    # previous per-round old-vs-new join + limit(1).count() job — one job
+    # per round instead of two, identical rounds/labels.
+    from pyspark.sql import Observation
+
+    def _fingerprint_cols():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("node", "cluster")), F.lit(0)
+            ).alias("h"),
+        )
+
+    obs0 = Observation()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-        .localCheckpoint()
+        .observe(obs0, *_fingerprint_cols())
     )
+    labels = _pin(labels, reliable_checkpoint)
+    got0 = obs0.get
+    sig = (got0["n"], got0["h"])
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -533,6 +579,7 @@ def duplicate_clusters(
         # what makes convergence logarithmic in component diameter (plain
         # propagation moves labels one hop per round)
         lhs, rhs = propagated.alias("x"), propagated.alias("y")
+        obs = Observation()
         new_labels = (
             lhs.join(rhs, F.col("x.cluster") == F.col("y.node"), "left")
             .select(
@@ -542,18 +589,15 @@ def duplicate_clusters(
                     F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
                 ).alias("cluster"),
             )
-            .localCheckpoint()
+            .observe(obs, *_fingerprint_cols())
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        new_labels = _pin(new_labels, reliable_checkpoint)
+        got = obs.get
+        new_sig = (got["n"], got["h"])
         labels = new_labels
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         if strict:
             raise RuntimeError(
@@ -572,6 +616,7 @@ def duplicate_clusters_bigstar(
     max_iter: int = 20,
     stats: dict | None = None,
     strict: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -599,6 +644,13 @@ def duplicate_clusters_bigstar(
     Returns ``(node, cluster)`` with the same contract as
     ``duplicate_clusters``: cluster = min node id of the component, nodes
     not in any pair absent.
+
+    ``reliable_checkpoint=True`` swaps every lineage pin (pair base,
+    per-round edge set, final labels) from executor-local
+    ``localCheckpoint`` to fault-tolerant ``checkpoint()`` — see
+    :func:`_pin`; required posture for multi-hour 100 TB runs (an
+    executor loss mid-loop otherwise fails the whole job). Construction
+    is EAGER either way: building the plan runs the CC rounds.
     """
     # Materialize the NARROW pair projection once (round 11, guide §1.2/§2.4):
     # `nodes` and `edges` both consume `pairs`, and when the caller hands an
@@ -606,10 +658,10 @@ def duplicate_clusters_bigstar(
     # band join) each consumer re-ran the entire verify pipeline. One
     # localCheckpoint of the distinct (u, v) base makes both derivations
     # checkpoint-local scans.
-    base = (
+    base = _pin(
         pairs.select(F.col(id_col_a).alias("u"), F.col(id_col_b).alias("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
     nodes = base.select(F.col("u").alias("node")).union(
         base.select(F.col("v").alias("node"))
@@ -669,11 +721,14 @@ def duplicate_clusters_bigstar(
         from pyspark.sql import Observation
 
         obs = Observation()
-        small = small.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).localCheckpoint()
+        small = _pin(
+            small.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            ),
+            reliable_checkpoint,
+        )
         got = obs.get
         new_sig = (got["n"], got["h"])
         edges = small
@@ -704,7 +759,7 @@ def duplicate_clusters_bigstar(
     singletons = nodes.join(labeled, "node", "left_anti").select(
         "node", F.col("node").alias("cluster")
     )
-    return labeled.union(singletons).localCheckpoint()
+    return _pin(labeled.union(singletons), reliable_checkpoint)
 
 
 def merge_into_clusters(
@@ -734,6 +789,9 @@ def merge_into_clusters(
     O(corpus). Cluster ids remain the component-minimum node id (a merge
     can LOWER a surviving component's id — same convention as a full
     recompute). Returns the complete new ``(node, cluster)`` relation.
+
+    EAGER for scope-less callers: the labels localCheckpoint (and the
+    big-star rounds it feeds) run jobs at construction time.
     """
     # labels is consumed four times (two semi-joins, the anti-join, and
     # the subgraph edges); scope-less callers get a localCheckpoint
@@ -2569,6 +2627,11 @@ def hamming_neardup_pairs(
     an all-pairs scan), verified with ONE ``bit_count(xor)``. All pure
     JVM expressions. Returns ``(id_a, id_b, hamming)`` with
     ``id_a < id_b`` — exactly the brute-force pair set.
+
+    EAGER: constructing the plan localCheckpoints the narrow (id, hash)
+    base, which runs the upstream fingerprint lineage as a Spark job at
+    call time — don't compose this inside streaming plans (current call
+    sites are batch/foreachBatch).
     """
     if bands <= max_hamming:
         raise ValueError(

@@ -725,6 +725,9 @@ def link_prediction_scores(
     neighbor, keeping ``ln`` positive.
 
     Returns ``(u, v, common_neighbors, adamic_adar)`` with ``u < v``.
+
+    EAGER: constructing the plan localCheckpoints the canonical edge set
+    (one job over the caller's edge lineage at call time).
     """
     e = (
         edges.select(

@@ -209,9 +209,12 @@ def frequent_pairs(
     basket table could exceed broadcast limits — above
     ``broadcast_threshold`` frequent items the prune falls back to a
     shuffle semi-join. The probe costs one extra run of the (small)
-    frequent-item aggregate — deliberately NOT a persist, which would
-    leak a cached DataFrame per call (the result plan outlives the
-    function, so there is no safe unpersist point).
+    frequent-item aggregate over the checkpointed base.
+
+    Note the base materialization makes this call EAGER (the
+    localCheckpoint and the size probe run Spark jobs at construction
+    time); the checkpoint blocks are released by the ContextCleaner once
+    the returned DataFrame is garbage collected.
     """
     pairs_base = (
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
@@ -222,6 +225,22 @@ def frequent_pairs(
         # full input scan + distinct re-ran per consumer
         .localCheckpoint()
     )
+    return _frequent_pairs_from_base(
+        pairs_base, min_support, broadcast_items, broadcast_threshold
+    )
+
+
+def _frequent_pairs_from_base(
+    pairs_base: DataFrame,
+    min_support: int,
+    broadcast_items: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """:func:`frequent_pairs` body over an ALREADY materialized distinct
+    ``(__b, __i)`` base — shared with :func:`association_rules` so its
+    checkpointed base is not re-distincted and re-checkpointed a second
+    time (round 12, ADVICE r11: one redundant full shuffle + duplicate
+    checkpoint per call)."""
     freq_items = (
         pairs_base.groupBy("__i")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -566,14 +585,25 @@ def association_rules(
     clean = df.where(F.col(item_col).isNotNull() & F.col(basket_col).isNotNull())
     # one checkpointed distinct (basket, item) base (round 11, guide §2.4)
     # serves the pair mining, both item-count broadcasts, and the basket
-    # count — previously each consumer re-scanned and re-distincted df
-    base = clean.select(basket_col, item_col).distinct().localCheckpoint()
-    pairs = frequent_pairs(base, basket_col, item_col, min_support=min_support)
+    # count — previously each consumer re-scanned and re-distincted df.
+    # Built directly in frequent_pairs' (__b, __i) shape and handed to
+    # _frequent_pairs_from_base (round 12, ADVICE r11): the public
+    # frequent_pairs() entry used to re-distinct + re-checkpoint this very
+    # relation — one redundant full shuffle and a duplicate checkpoint
+    # materialization per call, now gone.
+    base = (
+        clean.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    pairs = _frequent_pairs_from_base(base, min_support=min_support)
     item_counts = (
-        base.groupBy(F.col(item_col).alias("__item"))
+        base.groupBy(F.col("__i").alias("__item"))
         .agg(F.count(F.lit(1)).alias("__n_item"))
     )
-    n_baskets = base.select(basket_col).distinct().count()
+    n_baskets = base.select("__b").distinct().count()
     both = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),

@@ -648,6 +648,26 @@ def bigram_lm_scores(
     handles the Zipf skew of hot contexts (skew-join split). Vocabulary
     never collects to the driver; V is a 1-row broadcast scalar.
     """
+    return df.join(
+        _bigram_lm_doc_scores(df, text_col, id_col, add_k, out_col),
+        id_col,
+        "left",
+    )
+
+
+def _bigram_lm_doc_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    add_k: float,
+    out_col: str = "lm_logprob",
+) -> DataFrame:
+    """NARROW per-doc LM aggregate behind :func:`bigram_lm_scores`:
+    ``(id_col, out_col, n_bigrams)``, one row per doc that HAS >= 1
+    bigram (docs with < 2 tokens are absent — the caller's left join
+    supplies their NULLs). Split out in round 12 so rank-based consumers
+    (:func:`ccnet_buckets`) can rank on this narrow relation instead of
+    range-shuffling the full document payload."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
     base = df.select(F.col(id_col), toks.alias("__t"))
     n_t = F.size("__t")
@@ -673,7 +693,7 @@ def bigram_lm_scores(
     )
     k = F.lit(float(add_k))
     logp = F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("v")))
-    scored = (
+    return (
         grams.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -683,7 +703,6 @@ def bigram_lm_scores(
             F.count("*").alias("n_bigrams"),
         )
     )
-    return df.join(scored, id_col, "left")
 
 
 def ccnet_buckets(
@@ -709,7 +728,13 @@ def ccnet_buckets(
 
     Scale: the LM is two count shuffles + one join; the global rank uses
     :func:`~.transform.add_index_col_distributed` (range partition +
-    broadcast offsets) — never a single-partition sort.
+    broadcast offsets) — never a single-partition sort. Round 12 (guide
+    §2.3 — shuffle keys/metadata, not payloads): the rank/bucket pass runs
+    over the NARROW ``(id, lm_logprob, n_bigrams)`` LM aggregate and the
+    document payload is attached by ONE left join at the end — previously
+    the full payload (text and all caller columns) was range-shuffled,
+    checkpointed and unioned through the ranking. Requires unique ids —
+    already the contract (the rank tiebreak assumes it).
 
     Returns ``df`` + ``lm_logprob``, ``n_bigrams``, ``bucket``.
     """
@@ -717,10 +742,9 @@ def ccnet_buckets(
         raise ValueError("labels must have n_buckets entries")
     from .transform import add_index_col_distributed
 
-    scored = bigram_lm_scores(df, text_col, id_col, add_k=add_k)
-    ok = scored.where(F.col("lm_logprob").isNotNull())
+    scored = _bigram_lm_doc_scores(df, text_col, id_col, add_k)
     ranked = add_index_col_distributed(
-        ok.withColumn("__neg", -F.col("lm_logprob")),
+        scored.withColumn("__neg", -F.col("lm_logprob")),
         col_name="__rk",
         order_by=["__neg", id_col],
     ).drop("__neg")
@@ -736,12 +760,9 @@ def ccnet_buckets(
         ).cast("int"),
     )
     out_ok = ranked.crossJoin(F.broadcast(n)).select(
-        *scored.columns, bucket.alias("bucket")
+        F.col(id_col), "lm_logprob", "n_bigrams", bucket.alias("bucket")
     )
-    out_null = scored.where(F.col("lm_logprob").isNull()).withColumn(
-        "bucket", F.lit(None).cast("string")
-    )
-    return out_ok.unionByName(out_null)
+    return df.join(out_ok, id_col, "left")
 
 
 def trigram_lm_scores(

@@ -60,12 +60,18 @@ def get_spark(
         # Session timezone pinned for deterministic timestamp semantics
         # against the DuckDB oracle.
         "spark.sql.session.timeZone": "UTC",
-        # Prefer shuffled-hash join when its size conditions are met and
-        # let AQE rewrite sort-merge joins to shuffled-hash when every
-        # post-shuffle partition is small (guide §3.1/§9): skips the sort
-        # on moderate build sides; sizes are runtime-probed by AQE, so the
-        # setting is scale-neutral (big build sides still get sort-merge).
-        "spark.sql.join.preferSortMergeJoin": "false",
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+        # every post-shuffle partition is below the threshold (guide §3.1):
+        # skips the sort on moderate build sides. AQE-only on purpose —
+        # round 12 dropped the r11 static `preferSortMergeJoin=false`
+        # companion: interleaved A/B (plans/r12/AB_shj_aqe_only.json) shows
+        # the AQE rewrite alone keeps every heavy-join win (pagerank 0.79,
+        # bm25f 0.75, corpus_prepare_full 0.76 vs static+AQE), and the
+        # static flag lets the compile-time planner pick SHJ from size
+        # ESTIMATES — an underestimated build side (post-explode rows)
+        # can OOM since the SHJ build map does not spill. The AQE path
+        # decides from true runtime partition sizes, so it is the
+        # scale-safe form of the same optimization.
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event data)
         # are unreadable by Spark otherwise; read as long and convert with

@@ -1,8 +1,9 @@
 """Capture `.explain("formatted")` output for named queries into
-plans/r11/<query>_<tag>.txt — the optimization-round evidence files.
+plans/<round>/<query>_<tag>.txt — the optimization-round evidence files.
 
 Usage: python tools/capture_plans.py <tag> <query> [query ...]
        python tools/capture_plans.py <tag> --file list.txt
+Round dir defaults to r12; override with $PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -13,7 +14,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+    os.environ.get("PLANS_ROUND", "r12"),
 )
 
 
